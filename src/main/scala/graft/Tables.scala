@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed loaders for the driver-generated test tables (TESTDATA.md,
+  * FIXTURES.md §B). Every query in the inventory reads through these so
+  * parquet column pruning + predicate pushdown apply uniformly: the scan
+  * only materializes the columns the query actually selects (verify via
+  * `df.explain("formatted")` → `ReadSchema`/`PushedFilters`).
+  *
+  * Scale note: at 100 TB these would be partitioned/bucketed external
+  * tables; `spark.read.parquet(dir)` on a directory of files behaves
+  * identically, so nothing here assumes a single file.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Exact-decimal sum of a double column, surfaced back as double.
+    *
+    * Double summation order is nondeterministic under parallel partial
+    * aggregation, so a raw `sum(double)` can differ between Spark and the
+    * DuckDB oracle in the last ulps. Casting each addend to DECIMAL(18,4)
+    * makes the aggregation exact and order-independent (the source data
+    * carries ≤2 decimal places; products of two such values carry ≤4), so
+    * both engines produce bit-identical doubles after the final cast.
+    * This is also the right call at 100 TB: decimal partial aggregation
+    * stays in Tungsten codegen and adds no shuffle.
+    */
+  def decSum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Double → BIGINT the portable way. Spark's CAST truncates toward zero
+    * while DuckDB's CAST rounds half away, so every conversion in an
+    * oracle-checked query goes through an explicit floor() on both sides.
+    */
+  def floorLong(c: Column): Column = floor(c).cast("bigint")
+}

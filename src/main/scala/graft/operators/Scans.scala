@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2.1 — scans / sources.
+  *
+  * Reference behaviors re-expressed Spark-first:
+  *  - full scan + count (task-file read loop, `agent-loop.sh:195-224`)
+  *  - projected scan with parquet column pruning (`agent-loop.sh:322-325`)
+  *  - semi-structured text → rows with heading fill-down (the markdown
+  *    task grammar, `agent-loop.sh:185-227`); the full grammar (multiline
+  *    continuation join) lives in [[graft.sources.TaskListParser]] and is
+  *    ScalaTest-verified — this query oracle-checks the fill-down core.
+  *  - nested-JSON ingest / field extraction (`agent-loop.sh:293-303`).
+  */
+object Scans {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // COUNT(*) never reads data pages — parquet footers only.
+    "q_scan_full" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(count(lit(1)).as("n_rows"))),
+
+    // Two-column projection: ReadSchema must show exactly these columns.
+    "q_scan_project" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_quantity")),
+
+    // Markdown-ish line stream: every 10th row is a `## heading`, the rest
+    // are `- item` lines; group name fills down (agent-loop.sh:187,200-203).
+    // The window is intentionally unpartitioned: it models parsing ONE
+    // ordered task file (driver-small input). Corpus-scale parsing would
+    // partition by file id first.
+    "q_source_text_parse" -> ((s, dir) => {
+      val lines = Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+             concat(lit("## group-"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("- "), substring(col("text"), 1, 30)))
+          .as("line"))
+      val marked = lines
+        .withColumn("grp",  when(col("line").startsWith("## "), expr("substr(line, 4)")))
+        .withColumn("item", when(!col("line").startsWith("## "), expr("substr(line, 3)")))
+      val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      marked
+        .withColumn("grp_name",
+          coalesce(last(col("grp"), ignoreNulls = true).over(w), lit("ungrouped")))
+        .filter(col("item").isNotNull)
+        .select(col("doc_id"), col("grp_name"), col("item"))
+        .orderBy("doc_id")
+    }),
+
+    // JSON document ingest: extract a typed field from the props JSON
+    // string (the `.usage.input_tokens // 0` shape, agent-loop.sh:417-422).
+    "q_json_doc_ingest" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          coalesce(get_json_object(col("props"), "$.k").cast("int"), lit(0)).as("k"))
+        .orderBy("event_id")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_full" -> "SELECT count(*) AS n_rows FROM lineitem",
+
+    "q_scan_project" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",
+
+    "q_source_text_parse" -> """
+      WITH lines AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0
+                    THEN '## group-' || CAST(doc_id AS VARCHAR)
+                    ELSE '- ' || substr(text, 1, 30) END AS line
+        FROM documents),
+      marked AS (
+        SELECT doc_id,
+               CASE WHEN line LIKE '## %' THEN substr(line, 4) END AS grp,
+               CASE WHEN line NOT LIKE '## %' THEN substr(line, 3) END AS item
+        FROM lines),
+      filled AS (
+        SELECT doc_id,
+               coalesce(last_value(grp IGNORE NULLS) OVER (
+                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 'ungrouped') AS grp_name,
+               item
+        FROM marked)
+      SELECT doc_id, grp_name, item FROM filled
+      WHERE item IS NOT NULL ORDER BY doc_id""",
+
+    "q_json_doc_ingest" -> """
+      SELECT event_id,
+             coalesce(CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k
+      FROM events ORDER BY event_id""",
+  )
+}
