@@ -1,13 +1,37 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Thin: keys → functions; each operator family lives in graft.operators.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the reference's `--status` aggregation (SURVEY §3.2,
+    * agent-loop.sh:144-151) — its 4 separate filtered scans + derived
+    * `pending` collapsed into ONE grouped pass with conditional counts.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Tables.orders(spark, "/root/testdata/sf0.001")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_done"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_partial"))
+      .select(
+        col("n_total"), col("n_open"), col("n_done"), col("n_partial"),
+        (col("n_total") - col("n_open") - col("n_done") - col("n_partial"))
+          .as("n_pending"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    operators.Scans.queries ++
+    operators.Filters.queries ++
+    operators.Aggs.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (approx/UDF/map ops) get the
+    * driver's weaker rows-only check and a ScalaTest spec instead. */
+  def oracleSql: Map[String, String] =
+    operators.Scans.oracle ++
+    operators.Filters.oracle ++
+    operators.Aggs.oracle
 }

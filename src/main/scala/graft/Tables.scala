@@ -24,7 +24,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+
+  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]) unless nanos are read as
+    * plain longs. We read nanos as `ts_ns BIGINT` (exact — keep it for
+    * ordering / range arithmetic; integer math never loses precision) and
+    * expose `ts TIMESTAMP` truncated to micros for calendar functions.
+    * `ts_ns div 1000` is integer division: a double roundtrip would lose
+    * precision above 2^53 ns (~1970+104 days). DuckDB oracle parity:
+    * `epoch_ns(ts)` ↔ `ts_ns`, `CAST(ts AS TIMESTAMP)` ↔ `ts` (both
+    * truncate ns → us).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

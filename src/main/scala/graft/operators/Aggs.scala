@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2.4 — aggregations.
+  *
+  * Reference shapes: the `--status` grouped counts (`agent-loop.sh:144-151`
+  * — 4 separate jq scans collapsed into ONE grouped pass here), token
+  * accounting (`agent-loop.sh:414-426`), distinct sessions
+  * (`telegram-agent.py:510`), the rollup summary (`agent-loop.sh:817-854`),
+  * derived `pending = total − Σ(others)` (`agent-loop.sh:151`).
+  *
+  * Scale notes: every aggregate here is a hash aggregate with map-side
+  * partial aggregation — the shuffle carries one row per (group × partial),
+  * not the data. Distinct counts at 100 TB should prefer
+  * `approx_count_distinct` (q_agg_approx_distinct); the exact variant
+  * shuffles the full key set. Double sums go through DECIMAL partials
+  * (Tables.decSum) so results are order-independent under any partitioning.
+  */
+object Aggs {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // The flagship `--status` aggregation: one grouped scan replaces the
+    // reference's 4 full-document passes.
+    "q_agg_count_by_status" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // Same counts in one pass via conditional aggregation (COUNT FILTER).
+    "q_agg_filtered" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .agg(
+          count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_done"),
+          count(when(col("o_orderstatus") === "P", 1)).as("n_partial"),
+          count(lit(1)).as("n_total"))),
+
+    // TPC-H Q1 shape: the token-accounting sum fold. Decimal partials keep
+    // the double sums exact and order-independent.
+    "q_agg_sum_tokens" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Tables.decSum(col("l_quantity")).as("sum_qty"),
+          Tables.decSum(col("l_extendedprice")).as("sum_base"),
+          Tables.decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_agg_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .agg(countDistinct(col("user_id")).as("n_users"))),
+
+    // HLL sketch — the 100 TB shape of q_agg_distinct (no exact-key
+    // shuffle). Estimates differ from DuckDB's HLL → no oracle; accuracy
+    // is asserted in ApproxSpec (±5% of exact).
+    "q_agg_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))),
+
+    // Hierarchical summary: per (priority, status), per priority, grand
+    // total — the reference's show_summary in one grouping-sets pass.
+    "q_agg_rollup" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"))
+        .orderBy("prio", "status")),
+
+    "q_agg_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"))
+        .orderBy("prio", "status")),
+
+    // Arithmetic over aggregates: pending = total − Σ(known states).
+    "q_agg_derived" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_done"))
+        .select(
+          col("n_total"), col("n_open"), col("n_done"),
+          (col("n_total") - col("n_open") - col("n_done")).as("n_pending"),
+          Tables.floorLong(col("n_open") * 100L / col("n_total")).as("open_pct"))),
+
+    // min/max/first per group. min/max of doubles are exact picks (no
+    // arithmetic), so they compare bit-exactly; "first" is made
+    // deterministic as min_by over the unique o_orderkey.
+    "q_agg_min_max_first" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_orderkey")).as("first_key"),
+          date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_date"))
+        .orderBy("o_orderstatus")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_count_by_status" -> """
+      SELECT o_orderstatus, count(*) AS n FROM orders
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_agg_filtered" -> """
+      SELECT count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_done,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial,
+             count(*) AS n_total
+      FROM orders""",
+
+    "q_agg_sum_tokens" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q_agg_distinct" ->
+      "SELECT count(DISTINCT user_id) AS n_users FROM events",
+
+    "q_agg_rollup" -> """
+      SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+             coalesce(o_orderstatus, 'ALL') AS status,
+             count(*) AS n
+      FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      ORDER BY prio, status""",
+
+    "q_agg_cube" -> """
+      SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+             coalesce(o_orderstatus, 'ALL') AS status,
+             count(*) AS n
+      FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      ORDER BY prio, status""",
+
+    "q_agg_derived" -> """
+      WITH a AS (
+        SELECT count(*) AS n_total,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_done
+        FROM orders)
+      SELECT n_total, n_open, n_done,
+             n_total - n_open - n_done AS n_pending,
+             CAST(floor(n_open * 100 / n_total) AS BIGINT) AS open_pct
+      FROM a""",
+
+    "q_agg_min_max_first" -> """
+      SELECT o_orderstatus,
+             min(o_totalprice) AS min_price,
+             max(o_totalprice) AS max_price,
+             min(o_orderkey) AS first_key,
+             strftime(min(o_orderdate), '%Y-%m-%d') AS first_date
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+  )
+}

@@ -46,11 +46,13 @@ object Filters {
         .select(col("p_partkey"), col("p_type"))
         .orderBy("p_partkey")),
 
-    // Missing-field guard: `// empty` / `!= null` — drop rows whose payload
-    // collapses to the empty sentinel.
+    // Missing-field guard: `// empty` / `!= null` — drop rows whose
+    // extracted field is missing or the zero sentinel. Extraction-based
+    // (not byte-comparison on the raw JSON) so it survives generator
+    // whitespace changes.
     "q_filter_null" -> ((s, dir) =>
       Tables.events(s, dir)
-        .filter(nullif(col("props"), lit("""{"k": 0}""")).isNotNull)
+        .filter(coalesce(get_json_object(col("props"), "$.k").cast("int"), lit(0)) =!= 0)
         .select(col("event_id"), col("event_type"))
         .orderBy("event_id")),
 
@@ -90,7 +92,8 @@ object Filters {
 
     "q_filter_null" -> """
       SELECT event_id, event_type FROM events
-      WHERE nullif(props, '{"k": 0}') IS NOT NULL ORDER BY event_id""",
+      WHERE coalesce(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0) != 0
+      ORDER BY event_id""",
 
     "q_project_compute" -> """
       SELECT o_orderkey,

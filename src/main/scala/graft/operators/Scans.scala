@@ -13,8 +13,9 @@ import graft.Tables
   *  - projected scan with parquet column pruning (`agent-loop.sh:322-325`)
   *  - semi-structured text → rows with heading fill-down (the markdown
   *    task grammar, `agent-loop.sh:185-227`); the full grammar (multiline
-  *    continuation join) lives in [[graft.sources.TaskListParser]] and is
-  *    ScalaTest-verified — this query oracle-checks the fill-down core.
+  *    continuation join, CRLF, ungrouped default) is implemented in
+  *    [[graft.sources.TaskListParser]]; this query oracle-checks the
+  *    fill-down core over the `documents` table.
   *  - nested-JSON ingest / field extraction (`agent-loop.sh:293-303`).
   */
 object Scans {
@@ -33,12 +34,14 @@ object Scans {
 
     // Markdown-ish line stream: every 10th row is a `## heading`, the rest
     // are `- item` lines; group name fills down (agent-loop.sh:187,200-203).
-    // The window is intentionally unpartitioned: it models parsing ONE
-    // ordered task file (driver-small input). Corpus-scale parsing would
-    // partition by file id first.
+    // Partitioned by `source` (≈ file id): each file's lines fill down
+    // independently, so the window parallelizes across files — at corpus
+    // scale no single task sees more than one file's lines. Round 1 used
+    // an unpartitioned window here, which serializes the whole corpus
+    // through one task; this is the scale-safe shape.
     "q_source_text_parse" -> ((s, dir) => {
       val lines = Tables.documents(s, dir).select(
-        col("doc_id"),
+        col("doc_id"), col("source"),
         when(col("doc_id") % 10 === 0,
              concat(lit("## group-"), col("doc_id").cast("string")))
           .otherwise(concat(lit("- "), substring(col("text"), 1, 30)))
@@ -46,12 +49,13 @@ object Scans {
       val marked = lines
         .withColumn("grp",  when(col("line").startsWith("## "), expr("substr(line, 4)")))
         .withColumn("item", when(!col("line").startsWith("## "), expr("substr(line, 3)")))
-      val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       marked
         .withColumn("grp_name",
           coalesce(last(col("grp"), ignoreNulls = true).over(w), lit("ungrouped")))
         .filter(col("item").isNotNull)
-        .select(col("doc_id"), col("grp_name"), col("item"))
+        .select(col("doc_id"), col("source"), col("grp_name"), col("item"))
         .orderBy("doc_id")
     }),
 
@@ -73,29 +77,30 @@ object Scans {
 
     "q_source_text_parse" -> """
       WITH lines AS (
-        SELECT doc_id,
+        SELECT doc_id, source,
                CASE WHEN doc_id % 10 = 0
                     THEN '## group-' || CAST(doc_id AS VARCHAR)
                     ELSE '- ' || substr(text, 1, 30) END AS line
         FROM documents),
       marked AS (
-        SELECT doc_id,
+        SELECT doc_id, source,
                CASE WHEN line LIKE '## %' THEN substr(line, 4) END AS grp,
                CASE WHEN line NOT LIKE '## %' THEN substr(line, 3) END AS item
         FROM lines),
       filled AS (
-        SELECT doc_id,
+        SELECT doc_id, source,
                coalesce(last_value(grp IGNORE NULLS) OVER (
-                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                  'ungrouped') AS grp_name,
                item
         FROM marked)
-      SELECT doc_id, grp_name, item FROM filled
+      SELECT doc_id, source, grp_name, item FROM filled
       WHERE item IS NOT NULL ORDER BY doc_id""",
 
     "q_json_doc_ingest" -> """
       SELECT event_id,
-             coalesce(CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k
+             coalesce(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k
       FROM events ORDER BY event_id""",
   )
 }

@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Markdown task-list grammar → rows, re-expressed as a declarative Spark
+  * plan (no driver-side loops).
+  *
+  * Grammar (reference parser at `agent-loop.sh:185-227`, edge cases at
+  * `tests/test-features.sh:440-579`):
+  *   - `## <name>`        starts a group (heading fill-down, `:200-203`);
+  *   - `- <text>`         starts a task (`:207`);
+  *   - indented non-blank lines continue the previous task, joined with a
+  *     single space (`:215`);
+  *   - blank / other lines terminate a multiline task and are ignored;
+  *   - CR is stripped (`:197`);
+  *   - tasks before any heading get group `ungrouped` (`:187`).
+  *
+  * Input: `(file_id STRING, line_no BIGINT, line STRING)` — one row per
+  * line, any number of files. Output: `(file_id, index, group, task)` with
+  * `index` 1-based per file in file order.
+  *
+  * Scale shape: every window below is `partitionBy(file_id)` — parsing
+  * parallelizes across files and no task ever holds more than one file's
+  * lines. The multiline join is a `collect_list` per (file, task) group —
+  * bounded by one task's continuation lines, never a whole file.
+  */
+object TaskListParser {
+
+  def parse(lines: DataFrame): DataFrame = {
+    val byLine = Window.partitionBy("file_id").orderBy("line_no")
+    val fill   = byLine.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val classified = lines
+      .withColumn("line", regexp_replace(col("line"), "\r$", ""))
+      .withColumn("kind",
+        when(col("line").rlike("^##\\s+\\S"), "heading")
+          .when(col("line").rlike("^-\\s+\\S"), "task")
+          .when(col("line").rlike("^\\s+\\S"), "cont")
+          .otherwise("blank"))
+
+    val grouped = classified
+      .withColumn("grp_raw",
+        when(col("kind") === "heading", regexp_replace(col("line"), "^##\\s+", "")))
+      .withColumn("grp",
+        coalesce(last(col("grp_raw"), ignoreNulls = true).over(fill), lit("ungrouped")))
+      // Running count of task starts = the task each line belongs to.
+      .withColumn("task_no",
+        sum(when(col("kind") === "task", 1).otherwise(0)).over(fill))
+      // A continuation line only attaches if nothing terminated the task
+      // since its `- ` line: count terminators (blank/heading) since the
+      // task start and require zero.
+      .withColumn("brk",
+        sum(when(col("kind").isin("blank", "heading"), 1).otherwise(0)).over(fill))
+
+    val starts = grouped.filter(col("kind") === "task")
+      .select(col("file_id"), col("task_no"), col("grp"), col("brk").as("start_brk"),
+              regexp_replace(col("line"), "^-\\s+", "").as("head"),
+              col("line_no").as("start_line"))
+
+    val conts = grouped.filter(col("kind") === "cont" && col("task_no") > 0)
+      .select(col("file_id"), col("task_no"), col("brk"), col("line_no"),
+              trim(col("line")).as("cont"))
+
+    // Join continuations to their task; drop any continuation separated
+    // from the task start by a terminator. The join key (file_id, task_no)
+    // co-partitions with the window above, so AQE coalesces the shuffles.
+    val joined = starts
+      .join(conts, Seq("file_id", "task_no"), "left_outer")
+      .groupBy(col("file_id"), col("task_no"), col("grp"),
+               col("head"), col("start_line"))
+      // collect_list drops nulls, so a task whose continuations were all
+      // severed by a terminator (brk mismatch) still keeps its start row.
+      .agg(array_sort(collect_list(
+        when(col("brk") === col("start_brk"), struct(col("line_no"), col("cont")))))
+        .as("parts"))
+      .withColumn("task",
+        concat_ws(" ", concat(array(col("head")),
+                              transform(col("parts"), p => p("cont")))))
+
+    joined.select(
+      col("file_id"),
+      row_number().over(Window.partitionBy("file_id").orderBy("start_line")).as("index"),
+      col("grp").as("group"),
+      col("task"))
+  }
+}

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB oracle compare.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+For each query dir under verifyOutDir: load the Spark parquet result,
+run the oracle SQL in DuckDB over the sf parquet tables, sort columns by
+name, sort rows, compare values cell-by-cell (round doubles to 6dp).
+"""
+import sys, os, json, math
+import duckdb
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+for t in TABLES:
+    p = f"{sf}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails, passes, skips = [], [], []
+for name in sorted(os.listdir(out)):
+    d = os.path.join(out, name)
+    if not os.path.isdir(d):
+        continue
+    spark_rel = con.execute(
+        f"SELECT * FROM read_parquet('{d}/*.parquet')").fetch_arrow_table()
+    if name not in oracle:
+        skips.append(f"{name} (no oracle, rows={spark_rel.num_rows})")
+        continue
+    try:
+        duck_rel = con.execute(oracle[name]).fetch_arrow_table()
+    except Exception as e:
+        fails.append(f"{name}: ORACLE SQL ERROR: {e}")
+        continue
+    def norm(tbl):
+        cols = sorted(tbl.column_names)
+        rows = []
+        for i in range(tbl.num_rows):
+            row = []
+            for c in cols:
+                v = tbl.column(c)[i].as_py()
+                if isinstance(v, float):
+                    v = None if math.isnan(v) else round(v, 6)
+                row.append(v)
+            rows.append(tuple(row))
+        return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
+    sc, sr = norm(spark_rel)
+    dc, dr = norm(duck_rel)
+    if sc != dc:
+        fails.append(f"{name}: SCHEMA spark={sc} duck={dc}")
+    elif len(sr) != len(dr):
+        fails.append(f"{name}: ROWS spark={len(sr)} duck={len(dr)}")
+    elif sr != dr:
+        diff = next((i, a, b) for i, (a, b) in enumerate(zip(sr, dr)) if a != b)
+        fails.append(f"{name}: VALUES first diff at row {diff[0]}: spark={diff[1]} duck={diff[2]}")
+    else:
+        passes.append(name)
+
+print(f"PASS ({len(passes)}):", *passes, sep="\n  ")
+if skips:
+    print(f"SKIP no-oracle ({len(skips)}):", *skips, sep="\n  ")
+if fails:
+    print(f"FAIL ({len(fails)}):", *fails, sep="\n  ")
+    sys.exit(1)
+print("ALL GREEN")
