@@ -25,7 +25,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Scans.queries ++
     operators.Filters.queries ++
-    operators.Aggs.queries
+    operators.Aggs.queries ++
+    operators.Joins.queries ++
+    operators.Windows.queries ++
+    operators.SortsSets.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx/UDF/map ops) get the
@@ -33,5 +36,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Scans.oracle ++
     operators.Filters.oracle ++
-    operators.Aggs.oracle
+    operators.Aggs.oracle ++
+    operators.Joins.oracle ++
+    operators.Windows.oracle ++
+    operators.SortsSets.oracle
 }
