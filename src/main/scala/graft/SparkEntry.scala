@@ -28,7 +28,8 @@ object SparkEntry {
     operators.Aggs.queries ++
     operators.Joins.queries ++
     operators.Windows.queries ++
-    operators.SortsSets.queries
+    operators.SortsSets.queries ++
+    operators.Scalars.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx/UDF/map ops) get the
@@ -39,5 +40,6 @@ object SparkEntry {
     operators.Aggs.oracle ++
     operators.Joins.oracle ++
     operators.Windows.oracle ++
-    operators.SortsSets.oracle
+    operators.SortsSets.oracle ++
+    operators.Scalars.oracle
 }
