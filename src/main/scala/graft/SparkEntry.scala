@@ -29,7 +29,8 @@ object SparkEntry {
     operators.Joins.queries ++
     operators.Windows.queries ++
     operators.SortsSets.queries ++
-    operators.Scalars.queries
+    operators.Scalars.queries ++
+    operators.Udfs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx/UDF/map ops) get the
@@ -41,5 +42,6 @@ object SparkEntry {
     operators.Joins.oracle ++
     operators.Windows.oracle ++
     operators.SortsSets.oracle ++
-    operators.Scalars.oracle
+    operators.Scalars.oracle ++
+    operators.Udfs.oracle
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Spark-only checks for the no-oracle keys, mirroring the reference's
+  * fixture style (tests/test-features.sh). */
+class OperatorSpec extends SparkSpec {
+
+  test("q_agg_approx_distinct is within 5% of the exact count") {
+    val exact = graft.SparkEntry.queries("q_agg_distinct")(spark, sfDir)
+      .collect()(0).getLong(0)
+    val approx = graft.SparkEntry.queries("q_agg_approx_distinct")(spark, sfDir)
+      .collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("q_map_ops builds maps with both keys and reads them back") {
+    val rows = graft.SparkEntry.queries("q_map_ops")(spark, sfDir)
+      .limit(5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](1).toSet == Set("type", "k"))
+      assert(Set("signup", "click", "error", "view", "purchase")(r.getString(2)))
+    }
+  }
+
+  test("flagship entry returns the status rollup with pending derived") {
+    val row = graft.SparkEntry.entry(spark).collect()(0)
+    val total = row.getLong(0)
+    assert(total > 0)
+    assert(row.getLong(4) == total - row.getLong(1) - row.getLong(2) - row.getLong(3))
+  }
+
+  test("status fixture: grouped counts match the 4-row reference fixture") {
+    // tests/test-features.sh:377-427 — one task per status.
+    import spark.implicits._
+    val fixture = Seq(
+      (0, "g", "completed"), (1, "g", "failed"),
+      (2, "g", "interrupted"), (3, "g", "pending"))
+      .toDF("index", "grp", "status")
+    val counts = fixture.groupBy($"status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("completed" -> 1L, "failed" -> 1L,
+                         "interrupted" -> 1L, "pending" -> 1L))
+  }
+
+  test("token extraction golden doc totals 3800 (tests/test-features.sh:261-275)") {
+    // usage: input 1000 + cache_create 500 + cache_read 2000 + output 300.
+    import spark.implicits._
+    val doc = Seq(
+      """{"type":"result","usage":{"input_tokens":1000,"cache_creation_input_tokens":500,"cache_read_input_tokens":2000,"output_tokens":300}}""")
+      .toDF("js")
+    val out = doc.select(
+      (coalesce(get_json_object($"js", "$.usage.input_tokens").cast("long"), lit(0L)) +
+       coalesce(get_json_object($"js", "$.usage.cache_creation_input_tokens").cast("long"), lit(0L)) +
+       coalesce(get_json_object($"js", "$.usage.cache_read_input_tokens").cast("long"), lit(0L)) +
+       coalesce(get_json_object($"js", "$.usage.output_tokens").cast("long"), lit(0L))).as("total"))
+      .collect()(0).getLong(0)
+    assert(out == 3800L)
+  }
+
+  test("error classification precedence: rate_limit wins over timeout") {
+    // agent-loop.sh:399-411 — '429 ... timed out' must classify rate_limit.
+    import spark.implicits._
+    val t = lower($"s")
+    val classify =
+      when(t.rlike("rate limit|429"), "rate_limit")
+        .when(t.rlike("context|overflow"), "context_overflow")
+        .when(t.rlike("auth|401|403"), "auth")
+        .when(t.rlike("timed? ?out"), "timeout")
+        .when(t.rlike("network|connection|econnrefused"), "network")
+        .otherwise("unknown")
+    val cases = Seq(
+      "Error 429 rate limit exceeded and timed out" -> "rate_limit",
+      "context_length exceeded"                     -> "context_overflow",
+      "401 unauthorized"                            -> "auth",
+      "request timed out"                           -> "timeout",
+      "ECONNREFUSED from host"                      -> "network",
+      "something else entirely"                     -> "unknown")
+    val got = cases.map(_._1).toDF("s").select(classify.as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2))
+  }
+}
