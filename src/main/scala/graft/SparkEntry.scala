@@ -30,7 +30,11 @@ object SparkEntry {
     operators.Windows.queries ++
     operators.SortsSets.queries ++
     operators.Scalars.queries ++
-    operators.Udfs.queries
+    operators.Udfs.queries ++
+    operators.Dedup.queries ++
+    operators.Similarity.queries ++
+    operators.TextAnalysis.queries ++
+    operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx/UDF/map ops) get the
@@ -43,5 +47,9 @@ object SparkEntry {
     operators.Windows.oracle ++
     operators.SortsSets.oracle ++
     operators.Scalars.oracle ++
-    operators.Udfs.oracle
+    operators.Udfs.oracle ++
+    operators.Dedup.oracle ++
+    operators.Similarity.oracle ++
+    operators.TextAnalysis.oracle ++
+    operators.Multimodal.oracle
 }

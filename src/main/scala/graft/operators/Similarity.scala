@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the embedding column (builder brief: ANN as a
+  * first-class component).
+  *
+  * Two paths:
+  *   - `q_knn_topk` — brute-force exact top-k: a small probe set is
+  *     BROADCAST against the corpus; similarity in exact quantized-int
+  *     arithmetic; per-probe top-k via a partitioned window. This is the
+  *     correctness baseline and is DuckDB-oracle-checked.
+  *   - `q_knn_lsh` — the 100 TB path: deterministic random-hyperplane
+  *     LSH buckets (integer pseudo-random planes, no runtime RNG), probes
+  *     join only their bucket, top-k within. Approximate by construction →
+  *     no oracle; SimilaritySpec asserts recall vs the brute force.
+  *
+  * Scale notes: brute force is O(probes × corpus) — fine for few probes
+  * because the corpus never shuffles (probe side broadcasts, similarity
+  * and per-partition top-k happen map-side; only probes × k rows reach
+  * the final shuffle via the window). For corpus×corpus workloads use the
+  * LSH path: bucketing is a linear scan + one equi shuffle on bucket id.
+  * An IVF variant would replace the hash bucket with a k-means cell id —
+  * same join shape.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** floor(x*1000) quantization — exact BIGINT domain shared with the
+    * DuckDB oracle (doubles would drift between engines; ints can't). */
+  private val quant =
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+  private val dotAB = "aggregate(zip_with(v_p, v_c, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+
+  /** Multi-table LSH: a single long hash has vanishing collision odds for
+    * moderately-similar vectors, so real deployments run T independent
+    * tables of L planes each — a probe meets a candidate if they share
+    * ANY table's bucket. T=8, L=6: candidate volume ≈ T/2^L = 12.5% of
+    * the corpus per probe (an 8× read saving), with near-duplicate recall
+    * ≈ 1 at cos ≥ 0.95. */
+  val NumTables  = 8
+  val PlanesPerTable = 6
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * Knuth multiplicative hash folded to [-32768, 32767]. No runtime RNG —
+    * retries and speculative tasks always agree. */
+  def planeWeight(p: Int, d: Int): Long =
+    (((p.toLong * 131 + d) * 2654435761L) % 65536 + 65536) % 65536 - 32768
+
+  /** Bucket id of table `t` = t tagged with L sign bits. */
+  def bucketExpr(vCol: String, t: Int): String = {
+    val bits = (0 until PlanesPerTable).map { i =>
+      val p = t * PlanesPerTable + i
+      val weights = (0 until 64).map(d => s"${planeWeight(p, d)}L * $vCol[$d]").mkString(" + ")
+      s"(CASE WHEN ($weights) >= 0 THEN ${1L << i}L ELSE 0L END)"
+    }
+    s"(${(64 * t).toLong}L + ${bits.mkString(" + ")})"
+  }
+
+  /** All T bucket ids for a vector column. */
+  def bucketsExpr(vCol: String): String =
+    s"array(${(0 until NumTables).map(t => bucketExpr(vCol, t)).mkString(", ")})"
+
+  /** (vec_id, v, bucket) — one row per (vector, table). */
+  def bucketed(vectors: DataFrame): DataFrame =
+    vectors
+      .withColumn("bucket", explode(expr(bucketsExpr("v"))))
+
+  /** LSH top-k: probes meet candidates sharing any table bucket; exact
+    * quantized dot ranks the survivors. */
+  def lshTopK(vectors: DataFrame, probeFilter: Column, k: Int): DataFrame = {
+    val q = bucketed(vectors)
+    val probes = q.filter(probeFilter)
+      .select(col("bucket"), col("vec_id").as("probe_id"), col("v").as("v_p"))
+    val cands = q.select(col("bucket"), col("vec_id").as("cand_id"), col("v").as("v_c"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("dot").desc, col("cand_id"))
+    probes.join(cands, Seq("bucket"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"), col("v_p"), col("v_c"))
+      .dropDuplicates("probe_id", "cand_id")
+      .withColumn("dot", expr(dotAB))
+      .select(col("probe_id"), col("cand_id"), col("dot"),
+              row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+      .orderBy("probe_id", "rk")
+  }
+
+  def brute(s: SparkSession, dir: String, nProbes: Int, k: Int): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), expr(quant).as("v_p"))
+    val cands = e.select(col("vec_id").as("cand_id"), expr(quant).as("v_c"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("dot").desc, col("cand_id"))
+    broadcast(probes).join(cands, col("probe_id") =!= col("cand_id"))
+      .withColumn("dot", expr(dotAB))
+      .select(col("probe_id"), col("cand_id"), col("dot"),
+              row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+      .orderBy("probe_id", "rk")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_knn_topk" -> ((s, dir) => brute(s, dir, 8, 5)),
+
+    "q_knn_lsh" -> ((s, dir) =>
+      lshTopK(
+        Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v")),
+        col("vec_id") < 64, 5)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_knn_topk" -> """
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      scored AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               CAST(list_dot_product(p.v, c.v) AS BIGINT) AS dot
+        FROM q p JOIN q c ON p.vec_id < 8 AND p.vec_id != c.vec_id)
+      SELECT probe_id, cand_id, dot, rk FROM (
+        SELECT probe_id, cand_id, dot,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY dot DESC, cand_id) AS INTEGER) AS rk
+        FROM scored)
+      WHERE rk <= 5 ORDER BY probe_id, rk""",
+  )
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines (builder brief):
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All pure codegen-friendly Column expressions over `documents` — each is
+  * a linear scan, embarrassingly parallel, no shuffle except the final
+  * ORDER BY the harness requires.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "ein")
+  private val stopEs = Seq("el", "la", "los", "de", "y", "es", "un")
+  private val stopFr = Seq("le", "la", "les", "et", "est", "un", "de")
+
+  private def hits(words: Column, stops: Seq[String]): Column =
+    size(filter(words, w => w.isin(stops: _*)))
+
+  val queries: Map[String, Q] = Map(
+    // n-gram-heuristic language ID: stopword-hit argmax with ordered
+    // tie-break (en > de > es > fr > und), mirroring the ordered-cascade
+    // classification shape of agent-loop.sh:399-411.
+    "q_text_langid" -> ((s, dir) => {
+      val words = split(lower(col("text")), " ")
+      val (en, de, es, fr) =
+        (hits(words, stopEn), hits(words, stopDe), hits(words, stopEs), hits(words, stopFr))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"),
+          when(greatest(en, de, es, fr) === 0, "und")
+            .when(en >= de && en >= es && en >= fr, "en")
+            .when(de >= es && de >= fr, "de")
+            .when(es >= fr, "es")
+            .otherwise("fr").as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length band + stopword ratio + mean word length,
+    // composed into an integer 0-3 score (exact arithmetic only).
+    "q_text_quality" -> ((s, dir) => {
+      val words = split(lower(col("text")), " ")
+      val wc = size(words)
+      val letters = length(regexp_replace(col("text"), " ", ""))
+      val stopRatio = hits(words, stopEn).cast("double") / wc.cast("double")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          wc.as("n_words"),
+          round(letters.cast("double") / wc.cast("double"), 4).as("avg_word_len"),
+          round(stopRatio, 4).as("stop_ratio"),
+          (when(col("n_chars").between(100, 500), 1).otherwise(0) +
+           when(wc >= 20, 1).otherwise(0) +
+           when(stopRatio > 0, 1).otherwise(0)).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace tokens, BPE-ish regex pieces, and the
+    // chars/4 estimate every LLM pipeline uses for budgeting.
+    "q_text_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("bpe_ish"),
+          ((col("n_chars") + 3) / lit(4)).cast("bigint").as("est_tokens"))
+        .orderBy("doc_id")),
+
+    // Bag-of-words fingerprint: sha256 of the sorted distinct word set —
+    // catches reordered near-dups that exact hashing misses; cluster size
+    // via a window on the fingerprint.
+    "q_text_fingerprint" -> ((s, dir) => {
+      val fp = sha2(
+        array_join(array_sort(array_distinct(split(lower(col("text")), " "))), " "), 256)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), fp.as("fingerprint"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")))
+        .orderBy("doc_id")
+    }),
+  )
+
+  private def sqlHits(stops: Seq[String]): String =
+    s"len(list_filter(string_split(lower(text), ' '), w -> w IN (${stops.map("'" + _ + "'").mkString(",")})))"
+
+  val oracle: Map[String, String] = Map(
+    "q_text_langid" -> s"""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(${sqlHits(stopEn)} AS INTEGER) AS s_en,
+               CAST(${sqlHits(stopDe)} AS INTEGER) AS s_de,
+               CAST(${sqlHits(stopEs)} AS INTEGER) AS s_es,
+               CAST(${sqlHits(stopFr)} AS INTEGER) AS s_fr
+        FROM documents)
+      SELECT doc_id, s_en, s_de, s_es, s_fr,
+             CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM t ORDER BY doc_id""",
+
+    "q_text_quality" -> s"""
+      WITH t AS (
+        SELECT doc_id, n_chars,
+               len(string_split(lower(text), ' ')) AS wc,
+               length(replace(text, ' ', '')) AS letters,
+               ${sqlHits(stopEn)} AS stops
+        FROM documents)
+      SELECT doc_id,
+             CAST(wc AS INTEGER) AS n_words,
+             round(CAST(letters AS DOUBLE) / wc, 4) AS avg_word_len,
+             round(CAST(stops AS DOUBLE) / wc, 4) AS stop_ratio,
+             CAST((CASE WHEN n_chars BETWEEN 100 AND 500 THEN 1 ELSE 0 END) +
+                  (CASE WHEN wc >= 20 THEN 1 ELSE 0 END) +
+                  (CASE WHEN stops > 0 THEN 1 ELSE 0 END) AS INTEGER) AS quality
+      FROM t ORDER BY doc_id""",
+
+    "q_text_tokens" -> """
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_ish,
+             (n_chars + 3) // 4 AS est_tokens
+      FROM documents ORDER BY doc_id""",
+
+    "q_text_fingerprint" -> """
+      WITH t AS (
+        SELECT doc_id,
+               sha256(array_to_string(list_sort(list_distinct(
+                 string_split(lower(text), ' '))), ' ')) AS fingerprint
+        FROM documents)
+      SELECT doc_id, fingerprint,
+             count(*) OVER (PARTITION BY fingerprint) AS cluster_size
+      FROM t ORDER BY doc_id""",
+  )
+}
