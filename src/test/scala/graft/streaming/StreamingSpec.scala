@@ -1,0 +1,149 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.Sessions.{Msg, Turn}
+
+/** MemoryStream-driven validation of the §2.9 streaming capabilities. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+    .getTime  // not used for event-time; helper for readability
+
+  test("sessionization: first message opens, turns bump, /reset clears") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Msg]
+    val q = Sessions.sessionize(in.toDS(), ttl = false)
+      .writeStream.format("memory").queryName("turns")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Msg(1, 100, "hello"), Msg(1, 200, "again"), Msg(2, 150, "hi"))
+      q.processAllAvailable()
+      in.addData(Msg(1, 300, "/reset"))
+      q.processAllAvailable()
+      in.addData(Msg(1, 400, "fresh"))
+      q.processAllAvailable()
+      val turns = spark.table("turns").as[Turn].collect().toSeq
+      val chat1 = turns.filter(_.chatId == 1).sortBy(t => (t.sessionId, t.turn))
+      // Before reset: one session, turns 1 and 2; after: a NEW session id.
+      assert(chat1.map(_.text) == Seq("hello", "again", "fresh"))
+      assert(chat1(0).sessionId == "s-1-100" && chat1(1).sessionId == "s-1-100")
+      assert(chat1(2).sessionId == "s-1-400" && chat1(2).turn == 1)
+      // Chat 2 is isolated state.
+      val chat2 = turns.filter(_.chatId == 2)
+      assert(chat2.map(t => (t.sessionId, t.turn)) == Seq(("s-2-150", 1)))
+    } finally q.stop()
+  }
+
+  private def eventStream(implicit sqlCtx: org.apache.spark.sql.SQLContext) = {
+    import spark.implicits._
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    (in, in.toDF().toDF("event_id", "ts", "user_id", "event_type"))
+  }
+
+  test("tumbling daily window buckets counts per day") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (in, df) = eventStream
+    val q = StreamOps.tumblingDaily(df)
+      .writeStream.format("memory").queryName("daily")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "click"),
+        (2L, Timestamp.valueOf("2024-01-01 11:00:00"), 7L, "click"),
+        (3L, Timestamp.valueOf("2024-01-02 09:00:00"), 7L, "click"))
+      q.processAllAvailable()
+      val out = spark.table("daily")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("d"), col("count"))
+        .as[(String, Long)].collect().toMap
+      assert(out == Map("2024-01-01" -> 2L, "2024-01-02" -> 1L))
+    } finally q.stop()
+  }
+
+  test("session windows split on the activity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (in, df) = eventStream
+    val q = StreamOps.sessionWindows(df, "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "a"),
+        (2L, Timestamp.valueOf("2024-01-01 10:10:00"), 7L, "b"),  // same session
+        (3L, Timestamp.valueOf("2024-01-01 12:00:00"), 7L, "c"))  // gap > 30m → new
+      q.processAllAvailable()
+      val out = spark.table("sessions").select("user_id", "n_events")
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(out == Seq((7L, 1L), (7L, 2L)))
+    } finally q.stop()
+  }
+
+  test("stateful dedup drops re-delivered event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (in, df) = eventStream
+    val q = StreamOps.dedup(df)
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "a"),
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "a"))  // same batch dup
+      q.processAllAvailable()
+      in.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:01"), 7L, "a"),  // redelivery
+        (2L, Timestamp.valueOf("2024-01-01 10:01:00"), 7L, "b"))
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id").as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("sliding windows assign events to overlapping panes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (in, df) = eventStream
+    val q = StreamOps.sliding(df)
+      .writeStream.format("memory").queryName("slid")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData((1L, Timestamp.valueOf("2024-01-01 10:07:00"), 7L, "a"))
+      q.processAllAvailable()
+      // A 10m window sliding by 5m covers each event twice.
+      val n = spark.table("slid").count()
+      assert(n == 2, s"expected 2 panes, got $n")
+    } finally q.stop()
+  }
+
+  test("chunked sink: foreachBatch splits long payloads with [i/N] labels") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = in.toDF().toDF("user_id", "payload")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= StreamOps.chunkBatch(batch, 50)
+          .as[(Long, String)].collect()
+        ()
+      }
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((7L, "x" * 120), (8L, "short"))
+      q.processAllAvailable()
+      val byUser = seen.groupBy(_._1)
+      assert(byUser(8L).map(_._2) == Seq("short"))
+      val chunks = byUser(7L).map(_._2)
+      assert(chunks.length == 3 && chunks.head.startsWith("[1/3] "))
+      assert(chunks.forall(_.length <= 50))
+    } finally q.stop()
+  }
+}
