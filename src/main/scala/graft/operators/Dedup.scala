@@ -187,22 +187,30 @@ object Dedup {
     }),
   )
 
-  /** (doc_id, sh BIGINT) simhash sketches. */
-  def simhashed(docs: DataFrame): DataFrame =
+  /** (doc_id, sh BIGINT) simhash sketches.
+    *
+    * Shape: explode distinct tokens → ONE hash per token → a 64-column
+    * conditional-sum aggregate (per-bit majority votes) folded into the
+    * 64-bit key. Everything stays in WholeStageCodegen; the
+    * higher-order-function formulation (per-token 64-element array
+    * zip) ran interpreted and was 30× slower at sf0.1. One shuffle on
+    * doc_id, carrying only 64 longs per doc partial.
+    */
+  def simhashed(docs: DataFrame): DataFrame = {
+    val votes = (0 until 64).map { i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"v$i")
+    }
+    val key = (0 until 64)
+      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
     docs
-      .withColumn("votes", expr(
-        """aggregate(array_distinct(split(lower(text), ' ')),
-                     array_repeat(0L, 64),
-                     (acc, t) -> zip_with(acc,
-                         transform(sequence(0, 63),
-                                   i -> CASE WHEN (shiftright(xxhash64(t), i) & 1) = 1
-                                             THEN 1L ELSE -1L END),
-                         (x, y) -> x + y))"""))
-      .withColumn("sh", expr(
-        """aggregate(transform(sequence(0, 63),
-                               i -> CASE WHEN votes[i] > 0 THEN shiftleft(1L, i) ELSE 0L END),
-                     0L, (a, x) -> a | x)"""))
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), key.as("sh"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" -> """

@@ -51,24 +51,39 @@ object Similarity {
   def planeWeight(p: Int, d: Int): Long =
     (((p.toLong * 131 + d) * 2654435761L) % 65536 + 65536) % 65536 - 32768
 
-  /** Bucket id of table `t` = t tagged with L sign bits. */
-  def bucketExpr(vCol: String, t: Int): String = {
-    val bits = (0 until PlanesPerTable).map { i =>
-      val p = t * PlanesPerTable + i
-      val weights = (0 until 64).map(d => s"${planeWeight(p, d)}L * $vCol[$d]").mkString(" + ")
-      s"(CASE WHEN ($weights) >= 0 THEN ${1L << i}L ELSE 0L END)"
+  /** (vec_id, v, bucket) — one row per (vector, table).
+    *
+    * Computed relationally: dims explode → broadcast join with the tiny
+    * (dim, plane, weight) table → two hash aggregates. A closed-form
+    * expression with all 48×64 weights inlined compiles to a multi-MB
+    * plan that Janino chokes on (measured: 8 MiB task binaries, 20+ s);
+    * this shape stays in WholeStageCodegen with a plan of constant size.
+    */
+  def bucketed(vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val weights = (0 until NumTables * PlanesPerTable).flatMap { p =>
+      (0 until 64).map(d => (d, p, planeWeight(p, d)))
+    }.toDF("d", "p", "w")
+    val dims = vectors.select(col("vec_id"), posexplode(col("v")))
+      .withColumnRenamed("pos", "d").withColumnRenamed("col", "x")
+    val proj = dims.join(broadcast(weights), Seq("d"))
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("x") * col("w")).as("s"))
+    val tableBuckets = (0 until NumTables).map { t =>
+      sum(when(col("p") >= t * PlanesPerTable && col("p") < (t + 1) * PlanesPerTable,
+            when(col("s") >= 0,
+              expr(s"shiftleft(1L, cast(p - ${t * PlanesPerTable} as int))")).otherwise(0L))
+          .otherwise(0L)).plus(lit(64L * t)).as(s"b$t")
     }
-    s"(${(64 * t).toLong}L + ${bits.mkString(" + ")})"
+    val buckets = proj.groupBy(col("vec_id"))
+      .agg(tableBuckets.head, tableBuckets.tail: _*)
+      .select(col("vec_id"),
+        explode(array((0 until NumTables).map(t => col(s"b$t")): _*)).as("bucket"))
+    // The vector payload joins back ONCE — it never rides through the
+    // projection aggregates.
+    vectors.join(buckets, Seq("vec_id"))
   }
-
-  /** All T bucket ids for a vector column. */
-  def bucketsExpr(vCol: String): String =
-    s"array(${(0 until NumTables).map(t => bucketExpr(vCol, t)).mkString(", ")})"
-
-  /** (vec_id, v, bucket) — one row per (vector, table). */
-  def bucketed(vectors: DataFrame): DataFrame =
-    vectors
-      .withColumn("bucket", explode(expr(bucketsExpr("v"))))
 
   /** LSH top-k: probes meet candidates sharing any table bucket; exact
     * quantized dot ranks the survivors. */
