@@ -173,12 +173,12 @@ object Dedup {
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
         .withColumn("blk", expr(
           "concat(CAST(label AS STRING), ':', CASE WHEN v[0] >= 0 THEN 1 ELSE 0 END, CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END, CASE WHEN v[2] >= 0 THEN 1 ELSE 0 END)"))
-        .withColumn("dot_self", expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+        .withColumn("dot_self", graft.functions.VectorOps.longDot(col("v"), col("v")))
       val a = q.select(col("blk"), col("vec_id").as("id_a"), col("v").as("v_a"), col("dot_self").as("n_a"))
       val b = q.select(col("blk"), col("vec_id").as("id_b"), col("v").as("v_b"), col("dot_self").as("n_b"))
       a.join(b, Seq("blk"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("dot", expr("aggregate(zip_with(v_a, v_b, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+        .withColumn("dot", graft.functions.VectorOps.longDot(col("v_a"), col("v_b")))
         .withColumn("cos", col("dot").cast("double") /
           (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double"))))
         .filter(col("cos") >= 0.35)

@@ -34,7 +34,9 @@ object Similarity {
     * DuckDB oracle (doubles would drift between engines; ints can't). */
   private val quant =
     "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
-  private val dotAB = "aggregate(zip_with(v_p, v_c, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+  /** Native codegen dot kernel (graft.functions.LongDot) — the HOF form
+    * (aggregate∘zip_with) allocates per row and runs interpreted. */
+  private def dotAB = graft.functions.VectorOps.longDot(col("v_p"), col("v_c"))
 
   /** Multi-table LSH: a single long hash has vanishing collision odds for
     * moderately-similar vectors, so real deployments run T independent
@@ -98,7 +100,7 @@ object Similarity {
       .filter(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"), col("v_p"), col("v_c"))
       .dropDuplicates("probe_id", "cand_id")
-      .withColumn("dot", expr(dotAB))
+      .withColumn("dot", dotAB)
       .select(col("probe_id"), col("cand_id"), col("dot"),
               row_number().over(w).as("rk"))
       .filter(col("rk") <= k)
@@ -113,7 +115,7 @@ object Similarity {
     val w = Window.partitionBy("probe_id")
       .orderBy(col("dot").desc, col("cand_id"))
     broadcast(probes).join(cands, col("probe_id") =!= col("cand_id"))
-      .withColumn("dot", expr(dotAB))
+      .withColumn("dot", dotAB)
       .select(col("probe_id"), col("cand_id"), col("dot"),
               row_number().over(w).as("rk"))
       .filter(col("rk") <= k)

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sink shapes from SURVEY §2.1 (architectural rows — no query keys):
+  *
+  *  - date-partitioned append (the daily log `agent_YYYY-MM-DD.log`,
+  *    `agent-loop.sh:527-546`) → `partitionBy(day)` parquet append;
+  *  - per-key output files (per-task log `NNN-group--task.log`,
+  *    `agent-loop.sh:274,502`) → `partitionBy(log_name)`;
+  *  - atomic visibility (tmp+rename, `agent-loop.sh:317-319`) is Spark's
+  *    commit protocol — files appear only on successful commit, so it is
+  *    NOT reimplemented.
+  *
+  * Scale notes: `partitionBy` hash-routes rows to their partition
+  * directory during the write — no pre-shuffle needed unless file-count
+  * control matters, in which case repartition on the partition column
+  * first (one file per partition value instead of one per task ×
+  * value). Both are exposed here; SinksSpec verifies layout + re-read.
+  */
+object Sinks {
+
+  /** Append `df` to `path` partitioned by the yyyy-MM-dd of `tsCol`. */
+  def appendDaily(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("day", date_format(col(tsCol), "yyyy-MM-dd"))
+      // One file per day per write: route each day's rows to one task.
+      .repartition(col("day"))
+      .write.mode("append").partitionBy("day").parquet(path)
+
+  /** Write one directory per key value (the per-task log layout). */
+  def writePerKey(df: DataFrame, keyCol: String, path: String): Unit =
+    df.repartition(col(keyCol))
+      .write.mode("overwrite").partitionBy(keyCol).parquet(path)
+}

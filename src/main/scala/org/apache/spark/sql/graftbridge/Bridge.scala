@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge.
+  *
+  * Spark 4 moved the Column↔Expression conversions behind
+  * `private[sql] classic.ExpressionUtils`, so libraries adding native
+  * Catalyst expressions need an accessor inside the `org.apache.spark.sql`
+  * namespace — the same pattern Delta/Frameless/Sedona use. This is the
+  * ONLY file outside the `graft` namespace; keep it minimal.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
