@@ -62,17 +62,27 @@ object Dedup {
   private def permA(j: Int): Long = (0x9E3779B9L * (2 * j + 1)) % MinhashPrime
   private def permB(j: Int): Long = (0xC2B2AE35L * (j + 1)) % MinhashPrime
 
-  /** (doc_id, sig ARRAY<BIGINT>[16]) — linear scan, no shuffle. */
+  /** (doc_id, sig ARRAY<BIGINT>[16]).
+    *
+    * Shape: explode shingles → ONE base hash per shingle → 16 min()
+    * aggregates (the permutations) in a codegen hash aggregate. The
+    * closed-form variant (array_min over a transform per permutation)
+    * re-walks the shingle array 16× in interpreted HOFs. One shuffle on
+    * doc_id carrying 16 longs per partial.
+    */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val sigCols = (0 until MinhashPerms).map { j =>
-      // min over shingles of the j-th permuted 31-bit hash; xxhash64 is
-      // Spark-native and deterministic across the cluster.
-      expr(s"array_min(transform(shingles, s -> pmod(${permA(j)}L * pmod(xxhash64(s), ${MinhashPrime}L) + ${permB(j)}L, ${MinhashPrime}L)))")
+      min(expr(s"pmod(${permA(j)}L * h + ${permB(j)}L, ${MinhashPrime}L)")).as(s"m$j")
     }
     docs
       .withColumn("toks", wordSet(col("text")))
-      .withColumn("shingles", expr(shinglesExpr))
-      .select(col("doc_id"), col("text"), array(sigCols: _*).as("sig"))
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+      // 31-bit base hash keeps the permutation products under 2^62 (ANSI).
+      .select(col("doc_id"), expr(s"pmod(xxhash64(s), ${MinhashPrime}L)").as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashPerms).map(j => col(s"m$j")): _*).as("sig"))
   }
 
   /** Candidate pairs from banded signature collisions, verified with
