@@ -98,6 +98,26 @@ object Aggs {
           (col("n_total") - col("n_open") - col("n_done")).as("n_pending"),
           Tables.floorLong(col("n_open") * 100L / col("n_total")).as("open_pct"))),
 
+    // Two-phase salted aggregation — the skew pattern: a heavy-hitter
+    // group key first aggregates under (key, salt) so no single task owns
+    // a hot key, then the per-salt partials merge. Result is identical to
+    // the direct aggregate (the oracle IS the direct aggregate); decimal
+    // partials make the double sum associative so re-aggregation is
+    // exact. At 100 TB this is the manual fallback when AQE skew
+    // splitting can't apply (e.g. pre-shuffle hot keys in groupBy).
+    "q_agg_salted" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"),
+                 pmod(col("l_orderkey"), lit(8)).as("salt"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,4)")).as("part_qty"),
+          count(lit(1)).as("part_n"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("part_qty")).cast("double").as("sum_qty"),
+          sum(col("part_n")).as("n"))
+        .orderBy("l_returnflag")),
+
     // min/max/first per group. min/max of doubles are exact picks (no
     // arithmetic), so they compare bit-exactly; "first" is made
     // deterministic as min_by over the unique o_orderkey.
@@ -161,6 +181,12 @@ object Aggs {
              n_total - n_open - n_done AS n_pending,
              CAST(floor(n_open * 100 / n_total) AS BIGINT) AS open_pct
       FROM a""",
+
+    "q_agg_salted" -> """
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_agg_min_max_first" -> """
       SELECT o_orderstatus,

@@ -122,6 +122,43 @@ object Similarity {
       .orderBy("probe_id", "rk")
   }
 
+  /** IVF (inverted-file) ANN: assign every vector to its nearest of K
+    * coarse centroids, search probes only within their cell. Real IVF
+    * trains centroids with k-means; here the coarse quantizer uses K
+    * deterministic corpus vectors (vec_id < K) as centroids so the whole
+    * structure — train/assign/search — is reproducible AND
+    * DuckDB-oracle-checkable. Swapping in spark.ml KMeans centroids
+    * changes only the `centroids` frame.
+    *
+    * Scale shape: assignment = broadcast(K centroids) × corpus, one
+    * linear pass; search shuffles on cell id — candidates per probe ≈
+    * corpus/K. */
+  def ivfTopK(s: SparkSession, dir: String, kCentroids: Int,
+              nProbes: Int, k: Int): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
+    val centroids = e.filter(col("vec_id") < kCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val assignW = Window.partitionBy("vec_id")
+      .orderBy(col("cdot").desc, col("cid"))
+    val assigned = e.join(broadcast(centroids))
+      .withColumn("cdot", graft.functions.VectorOps.longDot(col("v"), col("c")))
+      .withColumn("arn", row_number().over(assignW))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("cid").as("cell"))
+    val probes = assigned.filter(col("vec_id") < nProbes)
+      .select(col("cell"), col("vec_id").as("probe_id"), col("v").as("v_p"))
+    val cands = assigned.select(col("cell"), col("vec_id").as("cand_id"), col("v").as("v_c"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("dot").desc, col("cand_id"))
+    probes.join(cands, Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("dot", dotAB)
+      .select(col("probe_id"), col("cand_id"), col("dot"),
+              row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+      .orderBy("probe_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_knn_topk" -> ((s, dir) => brute(s, dir, 8, 5)),
 
@@ -129,6 +166,8 @@ object Similarity {
       lshTopK(
         Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v")),
         col("vec_id") < 64, 5)),
+
+    "q_knn_ivf" -> ((s, dir) => ivfTopK(s, dir, 16, 8, 5)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -141,6 +180,30 @@ object Similarity {
         SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
                CAST(list_dot_product(p.v, c.v) AS BIGINT) AS dot
         FROM q p JOIN q c ON p.vec_id < 8 AND p.vec_id != c.vec_id)
+      SELECT probe_id, cand_id, dot, rk FROM (
+        SELECT probe_id, cand_id, dot,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY dot DESC, cand_id) AS INTEGER) AS rk
+        FROM scored)
+      WHERE rk <= 5 ORDER BY probe_id, rk""",
+
+    "q_knn_ivf" -> """
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      assigned AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT q.vec_id, q.v, c.vec_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS arn
+          FROM q JOIN q c ON c.vec_id < 16)
+        WHERE arn = 1),
+      scored AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               CAST(list_dot_product(p.v, c.v) AS BIGINT) AS dot
+        FROM assigned p JOIN assigned c
+          ON p.cell = c.cell AND p.vec_id < 8 AND p.vec_id != c.vec_id)
       SELECT probe_id, cand_id, dot, rk FROM (
         SELECT probe_id, cand_id, dot,
                CAST(row_number() OVER (PARTITION BY probe_id
