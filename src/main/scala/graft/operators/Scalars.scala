@@ -33,7 +33,7 @@ object Scalars {
   type Q = (SparkSession, String) => DataFrame
 
   /** lower → non-alnum runs → '-' → trim '-' → truncate (agent-loop.sh:243-245). */
-  private def slug(c: org.apache.spark.sql.Column, n: Int) =
+  def slug(c: org.apache.spark.sql.Column, n: Int) =
     substring(
       regexp_replace(
         regexp_replace(lower(c), "[^a-z0-9]+", "-"), "^-+|-+$", ""),
