@@ -35,14 +35,16 @@ for name in sorted(os.listdir(out)):
         fails.append(f"{name}: ORACLE SQL ERROR: {e}")
         continue
     def norm(tbl):
+        # EXACT values — the driver hash-compares bit-exact, so no
+        # rounding here either (NaN normalized to None only).
         cols = sorted(tbl.column_names)
         rows = []
         for i in range(tbl.num_rows):
             row = []
             for c in cols:
                 v = tbl.column(c)[i].as_py()
-                if isinstance(v, float):
-                    v = None if math.isnan(v) else round(v, 6)
+                if isinstance(v, float) and math.isnan(v):
+                    v = None
                 row.append(v)
             rows.append(tuple(row))
         return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
