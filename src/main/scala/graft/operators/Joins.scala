@@ -87,6 +87,21 @@ object Joins {
           count(lit(1)).as("n_items"))
         .orderBy("c_mktsegment")),
 
+    // Point update / upsert: the reference rewrites its whole state doc
+    // per task-status change (`agent-loop.sh:315-319`); relationally that
+    // is base LEFT JOIN delta with COALESCE — the merge-into shape. The
+    // delta side is tiny → broadcast, base never shuffles.
+    "q_upsert_state" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+      val delta = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("d_key"), lit("X").as("new_status"))
+      base.join(broadcast(delta), col("o_orderkey") === col("d_key"), "left_outer")
+        .select(col("o_orderkey"),
+          coalesce(col("new_status"), col("o_orderstatus")).as("status"))
+        .orderBy("o_orderkey")
+    }),
+
     // Session continuity: for each error event, count the same user's
     // events in the following hour. Equi key user_id + ns-exact interval
     // predicate → hash join + filter, not a nested loop. 3.6e12 ns = 1 h.
@@ -144,6 +159,12 @@ object Joins {
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_upsert_state" -> """
+      SELECT o_orderkey,
+             coalesce(CASE WHEN o_orderkey % 100 = 0 THEN 'X' END,
+                      o_orderstatus) AS status
+      FROM orders ORDER BY o_orderkey""",
 
     "q_join_range" -> """
       SELECT a.event_id AS a_id, count(*) AS n_follow

@@ -106,6 +106,15 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("chunker-oracle corpus assumption holds: no paragraph/sentence breaks") {
+    // q_udf_chunk's oracle reduces the chunker to hard 112-char splits,
+    // valid ONLY while the corpus has no "\n\n" and no ". " — guard it.
+    val n = graft.Tables.documents(spark, sfDir)
+      .filter(col("text").contains("\n\n") || col("text").contains(". "))
+      .count()
+    assert(n == 0, s"$n documents break the chunker-oracle reduction")
+  }
+
   test("exact dedup: planted copies collapse to one survivor") {
     import spark.implicits._
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
