@@ -32,4 +32,30 @@ object Sinks {
   def writePerKey(df: DataFrame, keyCol: String, path: String): Unit =
     df.repartition(col(keyCol))
       .write.mode("overwrite").partitionBy(keyCol).parquet(path)
+
+  /** Idempotent micro-batch append for `foreachBatch` — the engine-side
+    * replay guard (the reference persists its offset before processing,
+    * `telegram-agent.py:622-623`; Structured Streaming replays the batch
+    * instead, so the SINK must be idempotent). Each batch overwrites its
+    * own `batch_id=N` directory: a replayed batch rewrites the same
+    * files, never duplicates. */
+  def idempotentAppend(batch: DataFrame, batchId: Long, path: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
+  /** Small-file compaction — after many streaming/partitioned appends a
+    * table degrades into thousands of tiny files; rewrite to
+    * `targetFiles` and swap in atomically (write-new + move). At lake
+    * scale this is table-format work (Iceberg/Delta rewrite); the
+    * operator shape — full read, repartition, rewrite — is the same. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+              path: String, targetFiles: Int): Unit = {
+    val tmp = path + ".compact-tmp"
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
 }

@@ -27,6 +27,30 @@ class SinksSpec extends SparkSpec {
     assert(scanned.contains("PartitionFilters"))
   }
 
+  test("idempotent batch sink: replaying a batch does not duplicate") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-idem").toString
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Sinks.idempotentAppend(batch, 7L, dir)
+    Sinks.idempotentAppend(batch, 7L, dir) // replay of the same batch
+    Sinks.idempotentAppend(batch, 8L, dir) // a genuinely new batch
+    assert(spark.read.parquet(s"$dir/batch_id=*").count() == 4)
+  }
+
+  test("compaction: many small files rewritten to the target count, data intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    (1 to 100).toDF("n").repartition(50).write.parquet(dir)
+    def parts = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(parts >= 40)
+    Sinks.compact(spark, dir, 2)
+    assert(parts <= 2, s"still $parts files")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100)
+    assert(back.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0) == 5050)
+  }
+
   test("per-key sink: one directory per key, overwrite replaces") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-perkey").toString
