@@ -69,20 +69,74 @@ object Dedup {
     * closed-form variant (array_min over a transform per permutation)
     * re-walks the shingle array 16× in interpreted HOFs. One shuffle on
     * doc_id carrying 16 longs per partial.
+    *
+    * Base hash = 60 bits of md5, NOT xxhash64: md5 exists in DuckDB too
+    * (`('0x' || substr(md5(s),1,15))::BIGINT`), which makes the whole
+    * MinHash pipeline — signatures, band collisions, verified pairs —
+    * oracle-checkable bit for bit. The 31-bit fold keeps permutation
+    * products under 2^62 (ANSI-safe).
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val sigCols = (0 until MinhashPerms).map { j =>
       min(expr(s"pmod(${permA(j)}L * h + ${permB(j)}L, ${MinhashPrime}L)")).as(s"m$j")
     }
     docs
-      .withColumn("toks", wordSet(col("text")))
+      .withColumn("toks", split(lower(col("text")), " "))
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
-      // 31-bit base hash keeps the permutation products under 2^62 (ANSI).
-      .select(col("doc_id"), expr(s"pmod(xxhash64(s), ${MinhashPrime}L)").as("h"))
+      .select(col("doc_id"),
+        expr(s"pmod(cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint), ${MinhashPrime}L)").as("h"))
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"),
         array((0 until MinhashPerms).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
+  /** Programmatically-generated DuckDB twin of the MinHash pipeline —
+    * same md5-fold base hash, same permutation constants, band collision
+    * expressed as 4-way signature-value equality. */
+  private def minhashOracleSql(threshold: Double): String = {
+    val p = MinhashPrime
+    val mins = (0 until MinhashPerms)
+      .map(j => s"min((${permA(j)} * h + ${permB(j)}) % $p) AS m$j").mkString(",\n               ")
+    val rows = MinhashPerms / MinhashBands
+    val bandJoins = (0 until MinhashBands).map { b =>
+      val eqs = (0 until rows).map(r => s"a.m${b * rows + r} = b.m${b * rows + r}").mkString(" AND ")
+      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sig a JOIN sig b ON $eqs AND a.doc_id < b.doc_id"""
+    }.mkString("\n          UNION\n          ")
+    s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                    ELSE list_transform(range(1, len(tk) - 1),
+                                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+               END AS shingles
+        FROM toks),
+      ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(s), 1, 15))::BIGINT % $p AS h
+        FROM ex),
+      sig AS (
+        SELECT doc_id,
+               $mins
+        FROM h GROUP BY doc_id),
+      cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+          $bandJoins)),
+      ws AS (
+        SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
+        FROM documents)
+      SELECT doc_a, doc_b,
+             round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+                   (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jac
+      FROM cand JOIN ws a ON cand.doc_a = a.doc_id
+                JOIN ws b ON cand.doc_b = b.doc_id
+      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+            (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= $threshold
+      ORDER BY doc_a, doc_b"""
   }
 
   /** Candidate pairs from banded signature collisions, verified with
@@ -141,8 +195,9 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // MinHash + LSH banding → exact verify. No oracle (xxhash64);
-    // planted-duplicate behavior in DedupSpec.
+    // MinHash + LSH banding → exact verify. Oracle-checked end to end
+    // (md5-fold base hash exists in both engines); planted-duplicate
+    // behavior additionally in PipelineSpec.
     "q_dedup_minhash" -> ((s, dir) =>
       minhashPairs(Tables.documents(s, dir), 0.8)
         .orderBy("doc_a", "doc_b")),
@@ -223,6 +278,8 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_minhash" -> minhashOracleSql(0.8),
+
     "q_dedup_exact" -> """
       SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
       FROM documents GROUP BY sha256(text) ORDER BY survivor_id""",
