@@ -202,18 +202,19 @@ object Dedup {
       minhashPairs(Tables.documents(s, dir), 0.8)
         .orderBy("doc_a", "doc_b")),
 
-    // SimHash sketches + banded hamming near-dup pairs. No oracle;
-    // PipelineSpec plants near-identical docs. The synthetic corpus
-    // shares one small vocabulary, so bag-of-words sketches cluster
-    // tightly — the lang block + hamming ≤ 8 keep output quadratic only
-    // within genuinely-similar groups.
+    // SimHash sketches + banded hamming near-dup pairs, oracle-checked
+    // (md5-fold hash, 60-bit sketch); PipelineSpec additionally plants
+    // near-identical docs. The synthetic corpus shares one small
+    // vocabulary, so bag-of-words sketches cluster tightly — the lang
+    // block + hamming ≤ 8 keep output quadratic only within
+    // genuinely-similar groups.
     "q_dedup_simhash" -> ((s, dir) => {
       val sk = Dedup.simhashed(Tables.documents(s, dir).filter(col("lang") === "fr"))
-      // Block on 16-bit chunks: docs within hamming ≤ 12 of 64 bits agree
+      // Block on 15-bit chunks: docs within small hamming distance agree
       // exactly on ≥1 of 4 chunks with high probability.
       val banded = sk.select(col("doc_id"), col("sh"),
         posexplode(expr(
-          "transform(sequence(0, 3), b -> shiftright(sh, b * 16) & 65535)")))
+          "transform(sequence(0, 3), b -> shiftright(sh, b * 15) & 32767)")))
         .withColumnRenamed("pos", "chunk_id").withColumnRenamed("col", "chunk")
       val a = banded.select(col("chunk_id"), col("chunk"),
         col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -261,24 +262,66 @@ object Dedup {
     * zip) ran interpreted and was 30× slower at sf0.1. One shuffle on
     * doc_id, carrying only 64 longs per doc partial.
     */
+  /** Sketch width: 60 bits — what 15 hex chars of md5 carry, so the same
+    * hash computes in DuckDB and the sketch is oracle-checkable. */
+  val SimhashBits = 60
+  val SimhashChunks = 4 // 4 × 15-bit chunks for hamming blocking
+
   def simhashed(docs: DataFrame): DataFrame = {
-    val votes = (0 until 64).map { i =>
+    val votes = (0 until SimhashBits).map { i =>
       sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"v$i")
     }
-    val key = (0 until 64)
+    val key = (0 until SimhashBits)
       .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
       .reduce(_ + _)
     docs
       .select(col("doc_id"),
         explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"),
+        expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)").as("h"))
       .groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), key.as("sh"))
   }
 
+  /** DuckDB twin of the SimHash pipeline (generated: 60 vote columns). */
+  private def simhashOracleSql(maxHamming: Int): String = {
+    val votes = (0 until SimhashBits)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n               ")
+    val key = (0 until SimhashBits)
+      .map(i => s"(CASE WHEN v$i > 0 THEN 1::BIGINT << $i ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+      WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents WHERE lang = 'fr'),
+      h AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+      votes AS (
+        SELECT doc_id,
+               $votes
+        FROM h GROUP BY doc_id),
+      sk AS (SELECT doc_id, $key AS sh FROM votes),
+      chunks AS (
+        SELECT doc_id, sh, t.b AS chunk_id, (sh >> (t.b * 15)) & 32767 AS chunk
+        FROM sk, range($SimhashChunks) t(b)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.sh AS sh_a, b.sh AS sh_b
+        FROM chunks a JOIN chunks b
+          ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+         AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+      FROM pairs
+      WHERE bit_count(xor(sh_a, sh_b)) <= $maxHamming
+      ORDER BY doc_a, doc_b"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracleSql(0.8),
+    "q_dedup_simhash" -> simhashOracleSql(8),
 
     "q_dedup_exact" -> """
       SELECT min(doc_id) AS survivor_id, count(*) AS n_copies

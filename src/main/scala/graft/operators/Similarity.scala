@@ -162,6 +162,9 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "q_knn_topk" -> ((s, dir) => brute(s, dir, 8, 5)),
 
+    // Oracle-checked despite being "approximate": the hyperplanes are
+    // deterministic integer arithmetic, so DuckDB reproduces the exact
+    // buckets, candidates, and ranking.
     "q_knn_lsh" -> ((s, dir) =>
       lshTopK(
         Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v")),
@@ -170,7 +173,47 @@ object Similarity {
     "q_knn_ivf" -> ((s, dir) => ivfTopK(s, dir, 16, 8, 5)),
   )
 
+  /** DuckDB twin of the LSH pipeline — the plane-weight formula inlined
+    * as SQL arithmetic over range() tables, buckets as grouped sign-bit
+    * sums, identical candidate sets and ranking. */
+  private def lshOracleSql: String = s"""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      weights AS (
+        SELECT t1.d, t2.p,
+               ((t2.p * 131 + t1.d) * 2654435761 % 65536 + 65536) % 65536 - 32768 AS w
+        FROM range(64) t1(d), range(${NumTables * PlanesPerTable}) t2(p)),
+      dims AS (
+        SELECT vec_id, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x FROM q),
+      proj AS (
+        SELECT vec_id, p, sum(x * w) AS s
+        FROM dims JOIN weights USING (d) GROUP BY vec_id, p),
+      buckets AS (
+        SELECT vec_id,
+               64 * (p // $PlanesPerTable) +
+               sum(CASE WHEN s >= 0 THEN 1::BIGINT << (p % $PlanesPerTable) ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id, p // $PlanesPerTable),
+      pairs AS (
+        SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+        FROM buckets p JOIN buckets c ON p.bucket = c.bucket
+        WHERE p.vec_id < 64 AND p.vec_id != c.vec_id),
+      scored AS (
+        SELECT probe_id, cand_id,
+               CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot
+        FROM pairs JOIN q a ON pairs.probe_id = a.vec_id
+                   JOIN q b ON pairs.cand_id = b.vec_id)
+      SELECT probe_id, cand_id, dot, rk FROM (
+        SELECT probe_id, cand_id, dot,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY dot DESC, cand_id) AS INTEGER) AS rk
+        FROM scored)
+      WHERE rk <= 5 ORDER BY probe_id, rk"""
+
   val oracle: Map[String, String] = Map(
+    "q_knn_lsh" -> lshOracleSql,
+
     "q_knn_topk" -> """
       WITH q AS (
         SELECT vec_id,
