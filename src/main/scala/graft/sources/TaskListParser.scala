@@ -60,8 +60,11 @@ object TaskListParser {
               col("line_no").as("start_line"))
 
     val conts = grouped.filter(col("kind") === "cont" && col("task_no") > 0)
+      // The reference keeps BASH_REMATCH[1] of ^[[:space:]]+(.+)$ —
+      // leading whitespace (spaces AND tabs) stripped, trailing kept.
+      // (Column trim() would strip only spaces, only at both ends.)
       .select(col("file_id"), col("task_no"), col("brk"), col("line_no"),
-              trim(col("line")).as("cont"))
+              regexp_replace(col("line"), "^\\s+", "").as("cont"))
 
     // Join continuations to their task; drop any continuation separated
     // from the task start by a terminator. The join key (file_id, task_no)

@@ -123,6 +123,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark: events older than the watermark are dropped from append output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (in, df) = eventStream
+    // Append mode only emits a window once the watermark passes its end —
+    // and late rows behind the watermark never resurrect it.
+    val q = df.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+      .count()
+      .writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, Timestamp.valueOf("2024-01-01 10:05:00"), 7L, "a"))
+      q.processAllAvailable()
+      // Advance event time far past the first window + watermark.
+      in.addData((2L, Timestamp.valueOf("2024-01-01 12:00:00"), 7L, "b"))
+      q.processAllAvailable()
+      val emitted = spark.table("late").count()
+      assert(emitted == 1, s"first window should have been finalized, got $emitted")
+      // A straggler way behind the watermark must not change anything.
+      in.addData((3L, Timestamp.valueOf("2024-01-01 10:06:00"), 7L, "late"))
+      q.processAllAvailable()
+      in.addData((4L, Timestamp.valueOf("2024-01-01 13:00:00"), 7L, "c"))
+      q.processAllAvailable()
+      val rows = spark.table("late")
+        .select(date_format(col("window.start"), "HH:mm").as("w"), col("count"))
+        .as[(String, Long)].collect().toMap
+      assert(rows.get("10:00").contains(1L), s"late event leaked into $rows")
+    } finally q.stop()
+  }
+
   test("chunked sink: foreachBatch splits long payloads with [i/N] labels") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
