@@ -15,23 +15,23 @@ import graft.Tables
   *   - n-gram      — exact word-set Jaccard within deterministic blocks
   *                   (`q_dedup_ngram`)
   *   - MinHash+LSH — banded signature collisions, then exact verify
-  *                   (`q_dedup_minhash`, no-oracle: xxhash64 has no DuckDB
-  *                   twin; planted-duplicate coverage in DedupSpec)
-  *   - SimHash     — 64-bit sketch + banded hamming (`q_dedup_simhash`,
-  *                   no-oracle, DedupSpec)
+  *                   (`q_dedup_minhash`, oracle via md5-fold base hash +
+  *                   planted-duplicate coverage in PipelineSpec)
+  *   - SimHash     — 60-bit sketch + banded hamming (`q_dedup_simhash`,
+  *                   oracle + PipelineSpec)
   *
   * Scale design (the whole point):
   *   - NOTHING here is all-pairs over the corpus. Every pairwise step is
   *     preceded by a blocking key — (lang, length bucket) for n-gram,
-  *     (band_id, band_hash) for MinHash, (band_id, 16-bit chunk) for
+  *     (band_id, band_hash) for MinHash, (band_id, 15-bit chunk) for
   *     SimHash — so the shuffle groups candidates and the quadratic term
   *     is per-block, not global.
   *   - At 100 TB the MinHash path is the one to run: signature cost is
   *     linear, band join is an equi shuffle, and the exact-Jaccard verify
   *     touches only colliding pairs. The n-gram query is the exact
   *     verifier for bounded blocks.
-  *   - All hashes (xxhash64) and arithmetic are deterministic — no RNG at
-  *     runtime, so retries/speculative tasks can't diverge.
+  *   - All hashing and arithmetic is deterministic — no RNG at runtime,
+  *     so retries/speculative tasks can't diverge.
   */
 object Dedup {
   type Q = (SparkSession, String) => DataFrame

@@ -28,6 +28,21 @@ import org.apache.spark.sql.functions._
   */
 object TaskListParser {
 
+  /** Parse every task file under `path` (glob ok) straight from disk:
+    * `wholetext` keeps one row per file — so line numbers are exact and
+    * per-file — then `posexplode` restores the line stream and
+    * [[parse]] does the grammar. Each file is one row until the explode,
+    * so parallelism is per-file (the right granularity: the grammar is
+    * sequential WITHIN a file, embarrassingly parallel across files). */
+  def parseDir(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val files = spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("file_id"), col("value"))
+    val lines = files
+      .select(col("file_id"), posexplode(split(col("value"), "\n")))
+      .select(col("file_id"), col("pos").cast("long").as("line_no"), col("col").as("line"))
+    parse(lines)
+  }
+
   def parse(lines: DataFrame): DataFrame = {
     val byLine = Window.partitionBy("file_id").orderBy("line_no")
     val fill   = byLine.rowsBetween(Window.unboundedPreceding, Window.currentRow)
