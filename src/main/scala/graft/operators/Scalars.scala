@@ -125,6 +125,23 @@ object Scalars {
             lit(60L)).as("delay_s"))
         .orderBy("event_id")),
 
+    // Retry/failover routing (agent-loop.sh:725-782): from (attempts,
+    // error class) decide abort / failover / retry — precedence-ordered
+    // exactly like the reference: attempt cap first, then the
+    // rate_limit/timeout failover branch (agent-loop.sh:751-759), then
+    // default retry.
+    "q_retry_policy" -> ((s, dir) => {
+      val attempts = (col("event_id") % 6).cast("int")
+      val isRl = col("event_type").isin("error", "view") // stand-in classes
+      Tables.events(s, dir)
+        .select(col("event_id"), attempts.as("attempts"),
+          when(attempts >= 5, "abort")
+            .when(isRl && attempts >= 2, "failover")
+            .when(isRl, "retry_rl")
+            .otherwise("retry").as("decision"))
+        .orderBy("event_id")
+    }),
+
     // Integer percent: value*100/window, floored both sides.
     "q_math_pct" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -267,6 +284,15 @@ object Scalars {
              CAST(event_id % 6 AS INTEGER) AS attempt,
              CAST(least((1 << CAST(event_id % 6 AS INTEGER)) *
                    (CASE WHEN event_type = 'error' THEN 2 ELSE 1 END), 60) AS BIGINT) AS delay_s
+      FROM events ORDER BY event_id""",
+
+    "q_retry_policy" -> """
+      SELECT event_id,
+             CAST(event_id % 6 AS INTEGER) AS attempts,
+             CASE WHEN event_id % 6 >= 5 THEN 'abort'
+                  WHEN event_type IN ('error', 'view') AND event_id % 6 >= 2 THEN 'failover'
+                  WHEN event_type IN ('error', 'view') THEN 'retry_rl'
+                  ELSE 'retry' END AS decision
       FROM events ORDER BY event_id""",
 
     "q_math_pct" -> """
