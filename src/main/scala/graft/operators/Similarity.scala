@@ -55,36 +55,25 @@ object Similarity {
 
   /** (vec_id, v, bucket) — one row per (vector, table).
     *
-    * Computed relationally: dims explode → broadcast join with the tiny
-    * (dim, plane, weight) table → two hash aggregates. A closed-form
-    * expression with all 48×64 weights inlined compiles to a multi-MB
-    * plan that Janino chokes on (measured: 8 MiB task binaries, 20+ s);
-    * this shape stays in WholeStageCodegen with a plan of constant size.
+    * Each plane projection is ONE `LongDot(v, <literal plane vector>)` —
+    * the literal array constant-folds to a single object and the kernel
+    * is a codegen primitive loop, so the whole bucket computation is one
+    * narrow map-side projection: no join, no shuffle, no per-weight
+    * expression nodes. (History: inlining all 48×64 weights as `w*v[d]`
+    * terms produced 8 MiB task binaries and Janino fallback — plan-size
+    * discipline matters as much as algorithmic shape.)
     */
   def bucketed(vectors: DataFrame): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    val weights = (0 until NumTables * PlanesPerTable).flatMap { p =>
-      (0 until 64).map(d => (d, p, planeWeight(p, d)))
-    }.toDF("d", "p", "w")
-    val dims = vectors.select(col("vec_id"), posexplode(col("v")))
-      .withColumnRenamed("pos", "d").withColumnRenamed("col", "x")
-    val proj = dims.join(broadcast(weights), Seq("d"))
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(col("x") * col("w")).as("s"))
+    import graft.functions.VectorOps.longDot
     val tableBuckets = (0 until NumTables).map { t =>
-      sum(when(col("p") >= t * PlanesPerTable && col("p") < (t + 1) * PlanesPerTable,
-            when(col("s") >= 0,
-              expr(s"shiftleft(1L, cast(p - ${t * PlanesPerTable} as int))")).otherwise(0L))
-          .otherwise(0L)).plus(lit(64L * t)).as(s"b$t")
+      (0 until PlanesPerTable).map { i =>
+        val p = t * PlanesPerTable + i
+        val plane = typedLit((0 until 64).map(d => planeWeight(p, d)))
+        when(longDot(col("v"), plane) >= 0, lit(1L << i)).otherwise(0L)
+      }.reduce(_ + _).plus(lit(64L * t))
     }
-    val buckets = proj.groupBy(col("vec_id"))
-      .agg(tableBuckets.head, tableBuckets.tail: _*)
-      .select(col("vec_id"),
-        explode(array((0 until NumTables).map(t => col(s"b$t")): _*)).as("bucket"))
-    // The vector payload joins back ONCE — it never rides through the
-    // projection aggregates.
-    vectors.join(buckets, Seq("vec_id"))
+    vectors.select(col("vec_id"), col("v"),
+      explode(array(tableBuckets: _*)).as("bucket"))
   }
 
   /** LSH top-k: probes meet candidates sharing any table bucket; exact
