@@ -139,6 +139,59 @@ object Dedup {
       ORDER BY doc_a, doc_b"""
   }
 
+  /** Word-set Jaccard ≥ 0.9 pairs within (lang='de', n_chars/10) blocks. */
+  def ngramPairs(docs: DataFrame): DataFrame = {
+    val t = docs
+      .filter(col("lang") === "de")
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 10).cast("bigint").as("lb"),
+        wordSet(col("text")).as("ws"))
+    val a = t.select(col("lang"), col("lb"), col("doc_id").as("doc_a"), col("ws").as("ws_a"))
+    val b = t.select(col("lang"), col("lb"), col("doc_id").as("doc_b"), col("ws").as("ws_b"))
+    a.join(b, Seq("lang", "lb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard(col("ws_a"), col("ws_b")), 4).as("jac"))
+      .filter(col("jac") >= 0.9)
+  }
+
+  /** Connected components by min-label propagation: each round every
+    * node adopts the minimum label among itself and its neighbors — the
+    * standard DataFrame CC loop (one join + one min aggregate per
+    * round). `rounds` bounds the reachable diameter; near-dup
+    * components are clique-like (diameter 1-2), and PipelineSpec
+    * asserts an extra round changes nothing on the corpus. Each round
+    * is a shuffle on node id over the (small) edge-node set — the
+    * corpus itself is never in the loop. */
+  def connectedComponents(edges: DataFrame, rounds: Int = 8): DataFrame = {
+    val und = edges.toDF("ea", "eb")
+      .select(col("ea").as("n"), col("eb").as("peer"))
+      .unionByName(edges.toDF("ea", "eb")
+        .select(col("eb").as("n"), col("ea").as("peer")))
+      .localCheckpoint(true) // materialize the (small) edge list once
+    var labels = und.select(col("n").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint(true)
+    // Labels only ever decrease, so an unchanged sum ⇔ a fixed point.
+    def sumReps = labels.agg(coalesce(sum(col("rep")), lit(0L))).collect()(0).getLong(0)
+    var prev = -1L
+    var cur = sumReps
+    var r = 0
+    while (r < rounds && cur != prev) {
+      prev = cur
+      val viaPeers = und.join(labels, col("peer") === col("id"))
+        .select(col("n").as("id"), col("rep"))
+      // Eager checkpoint per round: the loop stays K small jobs instead
+      // of one K-deep shuffle DAG (measured: 50 s → seconds at sf0.1).
+      labels = labels.union(viaPeers)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .localCheckpoint(true)
+      cur = sumReps
+      r += 1
+    }
+    labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
   /** Candidate pairs from banded signature collisions, verified with
     * exact Jaccard ≥ threshold. The band join shuffles on
     * (band_id, band_hash) — candidates only, never the corpus². */
@@ -179,21 +232,21 @@ object Dedup {
 
     // Exact word-set Jaccard near-dup pairs within (lang, len-bucket)
     // blocks — the bounded exact verifier of the dedup family.
-    "q_dedup_ngram" -> ((s, dir) => {
-      val t = Tables.documents(s, dir)
-        .filter(col("lang") === "de")
-        .select(col("doc_id"), col("lang"),
-          (col("n_chars") / 10).cast("bigint").as("lb"),
-          wordSet(col("text")).as("ws"))
-      val a = t.select(col("lang"), col("lb"), col("doc_id").as("doc_a"), col("ws").as("ws_a"))
-      val b = t.select(col("lang"), col("lb"), col("doc_id").as("doc_b"), col("ws").as("ws_b"))
-      a.join(b, Seq("lang", "lb"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          round(jaccard(col("ws_a"), col("ws_b")), 4).as("jac"))
-        .filter(col("jac") >= 0.9)
-        .orderBy("doc_a", "doc_b")
-    }),
+    "q_dedup_ngram" -> ((s, dir) =>
+      ngramPairs(Tables.documents(s, dir))
+        .orderBy("doc_a", "doc_b")),
+
+    // Near-dup CLUSTERING — the step after pair detection: connected
+    // components over the pair graph, each doc labeled with its
+    // component's min doc_id (= the dedup survivor). Min-label
+    // propagation, a fixed 8 rounds: near-dup components are
+    // clique-like (diameter 1-2); DedupClusterSpec asserts convergence.
+    // This is the standard DataFrame CC loop (what GraphFrames does
+    // under the hood) — each round is one join + one min aggregate.
+    "q_dedup_cluster" -> ((s, dir) =>
+      connectedComponents(
+        ngramPairs(Tables.documents(s, dir)).select(col("doc_a"), col("doc_b")))
+        .orderBy("doc_id")),
 
     // MinHash + LSH banding → exact verify. Oracle-checked end to end
     // (md5-fold base hash exists in both engines); planted-duplicate
@@ -319,9 +372,35 @@ object Dedup {
       ORDER BY doc_a, doc_b"""
   }
 
+  /** The ngram-pair SQL without its ORDER BY, reusable as a CTE body. */
+  private val ngramPairsSql = """
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM (SELECT doc_id, lang, n_chars // 10 AS lb,
+                     list_distinct(string_split(lower(text), ' ')) AS ws
+              FROM documents WHERE lang = 'de') a
+        JOIN (SELECT doc_id, lang, n_chars // 10 AS lb,
+                     list_distinct(string_split(lower(text), ' ')) AS ws
+              FROM documents WHERE lang = 'de') b
+          ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+              (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.9"""
+
   val oracle: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracleSql(0.8),
     "q_dedup_simhash" -> simhashOracleSql(8),
+
+    "q_dedup_cluster" -> s"""
+      WITH RECURSIVE edges AS ($ngramPairsSql),
+      und AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges),
+      reach(n, m) AS (
+        SELECT a, a FROM und
+        UNION SELECT b, b FROM und
+        UNION
+        SELECT u.a, r.m FROM und u JOIN reach r ON u.b = r.n)
+      SELECT n AS doc_id, min(m) AS cluster_rep
+      FROM reach GROUP BY n ORDER BY doc_id""",
 
     "q_dedup_exact" -> """
       SELECT min(doc_id) AS survivor_id, count(*) AS n_copies

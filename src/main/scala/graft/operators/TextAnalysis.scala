@@ -69,6 +69,21 @@ object TextAnalysis {
           ((col("n_chars") + 3) / lit(4)).cast("bigint").as("est_tokens"))
         .orderBy("doc_id")),
 
+    // Corpus bigram frequency — the statistics table a tokenizer/LM data
+    // pipeline computes. Explode is linear; the count shuffles one row
+    // per (bigram × partition); top-100 is TakeOrderedAndProject.
+    "q_text_ngram_freq" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", split(lower(col("text")), " "))
+        .select(explode(expr(
+          """CASE WHEN size(toks) < 2 THEN array()
+                  ELSE transform(sequence(0, size(toks) - 2),
+                                 i -> concat_ws(' ', toks[i], toks[i+1]))
+             END""")).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(100)
+        .orderBy("bigram")),
+
     // Bag-of-words fingerprint: sha256 of the sorted distinct word set —
     // catches reordered near-dups that exact hashing misses; cluster size
     // via a window on the fingerprint.
@@ -125,6 +140,18 @@ object TextAnalysis {
              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_ish,
              (n_chars + 3) // 4 AS est_tokens
       FROM documents ORDER BY doc_id""",
+
+    "q_text_ngram_freq" -> """
+      SELECT bigram, n FROM (
+        SELECT bigram, count(*) AS n FROM (
+          SELECT unnest(CASE WHEN len(tk) < 2 THEN []
+                             ELSE list_transform(range(1, len(tk)),
+                                                 i -> tk[i] || ' ' || tk[i+1])
+                        END) AS bigram
+          FROM (SELECT string_split(lower(text), ' ') AS tk FROM documents))
+        GROUP BY bigram
+        ORDER BY n DESC, bigram LIMIT 100)
+      ORDER BY bigram""",
 
     "q_text_fingerprint" -> """
       WITH t AS (

@@ -93,6 +93,22 @@ object Windows {
             lit(-1L)).as("last_error_id"))
         .orderBy("event_id")),
 
+    // Batch sessionization — the session_window analog without streaming
+    // (`agent-loop.sh:635-640` session boundaries): a >30 min gap starts
+    // a new session; session ordinal = running sum of boundary flags.
+    // Gap arithmetic in exact ns-longs.
+    "q_win_session_batch" -> ((s, dir) => {
+      val prev = lag(col("ts_ns"), 1).over(byUser)
+      val newSession =
+        when(prev.isNull || col("ts_ns") - prev > 1800000000000L, 1L).otherwise(0L)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          sum(newSession)
+            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("session_no"))
+        .orderBy("event_id")
+    }),
+
     // [i/N] labels: ordinal + partition total in one pass.
     "q_win_ntile_total" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
@@ -153,6 +169,19 @@ object Windows {
                PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS last_error_id
       FROM events ORDER BY event_id""",
+
+    "q_win_session_batch" -> """
+      SELECT event_id, user_id,
+             sum(CASE WHEN prev IS NULL OR epoch_ns(ts) - prev > 1800000000000
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM (
+        SELECT event_id, user_id, ts,
+               lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_ns(ts), event_id) AS prev
+        FROM events)
+      ORDER BY event_id""",
 
     "q_win_ntile_total" -> """
       SELECT event_id, user_id,

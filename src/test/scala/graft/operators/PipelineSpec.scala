@@ -106,6 +106,20 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("connected components: chains merge, islands stay, extra round is a no-op") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // Convergence on the real corpus: one more round changes nothing.
+    val pairs = Dedup.ngramPairs(graft.Tables.documents(spark, sfDir))
+      .select(col("doc_a"), col("doc_b"))
+    val r8 = Dedup.connectedComponents(pairs, 8).collect().map(_.toSeq).toSet
+    val r9 = Dedup.connectedComponents(pairs, 9).collect().map(_.toSeq).toSet
+    assert(r8 == r9, "label propagation had not converged after 8 rounds")
+  }
+
   test("chunker-oracle corpus assumption holds: no paragraph/sentence breaks") {
     // q_udf_chunk's oracle reduces the chunker to hard 112-char splits,
     // valid ONLY while the corpus has no "\n\n" and no ". " — guard it.
