@@ -98,6 +98,20 @@ object Aggs {
           (col("n_total") - col("n_open") - col("n_done")).as("n_pending"),
           Tables.floorLong(col("n_open") * 100L / col("n_total")).as("open_pct"))),
 
+    // Pivot: the status × priority matrix (the reference's summary
+    // display as a crosstab). Explicit value list keeps the output
+    // schema static — never pivot on an open domain at scale (the
+    // column-discovery pass is a full distinct scan).
+    "q_agg_pivot" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"),
+          col("O").as("n_open"), col("F").as("n_done"), col("P").as("n_partial"))
+        .orderBy("o_orderpriority")),
+
     // Two-phase salted aggregation — the skew pattern: a heavy-hitter
     // group key first aggregates under (key, salt) so no single task owns
     // a hot key, then the per-salt partials merge. Result is identical to
@@ -181,6 +195,13 @@ object Aggs {
              n_total - n_open - n_done AS n_pending,
              CAST(floor(n_open * 100 / n_total) AS BIGINT) AS open_pct
       FROM a""",
+
+    "q_agg_pivot" -> """
+      SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_done,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q_agg_salted" -> """
       SELECT l_returnflag,

@@ -69,6 +69,20 @@ object TextAnalysis {
           ((col("n_chars") + 3) / lit(4)).cast("bigint").as("est_tokens"))
         .orderBy("doc_id")),
 
+    // Deterministic train/val/test split — hash-of-key assignment (90/5/5),
+    // the standard reproducible split for training corpora: stable under
+    // reruns, additions, and repartitioning (never rand()-based, which
+    // breaks on retry). md5-fold keeps it cross-engine checkable.
+    "q_text_split" -> ((s, dir) => {
+      val bucket = expr(
+        "pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint), 100L)")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), bucket.as("bucket"),
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus bigram frequency — the statistics table a tokenizer/LM data
     // pipeline computes. Explode is linear; the count shuffles one row
     // per (bigram × partition); top-100 is TakeOrderedAndProject.
@@ -140,6 +154,17 @@ object TextAnalysis {
              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_ish,
              (n_chars + 3) // 4 AS est_tokens
       FROM documents ORDER BY doc_id""",
+
+    "q_text_split" -> """
+      SELECT doc_id, bucket,
+             CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        FROM documents)
+      ORDER BY doc_id""",
 
     "q_text_ngram_freq" -> """
       SELECT bigram, n FROM (
