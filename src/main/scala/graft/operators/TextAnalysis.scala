@@ -69,6 +69,34 @@ object TextAnalysis {
           ((col("n_chars") + 3) / lit(4)).cast("bigint").as("est_tokens"))
         .orderBy("doc_id")),
 
+    // Text normalization — the cleaning pass every corpus gets before
+    // tokenization: lowercase, strip non-text characters, collapse
+    // whitespace runs, trim. Reports the byte delta so the pipeline can
+    // monitor how destructive cleaning is.
+    "q_text_clean" -> ((s, dir) => {
+      val cleaned = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 .,]", " "), " +", " "))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), cleaned.as("cleaned"),
+          (col("n_chars") - length(cleaned)).cast("bigint").as("chars_removed"))
+        .orderBy("doc_id")
+    }),
+
+    // Composite corpus gate — the keep/drop decision with a first-fail
+    // reason, precedence-ordered like every routing cascade in the
+    // reference: length band first, then content checks.
+    "q_corpus_filter" -> ((s, dir) => {
+      val words = split(lower(col("text")), " ")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("n_chars") < 100, "too_short")
+            .when(col("n_chars") > 500, "too_long")
+            .when(hits(words, stopEn) === 0, "no_stopwords")
+            .when(size(words) < 20, "too_few_words")
+            .otherwise("keep").as("verdict"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic train/val/test split — hash-of-key assignment (90/5/5),
     // the standard reproducible split for training corpora: stable under
     // reruns, additions, and repartitioning (never rand()-based, which
@@ -153,6 +181,25 @@ object TextAnalysis {
              CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_ish,
              (n_chars + 3) // 4 AS est_tokens
+      FROM documents ORDER BY doc_id""",
+
+    "q_text_clean" -> """
+      SELECT doc_id, cleaned,
+             CAST(n_chars - length(cleaned) AS BIGINT) AS chars_removed
+      FROM (
+        SELECT doc_id, n_chars,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 .,]', ' ', 'g'), ' +', ' ', 'g')) AS cleaned
+        FROM documents)
+      ORDER BY doc_id""",
+
+    "q_corpus_filter" -> s"""
+      SELECT doc_id,
+             CASE WHEN n_chars < 100 THEN 'too_short'
+                  WHEN n_chars > 500 THEN 'too_long'
+                  WHEN ${sqlHits(stopEn)} = 0 THEN 'no_stopwords'
+                  WHEN len(string_split(lower(text), ' ')) < 20 THEN 'too_few_words'
+                  ELSE 'keep' END AS verdict
       FROM documents ORDER BY doc_id""",
 
     "q_text_split" -> """
