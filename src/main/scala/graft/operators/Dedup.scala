@@ -248,6 +248,27 @@ object Dedup {
         ngramPairs(Tables.documents(s, dir)).select(col("doc_a"), col("doc_b")))
         .orderBy("doc_id")),
 
+    // Incremental ingest dedup — the production mode: a NEW batch of
+    // documents deduplicates against the EXISTING corpus (and itself)
+    // without rescanning corpus×corpus. Anti join on the content
+    // fingerprint: the existing side reduces to its distinct digest set;
+    // survivors are new docs whose digest is unseen and which are the
+    // first holder of that digest within the batch.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch    = docs.filter(col("doc_id") % 5 === 0) // the "arriving" slice
+      val existing = docs.filter(col("doc_id") % 5 =!= 0)
+      val seen = existing.select(sha2(col("text"), 256).as("digest")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("digest").orderBy("doc_id")
+      batch.select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+        .join(seen, Seq("digest"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash + LSH banding → exact verify. Oracle-checked end to end
     // (md5-fold base hash exists in both engines); planted-duplicate
     // behavior additionally in PipelineSpec.
@@ -401,6 +422,17 @@ object Dedup {
         SELECT u.a, r.m FROM und u JOIN reach r ON u.b = r.n)
       SELECT n AS doc_id, min(m) AS cluster_rep
       FROM reach GROUP BY n ORDER BY doc_id""",
+
+    "q_dedup_incremental" -> """
+      WITH batch AS (
+        SELECT doc_id, sha256(text) AS digest FROM documents WHERE doc_id % 5 = 0),
+      seen AS (
+        SELECT DISTINCT sha256(text) AS digest FROM documents WHERE doc_id % 5 != 0)
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+        FROM batch WHERE digest NOT IN (SELECT digest FROM seen))
+      WHERE rn = 1 ORDER BY doc_id""",
 
     "q_dedup_exact" -> """
       SELECT min(doc_id) AS survivor_id, count(*) AS n_copies

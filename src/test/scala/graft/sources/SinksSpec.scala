@@ -51,6 +51,26 @@ class SinksSpec extends SparkSpec {
     assert(back.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0) == 5050)
   }
 
+  test("range-clustered write: per-file key ranges are disjoint (skippable layout)") {
+    val dir = Files.createTempDirectory("graft-range").toString + "/t"
+    Sinks.writeRangeClustered(
+      graft.Tables.orders(spark, sfDir).select(col("o_orderkey")),
+      "o_orderkey", 4, dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getAbsolutePath).sorted
+    assert(files.length >= 3)
+    // Each file holds a contiguous, non-overlapping key range.
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $ranges")
+      case _ =>
+    }
+  }
+
   test("per-key sink: one directory per key, overwrite replaces") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-perkey").toString
