@@ -8,7 +8,9 @@ import graft.Tables
 /** Deduplication family for training-data pipelines (builder brief; judge
   * grades these as first-class alongside SURVEY §2).
   *
-  * Five tiers, in increasing fuzziness:
+  * Tiers, in increasing fuzziness — plus the two production modes:
+  * incremental ingest (`q_dedup_incremental`) and cluster assignment
+  * (`q_dedup_cluster`, connected components over the pair graph):
   *   - exact       — sha256 of raw text (`q_dedup_exact`)
   *   - normalized  — sha256 of the sorted word set — catches reorders
   *                   (`q_text_fingerprint` in TextAnalysis)

@@ -16,8 +16,11 @@ import graft.Tables
   *     correctness baseline and is DuckDB-oracle-checked.
   *   - `q_knn_lsh` — the 100 TB path: deterministic random-hyperplane
   *     LSH buckets (integer pseudo-random planes, no runtime RNG), probes
-  *     join only their bucket, top-k within. Approximate by construction →
-  *     no oracle; SimilaritySpec asserts recall vs the brute force.
+  *     join only their bucket, top-k within. Approximate by construction,
+  *     yet still oracle-checked (the planes reproduce in SQL);
+  *     PipelineSpec adds planted-twin recall and the pruning bound.
+  *   - `q_knn_ivf` — inverted-file cells from deterministic coarse
+  *     centroids; oracle-checked.
   *
   * Scale notes: brute force is O(probes × corpus) — fine for few probes
   * because the corpus never shuffles (probe side broadcasts, similarity
