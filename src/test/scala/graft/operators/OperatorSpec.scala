@@ -8,6 +8,18 @@ import graft.SparkSpec
   * fixture style (tests/test-features.sh). */
 class OperatorSpec extends SparkSpec {
 
+  test("SQL-first usage: temp views + spark.sql match the DataFrame path") {
+    // A reference user working in SQL registers the tables as views and
+    // writes plain SQL — same session, same results as the typed path.
+    graft.Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    val viaSql = spark.sql(
+      """SELECT o_orderstatus, count(*) AS n FROM orders_v
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""").collect().map(_.toSeq)
+    val viaDf = graft.SparkEntry.queries("q_agg_count_by_status")(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(viaSql.toSeq == viaDf.toSeq)
+  }
+
   test("q_agg_approx_distinct is within 5% of the exact count") {
     val exact = graft.SparkEntry.queries("q_agg_distinct")(spark, sfDir)
       .collect()(0).getLong(0)
