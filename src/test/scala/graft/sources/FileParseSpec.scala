@@ -28,6 +28,25 @@ class FileParseSpec extends SparkSpec {
       ("two-group.md", 3, "Backend", "Start server")))
   }
 
+  test("CSV and ORC round-trip through the same query surface") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-fmt").toString
+    val src = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").limit(100)
+    src.write.option("header", "true").csv(s"$dir/csv")
+    src.write.orc(s"$dir/orc")
+    val csv = spark.read.option("header", "true")
+      .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      .csv(s"$dir/csv")
+    val orc = spark.read.orc(s"$dir/orc")
+    // Same grouped result regardless of storage format.
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("o_orderstatus").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts(csv) == counts(src))
+    assert(counts(orc) == counts(src))
+  }
+
   test("nested JSON state document ingests and explodes to task rows") {
     // FIXTURES.md §A.2: run header + tasks[] array — the reference's
     // state.json read end-to-end through the JSON file source.

@@ -123,6 +123,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: stream rows enrich against a broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val (in, df) = eventStream
+    val q = df.join(broadcast(dim), Seq("user_id"), "left_outer")
+      .select(col("event_id"), coalesce(col("tier"), lit("unknown")).as("tier"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "a"),
+        (2L, Timestamp.valueOf("2024-01-01 10:01:00"), 9L, "b")) // no dim row
+      q.processAllAvailable()
+      val out = spark.table("enriched").as[(Long, String)].collect().toMap
+      assert(out == Map(1L -> "gold", 2L -> "unknown"))
+    } finally q.stop()
+  }
+
   test("watermark: events older than the watermark are dropped from append output") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
