@@ -173,6 +173,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join: watermarked interval join matches events to follow-ups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reqs = MemoryStream[(Long, Timestamp)]
+    val acks = MemoryStream[(Long, Timestamp)]
+    val r = reqs.toDF().toDF("user_id", "req_ts").withWatermark("req_ts", "10 minutes")
+    val a = acks.toDF().toDF("ack_user", "ack_ts").withWatermark("ack_ts", "10 minutes")
+    val q = r.join(a,
+        col("user_id") === col("ack_user") &&
+        col("ack_ts") >= col("req_ts") &&
+        col("ack_ts") <= col("req_ts") + org.apache.spark.sql.functions.expr("interval 5 minutes"))
+      .select(col("user_id"), col("req_ts"), col("ack_ts"))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append).start()
+    try {
+      reqs.addData((7L, Timestamp.valueOf("2024-01-01 10:00:00")),
+                   (8L, Timestamp.valueOf("2024-01-01 10:00:00")))
+      acks.addData((7L, Timestamp.valueOf("2024-01-01 10:03:00")),  // within 5m
+                   (8L, Timestamp.valueOf("2024-01-01 10:30:00")))  // outside
+      q.processAllAvailable()
+      val out = spark.table("ss_join").select("user_id").as[Long].collect().toSeq
+      assert(out == Seq(7L), s"got $out")
+    } finally q.stop()
+  }
+
+  test("keyed session state survives a query restart via checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString
+    val in = MemoryStream[Msg]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Turn]
+    // foreachBatch supports checkpoint recovery (the memory sink does not).
+    def start() = Sessions.sessionize(in.toDS(), ttl = false)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Turn], _: Long) =>
+        seen.synchronized { seen ++= batch.collect() }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    val q1 = start()
+    try {
+      in.addData(Msg(1, 100, "first"), Msg(1, 200, "second"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // Restart from the checkpoint: the chat's session id and turn counter
+    // must resume, not reset.
+    val q2 = start()
+    try {
+      in.addData(Msg(1, 300, "third"))
+      q2.processAllAvailable()
+      val turns = seen.synchronized(seen.filter(_.text == "third").toSeq)
+      assert(turns.length == 1)
+      assert(turns(0).sessionId == "s-1-100" && turns(0).turn == 3,
+        s"state did not survive restart: $turns")
+    } finally q2.stop()
+  }
+
   test("chunked sink: foreachBatch splits long payloads with [i/N] labels") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
