@@ -86,6 +86,21 @@ object Multimodal {
           (lit(240) + (length(col("payload")).cast("bigint") * 7) % 840).cast("int").as("height"))
         .orderBy("doc_id")),
 
+    // Resize plumbing: aspect-preserving fit into 640×480 — the target
+    // geometry every thumbnailing stage computes before the (stubbed)
+    // pixel work. Scale in double, output dims floored, never upscale.
+    "q_mm_resize" -> ((s, dir) => {
+      val w = (lit(320) + col("n_chars") % 1600).cast("double")
+      val h = (lit(240) + (col("n_chars").cast("bigint") * 7) % 840).cast("double")
+      val scale = least(lit(640.0) / w, lit(480.0) / h, lit(1.0))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          w.cast("int").as("src_w"), h.cast("int").as("src_h"),
+          floor(w * scale).cast("int").as("out_w"),
+          floor(h * scale).cast("int").as("out_h"))
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling plumbing: every-Nth-frame index list per media row —
     // the explode shape a video pipeline uses, with frame count from the
     // (fake) decode.
@@ -112,6 +127,18 @@ object Multimodal {
              CAST(320 + n_chars % 1600 AS INTEGER) AS width,
              CAST(240 + (n_chars * 7) % 840 AS INTEGER) AS height
       FROM documents ORDER BY doc_id""",
+
+    "q_mm_resize" -> """
+      SELECT doc_id,
+             CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+             CAST(floor(w * least(640.0 / w, 480.0 / h, 1.0)) AS INTEGER) AS out_w,
+             CAST(floor(h * least(640.0 / w, 480.0 / h, 1.0)) AS INTEGER) AS out_h
+      FROM (
+        SELECT doc_id,
+               CAST(320 + n_chars % 1600 AS DOUBLE) AS w,
+               CAST(240 + (n_chars * 7) % 840 AS DOUBLE) AS h
+        FROM documents)
+      ORDER BY doc_id""",
 
     "q_mm_frames" -> """
       WITH t AS (
