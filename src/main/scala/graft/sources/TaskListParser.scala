@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * `tests/test-features.sh:440-579`):
   *   - `## <name>`        starts a group (heading fill-down, `:200-203`);
   *   - `- <text>`         starts a task (`:207`);
-  *   - indented non-blank lines continue the previous task, joined with a
-  *     single space (`:215`);
+  *   - indented lines continue the previous task, joined with a single
+  *     space (`:215`) — including all-whitespace lines of ≥2 chars, whose
+  *     backtracked capture is a single space (bash ERE quirk, proven by
+  *     tools/diff_parser.py against the reference's own parser);
   *   - blank / other lines terminate a multiline task and are ignored;
   *   - CR is stripped (`:197`);
   *   - tasks before any heading get group `ungrouped` (`:187`).
@@ -47,17 +49,24 @@ object TaskListParser {
     val byLine = Window.partitionBy("file_id").orderBy("line_no")
     val fill   = byLine.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // The classification patterns are the reference's EXACT regexes
+    // (`^##[[:space:]]+(.+)$` etc., agent-loop.sh:200,207,215) — Java
+    // backtracking reproduces bash ERE here, including the subtle cases
+    // the differential test (tools/diff_parser.py) caught: a
+    // whitespace-only line of ≥2 chars IS a continuation contributing a
+    // single space, and captures keep trailing whitespace.
     val classified = lines
       .withColumn("line", regexp_replace(col("line"), "\r$", ""))
       .withColumn("kind",
-        when(col("line").rlike("^##\\s+\\S"), "heading")
-          .when(col("line").rlike("^-\\s+\\S"), "task")
-          .when(col("line").rlike("^\\s+\\S"), "cont")
+        when(col("line").rlike("^##\\s+.+$"), "heading")
+          .when(col("line").rlike("^-\\s+.+$"), "task")
+          .when(col("line").rlike("^\\s+.+$"), "cont")
           .otherwise("blank"))
 
     val grouped = classified
       .withColumn("grp_raw",
-        when(col("kind") === "heading", regexp_replace(col("line"), "^##\\s+", "")))
+        when(col("kind") === "heading",
+             regexp_extract(col("line"), "^##\\s+(.+)$", 1)))
       .withColumn("grp",
         coalesce(last(col("grp_raw"), ignoreNulls = true).over(fill), lit("ungrouped")))
       // Running count of task starts = the task each line belongs to.
@@ -71,15 +80,14 @@ object TaskListParser {
 
     val starts = grouped.filter(col("kind") === "task")
       .select(col("file_id"), col("task_no"), col("grp"), col("brk").as("start_brk"),
-              regexp_replace(col("line"), "^-\\s+", "").as("head"),
+              regexp_extract(col("line"), "^-\\s+(.+)$", 1).as("head"),
               col("line_no").as("start_line"))
 
     val conts = grouped.filter(col("kind") === "cont" && col("task_no") > 0)
-      // The reference keeps BASH_REMATCH[1] of ^[[:space:]]+(.+)$ —
-      // leading whitespace (spaces AND tabs) stripped, trailing kept.
-      // (Column trim() would strip only spaces, only at both ends.)
+      // BASH_REMATCH[1]: maximal leading whitespace stripped, trailing
+      // kept; an all-whitespace line backtracks to a single-space capture.
       .select(col("file_id"), col("task_no"), col("brk"), col("line_no"),
-              regexp_replace(col("line"), "^\\s+", "").as("cont"))
+              regexp_extract(col("line"), "^\\s+(.+)$", 1).as("cont"))
 
     // Join continuations to their task; drop any continuation separated
     // from the task start by a terminator. The join key (file_id, task_no)

@@ -13,23 +13,24 @@ import graft.SparkSpec
   */
 class ParserPropertySpec extends SparkSpec {
 
-  /** Reference grammar, executed the way the bash loop does. */
+  /** Reference grammar, executed the way the bash loop does — with the
+    * reference's EXACT regexes (Java backtracking ≡ bash ERE here). */
   private def referenceParse(lines: Seq[String]): Seq[(Int, String, String)] = {
+    val Heading = "^##\\s+(.+)$".r
+    val Task    = "^-\\s+(.+)$".r
+    val Cont    = "^\\s+(.+)$".r
     var group = "ungrouped"
     var current: Option[(String, StringBuilder)] = None
     val out = Vector.newBuilder[(String, String)]
     def flush(): Unit = { current.foreach { case (g, t) => out += ((g, t.toString)) }; current = None }
     for (raw <- lines) {
       val line = raw.stripSuffix("\r")
-      if (line.matches("^##\\s+\\S.*")) {
-        flush(); group = line.replaceFirst("^##\\s+", "")
-      } else if (line.matches("^-\\s+\\S.*")) {
-        flush(); current = Some((group, new StringBuilder(line.replaceFirst("^-\\s+", ""))))
-      } else if (line.matches("^\\s+\\S.*")) {
-        // BASH_REMATCH[1]: leading whitespace stripped, trailing kept.
-        current.foreach { case (_, sb) =>
-          sb.append(" ").append(line.replaceFirst("^\\s+", "")) }
-      } else flush() // blank / other terminates
+      line match {
+        case Heading(g) => flush(); group = g
+        case Task(t)    => flush(); current = Some((group, new StringBuilder(t)))
+        case Cont(c)    => current.foreach { case (_, sb) => sb.append(" ").append(c) }
+        case _          => flush() // blank / other terminates
+      }
     }
     flush()
     out.result().zipWithIndex.map { case ((g, t), i) => (i + 1, g, t) }
