@@ -32,12 +32,25 @@ import graft.Tables
 object Scalars {
   type Q = (SparkSession, String) => DataFrame
 
-  /** lower → non-alnum runs → '-' → trim '-' → truncate (agent-loop.sh:243-245). */
+  /** lower → non-alnum runs → '-' → trim '-' → truncate (agent-loop.sh:243-245).
+    * Differentially tested against the reference's bash slugify
+    * (tools/diff_scalars.py). */
   def slug(c: org.apache.spark.sql.Column, n: Int) =
     substring(
       regexp_replace(
         regexp_replace(lower(c), "[^a-z0-9]+", "-"), "^-+|-+$", ""),
       1, n)
+
+  /** Error classification with the reference's EXACT patterns and
+    * precedence (agent-loop.sh:399-411, case-insensitive grep -E);
+    * differentially tested against the bash classify_error. */
+  def classify(c: org.apache.spark.sql.Column) =
+    when(c.rlike("(?i)\\b429\\b|rate_limit|rate limit|too many requests"), "rate_limit")
+      .when(c.rlike("(?i)context_length|token limit|maximum context|context window"), "context_overflow")
+      .when(c.rlike("(?i)\\b401\\b|authentication|unauthorized|invalid.*api.*key"), "auth")
+      .when(c.rlike("(?i)timeout|SIGTERM|timed out|deadline exceeded"), "timeout")
+      .when(c.rlike("(?i)ECONNREFUSED|ENOTFOUND|DNS|network|connection refused"), "network")
+      .otherwise("unknown")
 
   val queries: Map[String, Q] = Map(
     "q_str_slugify" -> ((s, dir) =>
@@ -76,21 +89,15 @@ object Scalars {
           substring(col("text"), 1, 100).as("chunk1"))
         .orderBy("doc_id")),
 
-    // Ordered classification cascade — precedence EXACTLY mirrors
-    // agent-loop.sh:399-411: rate_limit, context_overflow, auth, timeout,
-    // network, unknown. First match wins.
-    "q_str_case_class" -> ((s, dir) => {
-      val t = lower(col("text"))
+    // Ordered classification cascade — the reference's exact patterns
+    // and precedence (agent-loop.sh:399-411): rate_limit,
+    // context_overflow, auth, timeout, network, unknown. First match
+    // wins. (The reference scans the last 3000 bytes of the log; the
+    // corpus documents are all shorter, so full-text is equivalent.)
+    "q_str_case_class" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"),
-          when(t.rlike("rate limit|429"), "rate_limit")
-            .when(t.rlike("context|overflow"), "context_overflow")
-            .when(t.rlike("auth|401|403"), "auth")
-            .when(t.rlike("timed? ?out"), "timeout")
-            .when(t.rlike("network|connection|econnrefused"), "network")
-            .otherwise("unknown").as("error_class"))
-        .orderBy("doc_id")
-    }),
+        .select(col("doc_id"), classify(col("text")).as("error_class"))
+        .orderBy("doc_id")),
 
     "q_hash_sha256" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -253,11 +260,11 @@ object Scalars {
 
     "q_str_case_class" -> """
       SELECT doc_id,
-             CASE WHEN regexp_matches(lower(text), 'rate limit|429') THEN 'rate_limit'
-                  WHEN regexp_matches(lower(text), 'context|overflow') THEN 'context_overflow'
-                  WHEN regexp_matches(lower(text), 'auth|401|403') THEN 'auth'
-                  WHEN regexp_matches(lower(text), 'timed? ?out') THEN 'timeout'
-                  WHEN regexp_matches(lower(text), 'network|connection|econnrefused') THEN 'network'
+             CASE WHEN regexp_matches(text, '(?i)\b429\b|rate_limit|rate limit|too many requests') THEN 'rate_limit'
+                  WHEN regexp_matches(text, '(?i)context_length|token limit|maximum context|context window') THEN 'context_overflow'
+                  WHEN regexp_matches(text, '(?i)\b401\b|authentication|unauthorized|invalid.*api.*key') THEN 'auth'
+                  WHEN regexp_matches(text, '(?i)timeout|SIGTERM|timed out|deadline exceeded') THEN 'timeout'
+                  WHEN regexp_matches(text, '(?i)ECONNREFUSED|ENOTFOUND|DNS|network|connection refused') THEN 'network'
                   ELSE 'unknown' END AS error_class
       FROM documents ORDER BY doc_id""",
 

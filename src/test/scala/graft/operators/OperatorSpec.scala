@@ -77,14 +77,7 @@ class OperatorSpec extends SparkSpec {
   test("error classification precedence: rate_limit wins over timeout") {
     // agent-loop.sh:399-411 — '429 ... timed out' must classify rate_limit.
     import spark.implicits._
-    val t = lower($"s")
-    val classify =
-      when(t.rlike("rate limit|429"), "rate_limit")
-        .when(t.rlike("context|overflow"), "context_overflow")
-        .when(t.rlike("auth|401|403"), "auth")
-        .when(t.rlike("timed? ?out"), "timeout")
-        .when(t.rlike("network|connection|econnrefused"), "network")
-        .otherwise("unknown")
+    val classify = Scalars.classify($"s")
     val cases = Seq(
       "Error 429 rate limit exceeded and timed out" -> "rate_limit",
       "context_length exceeded"                     -> "context_overflow",
