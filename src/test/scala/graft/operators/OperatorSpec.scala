@@ -74,6 +74,23 @@ class OperatorSpec extends SparkSpec {
     assert(out == 3800L)
   }
 
+  test("token usage extraction: jq-style defaults on edge documents") {
+    import spark.implicits._
+    val cases = Seq(
+      ("""{"usage":{"input_tokens":1000,"cache_creation_input_tokens":500,"cache_read_input_tokens":2000,"output_tokens":300},"modelUsage":{"m":{"contextWindow":100000}}}""",
+        "3800:100000"),
+      ("""{}""", "0:200000"),
+      ("""{"usage":{}}""", "0:200000"),
+      ("""{"modelUsage":{}}""", "0:200000"),
+      ("""{"modelUsage":{"a":{},"b":{"contextWindow":77}}}""", "0:200000"),
+      ("""{"usage":{"input_tokens":5},"modelUsage":{"x":{"contextWindow":1000},"y":{"contextWindow":2000}}}""",
+        "5:1000")) // FIRST model's window wins (document order)
+    val got = cases.map(_._1).toDF("js")
+      .select(graft.functions.TokenUsage.usageLine($"js"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2))
+  }
+
   test("error classification precedence: rate_limit wins over timeout") {
     // agent-loop.sh:399-411 — '429 ... timed out' must classify rate_limit.
     import spark.implicits._
