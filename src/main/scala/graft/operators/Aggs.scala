@@ -98,6 +98,49 @@ object Aggs {
           (col("n_total") - col("n_open") - col("n_done")).as("n_pending"),
           Tables.floorLong(col("n_open") * 100L / col("n_total")).as("open_pct"))),
 
+    // Exact interpolated percentiles (both engines use the same
+    // linear-interpolation definition over sorted values).
+    "q_agg_percentile" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("median_price"),
+          expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // Statistical moments from EXACT decimal power sums: built-in
+    // stddev/corr accumulate doubles in partition order (nondeterministic
+    // across engines), so variance/correlation are reassembled from
+    // decimal Σx, Σx², Σxy — order-free, then one double formula both
+    // engines evaluate identically.
+    "q_agg_stats" -> ((s, dir) => {
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      def dsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(28,6)"))
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(x).as("sx"), dsum(x * x).as("sxx"),
+          dsum(y).as("sy"), dsum(y * y).as("syy"), dsum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n").as("nl"),
+          // The SUMS are exact decimals (order-free); the FORMULA runs in
+          // double on both engines (decimal division scale rules differ
+          // between Spark and DuckDB, IEEE doubles do not).
+          col("sx").cast("double").as("sx"), col("sxx").cast("double").as("sxx"),
+          col("sy").cast("double").as("sy"), col("syy").cast("double").as("syy"),
+          col("sxy").cast("double").as("sxy"))
+        .select(col("l_returnflag"), col("nl").as("n"),
+          round((col("sxx") - col("sx") * col("sx") / col("nl")) /
+                (col("nl") - 1), 4).as("var_qty"),
+          round((col("nl") * col("sxy") - col("sx") * col("sy")) /
+                sqrt((col("nl") * col("sxx") - col("sx") * col("sx")) *
+                     (col("nl") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Pivot: the status × priority matrix (the reference's summary
     // display as a crosstab). Explicit value list keeps the output
     // schema static — never pivot on an open domain at scale (the
@@ -195,6 +238,34 @@ object Aggs {
              n_total - n_open - n_done AS n_pending,
              CAST(floor(n_open * 100 / n_total) AS BIGINT) AS open_pct
       FROM a""",
+
+    "q_agg_percentile" -> """
+      SELECT o_orderstatus,
+             quantile_cont(o_totalprice, 0.5) AS median_price,
+             quantile_cont(o_totalprice, 0.9) AS p90_price,
+             count(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_agg_stats" -> """
+      WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(28,6))) AS sx,
+               sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS sxx,
+               sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS sy,
+               sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS syy,
+               sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             round((sxx - sx * sx / n) / (n - 1), 4) AS var_qty,
+             round((n * sxy - sx * sy) /
+                   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
+      FROM (
+        SELECT l_returnflag, n,
+               CAST(sx AS DOUBLE) AS sx, CAST(sxx AS DOUBLE) AS sxx,
+               CAST(sy AS DOUBLE) AS sy, CAST(syy AS DOUBLE) AS syy,
+               CAST(sxy AS DOUBLE) AS sxy
+        FROM m)
+      ORDER BY l_returnflag""",
 
     "q_agg_pivot" -> """
       SELECT o_orderpriority,
