@@ -126,6 +126,8 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("bigram")).limit(100)
         .orderBy("bigram")),
 
+    "q_corpus_pipeline" -> ((s, dir) => corpusPipeline(Tables.documents(s, dir))),
+
     // Bag-of-words fingerprint: sha256 of the sorted distinct word set —
     // catches reordered near-dups that exact hashing misses; cluster size
     // via a window on the fingerprint.
@@ -139,6 +141,38 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
   )
+
+  /** The capstone composition — the complete training-data flow as ONE
+    * declarative job: quality gate → exact dedup (survivor = min doc_id
+    * per digest) → deterministic split, reporting per-stage counts.
+    * Every stage reuses the operators above, fused by Catalyst into a
+    * single plan: one scan, two hash aggregates, no driver round-trips. */
+  def corpusPipeline(docs: DataFrame): DataFrame = {
+    val words = split(lower(col("text")), " ")
+    val gated = docs
+      .withColumn("verdict",
+        when(col("n_chars") < 100, "too_short")
+          .when(col("n_chars") > 500, "too_long")
+          .when(hits(words, stopEn) === 0, "no_stopwords")
+          .when(size(words) < 20, "too_few_words")
+          .otherwise("keep"))
+    val survivors = gated.filter(col("verdict") === "keep")
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val bucket = expr(
+      "pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint), 100L)")
+    val split_ = survivors.select(col("doc_id"),
+      when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
+    val totals = gated.agg(
+      count(lit(1)).as("n_total"),
+      count(when(col("verdict") === "keep", 1)).as("n_keep"))
+    val dedupN = split_.agg(
+      count(lit(1)).as("n_unique"),
+      count(when(col("split") === "train", 1)).as("n_train"),
+      count(when(col("split") === "val", 1)).as("n_val"),
+      count(when(col("split") === "test", 1)).as("n_test"))
+    totals.crossJoin(dedupN) // two 1-row aggregates — the one legal cross
+  }
 
   private def sqlHits(stops: Seq[String]): String =
     s"len(list_filter(string_split(lower(text), ' '), w -> w IN (${stops.map("'" + _ + "'").mkString(",")})))"
@@ -182,6 +216,36 @@ object TextAnalysis {
              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_ish,
              (n_chars + 3) // 4 AS est_tokens
       FROM documents ORDER BY doc_id""",
+
+    "q_corpus_pipeline" -> s"""
+      WITH gated AS (
+        SELECT doc_id, text,
+               CASE WHEN n_chars < 100 THEN 'too_short'
+                    WHEN n_chars > 500 THEN 'too_long'
+                    WHEN ${sqlHits(stopEn)} = 0 THEN 'no_stopwords'
+                    WHEN len(string_split(lower(text), ' ')) < 20 THEN 'too_few_words'
+                    ELSE 'keep' END AS verdict
+        FROM documents),
+      survivors AS (
+        SELECT min(doc_id) AS doc_id FROM gated
+        WHERE verdict = 'keep' GROUP BY sha256(text)),
+      split AS (
+        SELECT doc_id,
+               CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+              FROM survivors)),
+      totals AS (
+        SELECT count(*) AS n_total,
+               count(*) FILTER (verdict = 'keep') AS n_keep FROM gated),
+      dn AS (
+        SELECT count(*) AS n_unique,
+               count(*) FILTER (split = 'train') AS n_train,
+               count(*) FILTER (split = 'val') AS n_val,
+               count(*) FILTER (split = 'test') AS n_test
+        FROM split)
+      SELECT * FROM totals, dn""",
 
     "q_text_clean" -> """
       SELECT doc_id, cleaned,
