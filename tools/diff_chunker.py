@@ -14,7 +14,7 @@ ns = {}
 exec(m.group(0), ns)
 chunk_reply = ns["chunk_reply"]
 
-random.seed(42)
+random.seed(int(__import__("os").environ.get("SEED", "42")))
 words = ["alpha", "beta", "gamma.", "x", "longword" * 60, "mid sentence. here"]
 seps = [" ", " ", ". ", "\n\n", "\n\n\n", "  "]
 cases = []

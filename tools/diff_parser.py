@@ -6,7 +6,7 @@ Usage: python3 tools/diff_parser.py   (sbt on PATH, run from repo root)
 """
 import os, random, subprocess, sys, tempfile
 
-random.seed(7)
+random.seed(int(__import__("os").environ.get("SEED", "7")))
 LINES = [
     "## Alpha", "## Beta Group", "##NoSpace", "## ",
     "- task one", "- another task", "-nospace", "- ",
