@@ -173,6 +173,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization runs on the RocksDB state store (the at-scale backend)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Msg]
+    val q = Sessions.sessionize(in.toDS(), ttl = false)
+      .writeStream.format("memory").queryName("turns_rocks")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Msg(5, 100, "a"))
+      q.processAllAvailable()
+      in.addData(Msg(5, 200, "b")) // state must persist across batches
+      q.processAllAvailable()
+      val turns = spark.table("turns_rocks").as[Turn].collect().sortBy(_.turn)
+      assert(turns.map(t => (t.sessionId, t.turn)).toSeq ==
+        Seq(("s-5-100", 1), ("s-5-100", 2)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream join: watermarked interval join matches events to follow-ups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
