@@ -185,12 +185,18 @@ object Dedup {
         .select(col("n").as("id"), col("rep"))
       // Eager checkpoint per round: the loop stays K small jobs instead
       // of one K-deep shuffle DAG (measured: 50 s → seconds at sf0.1).
+      val old = labels
       labels = labels.union(viaPeers)
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
         .localCheckpoint(true)
+      old.unpersist() // the new checkpoint is materialized; drop the old
       cur = sumReps
       r += 1
     }
+    // The final labels checkpoint is self-contained — release the edge
+    // caches so they don't occupy executor memory for the rest of the
+    // session (Bench runs 80+ queries in one SparkSession).
+    und.unpersist()
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
