@@ -93,6 +93,19 @@ object Windows {
             lit(-1L)).as("last_error_id"))
         .orderBy("event_id")),
 
+    // Value-based RANGE frame — events within the trailing 10 minutes
+    // (ns-exact), the rate-limiter's sliding-count view. Unlike ROWS
+    // frames, the bound is on the ORDER value, so ties and gaps behave
+    // identically in both engines with no tie-break column needed.
+    "q_win_range_frame" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(
+            Window.partitionBy("user_id").orderBy("ts_ns")
+              .rangeBetween(-600000000000L, 0))
+            .as("n_last_10m"))
+        .orderBy("event_id")),
+
     // Batch sessionization — the session_window analog without streaming
     // (`agent-loop.sh:635-640` session boundaries): a >30 min gap starts
     // a new session; session ordinal = running sum of boundary flags.
@@ -168,6 +181,12 @@ object Windows {
                                  IGNORE NULLS) OVER (
                PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS last_error_id
+      FROM events ORDER BY event_id""",
+
+    "q_win_range_frame" -> """
+      SELECT event_id, user_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
+               RANGE BETWEEN 600000000000 PRECEDING AND CURRENT ROW) AS n_last_10m
       FROM events ORDER BY event_id""",
 
     "q_win_session_batch" -> """
