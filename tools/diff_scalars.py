@@ -6,7 +6,7 @@ Usage: python3 tools/diff_scalars.py   (sbt on PATH, run from repo root)
 """
 import base64, os, random, subprocess, sys, tempfile
 
-random.seed(11)
+random.seed(int(__import__("os").environ.get("SEED", "11")))
 frag = ["Hello World", "foo---bar", "  spaces  ", "UPPER", "under_score",
         "num42", "!!!", "---", "a", "", "mixed-UP_case 9",
         "429", "error 429 here", "rate_limit hit", "Too Many Requests",

@@ -6,7 +6,7 @@ Usage: python3 tools/diff_tokens.py   (sbt + jq on PATH, run from repo root)
 """
 import base64, json, os, random, subprocess, sys, tempfile
 
-random.seed(3)
+random.seed(int(__import__("os").environ.get("SEED", "3")))
 def gen_doc():
     d = {}
     if random.random() < 0.9:
