@@ -205,8 +205,10 @@ object Scalars {
           count(lit(1)).as("n"))
         .orderBy("o_custkey")),
 
-    // Map iteration: build a map, read keys/values — DuckDB map literals
-    // differ so this is ScalaTest-verified (MapOpsSpec), no oracle.
+    // Map iteration: build a map, read keys/values. Keys render through
+    // array_join so the output stays scalar (driver rows must be
+    // sortable/hashable — no array/map/struct output columns). Map
+    // semantics also asserted in OperatorSpec.
     "q_map_ops" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"),
@@ -214,7 +216,7 @@ object Scalars {
               lit("k"), coalesce(get_json_object(col("props"), "$.k"), lit("0")))
             .as("m"))
         .select(col("event_id"),
-          map_keys(col("m")).as("ks"),
+          array_join(map_keys(col("m")), ",").as("ks"),
           element_at(col("m"), "type").as("type_v"))
         .orderBy("event_id")),
 
@@ -343,5 +345,17 @@ object Scalars {
              coalesce(json_extract_string(props,'$.stderr'),
                       json_extract_string(props,'$.k'), 'empty') AS first_present
       FROM events ORDER BY event_id""",
+
+    // DuckDB 1.0 map[key] yields a LIST — [1] unwraps the scalar.
+    "q_map_ops" -> """
+      WITH m AS (
+        SELECT event_id,
+               MAP {'type': event_type,
+                    'k': coalesce(json_extract_string(props, '$.k'), '0')} AS m
+        FROM events)
+      SELECT event_id,
+             array_to_string(map_keys(m), ',') AS ks,
+             m['type'][1] AS type_v
+      FROM m ORDER BY event_id""",
   )
 }

@@ -66,9 +66,9 @@ object Udfs {
 
     "q_udaf_token_total" -> """
       SELECT l_returnflag,
-             sum(CAST(floor(l_quantity) AS BIGINT) + l_linenumber +
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT) + l_linenumber +
                  CAST(floor(l_discount * 100) AS BIGINT) +
-                 CAST(floor(l_tax * 100) AS BIGINT)) AS total_tokens
+                 CAST(floor(l_tax * 100) AS BIGINT)) AS BIGINT) AS total_tokens
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }

@@ -191,10 +191,10 @@ object Windows {
 
     "q_win_session_batch" -> """
       SELECT event_id, user_id,
-             sum(CASE WHEN prev IS NULL OR epoch_ns(ts) - prev > 1800000000000
+             CAST(sum(CASE WHEN prev IS NULL OR epoch_ns(ts) - prev > 1800000000000
                       THEN 1 ELSE 0 END) OVER (
                PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
       FROM (
         SELECT event_id, user_id, ts,
                lag(epoch_ns(ts)) OVER (PARTITION BY user_id

@@ -15,13 +15,13 @@ class ContractSpec extends AnyFunSuite {
   test("inventory size matches the declared SURVEY totals") {
     assert(SparkEntry.queries.size == 88,
       s"queries has ${SparkEntry.queries.size} keys — update SURVEY §2.11 totals")
-    assert(SparkEntry.oracleSql.size == 86,
+    assert(SparkEntry.oracleSql.size == 87,
       s"oracleSql has ${SparkEntry.oracleSql.size} keys — update SURVEY §2.11 totals")
   }
 
-  test("no-oracle keys are exactly the two inherently uncheckable ones") {
+  test("no-oracle keys are exactly the one inherently uncheckable one") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q_agg_approx_distinct", "q_map_ops"), noOracle)
+    assert(noOracle == Set("q_agg_approx_distinct"), noOracle)
   }
 
   test("every key follows the q_ naming convention (file-path safe)") {

@@ -34,7 +34,7 @@ class OperatorSpec extends SparkSpec {
       .limit(5).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getSeq[String](1).toSet == Set("type", "k"))
+      assert(r.getString(1).split(",").toSet == Set("type", "k"))
       assert(Set("signup", "click", "error", "view", "purchase")(r.getString(2)))
     }
   }

@@ -50,7 +50,18 @@ for name in sorted(os.listdir(out)):
         return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
     sc, sr = norm(spark_rel)
     dc, dr = norm(duck_rel)
-    if sc != dc:
+    # Arrow dtype compare — the driver hash-compares bit-exact, so a
+    # value-equal result with a different physical type (e.g. DuckDB
+    # sum(BIGINT) -> decimal128(38,0) HUGEINT vs Spark int64) still
+    # fails there. Catch that class here, not in the driver's scoreboard.
+    stypes = {f.name: str(f.type) for f in spark_rel.schema}
+    dtypes = {f.name: str(f.type) for f in duck_rel.schema}
+    dtype_diff = {c: (stypes.get(c), dtypes.get(c))
+                  for c in set(stypes) | set(dtypes)
+                  if stypes.get(c) != dtypes.get(c)}
+    if dtype_diff:
+        fails.append(f"{name}: DTYPE {dtype_diff}")
+    elif sc != dc:
         fails.append(f"{name}: SCHEMA spark={sc} duck={dc}")
     elif len(sr) != len(dr):
         fails.append(f"{name}: ROWS spark={len(sr)} duck={len(dr)}")
