@@ -200,6 +200,38 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
+  /** Embedding-cosine near-dup pairs over (vec_id, v BIGINT[64]),
+    * blocked by the multi-table hyperplane LSH the kNN path uses
+    * (Similarity.bucketed: 8 tables × 6 deterministic integer planes).
+    * Unlike a fixed sign-bit prefix, the bucket key space grows with
+    * PlanesPerTable — the knob that keeps per-bucket population (and
+    * thus the within-bucket pair join) bounded as the corpus grows:
+    * planes ≈ log2(N / target bucket size). Candidate volume ≈ T/2^L of
+    * corpus² (12.5% here); cos ≥ 0.95 twins collide in some table w.p.
+    * ≈ 1 (planted-twin recall in PipelineSpec). The bucket join carries
+    * only (vec_id, bucket); vectors join back for candidate pairs only
+    * (same narrow-band shape as minhashPairs). */
+  def embeddingPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val buckets = Similarity.bucketed(vectors).select(col("vec_id"), col("bucket"))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"), Seq("bucket"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct() // a pair may collide in several tables
+    val norms = vectors.withColumn("dot_self",
+      graft.functions.VectorOps.longDot(col("v"), col("v")))
+    candidates
+      .join(norms.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+        col("dot_self").as("n_a")), Seq("id_a"))
+      .join(norms.select(col("vec_id").as("id_b"), col("v").as("v_b"),
+        col("dot_self").as("n_b")), Seq("id_b"))
+      .withColumn("dot", graft.functions.VectorOps.longDot(col("v_a"), col("v_b")))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double"))))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Candidate pairs from banded signature collisions, verified with
     * exact Jaccard ≥ threshold. The band join shuffles on
     * (band_id, band_hash) — candidates only, never the corpus². */
@@ -311,28 +343,15 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Embedding-cosine near-dup: quantized exact arithmetic, blocked on
-    // (label, sign bits of the first 3 components) — the deterministic
-    // LSH-style blocking both engines replicate. At 100 TB the sign-bit
-    // prefix is what keeps block sizes sublinear.
-    "q_dedup_embedding" -> ((s, dir) => {
-      val q = Tables.embeddings(s, dir).select(
-        col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
-        .withColumn("blk", expr(
-          "concat(CAST(label AS STRING), ':', CASE WHEN v[0] >= 0 THEN 1 ELSE 0 END, CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END, CASE WHEN v[2] >= 0 THEN 1 ELSE 0 END)"))
-        .withColumn("dot_self", graft.functions.VectorOps.longDot(col("v"), col("v")))
-      val a = q.select(col("blk"), col("vec_id").as("id_a"), col("v").as("v_a"), col("dot_self").as("n_a"))
-      val b = q.select(col("blk"), col("vec_id").as("id_b"), col("v").as("v_b"), col("dot_self").as("n_b"))
-      a.join(b, Seq("blk"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("dot", graft.functions.VectorOps.longDot(col("v_a"), col("v_b")))
-        .withColumn("cos", col("dot").cast("double") /
-          (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double"))))
-        .filter(col("cos") >= 0.35)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
-        .orderBy("id_a", "id_b")
-    }),
+    // Embedding-cosine near-dup via hyperplane-LSH blocking — see
+    // embeddingPairs for the scale story.
+    "q_dedup_embedding" -> ((s, dir) =>
+      embeddingPairs(
+        Tables.embeddings(s, dir).select(
+          col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v")),
+        0.35)
+        .orderBy("id_a", "id_b")),
   )
 
   /** (doc_id, sh BIGINT) simhash sketches.
@@ -459,24 +478,45 @@ object Dedup {
             (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.9
       ORDER BY doc_a, doc_b""",
 
-    "q_dedup_embedding" -> """
+    "q_dedup_embedding" -> embeddingOracleSql(0.35),
+  )
+
+  /** DuckDB twin of the hyperplane-blocked embedding near-dup — the same
+    * plane-weight formula and table/bucket layout as Similarity.bucketed
+    * (and its lshOracleSql), with the kNN probe join replaced by the
+    * corpus self-join on bucket. */
+  private def embeddingOracleSql(threshold: Double): String = {
+    val t = Similarity.NumTables
+    val l = Similarity.PlanesPerTable
+    s"""
       WITH q AS (
-        SELECT vec_id, label,
+        SELECT vec_id,
                list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
         FROM embeddings),
-      k AS (
-        SELECT vec_id, v,
-               CAST(label AS VARCHAR) || ':' ||
-               (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) ||
-               (CASE WHEN v[2] >= 0 THEN 1 ELSE 0 END) ||
-               (CASE WHEN v[3] >= 0 THEN 1 ELSE 0 END) AS blk,
-               list_dot_product(v, v) AS n_self
-        FROM q)
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      weights AS (
+        SELECT t1.d, t2.p,
+               ((t2.p * 131 + t1.d) * 2654435761 % 65536 + 65536) % 65536 - 32768 AS w
+        FROM range(64) t1(d), range(${t * l}) t2(p)),
+      dims AS (
+        SELECT vec_id, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x FROM q),
+      proj AS (
+        SELECT vec_id, p, sum(x * w) AS s
+        FROM dims JOIN weights USING (d) GROUP BY vec_id, p),
+      buckets AS (
+        SELECT vec_id,
+               64 * (p // $l) +
+               sum(CASE WHEN s >= 0 THEN 1::BIGINT << (p % $l) ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id, p // $l),
+      pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      n AS (SELECT vec_id, v, list_dot_product(v, v) AS n_self FROM q)
+      SELECT id_a, id_b,
              round(list_dot_product(a.v, b.v) /
                    (sqrt(a.n_self) * sqrt(b.n_self)), 4) AS cos
-      FROM k a JOIN k b ON a.blk = b.blk AND a.vec_id < b.vec_id
-      WHERE list_dot_product(a.v, b.v) / (sqrt(a.n_self) * sqrt(b.n_self)) >= 0.35
-      ORDER BY id_a, id_b""",
-  )
+      FROM pairs JOIN n a ON pairs.id_a = a.vec_id
+                 JOIN n b ON pairs.id_b = b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (sqrt(a.n_self) * sqrt(b.n_self)) >= $threshold
+      ORDER BY id_a, id_b"""
+  }
 }

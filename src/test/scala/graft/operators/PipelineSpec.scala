@@ -78,6 +78,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("embedding dedup: planted scaled twins pair up, candidates stay pruned") {
+    import spark.implicits._
+    def mix(x0: Long): Long = { // splitmix64 finalizer
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def vec(seed: Long): Seq[Long] =
+      (0 until 64).map(d => Math.floorMod(mix(seed * 64 + d), 1000L) - 500)
+    // 200 pseudo-random vectors + a scaled copy of the first 16 (cos = 1:
+    // every plane's sign agrees, so each twin collides in ALL 8 tables).
+    val corpus =
+      (0L until 200L).map(i => (i, vec(i))) ++
+      (0L until 16L).map(i => (1000L + i, vec(i).map(x => x * 9 / 10)))
+    val pairs = Dedup.embeddingPairs(corpus.toDF("vec_id", "v"), 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 16L).foreach { i =>
+      assert(pairs.contains((i, 1000L + i)), s"planted twin ($i, ${1000 + i}) missing")
+    }
+  }
+
   test("LSH knn prunes: candidate volume is well below brute force") {
     val e = graft.Tables.embeddings(spark, sfDir)
     val n = e.count()
