@@ -59,7 +59,7 @@ object Aggs {
 
     // HLL sketch — the 100 TB shape of q_agg_distinct (no exact-key
     // shuffle). Estimates differ from DuckDB's HLL → no oracle; accuracy
-    // is asserted in ApproxSpec (±5% of exact).
+    // is asserted in OperatorSpec (±5% of exact).
     "q_agg_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir)
         .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))),

@@ -14,7 +14,7 @@ import graft.Tables
   *   - exact       — sha256 of raw text (`q_dedup_exact`)
   *   - normalized  — sha256 of the sorted word set — catches reorders
   *                   (`q_text_fingerprint` in TextAnalysis)
-  *   - n-gram      — exact word-set Jaccard within deterministic blocks
+  *   - n-gram      — exact word-set Jaccard via prefix filtering
   *                   (`q_dedup_ngram`)
   *   - MinHash+LSH — banded signature collisions, then exact verify
   *                   (`q_dedup_minhash`, oracle via md5-fold base hash +
@@ -24,10 +24,11 @@ import graft.Tables
   *
   * Scale design (the whole point):
   *   - NOTHING here is all-pairs over the corpus. Every pairwise step is
-  *     preceded by a blocking key — (lang, length bucket) for n-gram,
-  *     (band_id, band_hash) for MinHash, (band_id, 15-bit chunk) for
-  *     SimHash — so the shuffle groups candidates and the quadratic term
-  *     is per-block, not global.
+  *     preceded by a candidate-generation step — rarest-token prefix
+  *     filtering for n-gram (exact), (band_id, band_hash) for MinHash,
+  *     sketch chunks for SimHash, hyperplane buckets for embeddings —
+  *     so the shuffle groups candidates and the quadratic term is
+  *     per-candidate-set, not global.
   *   - At 100 TB the MinHash path is the one to run: signature cost is
   *     linear, band join is an equi shuffle, and the exact-Jaccard verify
   *     touches only colliding pairs. The n-gram query is the exact
@@ -141,58 +142,102 @@ object Dedup {
       ORDER BY doc_a, doc_b"""
   }
 
-  /** Word-set Jaccard ≥ 0.9 pairs within (lang='de', n_chars/10) blocks. */
+  /** Word-set Jaccard ≥ 0.9 pairs over lang='de' docs, via PREFIX
+    * FILTERING (the AllPairs/PPJoin blocking; Bayardo et al., WWW'07):
+    * order every doc's word set by global token rarity (ascending doc
+    * frequency, ties by token), emit only the first
+    * |ws| - ⌈t·|ws|⌉ + 1 tokens as blocking keys. Theorem: two sets
+    * with Jaccard ≥ t MUST share a prefix token under any common total
+    * order, so — unlike the previous (lang, length-bucket) blocking,
+    * which silently dropped 96% of true pairs at sf0.1, and unlike any
+    * LSH gate — this is EXACT: zero false negatives. The DuckDB oracle
+    * computes ground truth by brute all-pairs, making this a genuine
+    * differential check of the pruning. A size filter
+    * (min ≥ ⌈t·max⌉) prunes length-incompatible candidates.
+    *
+    * Scale shape: one linear pass for token frequencies (vocabulary-
+    * sized result, broadcast back), one window per doc to rank tokens,
+    * an equi join on prefix token, then exact verify on candidates
+    * only. Candidate volume is Σ_t df(t)² over PREFIX tokens — on
+    * Zipfian corpora the rarest-token prefix makes this near-linear;
+    * on this synthetic corpus (one tiny shared vocabulary, 8% of all
+    * pairs genuinely ≥ 0.9) the output itself is quadratic, which no
+    * exact algorithm can beat. */
   def ngramPairs(docs: DataFrame): DataFrame = {
-    val t = docs
-      .filter(col("lang") === "de")
-      .select(col("doc_id"), col("lang"),
-        (col("n_chars") / 10).cast("bigint").as("lb"),
-        wordSet(col("text")).as("ws"))
-    val a = t.select(col("lang"), col("lb"), col("doc_id").as("doc_a"), col("ws").as("ws_a"))
-    val b = t.select(col("lang"), col("lb"), col("doc_id").as("doc_b"), col("ws").as("ws_b"))
-    a.join(b, Seq("lang", "lb"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(jaccard(col("ws_a"), col("ws_b")), 4).as("jac"))
-      .filter(col("jac") >= 0.9)
+    val thr = 0.9
+    val d = docs.filter(col("lang") === "de")
+      .select(col("doc_id"), wordSet(col("text")).as("ws"))
+    val tok = d.select(col("doc_id"), size(col("ws")).as("n"), explode(col("ws")).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val prefix = tok.join(broadcast(freq), Seq("tok"))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("n") - ceil(col("n") * thr) + 1)
+      .select(col("tok"), col("doc_id"), col("n"))
+    val cand = prefix.select(col("tok"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+      .join(prefix.select(col("tok"), col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("n_a"), col("n_b")) >= ceil(greatest(col("n_a"), col("n_b")) * thr))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), Seq("doc_b"))
+      .withColumn("jac_raw", jaccard(col("ws_a"), col("ws_b")))
+      .filter(col("jac_raw") >= thr)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
   }
+
+  /** Eager materialization for iterative loops: a reliable
+    * directory-backed checkpoint when the session has a checkpoint dir
+    * configured, else an executor-memory localCheckpoint. At a multi-TB
+    * edge set localCheckpoint pins executor storage (an OOM vector) and
+    * dies with any executor — production runs should
+    * `sc.setCheckpointDir(...)`; tests and small jobs get the fast
+    * in-memory path automatically. */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
 
   /** Connected components by min-label propagation: each round every
     * node adopts the minimum label among itself and its neighbors — the
     * standard DataFrame CC loop (one join + one min aggregate per
-    * round). `rounds` bounds the reachable diameter; near-dup
-    * components are clique-like (diameter 1-2), and PipelineSpec
-    * asserts an extra round changes nothing on the corpus. Each round
+    * round). The loop runs to the FIXED POINT (labels only ever
+    * decrease, so an unchanged sum ⇔ converged) — no silent round cap;
+    * `maxRounds` is a runaway backstop (propagation distance = graph
+    * diameter; near-dup components are clique-like, diameter 1-2) and
+    * exceeding it throws rather than returning wrong labels. Each round
     * is a shuffle on node id over the (small) edge-node set — the
     * corpus itself is never in the loop. */
-  def connectedComponents(edges: DataFrame, rounds: Int = 8): DataFrame = {
-    val und = edges.toDF("ea", "eb")
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val und = materialize(edges.toDF("ea", "eb")
       .select(col("ea").as("n"), col("eb").as("peer"))
       .unionByName(edges.toDF("ea", "eb")
-        .select(col("eb").as("n"), col("ea").as("peer")))
-      .localCheckpoint(true) // materialize the (small) edge list once
-    var labels = und.select(col("n").as("id")).distinct()
-      .withColumn("rep", col("id"))
-      .localCheckpoint(true)
+        .select(col("eb").as("n"), col("ea").as("peer")))) // small edge list, once
+    var labels = materialize(und.select(col("n").as("id")).distinct()
+      .withColumn("rep", col("id")))
     // Labels only ever decrease, so an unchanged sum ⇔ a fixed point.
     def sumReps = labels.agg(coalesce(sum(col("rep")), lit(0L))).collect()(0).getLong(0)
     var prev = -1L
     var cur = sumReps
     var r = 0
-    while (r < rounds && cur != prev) {
+    while (r < maxRounds && cur != prev) {
       prev = cur
       val viaPeers = und.join(labels, col("peer") === col("id"))
         .select(col("n").as("id"), col("rep"))
       // Eager checkpoint per round: the loop stays K small jobs instead
       // of one K-deep shuffle DAG (measured: 50 s → seconds at sf0.1).
       val old = labels
-      labels = labels.union(viaPeers)
-        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-        .localCheckpoint(true)
+      labels = materialize(labels.union(viaPeers)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep")))
       old.unpersist() // the new checkpoint is materialized; drop the old
       cur = sumReps
       r += 1
     }
+    if (cur != prev)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+        "component diameter exceeds the backstop; raise maxRounds")
     // The final labels checkpoint is self-contained — release the edge
     // caches so they don't occupy executor memory for the rest of the
     // session (Bench runs 80+ queries in one SparkSession).
@@ -270,8 +315,8 @@ object Dedup {
         .select(col("survivor_id"), col("n_copies"))
         .orderBy("survivor_id")),
 
-    // Exact word-set Jaccard near-dup pairs within (lang, len-bucket)
-    // blocks — the bounded exact verifier of the dedup family.
+    // Exact word-set Jaccard near-dup pairs via prefix filtering — the
+    // exact member of the dedup family (see ngramPairs).
     "q_dedup_ngram" -> ((s, dir) =>
       ngramPairs(Tables.documents(s, dir))
         .orderBy("doc_a", "doc_b")),
@@ -279,10 +324,10 @@ object Dedup {
     // Near-dup CLUSTERING — the step after pair detection: connected
     // components over the pair graph, each doc labeled with its
     // component's min doc_id (= the dedup survivor). Min-label
-    // propagation, a fixed 8 rounds: near-dup components are
-    // clique-like (diameter 1-2); DedupClusterSpec asserts convergence.
-    // This is the standard DataFrame CC loop (what GraphFrames does
-    // under the hood) — each round is one join + one min aggregate.
+    // propagation to the fixed point (PipelineSpec: chains, islands,
+    // long-chain convergence, checkpoint-dir mode). This is the
+    // standard DataFrame CC loop (what GraphFrames does under the
+    // hood) — each round is one join + one min aggregate.
     "q_dedup_cluster" -> ((s, dir) =>
       connectedComponents(
         ngramPairs(Tables.documents(s, dir)).select(col("doc_a"), col("doc_b")))
@@ -318,30 +363,10 @@ object Dedup {
 
     // SimHash sketches + banded hamming near-dup pairs, oracle-checked
     // (md5-fold hash, 60-bit sketch); PipelineSpec additionally plants
-    // near-identical docs. The synthetic corpus shares one small
-    // vocabulary, so bag-of-words sketches cluster tightly — the lang
-    // block + hamming ≤ 8 keep output quadratic only within
-    // genuinely-similar groups.
-    "q_dedup_simhash" -> ((s, dir) => {
-      val sk = Dedup.simhashed(Tables.documents(s, dir).filter(col("lang") === "fr"))
-      // Block on 15-bit chunks: docs within small hamming distance agree
-      // exactly on ≥1 of 4 chunks with high probability.
-      val banded = sk.select(col("doc_id"), col("sh"),
-        posexplode(expr(
-          "transform(sequence(0, 3), b -> shiftright(sh, b * 15) & 32767)")))
-        .withColumnRenamed("pos", "chunk_id").withColumnRenamed("col", "chunk")
-      val a = banded.select(col("chunk_id"), col("chunk"),
-        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = banded.select(col("chunk_id"), col("chunk"),
-        col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      a.join(b, Seq("chunk_id", "chunk"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          expr("bit_count(sh_a ^ sh_b)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 8)
-        .orderBy("doc_a", "doc_b")
-    }),
+    // near-identical docs — see simhashPairs for the chunk-width knob.
+    "q_dedup_simhash" -> ((s, dir) =>
+      simhashPairs(Tables.documents(s, dir).filter(col("lang") === "fr"))
+        .orderBy("doc_a", "doc_b")),
 
     // Embedding-cosine near-dup via hyperplane-LSH blocking — see
     // embeddingPairs for the scale story.
@@ -366,7 +391,44 @@ object Dedup {
   /** Sketch width: 60 bits — what 15 hex chars of md5 carry, so the same
     * hash computes in DuckDB and the sketch is oracle-checkable. */
   val SimhashBits = 60
-  val SimhashChunks = 4 // 4 × 15-bit chunks for hamming blocking
+  /** Default banding: 4 × 15-bit chunks. The chunk COUNT/WIDTH is the
+    * scale knob (see simhashPairs) — this default suits ≤ ~10^5 docs per
+    * block population target; widen chunks as the corpus grows. */
+  val SimhashChunks = 4
+
+  /** Banded-hamming near-dup pairs over simhash sketches.
+    *
+    * Blocking: split the 60-bit sketch into `chunks` equal chunks; docs
+    * agreeing exactly on ≥ 1 chunk become candidates (pigeonhole: any
+    * pair with hamming < chunks is GUARANTEED to collide; beyond that,
+    * probabilistically). The per-chunk key space is 2^(60/chunks) — a
+    * FIXED key space means block population grows linearly with the
+    * corpus and the within-block self-join goes quadratic, so the rule
+    * at scale is: chunk width ≈ log2(N / target block size), i.e. FEWER,
+    * WIDER chunks as N grows (60 bits: 4×15 → 3×20 → 2×30), trading the
+    * pigeonhole guarantee down (chunks-1 bits) while keeping blocks
+    * bounded. The wider-setting recall property is tested in
+    * PipelineSpec; the key-space rule is documented in SCALE.md. */
+  def simhashPairs(docs: DataFrame, chunks: Int = SimhashChunks,
+                   maxHamming: Int = 8): DataFrame = {
+    require(SimhashBits % chunks == 0, s"$chunks must divide $SimhashBits")
+    val width = SimhashBits / chunks
+    val mask = (1L << width) - 1
+    val banded = simhashed(docs).select(col("doc_id"), col("sh"),
+      posexplode(expr(
+        s"transform(sequence(0, ${chunks - 1}), b -> shiftright(sh, b * $width) & $mask)")))
+      .withColumnRenamed("pos", "chunk_id").withColumnRenamed("col", "chunk")
+    val a = banded.select(col("chunk_id"), col("chunk"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("chunk_id"), col("chunk"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk_id", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 
   def simhashed(docs: DataFrame): DataFrame = {
     val votes = (0 until SimhashBits).map { i =>
@@ -385,8 +447,12 @@ object Dedup {
       .select(col("doc_id"), key.as("sh"))
   }
 
-  /** DuckDB twin of the SimHash pipeline (generated: 60 vote columns). */
-  private def simhashOracleSql(maxHamming: Int): String = {
+  /** DuckDB twin of the SimHash pipeline (generated: 60 vote columns),
+    * parameterized by the same chunk knob as simhashPairs. */
+  private def simhashOracleSql(maxHamming: Int,
+                               chunks: Int = SimhashChunks): String = {
+    val width = SimhashBits / chunks
+    val mask = (1L << width) - 1
     val votes = (0 until SimhashBits)
       .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
       .mkString(",\n               ")
@@ -405,8 +471,8 @@ object Dedup {
         FROM h GROUP BY doc_id),
       sk AS (SELECT doc_id, $key AS sh FROM votes),
       chunks AS (
-        SELECT doc_id, sh, t.b AS chunk_id, (sh >> (t.b * 15)) & 32767 AS chunk
-        FROM sk, range($SimhashChunks) t(b)),
+        SELECT doc_id, sh, t.b AS chunk_id, (sh >> (t.b * $width)) & $mask AS chunk
+        FROM sk, range($chunks) t(b)),
       pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                         a.sh AS sh_a, b.sh AS sh_b
@@ -420,16 +486,16 @@ object Dedup {
       ORDER BY doc_a, doc_b"""
   }
 
-  /** The ngram-pair SQL without its ORDER BY, reusable as a CTE body. */
+  /** Ground-truth pair SQL (brute all-pairs — DuckDB is the oracle, the
+    * Spark side prunes via prefix filtering; their agreement IS the
+    * differential check). No ORDER BY: reusable as a CTE body. */
   private val ngramPairsSql = """
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM (SELECT doc_id, lang, n_chars // 10 AS lb,
-                     list_distinct(string_split(lower(text), ' ')) AS ws
+        FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
               FROM documents WHERE lang = 'de') a
-        JOIN (SELECT doc_id, lang, n_chars // 10 AS lb,
-                     list_distinct(string_split(lower(text), ' ')) AS ws
+        JOIN (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
               FROM documents WHERE lang = 'de') b
-          ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+          ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
               (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.9"""
 
@@ -467,13 +533,12 @@ object Dedup {
 
     "q_dedup_ngram" -> """
       WITH t AS (
-        SELECT doc_id, lang, n_chars // 10 AS lb,
-               list_distinct(string_split(lower(text), ' ')) AS ws
+        SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
         FROM documents WHERE lang = 'de')
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
                    (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jac
-      FROM t a JOIN t b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
             (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.9
       ORDER BY doc_a, doc_b""",

@@ -15,7 +15,7 @@ import graft.Tables
   * DETERMINISTIC FAKE (clearly marked below): it derives metadata from the
   * payload bytes alone. Everything around it — the schema contract, the
   * batched per-partition execution, the partitioning behavior — is real
-  * and tested (MultimodalSpec). Swapping `FakeDecoder` for a JNI/ffmpeg
+  * and tested (PipelineSpec: declarative/imperative agreement). Swapping `FakeDecoder` for a JNI/ffmpeg
   * binding changes one function, not the plan.
   *
   * Scale shape: `mapPartitions` keeps the decoder batched per partition
@@ -72,7 +72,7 @@ object Multimodal {
     // Metadata extraction over a binary payload column. The text bytes
     // stand in for media bytes; the decode arithmetic matches FakeDecoder
     // so the declarative path and the mapPartitions path agree
-    // (asserted in MultimodalSpec).
+    // (asserted in PipelineSpec).
     "q_mm_meta" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))

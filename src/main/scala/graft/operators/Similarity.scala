@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -12,23 +11,24 @@ import graft.Tables
   * Two paths:
   *   - `q_knn_topk` — brute-force exact top-k: a small probe set is
   *     BROADCAST against the corpus; similarity in exact quantized-int
-  *     arithmetic; per-probe top-k via a partitioned window. This is the
-  *     correctness baseline and is DuckDB-oracle-checked.
+  *     arithmetic; per-probe top-k via the map-side-combining TopK
+  *     aggregator. This is the correctness baseline and is
+  *     DuckDB-oracle-checked.
   *   - `q_knn_lsh` — the 100 TB path: deterministic random-hyperplane
   *     LSH buckets (integer pseudo-random planes, no runtime RNG), probes
   *     join only their bucket, top-k within. Approximate by construction,
   *     yet still oracle-checked (the planes reproduce in SQL);
   *     PipelineSpec adds planted-twin recall and the pruning bound.
   *   - `q_knn_ivf` — inverted-file cells from deterministic coarse
-  *     centroids; oracle-checked.
+  *     centroids, K = ⌈√N⌉; oracle-checked.
   *
   * Scale notes: brute force is O(probes × corpus) — fine for few probes
-  * because the corpus never shuffles (probe side broadcasts, similarity
-  * and per-partition top-k happen map-side; only probes × k rows reach
-  * the final shuffle via the window). For corpus×corpus workloads use the
-  * LSH path: bucketing is a linear scan + one equi shuffle on bucket id.
-  * An IVF variant would replace the hash bucket with a k-means cell id —
-  * same join shape.
+  * because the corpus never shuffles (probe side broadcasts; similarity
+  * and the TopK partial aggregation happen map-side; only probes × k
+  * rows per partition reach the shuffle). For corpus×corpus workloads
+  * use the LSH path: bucketing is a linear scan + one equi shuffle on
+  * bucket id. IVF replaces the hash bucket with a nearest-centroid cell
+  * id — same join shape.
   */
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
@@ -80,22 +80,24 @@ object Similarity {
   }
 
   /** LSH top-k: probes meet candidates sharing any table bucket; exact
-    * quantized dot ranks the survivors. */
+    * quantized dot ranks the survivors. Ranking uses the map-side-
+    * combining TopK aggregator instead of a row_number window: the
+    * scored candidate set partial-aggregates to k rows per (probe,
+    * map-partition) BEFORE the shuffle, so the wire carries
+    * k × probes × partitions rows, not every scored candidate
+    * (equivalence with the window idiom proven in TopKSpec). */
   def lshTopK(vectors: DataFrame, probeFilter: Column, k: Int): DataFrame = {
     val q = bucketed(vectors)
     val probes = q.filter(probeFilter)
       .select(col("bucket"), col("vec_id").as("probe_id"), col("v").as("v_p"))
     val cands = q.select(col("bucket"), col("vec_id").as("cand_id"), col("v").as("v_c"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("dot").desc, col("cand_id"))
-    probes.join(cands, Seq("bucket"))
+    val scored = probes.join(cands, Seq("bucket"))
       .filter(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"), col("v_p"), col("v_c"))
       .dropDuplicates("probe_id", "cand_id")
       .withColumn("dot", dotAB)
-      .select(col("probe_id"), col("cand_id"), col("dot"),
-              row_number().over(w).as("rk"))
-      .filter(col("rk") <= k)
+      .select("probe_id", "cand_id", "dot")
+    graft.functions.TopK.perKey(scored, "probe_id", "dot", "cand_id", k)
       .orderBy("probe_id", "rk")
   }
 
@@ -104,13 +106,12 @@ object Similarity {
     val probes = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), expr(quant).as("v_p"))
     val cands = e.select(col("vec_id").as("cand_id"), expr(quant).as("v_c"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("dot").desc, col("cand_id"))
-    broadcast(probes).join(cands, col("probe_id") =!= col("cand_id"))
+    val scored = broadcast(probes).join(cands, col("probe_id") =!= col("cand_id"))
       .withColumn("dot", dotAB)
-      .select(col("probe_id"), col("cand_id"), col("dot"),
-              row_number().over(w).as("rk"))
-      .filter(col("rk") <= k)
+      .select("probe_id", "cand_id", "dot")
+    // Map-side-combining top-k: only probes × k rows per partition reach
+    // the shuffle — the scored corpus never moves (TopKSpec equivalence).
+    graft.functions.TopK.perKey(scored, "probe_id", "dot", "cand_id", k)
       .orderBy("probe_id", "rk")
   }
 
@@ -130,24 +131,25 @@ object Similarity {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
     val centroids = e.filter(col("vec_id") < kCentroids)
       .select(col("vec_id").as("cid"), col("v").as("c"))
-    val assignW = Window.partitionBy("vec_id")
-      .orderBy(col("cdot").desc, col("cid"))
+    // Nearest-centroid assignment as a partial-aggregating max_by: the
+    // broadcast join emits all K candidate rows for a vector inside one
+    // map partition, so the argmax collapses K→1 BEFORE the shuffle —
+    // the wire carries corpus rows, not corpus×K (the row_number spelling
+    // shuffled every scored row). Tie-break (cdot desc, cid asc) via the
+    // (cdot, -cid) struct, same rule as the window had.
     val assigned = e.join(broadcast(centroids))
       .withColumn("cdot", graft.functions.VectorOps.longDot(col("v"), col("c")))
-      .withColumn("arn", row_number().over(assignW))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("cid").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"),
+        max_by(col("cid"), struct(col("cdot"), -col("cid"))).as("cell"))
     val probes = assigned.filter(col("vec_id") < nProbes)
       .select(col("cell"), col("vec_id").as("probe_id"), col("v").as("v_p"))
     val cands = assigned.select(col("cell"), col("vec_id").as("cand_id"), col("v").as("v_c"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("dot").desc, col("cand_id"))
-    probes.join(cands, Seq("cell"))
+    val scored = probes.join(cands, Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("dot", dotAB)
-      .select(col("probe_id"), col("cand_id"), col("dot"),
-              row_number().over(w).as("rk"))
-      .filter(col("rk") <= k)
+      .select("probe_id", "cand_id", "dot")
+    graft.functions.TopK.perKey(scored, "probe_id", "dot", "cand_id", k)
       .orderBy("probe_id", "rk")
   }
 
@@ -162,7 +164,14 @@ object Similarity {
         Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v")),
         col("vec_id") < 64, 5)),
 
-    "q_knn_ivf" -> ((s, dir) => ivfTopK(s, dir, 16, 8, 5)),
+    // Centroid count follows the standard IVF sizing rule K ≈ √N (cell
+    // population ≈ √N candidates per probe, balancing assign cost K·N
+    // against search cost N/K). The count() is one footer-only job; both
+    // engines derive the same K so the oracle stays exact at any SF.
+    "q_knn_ivf" -> ((s, dir) => {
+      val n = Tables.embeddings(s, dir).count()
+      ivfTopK(s, dir, math.ceil(math.sqrt(n.toDouble)).toInt, 8, 5)
+    }),
   )
 
   /** DuckDB twin of the LSH pipeline — the plane-weight formula inlined
@@ -232,7 +241,9 @@ object Similarity {
           SELECT q.vec_id, q.v, c.vec_id AS cell,
                  row_number() OVER (PARTITION BY q.vec_id
                    ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS arn
-          FROM q JOIN q c ON c.vec_id < 16)
+          FROM q JOIN q c
+            ON c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                           FROM embeddings))
         WHERE arn = 1),
       scored AS (
         SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,

@@ -53,6 +53,27 @@ class PipelineSpec extends SparkSpec {
       s"disjoint hamming ${hamming(sk(1L), sk(3L))}")
   }
 
+  test("simhash banding: wider 3x20-bit chunks keep planted-pair recall") {
+    // The scale setting (fewer, wider chunks → bigger key space, smaller
+    // blocks). Identical docs (hamming 0) are pigeonhole-guaranteed to
+    // collide at ANY chunking; the one-token near-dup must also survive
+    // the wider banding on this corpus; the disjoint doc never pairs.
+    val docs = docsDf(Seq(
+      1L -> base,
+      2L -> base,                                   // exact twin
+      3L -> (base + " tail"),                       // near-dup of 1
+      4L -> "zebra xylophone quartz granite marble onyx slate basalt pumice"))
+    Seq(4, 3).foreach { chunks =>
+      val pairs = Dedup.simhashPairs(docs, chunks = chunks, maxHamming = 12)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"chunks=$chunks missing exact twin: $pairs")
+      assert(pairs.contains((1L, 3L)), s"chunks=$chunks missing near-dup: $pairs")
+      assert(!pairs.exists { case (a, b) => a == 4L || b == 4L },
+        s"chunks=$chunks paired the disjoint doc: $pairs")
+    }
+  }
+
   test("LSH knn: planted near-identical vectors are found as top-1") {
     import spark.implicits._
     // 64-dim deterministic pseudo-random corpus + a planted near-copy of
@@ -115,6 +136,29 @@ class PipelineSpec extends SparkSpec {
     assert(pairs < 16L * n / 2, s"LSH candidates $pairs vs brute ${16L * n}")
   }
 
+  test("IVF prunes: cell-mates per probe are well below the corpus") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+    val n = e.count()
+    val kc = math.ceil(math.sqrt(n.toDouble)).toInt
+    val centroids = e.filter(col("vec_id") < kc)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val assigned = e.join(broadcast(centroids))
+      .withColumn("cdot",
+        graft.functions.VectorOps.longDot(col("v"), col("c")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cdot"), -col("cid"))).as("cell"))
+    val probes = assigned.filter(col("vec_id") < 8)
+      .select(col("cell"), col("vec_id").as("probe_id"))
+    val cands = assigned.select(col("cell"), col("vec_id").as("cand_id"))
+    val pairs = probes.join(cands, Seq("cell")).count()
+    // With K = ⌈√N⌉ cells, a probe's cell holds ≈ √N candidates; assert
+    // at least 2× pruning vs brute (8 probes × corpus), like the LSH
+    // pruning bound below.
+    assert(pairs < 8L * n / 2, s"IVF candidates $pairs vs brute ${8L * n}")
+  }
+
   test("multimodal: mapPartitions decode path agrees with the declarative plan") {
     val payloads = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -128,18 +172,57 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("connected components: chains merge, islands stay, extra round is a no-op") {
+  test("connected components: chains merge, islands stay, long chains converge") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
     val cc = Dedup.connectedComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
-    // Convergence on the real corpus: one more round changes nothing.
-    val pairs = Dedup.ngramPairs(graft.Tables.documents(spark, sfDir))
-      .select(col("doc_a"), col("doc_b"))
-    val r8 = Dedup.connectedComponents(pairs, 8).collect().map(_.toSeq).toSet
-    val r9 = Dedup.connectedComponents(pairs, 9).collect().map(_.toSeq).toSet
-    assert(r8 == r9, "label propagation had not converged after 8 rounds")
+    // A 20-node chain has propagation distance 19 — past the old fixed
+    // 8-round cap that silently returned non-converged labels.
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("a", "b")
+    val ccChain = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccChain == (1L to 20L).map(_ -> 1L).toMap)
+    // An unreachable backstop throws instead of returning wrong labels.
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxRounds = 3).collect()
+    }
+  }
+
+  test("connected components: directory-backed checkpoint mode agrees") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+      val cc = Dedup.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // The reliable path actually wrote checkpoint data to the dir.
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "no checkpoint files written in reliable mode")
+    } finally {
+      // Back to the in-memory path for the rest of the shared session
+      // (no public unset API — clear the private var via its setter).
+      val m = classOf[org.apache.spark.SparkContext]
+        .getDeclaredMethod("checkpointDir_$eq", classOf[Option[_]])
+      m.setAccessible(true)
+      m.invoke(spark.sparkContext, None)
+    }
+  }
+
+  test("mm-meta corpus assumption holds: text is pure ASCII (bytes == chars)") {
+    // q_mm_meta derives width/height/format from payload BYTE length
+    // while q_mm_resize and the DuckDB oracle use n_chars — they agree
+    // only while length(text) == octet_length == n_chars. Guard it the
+    // same way the chunker-oracle assumption is guarded.
+    val n = graft.Tables.documents(spark, sfDir)
+      .filter(length(col("text")) =!= col("n_chars") ||
+              expr("octet_length(text)") =!= col("n_chars"))
+      .count()
+    assert(n == 0, s"$n documents violate bytes==chars==n_chars")
   }
 
   test("chunker-oracle corpus assumption holds: no paragraph/sentence breaks") {
