@@ -9,6 +9,28 @@ import graft.functions.Chunker
   * §2.9). Each takes a streaming DataFrame with an event-time `ts`
   * column and composes the standard Structured Streaming primitives —
   * no custom engine surgery, exactly as §4.2 concluded.
+  *
+  * ==Message-bus source/sink seam==
+  * Every transform here is SOURCE-AGNOSTIC: it takes a streaming
+  * DataFrame and returns one, so the file/MemoryStream sources used in
+  * tests swap for a message-bus connector (e.g. the Apache Pulsar or
+  * Kafka Structured Streaming connectors) with zero changes to this
+  * file — only the boundary changes:
+  * {{{
+  *   // test harness (FileSource / MemoryStream):
+  *   spark.readStream.schema(sch).parquet(dir)
+  *   // production (connector jar on the classpath; not shippable in
+  *   // this offline container — no connector jar under /opt/spark/jars):
+  *   spark.readStream.format("pulsar")
+  *     .option("service.url", ...).option("topics", ...).load()
+  *     .select(from_json(col("value").cast("string"), sch).as("e"))
+  *     .select("e.*")
+  * }}}
+  * The offset/replay contract the connector must honor — resume from
+  * the checkpointed offset, at-least-once delivery with the idempotent
+  * sink absorbing replays — is exactly what StreamingSpec's
+  * checkpoint-restart test pins down against the file source, and what
+  * `Sinks.idempotentAppend` provides on the write side.
   */
 object StreamOps {
 

@@ -37,6 +37,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("kNN queries rank via the map-side-combining TopK aggregate") {
+    // The scored candidates must partial-aggregate before the shuffle —
+    // a row_number window here would move every scored row to its
+    // probe's partition.
+    for (k <- Seq("q_knn_topk", "q_knn_lsh", "q_knn_ivf")) {
+      val p = plan(k).toLowerCase
+      assert(p.contains("partial_topkbyscore"), s"$k lacks map-side top-k partials")
+    }
+  }
+
   test("no query plans a cartesian product") {
     for ((k, fn) <- graft.SparkEntry.queries) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
