@@ -102,6 +102,43 @@ object Joins {
         .orderBy("o_orderkey")
     }),
 
+    // AS-OF join — the temporal point lookup every feature/training
+    // pipeline needs (state of X as of event time): for each
+    // non-purchase event, the user's most recent purchase at or before
+    // it. Spark has no native as-of, and the naive spelling
+    // (range join + per-row max) re-scans the right side per left row.
+    // The scale-right shape is NO JOIN AT ALL: tag both sides, UNION,
+    // and run one last_value(ignoreNulls) window per key ordered by
+    // (t, side, ref) — a single shuffle on the key, linear in
+    // left+right, skew-bounded by the window partition. Right rows are
+    // pre-reduced to one per (key, t) (max ref) so ties are
+    // deterministic; a same-instant right row sorts before the left row
+    // (side 0 < 1) giving inclusive t_right <= t_left semantics — the
+    // same contract as DuckDB's native ASOF LEFT JOIN, which the oracle
+    // uses (two independent algorithms, one answer: a genuine
+    // differential check). Unmatched lefts surface as -1.
+    "q_join_asof" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val right = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_ns").as("t"))
+        .agg(max(col("event_id")).as("ref"))
+        .select(col("user_id"), col("t"), lit(0).as("side"),
+          col("ref"), lit(null).cast("bigint").as("left_id"))
+      val left = e.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts_ns").as("t"), lit(1).as("side"),
+          lit(null).cast("bigint").as("ref"), col("event_id").as("left_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("t"), col("side"), col("ref"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      right.unionByName(left)
+        .withColumn("asof_ref", last(col("ref"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("left_id").as("event_id"), col("user_id"),
+          coalesce(col("asof_ref"), lit(-1L)).as("last_purchase_id"))
+        .orderBy("event_id")
+    }),
+
     // Session continuity: for each error event, count the same user's
     // events in the following hour. Equi key user_id + ns-exact interval
     // predicate → hash join + filter, not a nested loop. 3.6e12 ns = 1 h.
@@ -165,6 +202,20 @@ object Joins {
              coalesce(CASE WHEN o_orderkey % 100 = 0 THEN 'X' END,
                       o_orderstatus) AS status
       FROM orders ORDER BY o_orderkey""",
+
+    // DuckDB's NATIVE ASOF JOIN — a different algorithm than the Spark
+    // union+window spelling, so agreement is a differential check.
+    "q_join_asof" -> """
+      WITH p AS (
+        SELECT user_id, epoch_ns(ts) AS t, max(event_id) AS ref
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, epoch_ns(ts)),
+      l AS (
+        SELECT event_id, user_id, epoch_ns(ts) AS t
+        FROM events WHERE event_type <> 'purchase')
+      SELECT l.event_id, l.user_id, coalesce(p.ref, -1) AS last_purchase_id
+      FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.t >= p.t
+      ORDER BY event_id""",
 
     "q_join_range" -> """
       SELECT a.event_id AS a_id, count(*) AS n_follow
