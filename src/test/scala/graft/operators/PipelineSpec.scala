@@ -234,6 +234,44 @@ class PipelineSpec extends SparkSpec {
     assert(n == 0, s"$n documents break the chunker-oracle reduction")
   }
 
+  test("as-of join matches a brute-force model on randomized streams") {
+    // The q_join_asof union+window spelling vs an in-memory reference
+    // model: for each left row, the max-id right row with (t_r <= t_l),
+    // ties at equal t included, unmatched -> -1. Deterministic seed.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val rights = (0 until 120).map(i =>
+      (1000L + i, rnd.nextInt(5).toLong, rnd.nextInt(40).toLong * 10))
+    val lefts = (0 until 200).map(i =>
+      (2000L + i, rnd.nextInt(5).toLong, rnd.nextInt(400).toLong))
+    val expected = lefts.map { case (id, k, t) =>
+      val cands = rights.filter { case (_, rk, rt) => rk == k && rt <= t }
+      // model the (key, t) pre-reduction: max right id per instant,
+      // then the latest instant wins
+      val best = cands.groupBy(_._3).toSeq.sortBy(_._1).lastOption
+        .map(_._2.map(_._1).max).getOrElse(-1L)
+      (id, best)
+    }.toMap
+    val r = rights.toDF("ref0", "user_id", "t")
+      .groupBy(col("user_id"), col("t"))
+      .agg(max(col("ref0")).as("ref"))
+      .select(col("user_id"), col("t"), lit(0).as("side"),
+        col("ref"), lit(null).cast("bigint").as("left_id"))
+    val l = lefts.toDF("left_id0", "user_id", "t")
+      .select(col("user_id"), col("t"), lit(1).as("side"),
+        lit(null).cast("bigint").as("ref"), col("left_id0").as("left_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("t"), col("side"), col("ref"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val got = r.unionByName(l)
+      .withColumn("asof_ref", last(col("ref"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("left_id"), coalesce(col("asof_ref"), lit(-1L)))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("exact dedup: planted copies collapse to one survivor") {
     import spark.implicits._
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))

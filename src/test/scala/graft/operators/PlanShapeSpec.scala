@@ -47,6 +47,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_join_asof plans zero join operators (pure union + window)") {
+    // The whole point of the union+window as-of: at 100 TB there is no
+    // join to skew or spill — one exchange on the key, then a window.
+    val p = plan("q_join_asof")
+    assert(!p.contains("Join"), s"as-of plan contains a join:\n$p")
+    assert(p.contains("Window"), "as-of plan lost its window")
+  }
+
   test("no query plans a cartesian product") {
     for ((k, fn) <- graft.SparkEntry.queries) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
