@@ -121,6 +121,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("embedding dedup prunes: bucket-join candidates well below all-pairs") {
+    val q = graft.Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+    val n = q.count()
+    val buckets = Similarity.bucketed(q).select(col("vec_id"), col("bucket"))
+    val cands = buckets.as("a").join(buckets.as("b"), Seq("bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
+    val allPairs = n * (n - 1) / 2
+    // T/2^L = 8/64 = 12.5% expected; assert at least 4x pruning.
+    assert(cands < allPairs / 4, s"embedding candidates $cands vs all-pairs $allPairs")
+  }
+
   test("LSH knn prunes: candidate volume is well below brute force") {
     val e = graft.Tables.embeddings(spark, sfDir)
     val n = e.count()
