@@ -247,17 +247,26 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs over (vec_id, v BIGINT[64]),
     * blocked by the multi-table hyperplane LSH the kNN path uses
-    * (Similarity.bucketed: 8 tables × 6 deterministic integer planes).
-    * Unlike a fixed sign-bit prefix, the bucket key space grows with
-    * PlanesPerTable — the knob that keeps per-bucket population (and
-    * thus the within-bucket pair join) bounded as the corpus grows:
-    * planes ≈ log2(N / target bucket size). Candidate volume ≈ T/2^L of
-    * corpus² (12.5% here); cos ≥ 0.95 twins collide in some table w.p.
-    * ≈ 1 (planted-twin recall in PipelineSpec). The bucket join carries
+    * (Similarity.bucketed: 8 tables × `planes` deterministic integer
+    * planes). `planes` is DERIVED from the corpus size
+    * (Similarity.derivePlanes: smallest L with 2^L × TargetBucket ≥ N)
+    * so the bucket key space GROWS with N and per-bucket population —
+    * and thus the within-bucket pair join — stays bounded as the corpus
+    * grows. cos ≥ 0.95 twins collide in some table w.p. ≈ 1
+    * (planted-twin recall in PipelineSpec). The bucket join carries
     * only (vec_id, bucket); vectors join back for candidate pairs only
-    * (same narrow-band shape as minhashPairs). */
-  def embeddingPairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val buckets = Similarity.bucketed(vectors).select(col("vec_id"), col("bucket"))
+    * (same narrow-band shape as minhashPairs).
+    *
+    * Semantics note: the output is CANDIDATES-at-threshold, not all
+    * cos ≥ threshold pairs — hyperplane LSH recall is ≈ 1 only in the
+    * near-duplicate regime (cos ≥ ~0.95); moderately-similar pairs
+    * below that may never share a bucket. The DuckDB oracle replicates
+    * the same blocking, so the differential check validates determinism
+    * of this candidate set, not full recall at low thresholds. */
+  def embeddingPairs(vectors: DataFrame, threshold: Double,
+                     planes: Int): DataFrame = {
+    val buckets = Similarity.bucketed(vectors, planes)
+      .select(col("vec_id"), col("bucket"))
     val candidates = buckets.as("a")
       .join(buckets.as("b"), Seq("bucket"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
@@ -364,19 +373,26 @@ object Dedup {
     // SimHash sketches + banded hamming near-dup pairs, oracle-checked
     // (md5-fold hash, 60-bit sketch); PipelineSpec additionally plants
     // near-identical docs — see simhashPairs for the chunk-width knob.
-    "q_dedup_simhash" -> ((s, dir) =>
-      simhashPairs(Tables.documents(s, dir).filter(col("lang") === "fr"))
-        .orderBy("doc_a", "doc_b")),
+    // The width derives from the corpus size (deriveSimhashWidth); the
+    // oracle derives the same width inside SQL from the same count.
+    "q_dedup_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("lang") === "fr")
+      val width = deriveSimhashWidth(docs.count())
+      simhashPairs(docs, chunks = SimhashBits / width)
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // Embedding-cosine near-dup via hyperplane-LSH blocking — see
-    // embeddingPairs for the scale story.
-    "q_dedup_embedding" -> ((s, dir) =>
-      embeddingPairs(
-        Tables.embeddings(s, dir).select(
-          col("vec_id"),
-          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v")),
-        0.35)
-        .orderBy("id_a", "id_b")),
+    // embeddingPairs for the scale story. Planes per table derive from
+    // the corpus size (one footer-only count); the oracle derives the
+    // same L inside SQL, so the check stays exact while the knob moves.
+    "q_dedup_embedding" -> ((s, dir) => {
+      val vectors = Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+      embeddingPairs(vectors, 0.35, Similarity.derivePlanes(vectors.count()))
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   /** (doc_id, sh BIGINT) simhash sketches.
@@ -391,10 +407,39 @@ object Dedup {
   /** Sketch width: 60 bits — what 15 hex chars of md5 carry, so the same
     * hash computes in DuckDB and the sketch is oracle-checkable. */
   val SimhashBits = 60
-  /** Default banding: 4 × 15-bit chunks. The chunk COUNT/WIDTH is the
-    * scale knob (see simhashPairs) — this default suits ≤ ~10^5 docs per
-    * block population target; widen chunks as the corpus grows. */
+  /** Default banding: 4 × 15-bit chunks — kept as a fallback for callers
+    * with no corpus count at hand; production queries derive the width
+    * from N via [[deriveSimhashWidth]]. */
   val SimhashChunks = 4
+
+  /** Target per-(chunk_id, chunk-value) block population — the SimHash
+    * analogue of Similarity.TargetBucket. */
+  val SimhashTargetBlock = 8L
+  /** Chunk widths that divide the 60-bit sketch evenly, ascending. */
+  val SimhashWidths: Seq[Int] = Seq(2, 3, 4, 5, 6, 10, 12, 15, 20, 30, 60)
+
+  /** Smallest even-dividing chunk width with 2^w × TargetBlock ≥ N —
+    * narrow chunks (more of them, stronger pigeonhole recall) while the
+    * corpus is small, wider chunks as N grows so the per-block key
+    * space 2^w grows with the corpus and block population stays
+    * bounded (the fixed-key-space ⇒ quadratic-blocks trap). Pure
+    * integer arithmetic, mirrored by a `params` CTE in the oracle so
+    * both engines derive the SAME width from the SAME count. */
+  def deriveSimhashWidth(n: Long): Int =
+    // 2^w × TargetBlock ≥ N, spelled as 2^w ≥ ceil(N / TargetBlock) so
+    // the comparison can't overflow at w = 60 (in either engine).
+    SimhashWidths.find(w =>
+      (1L << w) >= (n + SimhashTargetBlock - 1) / SimhashTargetBlock).getOrElse(60)
+
+  /** SQL twin of [[deriveSimhashWidth]]: same min-w scan over the same
+    * divisor set, N taken from `count(*)` over `countFrom` at query
+    * time. */
+  def simhashParamsSql(countFrom: String): String = s"""
+      params AS (
+        SELECT coalesce(min(w), 60) AS W
+        FROM (VALUES ${SimhashWidths.map(w => s"($w)").mkString(", ")}) t(w)
+        WHERE (1::BIGINT << w) >=
+              ((SELECT count(*) FROM $countFrom) + $SimhashTargetBlock - 1) // $SimhashTargetBlock)"""
 
   /** Banded-hamming near-dup pairs over simhash sketches.
     *
@@ -447,12 +492,11 @@ object Dedup {
       .select(col("doc_id"), key.as("sh"))
   }
 
-  /** DuckDB twin of the SimHash pipeline (generated: 60 vote columns),
-    * parameterized by the same chunk knob as simhashPairs. */
-  private def simhashOracleSql(maxHamming: Int,
-                               chunks: Int = SimhashChunks): String = {
-    val width = SimhashBits / chunks
-    val mask = (1L << width) - 1
+  /** DuckDB twin of the SimHash pipeline (generated: 60 vote columns).
+    * The chunk-width knob is DERIVED inside the SQL (params CTE =
+    * deriveSimhashWidth twin over the same corpus count), so the oracle
+    * tracks the engine at any corpus size without editing. */
+  private def simhashOracleSql(maxHamming: Int): String = {
     val votes = (0 until SimhashBits)
       .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
       .mkString(",\n               ")
@@ -460,7 +504,8 @@ object Dedup {
       .map(i => s"(CASE WHEN v$i > 0 THEN 1::BIGINT << $i ELSE 0 END)")
       .mkString(" + ")
     s"""
-      WITH tok AS (
+      WITH ${simhashParamsSql("documents WHERE lang = 'fr'")},
+      tok AS (
         SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
         FROM documents WHERE lang = 'fr'),
       h AS (
@@ -471,8 +516,10 @@ object Dedup {
         FROM h GROUP BY doc_id),
       sk AS (SELECT doc_id, $key AS sh FROM votes),
       chunks AS (
-        SELECT doc_id, sh, t.b AS chunk_id, (sh >> (t.b * $width)) & $mask AS chunk
-        FROM sk, range($chunks) t(b)),
+        SELECT doc_id, sh, t.b AS chunk_id,
+               (sh >> (CAST(t.b AS INTEGER) * W)) & ((1::BIGINT << W) - 1) AS chunk
+        FROM sk, params, range($SimhashBits) t(b)
+        WHERE t.b < $SimhashBits // W),
       pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                         a.sh AS sh_a, b.sh AS sh_b
@@ -549,19 +596,22 @@ object Dedup {
   /** DuckDB twin of the hyperplane-blocked embedding near-dup — the same
     * plane-weight formula and table/bucket layout as Similarity.bucketed
     * (and its lshOracleSql), with the kNN probe join replaced by the
-    * corpus self-join on bucket. */
+    * corpus self-join on bucket. The planes-per-table knob is DERIVED
+    * inside the SQL (params CTE = Similarity.derivePlanes twin), so the
+    * oracle tracks the engine at any corpus size without editing. */
   private def embeddingOracleSql(threshold: Double): String = {
     val t = Similarity.NumTables
-    val l = Similarity.PlanesPerTable
     s"""
-      WITH q AS (
+      WITH ${Similarity.planesParamsSql("embeddings")},
+      q AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
         FROM embeddings),
       weights AS (
         SELECT t1.d, t2.p,
                ((t2.p * 131 + t1.d) * 2654435761 % 65536 + 65536) % 65536 - 32768 AS w
-        FROM range(64) t1(d), range(${t * l}) t2(p)),
+        FROM range(64) t1(d), range($t * 20) t2(p), params
+        WHERE t2.p < $t * params.L),
       dims AS (
         SELECT vec_id, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x FROM q),
       proj AS (
@@ -569,9 +619,9 @@ object Dedup {
         FROM dims JOIN weights USING (d) GROUP BY vec_id, p),
       buckets AS (
         SELECT vec_id,
-               64 * (p // $l) +
-               sum(CASE WHEN s >= 0 THEN 1::BIGINT << (p % $l) ELSE 0 END) AS bucket
-        FROM proj GROUP BY vec_id, p // $l),
+               (1::BIGINT << L) * (p // L) +
+               sum(CASE WHEN s >= 0 THEN 1::BIGINT << (p % L) ELSE 0 END) AS bucket
+        FROM proj, params GROUP BY vec_id, p // L, L),
       pairs AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),

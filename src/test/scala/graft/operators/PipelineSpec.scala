@@ -91,7 +91,8 @@ class PipelineSpec extends SparkSpec {
       (0L until 200L).map(i => (i, vec(i))) ++
       (0L until 16L).map(i => (1000L + i, vec(i).map(x => x * 9 / 10)))
     val df = corpus.toDF("vec_id", "v")
-    val top1 = Similarity.lshTopK(df, col("vec_id") < 16, 1)
+    val top1 = Similarity.lshTopK(df, col("vec_id") < 16, 1,
+        Similarity.derivePlanes(corpus.size.toLong))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (0L until 16L).foreach { i =>
       assert(top1.get(i).contains(1000L + i),
@@ -114,7 +115,8 @@ class PipelineSpec extends SparkSpec {
     val corpus =
       (0L until 200L).map(i => (i, vec(i))) ++
       (0L until 16L).map(i => (1000L + i, vec(i).map(x => x * 9 / 10)))
-    val pairs = Dedup.embeddingPairs(corpus.toDF("vec_id", "v"), 0.95)
+    val pairs = Dedup.embeddingPairs(corpus.toDF("vec_id", "v"), 0.95,
+        Similarity.derivePlanes(corpus.size.toLong))
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     (0L until 16L).foreach { i =>
       assert(pairs.contains((i, 1000L + i)), s"planted twin ($i, ${1000 + i}) missing")
@@ -125,27 +127,54 @@ class PipelineSpec extends SparkSpec {
     val q = graft.Tables.embeddings(spark, sfDir).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
     val n = q.count()
-    val buckets = Similarity.bucketed(q).select(col("vec_id"), col("bucket"))
+    val buckets = Similarity.bucketed(q, Similarity.derivePlanes(n))
+      .select(col("vec_id"), col("bucket"))
     val cands = buckets.as("a").join(buckets.as("b"), Seq("bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
     val allPairs = n * (n - 1) / 2
-    // T/2^L = 8/64 = 12.5% expected; assert at least 4x pruning.
+    // With L derived so 2^L × TargetBucket ≥ N, expected candidate
+    // volume ≈ T/2^L ≤ T × TargetBucket / N of all pairs; assert at
+    // least 4x pruning (loose: buckets aren't uniform).
     assert(cands < allPairs / 4, s"embedding candidates $cands vs all-pairs $allPairs")
+  }
+
+  test("LSH bucket population stays bounded as the key space derives from N") {
+    // The round-3 scale fix: L grows with N, so the MAX per-(table,bucket)
+    // population — the quantity whose square is the within-bucket join
+    // cost — stays a small multiple of TargetBucket instead of growing
+    // linearly with the corpus.
+    val q = graft.Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+    val n = q.count()
+    val planes = Similarity.derivePlanes(n)
+    // The knob must actually move with corpus size: 1000x the corpus
+    // must derive a strictly larger key space.
+    assert(Similarity.derivePlanes(n * 1000) > planes,
+      s"derivePlanes is static: $planes at N=$n and N=${n * 1000}")
+    val maxPop = Similarity.bucketed(q, planes)
+      .groupBy("bucket").count().agg(max("count")).head().getLong(0)
+    // Random-hyperplane buckets are NOT uniform (sign-bit space is
+    // center-heavy), so allow generous slack over TargetBucket — the
+    // scale property is that this bound is O(TargetBucket), not O(N).
+    val bound = 64L * Similarity.TargetBucket
+    assert(maxPop <= bound, s"max bucket population $maxPop > $bound (N=$n, L=$planes)")
   }
 
   test("LSH knn prunes: candidate volume is well below brute force") {
     val e = graft.Tables.embeddings(spark, sfDir)
     val n = e.count()
     val q = Similarity.bucketed(e.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v")))
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v")),
+      Similarity.derivePlanes(n))
     val probes = q.filter(col("vec_id") < 16)
       .select(col("bucket"), col("vec_id").as("probe_id"))
     val cands = q.select(col("bucket"), col("vec_id").as("cand_id"))
     val pairs = probes.join(cands, Seq("bucket"))
       .select("probe_id", "cand_id").distinct().count()
-    // 8 tables × 64 buckets ⇒ expect ~12.5% of probes×corpus; assert the
-    // pruning is at least 2× (vs 16 × n for brute force).
+    // T tables × 2^L buckets with 2^L × TargetBucket ≥ N ⇒ expected
+    // candidates per probe ≈ T × TargetBucket; assert the pruning is at
+    // least 2× (vs 16 × n for brute force).
     assert(pairs < 16L * n / 2, s"LSH candidates $pairs vs brute ${16L * n}")
   }
 
