@@ -171,14 +171,18 @@ object Dedup {
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    // ⌈0.9·n⌉ in pure integer arithmetic ((9n+9) div 10) — the
+    // zero-false-negative guarantee is structural, not a property of
+    // double rounding staying under half an ulp.
     val prefix = tok.join(broadcast(freq), Seq("tok"))
       .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <= col("n") - ceil(col("n") * thr) + 1)
+      .filter(col("pos") <= col("n") - expr("(n * 9 + 9) div 10") + 1)
       .select(col("tok"), col("doc_id"), col("n"))
     val cand = prefix.select(col("tok"), col("doc_id").as("doc_a"), col("n").as("n_a"))
       .join(prefix.select(col("tok"), col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("tok"))
       .filter(col("doc_a") < col("doc_b") &&
-        least(col("n_a"), col("n_b")) >= ceil(greatest(col("n_a"), col("n_b")) * thr))
+        least(col("n_a"), col("n_b")) >=
+          expr("(greatest(n_a, n_b) * 9 + 9) div 10"))
       .select("doc_a", "doc_b").distinct()
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), Seq("doc_a"))
@@ -187,17 +191,6 @@ object Dedup {
       .filter(col("jac_raw") >= thr)
       .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
   }
-
-  /** Eager materialization for iterative loops: a reliable
-    * directory-backed checkpoint when the session has a checkpoint dir
-    * configured, else an executor-memory localCheckpoint. At a multi-TB
-    * edge set localCheckpoint pins executor storage (an OOM vector) and
-    * dies with any executor — production runs should
-    * `sc.setCheckpointDir(...)`; tests and small jobs get the fast
-    * in-memory path automatically. */
-  private def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
 
   /** Connected components by min-label propagation: each round every
     * node adopts the minimum label among itself and its neighbors — the
@@ -208,13 +201,45 @@ object Dedup {
     * diameter; near-dup components are clique-like, diameter 1-2) and
     * exceeding it throws rather than returning wrong labels. Each round
     * is a shuffle on node id over the (small) edge-node set — the
-    * corpus itself is never in the loop. */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
-    val und = materialize(edges.toDF("ea", "eb")
+    * corpus itself is never in the loop.
+    *
+    * Materialization per round (the loop stays K small jobs instead of
+    * one K-deep shuffle DAG; measured 50 s → seconds at sf0.1):
+    * reliable mode — an explicit `checkpointDir` or the session's
+    * checkpoint dir — writes each round as parquet and reads it back:
+    * the same lineage-truncating, executor-loss-surviving effect as
+    * `RDD.checkpoint`, but per-call (no SparkContext state mutation)
+    * and with explicitly deletable files, so each superseded round is
+    * REMOVED as soon as its successor materializes instead of
+    * accumulating rounds × labels-size on checkpoint storage. Without a
+    * dir: executor-memory localCheckpoint (fast; pins executor storage
+    * and dies with any executor — production runs should pass a dir). */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 64,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    val runDir = checkpointDir.orElse(sc.getCheckpointDir)
+      .map(d => s"$d/graft-cc-${java.util.UUID.randomUUID}")
+    def delete(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+    }
+    var step = 0
+    // Returns the materialized frame plus the path to delete when it is
+    // superseded (None in localCheckpoint mode — unpersist instead).
+    def materialize(df: DataFrame): (DataFrame, Option[String]) = runDir match {
+      case Some(d) =>
+        val path = s"$d/step-$step"; step += 1
+        df.write.mode("overwrite").parquet(path)
+        (df.sparkSession.read.parquet(path), Some(path))
+      case None => (df.localCheckpoint(true), None)
+    }
+    def release(df: DataFrame, path: Option[String]): Unit =
+      path match { case Some(p) => delete(p); case None => df.unpersist(); () }
+    val (und, undPath) = materialize(edges.toDF("ea", "eb")
       .select(col("ea").as("n"), col("eb").as("peer"))
       .unionByName(edges.toDF("ea", "eb")
         .select(col("eb").as("n"), col("ea").as("peer")))) // small edge list, once
-    var labels = materialize(und.select(col("n").as("id")).distinct()
+    var (labels, labelsPath) = materialize(und.select(col("n").as("id")).distinct()
       .withColumn("rep", col("id")))
     // Labels only ever decrease, so an unchanged sum ⇔ a fixed point.
     def sumReps = labels.agg(coalesce(sum(col("rep")), lit(0L))).collect()(0).getLong(0)
@@ -225,12 +250,11 @@ object Dedup {
       prev = cur
       val viaPeers = und.join(labels, col("peer") === col("id"))
         .select(col("n").as("id"), col("rep"))
-      // Eager checkpoint per round: the loop stays K small jobs instead
-      // of one K-deep shuffle DAG (measured: 50 s → seconds at sf0.1).
-      val old = labels
-      labels = materialize(labels.union(viaPeers)
+      val (old, oldPath) = (labels, labelsPath)
+      val next = materialize(labels.union(viaPeers)
         .groupBy(col("id")).agg(min(col("rep")).as("rep")))
-      old.unpersist() // the new checkpoint is materialized; drop the old
+      labels = next._1; labelsPath = next._2
+      release(old, oldPath) // the new round is materialized; drop the old
       cur = sumReps
       r += 1
     }
@@ -238,10 +262,11 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds — " +
         "component diameter exceeds the backstop; raise maxRounds")
-    // The final labels checkpoint is self-contained — release the edge
-    // caches so they don't occupy executor memory for the rest of the
-    // session (Bench runs 80+ queries in one SparkSession).
-    und.unpersist()
+    // The final labels materialization is self-contained — release the
+    // edge list so it doesn't occupy executor memory / checkpoint
+    // storage for the rest of the session (Bench runs 80+ queries in
+    // one SparkSession).
+    release(und, undPath)
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
 

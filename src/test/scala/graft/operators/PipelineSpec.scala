@@ -232,27 +232,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("connected components: directory-backed checkpoint mode agrees") {
+  test("connected components: directory-backed reliable mode agrees and cleans up") {
     import spark.implicits._
+    // The dir is passed PER CALL — no SparkContext checkpoint-dir
+    // mutation, so the shared session is untouched.
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    spark.sparkContext.setCheckpointDir(dir)
-    try {
-      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
-      val cc = Dedup.connectedComponents(edges)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
-      // The reliable path actually wrote checkpoint data to the dir.
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
-      assert(wrote > 0, "no checkpoint files written in reliable mode")
-    } finally {
-      // Back to the in-memory path for the rest of the shared session
-      // (no public unset API — clear the private var via its setter).
-      val m = classOf[org.apache.spark.SparkContext]
-        .getDeclaredMethod("checkpointDir_$eq", classOf[Option[_]])
-      m.setAccessible(true)
-      m.invoke(spark.sparkContext, None)
-    }
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val result = Dedup.connectedComponents(edges, checkpointDir = Some(dir))
+    val cc = result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // The reliable path actually wrote materialization data to the dir…
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)
+        && p.getFileName.toString.endsWith(".parquet"))
+      .count()
+    assert(files > 0, "no materialization files written in reliable mode")
+    // …and superseded rounds were deleted as the loop advanced: only
+    // the FINAL labels step remains (the edge list and every earlier
+    // round's labels are gone), so checkpoint storage is O(labels),
+    // not O(rounds × labels).
+    val stepDirs = java.nio.file.Files.list(
+        java.nio.file.Files.list(java.nio.file.Paths.get(dir)).findFirst().get())
+      .filter(p => p.getFileName.toString.startsWith("step-"))
+      .count()
+    assert(stepDirs == 1, s"expected 1 surviving step dir, found $stepDirs")
+    // The returned frame reads from the surviving step — still usable.
+    assert(result.count() == 5)
   }
 
   test("mm-meta corpus assumption holds: text is pure ASCII (bytes == chars)") {

@@ -56,9 +56,11 @@ for name in sorted(os.listdir(out)):
     # fails there. Catch that class here, not in the driver's scoreboard.
     stypes = {f.name: str(f.type) for f in spark_rel.schema}
     dtypes = {f.name: str(f.type) for f in duck_rel.schema}
-    dtype_diff = {c: (stypes.get(c), dtypes.get(c))
-                  for c in set(stypes) | set(dtypes)
-                  if stypes.get(c) != dtypes.get(c)}
+    # Only columns present on BOTH sides — a missing/extra column is a
+    # SCHEMA mismatch (reported below), not a dtype one.
+    dtype_diff = {c: (stypes[c], dtypes[c])
+                  for c in set(stypes) & set(dtypes)
+                  if stypes[c] != dtypes[c]}
     if dtype_diff:
         fails.append(f"{name}: DTYPE {dtype_diff}")
     elif sc != dc:
