@@ -27,6 +27,7 @@ object SparkEntry {
     operators.Filters.queries ++
     operators.Aggs.queries ++
     operators.Joins.queries ++
+    operators.Config.queries ++
     operators.Windows.queries ++
     operators.SortsSets.queries ++
     operators.Scalars.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
     operators.Filters.oracle ++
     operators.Aggs.oracle ++
     operators.Joins.oracle ++
+    operators.Config.oracle ++
     operators.Windows.oracle ++
     operators.SortsSets.oracle ++
     operators.Scalars.oracle ++

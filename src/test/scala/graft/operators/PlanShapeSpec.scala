@@ -16,6 +16,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q_config_lookup enriches via broadcast joins only (corpus never shuffles to join)") {
+    val p = plan("q_config_lookup")
+    // Both config layers must broadcast; a sort-merge join would shuffle
+    // the whole corpus to co-locate with a 3-row config table.
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q_join_range is NOT a cartesian/nested-loop join") {
     val p = plan("q_join_range")
     assert(!p.contains("CartesianProduct"))
