@@ -140,21 +140,59 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN: assign every vector to its nearest of K
-    * coarse centroids, search probes only within their cell. Real IVF
-    * trains centroids with k-means; here the coarse quantizer uses K
-    * deterministic corpus vectors (vec_id < K) as centroids so the whole
-    * structure — train/assign/search — is reproducible AND
-    * DuckDB-oracle-checkable. Swapping in spark.ml KMeans centroids
-    * changes only the `centroids` frame.
+    * coarse centroids, search probes only within their cell.
     *
-    * Scale shape: assignment = broadcast(K centroids) × corpus, one
-    * linear pass; search shuffles on cell id — candidates per probe ≈
-    * corpus/K. */
+    * Two coarse quantizers behind the same assign/search shape:
+    *   - [[ivfTopK]] (the `q_knn_ivf` path): K deterministic corpus
+    *     vectors (vec_id < K) as centroids, so the whole structure —
+    *     train/assign/search — is reproducible AND
+    *     DuckDB-oracle-checkable.
+    *   - [[kmeansCentroids]]: real spark.ml KMeans training — balanced
+    *     cells on clustered real data (the first-K stub's weakness:
+    *     skewed cells, poor recall). Seeded, but k-means|| init samples
+    *     per partition, so results depend on partitioning — which is
+    *     why it is Spark-test-verified (recall vs brute ground truth in
+    *     PipelineSpec) rather than DuckDB-replicated.
+    *
+    * Scale shape (both): assignment = broadcast(K centroids) × corpus,
+    * one linear pass; search shuffles on cell id — candidates per probe
+    * ≈ corpus/K. KMeans training itself is the standard mllib
+    * distributed loop: K·dim broadcast per iteration, corpus never
+    * collected. */
   def ivfTopK(s: SparkSession, dir: String, kCentroids: Int,
               nProbes: Int, k: Int): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
     val centroids = e.filter(col("vec_id") < kCentroids)
       .select(col("vec_id").as("cid"), col("v").as("c"))
+    ivfTopKWith(e, centroids, nProbes, k)
+  }
+
+  /** Coarse centroids from spark.ml KMeans over the quantized vectors,
+    * emitted in the same (cid, c BIGINT[64]) shape as the deterministic
+    * stub — swapping quantizers changes ONLY this frame. Centers are
+    * floor-quantized back to the BIGINT domain so the codegen LongDot
+    * kernel ranks assignment; at the ×1000 quantization scale the
+    * sub-integer truncation is noise. */
+  def kmeansCentroids(vectors: DataFrame, kCentroids: Int,
+                      seed: Long = 20260812L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = vectors.sparkSession
+    val feats = vectors
+      .select(array_to_vector(col("v").cast("array<double>")).as("features"))
+    val model = new KMeans()
+      .setK(kCentroids).setSeed(seed).setMaxIter(20)
+      .fit(feats)
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.floor.toLong).toSeq) }
+      .toDF("cid", "c")
+  }
+
+  /** Assign + search over an arbitrary centroid frame (cid, c). */
+  def ivfTopKWith(e: DataFrame, centroids: DataFrame,
+                  nProbes: Int, k: Int): DataFrame = {
     // Nearest-centroid assignment as a partial-aggregating max_by: the
     // broadcast join emits all K candidate rows for a vector inside one
     // map partition, so the argmax collapses K→1 BEFORE the shuffle —

@@ -139,6 +139,46 @@ class PipelineSpec extends SparkSpec {
     assert(cands < allPairs / 4, s"embedding candidates $cands vs all-pairs $allPairs")
   }
 
+  test("kmeans-IVF recall: planted-cluster top-1 matches brute ground truth") {
+    import spark.implicits._
+    // 8 well-separated cluster centers, 30 members each jittered around
+    // the center — CLUSTERED data, exactly where the first-K-vectors
+    // quantizer degrades (skewed cells) and real k-means should shine.
+    def mix(x0: Long): Long = {
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def center(cl: Long): Seq[Long] =
+      (0 until 64).map(d => Math.floorMod(mix(cl * 64 + d), 2000L) - 1000)
+    def member(cl: Long, i: Long): Seq[Long] =
+      center(cl).zipWithIndex.map { case (x, d) =>
+        x + Math.floorMod(mix((cl * 100 + i) * 64 + d + 7777), 61L) - 30 }
+    val corpus = for (cl <- 0L until 8L; i <- 0L until 30L)
+      yield (cl * 100 + i, member(cl, i))
+    val e = corpus.toDF("vec_id", "v")
+    val probeFilter = col("vec_id") % 100 === 0 // one probe per cluster
+    // Brute-force ground truth top-5 per probe.
+    val probes = e.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("v").as("v_p"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("v").as("v_c"))
+    val scored = broadcast(probes).join(cands, col("probe_id") =!= col("cand_id"))
+      .withColumn("dot", graft.functions.VectorOps.longDot(col("v_p"), col("v_c")))
+      .select("probe_id", "cand_id", "dot")
+    val truth = graft.functions.TopK.perKey(scored, "probe_id", "dot", "cand_id", 5)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // KMeans-quantized IVF: same assign/search shape, trained centroids.
+    val centroids = Similarity.kmeansCentroids(e, kCentroids = 8)
+    val ivf = Similarity.ivfTopKWith(e, centroids, nProbes = 800, k = 5)
+      .filter(col("probe_id") % 100 === 0)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & ivf).size.toDouble / truth.size
+    assert(recall >= 0.9, s"kmeans-IVF recall $recall (${truth.size} truth pairs)")
+  }
+
   test("LSH bucket population stays bounded as the key space derives from N") {
     // The round-3 scale fix: L grows with N, so the MAX per-(table,bucket)
     // population — the quantity whose square is the within-bucket join
