@@ -31,9 +31,22 @@ object Chunker {
   val TgMaxChars    = 4096
   val HeaderBudget  = 8 // "[10/10] "
 
+  /** Code-point length — the reference's Python `len()` counts code
+    * points, while Java `String.length` counts UTF-16 units; they
+    * diverge on astral-plane text (emoji, rare CJK), where a naive port
+    * would split mid-surrogate-pair. Lengths AND the hard-split slices
+    * below are all code-point-based (diff_chunker.py fuzzes astral
+    * inputs differentially against the reference's own Python). */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+  /** Split after `n` code points (never inside a surrogate pair). */
+  private def cpSplitAt(s: String, n: Int): (String, String) = {
+    val idx = s.offsetByCodePoints(0, n)
+    (s.substring(0, idx), s.substring(idx))
+  }
+
   def chunk(text: String, limit: Int = TgMaxChars): Seq[String] = {
     if (text == null) return Seq.empty
-    if (text.length <= limit) return Seq(text)
+    if (cpLen(text) <= limit) return Seq(text)
     val budget = limit - HeaderBudget
     val chunks = ArrayBuffer.empty[String]
     var current = ""
@@ -42,19 +55,20 @@ object Chunker {
 
     for (para <- text.split("\n\n", -1)) {
       val candidate = if (current.isEmpty) para else (current + "\n\n" + para).strip
-      if (candidate.length <= budget) current = candidate
+      if (cpLen(candidate) <= budget) current = candidate
       else {
         flush()
-        if (para.length > budget) {
+        if (cpLen(para) > budget) {
           for (sentence0 <- para.replace(". ", ".\n").split("\n", -1)) {
             var sentence = sentence0
             val cand = if (current.isEmpty) sentence else (current + " " + sentence).strip
-            if (cand.length <= budget) current = cand
+            if (cpLen(cand) <= budget) current = cand
             else {
               flush()
-              while (sentence.length > budget) {
-                chunks += sentence.substring(0, budget)
-                sentence = sentence.substring(budget)
+              while (cpLen(sentence) > budget) {
+                val (head, tail) = cpSplitAt(sentence, budget)
+                chunks += head
+                sentence = tail
               }
               current = sentence
             }

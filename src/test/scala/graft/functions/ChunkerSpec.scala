@@ -22,6 +22,29 @@ class ChunkerSpec extends AnyFunSuite {
     chunks.foreach(c => assert(c.length <= Chunker.TgMaxChars))
   }
 
+  test("astral-plane text: code-point limits, no surrogate pair ever split") {
+    // Python len() counts code points; a UTF-16-unit port would split
+    // emoji in half at the hard-split boundary. 🚀 = 2 UTF-16 units.
+    val rocket = new String(Character.toChars(0x1F680))
+    for (text <- Seq(
+        rocket * 4096,                    // exactly at the limit in cps
+        rocket * 5000,                    // hard mid-sentence split
+        (rocket * 680 + ". ") * 4,       // sentence packing
+        "a" * 4087 + rocket * 3)) {      // boundary straddles the budget
+      val chunks = Chunker.chunk(text)
+      chunks.foreach { c =>
+        assert(c.codePointCount(0, c.length) <= Chunker.TgMaxChars)
+        assert(!Character.isLowSurrogate(c.charAt(0)), "chunk starts mid-pair")
+        assert(!Character.isHighSurrogate(c.charAt(c.length - 1)), "chunk ends mid-pair")
+      }
+      // No content lost: code points (minus labels/whitespace) survive.
+      val payload = if (chunks.length > 1)
+        chunks.map(_.replaceFirst("^\\[\\d+/\\d+\\] ", "")) else chunks
+      assert(payload.mkString.count(_ == rocket.charAt(0)) ==
+        text.count(_ == rocket.charAt(0)))
+    }
+  }
+
   private val wordGen = Gen.oneOf("alpha", "beta", "gamma.", "x", "longword" * 40)
   private val sepGen  = Gen.oneOf(" ", " ", ". ", "\n\n")
   private val textGen: Gen[String] = for {

@@ -25,6 +25,17 @@ for n in (0, 1, 5, 50, 300, 900, 2000):
                              for _ in range(n)))
 cases += ["", "short", "x" * 4096, "x" * 4097, "a" * 10000,
           ("para " * 400 + "\n\n") * 4, ("sentence. " * 500)]
+# Astral-plane (non-BMP) inputs: Python len() counts code points, JVM
+# String.length counts UTF-16 units — these cases force the divergence
+# (each emoji is 2 UTF-16 units) at every boundary: the outer limit
+# check, paragraph/sentence budgets, and the hard mid-sentence split.
+astral = "\U0001F600\U0001F680\U0001F9E0"  # 3 code points, 6 UTF-16 units
+cases += [astral * 1365 + "x",             # 4096 cps — exactly at the limit
+          astral * 1366,                   # 4098 cps — just over
+          (astral * 680 + ". ") * 4,      # sentence packing with emoji
+          (astral * 1500 + "\n\n") * 3,   # paragraph > budget, hard split
+          "a" * 4087 + astral,             # boundary straddles the budget
+          ("\U0001F600 word. " * 700)]
 
 with tempfile.TemporaryDirectory() as td:
     inp, outp = os.path.join(td, "in.txt"), os.path.join(td, "out.txt")
