@@ -21,6 +21,12 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Workload-class isolation (reference: separate chat/task pools,
+      // telegram-agent.py:612-616) — FAIR pools from the checked-in
+      // allocation file; jobs without a pool use the default pool.
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file",
+        new java.io.File("conf/fairscheduler.xml").getAbsolutePath)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

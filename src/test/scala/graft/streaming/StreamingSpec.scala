@@ -281,4 +281,50 @@ class StreamingSpec extends SparkSpec {
       assert(chunks.forall(_.length <= 50))
     } finally q.stop()
   }
+
+  test("fair-scheduler pools: chat query progresses while task pool saturates all cores") {
+    // The reference's executor isolation (telegram-agent.py:612-616,
+    // tests/test-telegram-agent.py:66-100): a saturated task pool must
+    // never starve chat. Spark analogue: two concurrent streaming
+    // queries in separate FAIR pools (conf/fairscheduler.xml). Under
+    // FIFO the chat batch would park behind all 64 slow task-pool
+    // tasks; under FAIR it gets slots as they free (~250 ms).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    assert(spark.sparkContext.getConf.get("spark.scheduler.mode") == "FAIR")
+    // stop() interrupts in-flight tasks — swallow so teardown is quiet.
+    val slow = udf((x: Long) => {
+      try Thread.sleep(250) catch { case _: InterruptedException => () }; x
+    })
+    val heavyIn = MemoryStream[Long]
+    val heavy = heavyIn.toDF().repartition(64).select(slow(col("value")).as("v"))
+    val chatIn = MemoryStream[Long]
+    val chat = chatIn.toDF().select((col("value") * 2).as("v"))
+    val qTask = Pools.inPool(spark, Pools.Task) {
+      heavy.writeStream.format("memory").queryName("pool_task")
+        .outputMode(OutputMode.Append).start()
+    }
+    val qChat = Pools.inPool(spark, Pools.Chat) {
+      chat.writeStream.format("memory").queryName("pool_chat")
+        .outputMode(OutputMode.Append).start()
+    }
+    try {
+      heavyIn.addData(0L until 64L: _*) // 64 × 250 ms on 4 cores ≈ 4 s batch
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!qTask.status.isTriggerActive && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      Thread.sleep(300) // let the heavy batch's tasks occupy the cores
+      val t0 = System.nanoTime()
+      chatIn.addData(1L, 2L, 3L)
+      qChat.processAllAvailable()
+      val chatSecs = (System.nanoTime() - t0) / 1e9
+      // The heavy batch must still be mid-flight (the contention is real)…
+      assert(qTask.status.isTriggerActive ||
+        !qTask.recentProgress.exists(_.numInputRows > 0),
+        "heavy batch already finished — contention window missed")
+      // …while chat completed without waiting out the task backlog.
+      assert(chatSecs < 3.0, f"chat took $chatSecs%.1f s under task-pool saturation")
+      assert(spark.table("pool_chat").count() == 3)
+    } finally { qTask.stop(); qChat.stop() }
+  }
 }
