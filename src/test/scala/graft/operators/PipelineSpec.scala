@@ -139,6 +139,38 @@ class PipelineSpec extends SparkSpec {
     assert(cands < allPairs / 4, s"embedding candidates $cands vs all-pairs $allPairs")
   }
 
+  test("range join under power-law skew: hot user splits across buckets, model agrees") {
+    import spark.implicits._
+    // One dominant user owns 80% of events (the power-law case that
+    // melts a plain user_id-keyed join), spread over ~300 hours.
+    val H = 3600000000000L
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 4000).map { i =>
+      val user = if (i % 5 != 0) 7L else 100L + rnd.nextInt(50)
+      val ts = math.abs(rnd.nextLong() % (300L * H))
+      val typ = if (rnd.nextInt(10) == 0) "error" else "click"
+      (i.toLong, user, ts, typ)
+    }
+    val events = rows.toDF("event_id", "user_id", "ts_ns", "event_type")
+    // Scale property: the hot user's join key space is the composite
+    // (user, bucket) — its rows spread across many shuffle keys instead
+    // of one. Max per-key population stays a small fraction of the
+    // user's total.
+    val hot = rows.filter(_._2 == 7L)
+    val perKey = hot.groupBy(r => r._3 / H).map(_._2.size)
+    assert(perKey.size > 100, s"hot user only spans ${perKey.size} buckets")
+    assert(perKey.max < hot.size / 10,
+      s"max bucket ${perKey.max} vs hot total ${hot.size} — key space not spreading")
+    // Exactness under the bucketing: agree with an in-memory brute model.
+    val expected = rows.filter(_._4 == "error").map { case (id, u, t, _) =>
+      id -> rows.count { case (_, fu, ft, _) => fu == u && ft > t && ft <= t + H }
+    }.filter(_._2 > 0).toMap
+    val got = graft.operators.Joins.rangeFollowCounts(events)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected.map { case (k, v) => k -> v.toLong },
+      s"mismatch: ${got.size} vs ${expected.size} anchors")
+  }
+
   test("kmeans-IVF recall: planted-cluster top-1 matches brute ground truth") {
     import spark.implicits._
     // 8 well-separated cluster centers, 30 members each jittered around

@@ -28,6 +28,10 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_join_range")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
+    // The skew-hardened shape: the equi key must include the hour
+    // bucket, not user_id alone — a power-law user then spreads across
+    // (active hours) shuffle keys instead of landing on one task.
+    assert(p.contains("bucket"), p.linesIterator.take(25).mkString("\n"))
   }
 
   test("q_filter_multi pushes its predicates into the parquet scan") {
