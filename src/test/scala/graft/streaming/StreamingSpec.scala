@@ -200,6 +200,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionization v2 (transformWithState): same turns, sessions, and /reset behavior") {
+    // The arbitrary-state-v2 path must be observably identical to the
+    // flatMapGroupsWithState path on the full v1 scenario (open, bump,
+    // reset, fresh session, key isolation). Requires RocksDB provider.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Msg]
+    val q = Sessions.sessionize(in.toDS(), ttl = false, v2 = true)
+      .writeStream.format("memory").queryName("turns_v2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Msg(1, 100, "hello"), Msg(1, 200, "again"), Msg(2, 150, "hi"))
+      q.processAllAvailable()
+      in.addData(Msg(1, 300, "/reset"))
+      q.processAllAvailable()
+      in.addData(Msg(1, 400, "fresh"))
+      q.processAllAvailable()
+      val turns = spark.table("turns_v2").as[Turn].collect().toSeq
+      val chat1 = turns.filter(_.chatId == 1).sortBy(t => (t.sessionId, t.turn))
+      assert(chat1.map(_.text) == Seq("hello", "again", "fresh"))
+      assert(chat1(0).sessionId == "s-1-100" && chat1(1).sessionId == "s-1-100")
+      assert(chat1(2).sessionId == "s-1-400" && chat1(2).turn == 1)
+      val chat2 = turns.filter(_.chatId == 2)
+      assert(chat2.map(t => (t.sessionId, t.turn)) == Seq(("s-2-150", 1)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream join: watermarked interval join matches events to follow-ups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
