@@ -211,6 +211,33 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"kmeans-IVF recall $recall (${truth.size} truth pairs)")
   }
 
+  test("knob derivation: monotone, bound-satisfying, and stable across the N range") {
+    // The scale contract of both derived knobs, checked over 10^0..10^12:
+    // (1) the derived key space satisfies 2^knob × target ≥ N (block
+    // population bound), (2) knobs never shrink as N grows (monotone),
+    // (3) SimHash widths always divide 60 (the sketch stays coverable).
+    var prevL = 0
+    var prevW = 0
+    for (exp <- 0 to 12; n0 <- Seq(1L, 3L, 7L)) {
+      val n = n0 * math.pow(10, exp).toLong
+      val l = Similarity.derivePlanes(n)
+      val w = Dedup.deriveSimhashWidth(n)
+      if (l < 20) // 20 is the clamp; the bound holds below it
+        assert((1L << l) * Similarity.TargetBucket >= n, s"L=$l too small for N=$n")
+      if (w < 60)
+        assert((1L << w) >= (n + Dedup.SimhashTargetBlock - 1) / Dedup.SimhashTargetBlock,
+          s"w=$w too small for N=$n")
+      assert(Dedup.SimhashBits % w == 0, s"width $w does not divide 60")
+      assert(l >= prevL && w >= prevW, s"knob shrank at N=$n: L $prevL->$l, w $prevW->$w")
+      prevL = l; prevW = w
+    }
+    // The bench-relevant concrete values (the oracle params CTEs derive
+    // these same numbers in SQL — a drift here is a correctness bug).
+    assert(Similarity.derivePlanes(500) == 6 && Similarity.derivePlanes(2000) == 8)
+    assert(Dedup.deriveSimhashWidth(64) == 3 && Dedup.deriveSimhashWidth(82) == 4 &&
+      Dedup.deriveSimhashWidth(742) == 10)
+  }
+
   test("LSH bucket population stays bounded as the key space derives from N") {
     // The round-3 scale fix: L grows with N, so the MAX per-(table,bucket)
     // population — the quantity whose square is the within-bucket join
