@@ -635,7 +635,7 @@ object Dedup {
       weights AS (
         SELECT t1.d, t2.p,
                ((t2.p * 131 + t1.d) * 2654435761 % 65536 + 65536) % 65536 - 32768 AS w
-        FROM range(64) t1(d), range($t * 20) t2(p), params
+        FROM range(64) t1(d), range($t * ${Similarity.MaxPlanes}) t2(p), params
         WHERE t2.p < $t * params.L),
       dims AS (
         SELECT vec_id, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x FROM q),

@@ -56,6 +56,12 @@ object Similarity {
     * goes quadratic). */
   val TargetBucket = 8L
 
+  /** Hard ceiling on planes per table: bucket ids are
+    * `2^L × table + bits`, so L=40 with T=8 still sits at 2^43 ≪ 2^63 —
+    * and 2^40 × TargetBucket covers ~8.8 trillion vectors, past any
+    * 100 TB corpus, so the knob never silently re-fixes the key space. */
+  val MaxPlanes = 40
+
   /** Smallest L with 2^L × TargetBucket ≥ N — pure integer arithmetic
     * (no float log2 edge cases), mirrored verbatim by a `params` CTE in
     * every oracle so both engines derive the SAME L from the SAME
@@ -63,13 +69,13 @@ object Similarity {
     * expected per-table bucket population stays ≤ TargetBucket as the
     * corpus grows. */
   def derivePlanes(n: Long): Int =
-    (1 to 20).find(l => (1L << l) * TargetBucket >= n).getOrElse(20)
+    (1 to MaxPlanes).find(l => (1L << l) * TargetBucket >= n).getOrElse(MaxPlanes)
 
   /** SQL twin of [[derivePlanes]]: same min-l scan, same integer
     * comparison, N taken from `count(*)` over `countFrom` at query time. */
   def planesParamsSql(countFrom: String): String = s"""
       params AS (
-        SELECT coalesce(min(l), 20) AS L FROM range(1, 21) t(l)
+        SELECT coalesce(min(l), $MaxPlanes) AS L FROM range(1, ${MaxPlanes + 1}) t(l)
         WHERE (1::BIGINT << l) * $TargetBucket >= (SELECT count(*) FROM $countFrom))"""
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
@@ -255,7 +261,7 @@ object Similarity {
       weights AS (
         SELECT t1.d, t2.p,
                ((t2.p * 131 + t1.d) * 2654435761 % 65536 + 65536) % 65536 - 32768 AS w
-        FROM range(64) t1(d), range(${NumTables} * 20) t2(p), params
+        FROM range(64) t1(d), range(${NumTables} * $MaxPlanes) t2(p), params
         WHERE t2.p < $NumTables * params.L),
       dims AS (
         SELECT vec_id, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x FROM q),

@@ -222,7 +222,7 @@ class PipelineSpec extends SparkSpec {
       val n = n0 * math.pow(10, exp).toLong
       val l = Similarity.derivePlanes(n)
       val w = Dedup.deriveSimhashWidth(n)
-      if (l < 20) // 20 is the clamp; the bound holds below it
+      if (l < Similarity.MaxPlanes) // below the clamp the bound holds
         assert((1L << l) * Similarity.TargetBucket >= n, s"L=$l too small for N=$n")
       if (w < 60)
         assert((1L << w) >= (n + Dedup.SimhashTargetBlock - 1) / Dedup.SimhashTargetBlock,
