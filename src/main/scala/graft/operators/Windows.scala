@@ -27,6 +27,42 @@ object Windows {
 
   private def byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
 
+  /** The hot-window-key mitigation SCALE.md prescribes, made concrete: a
+    * running sum per key whose partitions are (key, time-block) instead
+    * of key alone, so one user with billions of events never lands on a
+    * single sort task. Two phases, both frame-safe:
+    *
+    *   1. intra-block running sum — window over (key, block), block =
+    *      `ts DIV blockSpan` (deterministic, order-preserving);
+    *   2. block prefix offsets — per-(key, block) totals (ONE row per
+    *      block) get an exclusive running sum over blocks per key; the
+    *      final value is intra + offset.
+    *
+    * The offset window partitions by key but sees only blocks-per-key
+    * rows — bounded by time range / blockSpan, not by data volume. All
+    * partials stay in exact DECIMAL, so the result is BIT-IDENTICAL to
+    * the single-window spelling (asserted against q_win_running_sum in
+    * PipelineSpec along with the hot-key spread property). */
+  def saltedRunningSum(events: DataFrame,
+                       blockSpan: Long = 3600000000000L): DataFrame = {
+    val blocked = events.withColumn("blk", expr(s"ts_ns DIV ${blockSpan}L"))
+    val intraW = Window.partitionBy("user_id", "blk").orderBy("ts_ns", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIntra = blocked.withColumn("intra",
+      sum(col("value").cast("decimal(18,4)")).over(intraW))
+    val prefW = Window.partitionBy("user_id").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = blocked.groupBy("user_id", "blk")
+      .agg(sum(col("value").cast("decimal(18,4)")).as("blk_total"))
+      .withColumn("offset",
+        coalesce(sum(col("blk_total")).over(prefW),
+          lit(0).cast("decimal(18,4)")))
+      .select(col("user_id"), col("blk"), col("offset"))
+    withIntra.join(offsets, Seq("user_id", "blk"))
+      .select(col("event_id"), col("user_id"),
+        (col("intra") + col("offset")).cast("double").as("run_sum"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Ordinal per customer in date order (the %03d task index).
     "q_win_row_number" -> ((s, dir) =>

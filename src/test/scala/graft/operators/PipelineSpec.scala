@@ -139,6 +139,36 @@ class PipelineSpec extends SparkSpec {
     assert(cands < allPairs / 4, s"embedding candidates $cands vs all-pairs $allPairs")
   }
 
+  test("salted running sum: bit-identical to the single window, hot key spreads") {
+    // Equality on the real table: the two-phase (key, time-block)
+    // spelling must reproduce q_win_running_sum exactly (decimal
+    // partials are exact, so the doubles match bitwise).
+    val plain = graft.SparkEntry.queries("q_win_running_sum")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val salted = Windows.saltedRunningSum(graft.Tables.events(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(salted == plain,
+      s"${salted.size} vs ${plain.size}; first diff: " +
+        plain.collectFirst { case (k, v) if salted.get(k) != Some(v) =>
+          (k, v, salted.get(k)) })
+    // Skew property: a hot user spanning many hours partitions into
+    // many (key, block) sort groups instead of one.
+    import spark.implicits._
+    val H = 3600000000000L
+    val hot = (0 until 5000).map(i =>
+      (i.toLong, 7L, i.toLong * H / 50, (i % 13).toDouble))
+      .toDF("event_id", "user_id", "ts_ns", "value")
+    val blocks = hot.select(expr(s"ts_ns DIV ${H}L")).distinct().count()
+    assert(blocks > 50, s"hot user spans only $blocks blocks")
+    // And the salted result on the skew frame matches a sequential model.
+    val got = Windows.saltedRunningSum(hot)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    var acc = BigDecimal(0)
+    val expected = (0 until 5000).map { i =>
+      acc += BigDecimal((i % 13).toDouble); i.toLong -> acc.toDouble }.toMap
+    assert(got == expected)
+  }
+
   test("range join under power-law skew: hot user splits across buckets, model agrees") {
     import spark.implicits._
     // One dominant user owns 80% of events (the power-law case that
