@@ -117,7 +117,9 @@ object Similarity {
     * (equivalence with the window idiom proven in TopKSpec). */
   def lshTopK(vectors: DataFrame, probeFilter: Column, k: Int,
               planes: Int): DataFrame = {
-    val q = bucketed(vectors, planes)
+    // One bucket-keyed exchange feeds both the probe and candidate
+    // sides of the join (see embeddingPairs for the measured win).
+    val q = bucketed(vectors, planes).repartition(col("bucket"))
     val probes = q.filter(probeFilter)
       .select(col("bucket"), col("vec_id").as("probe_id"), col("v").as("v_p"))
     val cands = q.select(col("bucket"), col("vec_id").as("cand_id"), col("v").as("v_c"))
