@@ -323,7 +323,7 @@ class StreamingSpec extends SparkSpec {
     // tests/test-telegram-agent.py:66-100): a saturated task pool must
     // never starve chat. Spark analogue: two concurrent streaming
     // queries in separate FAIR pools (conf/fairscheduler.xml). Under
-    // FIFO the chat batch would park behind all 64 slow task-pool
+    // FIFO the chat batch would park behind all 128 slow task-pool
     // tasks; under FAIR it gets slots as they free (~250 ms).
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -333,7 +333,9 @@ class StreamingSpec extends SparkSpec {
       try Thread.sleep(250) catch { case _: InterruptedException => () }; x
     })
     val heavyIn = MemoryStream[Long]
-    val heavy = heavyIn.toDF().repartition(64).select(slow(col("value")).as("v"))
+    // 128 × 250 ms on 4 cores ≈ 8 s batch — a contention window wide
+    // enough that a loaded machine can't finish it before chat lands.
+    val heavy = heavyIn.toDF().repartition(128).select(slow(col("value")).as("v"))
     val chatIn = MemoryStream[Long]
     val chat = chatIn.toDF().select((col("value") * 2).as("v"))
     val qTask = Pools.inPool(spark, Pools.Task) {
@@ -345,7 +347,7 @@ class StreamingSpec extends SparkSpec {
         .outputMode(OutputMode.Append).start()
     }
     try {
-      heavyIn.addData(0L until 64L: _*) // 64 × 250 ms on 4 cores ≈ 4 s batch
+      heavyIn.addData(0L until 128L: _*)
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
       while (!qTask.status.isTriggerActive && System.nanoTime() < deadline)
         Thread.sleep(20)
@@ -358,8 +360,9 @@ class StreamingSpec extends SparkSpec {
       assert(qTask.status.isTriggerActive ||
         !qTask.recentProgress.exists(_.numInputRows > 0),
         "heavy batch already finished — contention window missed")
-      // …while chat completed without waiting out the task backlog.
-      assert(chatSecs < 3.0, f"chat took $chatSecs%.1f s under task-pool saturation")
+      // …while chat completed without waiting out the task backlog
+      // (FIFO would hold it ~8 s; FAIR lands it in well under half).
+      assert(chatSecs < 4.0, f"chat took $chatSecs%.1f s under task-pool saturation")
       assert(spark.table("pool_chat").count() == 3)
     } finally { qTask.stop(); qChat.stop() }
   }
