@@ -59,13 +59,23 @@ object Config {
         .orderBy("lang")
     }))
 
-  val oracle: Map[String, String] = Map(
-    "q_config_lookup" -> """
+  /** A `def`, not a `val`: the built-in layer is a SESSION CONF, which
+    * DuckDB cannot read, so the oracle resolves the live value at
+    * access time — `Verify` dumps `oracleSql` from the same session
+    * that ran the queries, so the dumped SQL tracks whatever the
+    * session set (the same derive-both-sides-from-one-input rule the
+    * corpus-size knobs follow via their `params` CTEs). A session with
+    * no active SparkSession gets the documented default. */
+  def oracle: Map[String, String] = {
+    val builtin = SparkSession.getActiveSession
+      .map(_.conf.get(DefaultThresholdKey, "80")).getOrElse("80").toLong
+    Map(
+      "q_config_lookup" -> s"""
       WITH overrides(lang, thr_override) AS (VALUES ('de', 200), ('fr', 150)),
       defaults(lang, thr_default) AS (VALUES ('de', 100), ('en', 120), ('es', 110)),
       enriched AS (
         SELECT d.lang,
-               CAST(coalesce(o.thr_override, f.thr_default, 80) AS BIGINT) AS threshold,
+               CAST(coalesce(o.thr_override, f.thr_default, $builtin) AS BIGINT) AS threshold,
                d.n_chars
         FROM documents d
         LEFT JOIN overrides o ON d.lang = o.lang
@@ -74,4 +84,5 @@ object Config {
              count(CASE WHEN n_chars >= threshold THEN 1 END) AS n_pass,
              count(*) AS n_total
       FROM enriched GROUP BY lang, threshold ORDER BY lang""")
+  }
 }

@@ -142,6 +142,19 @@ object Dedup {
       ORDER BY doc_a, doc_b"""
   }
 
+  /** The n-gram family's Jaccard threshold as an EXACT rational —
+    * the single source of truth for the prefix-length filter, the
+    * size-compatibility filter, and the final verify in `ngramPairs`,
+    * AND the `>= threshold` literal in the DuckDB ground-truth SQL.
+    * The filters need pure integer arithmetic (⌈thr·n⌉ as
+    * (n·num + den − 1) div den: the zero-false-negative guarantee must
+    * not rest on double rounding, and DuckDB would overflow BIGINT on a
+    * double-multiply formulation), so the rational is primary and the
+    * double is derived. */
+  private[operators] val NgramThrNum = 9
+  private[operators] val NgramThrDen = 10
+  private[operators] val NgramThr: Double = NgramThrNum.toDouble / NgramThrDen
+
   /** Word-set Jaccard ≥ 0.9 pairs over lang='de' docs, via PREFIX
     * FILTERING (the AllPairs/PPJoin blocking; Bayardo et al., WWW'07):
     * order every doc's word set by global token rarity (ascending doc
@@ -164,25 +177,24 @@ object Dedup {
     * pairs genuinely ≥ 0.9) the output itself is quadratic, which no
     * exact algorithm can beat. */
   def ngramPairs(docs: DataFrame): DataFrame = {
-    val thr = 0.9
+    val thr = NgramThr
+    val ceilThrTimes = (n: String) =>
+      s"($n * $NgramThrNum + $NgramThrDen - 1) div $NgramThrDen"
     val d = docs.filter(col("lang") === "de")
       .select(col("doc_id"), wordSet(col("text")).as("ws"))
     val tok = d.select(col("doc_id"), size(col("ws")).as("n"), explode(col("ws")).as("tok"))
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("tok"))
-    // ⌈0.9·n⌉ in pure integer arithmetic ((9n+9) div 10) — the
-    // zero-false-negative guarantee is structural, not a property of
-    // double rounding staying under half an ulp.
     val prefix = tok.join(broadcast(freq), Seq("tok"))
       .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <= col("n") - expr("(n * 9 + 9) div 10") + 1)
+      .filter(col("pos") <= col("n") - expr(ceilThrTimes("n")) + 1)
       .select(col("tok"), col("doc_id"), col("n"))
     val cand = prefix.select(col("tok"), col("doc_id").as("doc_a"), col("n").as("n_a"))
       .join(prefix.select(col("tok"), col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("tok"))
       .filter(col("doc_a") < col("doc_b") &&
         least(col("n_a"), col("n_b")) >=
-          expr("(greatest(n_a, n_b) * 9 + 9) div 10"))
+          expr(ceilThrTimes("greatest(n_a, n_b)")))
       .select("doc_a", "doc_b").distinct()
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), Seq("doc_a"))
@@ -211,14 +223,18 @@ object Dedup {
     * `RDD.checkpoint`, but per-call (no SparkContext state mutation)
     * and with explicitly deletable files, so each superseded round is
     * REMOVED as soon as its successor materializes instead of
-    * accumulating rounds × labels-size on checkpoint storage. Without a
-    * dir: executor-memory localCheckpoint (fast; pins executor storage
-    * and dies with any executor — production runs should pass a dir). */
+    * accumulating rounds × labels-size on checkpoint storage. The FINAL
+    * round's files necessarily outlive the call (the returned frame
+    * lazily reads them) — consume the labels, then `releaseCcRuns` to
+    * delete them. Without a dir: executor-memory localCheckpoint (fast;
+    * pins executor storage and dies with any executor — production runs
+    * should pass a dir). */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 64,
                           checkpointDir: Option[String] = None): DataFrame = {
     val sc = edges.sparkSession.sparkContext
     val runDir = checkpointDir.orElse(sc.getCheckpointDir)
       .map(d => s"$d/graft-cc-${java.util.UUID.randomUUID}")
+    runDir.foreach(ccRunDirs.add)
     def delete(path: String): Unit = {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
@@ -268,6 +284,34 @@ object Dedup {
     // one SparkSession).
     release(und, undPath)
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
+  /** Run directories of reliable-mode `connectedComponents` calls in
+    * this JVM. The final round's parquet CANNOT be deleted inside the
+    * call — the returned DataFrame lazily reads it — so without an
+    * explicit release, repeated calls would accumulate one O(labels)
+    * orphan dir per call on checkpoint storage. */
+  private val ccRunDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Delete every reliable-mode CC run directory created in this JVM
+    * and return how many were removed. Call once ALL label frames
+    * previously returned by reliable-mode `connectedComponents` have
+    * been fully consumed (collected or written out) — after release
+    * they can no longer be read. Long-lived sessions (Bench runs 90
+    * queries in one) should call this between pipelines; anything the
+    * registry misses (e.g. a crashed run) is identifiable on storage by
+    * the `graft-cc-` prefix and safe to delete externally. */
+  def releaseCcRuns(spark: SparkSession): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var n = 0
+    var d = ccRunDirs.poll()
+    while (d != null) {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) { fs.delete(p, true); n += 1 }
+      d = ccRunDirs.poll()
+    }
+    n
   }
 
   /** Embedding-cosine near-dup pairs over (vec_id, v BIGINT[64]),
@@ -566,15 +610,15 @@ object Dedup {
   /** Ground-truth pair SQL (brute all-pairs — DuckDB is the oracle, the
     * Spark side prunes via prefix filtering; their agreement IS the
     * differential check). No ORDER BY: reusable as a CTE body. */
-  private val ngramPairsSql = """
+  private val ngramPairsSql = s"""
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
               FROM documents WHERE lang = 'de') a
         JOIN (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
               FROM documents WHERE lang = 'de') b
           ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
-              (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.9"""
+        WHERE len(list_intersect(a.ws, b.ws)) * $NgramThrDen >=
+              (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) * $NgramThrNum"""
 
   val oracle: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracleSql(0.8),
@@ -608,7 +652,7 @@ object Dedup {
       SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
       FROM documents GROUP BY sha256(text) ORDER BY survivor_id""",
 
-    "q_dedup_ngram" -> """
+    "q_dedup_ngram" -> s"""
       WITH t AS (
         SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
         FROM documents WHERE lang = 'de')
@@ -616,8 +660,8 @@ object Dedup {
              round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
                    (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jac
       FROM t a JOIN t b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
-            (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.9
+      WHERE len(list_intersect(a.ws, b.ws)) * $NgramThrDen >=
+            (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) * $NgramThrNum
       ORDER BY doc_a, doc_b""",
 
     "q_dedup_embedding" -> embeddingOracleSql(0.35),

@@ -22,9 +22,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   - executors STAGE rows per partition and return them as commit
   *     messages (`DataWriter.commit`) — nothing is visible yet;
   *   - the driver's `StreamingWrite.commit(batchId, messages)` applies
-  *     the whole batch atomically, and IDEMPOTENTLY: a replayed batchId
-  *     (post-crash re-execution of a committed epoch) is a no-op, so
-  *     restarts never double-deliver (driven through a forced replay in
+  *     the whole batch atomically, and IDEMPOTENTLY per (queryId,
+  *     batchId): a replayed epoch (post-crash re-execution of a
+  *     committed one) is a no-op, while a DIFFERENT query — or the same
+  *     pipeline restarted on a fresh checkpoint, whose epochs restart at
+  *     0 — is never confused with a replay (both driven in
   *     OutboxSinkSpec);
   *   - `abort` drops the staged rows — a failed batch leaves nothing.
   *
@@ -37,7 +39,7 @@ object Outbox {
     .add("chat_id", LongType).add("text", StringType)
 
   private case class Box(delivered: mutable.ArrayBuffer[(Long, Long, String)],
-                         committedBatches: mutable.Set[Long])
+                         committedBatches: mutable.Set[(String, Long)])
   private val boxes = new ConcurrentHashMap[String, Box]()
   private def box(name: String): Box =
     boxes.computeIfAbsent(name, _ => Box(mutable.ArrayBuffer.empty, mutable.Set.empty))
@@ -47,12 +49,19 @@ object Outbox {
     val b = box(name); b.synchronized(b.delivered.toSeq)
   }
 
-  private[sources] def commit(name: String, batchId: Long,
+  /** Idempotency is keyed by (queryId, epochId), NOT epochId alone:
+    * epochIds restart at 0 for a query started on a fresh checkpoint,
+    * and two queries writing to one box overlap epoch numbers — either
+    * would silently drop batches under epoch-only keying. The queryId is
+    * the PERSISTENT streaming id (`LogicalWriteInfo.queryId()`, sourced
+    * from checkpoint metadata), so a same-checkpoint restart keeps its
+    * id and replayed epochs are still absorbed. */
+  private[sources] def commit(name: String, queryId: String, batchId: Long,
                               rows: Seq[(Long, String)]): Unit = {
     val b = box(name)
     b.synchronized {
-      if (!b.committedBatches.contains(batchId)) { // idempotent replay
-        b.committedBatches += batchId
+      if (!b.committedBatches.contains((queryId, batchId))) { // idempotent replay
+        b.committedBatches += ((queryId, batchId))
         b.delivered ++= rows.map(r => (batchId, r._1, r._2))
       }
     }
@@ -64,7 +73,7 @@ object Outbox {
 /** Commit message: the partition's staged rows ride back to the driver. */
 private case class StagedRows(rows: Seq[(Long, String)]) extends WriterCommitMessage
 
-private class OutboxStreamingWrite(boxName: String) extends StreamingWrite {
+private class OutboxStreamingWrite(boxName: String, queryId: String) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
@@ -79,7 +88,7 @@ private class OutboxStreamingWrite(boxName: String) extends StreamingWrite {
         }
     }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    Outbox.commit(boxName, epochId,
+    Outbox.commit(boxName, queryId, epochId,
       messages.toSeq.flatMap(_.asInstanceOf[StagedRows].rows))
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -101,6 +110,7 @@ private class OutboxTable(boxName: String) extends Table with SupportsWrite {
     java.util.EnumSet.of(TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def buildForStreaming(): StreamingWrite = new OutboxStreamingWrite(boxName)
+      override def buildForStreaming(): StreamingWrite =
+        new OutboxStreamingWrite(boxName, info.queryId())
     }
 }

@@ -387,6 +387,14 @@ class PipelineSpec extends SparkSpec {
     assert(stepDirs == 1, s"expected 1 surviving step dir, found $stepDirs")
     // The returned frame reads from the surviving step — still usable.
     assert(result.count() == 5)
+    // The final step's dir cannot be deleted by the call itself (the
+    // frame above lazily reads it), so the explicit release is the
+    // lifecycle's last act: after it, NO graft-cc-* run dir remains —
+    // repeated calls cannot accumulate orphans.
+    assert(Dedup.releaseCcRuns(spark) >= 1)
+    val leftover = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("graft-cc-")).count()
+    assert(leftover == 0, s"$leftover orphaned graft-cc-* run dirs survived release")
   }
 
   test("mm-meta corpus assumption holds: text is pure ASCII (bytes == chars)") {
@@ -456,5 +464,32 @@ class PipelineSpec extends SparkSpec {
       .agg(min("doc_id").as("survivor"), count(lit(1)).as("n"))
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("config lookup: engine AND oracle track the session-conf builtin together") {
+    // The builtin layer is a session conf DuckDB cannot see, so the
+    // oracle resolves the live value at access time. Setting the conf
+    // must move BOTH sides in lockstep — a session that sets the key
+    // must not produce a spurious engine/oracle mismatch.
+    val key = Config.DefaultThresholdKey
+    val before = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "95")
+      val res = Config.queries("q_config_lookup")(spark, sfDir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // 'zh' has no override and no default layer — it falls through to
+      // the conf builtin, which this session just set.
+      assert(res("zh") == 95L, s"engine ignored the conf builtin: $res")
+      val sql = Config.oracle("q_config_lookup")
+      assert(sql.contains("95") && !sql.contains("80"),
+        s"oracle SQL did not resolve the live conf value:\n$sql")
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      // Back to the default: the oracle follows back down.
+      assert(Config.oracle("q_config_lookup").contains("80"))
+    }
   }
 }

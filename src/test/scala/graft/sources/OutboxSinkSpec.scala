@@ -69,4 +69,28 @@ class OutboxSinkSpec extends SparkSpec {
         s"a batchId delivered twice: $all")
     } finally { UpdateLog.drop(qn); Outbox.drop(bx) }
   }
+
+  test("a fresh-checkpoint query is not mistaken for a replay of an earlier one") {
+    // Failure mode of epoch-only idempotency keying: query A commits
+    // epochs 0..n into a box; query B (new checkpoint ⇒ NEW queryId,
+    // epochs restarting at 0) writes to the same box and its batches
+    // are silently dropped as "already committed". Keying by
+    // (queryId, epochId) must deliver both.
+    val qn1 = "outq-a"; val qn2 = "outq-b"; val bx = "outbox2"
+    val ck1 = java.nio.file.Files.createTempDirectory("outbox-ckpt-a").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("outbox-ckpt-b").toString
+    try {
+      UpdateLog.post(qn1, 1L, "from-a")
+      val qa = pipe(qn1, bx, ck1).start()
+      try qa.processAllAvailable() finally qa.stop()
+      // Second pipeline, fresh checkpoint, same box: its first batch is
+      // also epochId 0 — the exact collision the keying must survive.
+      UpdateLog.post(qn2, 2L, "from-b")
+      val qb = pipe(qn2, bx, ck2).start()
+      try qb.processAllAvailable() finally qb.stop()
+      val all = Outbox.delivered(bx)
+      assert(all.map(r => (r._2, r._3)).sorted == Seq((1L, "from-a"), (2L, "from-b")),
+        s"fresh-checkpoint batch dropped or duplicated: $all")
+    } finally { UpdateLog.drop(qn1); UpdateLog.drop(qn2); Outbox.drop(bx) }
+  }
 }

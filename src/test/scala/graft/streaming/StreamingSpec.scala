@@ -338,6 +338,20 @@ class StreamingSpec extends SparkSpec {
     val heavy = heavyIn.toDF().repartition(128).select(slow(col("value")).as("v"))
     val chatIn = MemoryStream[Long]
     val chat = chatIn.toDF().select((col("value") * 2).as("v"))
+    // Scheduler-level evidence, independent of machine speed: record the
+    // pool each job ACTUALLY starts under (job-start events carry the
+    // submitting thread's local properties — the same ones the fair
+    // scheduler reads to route the job).
+    val poolsSeen = java.util.Collections.synchronizedSet(
+      new java.util.HashSet[String]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val p = js.properties.getProperty("spark.scheduler.pool")
+        if (p != null) { poolsSeen.add(p); () }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
     val qTask = Pools.inPool(spark, Pools.Task) {
       heavy.writeStream.format("memory").queryName("pool_task")
         .outputMode(OutputMode.Append).start()
@@ -356,14 +370,30 @@ class StreamingSpec extends SparkSpec {
       chatIn.addData(1L, 2L, 3L)
       qChat.processAllAvailable()
       val chatSecs = (System.nanoTime() - t0) / 1e9
-      // The heavy batch must still be mid-flight (the contention is real)…
-      assert(qTask.status.isTriggerActive ||
-        !qTask.recentProgress.exists(_.numInputRows > 0),
-        "heavy batch already finished — contention window missed")
-      // …while chat completed without waiting out the task backlog
-      // (FIFO would hold it ~8 s; FAIR lands it in well under half).
-      assert(chatSecs < 4.0, f"chat took $chatSecs%.1f s under task-pool saturation")
+      val heavyStillRunning = qTask.status.isTriggerActive ||
+        !qTask.recentProgress.exists(_.numInputRows > 0)
+      // Correctness evidence first (unconditional): chat delivered, and
+      // both queries' jobs were routed to their declared pools.
       assert(spark.table("pool_chat").count() == 3)
-    } finally { qTask.stop(); qChat.stop() }
+      val busDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!(poolsSeen.contains(Pools.Chat) && poolsSeen.contains(Pools.Task))
+          && System.nanoTime() < busDeadline)
+        Thread.sleep(20) // listener bus is async — poll, don't assume
+      assert(poolsSeen.contains(Pools.Chat) && poolsSeen.contains(Pools.Task),
+        s"jobs not routed through declared pools; saw: $poolsSeen")
+      // Wall-clock evidence is only meaningful while the heavy batch is
+      // still mid-flight. On a machine loaded enough to have finished it
+      // already, CANCEL this half (scalatest `assume`) rather than fail —
+      // the pool-routing assertions above have already run either way.
+      assume(heavyStillRunning,
+        "heavy batch finished before chat landed — contention window " +
+        "missed on this machine; wall-clock half skipped")
+      // Chat completed without waiting out the task backlog (FIFO would
+      // hold it ~8 s; FAIR lands it in well under half).
+      assert(chatSecs < 4.0, f"chat took $chatSecs%.1f s under task-pool saturation")
+    } finally {
+      qTask.stop(); qChat.stop()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 }
