@@ -35,6 +35,7 @@ object SparkEntry {
     operators.Dedup.queries ++
     operators.Similarity.queries ++
     operators.TextAnalysis.queries ++
+    operators.Curation.queries ++
     operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -53,5 +54,6 @@ object SparkEntry {
     operators.Dedup.oracle ++
     operators.Similarity.oracle ++
     operators.TextAnalysis.oracle ++
+    operators.Curation.oracle ++
     operators.Multimodal.oracle
 }

@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators — the remaining steps a large-scale LLM
+  * training-data pipeline runs between "deduped corpus" and "training
+  * shards" (builder brief; first-class alongside SURVEY §2.11's dedup /
+  * similarity / text-analysis families):
+  *
+  *   - benchmark DECONTAMINATION (`q_decontaminate`): drop training
+  *     docs that share long word n-grams with a held-out eval set — the
+  *     overlap check every serious LM pipeline runs (e.g. GPT-3's 13-gram
+  *     and Llama's n-gram eval-overlap filters);
+  *   - weighted source MIXING (`q_corpus_mix`): per-source sampling
+  *     rates applied via deterministic hashing — reproducible under
+  *     retries and repartitioning, unlike `rand()`-based sampling;
+  *   - sequence PACKING (`q_pack_sequences`): assign docs to fixed
+  *     token-budget shards by running token count — the batch-shaping
+  *     step before tokenization;
+  *   - intra-document REPETITION (`q_text_repetition`): duplicated-
+  *     bigram fraction, the Gopher-style quality signal that catches
+  *     boilerplate/degenerate text that inter-doc dedup cannot.
+  *
+  * All exact integer / md5-fold arithmetic so each has a bit-exact
+  * DuckDB oracle.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Eval-set selector: doc_id ≡ 0 (mod EvalMod) stands in for the
+    * held-out benchmark (~1% of the corpus; real eval sets are tiny
+    * relative to training corpora, which is what makes the broadcast
+    * design below the right one). */
+  val EvalMod = 97
+
+  /** Contamination shingle width (word n-grams). Width trades recall
+    * for precision: 5 is aggressive (catches paraphrase-adjacent
+    * reuse); production pipelines run 8-13 for verbatim-leak detection.
+    * The oracle derives from the same constant. */
+  val ShingleWidth = 5
+
+  /** Token budget per packed shard. */
+  val PackBudget = 2048L
+
+  /** Docs per packing group: windows partition on (lang, pack_group) so
+    * no window partition ever exceeds this many rows regardless of
+    * corpus size — the "no unpartitioned/unbounded window" scale rule.
+    * Packing is local to a group (shards never span groups), which is
+    * exactly how distributed packing behaves in production: global
+    * greedy packing would serialize the corpus through one partition
+    * for no modeling benefit. */
+  val PackGroup = 10000L
+
+  /** Per-source target sampling rates (percent), the mixing weights. */
+  val MixRates = Seq(("en", 80L), ("de", 60L), ("fr", 40L), ("es", 20L), ("zh", 10L))
+
+  /** Word-shingle explode: (doc_id, shingle) with one row per DISTINCT
+    * width-`ShingleWidth` word n-gram per doc. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(lower(col("text")), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) < $ShingleWidth THEN array()
+                 ELSE transform(sequence(0, size(toks) - $ShingleWidth),
+                                i -> concat_ws(' ', slice(toks, i + 1, $ShingleWidth)))
+            END""")).as("shingle"))
+      .distinct()
+
+  /** Training docs that share ≥ 1 shingle with the eval set, with their
+    * total and overlapping shingle counts. The eval side reduces to its
+    * DISTINCT shingle set and BROADCASTS — the training corpus never
+    * shuffles for the check (asserted in PlanShapeSpec); at 100 TB the
+    * corpus streams past an in-memory eval fingerprint, which is the
+    * only shape that scales (eval sets are MBs, corpora are TBs). */
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val eval_ = sh.filter(col("doc_id") % EvalMod === 0)
+      .select(col("shingle")).distinct().withColumn("hit", lit(1))
+    sh.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(eval_), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+      .filter(col("n_hit") > 0)
+  }
+
+  /** Deterministic weighted sampling per source: an md5-fold bucket in
+    * [0,100) (salted 'mix:' so it is independent of `q_text_split`'s
+    * buckets) keeps a doc iff bucket < the source's rate. Stable under
+    * retries, additions, and repartitioning. */
+  def mixSample(docs: DataFrame, rates: DataFrame): DataFrame = {
+    val bucket = expr(
+      "pmod(cast(conv(substr(md5(concat('mix:', cast(doc_id as string))), 1, 15), 16, 10) as bigint), 100L)")
+    docs.join(broadcast(rates), Seq("lang"), "left")
+      .withColumn("keep", bucket < coalesce(col("rate_pct"), lit(0L)))
+      .groupBy(col("lang"), col("rate_pct"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("keep"), 1)).as("n_sampled"))
+  }
+
+  /** Shard assignment by running token count within (lang, pack_group):
+    * a doc goes to the shard its STARTING offset falls in —
+    * (cumsum − own) div budget — so shards fill greedily and overflow
+    * by at most one document. */
+  def packShards(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "pack_group").orderBy("doc_id")
+    docs.select(col("doc_id"), col("lang"),
+        expr(s"doc_id div $PackGroup").as("pack_group"),
+        ((col("n_chars") + 3) / lit(4)).cast("bigint").as("est_tokens"))
+      .withColumn("cum", sum(col("est_tokens")).over(w))
+      .withColumn("shard", expr(s"(cum - est_tokens) div $PackBudget"))
+      .select(col("doc_id"), col("lang"), col("pack_group"),
+        col("est_tokens"), col("shard"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_decontaminate" -> ((s, dir) =>
+      decontaminate(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "q_corpus_mix" -> ((s, dir) => {
+      import s.implicits._
+      mixSample(Tables.documents(s, dir), MixRates.toDF("lang", "rate_pct"))
+        .orderBy("lang")
+    }),
+
+    "q_pack_sequences" -> ((s, dir) =>
+      packShards(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Duplicated-bigram fraction per doc — degenerate/boilerplate text
+    // repeats itself; dup fraction > 1/10 flags it (integer
+    // cross-multiply, (n−d)·10 > n: the corpus HAS docs exactly at the
+    // boundary, so the verdict must not rest on double rounding). Pure
+    // linear scan, no shuffle.
+    "q_text_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", split(lower(col("text")), " "))
+        .withColumn("bg", expr(
+          """CASE WHEN size(toks) < 2 THEN array()
+                  ELSE transform(sequence(0, size(toks) - 2),
+                                 i -> concat_ws(' ', toks[i], toks[i+1]))
+             END"""))
+        .select(col("doc_id"),
+          size(col("bg")).as("n_bigrams"),
+          size(array_distinct(col("bg"))).as("n_distinct"))
+        .withColumn("dup_ratio",
+          when(col("n_bigrams") === 0, lit(0.0))
+            .otherwise(round((col("n_bigrams") - col("n_distinct"))
+              .cast("double") / col("n_bigrams").cast("double"), 4)))
+        .withColumn("verdict",
+          when((col("n_bigrams") - col("n_distinct")) * 10 > col("n_bigrams"),
+            "repetitive").otherwise("ok"))
+        .orderBy("doc_id")),
+  )
+
+  /** Shared SQL fragment: DISTINCT (doc_id, shingle) — DuckDB twin of
+    * `shingles` (1-based list slicing; range() is end-exclusive). */
+  private val shinglesSql = s"""
+        SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(t) < $ShingleWidth THEN []
+                             ELSE list_transform(range(1, len(t) - ${ShingleWidth - 2}),
+                                    i -> array_to_string(t[i:i+${ShingleWidth - 1}], ' '))
+                        END) AS shingle
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))"""
+
+  val oracle: Map[String, String] = Map(
+    "q_decontaminate" -> s"""
+      WITH sh AS ($shinglesSql),
+      ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % $EvalMod = 0),
+      tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % $EvalMod <> 0)
+      SELECT tr.doc_id, count(*) AS n_shingles, count(ev.shingle) AS n_hit
+      FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
+      GROUP BY tr.doc_id HAVING count(ev.shingle) > 0
+      ORDER BY doc_id""",
+
+    "q_corpus_mix" -> s"""
+      WITH rates(lang, rate_pct) AS (VALUES ${MixRates.map(r => s"('${r._1}', ${r._2})").mkString(", ")}),
+      t AS (
+        SELECT d.lang, CAST(r.rate_pct AS BIGINT) AS rate_pct,
+               ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                 < coalesce(r.rate_pct, 0) AS keep
+        FROM documents d LEFT JOIN rates r ON d.lang = r.lang)
+      SELECT lang, rate_pct, count(*) AS n_total,
+             count(CASE WHEN keep THEN 1 END) AS n_sampled
+      FROM t GROUP BY lang, rate_pct ORDER BY lang""",
+
+    "q_pack_sequences" -> s"""
+      WITH t AS (
+        SELECT doc_id, lang, doc_id // $PackGroup AS pack_group,
+               (n_chars + 3) // 4 AS est_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, pack_group, est_tokens,
+               CAST(sum(est_tokens) OVER (PARTITION BY lang, pack_group
+                                          ORDER BY doc_id) AS BIGINT) AS cum
+        FROM t)
+      SELECT doc_id, lang, pack_group, est_tokens,
+             (cum - est_tokens) // $PackBudget AS shard
+      FROM c ORDER BY doc_id""",
+
+    "q_text_repetition" -> """
+      WITH t AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) < 2 THEN []
+                    ELSE list_transform(range(1, len(tk)),
+                                        i -> tk[i] || ' ' || tk[i+1]) END AS bg
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents)),
+      n AS (
+        SELECT doc_id,
+               CAST(len(bg) AS INTEGER) AS n_bigrams,
+               CAST(len(list_distinct(bg)) AS INTEGER) AS n_distinct
+        FROM t)
+      SELECT doc_id, n_bigrams, n_distinct,
+             CASE WHEN n_bigrams = 0 THEN 0.0
+                  ELSE round(CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams, 4)
+             END AS dup_ratio,
+             CASE WHEN (n_bigrams - n_distinct) * 10 > n_bigrams
+                  THEN 'repetitive' ELSE 'ok' END AS verdict
+      FROM n ORDER BY doc_id""",
+  )
+}

@@ -466,6 +466,36 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("decontamination: planted eval overlap is flagged, clean docs pass") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc_id 97 ≡ 0 (mod EvalMod) → the "benchmark" doc.
+      (97L, "alpha beta gamma delta epsilon zeta"),
+      // Shares the 5-gram "alpha beta gamma delta epsilon" verbatim.
+      (1L, "alpha beta gamma delta epsilon different tail here"),
+      // No shared 5-gram (only shorter overlaps) — must NOT be flagged.
+      (2L, "alpha beta gamma other words entirely changed here")
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 has 8 words → 4 distinct 5-gram shingles, exactly 1 shared.
+    assert(out.toSeq == Seq((1L, 4L, 1L)), out.mkString(","))
+  }
+
+  test("shard packing: greedy fill, bounded overflow, group-local shards") {
+    import spark.implicits._
+    // 25 docs × 100 est tokens (n_chars=397 → (397+3)/4). Budget 2048:
+    // docs whose START offset is < 2048 land in shard 0 — that's docs
+    // 1..21 (starts 0..2000; doc 21 overflows the budget by part of
+    // itself, the designed ≤-one-doc overflow) — and docs 22..25 open
+    // shard 1 (starts 2100..2400).
+    val docs = (1L to 25L).map(i => (i, "en", 397L)).toDF("doc_id", "lang", "n_chars")
+    val got = Curation.packShards(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val expected = (1L to 25L).map(i => i -> (if (i <= 21) 0L else 1L)).toMap
+    assert(got == expected, got.toSeq.sorted.mkString(","))
+  }
+
   test("config lookup: engine AND oracle track the session-conf builtin together") {
     // The builtin layer is a session conf DuckDB cannot see, so the
     // oracle resolves the live value at access time. Setting the conf

@@ -67,6 +67,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), "as-of plan lost its window")
   }
 
+  test("q_decontaminate broadcasts the eval fingerprint (corpus never shuffles to join)") {
+    // At 100 TB the training corpus must stream past an in-memory eval
+    // shingle set; a sort-merge join here would shuffle the corpus's
+    // whole shingle explosion.
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_corpus_mix resolves rates via broadcast (no corpus shuffle)") {
+    val p = plan("q_corpus_mix")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("no query plans a cartesian product") {
     for ((k, fn) <- graft.SparkEntry.queries) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
