@@ -466,6 +466,44 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("decontamination matches a brute-force model on randomized corpora") {
+    // Exactness contract: a train doc is flagged IFF it shares ≥ 1
+    // width-5 word shingle with ANY eval doc, with exact distinct/hit
+    // counts — vs an in-memory set-intersection model. Small vocabulary
+    // forces heavy incidental overlap, the regime where an off-by-one in
+    // shingle windows or a dropped duplicate would show.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val vocab = Vector("a", "b", "c")
+    val docs = (1L to 300L).map { id =>
+      // 3-symbol vocabulary, 243 possible 5-grams, so incidental overlap
+      // is plentiful. Eval docs (id ≡ 0 mod 97) are forced past the
+      // shingle width — an eval set with no shingles tests nothing —
+      // while train docs may fall below it to exercise the
+      // empty-shingle branch.
+      val n = if (id % Curation.EvalMod == 0) 8 + rnd.nextInt(7)
+              else 3 + rnd.nextInt(12)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def sh(text: String): Set[String] = {
+      val t = text.split(" ")
+      if (t.length < Curation.ShingleWidth) Set.empty
+      else t.sliding(Curation.ShingleWidth).map(_.mkString(" ")).toSet
+    }
+    val evalSh = docs.filter(_._1 % Curation.EvalMod == 0).flatMap(d => sh(d._2)).toSet
+    assert(evalSh.nonEmpty, "degenerate case: eval set produced no shingles")
+    val expected = docs.filter(_._1 % Curation.EvalMod != 0)
+      .map { case (id, text) =>
+        val s = sh(text); (id, s.size.toLong, s.count(evalSh).toLong)
+      }
+      .filter(_._3 > 0).toSet
+    assert(expected.nonEmpty, "degenerate case: no contamination planted")
+    val got = Curation.decontaminate(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} spurious=${got -- expected}")
+  }
+
   test("decontamination: planted eval overlap is flagged, clean docs pass") {
     import spark.implicits._
     val docs = Seq(
