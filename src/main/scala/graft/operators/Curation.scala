@@ -57,15 +57,22 @@ object Curation {
   /** Per-source target sampling rates (percent), the mixing weights. */
   val MixRates = Seq(("en", 80L), ("de", 60L), ("fr", 40L), ("es", 20L), ("zh", 10L))
 
+  /** Width-`ShingleWidth` word n-grams of one text value, as an array
+    * column — the per-row form shared by the batch explode below and
+    * the streaming gate (where explode+join granularity doesn't fit a
+    * per-record filter). The `when` guard keeps `sequence` from ever
+    * evaluating with a negative bound on short texts. */
+  def shingleArray(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = split(lower(text), " ")
+    when(size(toks) < ShingleWidth, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - ShingleWidth),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(ShingleWidth)))))
+  }
+
   /** Word-shingle explode: (doc_id, shingle) with one row per DISTINCT
     * width-`ShingleWidth` word n-gram per doc. */
   private def shingles(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", split(lower(col("text")), " "))
-      .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(toks) < $ShingleWidth THEN array()
-                 ELSE transform(sequence(0, size(toks) - $ShingleWidth),
-                                i -> concat_ws(' ', slice(toks, i + 1, $ShingleWidth)))
-            END""")).as("shingle"))
+    docs.select(col("doc_id"), explode(shingleArray(col("text"))).as("shingle"))
       .distinct()
 
   /** Training docs that share ≥ 1 shingle with the eval set, with their
@@ -84,6 +91,19 @@ object Curation {
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
       .filter(col("n_hit") > 0)
   }
+
+  /** STREAMING contamination gate: keep only rows whose `text` shares
+    * NO shingle with the eval set — the ingest-time form of
+    * `decontaminate` (a batch audit reports; an ingest gate drops).
+    * Per-row `arrays_overlap` against the eval shingles as ONE array
+    * literal: a single plan node, so no codegen blowup, usable directly
+    * on an unbounded stream (no stream-side aggregation or join state).
+    * Eval sets are MBs even in production; for the large end of that,
+    * ship the same array via a broadcast variable — the gate expression
+    * is unchanged. */
+  def contaminationGate(stream: DataFrame, evalShingles: Seq[String]): DataFrame =
+    stream.filter(!arrays_overlap(shingleArray(col("text")),
+      lit(evalShingles.toArray)))
 
   /** Deterministic weighted sampling per source: an md5-fold bucket in
     * [0,100) (salted 'mix:' so it is independent of `q_text_split`'s
