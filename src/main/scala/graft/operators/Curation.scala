@@ -57,6 +57,9 @@ object Curation {
   /** Per-source target sampling rates (percent), the mixing weights. */
   val MixRates = Seq(("en", 80L), ("de", 60L), ("fr", 40L), ("es", 20L), ("zh", 10L))
 
+  /** Exact per-stratum sample size for `q_sample_stratified`. */
+  val SampleK = 50
+
   /** Width-`ShingleWidth` word n-grams of one text value, as an array
     * column — the per-row form shared by the batch explode below and
     * the streaming gate (where explode+join granularity doesn't fit a
@@ -148,6 +151,22 @@ object Curation {
     "q_pack_sequences" -> ((s, dir) =>
       packShards(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // Stratified sampling: EXACTLY SampleK docs per lang (rate-based
+    // mixing can't promise exact counts), chosen as the top-K salted-md5
+    // keys per stratum — uniform, deterministic, reproducible in SQL.
+    // Ranking goes through the map-side-combining TopK aggregator, so
+    // only K rows per stratum per partition reach the shuffle — the
+    // row_number() window spelling (the oracle) would shuffle the whole
+    // corpus for a K-row answer.
+    "q_sample_stratified" -> ((s, dir) => {
+      val keyed = Tables.documents(s, dir).select(col("lang"),
+        expr("cast(conv(substr(md5(concat('sample:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)")
+          .as("sample_key"),
+        col("doc_id"))
+      graft.functions.TopK.perKey(keyed, "lang", "sample_key", "doc_id", SampleK)
+        .orderBy("lang", "rk")
+    }),
+
     // Duplicated-bigram fraction per doc — degenerate/boilerplate text
     // repeats itself; dup fraction > 1/10 flags it (integer
     // cross-multiply, (n−d)·10 > n: the corpus HAS docs exactly at the
@@ -205,6 +224,20 @@ object Curation {
       SELECT lang, rate_pct, count(*) AS n_total,
              count(CASE WHEN keep THEN 1 END) AS n_sampled
       FROM t GROUP BY lang, rate_pct ORDER BY lang""",
+
+    "q_sample_stratified" -> s"""
+      WITH h AS (
+        SELECT lang, doc_id,
+               ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 AS sample_key
+        FROM documents),
+      r AS (
+        SELECT lang, doc_id, sample_key,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY sample_key DESC, doc_id) AS rk
+        FROM h)
+      SELECT lang, doc_id, sample_key, CAST(rk AS INTEGER) AS rk
+      FROM r WHERE rk <= $SampleK ORDER BY lang, rk""",
 
     "q_pack_sequences" -> s"""
       WITH t AS (

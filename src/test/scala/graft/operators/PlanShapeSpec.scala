@@ -52,8 +52,9 @@ class PlanShapeSpec extends SparkSpec {
   test("kNN queries rank via the map-side-combining TopK aggregate") {
     // The scored candidates must partial-aggregate before the shuffle —
     // a row_number window here would move every scored row to its
-    // probe's partition.
-    for (k <- Seq("q_knn_topk", "q_knn_lsh", "q_knn_ivf")) {
+    // probe's partition. Stratified sampling reuses the same aggregator:
+    // the corpus must never shuffle whole for a K-rows-per-stratum answer.
+    for (k <- Seq("q_knn_topk", "q_knn_lsh", "q_knn_ivf", "q_sample_stratified")) {
       val p = plan(k).toLowerCase
       assert(p.contains("partial_topkbyscore"), s"$k lacks map-side top-k partials")
     }
