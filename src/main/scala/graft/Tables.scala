@@ -62,4 +62,21 @@ object Tables {
     * oracle-checked query goes through an explicit floor() on both sides.
     */
   def floorLong(c: Column): Column = floor(c).cast("bigint")
+
+  /** md5-fold: first 15 hex chars of md5 as a nonnegative BIGINT
+    * (60 bits) — THE cross-engine deterministic hash (xxhash64 etc.
+    * don't exist in DuckDB). Single source for the Spark-side SQL so
+    * the many call sites (splits, mixing, sampling, fingerprints)
+    * cannot drift character-by-character from their DuckDB twins
+    * (`('0x' || substr(md5(x), 1, 15))::BIGINT`). `sqlExpr` is a SQL
+    * fragment producing a STRING (cast/concat salts yourself — the
+    * salt spelling must match the oracle's). */
+  def md5FoldSql(sqlExpr: String): String =
+    s"cast(conv(substr(md5($sqlExpr), 1, 15), 16, 10) as bigint)"
+
+  /** md5-fold reduced mod `mod` — hash-bucket assignment (splits,
+    * sampling rates). DuckDB twin: `(fold) % mod` (the fold is
+    * nonnegative, so pmod and % agree). */
+  def md5FoldBucketSql(sqlExpr: String, mod: Int): String =
+    s"pmod(${md5FoldSql(sqlExpr)}, ${mod}L)"
 }

@@ -64,10 +64,14 @@ object Config {
     * access time — `Verify` dumps `oracleSql` from the same session
     * that ran the queries, so the dumped SQL tracks whatever the
     * session set (the same derive-both-sides-from-one-input rule the
-    * corpus-size knobs follow via their `params` CTEs). A session with
-    * no active SparkSession gets the documented default. */
+    * corpus-size knobs follow via their `params` CTEs). getActiveSession
+    * is thread-local, so fall back to the JVM-wide default session — an
+    * access from a thread that didn't create the session must not
+    * silently read the documented default while the engine query reads
+    * the real conf. No session at all → the documented default. */
   def oracle: Map[String, String] = {
     val builtin = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
       .map(_.conf.get(DefaultThresholdKey, "80")).getOrElse("80").toLong
     Map(
       "q_config_lookup" -> s"""

@@ -80,10 +80,14 @@ object Curation {
 
   /** Training docs that share ≥ 1 shingle with the eval set, with their
     * total and overlapping shingle counts. The eval side reduces to its
-    * DISTINCT shingle set and BROADCASTS — the training corpus never
-    * shuffles for the check (asserted in PlanShapeSpec); at 100 TB the
-    * corpus streams past an in-memory eval fingerprint, which is the
-    * only shape that scales (eval sets are MBs, corpora are TBs). */
+    * DISTINCT shingle set and BROADCASTS — the corpus never shuffles
+    * FOR THE EVAL COMPARISON (the join is a BroadcastHashJoin, asserted
+    * in PlanShapeSpec), which is the load-bearing asymmetry: eval sets
+    * are MBs, corpora are TBs. The per-doc distinct/count aggregations
+    * DO shuffle the corpus's shingle keys — that is inherent to exact
+    * per-doc counts and partial-aggregates map-side; a pipeline that
+    * only needs the boolean gate avoids it entirely via
+    * `contaminationGate` below. */
   def decontaminate(docs: DataFrame): DataFrame = {
     val sh = shingles(docs)
     val eval_ = sh.filter(col("doc_id") % EvalMod === 0)
@@ -113,8 +117,8 @@ object Curation {
     * buckets) keeps a doc iff bucket < the source's rate. Stable under
     * retries, additions, and repartitioning. */
   def mixSample(docs: DataFrame, rates: DataFrame): DataFrame = {
-    val bucket = expr(
-      "pmod(cast(conv(substr(md5(concat('mix:', cast(doc_id as string))), 1, 15), 16, 10) as bigint), 100L)")
+    val bucket = expr(Tables.md5FoldBucketSql(
+      "concat('mix:', cast(doc_id as string))", 100))
     docs.join(broadcast(rates), Seq("lang"), "left")
       .withColumn("keep", bucket < coalesce(col("rate_pct"), lit(0L)))
       .groupBy(col("lang"), col("rate_pct"))
@@ -131,7 +135,7 @@ object Curation {
       .partitionBy("lang", "pack_group").orderBy("doc_id")
     docs.select(col("doc_id"), col("lang"),
         expr(s"doc_id div $PackGroup").as("pack_group"),
-        ((col("n_chars") + 3) / lit(4)).cast("bigint").as("est_tokens"))
+        expr("(n_chars + 3) div 4").as("est_tokens"))
       .withColumn("cum", sum(col("est_tokens")).over(w))
       .withColumn("shard", expr(s"(cum - est_tokens) div $PackBudget"))
       .select(col("doc_id"), col("lang"), col("pack_group"),
@@ -160,7 +164,7 @@ object Curation {
     // corpus for a K-row answer.
     "q_sample_stratified" -> ((s, dir) => {
       val keyed = Tables.documents(s, dir).select(col("lang"),
-        expr("cast(conv(substr(md5(concat('sample:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)")
+        expr(Tables.md5FoldSql("concat('sample:', cast(doc_id as string))"))
           .as("sample_key"),
         col("doc_id"))
       graft.functions.TopK.perKey(keyed, "lang", "sample_key", "doc_id", SampleK)

@@ -87,7 +87,7 @@ object Dedup {
       .withColumn("toks", split(lower(col("text")), " "))
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
       .select(col("doc_id"),
-        expr(s"pmod(cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint), ${MinhashPrime}L)").as("h"))
+        expr(s"pmod(${graft.Tables.md5FoldSql("s")}, ${MinhashPrime}L)").as("h"))
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"),
@@ -230,11 +230,12 @@ object Dedup {
     * pins executor storage and dies with any executor — production runs
     * should pass a dir). */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 64,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          onRunDir: String => Unit = _ => ()): DataFrame = {
     val sc = edges.sparkSession.sparkContext
     val runDir = checkpointDir.orElse(sc.getCheckpointDir)
       .map(d => s"$d/graft-cc-${java.util.UUID.randomUUID}")
-    runDir.foreach(ccRunDirs.add)
+    runDir.foreach { d => ccRunDirs.add(d); onRunDir(d) }
     def delete(path: String): Unit = {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
@@ -293,22 +294,32 @@ object Dedup {
     * orphan dir per call on checkpoint storage. */
   private val ccRunDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
-  /** Delete every reliable-mode CC run directory created in this JVM
-    * and return how many were removed. Call once ALL label frames
-    * previously returned by reliable-mode `connectedComponents` have
-    * been fully consumed (collected or written out) — after release
-    * they can no longer be read. Long-lived sessions (Bench runs 90
-    * queries in one) should call this between pipelines; anything the
-    * registry misses (e.g. a crashed run) is identifiable on storage by
-    * the `graft-cc-` prefix and safe to delete externally. */
+  /** Delete ONE reliable-mode run directory (obtained via the
+    * `onRunDir` callback) once that call's labels are consumed — the
+    * scoped release for sessions running several CC pipelines whose
+    * result lifetimes overlap. Idempotent; also deregisters the dir. */
+  def releaseCcRun(spark: SparkSession, dir: String): Unit = {
+    ccRunDirs.remove(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** Delete EVERY reliable-mode CC run directory created in this JVM
+    * and return how many were removed. This is all-or-nothing: call it
+    * only once ALL label frames from ALL reliable-mode
+    * `connectedComponents` calls have been fully consumed (collected or
+    * written out) — releasing "between pipelines" while another
+    * pipeline still holds an unconsumed lazy frame would delete the
+    * parquet under it (use `releaseCcRun` + `onRunDir` for that).
+    * Anything the registry misses (e.g. a crashed run) is identifiable
+    * on storage by the `graft-cc-` prefix and safe to delete
+    * externally. */
   def releaseCcRuns(spark: SparkSession): Int = {
-    val conf = spark.sparkContext.hadoopConfiguration
     var n = 0
     var d = ccRunDirs.poll()
     while (d != null) {
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) { fs.delete(p, true); n += 1 }
+      releaseCcRun(spark, d); n += 1
       d = ccRunDirs.poll()
     }
     n
@@ -560,7 +571,7 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
       .select(col("doc_id"),
-        expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)").as("h"))
+        expr(graft.Tables.md5FoldSql("tok")).as("h"))
       .groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), key.as("sh"))

@@ -66,7 +66,9 @@ object TextAnalysis {
         .select(col("doc_id"),
           size(split(col("text"), " ")).as("ws_tokens"),
           size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("bpe_ish"),
-          ((col("n_chars") + 3) / lit(4)).cast("bigint").as("est_tokens"))
+          // pure-integer div: same form as the oracle's (n_chars + 3) // 4,
+          // so no side ever rounds through a double
+          expr("(n_chars + 3) div 4").as("est_tokens"))
         .orderBy("doc_id")),
 
     // Text normalization — the cleaning pass every corpus gets before
@@ -103,7 +105,7 @@ object TextAnalysis {
     // breaks on retry). md5-fold keeps it cross-engine checkable.
     "q_text_split" -> ((s, dir) => {
       val bucket = expr(
-        "pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint), 100L)")
+        graft.Tables.md5FoldBucketSql("cast(doc_id as string)", 100))
       Tables.documents(s, dir)
         .select(col("doc_id"), bucket.as("bucket"),
           when(bucket < 90, "train").when(bucket < 95, "val")
@@ -160,7 +162,7 @@ object TextAnalysis {
       .groupBy(sha2(col("text"), 256).as("digest"))
       .agg(min(col("doc_id")).as("doc_id"))
     val bucket = expr(
-      "pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint), 100L)")
+      graft.Tables.md5FoldBucketSql("cast(doc_id as string)", 100))
     val split_ = survivors.select(col("doc_id"),
       when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
     val totals = gated.agg(

@@ -1,19 +1,10 @@
 package graft.tools
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.tools.Prof.time
 object ProfDedup {
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"[prof] $name%-30s ${(System.nanoTime()-t0)/1e9}%6.2f s  rows=$n")
-    }
+    val spark = Prof.session()
     // warm
     graft.Tables.documents(spark, dir).count()
     graft.Tables.embeddings(spark, dir).count()
