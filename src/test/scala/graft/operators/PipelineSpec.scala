@@ -397,6 +397,32 @@ class PipelineSpec extends SparkSpec {
     assert(leftover == 0, s"$leftover orphaned graft-cc-* run dirs survived release")
   }
 
+  test("scoped CC release deletes one run without touching another's live frame") {
+    import spark.implicits._
+    // Two overlapping reliable-mode pipelines: releasing A's run dir via
+    // its onRunDir handle must leave B's still-unconsumed lazy frame
+    // readable — the failure mode the all-or-nothing release would hit.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-scoped").toString
+    val edgesA = Seq((1L, 2L)).toDF("a", "b")
+    val edgesB = Seq((7L, 8L), (8L, 9L)).toDF("a", "b")
+    var dirA: Option[String] = None
+    val a = Dedup.connectedComponents(edgesA, checkpointDir = Some(dir),
+      onRunDir = d => dirA = Some(d))
+    val b = Dedup.connectedComponents(edgesB, checkpointDir = Some(dir))
+    assert(a.count() == 2) // A consumed; B deliberately NOT yet
+    Dedup.releaseCcRun(spark, dirA.get)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dirA.get)),
+      "A's run dir survived its scoped release")
+    // B's frame still reads — its run dir was not collateral damage.
+    val ccB = b.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccB == Map(7L -> 7L, 8L -> 7L, 9L -> 7L))
+    // Global drain removes what remains (A's dir already deregistered).
+    assert(Dedup.releaseCcRuns(spark) >= 1)
+    val leftover = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("graft-cc-")).count()
+    assert(leftover == 0, s"$leftover run dirs survived the global release")
+  }
+
   test("mm-meta corpus assumption holds: text is pure ASCII (bytes == chars)") {
     // q_mm_meta derives width/height/format from payload BYTE length
     // while q_mm_resize and the DuckDB oracle use n_chars — they agree
