@@ -155,6 +155,22 @@ object Curation {
     "q_pack_sequences" -> ((s, dir) =>
       packShards(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // Leakage-safe split: the GROUP-level twin of q_text_split's
+    // doc-level assignment. Hashing the SOURCE puts every doc from one
+    // origin in the same split — near-duplicates and templated text
+    // cluster within a source, so a doc-level split leaks them across
+    // the train/test boundary and inflates eval. Same md5-fold bucket
+    // arithmetic, keyed by source; still a linear scan, still
+    // retry-stable.
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val bucket = expr(Tables.md5FoldBucketSql("source", 100))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), bucket.as("bucket"),
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
     // Stratified sampling: EXACTLY SampleK docs per lang (rate-based
     // mixing can't promise exact counts), chosen as the top-K salted-md5
     // keys per stratum — uniform, deterministic, reproducible in SQL.
@@ -228,6 +244,17 @@ object Curation {
       SELECT lang, rate_pct, count(*) AS n_total,
              count(CASE WHEN keep THEN 1 END) AS n_sampled
       FROM t GROUP BY lang, rate_pct ORDER BY lang""",
+
+    "q_split_leakage_safe" -> """
+      SELECT doc_id, source, bucket,
+             CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(source), 1, 15))::BIGINT % 100 AS bucket
+        FROM documents)
+      ORDER BY doc_id""",
 
     "q_sample_stratified" -> s"""
       WITH h AS (

@@ -560,6 +560,25 @@ class PipelineSpec extends SparkSpec {
     assert(got == expected, got.toSeq.sorted.mkString(","))
   }
 
+  test("leakage-safe split keeps every source in one split; doc-level split does not") {
+    // The property that justifies the key's existence: group splitting
+    // by source is leak-proof by construction, while the doc-level
+    // split (correct for its own purpose) scatters a source's docs
+    // across train/val/test.
+    val bySource = Curation.queries("q_split_leakage_safe")(spark, sfDir)
+      .select("source", "split").distinct()
+      .collect().groupBy(_.getString(0)).map { case (s, rs) => s -> rs.length }
+    assert(bySource.values.forall(_ == 1),
+      s"a source crossed the split boundary: ${bySource.filter(_._2 > 1)}")
+    assert(bySource.size >= 10, "degenerate corpus: too few sources to test")
+    val docLevelLeaks = TextAnalysis.queries("q_text_split")(spark, sfDir)
+      .join(graft.Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
+      .select("source", "split").distinct()
+      .collect().groupBy(_.getString(0)).count(_._2.length > 1)
+    assert(docLevelLeaks > 0,
+      "expected the doc-level split to scatter at least one source (else this test proves nothing)")
+  }
+
   test("config lookup: engine AND oracle track the session-conf builtin together") {
     // The builtin layer is a session conf DuckDB cannot see, so the
     // oracle resolves the live value at access time. Setting the conf
