@@ -36,32 +36,52 @@ object Bench {
         .groupBy("k").count().count()
     } catch { case _: Throwable => () }
     var errors = List.empty[String]
+    // Per query: (seconds, bytes across shuffle exchanges). The shuffle
+    // figure comes from the EXECUTED adaptive plan (Metrics' walk) —
+    // the quantitative scale signal: which queries move how much data.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
+      val stats =
+        try {
+          // Same work as df.count() (count() itself builds this exact
+          // aggregate internally and runs it under a NEW QueryExecution
+          // we'd never see) — spelled out so we hold the QE that
+          // actually executed and can read its shuffle metrics.
+          val cdf = fn(spark, sfDir)
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)))
+          cdf.collect()
+          val secs = (System.nanoTime() - t0) / 1e9
+          Some((secs, Metrics.shuffleBytesOf(cdf.queryExecution)))
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          errors ::= name; false
+          errors ::= name; None
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> stats
     }
     // 4-decimal seconds: 0.1 ms precision is below local[32] run noise
     // and keeps the stdout line well under the driver's 4 KB capture
     // tail (round 3 lost the per-query prefix to truncation).
     def fmt(v: Double) =
       if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + fmt(v.map(_._1).getOrElse(-1.0)) }
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, Some((s, _))) => s }.sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full JSON machine-readably: stdout capture is the
-    // driver's (truncatable) channel; this file is the durable one.
+    // driver's (truncatable) channel; this file is the durable one. It
+    // additionally carries per-query shuffle bytes — kept OUT of the
+    // stdout line so the driver-parsed format and its 4 KB budget are
+    // untouched.
+    val sh = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(_._2).getOrElse(-1L) }.mkString("{", ",", "}")
+    val full = line.dropRight(1) + s""","shuffle_bytes":$sh}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -60,11 +60,22 @@ object Metrics {
     case other => other +: other.children.flatMap(nodes)
   }
 
+  /** Broadcast exchanges are deliberately EXCLUDED: a broadcast is the
+    * alternative to shuffling (its dataSize is the small side, once),
+    * and counting it would make the broadcast-join designs this
+    * library prefers look like shuffle volume. */
   private def metricSum(qe: QueryExecution, nodeFilter: String, metric: String): Long =
     nodes(qe.executedPlan).collect {
-      case p if p.nodeName.contains(nodeFilter) =>
+      case p if p.nodeName.contains(nodeFilter)
+          && !p.nodeName.contains("Broadcast") =>
         p.metrics.get(metric).map(_.value).getOrElse(0L)
     }.sum
+
+  /** Bytes that crossed a shuffle boundary in this (already executed)
+    * query — for callers that hold the DataFrame and want synchronous
+    * attribution (Bench records this per query) rather than the async
+    * listener stream. */
+  def shuffleBytesOf(qe: QueryExecution): Long = metricSum(qe, "Exchange", "dataSize")
 
   private class Recorder extends QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
