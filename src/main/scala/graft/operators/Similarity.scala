@@ -117,18 +117,29 @@ object Similarity {
     * (equivalence with the window idiom proven in TopKSpec). */
   def lshTopK(vectors: DataFrame, probeFilter: Column, k: Int,
               planes: Int): DataFrame = {
-    // One bucket-keyed exchange feeds both the probe and candidate
-    // sides of the join (see embeddingPairs for the measured win).
-    val q = bucketed(vectors, planes).repartition(col("bucket"))
-    val probes = q.filter(probeFilter)
+    // The probe side of a kNN query is SMALL (a handful of lookups
+    // against a huge corpus), so it broadcasts — same asymmetry as
+    // `brute` — and the corpus's (vector, bucket) rows never shuffle:
+    // buckets are a map-side projection, the bucket join probes an
+    // in-memory hash of the broadcast probes, scoring is map-side, and
+    // the only wide ops are the id-only duplicate-collision dedupe
+    // (a (probe, cand, dot) row is 24 bytes — the vectors stay out of
+    // it, which is why scoring happens BEFORE the dedupe) and the TopK
+    // partials. The probe-side scan re-reads the corpus but
+    // `probeFilter` pushes into the parquet scan, so it touches probe
+    // rows only. Corpus-scale BOTH-sides-big workloads belong to
+    // `Dedup.embeddingPairs`, which keeps the shared bucket-keyed
+    // exchange (broadcast is impossible there).
+    val b = bucketed(vectors, planes)
+    val probes = b.filter(probeFilter)
       .select(col("bucket"), col("vec_id").as("probe_id"), col("v").as("v_p"))
-    val cands = q.select(col("bucket"), col("vec_id").as("cand_id"), col("v").as("v_c"))
-    val scored = probes.join(cands, Seq("bucket"))
+    val scored = b
+      .select(col("bucket"), col("vec_id").as("cand_id"), col("v").as("v_c"))
+      .join(broadcast(probes), Seq("bucket"))
       .filter(col("probe_id") =!= col("cand_id"))
-      .select(col("probe_id"), col("cand_id"), col("v_p"), col("v_c"))
-      .dropDuplicates("probe_id", "cand_id")
       .withColumn("dot", dotAB)
       .select("probe_id", "cand_id", "dot")
+      .dropDuplicates("probe_id", "cand_id")
     graft.functions.TopK.perKey(scored, "probe_id", "dot", "cand_id", k)
       .orderBy("probe_id", "rk")
   }
