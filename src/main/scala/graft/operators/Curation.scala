@@ -72,10 +72,13 @@ object Curation {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(ShingleWidth)))))
   }
 
-  /** Word-shingle explode: (doc_id, shingle) with one row per DISTINCT
-    * width-`ShingleWidth` word n-gram per doc. */
+  /** Word-shingle explode with md5-folded keys: (doc_id, sh_key) with
+    * one row per DISTINCT width-`ShingleWidth` word n-gram per doc.
+    * The fold happens BEFORE the distinct, so the wide ops downstream
+    * shuffle 8-byte keys, never shingle strings. */
   private def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingleArray(col("text"))).as("shingle"))
+      .select(col("doc_id"), expr(Tables.md5FoldSql("shingle")).as("sh_key"))
       .distinct()
 
   /** Training docs that share ≥ 1 shingle with the eval set, with their
@@ -89,11 +92,18 @@ object Curation {
     * only needs the boolean gate avoids it entirely via
     * `contaminationGate` below. */
   def decontaminate(docs: DataFrame): DataFrame = {
+    // Shingles md5-fold to BIGINT keys BEFORE the wide ops: the per-doc
+    // distinct/count then shuffles 8-byte keys instead of ~50-char
+    // strings (measured 14 MB → ~1.5 MB at sf0.1), and the broadcast
+    // eval set shrinks the same way. Counting folded keys is counting
+    // shingles: a 60-bit intra-doc collision is ~n²/2⁶¹ ≈ never, and
+    // when one does occur DuckDB computes the SAME md5, so the oracle
+    // agrees bit-for-bit either way.
     val sh = shingles(docs)
     val eval_ = sh.filter(col("doc_id") % EvalMod === 0)
-      .select(col("shingle")).distinct().withColumn("hit", lit(1))
+      .select(col("sh_key")).distinct().withColumn("hit", lit(1))
     sh.filter(col("doc_id") % EvalMod =!= 0)
-      .join(broadcast(eval_), Seq("shingle"), "left")
+      .join(broadcast(eval_), Seq("sh_key"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
       .filter(col("n_hit") > 0)
@@ -226,12 +236,16 @@ object Curation {
 
   val oracle: Map[String, String] = Map(
     "q_decontaminate" -> s"""
-      WITH sh AS ($shinglesSql),
-      ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % $EvalMod = 0),
-      tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % $EvalMod <> 0)
-      SELECT tr.doc_id, count(*) AS n_shingles, count(ev.shingle) AS n_hit
-      FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
-      GROUP BY tr.doc_id HAVING count(ev.shingle) > 0
+      WITH sh0 AS ($shinglesSql),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_key
+        FROM sh0),
+      ev AS (SELECT DISTINCT sh_key FROM sh WHERE doc_id % $EvalMod = 0),
+      tr AS (SELECT doc_id, sh_key FROM sh WHERE doc_id % $EvalMod <> 0)
+      SELECT tr.doc_id, count(*) AS n_shingles, count(ev.sh_key) AS n_hit
+      FROM tr LEFT JOIN ev ON tr.sh_key = ev.sh_key
+      GROUP BY tr.doc_id HAVING count(ev.sh_key) > 0
       ORDER BY doc_id""",
 
     "q_corpus_mix" -> s"""
