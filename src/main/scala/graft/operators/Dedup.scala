@@ -43,11 +43,19 @@ object Dedup {
   private def wordSet(text: Column): Column =
     array_distinct(split(lower(text), " "))
 
-  /** Exact Jaccard between two word-set columns, as a double. */
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
-  }
+  /** Append exact Jaccard of two word-set columns as `outName`, with the
+    * intersection size materialized ONCE in a prior projection. Catalyst
+    * does not reliably CSE interpreted expressions like array_intersect,
+    * and since SPARK-36718 CollapseProject refuses to inline a
+    * multiply-referenced non-cheap alias — so naming |A∩B| guarantees a
+    * single evaluation per pair (|A∪B| = |A| + |B| − |A∩B|). */
+  private def withJaccard(df: DataFrame, a: String, b: String,
+                          outName: String): DataFrame =
+    df.withColumn("_inter_n", size(array_intersect(col(a), col(b))))
+      .withColumn(outName,
+        col("_inter_n").cast("double") /
+          (size(col(a)) + size(col(b)) - col("_inter_n")).cast("double"))
+      .drop("_inter_n")
 
   /** Word 3-gram shingles; short docs fall back to the whole text. */
   private val shinglesExpr =
@@ -196,10 +204,12 @@ object Dedup {
         least(col("n_a"), col("n_b")) >=
           expr(ceilThrTimes("greatest(n_a, n_b)")))
       .select("doc_a", "doc_b").distinct()
-    cand
-      .join(d.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), Seq("doc_a"))
-      .join(d.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), Seq("doc_b"))
-      .withColumn("jac_raw", jaccard(col("ws_a"), col("ws_b")))
+    val scored = withJaccard(
+      cand
+        .join(d.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), Seq("doc_a"))
+        .join(d.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), Seq("doc_b")),
+      "ws_a", "ws_b", "jac_raw")
+    scored
       .filter(col("jac_raw") >= thr)
       .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
   }
@@ -390,11 +400,13 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .distinct() // a pair may collide in several bands
     val words = docs.select(col("doc_id"), wordSet(col("text")).as("ws"))
-    candidates
-      .join(words.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), Seq("doc_a"))
-      .join(words.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), Seq("doc_b"))
+    withJaccard(
+      candidates
+        .join(words.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), Seq("doc_a"))
+        .join(words.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), Seq("doc_b")),
+      "ws_a", "ws_b", "jac_raw")
       .select(col("doc_a"), col("doc_b"),
-        round(jaccard(col("ws_a"), col("ws_b")), 4).as("jac"))
+        round(col("jac_raw"), 4).as("jac"))
       .filter(col("jac") >= threshold)
   }
 

@@ -57,18 +57,32 @@ object Sinks {
 
   /** Small-file compaction — after many streaming/partitioned appends a
     * table degrades into thousands of tiny files; rewrite to
-    * `targetFiles` and swap in atomically (write-new + move). At lake
-    * scale this is table-format work (Iceberg/Delta rewrite); the
-    * operator shape — full read, repartition, rewrite — is the same. */
+    * `targetFiles` and swap in. The swap is two renames (current → .old,
+    * tmp → current), NOT atomic: a concurrent reader can see a missing
+    * table for the instant between them. But unlike delete-then-rename,
+    * no data is ever unreferenced-and-gone — a crash mid-swap leaves the
+    * previous table intact under `.compact-old`, and a failed second
+    * rename rolls the first back. Truly atomic swap is table-format
+    * territory (an Iceberg/Delta rewrite commit); plain directories
+    * cannot do better than this. The FileSystem is resolved FROM THE
+    * PATH, not the default FS, so the table may live on any filesystem
+    * (s3a://, file://, hdfs://) regardless of fs.defaultFS. */
   def compact(spark: org.apache.spark.sql.SparkSession,
               path: String, targetFiles: Int): Unit = {
-    val tmp = path + ".compact-tmp"
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(path)
+    val fs  = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + ".compact-tmp")
+    val old = new Path(path + ".compact-old")
     spark.read.parquet(path).repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true) // leftover from a previous crashed compact
+    if (!fs.rename(dst, old))
+      sys.error(s"compact: cannot move $dst aside to $old")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(old, dst) // roll back: restore the original table
+      sys.error(s"compact: cannot swap $tmp into $dst (original restored)")
+    }
+    fs.delete(old, true)
   }
 }

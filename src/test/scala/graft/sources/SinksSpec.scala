@@ -51,6 +51,21 @@ class SinksSpec extends SparkSpec {
     assert(back.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0) == 5050)
   }
 
+  test("compaction swap: no tmp/old leftovers, survives a stale .compact-old") {
+    import spark.implicits._
+    val parent = Files.createTempDirectory("graft-compact2")
+    val dir = parent.toString + "/t"
+    (1 to 60).toDF("n").repartition(10).write.parquet(dir)
+    // Simulate a previous compact that crashed after moving the table
+    // aside: a stale .compact-old must not block the next run.
+    Files.createDirectory(java.nio.file.Paths.get(dir + ".compact-old"))
+    Sinks.compact(spark, dir, 1)
+    val siblings = parent.toFile.listFiles().map(_.getName).toSet
+    assert(siblings == Set("t"), s"leftover dirs: $siblings")
+    assert(spark.read.parquet(dir)
+      .agg(sum("n")).collect()(0).getLong(0) == 30 * 61)
+  }
+
   test("range-clustered write: per-file key ranges are disjoint (skippable layout)") {
     val dir = Files.createTempDirectory("graft-range").toString + "/t"
     Sinks.writeRangeClustered(
