@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -11,12 +11,17 @@ import graft.Tables
   * resize / frame-sample run as partition-local functions over the binary
   * column.
   *
-  * The container has no media libraries, so the DECODE KERNEL IS A
-  * DETERMINISTIC FAKE (clearly marked below): it derives metadata from the
-  * payload bytes alone. Everything around it — the schema contract, the
-  * batched per-partition execution, the partitioning behavior — is real
-  * and tested (PipelineSpec: declarative/imperative agreement). Swapping `FakeDecoder` for a JNI/ffmpeg
-  * binding changes one function, not the plan.
+  * HEADER DECODE IS REAL: PNG IHDR, JPEG SOF0, and GIF logical-screen-
+  * descriptor parsing is pure byte arithmetic — no media library needed.
+  * The staged payload table (`stagedPayloads`) synthesizes VALID headers
+  * (correct signatures, chunk/segment layout, big-endian PNG/JPEG dims,
+  * little-endian GIF dims) in front of the document bytes, and both the
+  * declarative plan (substring+hex+conv, all codegen) and the imperative
+  * kernel (`decode`, a proper JPEG segment scanner) recover dimensions
+  * from those actual header bytes. Only PIXEL work (full decode, resize
+  * kernels, frame extraction) remains stubbed — the container has no
+  * media libs — behind the same signatures a JNI/ffmpeg binding would
+  * keep.
   *
   * Scale shape: `mapPartitions` keeps the decoder batched per partition
   * (amortizing any native-lib init), payloads never shuffle before the
@@ -39,15 +44,52 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("n_frames", IntegerType, nullable = false)))
 
-  /** DETERMINISTIC FAKE DECODER — stands in for the real image/audio
-    * decode (no media libs in this container). Metadata is a pure
-    * function of payload length and first byte, so tests and the oracle
-    * can predict it. A real implementation would parse the container
-    * format here and MUST keep the same signature. */
+  /** REAL header parser — PNG / JPEG / GIF dimensions from the payload
+    * bytes themselves, no media library:
+    *   - PNG: 8-byte signature, then the IHDR chunk's big-endian 4-byte
+    *     width/height at offsets 16/20 (the IHDR chunk is required to be
+    *     first by the PNG spec, so fixed offsets are spec-correct);
+    *   - JPEG: SOI then a proper SEGMENT SCAN — walk FF-marker segments
+    *     by their declared lengths until a SOF0–SOF3 frame header, whose
+    *     payload is precision(1), height(2 BE), width(2 BE). Real files
+    *     put APPn/DQT segments first; the scan handles any order;
+    *   - GIF: "GIF87a"/"GIF89a", then the logical screen descriptor's
+    *     LITTLE-endian 2-byte width/height at offsets 6/8.
+    * Unknown formats fall back to `fakeDecode` (the audio/video stand-in
+    * — those containers stay stubbed). */
+  def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val n = payload.length.toLong
+    def u8(i: Int): Int = payload(i) & 0xFF
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (n >= 24 && u8(0) == 0x89 && u8(1) == 0x50 && u8(2) == 0x4E &&
+        u8(3) == 0x47 && u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A &&
+        u8(7) == 0x0A)
+      MediaMeta(docId, n, "png", be32(16), be32(20), 1)
+    else if (n >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var i = 2
+      var w = 0; var h = 0; var found = false
+      while (!found && i + 9 <= payload.length && u8(i) == 0xFF) {
+        val marker = u8(i + 1)
+        if (marker >= 0xC0 && marker <= 0xC3) { // SOF0..SOF3
+          h = be16(i + 5); w = be16(i + 7); found = true
+        } else i += 2 + be16(i + 2) // skip marker + declared segment length
+      }
+      MediaMeta(docId, n, "jpeg", w, h, 1)
+    } else if (n >= 13 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' &&
+               u8(3) == '8')
+      MediaMeta(docId, n, "gif", le16(6), le16(8), 1)
+    else fakeDecode(docId, payload)
+  }
+
+  /** DETERMINISTIC FAKE — the fallback for container formats whose decode
+    * genuinely needs a media library (audio/video). Metadata is a pure
+    * function of payload length so tests can predict it. */
   def fakeDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
     val n = payload.length.toLong
-    val fmt = if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp"
-    MediaMeta(docId, n, fmt,
+    MediaMeta(docId, n, "unknown",
       width = (320 + n % 1600).toInt,
       height = (240 + (n * 7) % 840).toInt,
       n_frames = (1 + n % 240).toInt)
@@ -63,28 +105,78 @@ object Multimodal {
       .mapPartitions { it =>
         // Real decoders initialize their native context ONCE per
         // partition here, then stream the batch through it.
-        it.map { case (id, bytes) => fakeDecode(id, bytes) }
+        it.map { case (id, bytes) => decode(id, bytes) }
       }(enc)
       .toDF()
   }
 
+  /** Staged binary-payload table: each document's bytes behind a VALID
+    * synthesized media header whose dimensions encode (320 + n % 1600,
+    * 240 + 7n % 840) — so the DuckDB oracle can predict what the byte
+    * parser must recover. Header synthesis is declarative (hex-string
+    * concat → unhex), so staging + parse is one codegen'd plan with no
+    * row-at-a-time step. Header sizes: PNG 33 B (sig + IHDR + CRC),
+    * JPEG 15 B (SOI + SOF0 segment), GIF 13 B (sig + screen descriptor).
+    */
+  def stagedPayloads(s: SparkSession, dir: String): DataFrame = {
+    val n = length(col("text")).cast("bigint")
+    def beHex(v: Column, digits: Int) = lpad(hex(v), digits, "0")
+    def leHex16(v: Column) =
+      concat(beHex(v % 256, 2), beHex((v / 256).cast("bigint"), 2))
+    val w = lit(320) + n % 1600
+    val h = lit(240) + (n * 7) % 840
+    val pngHdr = concat(
+      lit("89504E470D0A1A0A"), // signature
+      lit("0000000D"), lit("49484452"), // IHDR length=13 + type
+      beHex(w, 8), beHex(h, 8), // big-endian 4-byte dims
+      lit("0802000000"), // bit depth 8, truecolor, no interlace
+      lit("00000000")) // CRC (not validated by header readers)
+    val jpegHdr = concat(
+      lit("FFD8"), lit("FFC0"), lit("000B"), lit("08"), // SOI, SOF0, len=11, precision
+      beHex(h, 4), beHex(w, 4), // big-endian 2-byte dims, height first
+      lit("01"), lit("011100")) // 1 component: id 1, 1x1 sampling, qtable 0
+    val gifHdr = concat(
+      lit("474946383961"), // "GIF89a"
+      leHex16(w), leHex16(h), // little-endian 2-byte dims
+      lit("000000")) // no GCT, bg 0, square pixels
+    val hdr = when(n % 3 === 0, pngHdr)
+      .when(n % 3 === 1, jpegHdr)
+      .otherwise(gifHdr)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(unhex(hdr), col("text").cast("binary")).as("payload"))
+  }
+
   val queries: Map[String, Q] = Map(
-    // Metadata extraction over a binary payload column. The text bytes
-    // stand in for media bytes; the decode arithmetic matches FakeDecoder
-    // so the declarative path and the mapPartitions path agree
-    // (asserted in PipelineSpec).
-    "q_mm_meta" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    // Metadata extraction by REAL header parsing over the staged binary
+    // payloads: signature dispatch + big-endian (PNG IHDR, JPEG SOF0) /
+    // little-endian (GIF LSD) dimension reads, all as codegen'd
+    // substring+hex+conv byte arithmetic — no media library. The
+    // declarative JPEG branch reads SOF0 at its staged fixed offset
+    // (right after SOI); the imperative kernel (`decode`, agreement
+    // asserted in PipelineSpec) is the general segment scanner that
+    // handles APPn/DQT-first files too.
+    "q_mm_meta" -> ((s, dir) => {
+      val p = col("payload")
+      // Big-endian unsigned int of `len` bytes at 1-based offset `pos`.
+      def be(pos: Int, len: Int): Column =
+        conv(hex(substring(p, pos, len)), 16, 10).cast("int")
+      val isPng = hex(substring(p, 1, 8)) === "89504E470D0A1A0A"
+      val isJpeg = hex(substring(p, 1, 4)) === "FFD8FFC0"
+      val isGif = hex(substring(p, 1, 6)) === "474946383961"
+      Multimodal.stagedPayloads(s, dir)
         .select(col("doc_id"),
-          length(col("payload")).cast("bigint").as("n_bytes"),
-          sha2(col("payload"), 256).as("digest"),
-          when(length(col("payload")) % 3 === 0, "png")
-            .when(length(col("payload")) % 3 === 1, "jpeg")
-            .otherwise("webp").as("format"),
-          (lit(320) + length(col("payload")) % 1600).cast("int").as("width"),
-          (lit(240) + (length(col("payload")).cast("bigint") * 7) % 840).cast("int").as("height"))
-        .orderBy("doc_id")),
+          length(p).cast("bigint").as("n_bytes"),
+          when(isPng, "png").when(isJpeg, "jpeg").when(isGif, "gif")
+            .otherwise("unknown").as("format"),
+          when(isPng, be(17, 4)).when(isJpeg, be(10, 2))
+            .when(isGif, be(7, 1) + be(8, 1) * 256)
+            .otherwise(lit(0)).cast("int").as("width"),
+          when(isPng, be(21, 4)).when(isJpeg, be(8, 2))
+            .when(isGif, be(9, 1) + be(10, 1) * 256)
+            .otherwise(lit(0)).cast("int").as("height"))
+        .orderBy("doc_id")
+    }),
 
     // Resize plumbing: aspect-preserving fit into 640×480 — the target
     // geometry every thumbnailing stage computes before the (stubbed)
@@ -117,13 +209,19 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // The oracle PREDICTS what the byte parser must recover: the staged
+    // headers encode dims (320 + n % 1600, 240 + 7n % 840) and add a
+    // format-specific header size (PNG 33 B, JPEG 15 B, GIF 13 B) to the
+    // body length. A hash match proves the synthesize→parse round-trip
+    // is exact on every row.
     "q_mm_meta" -> """
       SELECT doc_id,
-             CAST(n_chars AS BIGINT) AS n_bytes,
-             sha256(text) AS digest,
+             CAST(n_chars + CASE WHEN n_chars % 3 = 0 THEN 33
+                                 WHEN n_chars % 3 = 1 THEN 15
+                                 ELSE 13 END AS BIGINT) AS n_bytes,
              CASE WHEN n_chars % 3 = 0 THEN 'png'
                   WHEN n_chars % 3 = 1 THEN 'jpeg'
-                  ELSE 'webp' END AS format,
+                  ELSE 'gif' END AS format,
              CAST(320 + n_chars % 1600 AS INTEGER) AS width,
              CAST(240 + (n_chars * 7) % 840 AS INTEGER) AS height
       FROM documents ORDER BY doc_id""",

@@ -331,9 +331,11 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("multimodal: mapPartitions decode path agrees with the declarative plan") {
-    val payloads = graft.Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    val decoded = Multimodal.decodePartitions(payloads)
+    // Both paths parse the SAME staged header bytes: the imperative
+    // kernel as a general scanner, the declarative plan as fixed-offset
+    // byte arithmetic. Agreement proves the parse, not shared formulas.
+    val decoded = Multimodal.decodePartitions(
+      Multimodal.stagedPayloads(spark, sfDir))
     assert(decoded.schema == Multimodal.mediaMetaSchema)
     val viaPlan = graft.SparkEntry.queries("q_mm_meta")(spark, sfDir)
       .select("doc_id", "n_bytes", "format", "width", "height")
@@ -341,6 +343,27 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     val b = viaPlan.collect().map(_.toSeq).toSet
     assert(a == b)
+  }
+
+  test("multimodal: JPEG segment scanner handles APPn-first files and GIF87a") {
+    // A realistic JPEG puts APP0 (JFIF) before SOF0 — the staged fixed
+    // layout never exercises the scan loop, so drive it directly.
+    def be16(v: Int) = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    val app0 = Array(0xFF, 0xE0).map(_.toByte) ++ be16(16) ++
+      "JFIF ".getBytes("US-ASCII") ++ Array.fill[Byte](9)(0)
+    val sof0 = Array(0xFF, 0xC0).map(_.toByte) ++ be16(11) ++
+      Array(8.toByte) ++ be16(1080) ++ be16(1920) ++
+      Array[Byte](1, 1, 0x11, 0)
+    val jpeg = Array(0xFF, 0xD8).map(_.toByte) ++ app0 ++ sof0
+    val m = Multimodal.decode(1L, jpeg)
+    assert((m.format, m.width, m.height) == ("jpeg", 1920, 1080))
+    // GIF87a (older signature) parses too; dims are little-endian.
+    val gif = "GIF87a".getBytes("US-ASCII") ++
+      Array[Byte](0x40, 0x01, 0xF0.toByte, 0x00, 0, 0, 0) // 320×240 LE
+    val g = Multimodal.decode(2L, gif)
+    assert((g.format, g.width, g.height) == ("gif", 320, 240))
+    // Unknown container → the stub fallback, honestly labeled.
+    assert(Multimodal.decode(3L, Array[Byte](1, 2, 3, 4)).format == "unknown")
   }
 
   test("connected components: chains merge, islands stay, long chains converge") {
