@@ -36,11 +36,33 @@ object Curation {
     * design below the right one). */
   val EvalMod = 97
 
-  /** Contamination shingle width (word n-grams). Width trades recall
-    * for precision: 5 is aggressive (catches paraphrase-adjacent
-    * reuse); production pipelines run 8-13 for verbatim-leak detection.
-    * The oracle derives from the same constant. */
+  /** Fallback contamination shingle width (word n-grams) for callers
+    * with no corpus count at hand — the streaming gate's default (an
+    * unbounded stream has no count to derive from; its width comes from
+    * whoever built the eval shingle set). Batch decontamination derives
+    * the width from scale via [[deriveShingleWidth]]. */
   val ShingleWidth = 5
+
+  /** Contamination shingle width DERIVED from corpus scale. Width
+    * trades recall for precision: 5-grams are aggressive
+    * (paraphrase-adjacent reuse — right for small corpora, where
+    * incidental collisions are rare anyway), while production pipelines
+    * on web-scale corpora run 8–13-grams for verbatim-leak detection
+    * (GPT-3 used 13-grams) because short n-grams collide incidentally
+    * everywhere at that size. width = min(13, 4 + decimal_digits(N)):
+    * digits(N) = floor(log10 N) + 1 spelled as string length, pure
+    * string/integer arithmetic both engines compute identically —
+    * 50 docs → 6, 500 → 7, 5000 → 8, 10⁹ → 13 (capped). */
+  def deriveShingleWidth(n: Long): Int =
+    math.min(13, 4 + n.toString.length)
+
+  /** SQL twin of [[deriveShingleWidth]] as a params CTE: same
+    * digit-count arithmetic over the same count(*), so both engines
+    * derive the SAME width from the SAME corpus. */
+  def shingleParamsSql(countFrom: String): String = s"""
+      params AS (
+        SELECT least(13, 4 + length(CAST(count(*) AS VARCHAR))) AS W
+        FROM $countFrom)"""
 
   /** Token budget per packed shard. */
   val PackBudget = 2048L
@@ -60,24 +82,25 @@ object Curation {
   /** Exact per-stratum sample size for `q_sample_stratified`. */
   val SampleK = 50
 
-  /** Width-`ShingleWidth` word n-grams of one text value, as an array
-    * column — the per-row form shared by the batch explode below and
-    * the streaming gate (where explode+join granularity doesn't fit a
+  /** Width-`width` word n-grams of one text value, as an array column —
+    * the per-row form shared by the batch explode below and the
+    * streaming gate (where explode+join granularity doesn't fit a
     * per-record filter). The `when` guard keeps `sequence` from ever
     * evaluating with a negative bound on short texts. */
-  def shingleArray(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def shingleArray(text: org.apache.spark.sql.Column,
+                   width: Int = ShingleWidth): org.apache.spark.sql.Column = {
     val toks = split(lower(text), " ")
-    when(size(toks) < ShingleWidth, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - ShingleWidth),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(ShingleWidth)))))
+    when(size(toks) < width, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - width),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(width)))))
   }
 
   /** Word-shingle explode with md5-folded keys: (doc_id, sh_key) with
-    * one row per DISTINCT width-`ShingleWidth` word n-gram per doc.
-    * The fold happens BEFORE the distinct, so the wide ops downstream
-    * shuffle 8-byte keys, never shingle strings. */
-  private def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingleArray(col("text"))).as("shingle"))
+    * one row per DISTINCT width-`width` word n-gram per doc. The fold
+    * happens BEFORE the distinct, so the wide ops downstream shuffle
+    * 8-byte keys, never shingle strings. */
+  private def shingles(docs: DataFrame, width: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shingleArray(col("text"), width)).as("shingle"))
       .select(col("doc_id"), expr(Tables.md5FoldSql("shingle")).as("sh_key"))
       .distinct()
 
@@ -92,6 +115,12 @@ object Curation {
     * only needs the boolean gate avoids it entirely via
     * `contaminationGate` below. */
   def decontaminate(docs: DataFrame): DataFrame = {
+    // Shingle width derives from corpus scale (deriveShingleWidth): the
+    // count is one up-front driver job — for a parquet scan it resolves
+    // from footer metadata — the same knob-derivation cost the SimHash
+    // and LSH paths pay, and the oracle's params CTE recomputes it from
+    // the same count(*) so both engines agree on the width.
+    val width = deriveShingleWidth(docs.count())
     // Shingles md5-fold to BIGINT keys BEFORE the wide ops: the per-doc
     // distinct/count then shuffles 8-byte keys instead of ~50-char
     // strings (measured 14 MB → ~1.5 MB at sf0.1), and the broadcast
@@ -99,7 +128,7 @@ object Curation {
     // shingles: a 60-bit intra-doc collision is ~n²/2⁶¹ ≈ never, and
     // when one does occur DuckDB computes the SAME md5, so the oracle
     // agrees bit-for-bit either way.
-    val sh = shingles(docs)
+    val sh = shingles(docs, width)
     val eval_ = sh.filter(col("doc_id") % EvalMod === 0)
       .select(col("sh_key")).distinct().withColumn("hit", lit(1))
     sh.filter(col("doc_id") % EvalMod =!= 0)
@@ -224,19 +253,23 @@ object Curation {
   )
 
   /** Shared SQL fragment: DISTINCT (doc_id, shingle) — DuckDB twin of
-    * `shingles` (1-based list slicing; range() is end-exclusive). */
+    * `shingles` (1-based list slicing; range() is end-exclusive). The
+    * width W is a COLUMN cross-joined in from the `params` CTE
+    * ([[shingleParamsSql]]) — DuckDB lambdas capture outer columns, so
+    * the derived knob reaches inside list_transform. */
   private val shinglesSql = s"""
         SELECT DISTINCT doc_id, shingle FROM (
           SELECT doc_id,
-                 unnest(CASE WHEN len(t) < $ShingleWidth THEN []
-                             ELSE list_transform(range(1, len(t) - ${ShingleWidth - 2}),
-                                    i -> array_to_string(t[i:i+${ShingleWidth - 1}], ' '))
+                 unnest(CASE WHEN len(t) < W THEN []
+                             ELSE list_transform(range(1, len(t) - W + 2),
+                                    i -> array_to_string(t[i:i+W-1], ' '))
                         END) AS shingle
-          FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents))"""
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), params)"""
 
   val oracle: Map[String, String] = Map(
     "q_decontaminate" -> s"""
-      WITH sh0 AS ($shinglesSql),
+      WITH ${shingleParamsSql("documents")},
+      sh0 AS ($shinglesSql),
       sh AS (
         SELECT DISTINCT doc_id,
                ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_key

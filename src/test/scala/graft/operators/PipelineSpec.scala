@@ -517,27 +517,32 @@ class PipelineSpec extends SparkSpec {
 
   test("decontamination matches a brute-force model on randomized corpora") {
     // Exactness contract: a train doc is flagged IFF it shares ≥ 1
-    // width-5 word shingle with ANY eval doc, with exact distinct/hit
-    // counts — vs an in-memory set-intersection model. Small vocabulary
-    // forces heavy incidental overlap, the regime where an off-by-one in
-    // shingle windows or a dropped duplicate would show.
+    // derived-width word shingle with ANY eval doc, with exact
+    // distinct/hit counts — vs an in-memory set-intersection model.
+    // Small vocabulary forces heavy incidental overlap, the regime
+    // where an off-by-one in shingle windows or a dropped duplicate
+    // would show.
     import spark.implicits._
     val rnd = new scala.util.Random(20260812L)
     val vocab = Vector("a", "b", "c")
     val docs = (1L to 300L).map { id =>
-      // 3-symbol vocabulary, 243 possible 5-grams, so incidental overlap
+      // 3-symbol vocabulary, 3^7 possible 7-grams, so incidental overlap
       // is plentiful. Eval docs (id ≡ 0 mod 97) are forced past the
-      // shingle width — an eval set with no shingles tests nothing —
-      // while train docs may fall below it to exercise the
-      // empty-shingle branch.
+      // shingle width (8..14 words ≥ 7) — an eval set with no shingles
+      // tests nothing — while train docs may fall below it to exercise
+      // the empty-shingle branch.
       val n = if (id % Curation.EvalMod == 0) 8 + rnd.nextInt(7)
               else 3 + rnd.nextInt(12)
       (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
     }
+    // The model derives the SAME width decontaminate will (300 docs →
+    // 7-grams), so the test also pins the derivation being applied.
+    val width = Curation.deriveShingleWidth(docs.size.toLong)
+    assert(width == 7, s"300 docs should derive 7-grams, got $width")
     def sh(text: String): Set[String] = {
       val t = text.split(" ")
-      if (t.length < Curation.ShingleWidth) Set.empty
-      else t.sliding(Curation.ShingleWidth).map(_.mkString(" ")).toSet
+      if (t.length < width) Set.empty
+      else t.sliding(width).map(_.mkString(" ")).toSet
     }
     val evalSh = docs.filter(_._1 % Curation.EvalMod == 0).flatMap(d => sh(d._2)).toSet
     assert(evalSh.nonEmpty, "degenerate case: eval set produced no shingles")
