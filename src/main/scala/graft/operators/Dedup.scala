@@ -335,6 +335,61 @@ object Dedup {
     n
   }
 
+  /** INCREMENTAL connected components — merge a batch of new edges into
+    * an existing labeling WITHOUT re-running CC over the full graph: the
+    * cluster twin of `q_dedup_incremental`'s anti-join ingest.
+    *
+    * Contraction argument: `labels` collapses every existing component
+    * to its min-id rep, so mapping each new-edge endpoint to its current
+    * rep (itself if unseen) yields a graph whose nodes are reps + fresh
+    * ids — one node per TOUCHED component, not per document. CC runs on
+    * that contracted batch graph only; since every rep is already the
+    * minimum of its component, the contracted min-label fixed point IS
+    * the full-graph fixed point (min over merged reps ∪ fresh ids =
+    * global min of the merged component — proven equivalent to full
+    * recompute in PipelineSpec and by the oracle twin).
+    *
+    * Scale shape: the corpus-sized `labels` table never enters the CC
+    * loop and never shuffles — touched reps are found by an inner join
+    * against the BROADCAST batch node set, and the final update is one
+    * linear pass with the (tiny) relabel map broadcast. Work is
+    * O(batch + touched components), not O(graph). */
+  def incrementalConnectedComponents(labels: DataFrame,
+                                     newEdges: DataFrame): DataFrame = {
+    val l = labels.toDF("id", "rep")
+    val e = newEdges.toDF("a", "b")
+    val nodes = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id"))).distinct()
+    // Touched components: labels ⋈ broadcast(batch nodes) — inner join,
+    // corpus side streams, output is per-touched-node only.
+    val touched = l.join(broadcast(nodes), Seq("id"))
+    // Contract each endpoint to its rep (fresh endpoints map to
+    // themselves). All frames here are batch-sized.
+    val contracted = e
+      .join(broadcast(touched.select(col("id").as("a"), col("rep").as("rep_a"))),
+        Seq("a"), "left")
+      .join(broadcast(touched.select(col("id").as("b"), col("rep").as("rep_b"))),
+        Seq("b"), "left")
+      .select(coalesce(col("rep_a"), col("a")).as("ca"),
+        coalesce(col("rep_b"), col("b")).as("cb"))
+    // CC over the contracted batch graph only — the "propagate only
+    // affected components" core. (node, new rep) for reps + fresh ids.
+    val cc2 = connectedComponents(contracted).toDF("node", "rep2")
+    // One linear corpus pass: relabel members of touched components via
+    // the broadcast rep→rep2 map; everyone else keeps their label.
+    val updated = l
+      .join(broadcast(cc2.select(col("node").as("rep"), col("rep2"))),
+        Seq("rep"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("rep2"), col("rep")).as("cluster_rep"))
+    // Fresh nodes (absent from `labels`) take their contracted label
+    // directly — every fresh node is an endpoint, so cc2 covers it.
+    val fresh = nodes.join(touched.select("id"), Seq("id"), "left_anti")
+      .join(cc2, col("id") === col("node"))
+      .select(col("id").as("doc_id"), col("rep2").as("cluster_rep"))
+    updated.unionByName(fresh)
+  }
+
   /** Embedding-cosine near-dup pairs over (vec_id, v BIGINT[64]),
     * blocked by the multi-table hyperplane LSH the kNN path uses
     * (Similarity.bucketed: 8 tables × `planes` deterministic integer
@@ -438,6 +493,22 @@ object Dedup {
       connectedComponents(
         ngramPairs(Tables.documents(s, dir)).select(col("doc_a"), col("doc_b")))
         .orderBy("doc_id")),
+
+    // INCREMENTAL clustering — the ingest-time form of q_dedup_cluster:
+    // edges touching an "arriving" doc slice (doc_id ≡ 0 mod 5, the
+    // same slice q_dedup_incremental ingests) merge into the labeling
+    // of the remaining graph via contracted CC over touched components
+    // only. The oracle is full-recompute CC over ALL edges, so the hash
+    // match PROVES incremental == full on the real pair graph. The pair
+    // join materializes once (localCheckpoint) and feeds both phases.
+    "q_dedup_cluster_incremental" -> ((s, dir) => {
+      val pairs = ngramPairs(Tables.documents(s, dir))
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      val isNew = (col("doc_a") % 5 === 0) || (col("doc_b") % 5 === 0)
+      val labels0 = connectedComponents(pairs.filter(!isNew))
+      incrementalConnectedComponents(labels0, pairs.filter(isNew))
+        .orderBy("doc_id")
+    }),
 
     // Incremental ingest dedup — the production mode: a NEW batch of
     // documents deduplicates against the EXISTING corpus (and itself)
@@ -648,6 +719,23 @@ object Dedup {
     "q_dedup_simhash" -> simhashOracleSql(8),
 
     "q_dedup_cluster" -> s"""
+      WITH RECURSIVE edges AS ($ngramPairsSql),
+      und AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges),
+      reach(n, m) AS (
+        SELECT a, a FROM und
+        UNION SELECT b, b FROM und
+        UNION
+        SELECT u.a, r.m FROM und u JOIN reach r ON u.b = r.n)
+      SELECT n AS doc_id, min(m) AS cluster_rep
+      FROM reach GROUP BY n ORDER BY doc_id""",
+
+    // Full-recompute CC over ALL pairs — deliberately identical to the
+    // q_dedup_cluster oracle: the Spark side reaches this labeling
+    // INCREMENTALLY (existing-graph CC + contracted batch merge), so a
+    // hash match proves the incremental path equals full recompute.
+    "q_dedup_cluster_incremental" -> s"""
       WITH RECURSIVE edges AS ($ngramPairsSql),
       und AS (
         SELECT doc_a AS a, doc_b AS b FROM edges

@@ -258,15 +258,40 @@ object Similarity {
       val n = Tables.embeddings(s, dir).count()
       ivfTopK(s, dir, math.ceil(math.sqrt(n.toDouble)).toInt, 8, 5)
     }),
+
+    // ANN QUALITY AUDIT as a first-class query: per-probe recall@5 of
+    // the LSH path against brute-force ground truth, computed in-engine.
+    // Both sides are deterministic (integer hyperplanes, quantized dots,
+    // fixed tie-breaks), so "approximate" search quality is itself
+    // DuckDB-oracle-checkable — the recall number the driver sees is a
+    // measured property of the index, not a hope. The truth∩approx join
+    // is id-only over probes×k rows (tiny both sides); the heavy lifting
+    // is the two TopK paths, each already scale-shaped (probes
+    // broadcast, corpus never shuffles).
+    "q_knn_recall" -> ((s, dir) => {
+      val n = Tables.embeddings(s, dir).count()
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
+      val truth = brute(s, dir, 64, 5).select("probe_id", "cand_id")
+      val approx = lshTopK(e, col("vec_id") < 64, 5, derivePlanes(n))
+        .select(col("probe_id"), col("cand_id"), lit(1).as("hit"))
+      truth.join(broadcast(approx), Seq("probe_id", "cand_id"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
+        .select(col("probe_id"), col("n_true"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_true").cast("double"), 4)
+            .as("recall"))
+        .orderBy("probe_id")
+    }),
   )
 
   /** DuckDB twin of the LSH pipeline — the plane-weight formula inlined
     * as SQL arithmetic over range() tables, buckets as grouped sign-bit
     * sums, identical candidate sets and ranking. The planes-per-table
     * knob is DERIVED inside the SQL (params CTE = derivePlanes twin), so
-    * the oracle tracks the engine at any corpus size without editing. */
-  private def lshOracleSql: String = s"""
-      WITH ${planesParamsSql("embeddings")},
+    * the oracle tracks the engine at any corpus size without editing.
+    * The CTE chain (through `scored`) is shared with the recall oracle. */
+  private def lshCtes: String = s"""
+      ${planesParamsSql("embeddings")},
       q AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
@@ -294,7 +319,10 @@ object Similarity {
         SELECT probe_id, cand_id,
                CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot
         FROM pairs JOIN q a ON pairs.probe_id = a.vec_id
-                   JOIN q b ON pairs.cand_id = b.vec_id)
+                   JOIN q b ON pairs.cand_id = b.vec_id)"""
+
+  private def lshOracleSql: String = s"""
+      WITH $lshCtes
       SELECT probe_id, cand_id, dot, rk FROM (
         SELECT probe_id, cand_id, dot,
                CAST(row_number() OVER (PARTITION BY probe_id
@@ -302,8 +330,37 @@ object Similarity {
         FROM scored)
       WHERE rk <= 5 ORDER BY probe_id, rk"""
 
+  /** Recall oracle: LSH top-5 (the shared CTE chain) left-joined from
+    * brute top-5 ground truth over the same quantized vectors, same
+    * (dot DESC, cand_id) tie-break both sides. */
+  private def recallOracleSql: String = s"""
+      WITH $lshCtes,
+      lsh AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT probe_id, cand_id,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY dot DESC, cand_id) AS rk
+          FROM scored)
+        WHERE rk <= 5),
+      truth AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY CAST(list_dot_product(p.v, c.v) AS BIGINT) DESC,
+                            c.vec_id) AS rk
+          FROM q p JOIN q c ON p.vec_id < 64 AND p.vec_id != c.vec_id)
+        WHERE rk <= 5)
+      SELECT t.probe_id, count(*) AS n_true, count(l.cand_id) AS n_hit,
+             round(CAST(count(l.cand_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+               AS recall
+      FROM truth t LEFT JOIN lsh l
+        ON t.probe_id = l.probe_id AND t.cand_id = l.cand_id
+      GROUP BY t.probe_id ORDER BY t.probe_id"""
+
   val oracle: Map[String, String] = Map(
     "q_knn_lsh" -> lshOracleSql,
+
+    "q_knn_recall" -> recallOracleSql,
 
     "q_knn_topk" -> """
       WITH q AS (

@@ -384,6 +384,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("incremental CC equals full recompute: merges, fresh islands, bridge nodes") {
+    import spark.implicits._
+    // Existing graph: {1-2}, {3-4}, {10-11}. Batch: 2-3 bridges the
+    // first two components; 20-21 is a fresh island; 4-40 attaches a
+    // fresh node to a touched component. 10-11 is untouched and must
+    // keep its label without entering any loop.
+    val existing = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val batch = Seq((2L, 3L), (20L, 21L), (4L, 40L)).toDF("a", "b")
+    val labels0 = Dedup.connectedComponents(existing)
+    val inc = Dedup.incrementalConnectedComponents(labels0, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(existing.unionByName(batch))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, s"inc=$inc full=$full")
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 40L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // Chained batches: labels stay mergeable round after round (the
+    // ingest loop this operator exists for).
+    val batch2 = Seq((21L, 40L)).toDF("a", "b") // island joins the big one
+    val inc2 = Dedup.incrementalConnectedComponents(inc.toSeq.toDF("doc_id", "cluster_rep"), batch2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full2 = Dedup.connectedComponents(
+      existing.unionByName(batch).unionByName(batch2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc2 == full2, s"inc2=$inc2 full2=$full2")
+  }
+
   test("connected components: directory-backed reliable mode agrees and cleans up") {
     import spark.implicits._
     // The dir is passed PER CALL — no SparkContext checkpoint-dir
