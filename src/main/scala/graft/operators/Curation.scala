@@ -138,18 +138,40 @@ object Curation {
       .filter(col("n_hit") > 0)
   }
 
+  /** Above this eval-set size the gate ships shingles as a BROADCAST
+    * VARIABLE instead of a plan literal. A literal array is ONE plan
+    * node (no codegen blowup at any size — verified at 100k in
+    * CurationStreamSpec), but it serializes into every task binary of
+    * every micro-batch; a broadcast ships once per executor and is
+    * what production-sized eval sets (millions of shingles) need. */
+  val GateInlineMax = 4096
+
   /** STREAMING contamination gate: keep only rows whose `text` shares
     * NO shingle with the eval set — the ingest-time form of
     * `decontaminate` (a batch audit reports; an ingest gate drops).
-    * Per-row `arrays_overlap` against the eval shingles as ONE array
-    * literal: a single plan node, so no codegen blowup, usable directly
-    * on an unbounded stream (no stream-side aggregation or join state).
-    * Eval sets are MBs even in production; for the large end of that,
-    * ship the same array via a broadcast variable — the gate expression
-    * is unchanged. */
-  def contaminationGate(stream: DataFrame, evalShingles: Seq[String]): DataFrame =
-    stream.filter(!arrays_overlap(shingleArray(col("text")),
-      lit(evalShingles.toArray)))
+    * Stateless either way: no stream-side aggregation or join state, so
+    * it runs on an unbounded stream and survives replay for free.
+    *
+    *  - ≤ [[GateInlineMax]] shingles: per-row `arrays_overlap` against
+    *    the eval set as ONE array literal — fully codegen'd, zero setup.
+    *  - above it: the shingle SET broadcasts and membership runs in a
+    *    Scala predicate over the same `shingleArray` column. A UDF is
+    *    the honest choice here: the declarative alternative is a
+    *    multi-MB literal serialized per task per micro-batch, and a
+    *    stream-side explode+anti-join would change row granularity and
+    *    need re-aggregation state. The UDF call itself codegens
+    *    (ScalaUDF is not a CodegenFallback; asserted in the spec). */
+  def contaminationGate(stream: DataFrame, evalShingles: Seq[String],
+                        width: Int = ShingleWidth): DataFrame =
+    if (evalShingles.size <= GateInlineMax)
+      stream.filter(!arrays_overlap(shingleArray(col("text"), width),
+        lit(evalShingles.toArray)))
+    else {
+      val bc = stream.sparkSession.sparkContext.broadcast(evalShingles.toSet)
+      val hit = udf((shs: Seq[String]) =>
+        shs != null && shs.exists(bc.value.contains))
+      stream.filter(!hit(shingleArray(col("text"), width)))
+    }
 
   /** Deterministic weighted sampling per source: an md5-fold bucket in
     * [0,100) (salted 'mix:' so it is independent of `q_text_split`'s

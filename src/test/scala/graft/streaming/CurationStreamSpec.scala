@@ -47,4 +47,62 @@ class CurationStreamSpec extends SparkSpec {
         (3L, "tiny doc")), s"gate delivered: $delivered")
     } finally { UpdateLog.drop(qn); Outbox.drop(bx) }
   }
+
+  /** 100k synthetic eval shingles: realistic eval-set scale. */
+  private def bigEvalSet: IndexedSeq[String] = {
+    val rnd = new scala.util.Random(42L)
+    (1 to 100000).map(_ =>
+      Seq.fill(Curation.ShingleWidth)("w" + rnd.nextInt(100000)).mkString(" "))
+  }
+
+  test("inline gate at 100k shingles: one literal node, no codegen fallback") {
+    import spark.implicits._
+    // The literal-array form of the gate expression on a BATCH frame
+    // (same expression tree the stream runs): must stay fully codegen'd
+    // — a 100k-element array is ONE Literal node, not 100k nodes — and
+    // must actually execute. CodegenFallback in the executed plan would
+    // mean Janino gave up.
+    val evalShingles = bigEvalSet :+ "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, "intro alpha beta gamma delta epsilon tail"),
+      (2L, "totally clean words that never overlap anything")).toDF("chat_id", "text")
+    val gated = docs.filter(!org.apache.spark.sql.functions.arrays_overlap(
+      Curation.shingleArray(col("text")),
+      org.apache.spark.sql.functions.lit(evalShingles.toArray)))
+    val out = gated.collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(2L), s"gate kept: $out")
+    val fallbacks = gated.queryExecution.executedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+          if !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] => e
+      })
+    }.flatten
+    assert(fallbacks.isEmpty,
+      s"CodegenFallback expressions in the gate plan: ${fallbacks.map(_.getClass.getSimpleName)}")
+  }
+
+  test("broadcast gate above the inline threshold: same verdicts on a 100k-shingle stream") {
+    val qn = "cur-big-in"; val bx = "cur-big-out"
+    val ckpt = java.nio.file.Files.createTempDirectory("cur-big-ckpt").toString
+    try {
+      val evalShingles = bigEvalSet :+ "alpha beta gamma delta epsilon"
+      assert(evalShingles.size > Curation.GateInlineMax) // broadcast path
+      UpdateLog.post(qn, 1L, "intro alpha beta gamma delta epsilon tail")
+      UpdateLog.post(qn, 2L, "totally clean words that never overlap anything")
+      UpdateLog.post(qn, 3L, "tiny doc")
+      val q = Curation.contaminationGate(
+          spark.readStream.format(classOf[UpdateLogProvider].getName)
+            .option("queue", qn).load(),
+          evalShingles)
+        .select(col("chat_id"), col("text"))
+        .writeStream.format(classOf[OutboxProvider].getName)
+        .option("box", bx)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val delivered = Outbox.delivered(bx).map(_._2).sorted
+      assert(delivered == Seq(2L, 3L), s"gate delivered: $delivered")
+    } finally { UpdateLog.drop(qn); Outbox.drop(bx) }
+  }
 }
