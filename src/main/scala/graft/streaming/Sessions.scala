@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Keyed per-chat session state — the reference's Telegram session map
   * (`telegram-agent.py:131-143,419-433,489-495`) re-expressed as
@@ -106,5 +106,98 @@ object Sessions {
       }
       out.result().iterator
     }
+  }
+
+  /** One routed turn with the chat's transcript-state accounting:
+    * `kept` = transcript entries held in state AFTER this turn,
+    * `accTokens` = their estimated token total, `compacted` = this turn
+    * crossed the threshold and snapshot-truncated the transcript. */
+  case class CompactTurn(chatId: Long, sessionId: String, turn: Int,
+                         kept: Int, accTokens: Long, compacted: Boolean)
+
+  /** Bookkeeping alongside the transcript so the hot path never rescans
+    * the list: entry count + token total, updated incrementally. */
+  case class TranscriptMeta(entries: Int, accTokens: Long)
+
+  /** Token estimate, same chars/4 integer rule as the batch operators. */
+  private def estTokens(s: String): Long = (s.length + 3L) / 4L
+
+  /** CONTEXT COMPACTION inside keyed state — the behavioral mirror of
+    * the reference loop's summarize-and-reset (`agent-loop.sh:428-455,
+    * 787-800`): each chat's transcript accumulates in a ListState; when
+    * its estimated token total crosses `CompactAt`% of the budget
+    * (80% of 200k by default — Guards' constants), the transcript is
+    * SNAPSHOTTED into one bounded summary entry and truncated. State
+    * SHRINKS at the threshold; the turn counter SURVIVES because it
+    * lives in the session ValueState, not the transcript (asserted in
+    * StreamingSpec). The transcript list is only materialized at
+    * compaction time (to build the summary) — per-message work reads
+    * the O(1) meta state, so a chat's cost does not grow with its
+    * history between compactions. */
+  class CompactingSessionProcessor(budgetTokens: Long = Guards.ContextWindow)
+      extends StatefulProcessor[Long, Msg, CompactTurn] {
+    @transient private var session: ValueState[SessionState] = _
+    @transient private var transcript: ListState[String] = _
+    @transient private var meta: ValueState[TranscriptMeta] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      session = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+      transcript = getHandle.getListState[String](
+        "transcript", Encoders.STRING, TTLConfig.NONE)
+      meta = getHandle.getValueState[TranscriptMeta](
+        "meta", Encoders.product[TranscriptMeta], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(chatId: Long, msgs: Iterator[Msg],
+                                 timerValues: TimerValues): Iterator[CompactTurn] = {
+      val out = Vector.newBuilder[CompactTurn]
+      for (m <- msgs.toSeq.sortBy(m => (m.ts, m.text))) {
+        if (m.text == "/reset") {
+          session.clear(); transcript.clear(); meta.clear()
+        } else {
+          val s = if (session.exists()) session.get()
+                  else SessionState(newSessionId(chatId, m.ts), 0)
+          val bumped = s.copy(turns = s.turns + 1)
+          session.update(bumped)
+          transcript.appendValue(m.text)
+          val m0 = if (meta.exists()) meta.get() else TranscriptMeta(0, 0L)
+          var kept = m0.entries + 1
+          var acc = m0.accTokens + estTokens(m.text)
+          // Integer cross-multiply — no double rounding at the boundary.
+          val compact = acc * 100L >= budgetTokens * Guards.CompactAt
+          if (compact) {
+            // Snapshot + truncate: the reference summarizes the whole
+            // conversation into a ≤500-word digest and starts over from
+            // it; here the (stubbed) digest is a deterministic one-line
+            // snapshot — swapping in a real summarizer changes this
+            // string, not the state machinery. The list is read ONLY on
+            // this path.
+            val full = transcript.get()
+            var n = 0
+            while (full.hasNext) { n += 1; full.next() }
+            val summary = s"[compacted: $n entries, ${bumped.turns} turns, ~$acc tokens]"
+            transcript.clear()
+            transcript.appendValue(summary)
+            kept = 1
+            acc = estTokens(summary)
+          }
+          meta.update(TranscriptMeta(kept, acc))
+          out += CompactTurn(chatId, bumped.sessionId, bumped.turns, kept, acc, compact)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** msgs → turns with transcript-state compaction at `CompactAt`% of
+    * `budgetTokens` (see [[CompactingSessionProcessor]]). Requires the
+    * RocksDB state store provider, like every transformWithState path. */
+  def sessionizeCompacting(msgs: Dataset[Msg],
+                           budgetTokens: Long = Guards.ContextWindow): Dataset[CompactTurn] = {
+    import msgs.sparkSession.implicits._
+    msgs.groupByKey(_.chatId)
+      .transformWithState(new CompactingSessionProcessor(budgetTokens),
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -236,6 +236,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("state compaction: transcript snapshots+truncates at 80% of budget, turns survive") {
+    // The reference's context compaction (agent-loop.sh:428-455,787-800)
+    // as keyed state: budget 100 tokens, 40-char messages = 10 tokens
+    // each → the 8th message crosses 80 and must shrink the transcript
+    // to ONE summary entry while the turn counter keeps counting.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Msg]
+    val q = Sessions.sessionizeCompacting(in.toDS(), budgetTokens = 100L)
+      .writeStream.format("memory").queryName("compact_turns")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def msg(i: Int) = Msg(1, 100 + i, f"m$i%02d " + "x" * 36) // 40 chars
+      in.addData((1 to 12).map(msg): _*)
+      q.processAllAvailable()
+      val turns = spark.table("compact_turns").as[Sessions.CompactTurn]
+        .collect().toSeq.sortBy(_.turn)
+      // Turn counting survives compaction: 1..12 with one session id.
+      assert(turns.map(_.turn) == (1 to 12), turns.map(_.turn))
+      assert(turns.map(_.sessionId).distinct.size == 1)
+      // Before the threshold the transcript grows 1:1 with turns…
+      assert(turns.take(7).map(t => (t.kept, t.accTokens, t.compacted)) ==
+        (1 to 7).map(i => (i, 10L * i, false)))
+      // …the 8th message crosses 80/100 tokens: snapshot + truncate.
+      val at = turns(7)
+      assert(at.compacted && at.kept == 1, at)
+      assert(at.accTokens < 80L, s"summary must be smaller than the budget: $at")
+      // …and accumulation resumes FROM the summary, not from zero.
+      val after = turns.drop(8)
+      assert(after.map(_.kept) == Seq(2, 3, 4, 5), after.map(_.kept))
+      assert(after.map(_.accTokens) == (1 to 4).map(at.accTokens + 10L * _), after)
+      assert(after.forall(!_.compacted))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream join: watermarked interval join matches events to follow-ups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
