@@ -68,4 +68,57 @@ object Guards {
     usage.groupByKey(_.chatId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(accumulate)
   }
+
+  // --- Model failover with carried state -----------------------------
+  //
+  // The reference threads `_LAST_SUCCESSFUL_MODEL` across its task loop
+  // (`agent-loop.sh:674,716,751-759`): every task STARTS on the model
+  // that last completed anything (don't waste an attempt on a primary
+  // under a sustained rate limit), rate_limit/timeout failures TOGGLE
+  // primary↔fallback for the next attempt, success RECORDS the serving
+  // model, auth aborts without touching the carried preference. Here
+  // that is per-key streaming state: O(2 strings) per chat.
+
+  val PrimaryModel  = "primary"
+  val FallbackModel = "fallback"
+
+  /** One attempt outcome arriving on the stream.
+    * `outcome`: ok | rate_limit | timeout | auth | unknown. */
+  case class Attempt(chatId: Long, seq: Long, outcome: String)
+  /** `model` = the model that SERVED this attempt; `nextModel` = where
+    * the router sends the chat's next attempt. */
+  case class Route(chatId: Long, seq: Long, model: String, nextModel: String)
+  case class RouteState(current: String, lastOk: String)
+
+  def failover(chatId: Long, attempts: Iterator[Attempt],
+               state: GroupState[RouteState]): Iterator[Route] = {
+    val out = Vector.newBuilder[Route]
+    var s = state.getOption.getOrElse(RouteState(PrimaryModel, PrimaryModel))
+    for (a <- attempts.toSeq.sortBy(_.seq)) {
+      val served = s.current
+      s = a.outcome match {
+        case "ok" =>
+          // Success pins the carried preference (_LAST_SUCCESSFUL_MODEL=).
+          RouteState(served, lastOk = served)
+        case "rate_limit" | "timeout" =>
+          // Failover toggle, exactly the reference's two-way switch.
+          val next = if (served == PrimaryModel) FallbackModel else PrimaryModel
+          s.copy(current = next)
+        case "auth" =>
+          // Not retryable: the task aborts; the NEXT task starts from
+          // the carried last-successful model, not the toggled one.
+          s.copy(current = s.lastOk)
+        case _ => s // unknown: retry on the same model
+      }
+      out += Route(chatId, a.seq, served, s.current)
+    }
+    state.update(s)
+    out.result().iterator
+  }
+
+  def modelRouter(attempts: Dataset[Attempt]): Dataset[Route] = {
+    import attempts.sparkSession.implicits._
+    attempts.groupByKey(_.chatId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(failover)
+  }
 }

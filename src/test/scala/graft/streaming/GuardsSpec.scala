@@ -45,4 +45,33 @@ class GuardsSpec extends SparkSpec {
         Seq((100000L, false), (2000L, true), (2500L, false)))
     } finally q.stop()
   }
+
+  test("model failover: last-successful model carries across tasks in keyed state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Attempt]
+    val q = Guards.modelRouter(in.toDS())
+      .writeStream.format("memory").queryName("router")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Attempt(1, 1, "rate_limit"), // primary rate-limited → toggle
+        Attempt(1, 2, "ok"))         // fallback succeeds → carried
+      q.processAllAvailable()
+      in.addData( // a later task on the SAME chat, separate micro-batch:
+        Attempt(1, 3, "timeout"),    // starts on carried fallback; toggles
+        Attempt(1, 4, "auth"))       // abort — revert to carried, not toggled
+      q.processAllAvailable()
+      in.addData(Attempt(1, 5, "unknown"), Attempt(2, 6, "ok"))
+      q.processAllAvailable()
+      val out = spark.table("router").as[Route].collect().sortBy(_.seq)
+      assert(out.map(r => (r.seq, r.model, r.nextModel)).toSeq == Seq(
+        (1L, "primary", "fallback"),  // toggle after rate limit
+        (2L, "fallback", "fallback"), // success pins fallback
+        (3L, "fallback", "primary"),  // carried across batches, then toggled
+        (4L, "primary", "fallback"),  // auth → back to last successful
+        (5L, "fallback", "fallback"), // unknown retries the same model
+        (6L, "primary", "primary")))  // chat 2 isolated: fresh primary
+    } finally q.stop()
+  }
 }
