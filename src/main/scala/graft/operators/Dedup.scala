@@ -384,8 +384,10 @@ object Dedup {
         coalesce(col("rep2"), col("rep")).as("cluster_rep"))
     // Fresh nodes (absent from `labels`) take their contracted label
     // directly — every fresh node is an endpoint, so cc2 covers it.
-    val fresh = nodes.join(touched.select("id"), Seq("id"), "left_anti")
-      .join(cc2, col("id") === col("node"))
+    // Hints matter here too: CC outputs are materialized frames with
+    // unknown stats, and an unhinted join would plan sort-merge.
+    val fresh = nodes.join(broadcast(touched.select("id")), Seq("id"), "left_anti")
+      .join(broadcast(cc2), col("id") === col("node"))
       .select(col("id").as("doc_id"), col("rep2").as("cluster_rep"))
     updated.unionByName(fresh)
   }

@@ -83,6 +83,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("incremental CC relabels via broadcast (corpus labels never shuffle to join)") {
+    // The scale contract of q_dedup_cluster_incremental: the final
+    // relabel pass joins the corpus-sized label table against the tiny
+    // contracted rep→rep map, which MUST broadcast — a sort-merge join
+    // there would shuffle every label for a touched-components answer.
+    val p = plan("q_dedup_cluster_incremental")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"), "corpus labels shuffled to join")
+  }
+
   test("no query plans a cartesian product") {
     for ((k, fn) <- graft.SparkEntry.queries) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
