@@ -354,8 +354,19 @@ object Dedup {
     * against the BROADCAST batch node set, and the final update is one
     * linear pass with the (tiny) relabel map broadcast. Work is
     * O(batch + touched components), not O(graph). */
+  /** Below this contracted-edge count the incremental merge solves its
+    * CC fixed point with a LOCAL union-find (one collect of the
+    * contracted edges — O(batch) by construction, NEVER the corpus)
+    * instead of paying several distributed jobs per propagation round.
+    * This is the standard production split: distributed propagation for
+    * graph-scale inputs, local union-find for batch-scale ones — the
+    * collect here is the same bounded-size driver action as the CC
+    * loop's own convergence check, not a corpus materialization. */
+  val LocalCcMaxEdges = 100000
+
   def incrementalConnectedComponents(labels: DataFrame,
-                                     newEdges: DataFrame): DataFrame = {
+                                     newEdges: DataFrame,
+                                     localCcMaxEdges: Int = LocalCcMaxEdges): DataFrame = {
     val l = labels.toDF("id", "rep")
     val e = newEdges.toDF("a", "b")
     val nodes = e.select(col("a").as("id"))
@@ -374,7 +385,33 @@ object Dedup {
         coalesce(col("rep_b"), col("b")).as("cb"))
     // CC over the contracted batch graph only — the "propagate only
     // affected components" core. (node, new rep) for reps + fresh ids.
-    val cc2 = connectedComponents(contracted).toDF("node", "rep2")
+    // Batch-scale graphs (≤ localCcMaxEdges) solve locally: union-find
+    // with union-by-min keeps every tree's root at its component's
+    // minimum id, which IS the min-label fixed point the distributed
+    // loop computes (equivalence of both paths tested in PipelineSpec).
+    val spark = labels.sparkSession
+    val localEdges = contracted.limit(localCcMaxEdges + 1).collect()
+    val cc2 =
+      if (localEdges.length > localCcMaxEdges)
+        connectedComponents(contracted).toDF("node", "rep2")
+      else {
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        for (row <- localEdges; v <- Seq(row.getLong(0), row.getLong(1)))
+          if (!parent.contains(v)) parent(v) = v
+        for (row <- localEdges) {
+          val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        import spark.implicits._
+        parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "rep2")
+      }
     // One linear corpus pass: relabel members of touched components via
     // the broadcast rep→rep2 map; everyone else keeps their label.
     val updated = l

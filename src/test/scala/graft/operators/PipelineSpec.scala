@@ -400,6 +400,12 @@ class PipelineSpec extends SparkSpec {
     assert(inc == full, s"inc=$inc full=$full")
     assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 40L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // Forcing the distributed contracted-CC path (threshold 0) must
+    // produce the identical labeling as the local union-find path.
+    val incDist = Dedup.incrementalConnectedComponents(labels0, batch,
+        localCcMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incDist == inc, s"dist=$incDist local=$inc")
     // Chained batches: labels stay mergeable round after round (the
     // ingest loop this operator exists for).
     val batch2 = Seq((21L, 40L)).toDF("a", "b") // island joins the big one
