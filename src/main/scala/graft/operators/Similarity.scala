@@ -62,6 +62,20 @@ object Similarity {
     * 100 TB corpus, so the knob never silently re-fixes the key space. */
   val MaxPlanes = 40
 
+  /** MULTI-PROBE budget: at query time each (probe, table) searches the
+    * base bucket plus every bucket reachable by flipping any subset of
+    * the `ProbeBits` planes with the smallest |projection| — the planes
+    * a true neighbor is most likely to land on the other side of
+    * (Lv et al., VLDB'07 query-directed probing, here as the full
+    * subset lattice of the lowest margins). 2^3 = 8 buckets per table
+    * replace what would otherwise take 8× more tables: candidate volume
+    * grows 8× per probe, but ONLY on the probe side — the index keeps
+    * one base bucket per (vector, table), so corpus-side storage and
+    * shuffle are untouched. Fully deterministic (margin order is integer
+    * arithmetic over the same projections), so the DuckDB oracle
+    * reproduces the exact probe sequence. */
+  val ProbeBits = 3
+
   /** Smallest L with 2^L × TargetBucket ≥ N — pure integer arithmetic
     * (no float log2 edge cases), mirrored verbatim by a `params` CTE in
     * every oracle so both engines derive the SAME L from the SAME
@@ -108,6 +122,52 @@ object Similarity {
       explode(array(tableBuckets: _*)).as("bucket"))
   }
 
+  /** Probe-side bucket expansion (multi-probe): per table, the base
+    * bucket plus the buckets at every XOR-subset of the `probeBits`
+    * lowest-|projection| plane bits — T × 2^probeBits rows per vector.
+    * Runs ONLY on the (tiny, filtered) probe side; the index side stays
+    * [[bucketed]].
+    *
+    * Three projections, each load-bearing:
+    *   1. name every plane projection once (post-SPARK-36718
+    *      CollapseProject keeps multiply-referenced non-cheap aliases —
+    *      naming the subexpression IS the CSE; the sign bit and the
+    *      margin sort both read it);
+    *   2. per table, the base bits plus the `probeBits` lowest-margin
+    *      plane indices via one array_sort over (|s|, j) structs —
+    *      ties break on plane index, the same (abs(s), j) rule the
+    *      oracle's ORDER BY applies;
+    *   3. explode the XOR-perturbed buckets (distinct masks over
+    *      distinct bits ⇒ distinct buckets; the table offset lives at
+    *      bits ≥ L, so low-bit XOR never crosses tables). */
+  def probeBuckets(vectors: DataFrame, planes: Int,
+                   probeBits: Int = ProbeBits): DataFrame = {
+    import graft.functions.VectorOps.longDot
+    val pb = math.min(probeBits, planes)
+    val projCols = for (t <- 0 until NumTables; i <- 0 until planes) yield {
+      val p = t * planes + i
+      val plane = typedLit((0 until 64).map(d => planeWeight(p, d)))
+      longDot(col("v"), plane).as(s"s_${t}_$i")
+    }
+    val projected = vectors.select(col("vec_id") +: col("v") +: projCols: _*)
+    val tableCols = (0 until NumTables).flatMap { t =>
+      val bits = (0 until planes).map(i =>
+        when(col(s"s_${t}_$i") >= 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+      val order = array_sort(array((0 until planes).map(i =>
+        struct(abs(col(s"s_${t}_$i")).as("m"), lit(i).as("j"))): _*))
+      bits.as(s"bits_$t") +: (0 until pb).map(k =>
+        order.getItem(k).getField("j").as(s"j_${t}_$k"))
+    }
+    val staged = projected.select(col("vec_id") +: col("v") +: tableCols: _*)
+    val buckets = for (t <- 0 until NumTables; mask <- 0 until (1 << pb)) yield {
+      val flips = (0 until pb).filter(k => (mask & (1 << k)) != 0)
+        .map(k => s"shiftleft(CAST(1 AS BIGINT), j_${t}_$k)")
+      expr(s"${(1L << planes) * t}L + (${(s"bits_$t" +: flips).mkString(" ^ ")})")
+    }
+    staged.select(col("vec_id"), col("v"),
+      explode(array(buckets: _*)).as("bucket"))
+  }
+
   /** LSH top-k: probes meet candidates sharing any table bucket; exact
     * quantized dot ranks the survivors. Ranking uses the map-side-
     * combining TopK aggregator instead of a row_number window: the
@@ -116,7 +176,7 @@ object Similarity {
     * k × probes × partitions rows, not every scored candidate
     * (equivalence with the window idiom proven in TopKSpec). */
   def lshTopK(vectors: DataFrame, probeFilter: Column, k: Int,
-              planes: Int): DataFrame = {
+              planes: Int, probeBits: Int = ProbeBits): DataFrame = {
     // The probe side of a kNN query is SMALL (a handful of lookups
     // against a huge corpus), so it broadcasts — same asymmetry as
     // `brute` — and the corpus's (vector, bucket) rows never shuffle:
@@ -127,11 +187,14 @@ object Similarity {
     // it, which is why scoring happens BEFORE the dedupe) and the TopK
     // partials. The probe-side scan re-reads the corpus but
     // `probeFilter` pushes into the parquet scan, so it touches probe
-    // rows only. Corpus-scale BOTH-sides-big workloads belong to
-    // `Dedup.embeddingPairs`, which keeps the shared bucket-keyed
-    // exchange (broadcast is impossible there).
+    // rows only. Multi-probe expansion ([[probeBuckets]]) multiplies
+    // only this broadcast side (2^probeBits buckets per table);
+    // candidate volume per probe grows the same factor but stays
+    // bucket-population-bounded. Corpus-scale BOTH-sides-big workloads
+    // belong to `Dedup.embeddingPairs`, which keeps the shared
+    // bucket-keyed exchange (broadcast is impossible there).
     val b = bucketed(vectors, planes)
-    val probes = b.filter(probeFilter)
+    val probes = probeBuckets(vectors.filter(probeFilter), planes, probeBits)
       .select(col("bucket"), col("vec_id").as("probe_id"), col("v").as("v_p"))
     val scored = b
       .select(col("bucket"), col("vec_id").as("cand_id"), col("v").as("v_c"))
@@ -273,16 +336,37 @@ object Similarity {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
       val truth = brute(s, dir, 64, 5).select("probe_id", "cand_id")
       val approx = lshTopK(e, col("vec_id") < 64, 5, derivePlanes(n))
-        .select(col("probe_id"), col("cand_id"), lit(1).as("hit"))
-      truth.join(broadcast(approx), Seq("probe_id", "cand_id"), "left")
-        .groupBy("probe_id")
-        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
-        .select(col("probe_id"), col("n_true"), col("n_hit"),
-          round(col("n_hit").cast("double") / col("n_true").cast("double"), 4)
-            .as("recall"))
-        .orderBy("probe_id")
+      recallVs(truth, approx)
+    }),
+
+    // The IVF twin of q_knn_recall: same brute-force ground truth, same
+    // 64 probes, approx side = the deterministic first-K-centroid IVF.
+    // The first-K quantizer has known cell skew (see ivfTopK's doc) —
+    // this key makes that skew a driver-visible measured number instead
+    // of a code comment, exactly like the LSH path's audit.
+    "q_knn_ivf_recall" -> ((s, dir) => {
+      val n = Tables.embeddings(s, dir).count()
+      val truth = brute(s, dir, 64, 5).select("probe_id", "cand_id")
+      val approx = ivfTopK(s, dir, math.ceil(math.sqrt(n.toDouble)).toInt, 64, 5)
+      recallVs(truth, approx)
     }),
   )
+
+  /** Per-probe recall@k of `approx` against `truth` (both (probe_id,
+    * cand_id[, …]) top-k frames): the id-only membership join over
+    * probes×k rows — tiny both sides, the heavy lifting already
+    * happened in the two TopK paths. */
+  private def recallVs(truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.join(
+        broadcast(approx.select(col("probe_id"), col("cand_id"),
+          lit(1).as("hit"))),
+        Seq("probe_id", "cand_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
+      .select(col("probe_id"), col("n_true"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_true").cast("double"), 4)
+          .as("recall"))
+      .orderBy("probe_id")
 
   /** DuckDB twin of the LSH pipeline — the plane-weight formula inlined
     * as SQL arithmetic over range() tables, buckets as grouped sign-bit
@@ -307,14 +391,26 @@ object Similarity {
         SELECT vec_id, p, sum(x * w) AS s
         FROM dims JOIN weights USING (d) GROUP BY vec_id, p),
       buckets AS (
-        SELECT vec_id,
+        SELECT vec_id, p // L AS tbl,
                (1::BIGINT << L) * (p // L) +
                sum(CASE WHEN s >= 0 THEN 1::BIGINT << (p % L) ELSE 0 END) AS bucket
         FROM proj, params GROUP BY vec_id, p // L, L),
+      morder AS (
+        SELECT vec_id, p // L AS tbl, list(p % L ORDER BY abs(s), p % L) AS jo
+        FROM proj, params WHERE vec_id < 64 GROUP BY vec_id, p // L),
+      pbuckets AS (
+        SELECT b.vec_id,
+               xor(b.bucket,
+                   (CASE WHEN mask & 1 = 1 THEN 1::BIGINT << jo[1] ELSE 0 END)
+                 + (CASE WHEN mask & 2 = 2 THEN 1::BIGINT << jo[2] ELSE 0 END)
+                 + (CASE WHEN mask & 4 = 4 THEN 1::BIGINT << jo[3] ELSE 0 END)) AS bucket
+        FROM buckets b JOIN morder m ON b.vec_id = m.vec_id AND b.tbl = m.tbl,
+             params, range(8) t(mask)
+        WHERE mask < (1::BIGINT << least(3, L))),
       pairs AS (
         SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
-        FROM buckets p JOIN buckets c ON p.bucket = c.bucket
-        WHERE p.vec_id < 64 AND p.vec_id != c.vec_id),
+        FROM pbuckets p JOIN buckets c ON p.bucket = c.bucket
+        WHERE p.vec_id != c.vec_id),
       scored AS (
         SELECT probe_id, cand_id,
                CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot
@@ -357,10 +453,53 @@ object Similarity {
         ON t.probe_id = l.probe_id AND t.cand_id = l.cand_id
       GROUP BY t.probe_id ORDER BY t.probe_id"""
 
+  /** IVF recall oracle: the q_knn_ivf CTE chain widened to 64 probes,
+    * left-joined from the same brute top-5 ground truth as the LSH
+    * audit (identical (dot DESC, cand_id) tie-breaks throughout). */
+  private def ivfRecallOracleSql: String = s"""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      assigned AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT q.vec_id, q.v, c.vec_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS arn
+          FROM q JOIN q c
+            ON c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                           FROM embeddings))
+        WHERE arn = 1),
+      ivf AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY CAST(list_dot_product(p.v, c.v) AS BIGINT) DESC,
+                            c.vec_id) AS rk
+          FROM assigned p JOIN assigned c
+            ON p.cell = c.cell AND p.vec_id < 64 AND p.vec_id != c.vec_id)
+        WHERE rk <= 5),
+      truth AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY CAST(list_dot_product(p.v, c.v) AS BIGINT) DESC,
+                            c.vec_id) AS rk
+          FROM q p JOIN q c ON p.vec_id < 64 AND p.vec_id != c.vec_id)
+        WHERE rk <= 5)
+      SELECT t.probe_id, count(*) AS n_true, count(a.cand_id) AS n_hit,
+             round(CAST(count(a.cand_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+               AS recall
+      FROM truth t LEFT JOIN ivf a
+        ON t.probe_id = a.probe_id AND t.cand_id = a.cand_id
+      GROUP BY t.probe_id ORDER BY t.probe_id"""
+
   val oracle: Map[String, String] = Map(
     "q_knn_lsh" -> lshOracleSql,
 
     "q_knn_recall" -> recallOracleSql,
+
+    "q_knn_ivf_recall" -> ivfRecallOracleSql,
 
     "q_knn_topk" -> """
       WITH q AS (
