@@ -22,8 +22,8 @@ class CurationStreamSpec extends SparkSpec {
     val ckpt = java.nio.file.Files.createTempDirectory("cur-ckpt").toString
     try {
       val evalText = "alpha beta gamma delta epsilon zeta"
-      val evalShingles = evalText.split(" ")
-        .sliding(Curation.ShingleWidth).map(_.mkString(" ")).toSeq
+      val evalShingles =
+        Curation.EvalShingles.fromTexts(Curation.ShingleWidth, Seq(evalText))
       // Contaminated: embeds a full eval 5-gram verbatim.
       UpdateLog.post(qn, 1L, "intro words alpha beta gamma delta epsilon trailing tail")
       // Clean: shares words with eval but never a full-width shingle.
@@ -53,6 +53,45 @@ class CurationStreamSpec extends SparkSpec {
     val rnd = new scala.util.Random(42L)
     (1 to 100000).map(_ =>
       Seq.fill(Curation.ShingleWidth)("w" + rnd.nextInt(100000)).mkString(" "))
+  }
+
+  test("gate at a derived (non-5) width drops planted contamination and widths can't mismatch") {
+    val qn = "cur-w7-in"; val bx = "cur-w7-out"
+    val ckpt = java.nio.file.Files.createTempDirectory("cur-w7-ckpt").toString
+    try {
+      // The batch path derives width 7 at a 500-doc corpus — the exact
+      // scenario the round-7 verdict flagged: eval shingles built at the
+      // derived width used to meet a gate defaulting to width 5 and
+      // match NOTHING. Width now travels inside EvalShingles.
+      val width = Curation.deriveShingleWidth(500L)
+      assert(width == 7 && width != Curation.ShingleWidth)
+      val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+      val eval = Curation.EvalShingles.fromTexts(width, Seq(evalText))
+      assert(eval.shingles.nonEmpty && eval.shingles.forall(_.split(" ").length == 7))
+      // Contaminated: embeds a full 7-gram of the eval text verbatim.
+      UpdateLog.post(qn, 1L, "intro alpha beta gamma delta epsilon zeta eta tail words")
+      // Shares a 5-gram (the OLD default width) but never a 7-gram:
+      // must PASS at width 7 — the case that silently inverted before.
+      UpdateLog.post(qn, 2L, "alpha beta gamma delta epsilon changed words entirely")
+      UpdateLog.post(qn, 3L, "tiny doc")
+      val q = Curation.contaminationGate(
+          spark.readStream.format(classOf[UpdateLogProvider].getName)
+            .option("queue", qn).load(),
+          eval)
+        .select(col("chat_id"), col("text"))
+        .writeStream.format(classOf[OutboxProvider].getName)
+        .option("box", bx)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val delivered = Outbox.delivered(bx).map(_._2).sorted
+      assert(delivered == Seq(2L, 3L), s"gate delivered: $delivered")
+      // A mismatched hand-rolled set fails at construction, not silently.
+      intercept[IllegalArgumentException] {
+        Curation.EvalShingles(7, Seq("only five tokens wide here"))
+      }
+    } finally { UpdateLog.drop(qn); Outbox.drop(bx) }
   }
 
   test("inline gate at 100k shingles: one literal node, no codegen fallback") {
@@ -85,8 +124,9 @@ class CurationStreamSpec extends SparkSpec {
     val qn = "cur-big-in"; val bx = "cur-big-out"
     val ckpt = java.nio.file.Files.createTempDirectory("cur-big-ckpt").toString
     try {
-      val evalShingles = bigEvalSet :+ "alpha beta gamma delta epsilon"
-      assert(evalShingles.size > Curation.GateInlineMax) // broadcast path
+      val evalShingles = Curation.EvalShingles(Curation.ShingleWidth,
+        bigEvalSet :+ "alpha beta gamma delta epsilon")
+      assert(evalShingles.shingles.size > Curation.GateInlineMax) // broadcast path
       UpdateLog.post(qn, 1L, "intro alpha beta gamma delta epsilon tail")
       UpdateLog.post(qn, 2L, "totally clean words that never overlap anything")
       UpdateLog.post(qn, 3L, "tiny doc")
