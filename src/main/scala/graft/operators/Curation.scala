@@ -97,13 +97,39 @@ object Curation {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(width)))))
   }
 
-  /** Word-shingle explode with md5-folded keys: (doc_id, sh_key) with
-    * one row per DISTINCT width-`width` word n-gram per doc. The fold
-    * happens BEFORE the distinct, so the wide ops downstream shuffle
-    * 8-byte keys, never shingle strings. */
+  /** High-bit divisor of the 60-bit rotate: rotl1(acc) =
+    * (acc mod 2⁵⁹)·2 + (acc div 2⁵⁹) — a 1-bit left rotation inside the
+    * nonnegative 60-bit md5-fold domain, spelled in mod/div arithmetic
+    * both engines evaluate identically with no BIGINT overflow
+    * (acc < 2⁶⁰ ⟹ (acc mod 2⁵⁹)·2 < 2⁶⁰). */
+  private val RotHi = 1L << 59
+
+  /** Word-shingle keys: (doc_id, sh_key) with one row per DISTINCT
+    * width-`width` word n-gram per doc. The old spelling concat'd the
+    * `width` tokens and md5'd the resulting ~50-char string PER SHINGLE
+    * — every token's bytes hashed `width` times per doc. This one md5s
+    * each TOKEN once (n hashes instead of n×width) and combines a
+    * shingle's token folds with a rotate-accumulate polynomial roll
+    * (acc ← rotl1(acc) XOR h, Buzhash-style): position-sensitive, pure
+    * integer arithmetic, and closed over the shared nonnegative 60-bit
+    * domain, so the DuckDB twin reproduces it in list_reduce lambda
+    * arithmetic (list_reduce seeds acc with the first element — exactly
+    * what Spark's aggregate(…, 0L, step) computes, since
+    * step(0, h) = h). A cross-key collision is ~2⁻⁶⁰ per pair — and
+    * both engines compute the SAME keys, so the oracle agrees
+    * bit-for-bit even when one occurs. Keys fold BEFORE the distinct,
+    * so the wide ops downstream shuffle 8-byte keys, never strings. */
   private def shingles(docs: DataFrame, width: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingleArray(col("text"), width)).as("shingle"))
-      .select(col("doc_id"), expr(Tables.md5FoldSql("shingle")).as("sh_key"))
+    docs
+      .select(col("doc_id"),
+        expr(s"transform(split(lower(text), ' '), t -> ${Tables.md5FoldSql("t")})")
+          .as("tf"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(tf) < $width THEN array()
+            ELSE transform(sequence(0, size(tf) - $width),
+                   i -> aggregate(slice(tf, i + 1, $width), 0L,
+                          (acc, h) -> ((acc % ${RotHi}L) * 2L + (acc div ${RotHi}L)) ^ h))
+            END""")).as("sh_key"))
       .distinct()
 
   /** Training docs that share ≥ 1 shingle with the eval set, with their
@@ -123,13 +149,15 @@ object Curation {
     // and LSH paths pay, and the oracle's params CTE recomputes it from
     // the same count(*) so both engines agree on the width.
     val width = deriveShingleWidth(docs.count())
-    // Shingles md5-fold to BIGINT keys BEFORE the wide ops: the per-doc
-    // distinct/count then shuffles 8-byte keys instead of ~50-char
-    // strings (measured 14 MB → ~1.5 MB at sf0.1), and the broadcast
-    // eval set shrinks the same way. Counting folded keys is counting
-    // shingles: a 60-bit intra-doc collision is ~n²/2⁶¹ ≈ never, and
-    // when one does occur DuckDB computes the SAME md5, so the oracle
-    // agrees bit-for-bit either way.
+    // Shingles reduce to BIGINT keys BEFORE the wide ops (per-token md5
+    // folds + rotate-xor roll, see `shingles`): the per-doc
+    // distinct/count shuffles 8-byte keys instead of ~50-char strings
+    // (measured 14 MB → ~1.5 MB at sf0.1), the broadcast eval set
+    // shrinks the same way, and each token's bytes are hashed once
+    // instead of `width` times. Counting keys is counting shingles: a
+    // 60-bit intra-doc collision is ~n²/2⁶¹ ≈ never, and when one does
+    // occur DuckDB computes the SAME key, so the oracle agrees
+    // bit-for-bit either way.
     val sh = shingles(docs, width)
     val eval_ = sh.filter(col("doc_id") % EvalMod === 0)
       .select(col("sh_key")).distinct().withColumn("hit", lit(1))
@@ -316,28 +344,31 @@ object Curation {
         .orderBy("doc_id")),
   )
 
-  /** Shared SQL fragment: DISTINCT (doc_id, shingle) — DuckDB twin of
-    * `shingles` (1-based list slicing; range() is end-exclusive). The
-    * width W is a COLUMN cross-joined in from the `params` CTE
-    * ([[shingleParamsSql]]) — DuckDB lambdas capture outer columns, so
-    * the derived knob reaches inside list_transform. */
+  /** Shared SQL fragment: DISTINCT (doc_id, sh_key) — DuckDB twin of
+    * `shingles` (1-based inclusive list slicing; range() is
+    * end-exclusive). Same per-token md5 fold, same rotate-xor combine:
+    * list_reduce seeds acc with the first element, which equals Spark's
+    * aggregate from zero since step(0, h) = h. The width W is a COLUMN
+    * cross-joined in from the `params` CTE ([[shingleParamsSql]]) —
+    * DuckDB lambdas capture outer columns, so the derived knob reaches
+    * inside list_transform. */
   private val shinglesSql = s"""
-        SELECT DISTINCT doc_id, shingle FROM (
+        SELECT DISTINCT doc_id, sh_key FROM (
           SELECT doc_id,
-                 unnest(CASE WHEN len(t) < W THEN []
-                             ELSE list_transform(range(1, len(t) - W + 2),
-                                    i -> array_to_string(t[i:i+W-1], ' '))
-                        END) AS shingle
-          FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), params)"""
+                 unnest(CASE WHEN len(tf) < W THEN []
+                             ELSE list_transform(range(1, len(tf) - W + 2),
+                                    i -> list_reduce(tf[i:i+W-1],
+                                           (acc, h) -> xor((acc % $RotHi) * 2 + (acc // $RotHi), h)))
+                        END) AS sh_key
+          FROM (SELECT doc_id,
+                       list_transform(string_split(lower(text), ' '),
+                                      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS tf
+                FROM documents), params)"""
 
   val oracle: Map[String, String] = Map(
     "q_decontaminate" -> s"""
       WITH ${shingleParamsSql("documents")},
-      sh0 AS ($shinglesSql),
-      sh AS (
-        SELECT DISTINCT doc_id,
-               ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS sh_key
-        FROM sh0),
+      sh AS ($shinglesSql),
       ev AS (SELECT DISTINCT sh_key FROM sh WHERE doc_id % $EvalMod = 0),
       tr AS (SELECT doc_id, sh_key FROM sh WHERE doc_id % $EvalMod <> 0)
       SELECT tr.doc_id, count(*) AS n_shingles, count(ev.sh_key) AS n_hit
