@@ -168,6 +168,32 @@ object Curation {
       .filter(col("n_hit") > 0)
   }
 
+  /** The persisted eval-shingle INDEX: the distinct rolled shingle keys
+    * of the eval slice, built ONCE at `width`. A production pipeline
+    * writes this next to its eval sets (the width is part of the
+    * artifact — same lesson as [[EvalShingles]]) and gates every
+    * arriving batch against it, instead of re-shingling the eval set —
+    * let alone the corpus — per run. Tiny by construction (eval sets
+    * are MBs), so the gate side always broadcasts. */
+  def evalShingleIndex(docs: DataFrame, width: Int): DataFrame =
+    shingles(docs.filter(col("doc_id") % EvalMod === 0), width)
+      .select(col("sh_key")).distinct()
+
+  /** Gate ONE arriving batch against a persisted [[evalShingleIndex]]:
+    * same output contract as [[decontaminate]] (doc_id, n_shingles,
+    * n_hit; hits only), but the only data touched is the batch itself
+    * plus the broadcast index — the corpus is never rescanned. Cost per
+    * batch is linear in the batch, independent of corpus size: the
+    * ingest-time shape at 100 TB, where full-recompute decontamination
+    * per arriving batch would be quadratic over the pipeline's life. */
+  def decontaminateBatch(batch: DataFrame, index: DataFrame,
+                         width: Int): DataFrame =
+    shingles(batch, width)
+      .join(broadcast(index.withColumn("hit", lit(1))), Seq("sh_key"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+      .filter(col("n_hit") > 0)
+
   /** Above this eval-set size the gate ships shingles as a BROADCAST
     * VARIABLE instead of a plan literal. A literal array is ONE plan
     * node (no codegen blowup at any size — verified at 100k in
@@ -277,6 +303,25 @@ object Curation {
     "q_decontaminate" -> ((s, dir) =>
       decontaminate(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // INCREMENTAL decontamination — the ingest-time production mode
+    // (mirrors q_dedup_incremental / q_dedup_cluster_incremental): the
+    // eval shingle index is built once and PERSISTED (localCheckpoint
+    // stands in for the write — the gate provably reuses the
+    // materialized index, it does not re-derive it), then the arriving
+    // batch (doc_id ≡ 0 mod 5, the same slice the dedup twins ingest)
+    // is gated against it. The non-batch corpus is never read. The
+    // oracle is the FULL recompute restricted to the batch slice, so
+    // the hash match proves incremental == full — same proof pattern
+    // as the incremental CC key.
+    "q_decontaminate_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val width = deriveShingleWidth(docs.count())
+      val index = evalShingleIndex(docs, width).localCheckpoint(true)
+      val batch = docs.filter(
+        col("doc_id") % EvalMod =!= 0 && col("doc_id") % 5 === 0)
+      decontaminateBatch(batch, index, width).orderBy("doc_id")
+    }),
+
     "q_corpus_mix" -> ((s, dir) => {
       import s.implicits._
       mixSample(Tables.documents(s, dir), MixRates.toDF("lang", "rate_pct"))
@@ -375,6 +420,22 @@ object Curation {
       FROM tr LEFT JOIN ev ON tr.sh_key = ev.sh_key
       GROUP BY tr.doc_id HAVING count(ev.sh_key) > 0
       ORDER BY doc_id""",
+
+    // FULL recompute (the exact q_decontaminate pipeline) restricted to
+    // the batch slice: the hash match proves the engine's
+    // index-once/gate-batch path computes the same answer as
+    // recomputing everything — incremental == full.
+    "q_decontaminate_incremental" -> s"""
+      WITH ${shingleParamsSql("documents")},
+      sh AS ($shinglesSql),
+      ev AS (SELECT DISTINCT sh_key FROM sh WHERE doc_id % $EvalMod = 0),
+      tr AS (SELECT doc_id, sh_key FROM sh WHERE doc_id % $EvalMod <> 0),
+      full_recompute AS (
+        SELECT tr.doc_id, count(*) AS n_shingles, count(ev.sh_key) AS n_hit
+        FROM tr LEFT JOIN ev ON tr.sh_key = ev.sh_key
+        GROUP BY tr.doc_id HAVING count(ev.sh_key) > 0)
+      SELECT doc_id, n_shingles, n_hit FROM full_recompute
+      WHERE doc_id % 5 = 0 ORDER BY doc_id""",
 
     "q_corpus_mix" -> s"""
       WITH rates(lang, rate_pct) AS (VALUES ${MixRates.map(r => s"('${r._1}', ${r._2})").mkString(", ")}),

@@ -591,6 +591,35 @@ class PipelineSpec extends SparkSpec {
       s"missing=${expected -- got} spurious=${got -- expected}")
   }
 
+  test("incremental decontamination equals full recompute on randomized corpora") {
+    // The q_decontaminate_incremental contract, exercised beyond the
+    // oracle's one corpus: index-once/gate-batch must equal the full
+    // recompute restricted to the batch slice, on corpora with heavy
+    // incidental overlap (3-symbol vocabulary), including batch docs
+    // below the shingle width and batches with zero contamination.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("a", "b", "c")
+    for (trial <- 1 to 3) {
+      val docs = (1L to 250L).map { id =>
+        val n = if (id % Curation.EvalMod == 0) 8 + rnd.nextInt(7)
+                else 3 + rnd.nextInt(12)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val width = Curation.deriveShingleWidth(250L)
+      val index = Curation.evalShingleIndex(docs, width)
+      val batch = docs.filter(col("doc_id") % Curation.EvalMod =!= 0 &&
+        col("doc_id") % 5 === 0)
+      val incr = Curation.decontaminateBatch(batch, index, width)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val full = Curation.decontaminate(docs)
+        .filter(col("doc_id") % 5 === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(incr == full,
+        s"trial $trial: missing=${full -- incr} spurious=${incr -- full}")
+    }
+  }
+
   test("decontamination: planted eval overlap is flagged, clean docs pass") {
     import spark.implicits._
     val docs = Seq(
