@@ -70,36 +70,41 @@ object Bench {
     // the quantitative scale signal: which queries move how much data.
     // Contention guard: a single loaded-machine run has recorded 9.5×
     // phantom "regressions" that vanish on re-run. If the first timing
-    // exceeds 1.5× the query's BASELINE.md minimum (or an absolute 1 s
+    // exceeds 1.3× the query's BASELINE.md minimum (or an absolute 1 s
     // floor when no baseline exists yet), run it once more and keep the
     // better of the two — warm second runs are immune to one-off CPU
     // steal, and a genuinely regressed query stays slow both times.
+    // (1.3× was 1.5× through round 7; four sub-second queries slipped
+    // 2–3× phantom readings past the looser trigger that round.)
+    // Whether a query was re-timed is recorded per query in
+    // BENCH_FULL.json ("retried"), so best-of-two rows are
+    // distinguishable from single-run rows when reading the artifact.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = runOnce(name, fn)
-      val stats = first match {
+      val (stats, retried) = first match {
         case Some((secs, _))
-            if secs > baseline.get(name).map(_ * 1.5).getOrElse(1.0) =>
-          runOnce(name, fn) match {
+            if secs > baseline.get(name).map(_ * 1.3).getOrElse(1.0) =>
+          (runOnce(name, fn) match {
             case Some(second) if second._1 < secs => Some(second)
             case _ => first
-          }
-        case other => other
+          }, true)
+        case other => (other, false)
       }
-      name -> stats
+      (name, stats, retried)
     }
     // A query is an error only if it has NO successful timing (a failed
     // contention re-run after a good first run is not an error).
-    val errors = results.collect { case (name, None) => name }
+    val errors = results.collect { case (name, None, _) => name }
     // 4-decimal seconds: 0.1 ms precision is below local[32] run noise
     // and keeps the stdout line well under the driver's 4 KB capture
     // tail (round 3 lost the per-query prefix to truncation).
     def fmt(v: Double) =
       if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) =>
+    val qs = results.map { case (k, v, _) =>
       "\"" + k + "\":" + fmt(v.map(_._1).getOrElse(-1.0)) }
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, Some((s, _))) => s }.sum
+    val total = results.collect { case (_, Some((s, _)), _) => s }.sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
@@ -108,9 +113,12 @@ object Bench {
     // additionally carries per-query shuffle bytes — kept OUT of the
     // stdout line so the driver-parsed format and its 4 KB budget are
     // untouched.
-    val sh = results.map { case (k, v) =>
+    val sh = results.map { case (k, v, _) =>
       "\"" + k + "\":" + v.map(_._2).getOrElse(-1L) }.mkString("{", ",", "}")
-    val full = line.dropRight(1) + s""","shuffle_bytes":$sh}"""
+    val rt = results.collect { case (k, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val full = line.dropRight(1) +
+      s""","shuffle_bytes":$sh,"retried":$rt}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     spark.stop()
