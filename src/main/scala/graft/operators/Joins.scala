@@ -20,7 +20,11 @@ import graft.Tables
   *    100 TB the fact side never shuffles for those.
   *  - Big-big joins (orders⋈customer, lineitem⋈orders) shuffle on their
   *    keys; with AQE on, skew is split at runtime. On a real lake these
-  *    sides would be bucketed on the join key to skip the shuffle.
+  *    sides are bucketed on the join key to skip the shuffle entirely —
+  *    `Sinks.writeBucketed` is that layout, and BucketingSpec
+  *    plan-asserts the Exchange-free sort-merge join on both
+  *    orders⋈customer and lineitem⋈orders (SCALE.md §Joins for the
+  *    bucketing-vs-AQE decision).
   *  - The range join keeps an equi key (`user_id`) so Spark plans a hash
   *    or sort-merge join with the interval as a post-join predicate —
   *    NEVER a broadcast-nested-loop over a cross product.

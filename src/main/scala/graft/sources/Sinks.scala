@@ -55,6 +55,24 @@ object Sinks {
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Bucketed-table write — the shuffle-free BIG-BIG join layout. Both
+    * sides of a recurring join written with the SAME bucket count on
+    * the join key, read back as catalog tables, sort-merge join with NO
+    * Exchange on either side (BucketingSpec plan-asserts it on
+    * lineitem⋈orders): the write-time hash(key) mod nBuckets layout is
+    * recorded in the catalog and satisfies the join's distribution
+    * requirement outright. `sortBy` additionally pre-sorts each bucket
+    * file, tightening parquet min/max footers for key-range pruning.
+    * One write pays for every subsequent join on that key — at 100 TB
+    * the difference between moving both tables per query and moving
+    * neither. When bucketing beats AQE and when it doesn't: SCALE.md
+    * §Joins. */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+      .saveAsTable(table)
+
   /** Small-file compaction — after many streaming/partitioned appends a
     * table degrades into thousands of tiny files; rewrite to
     * `targetFiles` and swap in. The swap is two renames (current → .old,
@@ -74,14 +92,26 @@ object Sinks {
     val fs  = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + ".compact-tmp")
     val old = new Path(path + ".compact-old")
+    // Crash recovery: a previous compact that died between its two
+    // renames leaves the table under `.compact-old` and nothing at the
+    // real path — restore it BEFORE reading, instead of failing the
+    // read with an unrelated path-not-found.
+    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
+      sys.error(s"compact: found data at $old but none at $dst, and restoring failed — " +
+        s"recover $old manually")
     spark.read.parquet(path).repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(old, true) // leftover from a previous crashed compact
     if (!fs.rename(dst, old))
       sys.error(s"compact: cannot move $dst aside to $old")
     if (!fs.rename(tmp, dst)) {
-      fs.rename(old, dst) // roll back: restore the original table
-      sys.error(s"compact: cannot swap $tmp into $dst (original restored)")
+      // Roll back; if the rollback rename ALSO fails, say where the
+      // data really is instead of claiming restoration succeeded.
+      if (fs.rename(old, dst))
+        sys.error(s"compact: cannot swap $tmp into $dst (original restored)")
+      else
+        sys.error(s"compact: cannot swap $tmp into $dst AND rollback failed — " +
+          s"table data is at $old, compacted data at $tmp; restore manually")
     }
     fs.delete(old, true)
   }
