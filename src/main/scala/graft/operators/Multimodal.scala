@@ -147,36 +147,84 @@ object Multimodal {
         concat(unhex(hdr), col("text").cast("binary")).as("payload"))
   }
 
+  /** Unrolled-step bound of the declarative JPEG segment walk in
+    * [[metaPlan]]: covers APPn/JFIF/Exif + DQT/DHT preambles of typical
+    * files; a SOF deeper than this parses as 0×0 in the PLAN path
+    * (the imperative kernel has no bound). */
+  val MaxJpegSegs = 8
+
+  /** Declarative metadata extraction over a (doc_id, payload BINARY)
+    * frame — the plan-path twin of [[decodePartitions]], entirely
+    * codegen'd substring+hex+conv byte arithmetic. The JPEG branch is a
+    * BOUNDED SEGMENT WALK ([[MaxJpegSegs]] unrolled steps, each one
+    * projection layer so step-k offsets are computed once rather than
+    * re-derived exponentially): it follows FF-marker segment lengths
+    * exactly like the imperative kernel, so APPn/DQT-first files — not
+    * just the staged SOF-first layout — parse identically in both paths
+    * (agreement asserted in PipelineSpec on both layouts). */
+  def metaPlan(payloads: DataFrame): DataFrame = {
+    val p = col("payload")
+    // Big-endian unsigned int of `len` bytes at 1-based offset `pos`.
+    def be(pos: Int, len: Int): Column =
+      conv(hex(substring(p, pos, len)), 16, 10).cast("int")
+    val isPng = hex(substring(p, 1, 8)) === "89504E470D0A1A0A"
+    val isJpeg = hex(substring(p, 1, 2)) === "FFD8"
+    // "GIF8" — the kernel's check: both GIF87a and GIF89a qualify.
+    val isGif = hex(substring(p, 1, 4)) === "47494638"
+    // JPEG walk state per step k: oK = 1-based offset of the segment's
+    // FF byte; vK = every byte visited so far was a real FF marker
+    // (matching the kernel's stop-at-garbage semantics — offsets
+    // derived from garbage lengths must not produce spurious hits).
+    val walked = (1 until MaxJpegSegs).foldLeft(
+      payloads
+        .withColumn("o1", lit(3L))
+        .withColumn("v1", expr("hex(substring(payload, 3, 1)) = 'FF'"))) {
+      case (df, k) => df
+        .withColumn(s"o${k + 1}", expr(
+          s"o$k + 2 + cast(conv(hex(substring(payload, o$k + 2, 2)), 16, 10) as bigint)"))
+        .withColumn(s"v${k + 1}", expr(
+          s"v$k AND hex(substring(payload, o${k + 1}, 1)) = 'FF'"))
+    }
+    // A hit at step k: walk still valid and marker byte is SOF0–SOF3.
+    // Frame payload: precision(1) at o+4, height BE16 at o+5, width
+    // BE16 at o+7 (1-based; mirrors decode()'s 0-based i+5/i+7).
+    def sofAt(k: Int): Column = expr(
+      s"v$k AND cast(conv(hex(substring(payload, o$k + 1, 1)), 16, 10) as int) BETWEEN 192 AND 195")
+    def dimAt(k: Int, off: Int): Column = expr(
+      s"cast(conv(hex(substring(payload, o$k + $off, 2)), 16, 10) as int)")
+    val jpegH = coalesce((1 to MaxJpegSegs).map(k =>
+      when(sofAt(k), dimAt(k, 5))) :+ lit(0): _*)
+    val jpegW = coalesce((1 to MaxJpegSegs).map(k =>
+      when(sofAt(k), dimAt(k, 7))) :+ lit(0): _*)
+    walked
+      .select(col("doc_id"),
+        length(p).cast("bigint").as("n_bytes"),
+        when(isPng, "png").when(isJpeg, "jpeg").when(isGif, "gif")
+          .otherwise("unknown").as("format"),
+        when(isPng, be(17, 4)).when(isJpeg, jpegW)
+          .when(isGif, be(7, 1) + be(8, 1) * 256)
+          .otherwise(lit(0)).cast("int").as("width"),
+        when(isPng, be(21, 4)).when(isJpeg, jpegH)
+          .when(isGif, be(9, 1) + be(10, 1) * 256)
+          .otherwise(lit(0)).cast("int").as("height"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Metadata extraction by REAL header parsing over the staged binary
-    // payloads: signature dispatch + big-endian (PNG IHDR, JPEG SOF0) /
+    // payloads: signature dispatch + big-endian (PNG IHDR, JPEG SOF)/
     // little-endian (GIF LSD) dimension reads, all as codegen'd
     // substring+hex+conv byte arithmetic — no media library. The
-    // declarative JPEG branch reads SOF0 at its staged fixed offset
-    // (right after SOI); the imperative kernel (`decode`, agreement
-    // asserted in PipelineSpec) is the general segment scanner that
-    // handles APPn/DQT-first files too.
-    "q_mm_meta" -> ((s, dir) => {
-      val p = col("payload")
-      // Big-endian unsigned int of `len` bytes at 1-based offset `pos`.
-      def be(pos: Int, len: Int): Column =
-        conv(hex(substring(p, pos, len)), 16, 10).cast("int")
-      val isPng = hex(substring(p, 1, 8)) === "89504E470D0A1A0A"
-      val isJpeg = hex(substring(p, 1, 4)) === "FFD8FFC0"
-      val isGif = hex(substring(p, 1, 6)) === "474946383961"
-      Multimodal.stagedPayloads(s, dir)
-        .select(col("doc_id"),
-          length(p).cast("bigint").as("n_bytes"),
-          when(isPng, "png").when(isJpeg, "jpeg").when(isGif, "gif")
-            .otherwise("unknown").as("format"),
-          when(isPng, be(17, 4)).when(isJpeg, be(10, 2))
-            .when(isGif, be(7, 1) + be(8, 1) * 256)
-            .otherwise(lit(0)).cast("int").as("width"),
-          when(isPng, be(21, 4)).when(isJpeg, be(8, 2))
-            .when(isGif, be(9, 1) + be(10, 1) * 256)
-            .otherwise(lit(0)).cast("int").as("height"))
-        .orderBy("doc_id")
-    }),
+    // declarative JPEG branch is a BOUNDED SEGMENT WALK (MaxJpegSegs
+    // unrolled steps, each one projection layer so offsets are computed
+    // once, not re-derived exponentially): it follows FF-marker segment
+    // lengths like the imperative kernel (`decode`) does, so
+    // APPn/DQT-first files — not just the staged SOF-first layout —
+    // parse identically in both paths (agreement asserted in
+    // PipelineSpec on both layouts). A real file whose SOF sits beyond
+    // MaxJpegSegs segments yields 0×0 in the plan path — the documented
+    // bound; the kernel walks arbitrarily many.
+    "q_mm_meta" -> ((s, dir) =>
+      metaPlan(Multimodal.stagedPayloads(s, dir)).orderBy("doc_id")),
 
     // Resize plumbing: aspect-preserving fit into 640×480 — the target
     // geometry every thumbnailing stage computes before the (stubbed)

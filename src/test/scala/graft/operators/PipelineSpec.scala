@@ -139,6 +139,32 @@ class PipelineSpec extends SparkSpec {
     assert(cands < allPairs / 4, s"embedding candidates $cands vs all-pairs $allPairs")
   }
 
+  test("multi-probe expansion contains the base buckets (probe/index agreement)") {
+    // probeBuckets and bucketed now share one planeProjection helper,
+    // but the guarantee the join depends on is end-to-end: for every
+    // probe vector, the index-side base bucket in EVERY table must
+    // appear among the probe-side expanded buckets (it is the mask=0
+    // member of the lattice). A drift in either path's bucket-bit
+    // construction empties the intersection and this fails loudly.
+    val q = graft.Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+    val planes = Similarity.derivePlanes(q.count())
+    val probes = q.filter(col("vec_id") < 16)
+    val base = Similarity.bucketed(probes, planes)
+      .select("vec_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expanded = Similarity.probeBuckets(probes, planes)
+      .select("vec_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base.nonEmpty && (base -- expanded).isEmpty,
+      s"base buckets missing from the probe lattice: ${(base -- expanded).take(5)}")
+    // And the lattice is exactly T × 2^min(ProbeBits, L) buckets per probe.
+    val perProbe = expanded.groupBy(_._1).values.map(_.size).toSet
+    val want = Similarity.NumTables *
+      (1 << math.min(Similarity.ProbeBits, planes))
+    assert(perProbe.forall(_ <= want), s"lattice sizes $perProbe exceed $want")
+  }
+
   test("salted running sum: bit-identical to the single window, hot key spreads") {
     // Equality on the real table: the two-phase (key, time-block)
     // spelling must reproduce q_win_running_sum exactly (decimal
@@ -364,6 +390,30 @@ class PipelineSpec extends SparkSpec {
     assert((g.format, g.width, g.height) == ("gif", 320, 240))
     // Unknown container → the stub fallback, honestly labeled.
     assert(Multimodal.decode(3L, Array[Byte](1, 2, 3, 4)).format == "unknown")
+
+    // The DECLARATIVE walk (metaPlan) must agree with the kernel on the
+    // same APPn-first layout — the round-7 gap: the plan path used to
+    // read SOF at a fixed offset and classified real-world JPEGs as
+    // unknown while the kernel parsed them. Add a DQT between APP0 and
+    // SOF0 (three segments deep) and a SOF1 (progressive marker 0xC1)
+    // variant to exercise the marker range.
+    val dqt = Array(0xFF, 0xDB).map(_.toByte) ++ be16(67) ++ Array.fill[Byte](65)(1)
+    val sof1 = Array(0xFF, 0xC1).map(_.toByte) ++ be16(11) ++
+      Array(8.toByte) ++ be16(600) ++ be16(800) ++ Array[Byte](1, 1, 0x11, 0)
+    val deep = Array(0xFF, 0xD8).map(_.toByte) ++ app0 ++ dqt ++ sof1
+    import spark.implicits._
+    val payloads = Seq((1L, jpeg), (2L, gif), (4L, deep))
+      .toDF("doc_id", "payload")
+    val viaPlan = Multimodal.metaPlan(payloads)
+      .select("doc_id", "n_bytes", "format", "width", "height")
+      .collect().map(_.toSeq).toSet
+    val viaKernel = Seq((1L, jpeg), (2L, gif), (4L, deep))
+      .map { case (id, bytes) =>
+        val mm = Multimodal.decode(id, bytes)
+        Seq(mm.doc_id, mm.n_bytes, mm.format, mm.width, mm.height)
+      }.toSet
+    assert(viaPlan == viaKernel,
+      s"plan=$viaPlan\nkernel=$viaKernel")
   }
 
   test("connected components: chains merge, islands stay, long chains converge") {

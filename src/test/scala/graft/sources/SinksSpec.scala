@@ -66,6 +66,23 @@ class SinksSpec extends SparkSpec {
       .agg(sum("n")).collect()(0).getLong(0) == 30 * 61)
   }
 
+  test("compaction recovers a table stranded at .compact-old by a mid-swap crash") {
+    import spark.implicits._
+    val parent = Files.createTempDirectory("graft-compact3")
+    val dir = parent.toString + "/t"
+    (1 to 40).toDF("n").repartition(8).write.parquet(dir)
+    // Simulate a crash BETWEEN the two renames: table moved aside,
+    // nothing at the real path. The next compact must restore and
+    // proceed, not die on an unrelated path-not-found read.
+    Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir + ".compact-old"))
+    Sinks.compact(spark, dir, 1)
+    val siblings = parent.toFile.listFiles().map(_.getName).toSet
+    assert(siblings == Set("t"), s"leftover dirs: $siblings")
+    assert(spark.read.parquet(dir)
+      .agg(sum("n")).collect()(0).getLong(0) == 20 * 41)
+  }
+
   test("range-clustered write: per-file key ranges are disjoint (skippable layout)") {
     val dir = Files.createTempDirectory("graft-range").toString + "/t"
     Sinks.writeRangeClustered(
