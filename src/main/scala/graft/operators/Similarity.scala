@@ -109,13 +109,22 @@ object Similarity {
     * terms produced 8 MiB task binaries and Janino fallback — plan-size
     * discipline matters as much as algorithmic shape.)
     */
+  /** The (table, plane) projection — ONE definition shared by the index
+    * side ([[bucketed]]) and the probe side ([[probeBuckets]]), so the
+    * mask-0 probe bucket stays bit-identical to the index bucket by
+    * construction (a drift between independently-spelled copies would
+    * silently empty every join; a subset spec in PipelineSpec guards it
+    * end-to-end too). */
+  private def planeProjection(t: Int, i: Int, planes: Int): Column = {
+    val p = t * planes + i
+    val plane = typedLit((0 until 64).map(d => planeWeight(p, d)))
+    graft.functions.VectorOps.longDot(col("v"), plane)
+  }
+
   def bucketed(vectors: DataFrame, planes: Int): DataFrame = {
-    import graft.functions.VectorOps.longDot
     val tableBuckets = (0 until NumTables).map { t =>
       (0 until planes).map { i =>
-        val p = t * planes + i
-        val plane = typedLit((0 until 64).map(d => planeWeight(p, d)))
-        when(longDot(col("v"), plane) >= 0, lit(1L << i)).otherwise(0L)
+        when(planeProjection(t, i, planes) >= 0, lit(1L << i)).otherwise(0L)
       }.reduce(_ + _).plus(lit((1L << planes) * t))
     }
     vectors.select(col("vec_id"), col("v"),
@@ -142,13 +151,9 @@ object Similarity {
     *      bits ≥ L, so low-bit XOR never crosses tables). */
   def probeBuckets(vectors: DataFrame, planes: Int,
                    probeBits: Int = ProbeBits): DataFrame = {
-    import graft.functions.VectorOps.longDot
     val pb = math.min(probeBits, planes)
-    val projCols = for (t <- 0 until NumTables; i <- 0 until planes) yield {
-      val p = t * planes + i
-      val plane = typedLit((0 until 64).map(d => planeWeight(p, d)))
-      longDot(col("v"), plane).as(s"s_${t}_$i")
-    }
+    val projCols = for (t <- 0 until NumTables; i <- 0 until planes)
+      yield planeProjection(t, i, planes).as(s"s_${t}_$i")
     val projected = vectors.select(col("vec_id") +: col("v") +: projCols: _*)
     val tableCols = (0 until NumTables).flatMap { t =>
       val bits = (0 until planes).map(i =>
@@ -401,12 +406,12 @@ object Similarity {
       pbuckets AS (
         SELECT b.vec_id,
                xor(b.bucket,
-                   (CASE WHEN mask & 1 = 1 THEN 1::BIGINT << jo[1] ELSE 0 END)
-                 + (CASE WHEN mask & 2 = 2 THEN 1::BIGINT << jo[2] ELSE 0 END)
-                 + (CASE WHEN mask & 4 = 4 THEN 1::BIGINT << jo[3] ELSE 0 END)) AS bucket
+                   ${(0 until ProbeBits).map(k =>
+                     s"(CASE WHEN mask & ${1 << k} = ${1 << k} THEN 1::BIGINT << jo[${k + 1}] ELSE 0 END)")
+                     .mkString("\n                 + ")}) AS bucket
         FROM buckets b JOIN morder m ON b.vec_id = m.vec_id AND b.tbl = m.tbl,
-             params, range(8) t(mask)
-        WHERE mask < (1::BIGINT << least(3, L))),
+             params, range(${1 << ProbeBits}) t(mask)
+        WHERE mask < (1::BIGINT << least($ProbeBits, L))),
       pairs AS (
         SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
         FROM pbuckets p JOIN buckets c ON p.bucket = c.bucket
