@@ -110,4 +110,76 @@ object Metrics {
 
   /** Drop all retained records (test isolation). */
   def reset(): Unit = buf.clear()
+
+  // ---------------------------------------------------------------- //
+  // Streaming observability — the §2.9 mirror of the reference's
+  // per-task progress visibility (`--status`, agent-loop.sh:137-166;
+  // per-task log lines :527-546): every micro-batch that completes is
+  // recorded with its input volume, what the SINK actually accepted
+  // (inputRows − sinkRows = rows a stateless gate dropped this batch),
+  // and the state-store footprint (rows held / added / evicted, bytes)
+  // — which makes TTL eviction and CompactingSessionProcessor's
+  // 80%-budget truncations driver-visible numbers: state rows DROP
+  // across batches instead of growing monotonically.
+  // ---------------------------------------------------------------- //
+
+  final case class StreamBatch(
+      query: String,          // query name ("" if unnamed), for filtering
+      batchId: Long,
+      inputRows: Long,        // rows entering the micro-batch
+      sinkRows: Long,         // rows the sink committed (-1 if not reported)
+      triggerMs: Long,        // end-to-end batch duration
+      stateRows: Long,        // Σ numRowsTotal over stateful operators
+      stateRowsUpdated: Long, // Σ numRowsUpdated
+      stateRowsRemoved: Long, // Σ numRowsRemoved (TTL / compaction evictions)
+      stateBytes: Long)       // Σ memoryUsedBytes
+
+  private val sbuf = new ConcurrentLinkedDeque[StreamBatch]()
+  private val streamListeners = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, org.apache.spark.sql.streaming.StreamingQueryListener]()
+
+  private class StreamRecorder
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      val states = p.stateOperators
+      sbuf.addLast(StreamBatch(
+        query = Option(p.name).getOrElse(""),
+        batchId = p.batchId,
+        inputRows = p.numInputRows,
+        sinkRows = Option(p.sink).map(_.numOutputRows).getOrElse(-1L),
+        triggerMs = Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue).getOrElse(-1L),
+        stateRows = states.map(_.numRowsTotal).sum,
+        stateRowsUpdated = states.map(_.numRowsUpdated).sum,
+        stateRowsRemoved = states.map(_.numRowsRemoved).sum,
+        stateBytes = states.map(_.memoryUsedBytes).sum))
+      while (sbuf.size > Keep) sbuf.pollFirst()
+    }
+  }
+
+  /** Start capturing micro-batch progress on this session (idempotent
+    * per session — one listener regardless of how many queries run). */
+  def installStreaming(spark: SparkSession): Unit =
+    streamListeners.computeIfAbsent(spark, s => {
+      val l = new StreamRecorder
+      s.streams.addListener(l)
+      l
+    })
+
+  /** Stop capturing streaming progress on this session. */
+  def uninstallStreaming(spark: SparkSession): Unit = {
+    val l = streamListeners.remove(spark)
+    if (l != null) spark.streams.removeListener(l)
+  }
+
+  /** Retained micro-batch records, oldest first. Delivery is
+    * asynchronous (the listener bus) — poll, don't read-after-write. */
+  def recentStreaming(): Seq[StreamBatch] = sbuf.iterator().asScala.toSeq
+
+  /** Drop retained streaming records (test isolation). */
+  def resetStreaming(): Unit = sbuf.clear()
 }

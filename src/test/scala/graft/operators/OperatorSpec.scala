@@ -29,6 +29,38 @@ class OperatorSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("HLL error-bound property: estimate within 4·rsd of exact across generated cardinalities") {
+    // The quantitative contract behind the one no-oracle key:
+    // approx_count_distinct(col, rsd) is HLL++ with relative standard
+    // deviation rsd, deterministic for a given dataset. spark.range(n)
+    // has exactly n distinct values, so the exact side costs nothing.
+    // Cardinalities are ScalaCheck-generated over a fixed seed walk
+    // (scalatestplus forAll isn't in the offline cache — same idiom as
+    // ChunkerSpec), spanning the sparse→dense sketch regimes plus fixed
+    // boundary cases. Bound: |est − n| ≤ 4·rsd·n — HLL error is ≈
+    // Gaussian with σ = rsd·n, so 4σ is run-stable for a deterministic
+    // sketch while still catching a mis-sized or mis-merged sketch
+    // (which shows as tens of σ). Small-n guard: below ~1/rsd² the
+    // sketch counts near-exactly; the +1 absolute slack keeps the bound
+    // meaningful at n<100 without special-casing.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rsd = 0.05
+    val gen = Gen.chooseNum(50L, 200000L)
+    var seed = Seed(20260812L)
+    val generated = (1 to 8).map { _ =>
+      val v = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      v
+    }
+    for (n <- generated ++ Seq(1L, 10L, 1000L)) {
+      val est = spark.range(n)
+        .agg(expr(s"approx_count_distinct(id, $rsd)")).collect()(0).getLong(0)
+      assert(math.abs(est - n) <= 4 * rsd * n + 1,
+        s"cardinality $n: estimate $est outside 4·rsd bound (${4 * rsd * n})")
+    }
+  }
+
   test("q_map_ops builds maps with both keys and reads them back") {
     val rows = graft.SparkEntry.queries("q_map_ops")(spark, sfDir)
       .limit(5).collect()

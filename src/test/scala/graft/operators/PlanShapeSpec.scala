@@ -77,6 +77,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_decontaminate_incremental broadcasts the persisted index (batch never shuffles to join)") {
+    // The incremental contract is only worth having if the gate's cost
+    // is batch-linear: the persisted index must broadcast against the
+    // batch's shingles, never sort-merge them.
+    val p = plan("q_decontaminate_incremental")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q_corpus_mix resolves rates via broadcast (no corpus shuffle)") {
     val p = plan("q_corpus_mix")
     assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(25).mkString("\n"))
