@@ -104,8 +104,13 @@ object Dedup {
 
   /** Programmatically-generated DuckDB twin of the MinHash pipeline —
     * same md5-fold base hash, same permutation constants, band collision
-    * expressed as 4-way signature-value equality. */
-  private def minhashOracleSql(threshold: Double): String = {
+    * expressed as 4-way signature-value equality. `pairFilter` (an
+    * additional AND predicate over doc_a/doc_b) restricts the FULL
+    * recompute to a pair slice — the incremental key's proof: the
+    * engine's index-once path must hash-match the full pipeline
+    * filtered to batch-touching pairs. */
+  private def minhashOracleSql(threshold: Double,
+                               pairFilter: String = "TRUE"): String = {
     val p = MinhashPrime
     val mins = (0 until MinhashPerms)
       .map(j => s"min((${permA(j)} * h + ${permB(j)}) % $p) AS m$j").mkString(",\n               ")
@@ -147,6 +152,7 @@ object Dedup {
                 JOIN ws b ON cand.doc_b = b.doc_id
       WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
             (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= $threshold
+        AND ($pairFilter)
       ORDER BY doc_a, doc_b"""
   }
 
@@ -475,24 +481,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
-  /** Candidate pairs from banded signature collisions, verified with
-    * exact Jaccard ≥ threshold. The band join shuffles on
-    * (band_id, band_hash) — candidates only, never the corpus². */
-  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  /** (doc_id, band_id, band_hash) — the MinHash BAND INDEX: what a
+    * production pipeline PERSISTS between runs (tiny: MinhashBands rows
+    * of 24 bytes per doc, corpus text not included). Bands carry only
+    * (doc_id, band) — the text never replicates through the band
+    * explode; word sets are joined back for candidates only. */
+  def minhashBandIndex(docs: DataFrame): DataFrame = {
     val rows = MinhashPerms / MinhashBands
-    // Bands carry only (doc_id, band) — the text never replicates through
-    // the band explode; word sets are joined back for candidates only.
-    val banded = minhashSignatures(docs)
+    minhashSignatures(docs)
       .select(col("doc_id"),
         explode(expr(
           s"transform(sequence(0, ${MinhashBands - 1}), b -> named_struct('band_id', b, 'band_hash', xxhash64(concat_ws('_', slice(sig, b * $rows + 1, $rows)))))"))
           .as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-    val candidates = banded.as("a")
-      .join(banded.as("b"), Seq("band_id", "band_hash"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .distinct() // a pair may collide in several bands
+  }
+
+  /** Exact-Jaccard verify of candidate (doc_a, doc_b) pairs: word sets
+    * joined back for the candidates only, `jac` rounded and thresholded
+    * — the shared tail of the full and incremental MinHash paths. */
+  private def verifyJaccard(candidates: DataFrame, docs: DataFrame,
+                            threshold: Double): DataFrame = {
     val words = docs.select(col("doc_id"), wordSet(col("text")).as("ws"))
     withJaccard(
       candidates
@@ -502,6 +510,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("jac_raw"), 4).as("jac"))
       .filter(col("jac") >= threshold)
+  }
+
+  /** Candidate pairs from banded signature collisions, verified with
+    * exact Jaccard ≥ threshold. The band join shuffles on
+    * (band_id, band_hash) — candidates only, never the corpus². */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val banded = minhashBandIndex(docs)
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("band_id", "band_hash"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct() // a pair may collide in several bands
+    verifyJaccard(candidates, docs, threshold)
+  }
+
+  /** INCREMENTAL near-dup ingest — the banded twin of
+    * `q_dedup_incremental`'s exact anti-join: the corpus's band index
+    * is built once and persisted (localCheckpoint stands in for the
+    * write); an arriving batch computes its own bands and band-joins
+    * against index ∪ own-bands, so candidates touch at least one batch
+    * doc by construction and corpus×corpus is NEVER re-banded or
+    * re-joined. The exact-Jaccard verify then reads word sets for
+    * candidate ids only (one linear fetch, not a rescan). Per-batch
+    * cost: batch signatures (linear in the batch) + a band join whose
+    * left side is the batch's bands. Output == the full recompute
+    * restricted to batch-touching pairs — the oracle proves it. */
+  def minhashPairsIncremental(docs: DataFrame, batchPred: Column,
+                              threshold: Double): DataFrame = {
+    val index = minhashBandIndex(docs.filter(!batchPred)).localCheckpoint(true)
+    val batchBands = minhashBandIndex(docs.filter(batchPred))
+    val candidates = batchBands.as("a")
+      .join(index.unionByName(batchBands).as("b"), Seq("band_id", "band_hash"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      // least/greatest orientation: batch-batch collisions arrive in
+      // both orders, batch-corpus in one — normalize then dedupe.
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    verifyJaccard(candidates, docs, threshold)
   }
 
   val queries: Map[String, Q] = Map(
@@ -575,6 +622,16 @@ object Dedup {
     // behavior additionally in PipelineSpec.
     "q_dedup_minhash" -> ((s, dir) =>
       minhashPairs(Tables.documents(s, dir), 0.8)
+        .orderBy("doc_a", "doc_b")),
+
+    // Incremental banded ingest: the arriving batch (the slice the
+    // other incremental keys use) near-dups against the PERSISTED band
+    // index + itself; corpus is never re-banded. Oracle = the full
+    // MinHash pipeline restricted to batch-touching pairs, so the hash
+    // match proves incremental == full on this corpus.
+    "q_dedup_minhash_incremental" -> ((s, dir) =>
+      minhashPairsIncremental(Tables.documents(s, dir),
+        col("doc_id") % 5 === 0, 0.8)
         .orderBy("doc_a", "doc_b")),
 
     // SimHash sketches + banded hamming near-dup pairs, oracle-checked
@@ -755,6 +812,9 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracleSql(0.8),
+
+    "q_dedup_minhash_incremental" ->
+      minhashOracleSql(0.8, "doc_a % 5 = 0 OR doc_b % 5 = 0"),
     "q_dedup_simhash" -> simhashOracleSql(8),
 
     "q_dedup_cluster" -> s"""

@@ -302,8 +302,106 @@ object Similarity {
       .orderBy("probe_id", "rk")
   }
 
+  /** Product quantization (PQ) — the ANN STORAGE path at 100 TB: each
+    * 64-dim vector compresses to [[PqSubspaces]] code ids against
+    * per-subspace codebooks (Jégou et al., TPAMI'11), and queries rank
+    * candidates by asymmetric distance computation (ADC): the probe's
+    * EXACT subvectors against each candidate's reconstructed codes via
+    * a broadcast probe×codebook lookup table. Codebooks are the
+    * deterministic first-K corpus subvectors (the IVF stub's pattern),
+    * so train/encode/score is reproducible AND DuckDB-oracle-checkable;
+    * `q_knn_pq_recall` makes the compression's quality cost a measured
+    * number like the LSH/IVF audits. Production systems compose this
+    * with IVF (IVF-PQ: cell-restricted ADC scan); here the scan is the
+    * whole corpus so the approximation under test is PQ alone.
+    *
+    * Scale shape: codebooks are M×K subvectors (tiny, broadcast both
+    * directions); encoding is one linear corpus pass (the M-way
+    * subvector explode regroups map-side into M codes per vector); the
+    * ADC scan is corpus-linear with partial-aggregated (probe, cand)
+    * sums and map-side TopK — the corpus never shuffles wide rows.
+    * Stored bytes per vector: M single-byte codes vs 64×8 B raw — the
+    * ~64× index-memory reduction is the entire point at 100 TB. */
+  val PqSubspaces = 8
+  val PqSubDim    = 8  // PqSubspaces × PqSubDim = the 64-dim embedding
+
+  /** Codes per subspace: the smallest power of two with K² ≥ N, capped
+    * at 256 (one-byte codes, the standard PQ cell count). Derived from
+    * corpus size like the LSH plane count and IVF cell count — a fixed
+    * small K quantizes a growing corpus ever more coarsely, while at
+    * production N the cap always wins: N ≥ 65536 ⟹ K = 256. First-K
+    * codebooks on uniform random vectors are the pathological case
+    * (measured in q_knn_pq_recall); clustered real data and k-means
+    * codebooks do far better — same caveat as the LSH audit. */
+  def derivePqCodes(n: Long): Int =
+    (1 to 8).map(1 << _).find(k => k.toLong * k >= n).getOrElse(256)
+
+  /** SQL twin of [[derivePqCodes]]: same min-l scan, same cap. */
+  def pqParamsSql(countFrom: String): String = s"""
+      pqparams AS (
+        SELECT coalesce(min(1 << l), 256) AS K FROM range(1, 9) t(l)
+        WHERE (1::BIGINT << l) * (1::BIGINT << l) >= (SELECT count(*) FROM $countFrom))"""
+
+  /** (vec_id, m, sv): the M subvector rows of each vector. */
+  private def subvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, ${PqSubspaces - 1}), m -> named_struct('m', m, 'sv', slice(v, m * $PqSubDim + 1, $PqSubDim)))")).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+
+  /** (m, k, c, cc): per-subspace codebooks — subvector m of corpus
+    * vector k (< PqCodes) plus its self-dot, so encoding ranks by the
+    * codegen'd `cc − 2·sv·c` (the L2² argmin with the probe-constant
+    * |sv|² dropped) instead of an interpreted per-element lambda. */
+  def pqCodebook(e: DataFrame, kCodes: Int): DataFrame =
+    subvectors(e.filter(col("vec_id") < kCodes))
+      .select(col("m"), col("vec_id").as("k"), col("sv").as("c"))
+      .withColumn("cc", graft.functions.VectorOps.longDot(col("c"), col("c")))
+
+  /** (vec_id, m, code): nearest-code assignment per subspace — argmin
+    * L2²(sv, c), ties to the lowest k — the compressed representation a
+    * production pipeline PERSISTS in place of the vectors. */
+  def pqEncode(e: DataFrame, kCodes: Int): DataFrame =
+    subvectors(e).join(broadcast(pqCodebook(e, kCodes)), Seq("m"))
+      .withColumn("key",
+        col("cc") - lit(2L) * graft.functions.VectorOps.longDot(col("sv"), col("c")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("k"), struct(col("key"), col("k"))).as("code"))
+
+  /** ADC top-k over PQ codes: probes keep exact subvectors, candidates
+    * are their codes; approx dot = Σ_m lookup(probe, m, code). */
+  def pqTopK(e: DataFrame, kCodes: Int, nProbes: Int, k: Int): DataFrame = {
+    val lt = subvectors(e.filter(col("vec_id") < nProbes))
+      .select(col("vec_id").as("probe_id"), col("m"), col("sv"))
+      .join(broadcast(pqCodebook(e, kCodes)), Seq("m"))
+      .select(col("probe_id"), col("m"), col("k"),
+        graft.functions.VectorOps.longDot(col("sv"), col("c")).as("pd"))
+    val scored = pqEncode(e, kCodes)
+      .select(col("vec_id").as("cand_id"), col("m"), col("code").as("k"))
+      .join(broadcast(lt), Seq("m", "k"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("cand_id"))
+      .agg(sum(col("pd")).as("adot"))
+    graft.functions.TopK.perKey(scored, "probe_id", "adot", "cand_id", k)
+      .orderBy("probe_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_knn_topk" -> ((s, dir) => brute(s, dir, 8, 5)),
+
+    // PQ-compressed ANN + its recall audit: deterministic codebooks, so
+    // both the code assignment and the ADC ranking reproduce in SQL.
+    "q_knn_pq" -> ((s, dir) => {
+      val n = Tables.embeddings(s, dir).count()
+      pqTopK(Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v")),
+        derivePqCodes(n), 8, 5)
+    }),
+
+    "q_knn_pq_recall" -> ((s, dir) => {
+      val n = Tables.embeddings(s, dir).count()
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
+      val truth = brute(s, dir, 64, 5).select("probe_id", "cand_id")
+      recallVs(truth, pqTopK(e, derivePqCodes(n), 64, 5))
+    }),
 
     // Oracle-checked despite being "approximate": the hyperplanes are
     // deterministic integer arithmetic, so DuckDB reproduces the exact
@@ -499,8 +597,82 @@ object Similarity {
         ON t.probe_id = a.probe_id AND t.cand_id = a.cand_id
       GROUP BY t.probe_id ORDER BY t.probe_id"""
 
+  /** DuckDB twin of the PQ pipeline through `scored` — subvector
+    * slicing, first-K codebooks with self-dots, argmin-L2 encoding via
+    * the same `cc − 2·sv·c` rank key and (key, k) tie-break, and the
+    * ADC sum — parameterized by probe count so the top-k key and the
+    * recall audit share it. */
+  private def pqCtes(nProbes: Int): String = s"""
+      ${pqParamsSql("embeddings")},
+      q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      sub AS (
+        SELECT vec_id, m, v[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
+        FROM q, range($PqSubspaces) t(m)),
+      cb AS (
+        SELECT m, vec_id AS k, sv AS c,
+               CAST(list_dot_product(sv, sv) AS BIGINT) AS cc
+        FROM sub, pqparams WHERE vec_id < K),
+      enc AS (
+        SELECT vec_id, m, k FROM (
+          SELECT s.vec_id, s.m, cb.k,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY cc - 2 * CAST(list_dot_product(s.sv, cb.c) AS BIGINT),
+                            cb.k) AS rn
+          FROM sub s JOIN cb ON s.m = cb.m)
+        WHERE rn = 1),
+      lt AS (
+        SELECT p.vec_id AS probe_id, cb.m, cb.k,
+               CAST(list_dot_product(p.sv, cb.c) AS BIGINT) AS pd
+        FROM sub p JOIN cb ON p.m = cb.m
+        WHERE p.vec_id < $nProbes),
+      scored AS (
+        SELECT lt.probe_id, enc.vec_id AS cand_id, CAST(sum(pd) AS BIGINT) AS adot
+        FROM enc JOIN lt ON enc.m = lt.m AND enc.k = lt.k
+        WHERE enc.vec_id <> lt.probe_id
+        GROUP BY lt.probe_id, enc.vec_id)"""
+
+  private def pqOracleSql: String = s"""
+      WITH ${pqCtes(8)}
+      SELECT probe_id, cand_id, adot, rk FROM (
+        SELECT probe_id, cand_id, adot,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY adot DESC, cand_id) AS INTEGER) AS rk
+        FROM scored)
+      WHERE rk <= 5 ORDER BY probe_id, rk"""
+
+  private def pqRecallOracleSql: String = s"""
+      WITH ${pqCtes(64)},
+      pq AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT probe_id, cand_id,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY adot DESC, cand_id) AS rk
+          FROM scored)
+        WHERE rk <= 5),
+      truth AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY CAST(list_dot_product(p.v, c.v) AS BIGINT) DESC,
+                            c.vec_id) AS rk
+          FROM q p JOIN q c ON p.vec_id < 64 AND p.vec_id != c.vec_id)
+        WHERE rk <= 5)
+      SELECT t.probe_id, count(*) AS n_true, count(a.cand_id) AS n_hit,
+             round(CAST(count(a.cand_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+               AS recall
+      FROM truth t LEFT JOIN pq a
+        ON t.probe_id = a.probe_id AND t.cand_id = a.cand_id
+      GROUP BY t.probe_id ORDER BY t.probe_id"""
+
   val oracle: Map[String, String] = Map(
     "q_knn_lsh" -> lshOracleSql,
+
+    "q_knn_pq" -> pqOracleSql,
+
+    "q_knn_pq_recall" -> pqRecallOracleSql,
 
     "q_knn_recall" -> recallOracleSql,
 

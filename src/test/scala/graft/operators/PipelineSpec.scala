@@ -641,6 +641,36 @@ class PipelineSpec extends SparkSpec {
       s"missing=${expected -- got} spurious=${got -- expected}")
   }
 
+  test("incremental minhash equals full recompute restricted to batch-touching pairs") {
+    // q_dedup_minhash_incremental's contract beyond the oracle's one
+    // corpus: index-once/band-join-batch must equal the full pipeline
+    // filtered to pairs touching the batch — including batch-batch
+    // pairs (both orientations of the self-join) and batch-corpus
+    // pairs across the boundary. Planted near-dups straddle both.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def text() = Seq.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (1L to 120L).map(id => (id, text()))
+    // Plant near-dup pairs: batch↔corpus (10↔11), batch↔batch (20↔25),
+    // corpus↔corpus (31↔32, must NOT appear in the incremental output).
+    val planted = base.toMap ++ Map(
+      11L -> (base.toMap.apply(10L) + " zz"),
+      25L -> base.toMap.apply(20L),
+      32L -> base.toMap.apply(31L))
+    val docs = planted.toSeq.sortBy(_._1).toDF("doc_id", "text")
+    val pred = col("doc_id") % 5 === 0
+    val full = Dedup.minhashPairs(docs, 0.8)
+      .filter(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = Dedup.minhashPairsIncremental(docs, pred, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr == full, s"missing=${full -- incr} spurious=${incr -- full}")
+    assert(incr.contains((10L, 11L)) && incr.contains((20L, 25L)),
+      s"planted cross-boundary pairs missing: $incr")
+    assert(!incr.contains((31L, 32L)), "corpus-corpus pair leaked into the batch slice")
+  }
+
   test("incremental decontamination equals full recompute on randomized corpora") {
     // The q_decontaminate_incremental contract, exercised beyond the
     // oracle's one corpus: index-once/gate-batch must equal the full
