@@ -54,7 +54,8 @@ class PlanShapeSpec extends SparkSpec {
     // a row_number window here would move every scored row to its
     // probe's partition. Stratified sampling reuses the same aggregator:
     // the corpus must never shuffle whole for a K-rows-per-stratum answer.
-    for (k <- Seq("q_knn_topk", "q_knn_lsh", "q_knn_ivf", "q_sample_stratified")) {
+    for (k <- Seq("q_knn_topk", "q_knn_lsh", "q_knn_ivf", "q_knn_pq",
+                  "q_sample_stratified")) {
       val p = plan(k).toLowerCase
       assert(p.contains("partial_topkbyscore"), s"$k lacks map-side top-k partials")
     }
@@ -82,6 +83,15 @@ class PlanShapeSpec extends SparkSpec {
     // is batch-linear: the persisted index must broadcast against the
     // batch's shingles, never sort-merge them.
     val p = plan("q_decontaminate_incremental")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_knn_pq joins only via broadcast (codebooks + probe lookup table)") {
+    // PQ's scale shape: the codebook (encode side) and the probe ADC
+    // lookup table (query side) both broadcast; a sort-merge join
+    // anywhere would shuffle the corpus's subvector explosion.
+    val p = plan("q_knn_pq")
     assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(25).mkString("\n"))
     assert(!p.contains("SortMergeJoin"))
   }
