@@ -277,20 +277,24 @@ object Similarity {
       .toDF("cid", "c")
   }
 
-  /** Assign + search over an arbitrary centroid frame (cid, c). */
-  def ivfTopKWith(e: DataFrame, centroids: DataFrame,
-                  nProbes: Int, k: Int): DataFrame = {
-    // Nearest-centroid assignment as a partial-aggregating max_by: the
-    // broadcast join emits all K candidate rows for a vector inside one
-    // map partition, so the argmax collapses K→1 BEFORE the shuffle —
-    // the wire carries corpus rows, not corpus×K (the row_number spelling
-    // shuffled every scored row). Tie-break (cdot desc, cid asc) via the
-    // (cdot, -cid) struct, same rule as the window had.
-    val assigned = e.join(broadcast(centroids))
+  /** Nearest-centroid cell assignment as a partial-aggregating max_by:
+    * the broadcast join emits all K candidate rows for a vector inside
+    * one map partition, so the argmax collapses K→1 BEFORE the shuffle
+    * — the wire carries corpus rows, not corpus×K (the row_number
+    * spelling shuffled every scored row). Tie-break (cdot desc, cid
+    * asc) via the (cdot, -cid) struct, same rule as the window had.
+    * Shared by IVF and IVF-PQ. */
+  private def assignCells(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.join(broadcast(centroids))
       .withColumn("cdot", graft.functions.VectorOps.longDot(col("v"), col("c")))
       .groupBy(col("vec_id"))
       .agg(first(col("v")).as("v"),
         max_by(col("cid"), struct(col("cdot"), -col("cid"))).as("cell"))
+
+  /** Assign + search over an arbitrary centroid frame (cid, c). */
+  def ivfTopKWith(e: DataFrame, centroids: DataFrame,
+                  nProbes: Int, k: Int): DataFrame = {
+    val assigned = assignCells(e, centroids)
     val probes = assigned.filter(col("vec_id") < nProbes)
       .select(col("cell"), col("vec_id").as("probe_id"), col("v").as("v_p"))
     val cands = assigned.select(col("cell"), col("vec_id").as("cand_id"), col("v").as("v_c"))
@@ -385,8 +389,60 @@ object Similarity {
       .orderBy("probe_id", "rk")
   }
 
+  /** IVF-PQ — the two quantizers COMPOSED, which is what production ANN
+    * systems actually deploy (FAISS's IVFPQ): the coarse quantizer
+    * restricts the search to the probe's cell (corpus/K candidates),
+    * and within the cell candidates are ranked by ADC over their PQ
+    * codes instead of their raw vectors — so the index stores
+    * (cell, M codes) per vector and the raw corpus never enters the
+    * query path at all. Index build co-locates cell + codes with one
+    * corpus-linear join (build-time, once); queries broadcast the
+    * probe's per-cell ADC lookup table and rank map-side. Both
+    * quantizers deterministic ⟹ oracle-exact; `q_knn_ivfpq_recall`
+    * measures the composed approximation against brute truth. */
+  def ivfPqTopK(e: DataFrame, kCentroids: Int, kCodes: Int,
+                nProbes: Int, k: Int): DataFrame = {
+    val centroids = e.filter(col("vec_id") < kCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val assigned = assignCells(e, centroids)
+    // The persisted index: (vec_id, cell, m, code) — built once.
+    val index = assigned.select(col("vec_id"), col("cell"))
+      .join(pqEncode(e, kCodes), Seq("vec_id"))
+      .select(col("vec_id").as("cand_id"), col("cell"),
+        col("m"), col("code").as("k"))
+    // Probe-side ADC lookup table, tagged with the probe's cell.
+    val lt = assigned.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("cell"), col("v"))
+      .join(broadcast(
+        pqCodebook(e, kCodes).select(col("m"), col("k"), col("c"))))
+      .select(col("probe_id"), col("cell"), col("m"), col("k"),
+        graft.functions.VectorOps.longDot(
+          expr(s"slice(v, m * $PqSubDim + 1, $PqSubDim)"), col("c")).as("pd"))
+    val scored = index.join(broadcast(lt), Seq("cell", "m", "k"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("cand_id"))
+      .agg(sum(col("pd")).as("adot"))
+    graft.functions.TopK.perKey(scored, "probe_id", "adot", "cand_id", k)
+      .orderBy("probe_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_knn_topk" -> ((s, dir) => brute(s, dir, 8, 5)),
+
+    // IVF-PQ composition + its recall audit.
+    "q_knn_ivfpq" -> ((s, dir) => {
+      val n = Tables.embeddings(s, dir).count()
+      ivfPqTopK(Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v")),
+        math.ceil(math.sqrt(n.toDouble)).toInt, derivePqCodes(n), 8, 5)
+    }),
+
+    "q_knn_ivfpq_recall" -> ((s, dir) => {
+      val n = Tables.embeddings(s, dir).count()
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
+      val truth = brute(s, dir, 64, 5).select("probe_id", "cand_id")
+      recallVs(truth, ivfPqTopK(e,
+        math.ceil(math.sqrt(n.toDouble)).toInt, derivePqCodes(n), 64, 5))
+    }),
 
     // PQ-compressed ANN + its recall audit: deterministic codebooks, so
     // both the code assignment and the ADC ranking reproduce in SQL.
@@ -602,7 +658,10 @@ object Similarity {
     * the same `cc − 2·sv·c` rank key and (key, k) tie-break, and the
     * ADC sum — parameterized by probe count so the top-k key and the
     * recall audit share it. */
-  private def pqCtes(nProbes: Int): String = s"""
+  /** The shared PQ prefix: params, quantized vectors, subvectors,
+    * codebooks, and the argmin encoding — everything up to (but not
+    * including) a query path. */
+  private def pqPrefixCtes: String = s"""
       ${pqParamsSql("embeddings")},
       q AS (
         SELECT vec_id,
@@ -622,7 +681,10 @@ object Similarity {
                    ORDER BY cc - 2 * CAST(list_dot_product(s.sv, cb.c) AS BIGINT),
                             cb.k) AS rn
           FROM sub s JOIN cb ON s.m = cb.m)
-        WHERE rn = 1),
+        WHERE rn = 1)"""
+
+  private def pqCtes(nProbes: Int): String = s"""
+      $pqPrefixCtes,
       lt AS (
         SELECT p.vec_id AS probe_id, cb.m, cb.k,
                CAST(list_dot_product(p.sv, cb.c) AS BIGINT) AS pd
@@ -633,6 +695,66 @@ object Similarity {
         FROM enc JOIN lt ON enc.m = lt.m AND enc.k = lt.k
         WHERE enc.vec_id <> lt.probe_id
         GROUP BY lt.probe_id, enc.vec_id)"""
+
+  /** IVF-PQ twin: the PQ prefix plus the first-⌈√N⌉ coarse assignment
+    * (identical to the IVF oracle's `assigned`); candidates meet probes
+    * on (cell, m, code) exactly like the engine's index join. */
+  private def ivfPqCtes(nProbes: Int): String = s"""
+      $pqPrefixCtes,
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT q.vec_id, c.vec_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS arn
+          FROM q JOIN q c
+            ON c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                           FROM embeddings))
+        WHERE arn = 1),
+      lt AS (
+        SELECT a.vec_id AS probe_id, a.cell, cb.m, cb.k,
+               CAST(list_dot_product(p.sv, cb.c) AS BIGINT) AS pd
+        FROM assigned a JOIN sub p ON p.vec_id = a.vec_id
+             JOIN cb ON p.m = cb.m
+        WHERE a.vec_id < $nProbes),
+      scored AS (
+        SELECT lt.probe_id, enc.vec_id AS cand_id, CAST(sum(pd) AS BIGINT) AS adot
+        FROM enc JOIN assigned ca ON enc.vec_id = ca.vec_id
+             JOIN lt ON ca.cell = lt.cell AND enc.m = lt.m AND enc.k = lt.k
+        WHERE enc.vec_id <> lt.probe_id
+        GROUP BY lt.probe_id, enc.vec_id)"""
+
+  private def ivfPqOracleSql: String = s"""
+      WITH ${ivfPqCtes(8)}
+      SELECT probe_id, cand_id, adot, rk FROM (
+        SELECT probe_id, cand_id, adot,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY adot DESC, cand_id) AS INTEGER) AS rk
+        FROM scored)
+      WHERE rk <= 5 ORDER BY probe_id, rk"""
+
+  private def ivfPqRecallOracleSql: String = s"""
+      WITH ${ivfPqCtes(64)},
+      ipq AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT probe_id, cand_id,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY adot DESC, cand_id) AS rk
+          FROM scored)
+        WHERE rk <= 5),
+      truth AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY CAST(list_dot_product(p.v, c.v) AS BIGINT) DESC,
+                            c.vec_id) AS rk
+          FROM q p JOIN q c ON p.vec_id < 64 AND p.vec_id != c.vec_id)
+        WHERE rk <= 5)
+      SELECT t.probe_id, count(*) AS n_true, count(a.cand_id) AS n_hit,
+             round(CAST(count(a.cand_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+               AS recall
+      FROM truth t LEFT JOIN ipq a
+        ON t.probe_id = a.probe_id AND t.cand_id = a.cand_id
+      GROUP BY t.probe_id ORDER BY t.probe_id"""
 
   private def pqOracleSql: String = s"""
       WITH ${pqCtes(8)}
@@ -673,6 +795,10 @@ object Similarity {
     "q_knn_pq" -> pqOracleSql,
 
     "q_knn_pq_recall" -> pqRecallOracleSql,
+
+    "q_knn_ivfpq" -> ivfPqOracleSql,
+
+    "q_knn_ivfpq_recall" -> ivfPqRecallOracleSql,
 
     "q_knn_recall" -> recallOracleSql,
 
