@@ -299,9 +299,76 @@ object Curation {
         col("est_tokens"), col("shard"))
   }
 
+  /** Document-frequency cap for verbatim-span blocking: a shingle key
+    * present in more than this many docs is boilerplate (licenses,
+    * headers, templates) — a quadratic pair-explosion carrier, not
+    * evidence of meaningful reuse between two specific docs. Pairs are
+    * counted only through rarer spans; the boilerplate itself is what
+    * `q_text_repetition`-style signals and frequency analyses surface.
+    * This is the standard df-cap every AllPairs-style blocking carries,
+    * and it is what bounds the per-key join at 100 TB: any key's pair
+    * contribution is ≤ VerbatimMaxDf². */
+  val VerbatimMaxDf = 64
+
+  /** Per-lang median/MAD outlier verdicts over (doc_id, lang, n_chars)
+    * — see the `q_quality_outliers` entry for the rationale. Exposed so
+    * specs can drive the real logic on planted heavy-tail frames (the
+    * driver corpora are uniform: max deviation = 2×MAD, correctly zero
+    * outliers, so the flag branch needs planted data). */
+  def qualityOutliers(docs: DataFrame): DataFrame = {
+    val med = docs.groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val withMed = docs.join(broadcast(med), Seq("lang"))
+    val mad = withMed.groupBy("lang")
+      .agg(expr("percentile(abs(n_chars - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("med"), col("mad"),
+        when(abs(col("n_chars") - col("med")) > col("mad") * 3.0, "outlier")
+          .otherwise("ok").as("verdict"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_decontaminate" -> ((s, dir) =>
       decontaminate(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // VERBATIM cross-doc span detection (Lee et al.'s "Deduplicating
+    // Training Data" substring-reuse concern, shingled): pairs of docs
+    // sharing ≥ 1 derived-width word n-gram VERBATIM, with the count of
+    // shared spans. Distinct from whole-doc near-dup (minhash/ngram):
+    // this catches partial reuse — a quoted paragraph, a copied
+    // footer — between otherwise-unrelated docs. Blocked by the shingle
+    // key itself (rolling-hash, 8-byte); keys above VerbatimMaxDf docs
+    // are excluded as boilerplate, so per-key pair work is bounded.
+    "q_verbatim_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val width = deriveShingleWidth(docs.count())
+      val sh = shingles(docs, width)
+      // df filter reuses the sh_key partitioning from the aggregate —
+      // no extra exchange on the shared frame.
+      val rare = sh.groupBy("sh_key").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1 && col("df") <= VerbatimMaxDf)
+        .select("sh_key")
+      val shared = sh.join(rare, Seq("sh_key"))
+      shared.as("a").join(shared.as("b"), Seq("sh_key"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Per-lang median/MAD outlier flags on doc length — the robust
+    // data-quality screen (mean/stddev break under the heavy tails
+    // that are exactly what you're screening for; median/MAD have a
+    // 50% breakdown point). Two aggregate→broadcast rounds; the corpus
+    // itself never shuffles. Exact percentile semantics match DuckDB's
+    // quantile_cont (same interpolation; .0/.5 halves and 3×mad are
+    // exactly representable, so the boundary verdict is deterministic
+    // across engines).
+    "q_quality_outliers" -> ((s, dir) =>
+      qualityOutliers(Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars")))
+        .orderBy("doc_id")),
 
     // INCREMENTAL decontamination — the ingest-time production mode
     // (mirrors q_dedup_incremental / q_dedup_cluster_incremental): the
@@ -436,6 +503,34 @@ object Curation {
         GROUP BY tr.doc_id HAVING count(ev.sh_key) > 0)
       SELECT doc_id, n_shingles, n_hit FROM full_recompute
       WHERE doc_id % 5 = 0 ORDER BY doc_id""",
+
+    "q_verbatim_spans" -> s"""
+      WITH ${shingleParamsSql("documents")},
+      sh AS ($shinglesSql),
+      rare AS (
+        SELECT sh_key FROM sh GROUP BY sh_key
+        HAVING count(*) > 1 AND count(*) <= $VerbatimMaxDf),
+      shd AS (SELECT doc_id, sh_key FROM sh JOIN rare USING (sh_key))
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM shd a JOIN shd b ON a.sh_key = b.sh_key AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      ORDER BY doc_a, doc_b""",
+
+    "q_quality_outliers" -> """
+      WITH med AS (
+        SELECT lang, quantile_cont(n_chars, 0.5) AS med
+        FROM documents GROUP BY lang),
+      w AS (
+        SELECT d.doc_id, d.lang, d.n_chars, m.med
+        FROM documents d JOIN med m ON d.lang = m.lang),
+      mad AS (
+        SELECT lang, quantile_cont(abs(n_chars - med), 0.5) AS mad
+        FROM w GROUP BY lang)
+      SELECT w.doc_id, w.lang, w.n_chars, w.med, mad.mad,
+             CASE WHEN abs(w.n_chars - w.med) > mad.mad * 3.0
+                  THEN 'outlier' ELSE 'ok' END AS verdict
+      FROM w JOIN mad ON w.lang = mad.lang
+      ORDER BY doc_id""",
 
     "q_corpus_mix" -> s"""
       WITH rates(lang, rate_pct) AS (VALUES ${MixRates.map(r => s"('${r._1}', ${r._2})").mkString(", ")}),

@@ -641,6 +641,25 @@ class PipelineSpec extends SparkSpec {
       s"missing=${expected -- got} spurious=${got -- expected}")
   }
 
+  test("median/MAD outlier screen flags planted heavy-tail docs, robust to the outliers themselves") {
+    // The driver corpora have uniform n_chars (max deviation = 2×MAD —
+    // correctly zero outliers), so the flag branch is proven here on a
+    // planted heavy tail. The robustness property under test: the
+    // median/MAD estimates must NOT be dragged by the outliers they
+    // screen (mean/stddev would be), so the verdict for normal docs
+    // stays 'ok' even with extreme values present.
+    import spark.implicits._
+    val docs = ((1L to 40L).map(i => (i, "en", 100L + (i % 5))) ++
+      Seq((98L, "en", 5000L), (99L, "en", 1L))).toDF("doc_id", "lang", "n_chars")
+    val out = Curation.qualityOutliers(docs)
+      .select("doc_id", "verdict")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(98L) == "outlier" && out(99L) == "outlier",
+      s"planted extremes not flagged: $out")
+    assert((1L to 40L).forall(out(_) == "ok"),
+      "median/MAD dragged by the outliers — robustness property violated")
+  }
+
   test("incremental minhash equals full recompute restricted to batch-touching pairs") {
     // q_dedup_minhash_incremental's contract beyond the oracle's one
     // corpus: index-once/band-join-batch must equal the full pipeline
