@@ -213,31 +213,51 @@ object Curation {
     * construction, not by silently matching nothing. */
   final case class EvalShingles(width: Int, shingles: Seq[String]) {
     require(width >= 1, s"shingle width must be >= 1, got $width")
-    shingles.find(_.split(" ").length != width).foreach(s =>
+    // A width-w shingle is w space-joined tokens ⟹ exactly w−1 spaces
+    // (tokens from a space split can never contain one). Counting
+    // separators — not re-splitting — keeps shingles with EMPTY tokens
+    // valid: Scala's split(" ") drops trailing empties, so a legitimate
+    // shingle like "a b c d " (consecutive-space text) would re-split
+    // to fewer tokens and false-positively fail here.
+    shingles.find(_.count(_ == ' ') != width - 1).foreach(s =>
       throw new IllegalArgumentException(
-        s"eval shingle is ${s.split(" ").length} tokens, not the declared width $width: '$s'"))
+        s"eval shingle has ${s.count(_ == ' ') + 1} tokens, not the declared width $width: '$s'"))
   }
 
   object EvalShingles {
     /** Width-`width` word shingles of the eval texts — same
-      * tokenization as [[shingleArray]] (lowercase, single-space
-      * split), so what the gate computes per row is exactly what this
-      * builds per eval text. */
+      * tokenization as [[shingleArray]]: lowercase, single-space split
+      * KEEPING trailing empty tokens (limit −1), because Spark's
+      * `split` keeps them. A plain Scala `split(" ")` drops trailing
+      * empties, so an eval text with trailing whitespace would silently
+      * contribute fewer (or zero) shingles than the gate computes for
+      * the identical row text — verbatim copies would then pass. */
     def fromTexts(width: Int, texts: Seq[String]): EvalShingles =
       EvalShingles(width, texts.iterator.flatMap(t =>
-        t.toLowerCase.split(" ").sliding(width).filter(_.length == width)
+        t.toLowerCase.split(" ", -1).sliding(width).filter(_.length == width)
           .map(_.mkString(" "))).toSeq.distinct)
   }
 
-  /** One broadcast per (session, eval set): gate re-construction (e.g.
-    * a restarted stream in the same session) reuses the existing
-    * broadcast instead of shipping another copy that is never destroyed
-    * — the round-7 leak. The cache is bounded by the number of DISTINCT
-    * eval sets a session gates against (in practice one or two); entries
-    * die with the driver. */
+  /** One broadcast per (session, eval-set CONTENT): gate
+    * re-construction (e.g. a restarted stream in the same session)
+    * reuses the existing broadcast instead of shipping another copy
+    * that is never destroyed — the round-7 leak. The key is a digest
+    * over the SORTED shingles plus the width, so content-equal sets
+    * built in a different order dedupe correctly (a Seq-keyed cache
+    * would miss on reorder and silently reintroduce the leak) and the
+    * cache holds a 32-char string per entry, not a driver-side copy of
+    * a multi-MB shingle Seq. Bounded by the number of distinct eval
+    * sets a session gates against; entries die with the driver. */
   private val gateBroadcasts = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, EvalShingles),
+    (SparkSession, String),
     org.apache.spark.broadcast.Broadcast[Set[String]]]()
+
+  private def evalDigest(e: EvalShingles): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // Length-prefixed entries: unambiguous regardless of shingle content.
+    e.shingles.sorted.foreach(s => md.update(s"${s.length}:$s".getBytes("UTF-8")))
+    e.width.toString + ":" + md.digest().map("%02x".format(_)).mkString
+  }
 
   /** STREAMING contamination gate: keep only rows whose `text` shares
     * NO shingle with the eval set — the ingest-time form of
@@ -259,11 +279,19 @@ object Curation {
     *    asserted in the spec). */
   def contaminationGate(stream: DataFrame, eval: EvalShingles): DataFrame =
     if (eval.shingles.size <= GateInlineMax)
-      stream.filter(!arrays_overlap(shingleArray(col("text"), eval.width),
-        lit(eval.shingles.toArray)))
+      // coalesce(…, false): a NULL text has no shingles and cannot be
+      // contaminated, so it passes — the same verdict the broadcast
+      // path's null check produces. Bare arrays_overlap yields NULL on
+      // a NULL array and the filter would silently DROP those rows,
+      // flipping behavior when the eval set crosses GateInlineMax.
+      stream.filter(!coalesce(
+        arrays_overlap(shingleArray(col("text"), eval.width),
+          lit(eval.shingles.toArray)),
+        lit(false)))
     else {
-      val bc = gateBroadcasts.computeIfAbsent((stream.sparkSession, eval),
-        { case (s, e) => s.sparkContext.broadcast(e.shingles.toSet) })
+      val key = (stream.sparkSession, evalDigest(eval))
+      val bc = gateBroadcasts.computeIfAbsent(key,
+        _ => stream.sparkSession.sparkContext.broadcast(eval.shingles.toSet))
       val hit = udf((shs: Seq[String]) =>
         shs != null && shs.exists(bc.value.contains))
       stream.filter(!hit(shingleArray(col("text"), eval.width)))

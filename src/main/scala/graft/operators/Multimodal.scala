@@ -167,10 +167,16 @@ object Multimodal {
     // Big-endian unsigned int of `len` bytes at 1-based offset `pos`.
     def be(pos: Int, len: Int): Column =
       conv(hex(substring(p, pos, len)), 16, 10).cast("int")
-    val isPng = hex(substring(p, 1, 8)) === "89504E470D0A1A0A"
-    val isJpeg = hex(substring(p, 1, 2)) === "FFD8"
+    // Minimum-length guards mirror the kernel's (decode: n≥24 png,
+    // n≥4 jpeg, n≥13 gif): without them a 2-byte FFD8 fragment would
+    // classify as jpeg here while the kernel calls it unknown, and a
+    // truncated GIF header would read NULL dimensions off the end of
+    // the payload (conv(hex('')) is NULL) — breaking both the
+    // plan/kernel agreement and the non-null width/height contract.
+    val isPng = hex(substring(p, 1, 8)) === "89504E470D0A1A0A" && length(p) >= 24
+    val isJpeg = hex(substring(p, 1, 2)) === "FFD8" && length(p) >= 4
     // "GIF8" — the kernel's check: both GIF87a and GIF89a qualify.
-    val isGif = hex(substring(p, 1, 4)) === "47494638"
+    val isGif = hex(substring(p, 1, 4)) === "47494638" && length(p) >= 13
     // JPEG walk state per step k: oK = 1-based offset of the segment's
     // FF byte; vK = every byte visited so far was a real FF marker
     // (matching the kernel's stop-at-garbage semantics — offsets
@@ -185,11 +191,15 @@ object Multimodal {
         .withColumn(s"v${k + 1}", expr(
           s"v$k AND hex(substring(payload, o${k + 1}, 1)) = 'FF'"))
     }
-    // A hit at step k: walk still valid and marker byte is SOF0–SOF3.
-    // Frame payload: precision(1) at o+4, height BE16 at o+5, width
-    // BE16 at o+7 (1-based; mirrors decode()'s 0-based i+5/i+7).
+    // A hit at step k: walk still valid, the full frame header is in
+    // bounds (the kernel's `i + 9 <= length` loop guard — without it a
+    // SOF truncated mid-header would read partial/NULL dims), and the
+    // marker byte is SOF0–SOF3. Frame payload: precision(1) at o+4,
+    // height BE16 at o+5, width BE16 at o+7 (1-based; mirrors
+    // decode()'s 0-based i+5/i+7).
     def sofAt(k: Int): Column = expr(
-      s"v$k AND cast(conv(hex(substring(payload, o$k + 1, 1)), 16, 10) as int) BETWEEN 192 AND 195")
+      s"v$k AND o$k + 8 <= length(payload) AND " +
+        s"cast(conv(hex(substring(payload, o$k + 1, 1)), 16, 10) as int) BETWEEN 192 AND 195")
     def dimAt(k: Int, off: Int): Column = expr(
       s"cast(conv(hex(substring(payload, o$k + $off, 2)), 16, 10) as int)")
     val jpegH = coalesce((1 to MaxJpegSegs).map(k =>

@@ -85,7 +85,10 @@ class MetricsSpec extends SparkSpec {
       q.processAllAvailable()
       val snap = awaitStream(_.exists(b =>
         b.query == "metrics_state" && b.stateRows > 0))
-      val b = snap.filter(_.query == "metrics_state").last
+      val batches = snap.filter(_.query == "metrics_state")
+      assert(batches.nonEmpty,
+        s"no metrics_state batch captured before the deadline: $snap")
+      val b = batches.last
       assert(b.stateRows == 10, s"expected 10 state groups: $b")
       assert(b.stateRowsUpdated > 0, s"no state updates recorded: $b")
       assert(b.stateBytes > 0, s"no state memory recorded: $b")

@@ -158,11 +158,15 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(base.nonEmpty && (base -- expanded).isEmpty,
       s"base buckets missing from the probe lattice: ${(base -- expanded).take(5)}")
-    // And the lattice is exactly T × 2^min(ProbeBits, L) buckets per probe.
+    // And the lattice is EXACTLY T × 2^min(ProbeBits, L) buckets per
+    // probe — distinct masks over distinct bits yield distinct buckets
+    // and the table offset separates tables, so an upper bound alone
+    // would let a regression that drops high mask values (silently
+    // shrinking recall) pass.
     val perProbe = expanded.groupBy(_._1).values.map(_.size).toSet
     val want = Similarity.NumTables *
       (1 << math.min(Similarity.ProbeBits, planes))
-    assert(perProbe.forall(_ <= want), s"lattice sizes $perProbe exceed $want")
+    assert(perProbe == Set(want), s"lattice sizes $perProbe, expected exactly $want")
   }
 
   test("salted running sum: bit-identical to the single window, hot key spreads") {
@@ -414,6 +418,26 @@ class PipelineSpec extends SparkSpec {
       }.toSet
     assert(viaPlan == viaKernel,
       s"plan=$viaPlan\nkernel=$viaKernel")
+
+    // TRUNCATED payloads: the plan's length guards must classify like
+    // the kernel (a 2-byte FFD8 fragment or a bare 6-byte GIF signature
+    // is unknown, not a misparse), and dimensions must come back 0 —
+    // never NULL from reads past the end of the payload. (The kernel's
+    // unknown branch falls to the deterministic fake dims; the plan's
+    // contract for unknown is 0×0 — formats must agree, dims are
+    // branch-specific by design.)
+    val truncated = Seq(
+      (7L, Array(0xFF, 0xD8).map(_.toByte)),
+      (8L, "GIF89a".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val truncOut = Multimodal.metaPlan(truncated)
+      .select("doc_id", "format", "width", "height")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(truncOut(7L) == ("unknown", 0, 0), s"FFD8 fragment: ${truncOut(7L)}")
+    assert(truncOut(8L) == ("unknown", 0, 0), s"bare GIF sig: ${truncOut(8L)}")
+    assert(Multimodal.decode(7L, Array(0xFF, 0xD8).map(_.toByte)).format == "unknown")
+    assert(Multimodal.decode(8L, "GIF89a".getBytes("US-ASCII")).format == "unknown")
   }
 
   test("connected components: chains merge, islands stay, long chains converge") {

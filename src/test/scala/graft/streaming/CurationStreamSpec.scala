@@ -48,6 +48,35 @@ class CurationStreamSpec extends SparkSpec {
     } finally { UpdateLog.drop(qn); Outbox.drop(bx) }
   }
 
+  test("eval shingles survive messy whitespace; null text passes BOTH gate paths") {
+    import spark.implicits._
+    // Consecutive/trailing spaces: Spark's split keeps empty tokens, so
+    // fromTexts must too (limit −1) — and the width validation counts
+    // separators instead of re-splitting (Scala split(\" \") drops
+    // trailing empties and would false-reject legitimate shingles).
+    val messy = Curation.EvalShingles.fromTexts(5, Seq("one two three four  five six "))
+    assert(messy.shingles.nonEmpty)
+    // Null text has no shingles ⟹ cannot be contaminated ⟹ must PASS —
+    // and identically on the inline (array-literal) and broadcast
+    // paths: pre-fix the inline path's bare arrays_overlap returned
+    // NULL and silently DROPPED null rows while the broadcast path kept
+    // them, flipping verdicts when the eval size crossed GateInlineMax.
+    val docs = Seq((1L, null.asInstanceOf[String]),
+      (2L, "alpha beta gamma delta epsilon tail words"),
+      (3L, "completely clean other words here now")).toDF("chat_id", "text")
+    val evalSmall = Curation.EvalShingles.fromTexts(5,
+      Seq("alpha beta gamma delta epsilon"))
+    val evalBig = Curation.EvalShingles(5,
+      bigEvalSet :+ "alpha beta gamma delta epsilon")
+    assert(evalBig.shingles.size > Curation.GateInlineMax)
+    val inlineKept = Curation.contaminationGate(docs, evalSmall)
+      .collect().map(_.getLong(0)).toSet
+    val bcastKept = Curation.contaminationGate(docs, evalBig)
+      .collect().map(_.getLong(0)).toSet
+    assert(inlineKept == Set(1L, 3L), s"inline path kept: $inlineKept")
+    assert(bcastKept == inlineKept, s"paths disagree: $inlineKept vs $bcastKept")
+  }
+
   /** 100k synthetic eval shingles: realistic eval-set scale. */
   private def bigEvalSet: IndexedSeq[String] = {
     val rnd = new scala.util.Random(42L)
