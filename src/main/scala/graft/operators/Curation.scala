@@ -372,8 +372,12 @@ object Curation {
       val docs = Tables.documents(s, dir)
       val width = deriveShingleWidth(docs.count())
       val sh = shingles(docs, width)
-      // df filter reuses the sh_key partitioning from the aggregate —
-      // no extra exchange on the shared frame.
+      // The df side re-derives the shingle frame (Spark shares no
+      // subplans across DataFrame branches without explicit
+      // materialization): two linear corpus passes, which at scale
+      // beats materializing the full O(corpus × shingles) frame just
+      // to read it twice. The resulting rare-key set is small (df-
+      // capped) and broadcasts into the pair join.
       val rare = sh.groupBy("sh_key").agg(count(lit(1)).as("df"))
         .filter(col("df") > 1 && col("df") <= VerbatimMaxDf)
         .select("sh_key")
