@@ -291,14 +291,40 @@ object Similarity {
       .agg(first(col("v")).as("v"),
         max_by(col("cid"), struct(col("cdot"), -col("cid"))).as("cell"))
 
+  /** Cells searched per probe — the standard IVF recall knob (nprobe
+    * in FAISS terms). 1 = assigned cell only; each increment adds
+    * ~corpus/K candidates per probe and recovers neighbors that sit
+    * just across a cell boundary. Deterministic top-R by (centroid
+    * dot desc, cid asc), so the oracle replays the exact cell set. */
+  val IvfNprobe = 2
+
   /** Assign + search over an arbitrary centroid frame (cid, c). */
   def ivfTopKWith(e: DataFrame, centroids: DataFrame,
-                  nProbes: Int, k: Int): DataFrame = {
+                  nProbes: Int, k: Int, nprobe: Int = IvfNprobe): DataFrame = {
     val assigned = assignCells(e, centroids)
-    val probes = assigned.filter(col("vec_id") < nProbes)
-      .select(col("cell"), col("vec_id").as("probe_id"), col("v").as("v_p"))
+    // Multi-cell probing (standard IVF recall knob): each probe
+    // searches its `nprobe` nearest cells, not just the one it is
+    // assigned to — a true neighbor near a cell boundary sits in the
+    // second-nearest cell about as often as the first. Candidate
+    // volume grows ×nprobe ON THE PROBE SIDE ONLY (the index stays one
+    // cell per vector); per-probe cell ranking runs over the broadcast
+    // centroid set with the same (dot desc, cid asc) tie rule as
+    // assignment, so nprobe = 1 reproduces the assigned cell exactly
+    // and the DuckDB twin replays the identical cell sequence.
+    val cellScores = assigned.filter(col("vec_id") < nProbes)
+      .select(col("vec_id"), col("v"))
+      .join(broadcast(centroids))
+      .select(col("vec_id"), col("cid"),
+        graft.functions.VectorOps.longDot(col("v"), col("c")).as("cdot"))
+    val probeCells = graft.functions.TopK
+      .perKey(cellScores, "vec_id", "cdot", "cid", nprobe)
+      .select(col("vec_id").as("probe_id"), col("cid").as("cell"))
+    val probes = probeCells.join(
+      assigned.filter(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("v").as("v_p")),
+      Seq("probe_id"))
     val cands = assigned.select(col("cell"), col("vec_id").as("cand_id"), col("v").as("v_c"))
-    val scored = probes.join(cands, Seq("cell"))
+    val scored = broadcast(probes).join(cands, Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("dot", dotAB)
       .select("probe_id", "cand_id", "dot")
@@ -629,14 +655,25 @@ object Similarity {
             ON c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
                            FROM embeddings))
         WHERE arn = 1),
+      pcells AS (
+        SELECT vec_id AS probe_id, cell FROM (
+          SELECT q.vec_id, c.vec_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS arn
+          FROM q JOIN q c
+            ON q.vec_id < 64
+           AND c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                           FROM embeddings))
+        WHERE arn <= $IvfNprobe),
       ivf AS (
         SELECT probe_id, cand_id FROM (
-          SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-                 row_number() OVER (PARTITION BY p.vec_id
+          SELECT pc.probe_id, c.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY pc.probe_id
                    ORDER BY CAST(list_dot_product(p.v, c.v) AS BIGINT) DESC,
                             c.vec_id) AS rk
-          FROM assigned p JOIN assigned c
-            ON p.cell = c.cell AND p.vec_id < 64 AND p.vec_id != c.vec_id)
+          FROM pcells pc JOIN q p ON p.vec_id = pc.probe_id
+               JOIN assigned c ON c.cell = pc.cell
+          WHERE c.vec_id <> pc.probe_id)
         WHERE rk <= 5),
       truth AS (
         SELECT probe_id, cand_id FROM (
@@ -820,7 +857,7 @@ object Similarity {
         FROM scored)
       WHERE rk <= 5 ORDER BY probe_id, rk""",
 
-    "q_knn_ivf" -> """
+    "q_knn_ivf" -> s"""
       WITH q AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
@@ -834,11 +871,22 @@ object Similarity {
             ON c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
                            FROM embeddings))
         WHERE arn = 1),
+      pcells AS (
+        SELECT vec_id AS probe_id, cell FROM (
+          SELECT q.vec_id, c.vec_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS arn
+          FROM q JOIN q c
+            ON q.vec_id < 8
+           AND c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                           FROM embeddings))
+        WHERE arn <= $IvfNprobe),
       scored AS (
-        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        SELECT pc.probe_id, c.vec_id AS cand_id,
                CAST(list_dot_product(p.v, c.v) AS BIGINT) AS dot
-        FROM assigned p JOIN assigned c
-          ON p.cell = c.cell AND p.vec_id < 8 AND p.vec_id != c.vec_id)
+        FROM pcells pc JOIN q p ON p.vec_id = pc.probe_id
+             JOIN assigned c ON c.cell = pc.cell
+        WHERE c.vec_id <> pc.probe_id)
       SELECT probe_id, cand_id, dot, rk FROM (
         SELECT probe_id, cand_id, dot,
                CAST(row_number() OVER (PARTITION BY probe_id
