@@ -132,6 +132,21 @@ object Curation {
             END""")).as("sh_key"))
       .distinct()
 
+  /** (doc_id, pos, sh_key): every shingle WITH its 0-based token
+    * position — the positions-aware form of [[shingles]] (no distinct:
+    * repeats matter when reconstructing runs). Same rolling-hash keys. */
+  private def shinglesWithPos(docs: DataFrame, width: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr(s"transform(split(lower(text), ' '), t -> ${Tables.md5FoldSql("t")})")
+          .as("tf"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(tf) < $width THEN array()
+            ELSE transform(sequence(0, size(tf) - $width),
+                   i -> aggregate(slice(tf, i + 1, $width), 0L,
+                          (acc, h) -> ((acc % ${RotHi}L) * 2L + (acc div ${RotHi}L)) ^ h))
+            END""")).as(Seq("pos", "sh_key")))
+
   /** Training docs that share ≥ 1 shingle with the eval set, with their
     * total and overlapping shingle counts. The eval side reduces to its
     * DISTINCT shingle set and BROADCASTS — the corpus never shuffles
@@ -338,6 +353,30 @@ object Curation {
     * contribution is ≤ VerbatimMaxDf². */
   val VerbatimMaxDf = 64
 
+  /** Longest shared verbatim token run per doc pair — see the
+    * `q_verbatim_extents` entry for the algorithm (diagonal alignment +
+    * gaps-and-islands runs over positions-aware rolling-hash shingles).
+    * Exposed so specs can prove exact run lengths on planted reuse. */
+  def verbatimExtents(docs: DataFrame, width: Int): DataFrame = {
+    val sh = shinglesWithPos(docs, width)
+    val rare = sh.groupBy("sh_key")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > 1 && col("df") <= VerbatimMaxDf)
+      .select("sh_key")
+    val shr = sh.join(rare, Seq("sh_key"))
+    val m = shr.as("a").join(shr.as("b"), Seq("sh_key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    m.withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg((count(lit(1)) + width - 1).as("run_tokens"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("run_tokens")).as("max_run_tokens"))
+  }
+
   /** Per-lang median/MAD outlier verdicts over (doc_id, lang, n_chars)
     * — see the `q_quality_outliers` entry for the rationale. Exposed so
     * specs can drive the real logic on planted heavy-tail frames (the
@@ -386,6 +425,24 @@ object Curation {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Verbatim span EXTENTS — the step beyond q_verbatim_spans toward
+    // Lee et al.-style substring dedup: for each doc pair, the LONGEST
+    // verbatim token run they share. Aligned shingle matches sit on a
+    // diagonal (pos_a − pos_b constant); consecutive positions within
+    // one diagonal form a run of length (shingle count + width − 1)
+    // tokens — the classic gaps-and-islands grouping (pos −
+    // row_number), windowed per (pair, diagonal) so no partition
+    // exceeds a doc's shingle count. Matches flow only through
+    // df-capped rare keys (runs cannot bridge a boilerplate shingle —
+    // the documented VerbatimMaxDf trade); repeated phrases WITHIN a
+    // doc create parallel diagonals, each measured independently, max
+    // taken per pair.
+    "q_verbatim_extents" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      verbatimExtents(docs, deriveShingleWidth(docs.count()))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -546,6 +603,42 @@ object Curation {
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
       FROM shd a JOIN shd b ON a.sh_key = b.sh_key AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
+      ORDER BY doc_a, doc_b""",
+
+    "q_verbatim_extents" -> s"""
+      WITH ${shingleParamsSql("documents")},
+      sh AS (
+        SELECT doc_id, generate_subscripts(ks, 1) - 1 AS pos, unnest(ks) AS sh_key
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN len(tf) < W THEN []
+                      ELSE list_transform(range(1, len(tf) - W + 2),
+                             i -> list_reduce(tf[i:i+W-1],
+                                    (acc, h) -> xor((acc % $RotHi) * 2 + (acc // $RotHi), h)))
+                 END AS ks
+          FROM (SELECT doc_id,
+                       list_transform(string_split(lower(text), ' '),
+                                      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS tf
+                FROM documents), params)),
+      rare AS (
+        SELECT sh_key FROM (
+          SELECT sh_key, count(DISTINCT doc_id) AS df FROM sh GROUP BY sh_key)
+        WHERE df > 1 AND df <= $VerbatimMaxDf),
+      m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, a.pos - b.pos AS diag
+        FROM sh a JOIN rare USING (sh_key)
+             JOIN sh b ON a.sh_key = b.sh_key AND a.doc_id < b.doc_id),
+      r AS (
+        SELECT doc_a, doc_b, diag, pos_a,
+               pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                          ORDER BY pos_a) AS grp
+        FROM m),
+      runs AS (
+        SELECT doc_a, doc_b, count(*) + W - 1 AS run_tokens
+        FROM r, params GROUP BY doc_a, doc_b, diag, grp, W)
+      SELECT doc_a, doc_b, CAST(max(run_tokens) AS BIGINT) AS max_run_tokens
+      FROM runs GROUP BY doc_a, doc_b
       ORDER BY doc_a, doc_b""",
 
     "q_quality_outliers" -> """

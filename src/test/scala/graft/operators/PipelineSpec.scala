@@ -684,6 +684,31 @@ class PipelineSpec extends SparkSpec {
       "median/MAD dragged by the outliers — robustness property violated")
   }
 
+  test("verbatim extents: planted shared runs measured exactly, repeats take the max") {
+    import spark.implicits._
+    // Width 5. Doc 1/2 share a 9-token verbatim run (→ 5 shingles on
+    // one diagonal → 5 + 5 − 1 = 9); doc 1/3 share exactly one 5-token
+    // phrase (→ 5); doc 4 shares nothing. Doc 5 contains doc 2's run
+    // TWICE — parallel diagonals, the max must still be 9, not 18.
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8 r9"
+    val phrase = "p1 p2 p3 p4 p5"
+    val docs = Seq(
+      (1L, s"$run x1 x2 $phrase"),
+      (2L, s"y1 y2 $run y3"),
+      (3L, s"z1 $phrase z2 z3 z4"),
+      (4L, "q1 q2 q3 q4 q5 q6 q7 q8"),
+      (5L, s"$run w1 w2 w3 $run")
+    ).toDF("doc_id", "text")
+    val got = Curation.verbatimExtents(docs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 9L, s"1-2 run: $got")
+    assert(got((1L, 3L)) == 5L, s"1-3 phrase: $got")
+    assert(got((1L, 5L)) == 9L && got((2L, 5L)) == 9L,
+      s"repeated run must max at 9: $got")
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      s"doc 4 shares nothing: $got")
+  }
+
   test("incremental minhash equals full recompute restricted to batch-touching pairs") {
     // q_dedup_minhash_incremental's contract beyond the oracle's one
     // corpus: index-once/band-join-batch must equal the full pipeline
