@@ -427,7 +427,7 @@ object Similarity {
     * quantizers deterministic ⟹ oracle-exact; `q_knn_ivfpq_recall`
     * measures the composed approximation against brute truth. */
   def ivfPqTopK(e: DataFrame, kCentroids: Int, kCodes: Int,
-                nProbes: Int, k: Int): DataFrame = {
+                nProbes: Int, k: Int, nprobe: Int = IvfNprobe): DataFrame = {
     val centroids = e.filter(col("vec_id") < kCentroids)
       .select(col("vec_id").as("cid"), col("v").as("c"))
     val assigned = assignCells(e, centroids)
@@ -436,9 +436,20 @@ object Similarity {
       .join(pqEncode(e, kCodes), Seq("vec_id"))
       .select(col("vec_id").as("cand_id"), col("cell"),
         col("m"), col("code").as("k"))
-    // Probe-side ADC lookup table, tagged with the probe's cell.
-    val lt = assigned.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("cell"), col("v"))
+    // Probes search their `nprobe` nearest cells (same knob and tie
+    // rule as plain IVF — nprobe=1 reproduces the assigned cell).
+    val cellScores = assigned.filter(col("vec_id") < nProbes)
+      .select(col("vec_id"), col("v"))
+      .join(broadcast(centroids))
+      .select(col("vec_id"), col("cid"),
+        graft.functions.VectorOps.longDot(col("v"), col("c")).as("cdot"))
+    val probeCells = graft.functions.TopK
+      .perKey(cellScores, "vec_id", "cdot", "cid", nprobe)
+      .select(col("vec_id").as("probe_id"), col("cid").as("cell"))
+    // Probe-side ADC lookup table, one copy per searched cell.
+    val lt = probeCells
+      .join(assigned.filter(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("v")), Seq("probe_id"))
       .join(broadcast(
         pqCodebook(e, kCodes).select(col("m"), col("k"), col("c"))))
       .select(col("probe_id"), col("cell"), col("m"), col("k"),
@@ -747,12 +758,21 @@ object Similarity {
             ON c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
                            FROM embeddings))
         WHERE arn = 1),
+      pcells AS (
+        SELECT vec_id AS probe_id, cell FROM (
+          SELECT q.vec_id, c.vec_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS arn
+          FROM q JOIN q c
+            ON q.vec_id < $nProbes
+           AND c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                           FROM embeddings))
+        WHERE arn <= $IvfNprobe),
       lt AS (
-        SELECT a.vec_id AS probe_id, a.cell, cb.m, cb.k,
+        SELECT pc.probe_id, pc.cell, cb.m, cb.k,
                CAST(list_dot_product(p.sv, cb.c) AS BIGINT) AS pd
-        FROM assigned a JOIN sub p ON p.vec_id = a.vec_id
-             JOIN cb ON p.m = cb.m
-        WHERE a.vec_id < $nProbes),
+        FROM pcells pc JOIN sub p ON p.vec_id = pc.probe_id
+             JOIN cb ON p.m = cb.m),
       scored AS (
         SELECT lt.probe_id, enc.vec_id AS cand_id, CAST(sum(pd) AS BIGINT) AS adot
         FROM enc JOIN assigned ca ON enc.vec_id = ca.vec_id
