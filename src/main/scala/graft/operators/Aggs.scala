@@ -99,13 +99,39 @@ object Aggs {
           Tables.floorLong(col("n_open") * 100L / col("n_total")).as("open_pct"))),
 
     // Exact interpolated percentiles (both engines use the same
-    // linear-interpolation definition over sorted values).
+    // linear-interpolation definition over sorted values). SCALE
+    // CAVEAT: exact `percentile` buffers EVERY group value in the
+    // aggregation buffer — at ~N/3 rows per status this is the
+    // per-group analog of a driver collect and OOMs executors at
+    // 100 TB. This key exists for oracle-exact semantics; the
+    // production path is q_agg_percentile_approx below (SCALE.md
+    // §Percentiles).
     "q_agg_percentile" -> ((s, dir) =>
       Tables.orders(s, dir)
         .groupBy(col("o_orderstatus"))
         .agg(
           expr("percentile(o_totalprice, 0.5)").as("median_price"),
           expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // The 100 TB percentile: percentile_approx's bounded sketch
+    // (Greenwald-Khanna; buffer size scales with the accuracy knob,
+    // NOT the group size) replaces the exact variant's
+    // buffer-every-value shape. accuracy=10000 ⟹ rank error ≤
+    // 0.01% of the group — for most groups that is value-exact.
+    // No DuckDB oracle (its approx_quantile is a t-digest; sketch
+    // internals differ by construction, same split as the HLL key);
+    // OperatorSpec pins the rank-error bound against the exact
+    // aggregate instead.
+    "q_agg_percentile_approx" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile_approx(o_totalprice, 0.5, 10000)")
+            .as("median_price_approx"),
+          expr("percentile_approx(o_totalprice, 0.9, 10000)")
+            .as("p90_price_approx"),
           count(lit(1)).as("n"))
         .orderBy("o_orderstatus")),
 

@@ -246,10 +246,15 @@ object Curation {
       * `split` keeps them. A plain Scala `split(" ")` drops trailing
       * empties, so an eval text with trailing whitespace would silently
       * contribute fewer (or zero) shingles than the gate computes for
-      * the identical row text — verbatim copies would then pass. */
+      * the identical row text — verbatim copies would then pass.
+      * Lowercasing is Locale.ROOT to match Spark's locale-independent
+      * `lower()`: under a Turkish-style default JVM locale a bare
+      * toLowerCase maps 'I' → 'ı', so eval-side shingles would differ
+      * from the gate's and contaminated rows would silently pass. */
     def fromTexts(width: Int, texts: Seq[String]): EvalShingles =
       EvalShingles(width, texts.iterator.flatMap(t =>
-        t.toLowerCase.split(" ", -1).sliding(width).filter(_.length == width)
+        t.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+          .sliding(width).filter(_.length == width)
           .map(_.mkString(" "))).toSeq.distinct)
   }
 
@@ -262,7 +267,11 @@ object Curation {
     * would miss on reorder and silently reintroduce the leak) and the
     * cache holds a 32-char string per entry, not a driver-side copy of
     * a multi-MB shingle Seq. Bounded by the number of distinct eval
-    * sets a session gates against; entries die with the driver. */
+    * sets a session gates against; entries for STOPPED sessions are
+    * evicted on each gate construction (a driver that cycles sessions
+    * would otherwise pin every dead SparkSession and its Broadcast
+    * value for the process lifetime); live entries die with the
+    * driver. */
   private val gateBroadcasts = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String),
     org.apache.spark.broadcast.Broadcast[Set[String]]]()
@@ -304,6 +313,10 @@ object Curation {
           lit(eval.shingles.toArray)),
         lit(false)))
     else {
+      // Evict cache entries whose session has been stopped: their
+      // broadcasts are unusable (torrent blocks are gone) and keeping
+      // the key pins the dead SparkSession itself.
+      gateBroadcasts.keySet.removeIf(_._1.sparkContext.isStopped)
       val key = (stream.sparkSession, evalDigest(eval))
       val bc = gateBroadcasts.computeIfAbsent(key,
         _ => stream.sparkSession.sparkContext.broadcast(eval.shingles.toSet))
@@ -377,6 +390,39 @@ object Curation {
       .agg(max(col("run_tokens")).as("max_run_tokens"))
   }
 
+  /** Every maximal shared verbatim run per doc pair WITH its offsets —
+    * the removal-ready form of [[verbatimExtents]]: (start_a, start_b,
+    * run_tokens) says exactly which token span of doc_a duplicates
+    * which span of doc_b, so a substring-dedup pass (Lee et al.'s end
+    * goal) can CUT the span, not just measure it. Same diagonal
+    * alignment + gaps-and-islands grouping; the island's min(pos_a) is
+    * the run start on the a side, and start_b = start_a − diag by the
+    * diagonal's definition. Each island is one output row, so a run
+    * interrupted by a df-capped boilerplate shingle splits into two
+    * reported runs — the documented VerbatimMaxDf trade, unchanged.
+    * (start_a, start_b) is unique per pair (islands on one diagonal
+    * are disjoint), so the ordering is total and deterministic. */
+  def verbatimOffsets(docs: DataFrame, width: Int): DataFrame = {
+    val sh = shinglesWithPos(docs, width)
+    val rare = sh.groupBy("sh_key")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > 1 && col("df") <= VerbatimMaxDf)
+      .select("sh_key")
+    val shr = sh.join(rare, Seq("sh_key"))
+    val m = shr.as("a").join(shr.as("b"), Seq("sh_key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    m.withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(min(col("pos_a")).as("start_a"),
+        (count(lit(1)) + width - 1).as("run_tokens"))
+      .select(col("doc_a"), col("doc_b"), col("start_a"),
+        (col("start_a") - col("diag")).as("start_b"), col("run_tokens"))
+  }
+
   /** Per-lang median/MAD outlier verdicts over (doc_id, lang, n_chars)
     * — see the `q_quality_outliers` entry for the rationale. Exposed so
     * specs can drive the real logic on planted heavy-tail frames (the
@@ -388,6 +434,34 @@ object Curation {
     val withMed = docs.join(broadcast(med), Seq("lang"))
     val mad = withMed.groupBy("lang")
       .agg(expr("percentile(abs(n_chars - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("med"), col("mad"),
+        when(abs(col("n_chars") - col("med")) > col("mad") * 3.0, "outlier")
+          .otherwise("ok").as("verdict"))
+  }
+
+  /** The 100 TB twin of [[qualityOutliers]]: same two aggregate→
+    * broadcast rounds and the same median/MAD verdict rule, but both
+    * medians come from `percentile_approx`'s bounded Greenwald-Khanna
+    * sketch — aggregation-buffer size scales with the accuracy knob,
+    * not the per-language group size, which is what makes the screen
+    * runnable when one language holds billions of documents (the exact
+    * variant buffers every value of the group: executor-OOM at scale).
+    * accuracy=10000 ⟹ rank error ≤ 0.01% of the group; the verdict has
+    * a 3×MAD margin, so a sub-0.01%-rank shift in med/mad flips a
+    * verdict only for docs sitting exactly at the threshold. No DuckDB
+    * oracle (sketches differ across engines — the HLL split);
+    * PipelineSpec pins approx-vs-exact verdict agreement on planted
+    * heavy tails instead. */
+  def qualityOutliersApprox(docs: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val med = docs.groupBy("lang")
+      .agg(expr(s"percentile_approx(n_chars, 0.5, $accuracy)")
+        .cast("double").as("med"))
+    val withMed = docs.join(broadcast(med), Seq("lang"))
+    val mad = withMed.groupBy("lang")
+      .agg(expr(s"percentile_approx(abs(n_chars - med), 0.5, $accuracy)")
+        .cast("double").as("mad"))
     withMed.join(broadcast(mad), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         col("med"), col("mad"),
@@ -446,6 +520,17 @@ object Curation {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Verbatim run OFFSETS — the removal-ready step past
+    // q_verbatim_extents: every maximal shared run per pair with
+    // (start_a, start_b, run_tokens), so spans can be CUT (Lee et al.
+    // substring dedup), not just measured. Same deterministic window
+    // arithmetic as the extents key ⟹ oracle-exact.
+    "q_verbatim_offsets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      verbatimOffsets(docs, deriveShingleWidth(docs.count()))
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")
+    }),
+
     // Per-lang median/MAD outlier flags on doc length — the robust
     // data-quality screen (mean/stddev break under the heavy tails
     // that are exactly what you're screening for; median/MAD have a
@@ -456,6 +541,15 @@ object Curation {
     // across engines).
     "q_quality_outliers" -> ((s, dir) =>
       qualityOutliers(Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars")))
+        .orderBy("doc_id")),
+
+    // The sketch-based production form of the screen (bounded
+    // aggregation buffers at any group size) — no oracle by nature,
+    // like the HLL key; PipelineSpec pins approx==exact verdicts on
+    // planted heavy tails, OperatorSpec the rank-error bound.
+    "q_quality_outliers_approx" -> ((s, dir) =>
+      qualityOutliersApprox(Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("n_chars")))
         .orderBy("doc_id")),
 
@@ -640,6 +734,41 @@ object Curation {
       SELECT doc_a, doc_b, CAST(max(run_tokens) AS BIGINT) AS max_run_tokens
       FROM runs GROUP BY doc_a, doc_b
       ORDER BY doc_a, doc_b""",
+
+    "q_verbatim_offsets" -> s"""
+      WITH ${shingleParamsSql("documents")},
+      sh AS (
+        SELECT doc_id, generate_subscripts(ks, 1) - 1 AS pos, unnest(ks) AS sh_key
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN len(tf) < W THEN []
+                      ELSE list_transform(range(1, len(tf) - W + 2),
+                             i -> list_reduce(tf[i:i+W-1],
+                                    (acc, h) -> xor((acc % $RotHi) * 2 + (acc // $RotHi), h)))
+                 END AS ks
+          FROM (SELECT doc_id,
+                       list_transform(string_split(lower(text), ' '),
+                                      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS tf
+                FROM documents), params)),
+      rare AS (
+        SELECT sh_key FROM (
+          SELECT sh_key, count(DISTINCT doc_id) AS df FROM sh GROUP BY sh_key)
+        WHERE df > 1 AND df <= $VerbatimMaxDf),
+      m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, a.pos - b.pos AS diag
+        FROM sh a JOIN rare USING (sh_key)
+             JOIN sh b ON a.sh_key = b.sh_key AND a.doc_id < b.doc_id),
+      r AS (
+        SELECT doc_a, doc_b, diag, pos_a,
+               pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                          ORDER BY pos_a) AS grp
+        FROM m)
+      SELECT doc_a, doc_b, CAST(min(pos_a) AS INTEGER) AS start_a,
+             CAST(min(pos_a) - diag AS INTEGER) AS start_b,
+             CAST(count(*) + W - 1 AS BIGINT) AS run_tokens
+      FROM r, params GROUP BY doc_a, doc_b, diag, grp, W
+      ORDER BY doc_a, doc_b, start_a, start_b""",
 
     "q_quality_outliers" -> """
       WITH med AS (

@@ -387,25 +387,73 @@ object Similarity {
       .select(col("m"), col("vec_id").as("k"), col("sv").as("c"))
       .withColumn("cc", graft.functions.VectorOps.longDot(col("c"), col("c")))
 
+  /** Per-subspace codebooks from spark.ml KMeans — the TRAINED twin of
+    * the deterministic first-K [[pqCodebook]], same (m, k, c, cc)
+    * shape, so every encode/search path below takes either
+    * interchangeably. One KMeans fit per subspace over that subspace's
+    * slices (the textbook PQ training, Jégou TPAMI'11 §III): M
+    * independent K-cell quantizers tile the space into K^M implicit
+    * cells, which is why trained PQ crushes the first-K stub on
+    * clustered data — the stub's codewords all sit wherever the first
+    * K vectors happen to lie (PipelineSpec proves the gap on planted
+    * clusters). k-means|| init samples per partition ⟹ result depends
+    * on partitioning ⟹ Spark-test-verified, no DuckDB twin — the same
+    * split as [[kmeansCentroids]] vs the first-K IVF stub.
+    *
+    * Scale shape: M fits, each the standard mllib distributed loop
+    * (K×subdim broadcast per iteration) over a PqSubDim-wide
+    * projection of the corpus — training cost is M linear passes ×
+    * iterations; centers floor-quantize back to the BIGINT domain so
+    * the codegen LongDot kernel does encoding and ADC, same as the
+    * deterministic path. */
+  def kmeansPqCodebook(e: DataFrame, kCodes: Int,
+                       seed: Long = 20260813L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = e.sparkSession
+    import spark.implicits._
+    val sub = subvectors(e)
+    (0 until PqSubspaces).map { m =>
+      val feats = sub.filter(col("m") === m)
+        .select(array_to_vector(col("sv").cast("array<double>")).as("features"))
+      val model = new KMeans()
+        .setK(kCodes).setSeed(seed + m).setMaxIter(20)
+        .fit(feats)
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, k) => (m, k.toLong, c.toArray.map(_.floor.toLong).toSeq) }
+        .toDF("m", "k", "c")
+    }.reduce(_ unionAll _)
+      .withColumn("cc", graft.functions.VectorOps.longDot(col("c"), col("c")))
+  }
+
   /** (vec_id, m, code): nearest-code assignment per subspace — argmin
     * L2²(sv, c), ties to the lowest k — the compressed representation a
-    * production pipeline PERSISTS in place of the vectors. */
-  def pqEncode(e: DataFrame, kCodes: Int): DataFrame =
-    subvectors(e).join(broadcast(pqCodebook(e, kCodes)), Seq("m"))
+    * production pipeline PERSISTS in place of the vectors. Takes any
+    * (m, k, c, cc) codebook frame ([[pqCodebook]] or
+    * [[kmeansPqCodebook]]). */
+  def pqEncodeWith(e: DataFrame, codebook: DataFrame): DataFrame =
+    subvectors(e).join(broadcast(codebook), Seq("m"))
       .withColumn("key",
         col("cc") - lit(2L) * graft.functions.VectorOps.longDot(col("sv"), col("c")))
       .groupBy(col("vec_id"), col("m"))
       .agg(min_by(col("k"), struct(col("key"), col("k"))).as("code"))
 
+  /** [[pqEncodeWith]] against the deterministic first-K codebook. */
+  def pqEncode(e: DataFrame, kCodes: Int): DataFrame =
+    pqEncodeWith(e, pqCodebook(e, kCodes))
+
   /** ADC top-k over PQ codes: probes keep exact subvectors, candidates
-    * are their codes; approx dot = Σ_m lookup(probe, m, code). */
-  def pqTopK(e: DataFrame, kCodes: Int, nProbes: Int, k: Int): DataFrame = {
+    * are their codes; approx dot = Σ_m lookup(probe, m, code). Codebook-
+    * agnostic — the oracle-checked key passes the deterministic
+    * first-K frame, PipelineSpec passes the trained one. */
+  def pqTopKWith(e: DataFrame, codebook: DataFrame,
+                 nProbes: Int, k: Int): DataFrame = {
     val lt = subvectors(e.filter(col("vec_id") < nProbes))
       .select(col("vec_id").as("probe_id"), col("m"), col("sv"))
-      .join(broadcast(pqCodebook(e, kCodes)), Seq("m"))
+      .join(broadcast(codebook), Seq("m"))
       .select(col("probe_id"), col("m"), col("k"),
         graft.functions.VectorOps.longDot(col("sv"), col("c")).as("pd"))
-    val scored = pqEncode(e, kCodes)
+    val scored = pqEncodeWith(e, codebook)
       .select(col("vec_id").as("cand_id"), col("m"), col("code").as("k"))
       .join(broadcast(lt), Seq("m", "k"))
       .filter(col("cand_id") =!= col("probe_id"))
@@ -414,6 +462,9 @@ object Similarity {
     graft.functions.TopK.perKey(scored, "probe_id", "adot", "cand_id", k)
       .orderBy("probe_id", "rk")
   }
+
+  def pqTopK(e: DataFrame, kCodes: Int, nProbes: Int, k: Int): DataFrame =
+    pqTopKWith(e, pqCodebook(e, kCodes), nProbes, k)
 
   /** IVF-PQ — the two quantizers COMPOSED, which is what production ANN
     * systems actually deploy (FAISS's IVFPQ): the coarse quantizer
@@ -430,28 +481,56 @@ object Similarity {
                 nProbes: Int, k: Int, nprobe: Int = IvfNprobe): DataFrame = {
     val centroids = e.filter(col("vec_id") < kCentroids)
       .select(col("vec_id").as("cid"), col("v").as("c"))
-    val assigned = assignCells(e, centroids)
-    // The persisted index: (vec_id, cell, m, code) — built once.
-    val index = assigned.select(col("vec_id"), col("cell"))
-      .join(pqEncode(e, kCodes), Seq("vec_id"))
+    ivfPqTopKWith(e, centroids, pqCodebook(e, kCodes), nProbes, k, nprobe)
+  }
+
+  /** The IVF-PQ INDEX: (cand_id, cell, m, code) — the artifact a
+    * production pipeline persists in place of the raw vectors (M bytes
+    * + a cell id per vector). Built with one corpus-linear join of the
+    * coarse assignment and the PQ encoding; quantizer-agnostic. */
+  def ivfPqIndex(e: DataFrame, centroids: DataFrame,
+                 codebook: DataFrame): DataFrame =
+    assignCells(e, centroids).select(col("vec_id"), col("cell"))
+      .join(pqEncodeWith(e, codebook), Seq("vec_id"))
       .select(col("vec_id").as("cand_id"), col("cell"),
         col("m"), col("code").as("k"))
+
+  /** IVF-PQ search over arbitrary coarse centroids + PQ codebook —
+    * deterministic first-K frames give the oracle-checked key; trained
+    * ([[kmeansCentroids]] + [[kmeansPqCodebook]]) frames give the
+    * production-quality composition (PipelineSpec). */
+  def ivfPqTopKWith(e: DataFrame, centroids: DataFrame, codebook: DataFrame,
+                    nProbes: Int, k: Int,
+                    nprobe: Int = IvfNprobe): DataFrame = {
+    val index = ivfPqIndex(e, centroids, codebook)
+    searchIvfPqIndex(index, e, centroids, codebook, nProbes, k, nprobe)
+  }
+
+  /** ADC search against a PREBUILT (cand_id, cell, m, code) index —
+    * split out so the index can come from [[ivfPqIndex]] directly (one
+    * query) or from a bucketed table on disk ([[readIvfPqIndexPruned]]:
+    * built once, reread with bucket pruning — the 100 TB deployment).
+    * Only probe rows of the corpus are touched (the `vec_id < nProbes`
+    * filter pushes into the scan); candidates exist solely as codes. */
+  def searchIvfPqIndex(index: DataFrame, e: DataFrame, centroids: DataFrame,
+                       codebook: DataFrame, nProbes: Int, k: Int,
+                       nprobe: Int = IvfNprobe): DataFrame = {
     // Probes search their `nprobe` nearest cells (same knob and tie
     // rule as plain IVF — nprobe=1 reproduces the assigned cell).
-    val cellScores = assigned.filter(col("vec_id") < nProbes)
-      .select(col("vec_id"), col("v"))
-      .join(broadcast(centroids))
-      .select(col("vec_id"), col("cid"),
+    // Probe cells rank over the broadcast centroid set directly — the
+    // corpus-wide assignment is NOT recomputed (it lives in the index).
+    val probeVecs = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v"))
+    val cellScores = probeVecs.join(broadcast(centroids))
+      .select(col("probe_id").as("vec_id"), col("cid"),
         graft.functions.VectorOps.longDot(col("v"), col("c")).as("cdot"))
     val probeCells = graft.functions.TopK
       .perKey(cellScores, "vec_id", "cdot", "cid", nprobe)
       .select(col("vec_id").as("probe_id"), col("cid").as("cell"))
     // Probe-side ADC lookup table, one copy per searched cell.
     val lt = probeCells
-      .join(assigned.filter(col("vec_id") < nProbes)
-        .select(col("vec_id").as("probe_id"), col("v")), Seq("probe_id"))
-      .join(broadcast(
-        pqCodebook(e, kCodes).select(col("m"), col("k"), col("c"))))
+      .join(probeVecs, Seq("probe_id"))
+      .join(broadcast(codebook.select(col("m"), col("k"), col("c"))))
       .select(col("probe_id"), col("cell"), col("m"), col("k"),
         graft.functions.VectorOps.longDot(
           expr(s"slice(v, m * $PqSubDim + 1, $PqSubDim)"), col("c")).as("pd"))
@@ -462,6 +541,39 @@ object Similarity {
     graft.functions.TopK.perKey(scored, "probe_id", "adot", "cand_id", k)
       .orderBy("probe_id", "rk")
   }
+
+  /** Persist the IVF-PQ index BUCKETED BY CELL via the production
+    * bucketed-write API: one build pays for every subsequent query,
+    * and because `cell` is both the bucket key and the only pruning
+    * predicate a query needs, a probe's nprobe-cell search reads
+    * nprobe buckets — not the table (plan-asserted in AnnIndexSpec). */
+  def writeIvfPqIndex(e: DataFrame, centroids: DataFrame,
+                      codebook: DataFrame, table: String,
+                      nBuckets: Int): Unit =
+    graft.sources.Sinks.writeBucketed(
+      ivfPqIndex(e, centroids, codebook), table, "cell", nBuckets)
+
+  /** Reread a persisted index restricted to `cells` — the cell ids are
+    * LITERALS in the filter, so Catalyst's bucket pruning selects only
+    * the matching buckets at plan time (`SelectedBucketsCount` in the
+    * scan). The literal cell list is how production ANN serving works:
+    * the centroid table is tiny and driver-resident, so the probe→cell
+    * ranking happens before the scan is planned, and the big index is
+    * never read outside the probed cells.
+    *
+    * Serving sessions must set
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`:
+    * DisableUnnecessaryBucketedScan's cost model values bucket layout
+    * only for avoided exchanges, so a pruning-only read (no downstream
+    * operator requiring the cell distribution) gets its bucketed scan
+    * planned away — and with it the plan-time file skipping — under the
+    * default. The sortBy(cell) footer stats still skip row GROUPS
+    * either way, but only bucket pruning skips the file listing/footer
+    * touch itself, which is the cost that matters on a multi-TB index.
+    * AnnIndexSpec plan-asserts SelectedBucketsCount under this conf. */
+  def readIvfPqIndexPruned(spark: SparkSession, table: String,
+                           cells: Seq[Long]): DataFrame =
+    spark.table(table).filter(col("cell").isin(cells: _*))
 
   val queries: Map[String, Q] = Map(
     "q_knn_topk" -> ((s, dir) => brute(s, dir, 8, 5)),
@@ -552,7 +664,7 @@ object Similarity {
     * cand_id[, …]) top-k frames): the id-only membership join over
     * probes×k rows — tiny both sides, the heavy lifting already
     * happened in the two TopK paths. */
-  private def recallVs(truth: DataFrame, approx: DataFrame): DataFrame =
+  def recallVs(truth: DataFrame, approx: DataFrame): DataFrame =
     truth.join(
         broadcast(approx.select(col("probe_id"), col("cand_id"),
           lit(1).as("hit"))),

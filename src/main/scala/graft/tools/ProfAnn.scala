@@ -22,6 +22,33 @@ object ProfAnn {
       graft.SparkEntry.queries("q_knn_lsh")(s, dir)
         .agg(count(lit(1))).collect()(0).getLong(0)
     }
+    // Trained-quantizer recall (the Spark-test-verified paths — no
+    // DuckDB twin, k-means|| is partitioning-dependent): the numbers
+    // behind the README's trained-vs-deterministic recall rows.
+    import graft.operators.Similarity
+    val quant =
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    val e = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(quant).as("v"))
+    val n = e.count()
+    val truth = Similarity.brute(s, dir, 64, 5).select("probe_id", "cand_id")
+    def trainedRecall(name: String)(approx: org.apache.spark.sql.DataFrame): Unit =
+      Prof.time(name) {
+        val df = Similarity.recallVs(truth, approx)
+        val m = df.agg(avg(col("recall"))).collect()(0).getDouble(0)
+        println(f"[prof] $name mean recall = $m%.4f")
+        df.agg(count(lit(1))).collect()(0).getLong(0)
+      }
+    val kCodes = Similarity.derivePqCodes(n)
+    val kCells = math.ceil(math.sqrt(n.toDouble)).toInt
+    // kmeansPqCodebook fits eagerly and returns a local relation — safe
+    // to reuse across both query paths without re-training.
+    val trainedCb = Similarity.kmeansPqCodebook(e, kCodes)
+    trainedRecall("kmeans_pq_recall")(
+      Similarity.pqTopKWith(e, trainedCb, 64, 5))
+    trainedRecall("kmeans_ivfpq_recall")(
+      Similarity.ivfPqTopKWith(e, Similarity.kmeansCentroids(e, kCells),
+        trainedCb, 64, 5))
     s.stop()
   }
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Persisted IVF-PQ index — the production ANN serving path: the
+  * (cand_id, cell, m, code) index is written ONCE via the bucketed-write
+  * API (bucketed by `cell`), and every query rereads only the buckets of
+  * its probed cells. At 100 TB this is the difference between scanning a
+  * compressed multi-TB index per query and reading nprobe buckets of it. */
+class AnnIndexSpec extends SparkSpec {
+
+  test("bucketed IVF-PQ index: query scan prunes to probed cells, results match in-memory") {
+    val quant =
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr(quant).as("v"))
+    val n = e.count()
+    val kCentroids = math.ceil(math.sqrt(n.toDouble)).toInt
+    val kCodes = Similarity.derivePqCodes(n)
+    val centroids = e.filter(col("vec_id") < kCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val codebook = Similarity.pqCodebook(e, kCodes)
+    val nBuckets = 32
+    val nProbes = 4
+    try {
+      Similarity.writeIvfPqIndex(e, centroids, codebook, "ivfpq_idx", nBuckets)
+      // Probe→cell ranking happens BEFORE the index scan is planned —
+      // the centroid table is tiny (√N rows), so this is a bounded
+      // driver action, and the literal cell list is what lets Catalyst
+      // prune buckets at plan time.
+      val probeVecs = e.filter(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("v"))
+      val cellScores = probeVecs.join(broadcast(centroids))
+        .select(col("probe_id").as("vec_id"), col("cid"),
+          graft.functions.VectorOps.longDot(col("v"), col("c")).as("cdot"))
+      val cells = graft.functions.TopK
+        .perKey(cellScores, "vec_id", "cdot", "cid", Similarity.IvfNprobe)
+        .select("cid").distinct().collect().map(_.getLong(0)).toSeq
+      assert(cells.nonEmpty && cells.size <= nProbes * Similarity.IvfNprobe)
+
+      // The serving-session posture (see readIvfPqIndexPruned's doc):
+      // DisableUnnecessaryBucketedScan's cost model only values bucket
+      // layout for avoided exchanges, so a pruning-only read gets its
+      // bucketed scan planned away unless auto-bucketed-scan is off.
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val pruned = Similarity.readIvfPqIndexPruned(spark, "ivfpq_idx", cells)
+      val scanPlan = pruned.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(scanPlan)
+      assert(sel.isDefined, s"no bucket pruning in scan:\n$scanPlan")
+      val (selected, total) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+      assert(total == nBuckets && selected < total,
+        s"expected pruned scan, got $selected out of $total buckets")
+      assert(selected <= cells.size,
+        s"$selected buckets for ${cells.size} cells")
+
+      // The pruned-index search returns EXACTLY what the in-memory
+      // composition returns — persistence changes the I/O shape, not
+      // the answer.
+      val fromDisk = Similarity
+        .searchIvfPqIndex(pruned, e, centroids, codebook, nProbes, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val inMemory = Similarity
+        .ivfPqTopKWith(e, centroids, codebook, nProbes, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(fromDisk == inMemory,
+        s"disk path diverges: ${fromDisk.take(5)} vs ${inMemory.take(5)}")
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS ivfpq_idx")
+    }
+  }
+}

@@ -61,6 +61,35 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q_agg_percentile_approx: rank-bounded against the exact interpolated percentiles") {
+    // The sketch contract: accuracy=10000 ⟹ relative rank error ≤
+    // 1/10000 of the group, so the approx median must land between the
+    // exact 45th and 55th percentile VALUES of its group (a vastly
+    // looser rank window than the guarantee — the assertion survives
+    // any data while still catching a broken sketch, which lands whole
+    // quantiles away). Same check at p90 against the exact p85–p95.
+    val exact = graft.Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, 0.45)").as("lo50"),
+        expr("percentile(o_totalprice, 0.55)").as("hi50"),
+        expr("percentile(o_totalprice, 0.85)").as("lo90"),
+        expr("percentile(o_totalprice, 0.95)").as("hi90"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approx = graft.SparkEntry.queries("q_agg_percentile_approx")(spark, sfDir)
+      .collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (lo50, hi50, lo90, hi90) = exact(r.getString(0))
+      val (m, p90) = (r.getDouble(1), r.getDouble(2))
+      assert(m >= lo50 && m <= hi50,
+        s"${r.getString(0)}: approx median $m outside exact p45..p55 [$lo50, $hi50]")
+      assert(p90 >= lo90 && p90 <= hi90,
+        s"${r.getString(0)}: approx p90 $p90 outside exact p85..p95 [$lo90, $hi90]")
+    }
+  }
+
   test("q_map_ops builds maps with both keys and reads them back") {
     val rows = graft.SparkEntry.queries("q_map_ops")(spark, sfDir)
       .limit(5).collect()
