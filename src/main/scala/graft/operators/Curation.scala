@@ -423,6 +423,42 @@ object Curation {
         (col("start_a") - col("diag")).as("start_b"), col("run_tokens"))
   }
 
+  /** Substring DEDUP — the consumer of [[verbatimOffsets]] and the Lee
+    * et al. end goal: CUT every shared verbatim run of ≥ `minRun`
+    * tokens from the HIGHER-id doc of each pair (keep-first policy:
+    * the lowest doc_id keeps its copy — deterministic, no coordination
+    * needed), and reassemble the surviving tokens. Output per doc:
+    * (doc_id, n_tokens, n_removed, text_clean). Overlapping spans from
+    * different pairs union naturally (a token is removed if ANY span
+    * covers it); docs in no pair pass through unchanged.
+    *
+    * Scale shape: spans are the df-capped offsets output (bounded per
+    * key), reduce to one interval-array row per affected doc, and meet
+    * the corpus on a doc_id equi join — one shuffle keyed by doc_id;
+    * the membership test is a codegen'd higher-order filter over each
+    * doc's own tokens (no explode of the corpus). `minRun` defaults to
+    * the shingle width (every detected run — the most aggressive
+    * setting); production pipelines tune it upward (Lee et al. remove
+    * spans ≥ 50 tokens). */
+  def verbatimRemove(docs: DataFrame, width: Int,
+                     minRun: Long = 0L): DataFrame = {
+    val spans = verbatimOffsets(docs, width)
+      .filter(col("run_tokens") >= math.max(minRun, width))
+      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+        (col("start_b") + col("run_tokens") - 1).as("e"))
+    val iv = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("iv"))
+    docs.join(iv, Seq("doc_id"), "left")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"), col("iv"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        expr("""filter(transform(toks, (t, p) -> named_struct('t', t, 'p', p)),
+                       x -> iv IS NULL OR NOT exists(iv, r -> x.p >= r.s AND x.p <= r.e))""")
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        expr("concat_ws(' ', transform(kept, x -> x.t))").as("text_clean"))
+  }
+
   /** Per-lang median/MAD outlier verdicts over (doc_id, lang, n_chars)
     * — see the `q_quality_outliers` entry for the rationale. Exposed so
     * specs can drive the real logic on planted heavy-tail frames (the
@@ -529,6 +565,19 @@ object Curation {
       val docs = Tables.documents(s, dir)
       verbatimOffsets(docs, deriveShingleWidth(docs.count()))
         .orderBy("doc_a", "doc_b", "start_a", "start_b")
+    }),
+
+    // Substring DEDUP — offsets CONSUMED: every shared verbatim run is
+    // CUT from the higher-id doc (keep-first), tokens reassembled.
+    // Whole-corpus output (untouched docs pass through with
+    // n_removed=0) so the key doubles as the cleaned-corpus artifact a
+    // pipeline would write. Deterministic window + interval arithmetic
+    // ⟹ oracle-exact, text included.
+    "q_verbatim_removal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      verbatimRemove(docs.select(col("doc_id"), col("text")),
+        deriveShingleWidth(docs.count()))
+        .orderBy("doc_id")
     }),
 
     // Per-lang median/MAD outlier flags on doc length — the robust
@@ -769,6 +818,59 @@ object Curation {
              CAST(count(*) + W - 1 AS BIGINT) AS run_tokens
       FROM r, params GROUP BY doc_a, doc_b, diag, grp, W
       ORDER BY doc_a, doc_b, start_a, start_b""",
+
+    "q_verbatim_removal" -> s"""
+      WITH ${shingleParamsSql("documents")},
+      sh AS (
+        SELECT doc_id, generate_subscripts(ks, 1) - 1 AS pos, unnest(ks) AS sh_key
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN len(tf) < W THEN []
+                      ELSE list_transform(range(1, len(tf) - W + 2),
+                             i -> list_reduce(tf[i:i+W-1],
+                                    (acc, h) -> xor((acc % $RotHi) * 2 + (acc // $RotHi), h)))
+                 END AS ks
+          FROM (SELECT doc_id,
+                       list_transform(string_split(lower(text), ' '),
+                                      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS tf
+                FROM documents), params)),
+      rare AS (
+        SELECT sh_key FROM (
+          SELECT sh_key, count(DISTINCT doc_id) AS df FROM sh GROUP BY sh_key)
+        WHERE df > 1 AND df <= $VerbatimMaxDf),
+      m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, a.pos - b.pos AS diag
+        FROM sh a JOIN rare USING (sh_key)
+             JOIN sh b ON a.sh_key = b.sh_key AND a.doc_id < b.doc_id),
+      r AS (
+        SELECT doc_a, doc_b, diag, pos_a,
+               pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                          ORDER BY pos_a) AS grp
+        FROM m),
+      spans AS (
+        SELECT doc_b AS doc_id, min(pos_a) - diag AS s,
+               min(pos_a) - diag + count(*) + W - 1 - 1 AS e
+        FROM r, params GROUP BY doc_a, doc_b, diag, grp, W),
+      toks AS (
+        SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos, unnest(tk) AS t
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+      kept AS (
+        SELECT doc_id, pos, t FROM toks
+        WHERE NOT EXISTS (SELECT 1 FROM spans r
+                          WHERE r.doc_id = toks.doc_id
+                            AND toks.pos >= r.s AND toks.pos <= r.e)),
+      agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               coalesce(string_agg(t, ' ' ORDER BY pos), '') AS text_clean
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(string_split(d.text, ' ')) - coalesce(agg.n_kept, 0) AS BIGINT)
+               AS n_removed,
+             coalesce(agg.text_clean, '') AS text_clean
+      FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      ORDER BY d.doc_id""",
 
     "q_quality_outliers" -> """
       WITH med AS (

@@ -803,6 +803,19 @@ class PipelineSpec extends SparkSpec {
       s"repeated run must yield both diagonals: $offs")
     assert(offs((2L, 5L)) == Set((2, 0, 9L), (2, 12, 9L)),
       s"2-5 offsets: $offs")
+    // REMOVAL consumes the offsets: every shared run cut from the
+    // HIGHER-id doc (keep-first), overlapping spans from different
+    // pairs union (doc 5 is the b side of both (1,5) and (2,5) — the
+    // same 18 tokens must not be removed twice). Doc 1 is the a side
+    // everywhere ⟹ untouched; doc 4 shares nothing ⟹ untouched.
+    val rem = Curation.verbatimRemove(docs, 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(rem(1L) == (16L, 0L, s"$run x1 x2 $phrase"), s"doc1: ${rem(1L)}")
+    assert(rem(2L) == (12L, 9L, "y1 y2 y3"), s"doc2: ${rem(2L)}")
+    assert(rem(3L) == (9L, 5L, "z1 z2 z3 z4"), s"doc3: ${rem(3L)}")
+    assert(rem(4L) == (8L, 0L, "q1 q2 q3 q4 q5 q6 q7 q8"), s"doc4: ${rem(4L)}")
+    assert(rem(5L) == (21L, 18L, "w1 w2 w3"), s"doc5: ${rem(5L)}")
   }
 
   test("incremental minhash equals full recompute restricted to batch-touching pairs") {
