@@ -542,6 +542,84 @@ object Similarity {
       .orderBy("probe_id", "rk")
   }
 
+  /** RESIDUAL IVF-PQ (Jégou et al., TPAMI'11 §IV-A — what FAISS's
+    * IVFPQ actually encodes): PQ quantizes the residual x − c(cell)
+    * instead of x itself. Residuals live in the cell's Voronoi region
+    * — a much smaller domain than the whole space — so the same code
+    * budget buys lower quantization error at identical index size
+    * (still M codes + a cell id per vector). ADC adds the
+    * probe-constant cell term back:
+    *   p·q(x) = p·c(cell_x) + Σ_m p_m · codeword_m(residual_x),
+    * where the first term is already computed per (probe, cell) by the
+    * nprobe ranking. Both quantizers stay deterministic first-K ⟹ the
+    * whole composition remains DuckDB-oracle-exact;
+    * `q_knn_ivfpq_res_recall` measures the residual gain against the
+    * same brute truth as the plain composition's audit.
+    *
+    * Scale shape: identical to [[ivfPqTopKWith]] plus ONE extra
+    * broadcast join at build time (centroids re-joined to form
+    * residuals — corpus-linear, map-side) and one tiny (probe × cell)
+    * join at query time; the corpus still never shuffles wide rows. */
+  def ivfPqResidualTopK(e: DataFrame, kCentroids: Int, kCodes: Int,
+                        nProbes: Int, k: Int,
+                        nprobe: Int = IvfNprobe): DataFrame =
+    ivfPqResidualTopKWith(e,
+      e.filter(col("vec_id") < kCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("c")),
+      rv => pqCodebook(rv, kCodes), nProbes, k, nprobe)
+
+  /** Residual composition over arbitrary quantizers: `codebookOf`
+    * builds the PQ codebook FROM THE RESIDUAL FRAME (it cannot exist
+    * before the coarse quantizer does — residuals depend on the
+    * cells), so the trained form is
+    * `ivfPqResidualTopKWith(e, kmeansCentroids(e, K),
+    * rv => kmeansPqCodebook(rv, kc))`. On clustered data this is the
+    * payoff case for residual encoding: residuals are jitter-scale, so
+    * the code budget covers a tiny domain and ADC error collapses
+    * (PipelineSpec measures the gap against the plain composition). */
+  def ivfPqResidualTopKWith(e: DataFrame, centroids: DataFrame,
+                            codebookOf: DataFrame => DataFrame,
+                            nProbes: Int, k: Int,
+                            nprobe: Int = IvfNprobe): DataFrame = {
+    val assigned = assignCells(e, centroids)
+    val residuals = assigned
+      .join(broadcast(centroids), col("cell") === col("cid"))
+      .select(col("vec_id"),
+        expr("zip_with(v, c, (a, b) -> a - b)").as("v"), col("cell"))
+    val resVec = residuals.select(col("vec_id"), col("v"))
+    val codebook = codebookOf(resVec)
+    val index = residuals.select(col("vec_id"), col("cell"))
+      .join(pqEncodeWith(resVec, codebook), Seq("vec_id"))
+      .select(col("vec_id").as("cand_id"), col("cell"),
+        col("m"), col("code").as("k"))
+    val probeVecs = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v"))
+    val cellScores = probeVecs.join(broadcast(centroids))
+      .select(col("probe_id").as("vec_id"), col("cid"),
+        graft.functions.VectorOps.longDot(col("v"), col("c")).as("cdot"))
+    // TopK emits (vec_id, cid, cdot, rk) — the cdot per searched cell
+    // rides along and becomes the ADC cell term below.
+    val probeCells = graft.functions.TopK
+      .perKey(cellScores, "vec_id", "cdot", "cid", nprobe)
+      .select(col("vec_id").as("probe_id"), col("cid").as("cell"),
+        col("cdot"))
+    val lt = probeCells.select(col("probe_id"), col("cell"))
+      .join(probeVecs, Seq("probe_id"))
+      .join(broadcast(codebook.select(col("m"), col("k"), col("c"))))
+      .select(col("probe_id"), col("cell"), col("m"), col("k"),
+        graft.functions.VectorOps.longDot(
+          expr(s"slice(v, m * $PqSubDim + 1, $PqSubDim)"), col("c")).as("pd"))
+    val scored = index.join(broadcast(lt), Seq("cell", "m", "k"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("cand_id"), col("cell"))
+      .agg(sum(col("pd")).as("rdot"))
+      .join(broadcast(probeCells), Seq("probe_id", "cell"))
+      .select(col("probe_id"), col("cand_id"),
+        (col("rdot") + col("cdot")).as("adot"))
+    graft.functions.TopK.perKey(scored, "probe_id", "adot", "cand_id", k)
+      .orderBy("probe_id", "rk")
+  }
+
   /** Persist the IVF-PQ index BUCKETED BY CELL via the production
     * bucketed-write API: one build pays for every subsequent query,
     * and because `cell` is both the bucket key and the only pruning
@@ -590,6 +668,23 @@ object Similarity {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
       val truth = brute(s, dir, 64, 5).select("probe_id", "cand_id")
       recallVs(truth, ivfPqTopK(e,
+        math.ceil(math.sqrt(n.toDouble)).toInt, derivePqCodes(n), 64, 5))
+    }),
+
+    // Residual IVF-PQ + its recall audit: PQ over x − c(cell) — the
+    // FAISS-style composition; same index size, tighter code domain.
+    "q_knn_ivfpq_res" -> ((s, dir) => {
+      val n = Tables.embeddings(s, dir).count()
+      ivfPqResidualTopK(
+        Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v")),
+        math.ceil(math.sqrt(n.toDouble)).toInt, derivePqCodes(n), 8, 5)
+    }),
+
+    "q_knn_ivfpq_res_recall" -> ((s, dir) => {
+      val n = Tables.embeddings(s, dir).count()
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
+      val truth = brute(s, dir, 64, 5).select("probe_id", "cand_id")
+      recallVs(truth, ivfPqResidualTopK(e,
         math.ceil(math.sqrt(n.toDouble)).toInt, derivePqCodes(n), 64, 5))
     }),
 
@@ -892,6 +987,105 @@ object Similarity {
         WHERE enc.vec_id <> lt.probe_id
         GROUP BY lt.probe_id, enc.vec_id)"""
 
+  /** Residual IVF-PQ twin: the plain chain with PQ trained/encoded on
+    * x − c(cell) (`res`), and the ADC sum shifted back by the
+    * probe×cell centroid dot (grouped by `cdot`, constant per
+    * (probe, cell) and a candidate has exactly one cell). */
+  private def ivfPqResCtes(nProbes: Int): String = s"""
+      ${pqParamsSql("embeddings")},
+      q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      assigned AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT q.vec_id, q.v, c.vec_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS arn
+          FROM q JOIN q c
+            ON c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                           FROM embeddings))
+        WHERE arn = 1),
+      res AS (
+        SELECT a.vec_id, a.cell,
+               list_transform(range(1, 65), i -> a.v[i] - c.v[i]) AS v
+        FROM assigned a JOIN q c ON c.vec_id = a.cell),
+      rsub AS (
+        SELECT vec_id, cell, m,
+               v[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
+        FROM res, range($PqSubspaces) t(m)),
+      cb AS (
+        SELECT m, vec_id AS k, sv AS c,
+               CAST(list_dot_product(sv, sv) AS BIGINT) AS cc
+        FROM rsub, pqparams WHERE vec_id < K),
+      enc AS (
+        SELECT vec_id, cell, m, k FROM (
+          SELECT s.vec_id, s.cell, s.m, cb.k,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY cc - 2 * CAST(list_dot_product(s.sv, cb.c) AS BIGINT),
+                            cb.k) AS rn
+          FROM rsub s JOIN cb ON s.m = cb.m)
+        WHERE rn = 1),
+      psub AS (
+        SELECT vec_id, m, v[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
+        FROM q, range($PqSubspaces) t(m)
+        WHERE vec_id < $nProbes),
+      pcells AS (
+        SELECT vec_id AS probe_id, cell, cdot FROM (
+          SELECT q.vec_id, c.vec_id AS cell,
+                 CAST(list_dot_product(q.v, c.v) AS BIGINT) AS cdot,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS arn
+          FROM q JOIN q c
+            ON q.vec_id < $nProbes
+           AND c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                           FROM embeddings))
+        WHERE arn <= $IvfNprobe),
+      lt AS (
+        SELECT pc.probe_id, pc.cell, pc.cdot, cb.m, cb.k,
+               CAST(list_dot_product(p.sv, cb.c) AS BIGINT) AS pd
+        FROM pcells pc JOIN psub p ON p.vec_id = pc.probe_id
+             JOIN cb ON p.m = cb.m),
+      scored AS (
+        SELECT lt.probe_id, enc.vec_id AS cand_id,
+               CAST(sum(pd) + lt.cdot AS BIGINT) AS adot
+        FROM enc JOIN lt ON enc.cell = lt.cell AND enc.m = lt.m AND enc.k = lt.k
+        WHERE enc.vec_id <> lt.probe_id
+        GROUP BY lt.probe_id, enc.vec_id, lt.cdot)"""
+
+  private def ivfPqResOracleSql: String = s"""
+      WITH ${ivfPqResCtes(8)}
+      SELECT probe_id, cand_id, adot, rk FROM (
+        SELECT probe_id, cand_id, adot,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY adot DESC, cand_id) AS INTEGER) AS rk
+        FROM scored)
+      WHERE rk <= 5 ORDER BY probe_id, rk"""
+
+  private def ivfPqResRecallOracleSql: String = s"""
+      WITH ${ivfPqResCtes(64)},
+      ipq AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT probe_id, cand_id,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY adot DESC, cand_id) AS rk
+          FROM scored)
+        WHERE rk <= 5),
+      truth AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY CAST(list_dot_product(p.v, c.v) AS BIGINT) DESC,
+                            c.vec_id) AS rk
+          FROM q p JOIN q c ON p.vec_id < 64 AND p.vec_id != c.vec_id)
+        WHERE rk <= 5)
+      SELECT t.probe_id, count(*) AS n_true, count(a.cand_id) AS n_hit,
+             round(CAST(count(a.cand_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+               AS recall
+      FROM truth t LEFT JOIN ipq a
+        ON t.probe_id = a.probe_id AND t.cand_id = a.cand_id
+      GROUP BY t.probe_id ORDER BY t.probe_id"""
+
   private def ivfPqOracleSql: String = s"""
       WITH ${ivfPqCtes(8)}
       SELECT probe_id, cand_id, adot, rk FROM (
@@ -968,6 +1162,10 @@ object Similarity {
     "q_knn_ivfpq" -> ivfPqOracleSql,
 
     "q_knn_ivfpq_recall" -> ivfPqRecallOracleSql,
+
+    "q_knn_ivfpq_res" -> ivfPqResOracleSql,
+
+    "q_knn_ivfpq_res_recall" -> ivfPqResRecallOracleSql,
 
     "q_knn_recall" -> recallOracleSql,
 

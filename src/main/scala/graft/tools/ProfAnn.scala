@@ -18,6 +18,8 @@ object ProfAnn {
     }
     meanRecall("q_knn_recall")
     meanRecall("q_knn_ivf_recall")
+    meanRecall("q_knn_ivfpq_recall")
+    meanRecall("q_knn_ivfpq_res_recall")
     Prof.time("q_knn_lsh") {
       graft.SparkEntry.queries("q_knn_lsh")(s, dir)
         .agg(count(lit(1))).collect()(0).getLong(0)
