@@ -22,6 +22,68 @@ object TextAnalysis {
   private def hits(words: Column, stops: Seq[String]): Column =
     size(filter(words, w => w.isin(stops: _*)))
 
+  /** Gopher-style repetition signals (Rae et al. 2021, table A1 —
+    * token-fraction variant) over (doc_id, text): the fraction of
+    * n-gram INSTANCES claimed by the most frequent n-gram (n = 2, 3,
+    * 4) and the duplicated-instance fraction at n = 5 and 10 —
+    * boilerplate and degenerate text repeat at SOME width, and a
+    * single width (q_text_repetition's bigrams) misses list-like or
+    * templated repetition. All five widths ride ONE explode and ONE
+    * (doc, n, gram) count shuffle — partial-aggregated, grams leave
+    * the map side only as (key, count) rows — then collapse back to
+    * one row per doc. Thresholds are Gopher's (0.20/0.18/0.16 top,
+    * 0.15/0.10 dup); verdict = repetitive if ANY trips, spelled in
+    * exact integer cross-multiplies so the boundary never rests on
+    * float rounding. Exposed so PipelineSpec can drive the real logic
+    * on planted repeats (the driver corpus verdicts are
+    * oracle-covered). */
+  def gopherRep(docs: DataFrame): DataFrame = {
+    val widths = Seq(2, 3, 4, 5, 10)
+    val grams = docs
+      .withColumn("toks", split(lower(col("text")), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""flatten(transform(array(${widths.mkString(",")}), n ->
+              CASE WHEN size(toks) < n THEN array()
+                   ELSE transform(sequence(0, size(toks) - n),
+                          i -> named_struct('n', n,
+                                 'gram', concat_ws(' ', slice(toks, i + 1, n))))
+              END))""")).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+    val perGram = grams.groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("c"))
+    val perN = perGram.groupBy("doc_id", "n")
+      .agg(sum(col("c")).as("total"), max(col("c")).as("top"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"))
+    def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      round(num.cast("double") / den.cast("double"), 4)
+    // max over the single matching row (at most one row per (doc, n)
+    // reaches the group) — NOT first(), whose default keeps nulls.
+    def pick(n: Int, c: String) =
+      max(when(col("n") === n, col(c))).as(s"${c}$n")
+    val wide = perN.groupBy("doc_id")
+      .agg(pick(2, "top"), pick(2, "total"), pick(3, "top"), pick(3, "total"),
+        pick(4, "top"), pick(4, "total"), pick(5, "dup"), pick(5, "total"),
+        pick(10, "dup"), pick(10, "total"))
+    // Docs shorter than a width have no rows at that n → coalesce to
+    // 0/1 so the fraction is 0, not null (a 3-token doc cannot be
+    // 10-gram-repetitive).
+    def f(num: String, den: String) =
+      frac(coalesce(col(num), lit(0L)), coalesce(col(den), lit(1L)))
+    // Integer cross-multiply verdict: num × 100 > thr × den.
+    def trips(num: String, den: String, pct: Int) =
+      coalesce(col(num), lit(0L)) * 100 > lit(pct) * coalesce(col(den), lit(1L))
+    wide.select(col("doc_id"),
+      f("top2", "total2").as("top2_frac"),
+      f("top3", "total3").as("top3_frac"),
+      f("top4", "total4").as("top4_frac"),
+      f("dup5", "total5").as("dup5_frac"),
+      f("dup10", "total10").as("dup10_frac"),
+      when(trips("top2", "total2", 20) || trips("top3", "total3", 18) ||
+           trips("top4", "total4", 16) || trips("dup5", "total5", 15) ||
+           trips("dup10", "total10", 10), "repetitive")
+        .otherwise("ok").as("verdict"))
+  }
+
   val queries: Map[String, Q] = Map(
     // n-gram-heuristic language ID: stopword-hit argmax with ordered
     // tie-break (en > de > es > fr > und), mirroring the ordered-cascade
@@ -130,6 +192,10 @@ object TextAnalysis {
 
     "q_corpus_pipeline" -> ((s, dir) => corpusPipeline(Tables.documents(s, dir))),
 
+    // Gopher-style repetition signals — see [[gopherRep]].
+    "q_text_gopher_rep" -> ((s, dir) =>
+      gopherRep(Tables.documents(s, dir)).orderBy("doc_id")),
+
     // Bag-of-words fingerprint: sha256 of the sorted distinct word set —
     // catches reordered near-dups that exact hashing misses; cluster size
     // via a window on the fingerprint.
@@ -218,6 +284,50 @@ object TextAnalysis {
              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_ish,
              (n_chars + 3) // 4 AS est_tokens
       FROM documents ORDER BY doc_id""",
+
+    "q_text_gopher_rep" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      grams AS (
+        SELECT doc_id, w.n AS n,
+               unnest(CASE WHEN len(tk) < w.n THEN []
+                           ELSE list_transform(range(1, len(tk) - w.n + 2),
+                                  i -> array_to_string(tk[i:i+w.n-1], ' '))
+                      END) AS gram
+        FROM t, (VALUES (2),(3),(4),(5),(10)) w(n)),
+      pg AS (
+        SELECT doc_id, n, gram, count(*) AS c
+        FROM grams GROUP BY doc_id, n, gram),
+      pn AS (
+        SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS total, max(c) AS top,
+               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+        FROM pg GROUP BY doc_id, n),
+      wide AS (
+        SELECT doc_id,
+               max(CASE WHEN n = 2 THEN top END) AS top2,
+               max(CASE WHEN n = 2 THEN total END) AS total2,
+               max(CASE WHEN n = 3 THEN top END) AS top3,
+               max(CASE WHEN n = 3 THEN total END) AS total3,
+               max(CASE WHEN n = 4 THEN top END) AS top4,
+               max(CASE WHEN n = 4 THEN total END) AS total4,
+               max(CASE WHEN n = 5 THEN dup END) AS dup5,
+               max(CASE WHEN n = 5 THEN total END) AS total5,
+               max(CASE WHEN n = 10 THEN dup END) AS dup10,
+               max(CASE WHEN n = 10 THEN total END) AS total10
+        FROM pn GROUP BY doc_id)
+      SELECT doc_id,
+             round(CAST(coalesce(top2, 0) AS DOUBLE) / CAST(coalesce(total2, 1) AS DOUBLE), 4) AS top2_frac,
+             round(CAST(coalesce(top3, 0) AS DOUBLE) / CAST(coalesce(total3, 1) AS DOUBLE), 4) AS top3_frac,
+             round(CAST(coalesce(top4, 0) AS DOUBLE) / CAST(coalesce(total4, 1) AS DOUBLE), 4) AS top4_frac,
+             round(CAST(coalesce(dup5, 0) AS DOUBLE) / CAST(coalesce(total5, 1) AS DOUBLE), 4) AS dup5_frac,
+             round(CAST(coalesce(dup10, 0) AS DOUBLE) / CAST(coalesce(total10, 1) AS DOUBLE), 4) AS dup10_frac,
+             CASE WHEN coalesce(top2, 0) * 100 > 20 * coalesce(total2, 1)
+                    OR coalesce(top3, 0) * 100 > 18 * coalesce(total3, 1)
+                    OR coalesce(top4, 0) * 100 > 16 * coalesce(total4, 1)
+                    OR coalesce(dup5, 0) * 100 > 15 * coalesce(total5, 1)
+                    OR coalesce(dup10, 0) * 100 > 10 * coalesce(total10, 1)
+                  THEN 'repetitive' ELSE 'ok' END AS verdict
+      FROM wide ORDER BY doc_id""",
 
     "q_corpus_pipeline" -> s"""
       WITH gated AS (

@@ -55,6 +55,42 @@ object Sinks {
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Z-ORDER clustered write — multi-column file skipping.
+    * [[writeRangeClustered]] gives tight footer stats on ONE column;
+    * every file still spans the other columns' full ranges, so a
+    * predicate on a second column reads the whole table. Interleaving
+    * the bits of both (min/max-normalized, 16-bit) keys into one
+    * z-value and range-partitioning + sorting by it gives each file a
+    * small RECTANGLE of the (a, b) space — parquet min/max stats then
+    * prune files for predicates on EITHER column (the plain-directory
+    * form of table-format Z-ordering; SinksSpec measures per-file
+    * ranges of both columns against the single-column layout). Cost:
+    * one tiny min/max aggregate for normalization plus the same range
+    * shuffle the single-column write pays; the z-value is a
+    * constant-size 32-term shift/or projection, fully codegen'd. */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+                    nFiles: Int, path: String): Unit = {
+    val r = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).collect()(0)
+    def norm16(c: String, lo: Double, hi: Double) = {
+      val span = if (hi > lo) hi - lo else 1.0
+      least(lit(65535L), greatest(lit(0L),
+        ((col(c).cast("double") - lo) / span * 65535.0).cast("long")))
+    }
+    val zExpr = (0 until 16).map(i =>
+      s"shiftleft(shiftright(z_a, $i) & 1, ${2 * i}) | " +
+        s"shiftleft(shiftright(z_b, $i) & 1, ${2 * i + 1})")
+      .mkString("(", ") | (", ")")
+    df.withColumn("z_a", norm16(colA, r.getDouble(0), r.getDouble(1)))
+      .withColumn("z_b", norm16(colB, r.getDouble(2), r.getDouble(3)))
+      .withColumn("z_v", expr(zExpr))
+      .repartitionByRange(nFiles, col("z_v"))
+      .sortWithinPartitions("z_v")
+      .drop("z_a", "z_b", "z_v")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Bucketed-table write — the shuffle-free BIG-BIG join layout. Both
     * sides of a recurring join written with the SAME bucket count on
     * the join key, read back as catalog tables, sort-merge join with NO

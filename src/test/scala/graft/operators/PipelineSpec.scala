@@ -834,6 +834,32 @@ class PipelineSpec extends SparkSpec {
     assert(rem(5L) == (21L, 18L, "w1 w2 w3"), s"doc5: ${rem(5L)}")
   }
 
+  test("gopher repetition signals flag planted repeats at the right widths") {
+    import spark.implicits._
+    // Doc 1: one bigram everywhere (top2 ≈ 0.5 — trips the 0.20 bar).
+    // Doc 2: a 10-token block repeated twice with 20 distinct filler
+    // tokens between — dup5 trips (the block's 12 duplicated 5-gram
+    // instances of 36 ≈ 33% > 15%) while top2 stays far under its bar.
+    // Doc 3: 40 distinct tokens — every signal 0, verdict ok.
+    val block = (1 to 10).map(i => s"b$i").mkString(" ")
+    val filler = (1 to 20).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, Seq.fill(20)("x y").mkString(" ")),
+      (2L, s"$block $filler $block"),
+      (3L, (1 to 40).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRep(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(4), r.getString(6))).toMap
+    val (top2_1, _, v1) = out(1L)
+    assert(top2_1 > 0.20 && v1 == "repetitive", s"doc1: ${out(1L)}")
+    val (top2_2, dup5_2, v2) = out(2L)
+    assert(dup5_2 > 0.15 && v2 == "repetitive", s"doc2: ${out(2L)}")
+    assert(top2_2 <= 0.20, s"doc2 top2 should stay under its bar: $top2_2")
+    val (top2_3, dup5_3, v3) = out(3L)
+    assert(top2_3 <= 0.20 && dup5_3 == 0.0 && v3 == "ok", s"doc3: ${out(3L)}")
+  }
+
   test("incremental minhash equals full recompute restricted to batch-touching pairs") {
     // q_dedup_minhash_incremental's contract beyond the oracle's one
     // corpus: index-once/band-join-batch must equal the full pipeline

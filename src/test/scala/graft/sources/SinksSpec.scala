@@ -27,6 +27,42 @@ class SinksSpec extends SparkSpec {
     assert(scanned.contains("PartitionFilters"))
   }
 
+  test("z-order write: each file covers a small rectangle of BOTH key columns") {
+    import spark.implicits._
+    // Two independent uniform keys (the low and high digit pairs of
+    // id) — the case where clustering by one column leaves the other's
+    // per-file range at ~full span.
+    val df = (0L until 10000L)
+      .map(id => (id, id % 100, id / 100))
+      .toDF("id", "a", "b")
+    def perFileAvgRange(dir: String, c: String): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).collect()(0)
+        r.getDouble(1) - r.getDouble(0)
+      }
+      ranges.sum / ranges.length
+    }
+    val zDir = Files.createTempDirectory("graft-zorder").toString
+    val rDir = Files.createTempDirectory("graft-range").toString
+    Sinks.writeZOrdered(df, "a", "b", 16, zDir)
+    Sinks.writeRangeClustered(df, "a", 16, rDir)
+    // Single-column layout: tight on a, but every file spans ~all of b.
+    assert(perFileAvgRange(rDir, "a") < 20,
+      s"range-clustered a range ${perFileAvgRange(rDir, "a")}")
+    assert(perFileAvgRange(rDir, "b") > 90,
+      s"range-clustered b range ${perFileAvgRange(rDir, "b")}")
+    // Z-order: BOTH columns' per-file ranges shrink well below full
+    // span (16 files = 4 z-bits = a 4×4 grid ⟹ ~25 expected), which is
+    // exactly what lets footer stats prune files on either predicate.
+    val (za, zb) = (perFileAvgRange(zDir, "a"), perFileAvgRange(zDir, "b"))
+    assert(za < 60 && zb < 60, s"z-order per-file ranges a=$za b=$zb")
+    // And the data survives the round trip.
+    assert(spark.read.parquet(zDir).count() == 10000)
+  }
+
   test("idempotent batch sink: replaying a batch does not duplicate") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-idem").toString
