@@ -441,11 +441,21 @@ object Curation {
     * setting); production pipelines tune it upward (Lee et al. remove
     * spans ≥ 50 tokens). */
   def verbatimRemove(docs: DataFrame, width: Int,
-                     minRun: Long = 0L): DataFrame = {
-    val spans = verbatimOffsets(docs, width)
-      .filter(col("run_tokens") >= math.max(minRun, width))
-      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
-        (col("start_b") + col("run_tokens") - 1).as("e"))
+                     minRun: Long = 0L): DataFrame =
+    cutSpans(docs,
+      verbatimOffsets(docs, width)
+        .filter(col("run_tokens") >= math.max(minRun, width))
+        .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+          (col("start_b") + col("run_tokens") - 1).as("e")))
+
+  /** Cut token intervals `(doc_id, s, e)` out of `docs(doc_id, text)`
+    * and reassemble: the shared tail of the full and incremental
+    * removal paths. Spans reduce to ONE interval-array row per
+    * affected doc, meet the corpus on a doc_id equi join, and the
+    * membership test is a codegen'd higher-order filter over each
+    * doc's own token array — overlapping spans union naturally, the
+    * corpus never explodes. */
+  private def cutSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
     val iv = spans.groupBy("doc_id")
       .agg(collect_list(struct(col("s"), col("e"))).as("iv"))
     docs.join(iv, Seq("doc_id"), "left")
@@ -457,6 +467,64 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
         expr("concat_ws(' ', transform(kept, x -> x.t))").as("text_clean"))
+  }
+
+  /** The persisted POSITIONS-AWARE shingle index of the existing
+    * corpus: (sh_key, doc_id, pos) for every shingle key at or under
+    * the boilerplate df cap. A production pipeline writes this once
+    * next to the corpus (it is the substring-dedup analog of the
+    * MinHash band index and the eval shingle index) and cleans every
+    * arriving batch against it — the corpus is never re-shingled, let
+    * alone re-paired. */
+  def verbatimIndex(docs: DataFrame, width: Int): DataFrame = {
+    val sh = shinglesWithPos(docs, width)
+    val capped = sh.groupBy("sh_key")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= VerbatimMaxDf)
+      .select("sh_key")
+    sh.join(capped, Seq("sh_key"))
+  }
+
+  /** Clean ONE arriving batch against a persisted [[verbatimIndex]]:
+    * the ingest-time form of [[verbatimRemove]]. Policy — the
+    * production "arriving data defers to existing data" rule:
+    *   (a) a span shared with ANY corpus doc is cut from the batch
+    *       doc (the corpus keeps its copy regardless of ids);
+    *   (b) within the batch, keep-first by doc_id (same rule as the
+    *       full path).
+    * Spans are found by the same diagonal + gaps-and-islands
+    * arithmetic, with islands grouped on the BATCH side's positions.
+    * Cost per batch: batch-linear shingling + one equi join against
+    * the index on 8-byte keys + a batch-local self-join — independent
+    * of corpus size, the shape that keeps substring dedup running
+    * when the corpus is 100 TB and the batch is GBs. Corpus-df caps
+    * come from the index (built at corpus scale); batch-batch keys
+    * are capped within the batch. */
+  def verbatimRemoveBatch(batch: DataFrame, index: DataFrame,
+                          width: Int): DataFrame = {
+    val bsh = shinglesWithPos(batch, width)
+    val mc = bsh.as("b").join(index.as("c"), Seq("sh_key"))
+      .select(col("b.doc_id").as("bdoc"), col("c.doc_id").as("odoc"),
+        col("b.pos").as("bpos"), (col("b.pos") - col("c.pos")).as("diag"))
+    val bRare = bsh.groupBy("sh_key")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > 1 && col("df") <= VerbatimMaxDf)
+      .select("sh_key")
+    val bshr = bsh.join(bRare, Seq("sh_key"))
+    val mb = bshr.as("x").join(bshr.as("y"), Seq("sh_key"))
+      .filter(col("y.doc_id") < col("x.doc_id"))
+      .select(col("x.doc_id").as("bdoc"), col("y.doc_id").as("odoc"),
+        col("x.pos").as("bpos"), (col("x.pos") - col("y.pos")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bdoc", "odoc", "diag").orderBy("bpos")
+    val spans = mc.unionByName(mb)
+      .withColumn("grp", col("bpos") - row_number().over(w))
+      .groupBy("bdoc", "odoc", "diag", "grp")
+      .agg(min(col("bpos")).as("s"),
+        (count(lit(1)) + width - 1).as("len"))
+      .select(col("bdoc").as("doc_id"), col("s"),
+        (col("s") + col("len") - 1).as("e"))
+    cutSpans(batch, spans)
   }
 
   /** Per-lang median/MAD outlier verdicts over (doc_id, lang, n_chars)
@@ -578,6 +646,27 @@ object Curation {
       verbatimRemove(docs.select(col("doc_id"), col("text")),
         deriveShingleWidth(docs.count()))
         .orderBy("doc_id")
+    }),
+
+    // INCREMENTAL substring dedup — the ingest-time production mode
+    // (completes the incremental family: exact, minhash, CC,
+    // decontaminate, now verbatim): the corpus's positions-aware
+    // shingle index is built once and PERSISTED (localCheckpoint
+    // stands in for the write — the gate provably reuses the
+    // materialized index), then the arriving batch (doc_id ≡ 0 mod 5,
+    // the family's slice convention) is cleaned against it plus
+    // itself. Policy: arriving data defers to existing data; within
+    // the batch, keep-first. The oracle recomputes the same policy
+    // from scratch, so the hash match (including the reassembled
+    // text) proves incremental == from-scratch.
+    "q_verbatim_removal_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val width = deriveShingleWidth(docs.count())
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val index = verbatimIndex(corpus, width).localCheckpoint(true)
+      verbatimRemoveBatch(batch, index, width).orderBy("doc_id")
     }),
 
     // Per-lang median/MAD outlier flags on doc length — the robust
@@ -870,6 +959,77 @@ object Curation {
                AS n_removed,
              coalesce(agg.text_clean, '') AS text_clean
       FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      ORDER BY d.doc_id""",
+
+    // From-scratch transcription of the ingest policy (batch defers to
+    // corpus; keep-first within batch) — the hash match proves the
+    // engine's index-once/batch-linear path computes the same cleaned
+    // batch, text included.
+    "q_verbatim_removal_incremental" -> s"""
+      WITH ${shingleParamsSql("documents")},
+      sh AS (
+        SELECT doc_id, generate_subscripts(ks, 1) - 1 AS pos, unnest(ks) AS sh_key
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN len(tf) < W THEN []
+                      ELSE list_transform(range(1, len(tf) - W + 2),
+                             i -> list_reduce(tf[i:i+W-1],
+                                    (acc, h) -> xor((acc % $RotHi) * 2 + (acc // $RotHi), h)))
+                 END AS ks
+          FROM (SELECT doc_id,
+                       list_transform(string_split(lower(text), ' '),
+                                      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS tf
+                FROM documents), params)),
+      csh AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+      bsh AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+      cidx AS (
+        SELECT sh_key FROM (
+          SELECT sh_key, count(DISTINCT doc_id) AS df FROM csh GROUP BY sh_key)
+        WHERE df <= $VerbatimMaxDf),
+      mc AS (
+        SELECT b.doc_id AS bdoc, c.doc_id AS odoc,
+               b.pos AS bpos, b.pos - c.pos AS diag
+        FROM bsh b JOIN cidx USING (sh_key)
+             JOIN csh c ON b.sh_key = c.sh_key),
+      brare AS (
+        SELECT sh_key FROM (
+          SELECT sh_key, count(DISTINCT doc_id) AS df FROM bsh GROUP BY sh_key)
+        WHERE df > 1 AND df <= $VerbatimMaxDf),
+      mb AS (
+        SELECT x.doc_id AS bdoc, y.doc_id AS odoc,
+               x.pos AS bpos, x.pos - y.pos AS diag
+        FROM bsh x JOIN brare USING (sh_key)
+             JOIN bsh y ON x.sh_key = y.sh_key AND y.doc_id < x.doc_id),
+      m AS (SELECT * FROM mc UNION ALL SELECT * FROM mb),
+      r AS (
+        SELECT bdoc, odoc, diag, bpos,
+               bpos - row_number() OVER (PARTITION BY bdoc, odoc, diag
+                                         ORDER BY bpos) AS grp
+        FROM m),
+      spans AS (
+        SELECT bdoc AS doc_id, min(bpos) AS s,
+               min(bpos) + count(*) + W - 1 - 1 AS e
+        FROM r, params GROUP BY bdoc, odoc, diag, grp, W),
+      toks AS (
+        SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos, unnest(tk) AS t
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk
+              FROM documents WHERE doc_id % 5 = 0)),
+      kept AS (
+        SELECT doc_id, pos, t FROM toks
+        WHERE NOT EXISTS (SELECT 1 FROM spans r
+                          WHERE r.doc_id = toks.doc_id
+                            AND toks.pos >= r.s AND toks.pos <= r.e)),
+      agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               coalesce(string_agg(t, ' ' ORDER BY pos), '') AS text_clean
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(string_split(d.text, ' ')) - coalesce(agg.n_kept, 0) AS BIGINT)
+               AS n_removed,
+             coalesce(agg.text_clean, '') AS text_clean
+      FROM (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0) d
+           LEFT JOIN agg ON d.doc_id = agg.doc_id
       ORDER BY d.doc_id""",
 
     "q_quality_outliers" -> """

@@ -834,6 +834,39 @@ class PipelineSpec extends SparkSpec {
     assert(rem(5L) == (21L, 18L, "w1 w2 w3"), s"doc5: ${rem(5L)}")
   }
 
+  test("incremental verbatim removal: batch defers to corpus, keep-first within batch") {
+    import spark.implicits._
+    // Corpus = docs 1-4 (ids % 5 ≠ 0), batch = docs 0, 5, 10. Doc 0
+    // carries corpus doc 3's phrase — its id is LOWER than 3, so the
+    // full keep-first rule would cut from doc 3; the ingest policy
+    // must cut from the BATCH doc instead (arriving data defers).
+    // Docs 0 and 10 share a batch-only 6-token k-run: keep-first
+    // within the batch cuts it from doc 10 only. Doc 5 embeds the
+    // corpus run twice (both occurrences cut). Output = batch only.
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8 r9"
+    val phrase = "p1 p2 p3 p4 p5"
+    val kRun = "k1 k2 k3 k4 k5 k6"
+    val docs = Seq(
+      (0L, s"$kRun a1 a2 $phrase"),
+      (1L, s"$run x1 x2 $phrase"),
+      (2L, s"y1 y2 $run y3"),
+      (3L, s"z1 $phrase z2 z3 z4"),
+      (4L, "q1 q2 q3 q4 q5 q6 q7 q8"),
+      (5L, s"$run w1 w2 w3 $run"),
+      (10L, s"z9 $kRun z8")
+    ).toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val index = Curation.verbatimIndex(corpus, 5).localCheckpoint(true)
+    val rem = Curation.verbatimRemoveBatch(batch, index, 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(rem.keySet == Set(0L, 5L, 10L), s"batch docs only: ${rem.keySet}")
+    assert(rem(0L) == (13L, 5L, s"$kRun a1 a2"), s"doc0: ${rem(0L)}")
+    assert(rem(5L) == (21L, 18L, "w1 w2 w3"), s"doc5: ${rem(5L)}")
+    assert(rem(10L) == (8L, 6L, "z9 z8"), s"doc10: ${rem(10L)}")
+  }
+
   test("gopher repetition signals flag planted repeats at the right widths") {
     import spark.implicits._
     // Doc 1: one bigram everywhere (top2 ≈ 0.5 — trips the 0.20 bar).
