@@ -581,17 +581,52 @@ object Similarity {
                             codebookOf: DataFrame => DataFrame,
                             nProbes: Int, k: Int,
                             nprobe: Int = IvfNprobe): DataFrame = {
-    val assigned = assignCells(e, centroids)
-    val residuals = assigned
+    val resVec = residualFrame(e, centroids).select(col("vec_id"), col("v"))
+    val codebook = codebookOf(resVec)
+    val index = ivfPqResidualIndex(e, centroids, codebook)
+    searchIvfPqResidualIndex(index, e, centroids, codebook, nProbes, k, nprobe)
+  }
+
+  /** (vec_id, v = x − c(cell), cell): the residual frame the residual
+    * codebook trains on and the encoder quantizes. */
+  def residualFrame(e: DataFrame, centroids: DataFrame): DataFrame =
+    assignCells(e, centroids)
       .join(broadcast(centroids), col("cell") === col("cid"))
       .select(col("vec_id"),
         expr("zip_with(v, c, (a, b) -> a - b)").as("v"), col("cell"))
-    val resVec = residuals.select(col("vec_id"), col("v"))
-    val codebook = codebookOf(resVec)
-    val index = residuals.select(col("vec_id"), col("cell"))
-      .join(pqEncodeWith(resVec, codebook), Seq("vec_id"))
+
+  /** The residual index: (cand_id, cell, m, k) — same persisted shape
+    * as [[ivfPqIndex]], codes taken over residuals. The `codebook`
+    * must be the one trained on [[residualFrame]]'s output (first-K or
+    * k-means — the search path needs the SAME frame back). */
+  def ivfPqResidualIndex(e: DataFrame, centroids: DataFrame,
+                         codebook: DataFrame): DataFrame = {
+    val residuals = residualFrame(e, centroids)
+    residuals.select(col("vec_id"), col("cell"))
+      .join(pqEncodeWith(residuals.select(col("vec_id"), col("v")), codebook),
+        Seq("vec_id"))
       .select(col("vec_id").as("cand_id"), col("cell"),
         col("m"), col("code").as("k"))
+  }
+
+  /** Persist the residual index bucketed by cell — the best-quality
+    * index composed with the production storage layout; reread it with
+    * [[readIvfPqIndexPruned]] (identical shape and pruning story as
+    * the plain index; AnnIndexSpec covers both). */
+  def writeIvfPqResIndex(e: DataFrame, centroids: DataFrame,
+                         codebook: DataFrame, table: String,
+                         nBuckets: Int): Unit =
+    graft.sources.Sinks.writeBucketed(
+      ivfPqResidualIndex(e, centroids, codebook), table, "cell", nBuckets)
+
+  /** ADC search against a prebuilt residual index (in-memory or reread
+    * from a bucketed table): probe cells + cell dots from the
+    * broadcast centroids, residual-codebook lookup table, and the
+    * cell term added back after the per-candidate sum. */
+  def searchIvfPqResidualIndex(index: DataFrame, e: DataFrame,
+                               centroids: DataFrame, codebook: DataFrame,
+                               nProbes: Int, k: Int,
+                               nprobe: Int = IvfNprobe): DataFrame = {
     val probeVecs = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v"))
     val cellScores = probeVecs.join(broadcast(centroids))
