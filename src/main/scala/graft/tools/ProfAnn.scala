@@ -51,6 +51,18 @@ object ProfAnn {
     trainedRecall("kmeans_ivfpq_recall")(
       Similarity.ivfPqTopKWith(e, Similarity.kmeansCentroids(e, kCells),
         trainedCb, 64, 5))
+    // nprobe curves for both composed indexes (the plain-IVF curve is
+    // recorded in BASELINE; these complete the knob's story).
+    val centroids = e.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val firstKCb = Similarity.pqCodebook(e, kCodes)
+    for (np <- Seq(1, 2, 4, 8)) {
+      trainedRecall(s"ivfpq_recall_nprobe$np")(
+        Similarity.ivfPqTopKWith(e, centroids, firstKCb, 64, 5, nprobe = np))
+      trainedRecall(s"ivfpq_res_recall_nprobe$np")(
+        Similarity.ivfPqResidualTopKWith(e, centroids,
+          rv => Similarity.pqCodebook(rv, kCodes), 64, 5, nprobe = np))
+    }
     s.stop()
   }
 }
