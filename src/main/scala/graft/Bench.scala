@@ -123,21 +123,27 @@ object Bench {
       }
       (name, stats, retried)
     }
-    // LATE re-time pass: keys still >2× baseline after best-of-two get
-    // one more attempt at the END of the run — minutes later, i.e. a
-    // real chance the host phase has flipped (immediate best-of-two
-    // cannot give that). Keys that stay slow across both passes are
-    // either genuinely regressed or sat in a phase outlasting the run;
-    // the recorded host factor disambiguates.
+    // LATE re-time pass: keys still >2× baseline (host-factor-scaled —
+    // in a phase that outlasts the run an unscaled 2× would re-run
+    // nearly the whole suite a third time) after best-of-two get one
+    // more attempt at the END of the run — minutes later, i.e. a real
+    // chance the host phase has flipped (immediate best-of-two cannot
+    // give that). Keys that stay slow across both passes are either
+    // genuinely regressed or sat in a phase outlasting the run; the
+    // recorded start/end probe pair disambiguates.
     val results = firstPass.map {
       case (name, Some((secs, sh)), retried)
-          if baseline.get(name).exists(b => secs > 2.0 * b) =>
+          if baseline.get(name).exists(b => secs > 2.0 * b * hostFactor) =>
         runOnce(name, SparkEntry.queries(name)) match {
           case Some(second) if second._1 < secs => (name, Some(second), true)
           case _ => (name, Some((secs, sh)), retried)
         }
       case other => other
     }
+    // Closing probe: the startup factor is one sample — a phase flip
+    // MID-RUN would otherwise record "host was fast" over a slow run
+    // (the inverse of the truth). Both ends land in the artifact.
+    val calSecEnd = (1 to 3).map(_ => calProbe()).min
     // A query is an error only if it has NO successful timing (a failed
     // contention re-run after a good first run is not an error).
     val errors = results.collect { case (name, None, _) => name }
@@ -163,7 +169,7 @@ object Bench {
       "\"" + k + "\":" + v.map(_._2).getOrElse(-1L) }.mkString("{", ",", "}")
     val rt = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val cal = s"""{"probe_sec":${fmt(calSec)},"probe_baseline":${fmt(calBaseline)},"host_factor":${fmt(hostFactor)}}"""
+    val cal = s"""{"probe_sec":${fmt(calSec)},"probe_sec_end":${fmt(calSecEnd)},"probe_baseline":${fmt(calBaseline)},"host_factor":${fmt(hostFactor)}}"""
     val full = line.dropRight(1) +
       s""","shuffle_bytes":$sh,"retried":$rt,"calibration":$cal}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),

@@ -301,7 +301,14 @@ object Curation {
     *    change row granularity and need re-aggregation state. The UDF
     *    call itself codegens (ScalaUDF is not a CodegenFallback;
     *    asserted in the spec). */
-  def contaminationGate(stream: DataFrame, eval: EvalShingles): DataFrame =
+  def contaminationGate(stream: DataFrame, eval: EvalShingles): DataFrame = {
+    // Evict cache entries whose session has been stopped — on EVERY
+    // gate construction (not just the broadcast branch, or a driver
+    // that built one large-set gate and thereafter only small-set
+    // gates would pin the dead session forever): their broadcasts are
+    // unusable (torrent blocks are gone) and keeping the key pins the
+    // dead SparkSession itself.
+    gateBroadcasts.keySet.removeIf(_._1.sparkContext.isStopped)
     if (eval.shingles.size <= GateInlineMax)
       // coalesce(…, false): a NULL text has no shingles and cannot be
       // contaminated, so it passes — the same verdict the broadcast
@@ -313,10 +320,6 @@ object Curation {
           lit(eval.shingles.toArray)),
         lit(false)))
     else {
-      // Evict cache entries whose session has been stopped: their
-      // broadcasts are unusable (torrent blocks are gone) and keeping
-      // the key pins the dead SparkSession itself.
-      gateBroadcasts.keySet.removeIf(_._1.sparkContext.isStopped)
       val key = (stream.sparkSession, evalDigest(eval))
       val bc = gateBroadcasts.computeIfAbsent(key,
         _ => stream.sparkSession.sparkContext.broadcast(eval.shingles.toSet))
@@ -324,6 +327,7 @@ object Curation {
         shs != null && shs.exists(bc.value.contains))
       stream.filter(!hit(shingleArray(col("text"), eval.width)))
     }
+  }
 
   /** Deterministic weighted sampling per source: an md5-fold bucket in
     * [0,100) (salted 'mix:' so it is independent of `q_text_split`'s

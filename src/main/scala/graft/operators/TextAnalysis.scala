@@ -72,16 +72,21 @@ object TextAnalysis {
     // Integer cross-multiply verdict: num × 100 > thr × den.
     def trips(num: String, den: String, pct: Int) =
       coalesce(col(num), lit(0L)) * 100 > lit(pct) * coalesce(col(den), lit(1L))
-    wide.select(col("doc_id"),
-      f("top2", "total2").as("top2_frac"),
-      f("top3", "total3").as("top3_frac"),
-      f("top4", "total4").as("top4_frac"),
-      f("dup5", "total5").as("dup5_frac"),
-      f("dup10", "total10").as("dup10_frac"),
-      when(trips("top2", "total2", 20) || trips("top3", "total3", 18) ||
-           trips("top4", "total4", 16) || trips("dup5", "total5", 15) ||
-           trips("dup10", "total10", 10), "repetitive")
-        .otherwise("ok").as("verdict"))
+    // LEFT join back onto the corpus: a doc with < 2 tokens has no
+    // gram rows at ANY width and would otherwise vanish from the
+    // output — a pipeline keeping verdict='ok' docs would silently
+    // lose it. Every input doc gets a row (all-zero signals, 'ok').
+    docs.select(col("doc_id")).join(wide, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        f("top2", "total2").as("top2_frac"),
+        f("top3", "total3").as("top3_frac"),
+        f("top4", "total4").as("top4_frac"),
+        f("dup5", "total5").as("dup5_frac"),
+        f("dup10", "total10").as("dup10_frac"),
+        when(trips("top2", "total2", 20) || trips("top3", "total3", 18) ||
+             trips("top4", "total4", 16) || trips("dup5", "total5", 15) ||
+             trips("dup10", "total10", 10), "repetitive")
+          .otherwise("ok").as("verdict"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -315,7 +320,7 @@ object TextAnalysis {
                max(CASE WHEN n = 10 THEN dup END) AS dup10,
                max(CASE WHEN n = 10 THEN total END) AS total10
         FROM pn GROUP BY doc_id)
-      SELECT doc_id,
+      SELECT d.doc_id,
              round(CAST(coalesce(top2, 0) AS DOUBLE) / CAST(coalesce(total2, 1) AS DOUBLE), 4) AS top2_frac,
              round(CAST(coalesce(top3, 0) AS DOUBLE) / CAST(coalesce(total3, 1) AS DOUBLE), 4) AS top3_frac,
              round(CAST(coalesce(top4, 0) AS DOUBLE) / CAST(coalesce(total4, 1) AS DOUBLE), 4) AS top4_frac,
@@ -327,7 +332,8 @@ object TextAnalysis {
                     OR coalesce(dup5, 0) * 100 > 15 * coalesce(total5, 1)
                     OR coalesce(dup10, 0) * 100 > 10 * coalesce(total10, 1)
                   THEN 'repetitive' ELSE 'ok' END AS verdict
-      FROM wide ORDER BY doc_id""",
+      FROM documents d LEFT JOIN wide ON d.doc_id = wide.doc_id
+      ORDER BY d.doc_id""",
 
     "q_corpus_pipeline" -> s"""
       WITH gated AS (

@@ -73,6 +73,13 @@ object Sinks {
     val r = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).collect()(0)
+    // Empty input: the min/max row is all null — write the (empty)
+    // frame as-is instead of throwing on getDouble (the sibling
+    // writeRangeClustered handles empty input the same way).
+    if (r.isNullAt(0)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     def norm16(c: String, lo: Double, hi: Double) = {
       val span = if (hi > lo) hi - lo else 1.0
       least(lit(65535L), greatest(lit(0L),

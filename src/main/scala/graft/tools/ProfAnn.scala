@@ -36,10 +36,14 @@ object ProfAnn {
     val truth = Similarity.brute(s, dir, 64, 5).select("probe_id", "cand_id")
     def trainedRecall(name: String)(approx: org.apache.spark.sql.DataFrame): Unit =
       Prof.time(name) {
-        val df = Similarity.recallVs(truth, approx)
-        val m = df.agg(avg(col("recall"))).collect()(0).getDouble(0)
+        // ONE action: collecting the (tiny, per-probe) recall frame
+        // once and averaging locally — a second agg would re-execute
+        // the whole ANN pipeline and double the reported latency.
+        val rows = Similarity.recallVs(truth, approx)
+          .select(col("recall")).collect()
+        val m = rows.map(_.getDouble(0)).sum / rows.length
         println(f"[prof] $name mean recall = $m%.4f")
-        df.agg(count(lit(1))).collect()(0).getLong(0)
+        rows.length.toLong
       }
     val kCodes = Similarity.derivePqCodes(n)
     val kCells = math.ceil(math.sqrt(n.toDouble)).toInt

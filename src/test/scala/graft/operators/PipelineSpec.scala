@@ -879,11 +879,14 @@ class PipelineSpec extends SparkSpec {
     val docs = Seq(
       (1L, Seq.fill(20)("x y").mkString(" ")),
       (2L, s"$block $filler $block"),
-      (3L, (1 to 40).map(i => s"w$i").mkString(" "))
+      (3L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (4L, "solo") // < 2 tokens: no grams at ANY width — must still
+                   // get an all-zero 'ok' row, not vanish
     ).toDF("doc_id", "text")
     val out = TextAnalysis.gopherRep(docs).collect()
       .map(r => r.getLong(0) ->
         (r.getDouble(1), r.getDouble(4), r.getString(6))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), s"every doc gets a row: ${out.keySet}")
     val (top2_1, _, v1) = out(1L)
     assert(top2_1 > 0.20 && v1 == "repetitive", s"doc1: ${out(1L)}")
     val (top2_2, dup5_2, v2) = out(2L)
@@ -891,6 +894,7 @@ class PipelineSpec extends SparkSpec {
     assert(top2_2 <= 0.20, s"doc2 top2 should stay under its bar: $top2_2")
     val (top2_3, dup5_3, v3) = out(3L)
     assert(top2_3 <= 0.20 && dup5_3 == 0.0 && v3 == "ok", s"doc3: ${out(3L)}")
+    assert(out(4L) == (0.0, 0.0, "ok"), s"short doc: ${out(4L)}")
   }
 
   test("incremental minhash equals full recompute restricted to batch-touching pairs") {

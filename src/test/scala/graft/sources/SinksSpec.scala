@@ -61,6 +61,11 @@ class SinksSpec extends SparkSpec {
     assert(za < 60 && zb < 60, s"z-order per-file ranges a=$za b=$zb")
     // And the data survives the round trip.
     assert(spark.read.parquet(zDir).count() == 10000)
+    // Empty input writes an empty dataset instead of NPE-ing on the
+    // all-null min/max row.
+    val eDir = Files.createTempDirectory("graft-zempty").toString
+    Sinks.writeZOrdered(df.filter(col("id") < 0), "a", "b", 4, eDir)
+    assert(spark.read.parquet(eDir).count() == 0)
   }
 
   test("idempotent batch sink: replaying a batch does not duplicate") {
