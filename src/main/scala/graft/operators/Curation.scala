@@ -329,6 +329,40 @@ object Curation {
     }
   }
 
+  /** Minimum whitespace-token count for [[qualityGate]]: shorter texts
+    * carry no usable training signal and are dropped at the door. */
+  val QualityMinTokens = 5
+
+  /** STREAMING quality gate: the stateless ingest-time form of the
+    * per-doc quality screens — keep only rows whose `text` (a) is
+    * non-null, (b) has ≥ `minTokens` whitespace tokens, and (c) is not
+    * bigram-repetitive by `q_text_repetition`'s exact integer rule
+    * (duplicated-bigram instances × 10 > total bigrams ⟹ drop). Pure
+    * per-row expressions (split / array_distinct / size — all
+    * codegen'd), so like [[contaminationGate]] it adds no streaming
+    * state, needs no watermark, and survives replay for free; the two
+    * compose into one ingest pipeline (quality first — it is cheaper —
+    * then contamination). A null or short text FAILS here where the
+    * contamination gate PASSES it: each default is the conservative
+    * verdict for its gate (a null can't be contaminated, but it also
+    * can't be trained on). Batch/stream agnostic — the batch form is
+    * the same filter, which is how the spec pins stream==batch
+    * verdicts. */
+  def qualityGate(stream: DataFrame,
+                  minTokens: Int = QualityMinTokens): DataFrame =
+    stream
+      .withColumn("__toks", split(lower(col("text")), " "))
+      .withColumn("__bg", expr(
+        """CASE WHEN size(__toks) < 2 THEN array()
+                ELSE transform(sequence(0, size(__toks) - 2),
+                               i -> concat_ws(' ', __toks[i], __toks[i+1]))
+           END"""))
+      .filter(col("text").isNotNull &&
+        size(col("__toks")) >= minTokens &&
+        !((size(col("__bg")) - size(array_distinct(col("__bg")))) * 10
+          > size(col("__bg"))))
+      .drop("__toks", "__bg")
+
   /** Deterministic weighted sampling per source: an md5-fold bucket in
     * [0,100) (salted 'mix:' so it is independent of `q_text_split`'s
     * buckets) keeps a doc iff bucket < the source's rate. Stable under
@@ -451,6 +485,52 @@ object Curation {
         .filter(col("run_tokens") >= math.max(minRun, width))
         .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
           (col("start_b") + col("run_tokens") - 1).as("e")))
+
+  /** The BYTE-LEVEL cut list — [[verbatimOffsets]] re-expressed in
+    * CHARACTER offsets into the ORIGINAL text: each removal span on the
+    * cut side (doc_b, the keep-first policy's higher id) as
+    * (doc_id, s, e, char_start, char_end, span_text) where
+    * [char_start, char_end) is the 0-based half-open character interval
+    * occupied by tokens s..e. A consumer holding raw document bytes
+    * (original files, an object store) can cut spans WITHOUT
+    * re-tokenizing — [[verbatimRemove]] rebuilds text from tokens,
+    * which forces the consumer to adopt this engine's tokenizer; the
+    * char form makes the cut list tokenizer-independent at the
+    * interface. span_text is included so the artifact is
+    * self-verifying: substring(text, char_start+1, char_end−char_start)
+    * must BE the duplicated run.
+    *
+    * Offset arithmetic (single-space tokenization, so it is exact):
+    * char_start(s) = len(join(toks[0..s−1])) + 1 for s > 0 (the +1 is
+    * the separator after token s−1), 0 at s = 0; char_end(e) =
+    * len(join(toks[0..e])). Pure length/concat arithmetic both engines
+    * evaluate identically ⟹ oracle-exact, span text included. The same
+    * span of doc_b may be shared with several doc_a partners — the cut
+    * list is per (doc_id, s, e), so partners collapse via DISTINCT.
+    *
+    * Scale shape: spans are the df-capped offsets output; the char
+    * arithmetic runs on a doc_id equi join against only the AFFECTED
+    * docs (inner join), each row touching one doc's own token array —
+    * no explode, no window. */
+  def verbatimCharSpans(docs: DataFrame, width: Int): DataFrame = {
+    val spans = verbatimOffsets(docs, width)
+      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+        (col("start_b") + col("run_tokens") - 1).as("e"))
+      .distinct()
+    docs.select(col("doc_id"), col("text"))
+      .join(spans, Seq("doc_id"))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("char_start",
+        when(col("s") === 0, lit(0L))
+          .otherwise((length(expr("concat_ws(' ', slice(toks, 1, s))")) + lit(1))
+            .cast("long")))
+      .withColumn("char_end",
+        length(expr("concat_ws(' ', slice(toks, 1, e + 1))")).cast("long"))
+      .select(col("doc_id"), col("s"), col("e"),
+        col("char_start"), col("char_end"),
+        expr("""substring(text, cast(char_start + 1 as int),
+                          cast(char_end - char_start as int))""").as("span_text"))
+  }
 
   /** Cut token intervals `(doc_id, s, e)` out of `docs(doc_id, text)`
     * and reassemble: the shared tail of the full and incremental
@@ -671,6 +751,19 @@ object Curation {
         .select(col("doc_id"), col("text"))
       val index = verbatimIndex(corpus, width).localCheckpoint(true)
       verbatimRemoveBatch(batch, index, width).orderBy("doc_id")
+    }),
+
+    // CHAR-offset cut list — the tokenizer-independent interface form
+    // of the removal spans: (char_start, char_end) half-open character
+    // intervals into the ORIGINAL text plus the span text itself, so a
+    // consumer holding raw bytes cuts without re-tokenizing (and the
+    // artifact self-verifies: span_text IS the substring at those
+    // offsets). Deterministic length/concat arithmetic ⟹ oracle-exact.
+    "q_verbatim_char_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      verbatimCharSpans(docs.select(col("doc_id"), col("text")),
+        deriveShingleWidth(docs.count()))
+        .orderBy("doc_id", "s", "e")
     }),
 
     // Per-lang median/MAD outlier flags on doc length — the robust
@@ -1035,6 +1128,59 @@ object Curation {
       FROM (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0) d
            LEFT JOIN agg ON d.doc_id = agg.doc_id
       ORDER BY d.doc_id""",
+
+    // Same span pipeline as q_verbatim_removal down to `spans`, then
+    // token→char offset arithmetic over the affected docs' own token
+    // lists: char_start = len(join(first s tokens)) + 1 (0 at s = 0),
+    // char_end = len(join(first e+1 tokens)) — identical length/concat
+    // arithmetic to the engine, so offsets AND span text hash-match.
+    "q_verbatim_char_spans" -> s"""
+      WITH ${shingleParamsSql("documents")},
+      sh AS (
+        SELECT doc_id, generate_subscripts(ks, 1) - 1 AS pos, unnest(ks) AS sh_key
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN len(tf) < W THEN []
+                      ELSE list_transform(range(1, len(tf) - W + 2),
+                             i -> list_reduce(tf[i:i+W-1],
+                                    (acc, h) -> xor((acc % $RotHi) * 2 + (acc // $RotHi), h)))
+                 END AS ks
+          FROM (SELECT doc_id,
+                       list_transform(string_split(lower(text), ' '),
+                                      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS tf
+                FROM documents), params)),
+      rare AS (
+        SELECT sh_key FROM (
+          SELECT sh_key, count(DISTINCT doc_id) AS df FROM sh GROUP BY sh_key)
+        WHERE df > 1 AND df <= $VerbatimMaxDf),
+      m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, a.pos - b.pos AS diag
+        FROM sh a JOIN rare USING (sh_key)
+             JOIN sh b ON a.sh_key = b.sh_key AND a.doc_id < b.doc_id),
+      r AS (
+        SELECT doc_a, doc_b, diag, pos_a,
+               pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                          ORDER BY pos_a) AS grp
+        FROM m),
+      spans AS (
+        SELECT DISTINCT doc_b AS doc_id,
+               min(pos_a) - diag AS s,
+               min(pos_a) - diag + count(*) + W - 1 - 1 AS e
+        FROM r, params GROUP BY doc_a, doc_b, diag, grp, W),
+      docs AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+      offs AS (
+        SELECT sp.doc_id, sp.s, sp.e, d.text,
+               CASE WHEN sp.s = 0 THEN 0
+                    ELSE length(array_to_string(d.tk[1:sp.s], ' ')) + 1
+               END AS char_start,
+               length(array_to_string(d.tk[1:sp.e+1], ' ')) AS char_end
+        FROM spans sp JOIN docs d USING (doc_id))
+      SELECT doc_id, CAST(s AS INTEGER) AS s, CAST(e AS BIGINT) AS e,
+             CAST(char_start AS BIGINT) AS char_start,
+             CAST(char_end AS BIGINT) AS char_end,
+             substr(text, char_start + 1, char_end - char_start) AS span_text
+      FROM offs ORDER BY doc_id, s, e""",
 
     "q_quality_outliers" -> """
       WITH med AS (

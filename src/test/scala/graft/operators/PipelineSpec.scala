@@ -832,6 +832,27 @@ class PipelineSpec extends SparkSpec {
     assert(rem(3L) == (9L, 5L, "z1 z2 z3 z4"), s"doc3: ${rem(3L)}")
     assert(rem(4L) == (8L, 0L, "q1 q2 q3 q4 q5 q6 q7 q8"), s"doc4: ${rem(4L)}")
     assert(rem(5L) == (21L, 18L, "w1 w2 w3"), s"doc5: ${rem(5L)}")
+    // CHAR-offset cut list on the same fixture: each token span mapped
+    // to its [char_start, char_end) interval in the ORIGINAL text, with
+    // the span text extracted AT those offsets — so the assertion both
+    // pins the arithmetic and proves the artifact self-verifies. Doc
+    // 5's (0,8) span is shared with docs 1 AND 2: partners must
+    // collapse to ONE cut row (DISTINCT), its repeat at (12,20) stays.
+    val cs = Curation.verbatimCharSpans(docs, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toSet
+    assert(cs == Set(
+      (2L, 2, 10L, 6L, 32L, run),
+      (3L, 1, 5L, 3L, 17L, phrase),
+      (5L, 0, 8L, 0L, 26L, run),
+      (5L, 12, 20L, 36L, 62L, run)), s"char spans: $cs")
+    // The self-verification property, stated directly: substring at the
+    // reported offsets == the reported span text, for every row.
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cs.foreach { case (id, _, _, a, b, t) =>
+      assert(texts(id).substring(a.toInt, b.toInt) == t,
+        s"offsets [$a,$b) of doc $id do not extract the span text")
+    }
   }
 
   test("incremental verbatim removal: batch defers to corpus, keep-first within batch") {

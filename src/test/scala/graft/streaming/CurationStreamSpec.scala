@@ -149,6 +149,48 @@ class CurationStreamSpec extends SparkSpec {
       s"CodegenFallback expressions in the gate plan: ${fallbacks.map(_.getClass.getSimpleName)}")
   }
 
+  test("streaming quality gate: repetitive/short/null docs dropped at the door, stream == batch") {
+    val qn = "qual-in"; val bx = "qual-out"
+    val ckpt = java.nio.file.Files.createTempDirectory("qual-ckpt").toString
+    try {
+      // Passes: ≥ 5 tokens, every bigram distinct.
+      UpdateLog.post(qn, 1L, "clean document with enough distinct words here")
+      // Dropped: 9 bigram instances, 1 distinct — (9−1)×10 > 9.
+      UpdateLog.post(qn, 2L, "spam spam spam spam spam spam spam spam spam spam")
+      // Dropped: 2 tokens < QualityMinTokens.
+      UpdateLog.post(qn, 3L, "tiny doc")
+      // Passes: exactly at the boundary — 10 bigrams, 1 duplicated
+      // INSTANCE would need dup×10 > 10; zero duplicates here.
+      UpdateLog.post(qn, 4L, "a b c d e f g h i j k")
+      val q = Curation.qualityGate(
+          spark.readStream.format(classOf[UpdateLogProvider].getName)
+            .option("queue", qn).load())
+        .select(col("chat_id"), col("text"))
+        .writeStream.format(classOf[OutboxProvider].getName)
+        .option("box", bx)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val delivered = Outbox.delivered(bx).map(_._2).sorted
+      assert(delivered == Seq(1L, 4L), s"quality gate delivered: $delivered")
+      // Same filter on a BATCH frame (the gate is stream/batch
+      // agnostic): identical verdicts, and a null text is dropped —
+      // the opposite default from the contamination gate, asserted
+      // here so the divergence is pinned, not accidental.
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "clean document with enough distinct words here"),
+        (2L, "spam spam spam spam spam spam spam spam spam spam"),
+        (3L, "tiny doc"),
+        (4L, "a b c d e f g h i j k"),
+        (5L, null.asInstanceOf[String])).toDF("chat_id", "text")
+      val batchKept = Curation.qualityGate(docs)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(batchKept == Seq(1L, 4L), s"batch gate kept: $batchKept")
+    } finally { UpdateLog.drop(qn); Outbox.drop(bx) }
+  }
+
   test("broadcast gate above the inline threshold: same verdicts on a 100k-shingle stream") {
     val qn = "cur-big-in"; val bx = "cur-big-out"
     val ckpt = java.nio.file.Files.createTempDirectory("cur-big-ckpt").toString
