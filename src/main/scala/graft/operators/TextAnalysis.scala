@@ -89,6 +89,71 @@ object TextAnalysis {
           .otherwise("ok").as("verdict"))
   }
 
+  /** PII patterns, written in the Java-regex ∩ RE2 COMMON dialect
+    * (character classes, bounded repetition, `\b`, `\d` — no
+    * backreferences, no lookaround, no capturing groups) so Spark
+    * (java.util.regex) and DuckDB (RE2) match byte-identically on the
+    * ASCII corpora. Email is the pragmatic pipeline pattern (Dolma/
+    * FineWeb-style), not RFC 5322; the IP pattern accepts any dotted
+    * quad (masking 999.0.0.1 is the right failure mode for a privacy
+    * screen — over-masking beats leaking). */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII screen over (doc_id, text): per-doc email/IP counts and the
+    * masked text (every match replaced by a typed placeholder) — the
+    * redaction pass every modern training pipeline runs before
+    * release. Emails masked BEFORE IPs so a dotted quad inside an
+    * email domain is consumed by the email placeholder, not
+    * double-masked. Pure per-row regex work: linear scan, no shuffle,
+    * fully codegen'd. Driver corpora contain no PII — all-zero counts
+    * with text unchanged IS the correct oracle-checked answer there
+    * (same posture as `q_quality_outliers`); the masking branch is
+    * proven on planted PII in PipelineSpec. */
+  def piiMask(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(IpRe), lit(0))).as("n_ips"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        IpRe, "<IP>").as("masked"))
+
+  /** Vocabulary floor and divisor for [[vocabCoverage]]'s derived
+    * vocab size: V = max(8, n_distinct_tokens / 4) — a quarter of the
+    * observed vocabulary, so OOV rates are meaningful on any corpus
+    * (a V ≥ vocabulary would report 0.0 everywhere). */
+  val VocabFloor = 8
+  val VocabDiv = 4
+
+  /** Tokenizer-coverage QA: induce a top-V vocabulary (count desc,
+    * token asc — a TOTAL order, so the V boundary is deterministic in
+    * both engines) and report each doc's out-of-vocabulary token rate.
+    * The signal every pipeline checks before committing a tokenizer:
+    * docs with high OOV against the corpus's own head vocabulary are
+    * the ones a fixed vocab will shred into bytes.
+    *
+    * Scale shape: token counts partial-aggregate map-side (one 8-byte
+    * count row per distinct token per partition); top-V is
+    * TakeOrderedAndProject (per-partition heaps, never a global
+    * window); the V-row vocab BROADCASTS into the per-doc coverage
+    * join; per-doc counts partial-aggregate. The corpus shuffles only
+    * (doc_id, counts) rows. The one driver action is the distinct-
+    * token count that derives V — the same O(1)-row knob-derivation
+    * action every derived-parameter key performs. */
+  def vocabCoverage(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+    val v = math.max(VocabFloor.toLong, counts.count() / VocabDiv).toInt
+    val vocab = counts.orderBy(col("n").desc, col("tok").asc).limit(v)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_ratio",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 4))
+  }
+
   val queries: Map[String, Q] = Map(
     // n-gram-heuristic language ID: stopword-hit argmax with ordered
     // tie-break (en > de > es > fr > und), mirroring the ordered-cascade
@@ -200,6 +265,15 @@ object TextAnalysis {
     // Gopher-style repetition signals — see [[gopherRep]].
     "q_text_gopher_rep" -> ((s, dir) =>
       gopherRep(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // PII screen — see [[piiMask]]. Zero hits on the driver corpora is
+    // the correct answer; the masking branch is PipelineSpec-proven.
+    "q_text_pii_mask" -> ((s, dir) =>
+      piiMask(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Tokenizer-coverage QA — see [[vocabCoverage]].
+    "q_text_vocab_coverage" -> ((s, dir) =>
+      vocabCoverage(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // Bag-of-words fingerprint: sha256 of the sorted distinct word set —
     // catches reordered near-dups that exact hashing misses; cluster size
@@ -416,5 +490,39 @@ object TextAnalysis {
       SELECT doc_id, fingerprint,
              count(*) OVER (PARTITION BY fingerprint) AS cluster_size
       FROM t ORDER BY doc_id""",
+
+    // Same patterns verbatim (single-quoted SQL literals pass the
+    // backslashes raw to RE2); DuckDB's regexp_replace needs the 'g'
+    // flag to mirror Spark's replace-all default.
+    "q_text_pii_mask" -> s"""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '$EmailRe')) AS INTEGER) AS n_emails,
+             CAST(len(regexp_extract_all(text, '$IpRe')) AS INTEGER) AS n_ips,
+             regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+                            '$IpRe', '<IP>', 'g') AS masked
+      FROM documents ORDER BY doc_id""",
+
+    // V derives from the SAME distinct-token count (greatest(floor,
+    // n_distinct // 4)); row_number over the identical (count desc,
+    // token asc) total order stands in for the engine's
+    // TakeOrderedAndProject limit.
+    "q_text_vocab_coverage" -> s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents),
+      counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+      params AS (SELECT greatest($VocabFloor, count(*) // $VocabDiv) AS V
+                 FROM counts),
+      ranked AS (
+        SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS r
+        FROM counts),
+      vocab AS (SELECT tok FROM ranked, params WHERE r <= V)
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             count(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov,
+             round(count(CASE WHEN v.tok IS NULL THEN 1 END)::DOUBLE
+                   / count(*)::DOUBLE, 4) AS oov_ratio
+      FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+      GROUP BY t.doc_id ORDER BY t.doc_id""",
   )
 }

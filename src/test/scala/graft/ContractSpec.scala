@@ -13,9 +13,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the declared SURVEY totals") {
-    assert(SparkEntry.queries.size == 117,
+    assert(SparkEntry.queries.size == 119,
       s"queries has ${SparkEntry.queries.size} keys — update SURVEY §2.11 totals")
-    assert(SparkEntry.oracleSql.size == 114,
+    assert(SparkEntry.oracleSql.size == 116,
       s"oracleSql has ${SparkEntry.oracleSql.size} keys — update SURVEY §2.11 totals")
   }
 

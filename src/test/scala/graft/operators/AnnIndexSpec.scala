@@ -119,4 +119,60 @@ class AnnIndexSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ivfpq_res_idx")
     }
   }
+
+  test("TRAINED residual index end-to-end: kmeans cells + kmeans codebooks persist, prune, and answer identically") {
+    // The full production lifecycle in one case: TRAIN the coarse
+    // quantizer (spark.ml KMeans cells) and the residual PQ codebooks
+    // (per-subspace KMeans over the residual frame), BUILD + PERSIST
+    // the best-quality index through the bucketed path, then SERVE a
+    // query from the pruned read. The in-memory comparison reuses the
+    // SAME trained artifacts (training is partitioning-dependent — a
+    // refit could legitimately differ; persistence, the thing under
+    // test, must not).
+    val quant =
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr(quant).as("v"))
+    val n = e.count()
+    val kCentroids = math.ceil(math.sqrt(n.toDouble)).toInt
+    val kCodes = Similarity.derivePqCodes(n)
+    val centroids = Similarity.kmeansCentroids(e, kCentroids)
+      .localCheckpoint(true) // pin the fit: both paths must see ONE artifact
+    val codebook = Similarity.kmeansPqCodebook(
+        Similarity.residualFrame(e, centroids).select(col("vec_id"), col("v")),
+        kCodes)
+      .localCheckpoint(true)
+    val nBuckets = 32
+    val nProbes = 4
+    try {
+      Similarity.writeIvfPqResIndex(e, centroids, codebook, "ivfpq_tr_idx", nBuckets)
+      val probeVecs = e.filter(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("v"))
+      val cellScores = probeVecs.join(broadcast(centroids))
+        .select(col("probe_id").as("vec_id"), col("cid"),
+          graft.functions.VectorOps.longDot(col("v"), col("c")).as("cdot"))
+      val cells = graft.functions.TopK
+        .perKey(cellScores, "vec_id", "cdot", "cid", Similarity.IvfNprobe)
+        .select("cid").distinct().collect().map(_.getLong(0)).toSeq
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val pruned = Similarity.readIvfPqIndexPruned(spark, "ivfpq_tr_idx", cells)
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(pruned.queryExecution.executedPlan.toString)
+      assert(sel.isDefined && sel.get.group(1).toInt < nBuckets,
+        s"trained index scan not pruned: $sel")
+      val fromDisk = Similarity
+        .searchIvfPqResidualIndex(pruned, e, centroids, codebook, nProbes, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val inMemory = Similarity
+        .searchIvfPqResidualIndex(
+          Similarity.ivfPqResidualIndex(e, centroids, codebook),
+          e, centroids, codebook, nProbes, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(fromDisk == inMemory,
+        s"trained disk path diverges: ${fromDisk.take(5)} vs ${inMemory.take(5)}")
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS ivfpq_tr_idx")
+    }
+  }
 }

@@ -888,6 +888,44 @@ class PipelineSpec extends SparkSpec {
     assert(rem(10L) == (8L, 6L, "z9 z8"), s"doc10: ${rem(10L)}")
   }
 
+  test("pii mask: planted emails and IPs masked with exact counts, clean docs untouched") {
+    // The driver corpora carry no PII (all-zero counts there is the
+    // oracle-checked answer); this fixture proves the masking branch:
+    // plus-addressed emails, multi-label domains, several IPs per doc,
+    // and the email-before-IP ordering (a dotted-quad EMAIL DOMAIN is
+    // not a case the email pattern claims — trailing label must be
+    // alphabetic — so the quad inside falls through to the IP mask).
+    val docs = docsDf(Seq(
+      1L -> "contact alice.smith+spam@example-mail.co.uk for details",
+      2L -> "server at 192.168.1.10 and backup at 10.0.0.1 respond",
+      3L -> "no pii in this perfectly ordinary document at all",
+      4L -> "mail bob@host.org from 172.16.254.3 today",
+      5L -> "odd address user@1.2.3.4 still redacts the quad"))
+    val got = TextAnalysis.piiMask(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1L) == (1, 0, "contact <EMAIL> for details"), s"doc1: ${got(1L)}")
+    assert(got(2L) == (0, 2, "server at <IP> and backup at <IP> respond"), s"doc2: ${got(2L)}")
+    assert(got(3L) == (0, 0, "no pii in this perfectly ordinary document at all"), s"doc3: ${got(3L)}")
+    assert(got(4L) == (1, 1, "mail <EMAIL> from <IP> today"), s"doc4: ${got(4L)}")
+    assert(got(5L) == (0, 1, "odd address user@<IP> still redacts the quad"), s"doc5: ${got(5L)}")
+  }
+
+  test("vocab coverage: derived-V head vocabulary, exact per-doc OOV rates") {
+    // 12 distinct tokens ⟹ V = max(8, 12/4) = 8; a–h occur ≥ 3 times,
+    // i–l once each, so the head-8 vocabulary is a–h however count
+    // ties order (i–l sit strictly below). Doc 1 is fully in-vocab;
+    // docs 2 and 3 each carry two tail tokens.
+    val docs = docsDf(Seq(
+      1L -> "a b c d e f g h a b c d e f g h a b c d e f g h",
+      2L -> "a b i j",
+      3L -> "k l a a"))
+    val got = TextAnalysis.vocabCoverage(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == (24L, 0L, 0.0), s"doc1: ${got(1L)}")
+    assert(got(2L) == (4L, 2L, 0.5), s"doc2: ${got(2L)}")
+    assert(got(3L) == (4L, 2L, 0.5), s"doc3: ${got(3L)}")
+  }
+
   test("gopher repetition signals flag planted repeats at the right widths") {
     import spark.implicits._
     // Doc 1: one bigram everywhere (top2 ≈ 0.5 — trips the 0.20 bar).
