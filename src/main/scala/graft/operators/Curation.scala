@@ -81,6 +81,11 @@ object Curation {
   /** Per-source target sampling rates (percent), the mixing weights. */
   val MixRates = Seq(("en", 80L), ("de", 60L), ("fr", 40L), ("es", 20L), ("zh", 10L))
 
+  /** Total token budget for the `q_corpus_recipe` data-recipe
+    * calculation — the target training-set size the mix is solved
+    * against. */
+  val RecipeBudget = 100000L
+
   /** Exact per-stratum sample size for `q_sample_stratified`. */
   val SampleK = 50
 
@@ -512,7 +517,37 @@ object Curation {
     * arithmetic runs on a doc_id equi join against only the AFFECTED
     * docs (inner join), each row touching one doc's own token array —
     * no explode, no window. */
-  def verbatimCharSpans(docs: DataFrame, width: Int): DataFrame = {
+  def verbatimCharSpans(docs: DataFrame, width: Int): DataFrame =
+    charOffsetBase(docs, width)
+      .select(col("doc_id"), col("s"), col("e"),
+        col("char_start"), col("char_end"),
+        expr("""substring(text, cast(char_start + 1 as int),
+                          cast(char_end - char_start as int))""").as("span_text"))
+
+  /** The BYTE-offset twin of [[verbatimCharSpans]] — for consumers
+    * indexing raw UTF-8 bytes (mmap'd corpora, byte-range stores):
+    * [byte_start, byte_end) is the octet interval of the same span.
+    * Bytes derive from the char offsets by encoding the char prefix
+    * (`octet_length(substring(text, 1, char_start))`) — exact for any
+    * multibyte content, and self-verifying the same way (span_text is
+    * the decoded bytes at the offsets; PipelineSpec slices the UTF-8
+    * bytes directly on a planted multibyte fixture). Identical scale
+    * shape: per-row arithmetic on AFFECTED docs only. */
+  def verbatimByteSpans(docs: DataFrame, width: Int): DataFrame =
+    charOffsetBase(docs, width)
+      .select(col("doc_id"), col("s"), col("e"),
+        expr("cast(octet_length(substring(text, 1, cast(char_start as int))) as bigint)")
+          .as("byte_start"),
+        expr("cast(octet_length(substring(text, 1, cast(char_end as int))) as bigint)")
+          .as("byte_end"),
+        expr("""substring(text, cast(char_start + 1 as int),
+                          cast(char_end - char_start as int))""").as("span_text"))
+
+  /** Shared body of the char/byte cut lists: DISTINCT removal spans
+    * (partner-collapsed) joined onto only the AFFECTED docs, with the
+    * char interval of each token span computed from the doc's own
+    * token array — no explode, no window. */
+  private def charOffsetBase(docs: DataFrame, width: Int): DataFrame = {
     val spans = verbatimOffsets(docs, width)
       .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
         (col("start_b") + col("run_tokens") - 1).as("e"))
@@ -526,10 +561,6 @@ object Curation {
             .cast("long")))
       .withColumn("char_end",
         length(expr("concat_ws(' ', slice(toks, 1, e + 1))")).cast("long"))
-      .select(col("doc_id"), col("s"), col("e"),
-        col("char_start"), col("char_end"),
-        expr("""substring(text, cast(char_start + 1 as int),
-                          cast(char_end - char_start as int))""").as("span_text"))
   }
 
   /** Cut token intervals `(doc_id, s, e)` out of `docs(doc_id, text)`
@@ -609,6 +640,96 @@ object Curation {
       .select(col("bdoc").as("doc_id"), col("s"),
         (col("s") + col("len") - 1).as("e"))
     cutSpans(batch, spans)
+  }
+
+  /** The DATA-RECIPE calculation: given per-source mixing weights and
+    * a total token budget, how many tokens each source must contribute
+    * (target = budget × weight / Σweights) and how many EPOCHS of the
+    * available data that takes (repeat = ⌈target / available⌉ — the
+    * up-sampling factor; > 1 means the source repeats, the standard
+    * small-high-quality-source treatment). Every serious pretraining
+    * mix publishes exactly this table (epochs per source); computing
+    * it is two tiny aggregates — the corpus contributes one
+    * sum-of-est-tokens row per language (map-side partials), the rates
+    * table broadcasts, all arithmetic exact integer ceil-div so the
+    * oracle matches bit-for-bit. Languages with no weight row are
+    * reported 'excluded' with target 0 — visible, not dropped. */
+  def corpusRecipe(docs: DataFrame, rates: DataFrame,
+                   budget: Long = RecipeBudget): DataFrame = {
+    val avail = docs
+      .groupBy("lang")
+      .agg(sum(expr("(n_chars + 3) div 4")).as("available_tokens"))
+    val rateSum = rates.agg(sum("rate_pct").as("rate_sum"))
+    avail.join(broadcast(rates), Seq("lang"), "left")
+      .crossJoin(broadcast(rateSum)) // 1-row weight normalizer
+      .withColumn("target_tokens",
+        expr(s"(${budget}L * coalesce(rate_pct, 0)) div rate_sum"))
+      .select(col("lang"), col("available_tokens"),
+        col("target_tokens"),
+        when(col("target_tokens") === 0, lit(0L))
+          .otherwise(expr(
+            "(target_tokens + available_tokens - 1) div available_tokens"))
+          .as("repeat_factor"),
+        when(col("target_tokens") === 0, "excluded")
+          .when(col("target_tokens") > col("available_tokens"), "upsampled")
+          .otherwise("sampled").as("status"))
+  }
+
+  /** Range-bucket count for [[recipeExpand]]'s distributed prefix sum
+    * — the greedy remainder fill needs a cumulative token sum in hash
+    * order, and a single per-lang window serializes the whole language
+    * through one task. Bucketing the 60-bit hash RANGE into
+    * `ExpandBuckets` contiguous slices keeps every window bounded:
+    * per-bucket totals are a tiny aggregate, bucket offsets a
+    * `ExpandBuckets`-row window, and the within-bucket cumulative sum
+    * sees 1/`ExpandBuckets` of the language. Ordering by (bucket, hk,
+    * doc_id) equals global (hk, doc_id) order because buckets are hash
+    * RANGES — which is exactly what the oracle's single-window twin
+    * checks. */
+  val ExpandBuckets = 32
+  /** Hash domain for the expansion order key (md5-fold mod this). */
+  val ExpandHashMod = 1000000
+
+  /** EXECUTE the data recipe: per-doc copy counts that realize
+    * [[corpusRecipe]]'s targets. Every doc of a language gets
+    * `target div available` full-epoch copies; the remainder
+    * (`target mod available` tokens) is filled by a deterministic
+    * greedy prefix in md5-hash order — docs whose cumulative token
+    * count precedes the remainder boundary get one extra copy. Hash
+    * order makes the partial epoch an unbiased, reproducible sample
+    * (same posture as `q_corpus_mix`'s rate hashing); the boundary doc
+    * completes rather than splits, the standard overshoot-by-<1-doc
+    * rule. Languages with no weight get n_copies = 0 — visible, not
+    * dropped. */
+  def recipeExpand(docs: DataFrame, rates: DataFrame,
+                   budget: Long = RecipeBudget): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val recipe = corpusRecipe(docs, rates, budget)
+      .select(col("lang"), col("available_tokens"), col("target_tokens"))
+    val d = docs.select(col("doc_id"), col("lang"),
+        expr("(n_chars + 3) div 4").as("est_tokens"),
+        expr(Tables.md5FoldBucketSql("cast(doc_id as string)", ExpandHashMod))
+          .as("hk"))
+      .withColumn("bkt", expr(s"hk div ${ExpandHashMod / ExpandBuckets}"))
+    // Distributed prefix sum: per-(lang, bucket) totals partial-
+    // aggregate; offsets ride a ≤ExpandBuckets-row window per lang;
+    // the cumulative window is bounded to one bucket.
+    val bsums = d.groupBy("lang", "bkt").agg(sum("est_tokens").as("bsum"))
+    val offsets = bsums
+      .withColumn("offset", coalesce(
+        sum("bsum").over(w.partitionBy("lang").orderBy("bkt")
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("bkt"), col("offset"))
+    val cum = d.join(broadcast(offsets), Seq("lang", "bkt"))
+      .withColumn("cum_before", col("offset") + coalesce(
+        sum("est_tokens").over(w.partitionBy("lang", "bkt")
+          .orderBy(col("hk"), col("doc_id"))
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+    cum.join(broadcast(recipe), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("est_tokens"),
+        (expr("target_tokens div available_tokens") +
+          when(col("cum_before") < expr("target_tokens % available_tokens"),
+            lit(1L)).otherwise(lit(0L))).as("n_copies"))
   }
 
   /** Per-lang median/MAD outlier verdicts over (doc_id, lang, n_chars)
@@ -766,6 +887,16 @@ object Curation {
         .orderBy("doc_id", "s", "e")
     }),
 
+    // The BYTE-offset cut list — see [[verbatimByteSpans]]: the same
+    // spans as octet intervals into the raw UTF-8, for consumers that
+    // index bytes rather than chars.
+    "q_verbatim_byte_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      verbatimByteSpans(docs.select(col("doc_id"), col("text")),
+        deriveShingleWidth(docs.count()))
+        .orderBy("doc_id", "s", "e")
+    }),
+
     // Per-lang median/MAD outlier flags on doc length — the robust
     // data-quality screen (mean/stddev break under the heavy tails
     // that are exactly what you're screening for; median/MAD have a
@@ -815,6 +946,25 @@ object Curation {
 
     "q_pack_sequences" -> ((s, dir) =>
       packShards(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // The data-recipe table — see [[corpusRecipe]]: per-source target
+    // tokens and epoch/repeat factors against a token budget, exact
+    // integer ceil-div arithmetic.
+    "q_corpus_recipe" -> ((s, dir) => {
+      import s.implicits._
+      corpusRecipe(Tables.documents(s, dir),
+        MixRates.toDF("lang", "rate_pct")).orderBy("lang")
+    }),
+
+    // The recipe EXECUTED — see [[recipeExpand]]: per-doc copy counts
+    // (full epochs + deterministic hash-order remainder fill) realizing
+    // the q_corpus_recipe targets, via a bucketed two-pass prefix sum
+    // so no window ever spans a whole language.
+    "q_corpus_recipe_expand" -> ((s, dir) => {
+      import s.implicits._
+      recipeExpand(Tables.documents(s, dir),
+        MixRates.toDF("lang", "rate_pct")).orderBy("doc_id")
+    }),
 
     // Leakage-safe split: the GROUP-level twin of q_text_split's
     // doc-level assignment. Hashing the SOURCE puts every doc from one
@@ -1182,6 +1332,58 @@ object Curation {
              substr(text, char_start + 1, char_end - char_start) AS span_text
       FROM offs ORDER BY doc_id, s, e""",
 
+    // The byte twin: identical span derivation; offsets re-expressed as
+    // octets via strlen (DuckDB's byte length) of the char prefix —
+    // Spark's octet_length(substring(...)) computes the same UTF-8
+    // count.
+    "q_verbatim_byte_spans" -> s"""
+      WITH ${shingleParamsSql("documents")},
+      sh AS (
+        SELECT doc_id, generate_subscripts(ks, 1) - 1 AS pos, unnest(ks) AS sh_key
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN len(tf) < W THEN []
+                      ELSE list_transform(range(1, len(tf) - W + 2),
+                             i -> list_reduce(tf[i:i+W-1],
+                                    (acc, h) -> xor((acc % $RotHi) * 2 + (acc // $RotHi), h)))
+                 END AS ks
+          FROM (SELECT doc_id,
+                       list_transform(string_split(lower(text), ' '),
+                                      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS tf
+                FROM documents), params)),
+      rare AS (
+        SELECT sh_key FROM (
+          SELECT sh_key, count(DISTINCT doc_id) AS df FROM sh GROUP BY sh_key)
+        WHERE df > 1 AND df <= $VerbatimMaxDf),
+      m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, a.pos - b.pos AS diag
+        FROM sh a JOIN rare USING (sh_key)
+             JOIN sh b ON a.sh_key = b.sh_key AND a.doc_id < b.doc_id),
+      r AS (
+        SELECT doc_a, doc_b, diag, pos_a,
+               pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                          ORDER BY pos_a) AS grp
+        FROM m),
+      spans AS (
+        SELECT DISTINCT doc_b AS doc_id,
+               min(pos_a) - diag AS s,
+               min(pos_a) - diag + count(*) + W - 1 - 1 AS e
+        FROM r, params GROUP BY doc_a, doc_b, diag, grp, W),
+      docs AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+      offs AS (
+        SELECT sp.doc_id, sp.s, sp.e, d.text,
+               CASE WHEN sp.s = 0 THEN 0
+                    ELSE length(array_to_string(d.tk[1:sp.s], ' ')) + 1
+               END AS char_start,
+               length(array_to_string(d.tk[1:sp.e+1], ' ')) AS char_end
+        FROM spans sp JOIN docs d USING (doc_id))
+      SELECT doc_id, CAST(s AS INTEGER) AS s, CAST(e AS BIGINT) AS e,
+             CAST(strlen(substr(text, 1, char_start)) AS BIGINT) AS byte_start,
+             CAST(strlen(substr(text, 1, char_end)) AS BIGINT) AS byte_end,
+             substr(text, char_start + 1, char_end - char_start) AS span_text
+      FROM offs ORDER BY doc_id, s, e""",
+
     "q_quality_outliers" -> """
       WITH med AS (
         SELECT lang, quantile_cont(n_chars, 0.5) AS med
@@ -1208,6 +1410,63 @@ object Curation {
       SELECT lang, rate_pct, count(*) AS n_total,
              count(CASE WHEN keep THEN 1 END) AS n_sampled
       FROM t GROUP BY lang, rate_pct ORDER BY lang""",
+
+    // Same integer ceil-div recipe arithmetic over the same VALUES
+    // rates table; ceil(a/b) spelled (a + b - 1) // b in both engines.
+    "q_corpus_recipe" -> s"""
+      WITH rates(lang, rate_pct) AS (VALUES ${MixRates.map(r => s"('${r._1}', ${r._2})").mkString(", ")}),
+      avail AS (
+        SELECT lang, CAST(sum((n_chars + 3) // 4) AS BIGINT) AS available_tokens
+        FROM documents GROUP BY lang),
+      rs AS (SELECT CAST(sum(rate_pct) AS BIGINT) AS rate_sum FROM rates),
+      t AS (
+        SELECT a.lang, a.available_tokens,
+               CAST(($RecipeBudget * coalesce(r.rate_pct, 0)) // rate_sum AS BIGINT)
+                 AS target_tokens
+        FROM avail a LEFT JOIN rates r ON a.lang = r.lang, rs)
+      SELECT lang, available_tokens, target_tokens,
+             CAST(CASE WHEN target_tokens = 0 THEN 0
+                  ELSE (target_tokens + available_tokens - 1) // available_tokens
+                  END AS BIGINT) AS repeat_factor,
+             CASE WHEN target_tokens = 0 THEN 'excluded'
+                  WHEN target_tokens > available_tokens THEN 'upsampled'
+                  ELSE 'sampled' END AS status
+      FROM t ORDER BY lang""",
+
+    // The expansion twin: ONE global per-lang cumulative window in
+    // md5-hash order — the engine reaches the same cum_before through
+    // its bucketed two-pass prefix sum (buckets are hash RANGES, so
+    // (bucket, hk, doc_id) order == (hk, doc_id) order); the hash match
+    // IS the equivalence proof.
+    "q_corpus_recipe_expand" -> s"""
+      WITH rates(lang, rate_pct) AS (VALUES ${MixRates.map(r => s"('${r._1}', ${r._2})").mkString(", ")}),
+      avail AS (
+        SELECT lang, CAST(sum((n_chars + 3) // 4) AS BIGINT) AS available_tokens
+        FROM documents GROUP BY lang),
+      rs AS (SELECT CAST(sum(rate_pct) AS BIGINT) AS rate_sum FROM rates),
+      recipe AS (
+        SELECT a.lang, a.available_tokens,
+               CAST(($RecipeBudget * coalesce(r.rate_pct, 0)) // rate_sum AS BIGINT)
+                 AS target_tokens
+        FROM avail a LEFT JOIN rates r ON a.lang = r.lang, rs),
+      d AS (
+        SELECT doc_id, lang, CAST((n_chars + 3) // 4 AS BIGINT) AS est_tokens,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % $ExpandHashMod AS hk
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, est_tokens,
+               CAST(coalesce(sum(est_tokens) OVER (
+                 PARTITION BY lang ORDER BY hk, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM d)
+      SELECT c.doc_id, c.lang, c.est_tokens,
+             CAST(r.target_tokens // r.available_tokens +
+                  CASE WHEN c.cum_before < r.target_tokens % r.available_tokens
+                       THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+      FROM c JOIN recipe r ON c.lang = r.lang
+      ORDER BY doc_id""",
 
     "q_split_leakage_safe" -> """
       SELECT doc_id, source, bucket,

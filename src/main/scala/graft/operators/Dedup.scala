@@ -245,6 +245,40 @@ object Dedup {
     * delete them. Without a dir: executor-memory localCheckpoint (fast;
     * pins executor storage and dies with any executor — production runs
     * should pass a dir). */
+  /** Per-cluster representative by the keep-the-most-complete rule:
+    * longest member (n_chars), ties to the lowest doc_id — see the
+    * `q_dedup_representative` entry. `labels` = (doc_id, cluster_rep)
+    * from [[connectedComponents]]; `docs` needs (doc_id, n_chars).
+    * One doc_id equi join + one partial-aggregating per-cluster
+    * max_by with the deterministic (n_chars desc, doc_id asc) order
+    * spelled as the (n_chars, −doc_id) struct max. */
+  def clusterRepresentatives(labels: DataFrame, docs: DataFrame): DataFrame =
+    labels
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+          .as("rep_id"),
+        max(col("n_chars")).cast("long").as("rep_n_chars"))
+
+  /** Cluster-size histogram — the dedup AUDIT table: for each cluster
+    * size, how many clusters and how many docs it accounts for. The
+    * number every dedup run reports before anyone trusts it (a giant
+    * cluster usually means a degenerate shingle, not real duplication;
+    * a flat all-singleton histogram means the thresholds are too
+    * tight). `universe` is the doc slice the pair generation ran over
+    * — docs in no pair are size-1 clusters (their own rep), made
+    * explicit via the left join + coalesce rather than silently
+    * missing. Two partial-aggregating group-bys over (doc_id, rep)
+    * rows; output is at most one row per distinct size. */
+  def clusterStats(labels: DataFrame, universe: DataFrame): DataFrame =
+    universe.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("doc_id")))
+      .groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
   def connectedComponents(edges: DataFrame, maxRounds: Int = 64,
                           checkpointDir: Option[String] = None,
                           onRunDir: String => Unit = _ => ()): DataFrame = {
@@ -580,6 +614,34 @@ object Dedup {
         ngramPairs(Tables.documents(s, dir)).select(col("doc_a"), col("doc_b")))
         .orderBy("doc_id")),
 
+    // Cluster REPRESENTATIVE selection — the survivorship policy a
+    // pipeline applies AFTER clustering: per near-dup cluster keep the
+    // LONGEST member (ties to the lowest doc_id), the standard
+    // "keep the most complete copy" refinement over blind min-id
+    // survivorship (near-dup sets usually contain one full version and
+    // several truncated/boilerplate-stripped ones; min-id keeps an
+    // arbitrary one, the length rule keeps the best). One doc_id equi
+    // join of the labeling against (doc_id, n_chars) and one
+    // partial-aggregating per-cluster max_by — the deterministic
+    // (n_chars desc, doc_id asc) tie-break makes the choice
+    // reproducible and oracle-checkable.
+    "q_dedup_representative" -> ((s, dir) =>
+      clusterRepresentatives(
+        connectedComponents(
+          ngramPairs(Tables.documents(s, dir)).select(col("doc_a"), col("doc_b"))),
+        Tables.documents(s, dir))
+        .orderBy("cluster_rep")),
+
+    // Dedup AUDIT — the cluster-size histogram over the same labeling,
+    // singletons included (docs the pair generation touched but no edge
+    // reached are size-1 clusters, not absent rows). See [[clusterStats]].
+    "q_dedup_stats" -> ((s, dir) =>
+      clusterStats(
+        connectedComponents(
+          ngramPairs(Tables.documents(s, dir)).select(col("doc_a"), col("doc_b"))),
+        Tables.documents(s, dir).filter(col("lang") === "de"))
+        .orderBy("cluster_size")),
+
     // INCREMENTAL clustering — the ingest-time form of q_dedup_cluster:
     // edges touching an "arriving" doc slice (doc_id ≡ 0 mod 5, the
     // same slice q_dedup_incremental ingests) merge into the labeling
@@ -829,6 +891,65 @@ object Dedup {
         SELECT u.a, r.m FROM und u JOIN reach r ON u.b = r.n)
       SELECT n AS doc_id, min(m) AS cluster_rep
       FROM reach GROUP BY n ORDER BY doc_id""",
+
+    // Same recursive-CTE labeling, then the (n_chars desc, doc_id asc)
+    // representative via a window — the deterministic twin of the
+    // engine's per-cluster max_by.
+    "q_dedup_representative" -> s"""
+      WITH RECURSIVE edges AS ($ngramPairsSql),
+      und AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges),
+      reach(n, m) AS (
+        SELECT a, a FROM und
+        UNION SELECT b, b FROM und
+        UNION
+        SELECT u.a, r.m FROM und u JOIN reach r ON u.b = r.n),
+      labels AS (SELECT n AS doc_id, min(m) AS cluster_rep
+                 FROM reach GROUP BY n),
+      j AS (
+        SELECT l.cluster_rep, d.doc_id, d.n_chars
+        FROM labels l JOIN documents d ON l.doc_id = d.doc_id),
+      agg AS (
+        SELECT cluster_rep, count(*) AS n_members,
+               CAST(max(n_chars) AS BIGINT) AS rep_n_chars
+        FROM j GROUP BY cluster_rep),
+      rep AS (
+        SELECT cluster_rep, doc_id AS rep_id FROM (
+          SELECT cluster_rep, doc_id,
+                 row_number() OVER (PARTITION BY cluster_rep
+                                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM j)
+        WHERE rn = 1)
+      SELECT agg.cluster_rep, agg.n_members, rep.rep_id, agg.rep_n_chars
+      FROM agg JOIN rep USING (cluster_rep)
+      ORDER BY cluster_rep""",
+
+    // Same recursive-CTE labeling widened to the full pair-generation
+    // universe (de docs) — unlabeled docs are size-1 clusters — then
+    // the size histogram.
+    "q_dedup_stats" -> s"""
+      WITH RECURSIVE edges AS ($ngramPairsSql),
+      und AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges),
+      reach(n, m) AS (
+        SELECT a, a FROM und
+        UNION SELECT b, b FROM und
+        UNION
+        SELECT u.a, r.m FROM und u JOIN reach r ON u.b = r.n),
+      labels AS (SELECT n AS doc_id, min(m) AS cluster_rep
+                 FROM reach GROUP BY n),
+      uni AS (SELECT doc_id FROM documents WHERE lang = 'de'),
+      lab AS (
+        SELECT u.doc_id, coalesce(l.cluster_rep, u.doc_id) AS cluster_rep
+        FROM uni u LEFT JOIN labels l ON u.doc_id = l.doc_id),
+      sizes AS (
+        SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM lab GROUP BY cluster_rep)
+      SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY cluster_size ORDER BY cluster_size""",
 
     // Full-recompute CC over ALL pairs — deliberately identical to the
     // q_dedup_cluster oracle: the Spark side reaches this labeling

@@ -154,7 +154,76 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 4))
   }
 
+  /** The `q_text_search` query set — literal (query_id, text) pairs
+    * over the corpus vocabulary, the tiny side of the search. */
+  val SearchQueries: Seq[(Long, String)] = Seq(
+    (1L, "spark window agg"),
+    (2L, "customer order join"),
+    (3L, "slow scan filter"))
+  /** Results per query. */
+  val SearchK = 10
+  /** Integer idf scale: term weight = IdfScale div (df + 1) — a
+    * monotone idf surrogate kept in EXACT integer arithmetic (a log()
+    * idf is not bit-reproducible across engines; ranking needs
+    * monotonicity in 1/df, not the logarithm itself). */
+  val IdfScale = 1000000L
+
+  /** Lexical top-k SEARCH over the corpus — the retrieval half of a
+    * data-curation stack (audit queries like "which docs mention X",
+    * nearest-text lookup for eval leakage triage). tf·idf-family
+    * scoring: score(q, d) = Σ_t tf(t, d) × (IdfScale div (df(t) + 1)),
+    * rank (score desc, doc_id asc), top k per query.
+    *
+    * Scale shape — the corpus NEVER shuffles: pass 1 computes df per
+    * query term (per-row array_contains over the doc's own tokens →
+    * partial-aggregated count, ≤|terms| rows out), folded into a 1-row
+    * term→weight map that broadcasts back; pass 2 scores every query
+    * row-locally against the doc's own token array (terms × |toks|
+    * integer work per doc) and feeds the map-side-combining
+    * [[graft.functions.TopK]] aggregator, so the only shuffle is
+    * k × queries × partitions candidate rows. The classic inverted-
+    * index explode (corpus-wide (doc, tok, tf) shuffle) is exactly
+    * what this plan avoids. */
+  def lexicalSearch(docs: DataFrame,
+                    queries: Seq[(Long, String)] = SearchQueries,
+                    k: Int = SearchK): DataFrame = {
+    val terms = queries
+      .flatMap(_._2.toLowerCase(java.util.Locale.ROOT).split(" ")).distinct
+    val termArr = s"array(${terms.map(t => s"'$t'").mkString(",")})"
+    val toksDf = docs.withColumn("toks", split(lower(col("text")), " "))
+    // df per term: one partial-aggregating count over per-row membership
+    // probes; collapses to ≤|terms| rows, then a 1-row weight map.
+    val wmap = toksDf
+      .select(explode(expr(
+        s"filter($termArr, t -> array_contains(toks, t))")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .agg(map_from_entries(collect_list(struct(col("tok"),
+        expr(s"${IdfScale}L div (df + 1)")))).as("wmap"))
+    val qlit = queries.map { case (qid, q) =>
+      val ts = q.toLowerCase(java.util.Locale.ROOT).split(" ").distinct
+        .map(t => s"'$t'").mkString(",")
+      s"named_struct('query_id', ${qid}L, 'terms', array($ts))"
+    }.mkString(",")
+    val scored = toksDf.crossJoin(broadcast(wmap)) // 1-row weight map
+      .select(col("doc_id"), explode(expr(
+        s"""transform(array($qlit), q -> named_struct(
+              'query_id', q.query_id,
+              'score', aggregate(q.terms, 0L, (acc, t) ->
+                acc + size(filter(toks, x -> x = t)) *
+                      coalesce(wmap[t], 0L))))""")).as("s"))
+      .select(col("s.query_id").as("query_id"), col("doc_id"),
+        col("s.score").as("score"))
+      .filter(col("score") > 0)
+    graft.functions.TopK.perKey(scored, "query_id", "score", "doc_id", k)
+  }
+
   val queries: Map[String, Q] = Map(
+    // Lexical top-k search — see [[lexicalSearch]]: integer tf·idf
+    // scoring, corpus scored row-locally, map-side TopK per query.
+    "q_text_search" -> ((s, dir) =>
+      lexicalSearch(Tables.documents(s, dir))
+        .orderBy("query_id", "rk")),
+
     // n-gram-heuristic language ID: stopword-hit argmax with ordered
     // tie-break (en > de > es > fr > und), mirroring the ordered-cascade
     // classification shape of agent-loop.sh:399-411.
@@ -325,6 +394,34 @@ object TextAnalysis {
     s"len(list_filter(string_split(lower(text), ' '), w -> w IN (${stops.map("'" + _ + "'").mkString(",")})))"
 
   val oracle: Map[String, String] = Map(
+    // Relational twin of the row-local scoring: unnest→tf→df→weighted
+    // sum→row_number top-k — same exact integer arithmetic (tf, df,
+    // IdfScale div (df+1)), so scores and ranks hash-match.
+    "q_text_search" -> s"""
+      WITH queries(query_id, qtext) AS (VALUES
+        ${SearchQueries.map(q => s"(${q._1}, '${q._2}')").mkString(", ")}),
+      qterms AS (SELECT DISTINCT query_id, tok FROM (
+        SELECT query_id, unnest(string_split(lower(qtext), ' ')) AS tok
+        FROM queries)),
+      toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+               FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+             WHERE tok IN (SELECT tok FROM qterms) GROUP BY doc_id, tok),
+      dfc AS (SELECT tok, CAST($IdfScale // (count(*) + 1) AS BIGINT) AS wt
+              FROM tf GROUP BY tok),
+      scored AS (
+        SELECT q.query_id, t.doc_id, CAST(sum(t.tf * d.wt) AS BIGINT) AS score
+        FROM tf t JOIN dfc d USING (tok) JOIN qterms q USING (tok)
+        GROUP BY q.query_id, t.doc_id),
+      ranked AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rk
+        FROM scored WHERE score > 0)
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+             CAST(rk AS INTEGER) AS rk
+      FROM ranked WHERE rk <= $SearchK ORDER BY query_id, rk""",
+
     "q_text_langid" -> s"""
       WITH t AS (
         SELECT doc_id,

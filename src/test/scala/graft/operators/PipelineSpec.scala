@@ -855,6 +855,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("byte spans: octet offsets slice the raw UTF-8 exactly on multibyte text") {
+    import spark.implicits._
+    // Doc 2 shares the 2-token run "é1 é2" with doc 1; 'é' is 2 bytes
+    // in UTF-8, so byte offsets must diverge from char offsets:
+    // prefix "a " is 2 bytes, "a é1 é2" is 9 bytes — the byte interval
+    // [2, 9) must decode back to exactly the span text.
+    val docs = Seq((1L, "é1 é2 x"), (2L, "a é1 é2"))
+      .toDF("doc_id", "text")
+    val bs = Curation.verbatimByteSpans(docs, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(bs.toSet == Set((2L, 1, 2L, 2L, 9L, "é1 é2")), s"byte spans: ${bs.toSet}")
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    bs.foreach { case (id, _, _, a, b, t) =>
+      val bytes = texts(id).getBytes("UTF-8")
+      assert(new String(bytes.slice(a.toInt, b.toInt), "UTF-8") == t,
+        s"byte offsets [$a,$b) of doc $id do not decode to the span text")
+    }
+  }
+
   test("incremental verbatim removal: batch defers to corpus, keep-first within batch") {
     import spark.implicits._
     // Corpus = docs 1-4 (ids % 5 ≠ 0), batch = docs 0, 5, 10. Doc 0
@@ -886,6 +906,108 @@ class PipelineSpec extends SparkSpec {
     assert(rem(0L) == (13L, 5L, s"$kRun a1 a2"), s"doc0: ${rem(0L)}")
     assert(rem(5L) == (21L, 18L, "w1 w2 w3"), s"doc5: ${rem(5L)}")
     assert(rem(10L) == (8L, 6L, "z9 z8"), s"doc10: ${rem(10L)}")
+  }
+
+  test("corpus recipe: targets, epoch factors, and statuses from exact ceil-div arithmetic") {
+    import spark.implicits._
+    // budget 1000, weights en 75 / de 25 (sum 100). en holds 900
+    // est-tokens ⟹ target 750, one epoch, 'sampled'; de holds 100 ⟹
+    // target 250, ⌈250/100⌉ = 3 epochs, 'upsampled'; fr has no weight
+    // row ⟹ target 0, 'excluded' — visible, not dropped.
+    val docs = Seq(
+      (1L, "en", 3597L), // (3597+3) div 4 = 900
+      (2L, "de", 397L),  // 100
+      (3L, "fr", 37L)    // 10
+    ).toDF("doc_id", "lang", "n_chars")
+    val rates = Seq(("en", 75L), ("de", 25L)).toDF("lang", "rate_pct")
+    val got = Curation.corpusRecipe(docs, rates, budget = 1000L)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got("en") == (900L, 750L, 1L, "sampled"), s"en: ${got("en")}")
+    assert(got("de") == (100L, 250L, 3L, "upsampled"), s"de: ${got("de")}")
+    assert(got("fr") == (10L, 0L, 0L, "excluded"), s"fr: ${got("fr")}")
+  }
+
+  test("cluster representatives: longest member wins, ties break to the lowest id") {
+    import spark.implicits._
+    // Cluster 1 = {1, 2, 3}: doc 1 is short, docs 2 and 3 tie at 50
+    // chars — the rep must be doc 2 (lowest id among the longest), NOT
+    // doc 1 (the min-id label). Cluster 4 = {4, 5}: both 7 chars, rep 4.
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_rep")
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 50L), (4L, 7L), (5L, 7L))
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.clusterRepresentatives(labels, docs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (3L, 2L, 50L), s"cluster 1: ${got(1L)}")
+    assert(got(4L) == (2L, 4L, 7L), s"cluster 4: ${got(4L)}")
+  }
+
+  test("cluster stats: histogram counts singletons the labeling never saw") {
+    import spark.implicits._
+    // Labels cover {1,2,3} (one size-3 cluster) and {4,5} (size 2);
+    // docs 6 and 7 are in the universe but in no pair — they must
+    // surface as two size-1 clusters, not vanish.
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_rep")
+    val universe = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val got = Dedup.clusterStats(labels, universe).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (2L, 2L), 2L -> (1L, 2L), 3L -> (1L, 3L)),
+      s"histogram: $got")
+  }
+
+  test("recipe expand: full epochs plus a deterministic md5-prefix remainder fill") {
+    import spark.implicits._
+    // budget 1000, en-only weight ⟹ en target 1000 over 100 available
+    // tokens = 10 full epochs exactly (remainder 0 — nobody gets +1);
+    // de has no weight row ⟹ 0 copies. Then a remainder case: budget
+    // 1050 ⟹ target 1050, 10 full epochs + 50 remainder tokens filled
+    // in md5-hash order — recompute that order here with the same
+    // fold and check the +1 set is exactly the greedy prefix.
+    val docs = (1L to 10L).map(i => (i, "en", 4L * 10 - 3 + 0L)) // est 10 each
+      .toDF("doc_id", "lang", "n_chars") // (37+3) div 4 = 10
+      .union(Seq((11L, "de", 40L)).toDF("doc_id", "lang", "n_chars"))
+    val rates = Seq(("en", 100L)).toDF("lang", "rate_pct")
+    val exact = Curation.recipeExpand(docs, rates, budget = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert((1L to 10L).forall(exact(_) == 10L), s"exact-epoch case: $exact")
+    assert(exact(11L) == 0L, s"unweighted lang: ${exact(11L)}")
+
+    val got = Curation.recipeExpand(docs, rates, budget = 1050L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // Reference remainder fill: md5-fold order, 50 tokens ⟹ the first
+    // 5 docs of the hash order get the 11th copy (est 10 each).
+    def fold(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+          .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    val order = (1L to 10L).sortBy(i =>
+      (fold(i.toString) % Curation.ExpandHashMod, i))
+    val extras = order.take(5).toSet
+    (1L to 10L).foreach { i =>
+      assert(got(i) == (if (extras(i)) 11L else 10L),
+        s"doc $i: ${got(i)}, extras=$extras")
+    }
+  }
+
+  test("lexical search: integer tf-idf scores and deterministic ranks on a planted corpus") {
+    import spark.implicits._
+    // One query, two terms. df(apple)=2 ⟹ w=333333; df(rare)=1 ⟹
+    // w=500000. doc 1: tf(apple)=2 ⟹ 666666; doc 2: tf(apple)=1,
+    // tf(rare)=1 ⟹ 833333 — doc 2 must outrank doc 1's higher tf on
+    // the rarer term; doc 3 matches nothing and must be absent.
+    val docs = Seq(
+      (1L, "apple apple pie"),
+      (2L, "apple rare fruit"),
+      (3L, "banana only")).toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalSearch(docs, Seq((7L, "apple rare")), k = 10)
+      .orderBy("rk")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq((2L, 833333L, 1), (1L, 666666L, 2)),
+      s"ranked: ${got.toSeq}")
   }
 
   test("pii mask: planted emails and IPs masked with exact counts, clean docs untouched") {
