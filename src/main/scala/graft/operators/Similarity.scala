@@ -226,6 +226,52 @@ object Similarity {
       .orderBy("probe_id", "rk")
   }
 
+  /** FILTERED vector search — top-k constrained by a metadata
+    * predicate, here same-label ("nearest within my class"): the
+    * production pattern every vector store ships, and the one that
+    * breaks naive ANN (an IVF cell can hold zero rows passing the
+    * filter, so post-filtering an ANN result silently under-fills k).
+    * This is the EXACT reference semantics: candidates are
+    * pre-filtered, then scored — at 100 TB the same plan holds with
+    * the label as a partition/bucket column (partition pruning does
+    * the pre-filter), or ANN-side via over-probing audited against
+    * this key. The label equality joins probe→candidate, so the
+    * broadcast hash join probes only same-label rows; scoring and
+    * TopK are map-side as in [[brute]]. */
+  def bruteFiltered(s: SparkSession, dir: String, nProbes: Int,
+                    k: Int): DataFrame =
+    filteredTopK(Tables.embeddings(s, dir), nProbes, k)
+
+  /** [[bruteFiltered]] over an explicit (vec_id, embedding, label)
+    * frame — the injectable form PipelineSpec drives with planted
+    * labels. */
+  def filteredTopK(e: DataFrame, nProbes: Int, k: Int): DataFrame = {
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), expr(quant).as("v_p"),
+        col("label").as("lbl_p"))
+    val cands = e.select(col("vec_id").as("cand_id"), expr(quant).as("v_c"),
+      col("label").as("lbl_c"))
+    val scored = cands.join(broadcast(probes),
+        col("lbl_p") === col("lbl_c") && col("probe_id") =!= col("cand_id"))
+      .withColumn("dot", dotAB)
+      .select("probe_id", "cand_id", "dot")
+    graft.functions.TopK.perKey(scored, "probe_id", "dot", "cand_id", k)
+      .orderBy("probe_id", "rk")
+  }
+
+  /** IVF cell-occupancy AUDIT: vectors per cell, EMPTY cells included
+    * (left join from the centroid list — a centroid no vector chose is
+    * precisely the imbalance signal). The number that predicts both
+    * IVF tail latency (hot cells = hot probes) and recall (empty/thin
+    * cells starve their probes); the first-K quantizer's skew vs
+    * kmeans' balance shows up directly here. One broadcast-assign
+    * linear pass + one partial-aggregating count; output is K rows. */
+  def ivfCellStats(e: DataFrame, centroids: DataFrame): DataFrame =
+    centroids.select(col("cid").as("cell"))
+      .join(assignCells(e, centroids)
+        .groupBy("cell").agg(count(lit(1)).as("n")), Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n_vectors"))
+
   /** IVF (inverted-file) ANN: assign every vector to its nearest of K
     * coarse centroids, search probes only within their cell.
     *
@@ -690,6 +736,24 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "q_knn_topk" -> ((s, dir) => brute(s, dir, 8, 5)),
+
+    // Filtered search — see [[bruteFiltered]]: exact top-k within the
+    // probe's own label class, the metadata-constrained query every
+    // vector store serves.
+    "q_knn_filtered" -> ((s, dir) => bruteFiltered(s, dir, 8, 5)),
+
+    // IVF cell-occupancy audit — see [[ivfCellStats]]: per-cell vector
+    // counts over the deterministic first-K quantizer, empty cells
+    // surfaced.
+    "q_knn_ivf_stats" -> ((s, dir) => {
+      val n = Tables.embeddings(s, dir).count()
+      val kk = math.ceil(math.sqrt(n.toDouble)).toInt
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), expr(quant).as("v"))
+      ivfCellStats(e, e.filter(col("vec_id") < kk)
+        .select(col("vec_id").as("cid"), col("v").as("c")))
+        .orderBy("cell")
+    }),
 
     // IVF-PQ composition + its recall audit.
     "q_knn_ivfpq" -> ((s, dir) => {
@@ -1221,6 +1285,53 @@ object Similarity {
                                        ORDER BY dot DESC, cand_id) AS INTEGER) AS rk
         FROM scored)
       WHERE rk <= 5 ORDER BY probe_id, rk""",
+
+    // The brute twin restricted to same-label candidates — exact
+    // filtered-search semantics.
+    "q_knn_filtered" -> """
+      WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      scored AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               CAST(list_dot_product(p.v, c.v) AS BIGINT) AS dot
+        FROM q p JOIN q c ON p.vec_id < 8 AND p.vec_id != c.vec_id
+                         AND c.label = p.label)
+      SELECT probe_id, cand_id, dot, rk FROM (
+        SELECT probe_id, cand_id, dot,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY dot DESC, cand_id) AS INTEGER) AS rk
+        FROM scored)
+      WHERE rk <= 5 ORDER BY probe_id, rk""",
+
+    // Same first-K assignment as q_knn_ivf's `assigned` CTE, then the
+    // per-cell count with empty cells kept via the centroid-list left
+    // join.
+    "q_knn_ivf_stats" -> """
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT q.vec_id, c.vec_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS arn
+          FROM q JOIN q c
+            ON c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                           FROM embeddings))
+        WHERE arn = 1),
+      sizes AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+        FROM assigned GROUP BY cell),
+      cents AS (
+        SELECT vec_id AS cell FROM embeddings
+        WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                        FROM embeddings))
+      SELECT c.cell, CAST(coalesce(s.n_vectors, 0) AS BIGINT) AS n_vectors
+      FROM cents c LEFT JOIN sizes s USING (cell)
+      ORDER BY cell""",
 
     "q_knn_ivf" -> s"""
       WITH q AS (

@@ -993,6 +993,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("filtered search: nearest same-label beats a closer cross-label candidate") {
+    import spark.implicits._
+    // Probe 0 (label 1): the GLOBAL nearest is vec 2 (label 2, dot 12M
+    // after quantization) — the filtered answer must skip it and rank
+    // the label-1 vecs 1 (6M) then 3 (3M).
+    val e = Seq(
+      (0L, Seq(1.0, 1.0), 1),
+      (1L, Seq(3.0, 3.0), 1),
+      (2L, Seq(6.0, 6.0), 2),
+      (3L, Seq(2.0, 1.0), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.filteredTopK(e, nProbes = 1, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((0L, 1L, 1), (0L, 3L, 2)), s"filtered: ${got.toSeq}")
+  }
+
+  test("ivf cell stats: occupancy histogram surfaces empty cells") {
+    import spark.implicits._
+    // Nothing prefers centroid 2 — its row must still appear with 0
+    // (the left join from the centroid list), not vanish.
+    val cents = Seq((0L, Seq(1000L, 0L)), (1L, Seq(0L, 1000L)),
+      (2L, Seq(-1000L, -1000L))).toDF("cid", "c")
+    val e = Seq((10L, Seq(5000L, 100L)), (11L, Seq(7000L, 0L)),
+      (12L, Seq(0L, 9000L))).toDF("vec_id", "v")
+    val got = Similarity.ivfCellStats(e, cents).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 1L, 2L -> 0L), s"stats: $got")
+  }
+
   test("lexical search: integer tf-idf scores and deterministic ranks on a planted corpus") {
     import spark.implicits._
     // One query, two terms. df(apple)=2 ⟹ w=333333; df(rare)=1 ⟹
