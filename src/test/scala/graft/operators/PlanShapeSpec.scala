@@ -96,6 +96,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_knn_filtered scores via broadcast probes with the label predicate in the join (corpus never shuffles)") {
+    // Filtered search at 100 TB: the label equality must ride the
+    // broadcast probe join so cross-label candidates are dropped at
+    // the scan side — a sort-merge join (or a post-score filter over
+    // an unkeyed cross) would shuffle every scored pair.
+    val p = plan("q_knn_filtered")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.toLowerCase.contains("partial_topkbyscore"), "filtered search lacks map-side top-k partials")
+  }
+
   test("q_corpus_mix resolves rates via broadcast (no corpus shuffle)") {
     val p = plan("q_corpus_mix")
     assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(25).mkString("\n"))
