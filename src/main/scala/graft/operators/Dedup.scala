@@ -585,6 +585,79 @@ object Dedup {
     verifyJaccard(candidates, docs, threshold)
   }
 
+  /** SemDeDup cosine threshold τ = 7/20 = 0.35, held as a rational so
+    * the verdict is an exact integer cross-multiply (the Gopher-screen
+    * pattern): cos(a,b) ≥ τ ⟺ dot > 0 ∧ den²·dot² ≥ num²·|a|²·|b|².
+    * Overflow audit for the quantized domain (|component| ≤ 1000,
+    * 64 dims ⇒ |dot|, |a|² ≤ 6.4·10⁷): den²·dot² ≤ 400·4.1·10¹⁵ ≈
+    * 1.6·10¹⁸ < 2⁶³; num²·aa·bb ≤ 49·4.1·10¹⁵ ≈ 2.0·10¹⁷ < 2⁶³. The
+    * oracle must CAST dots to BIGINT before squaring — in DOUBLE the
+    * square exceeds 2⁵³ and the comparison would go inexact. */
+  val SemTauNum = 7L
+  val SemTauDen = 20L
+
+  /** Cells for semantic dedup: ceil(N / SemTargetCell) — the key space
+    * grows LINEARLY with the corpus so expected cell population stays
+    * ≈ SemTargetCell and the within-cell pairwise term is bounded per
+    * cell (total candidate work ≈ N·SemTargetCell/2, linear in N — the
+    * fixed-K ⇒ quadratic-cells trap, same derivation story as
+    * derivePlanes / deriveSimhashWidth). */
+  val SemTargetCell = 32L
+  def deriveSemCells(n: Long): Long = (n + SemTargetCell - 1) / SemTargetCell
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): cluster the corpus in
+    * embedding space, then drop every document with an EARLIER
+    * same-cell neighbor at cosine ≥ τ — the semantic tier of the dedup
+    * family (exact → n-gram → MinHash → SimHash → LSH pairs → this),
+    * and the one that catches paraphrases sharing no surface n-grams.
+    * Differs from `q_dedup_embedding` in both output and contract:
+    * that key EMITS near-dup pairs from LSH buckets (recall governed
+    * by plane count); this one makes keep/drop DECISIONS from a
+    * partition of the corpus (every doc gets a verdict row, duplicate
+    * rows name their `dup_of` survivor — min-id, the survivorship rule
+    * shared with q_dedup_exact).
+    *
+    * Takes ANY (cid, c) centroid frame: the deterministic first-K
+    * quantizer keys the oracle-checked query; [[Similarity.kmeansCentroids]]
+    * is the trained production path (PipelineSpec proves planted
+    * paraphrase clusters collapse under it).
+    *
+    * Scale shape: assignment is the IVF broadcast-argmax (one linear
+    * pass, corpus never shuffles to join); the within-cell self-join
+    * shuffles the (vec_id, v, cell) frame ONCE on cell (repartition
+    * shared by both sides) and pair work per cell is
+    * population-bounded by the derived key space. The verdict join
+    * (corpus ⋈ dups on vec_id) reuses the assignment's hash
+    * partitioning. At extreme N the centroid broadcast (N/32 rows)
+    * outgrows memory before the pair term hurts — production deploys
+    * the trained path with K chosen to fit (SemDeDup's published K ≈
+    * 5·10⁴), trading bigger cells for a bounded broadcast; SCALE.md
+    * documents the tension. */
+  def semanticDedup(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val assigned = Similarity.assignCells(vectors, centroids)
+      .withColumn("n_self",
+        graft.functions.VectorOps.longDot(col("v"), col("v")))
+      .repartition(col("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("n_self").as("aa"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("n_self").as("bb"))
+    val dot = graft.functions.VectorOps.longDot(col("v_a"), col("v_b"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", dot)
+      .filter(col("dot") > 0 &&
+        lit(SemTauDen * SemTauDen) * col("dot") * col("dot") >=
+        lit(SemTauNum * SemTauNum) * col("aa") * col("bb"))
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNull.as("keep"), col("dup_of"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content hash → survivor (min doc_id) + multiplicity.
     // One hash aggregate; at 100 TB this is a single shuffle on the
@@ -718,6 +791,19 @@ object Dedup {
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
       embeddingPairs(vectors, 0.35, Similarity.derivePlanes(vectors.count()))
         .orderBy("id_a", "id_b")
+    }),
+
+    // SemDeDup — see [[semanticDedup]]: cell partition + within-cell
+    // earlier-neighbor verdicts, deterministic first-K centroids with
+    // the linearly-derived cell count (oracle derives both the same).
+    "q_dedup_semantic" -> ((s, dir) => {
+      val vectors = Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+      val k = deriveSemCells(vectors.count())
+      semanticDedup(vectors,
+        vectors.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("v").as("c")))
     }),
   )
 
@@ -996,6 +1082,42 @@ object Dedup {
       ORDER BY doc_a, doc_b""",
 
     "q_dedup_embedding" -> embeddingOracleSql(0.35),
+
+    // SemDeDup replay: same ceil-div cell count, same first-K
+    // assignment tie-break as the IVF oracles, and the SAME integer
+    // cross-multiply verdict — dots cast to BIGINT BEFORE squaring
+    // (den²·dot² overflows DOUBLE's 2⁵³ integer range; see SemTauNum's
+    // doc).
+    "q_dedup_semantic" -> s"""
+      WITH params AS (
+        SELECT (count(*) + $SemTargetCell - 1) // $SemTargetCell AS K
+        FROM embeddings),
+      q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      assigned AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT q.vec_id, q.v, c.vec_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS arn
+          FROM q JOIN q c ON c.vec_id < (SELECT K FROM params))
+        WHERE arn = 1),
+      dups AS (
+        SELECT id_b AS vec_id, min(id_a) AS dup_of FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot,
+                 CAST(list_dot_product(a.v, a.v) AS BIGINT) AS aa,
+                 CAST(list_dot_product(b.v, b.v) AS BIGINT) AS bb
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        WHERE dot > 0
+          AND ${SemTauDen * SemTauDen} * dot * dot >=
+              ${SemTauNum * SemTauNum} * aa * bb
+        GROUP BY id_b)
+      SELECT a.vec_id, a.cell, d.dup_of IS NULL AS keep, d.dup_of
+      FROM assigned a LEFT JOIN dups d USING (vec_id)
+      ORDER BY a.vec_id""",
   )
 
   /** DuckDB twin of the hyperplane-blocked embedding near-dup — the same

@@ -330,7 +330,7 @@ object Similarity {
     * spelling shuffled every scored row). Tie-break (cdot desc, cid
     * asc) via the (cdot, -cid) struct, same rule as the window had.
     * Shared by IVF and IVF-PQ. */
-  private def assignCells(e: DataFrame, centroids: DataFrame): DataFrame =
+  private[operators] def assignCells(e: DataFrame, centroids: DataFrame): DataFrame =
     e.join(broadcast(centroids))
       .withColumn("cdot", graft.functions.VectorOps.longDot(col("v"), col("c")))
       .groupBy(col("vec_id"))
@@ -343,6 +343,15 @@ object Similarity {
     * just across a cell boundary. Deterministic top-R by (centroid
     * dot desc, cid asc), so the oracle replays the exact cell set. */
   val IvfNprobe = 2
+
+  /** Over-probing factor for FILTERED IVF search: a label predicate of
+    * selectivity 1/|labels| thins every probed cell by the same factor,
+    * so the nprobe that fills k unfiltered under-fills it filtered —
+    * the exact failure mode `q_knn_filtered` (the exact reference)
+    * exists to audit. Doubling nprobe is the standard first-order
+    * repair (FAISS's selector path does the same: widen the candidate
+    * stream, filter inline, never post-filter a finished top-k). */
+  val FilteredNprobe = 2 * IvfNprobe
 
   /** Assign + search over an arbitrary centroid frame (cid, c). */
   def ivfTopKWith(e: DataFrame, centroids: DataFrame,
@@ -376,6 +385,65 @@ object Similarity {
       .select("probe_id", "cand_id", "dot")
     graft.functions.TopK.perKey(scored, "probe_id", "dot", "cand_id", k)
       .orderBy("probe_id", "rk")
+  }
+
+  /** FILTERED IVF — the ANN-under-predicate production path: the label
+    * equality rides the cell join (candidates are (cell, label)-keyed,
+    * cross-label rows never reach the dot kernel), and the probe
+    * searches [[FilteredNprobe]] cells instead of [[IvfNprobe]] because
+    * the filter thins every cell by the label's selectivity
+    * (over-probing; see FilteredNprobe's doc). `q_knn_filtered` is the
+    * exact reference this path audits against
+    * (`q_knn_ivf_filtered_recall`) — post-filtering a finished
+    * unfiltered top-k is the textbook wrong answer (it under-fills k
+    * whenever fewer than k of the unfiltered winners share the label)
+    * and the recall audit quantifies what inline filtering + wider
+    * probing recovers.
+    *
+    * Scale shape: identical to [[ivfTopKWith]] — assignment is one
+    * broadcast-centroid linear pass (label rides the grouped argmax),
+    * probes broadcast with their cell lists, the corpus index never
+    * shuffles, candidate volume grows ×nprobe on the probe side only.
+    */
+  def ivfFilteredTopKWith(e: DataFrame, centroids: DataFrame,
+                          nProbes: Int, k: Int,
+                          nprobe: Int = FilteredNprobe): DataFrame = {
+    val assigned = e.join(broadcast(centroids))
+      .withColumn("cdot", graft.functions.VectorOps.longDot(col("v"), col("c")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), first(col("label")).as("label"),
+        max_by(col("cid"), struct(col("cdot"), -col("cid"))).as("cell"))
+    val probeSide = assigned.filter(col("vec_id") < nProbes)
+    val cellScores = probeSide.select(col("vec_id"), col("v"))
+      .join(broadcast(centroids))
+      .select(col("vec_id"), col("cid"),
+        graft.functions.VectorOps.longDot(col("v"), col("c")).as("cdot"))
+    val probeCells = graft.functions.TopK
+      .perKey(cellScores, "vec_id", "cdot", "cid", nprobe)
+      .select(col("vec_id").as("probe_id"), col("cid").as("cell"))
+    val probes = probeCells.join(
+      probeSide.select(col("vec_id").as("probe_id"), col("v").as("v_p"),
+        col("label").as("lbl_p")),
+      Seq("probe_id"))
+    val cands = assigned.select(col("cell"), col("vec_id").as("cand_id"),
+      col("v").as("v_c"), col("label").as("lbl_c"))
+    val scored = broadcast(probes).join(cands, Seq("cell"))
+      .filter(col("lbl_p") === col("lbl_c") && col("probe_id") =!= col("cand_id"))
+      .withColumn("dot", dotAB)
+      .select("probe_id", "cand_id", "dot")
+    graft.functions.TopK.perKey(scored, "probe_id", "dot", "cand_id", k)
+      .orderBy("probe_id", "rk")
+  }
+
+  /** [[ivfFilteredTopKWith]] over the embeddings table with the
+    * deterministic first-K quantizer (oracle-checkable, like ivfTopK). */
+  def ivfFilteredTopK(s: SparkSession, dir: String, kCentroids: Int,
+                      nProbes: Int, k: Int): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(quant).as("v"), col("label"))
+    val centroids = e.filter(col("vec_id") < kCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    ivfFilteredTopKWith(e, centroids, nProbes, k)
   }
 
   /** Product quantization (PQ) — the ANN STORAGE path at 100 TB: each
@@ -841,6 +909,26 @@ object Similarity {
       recallVs(truth, approx)
     }),
 
+    // Filtered ANN — see [[ivfFilteredTopKWith]]: the label predicate
+    // inline in the cell join, FilteredNprobe over-probing.
+    "q_knn_ivf_filtered" -> ((s, dir) => {
+      val n = Tables.embeddings(s, dir).count()
+      ivfFilteredTopK(s, dir, math.ceil(math.sqrt(n.toDouble)).toInt, 8, 5)
+    }),
+
+    // Recall of the filtered-IVF path against the EXACT filtered
+    // reference (q_knn_filtered at 64 probes) — the audit the filtered
+    // pair exists for: how much of the constrained answer the
+    // over-probed cell search recovers. Deterministic both sides ⇒
+    // oracle-exact like the other recall audits.
+    "q_knn_ivf_filtered_recall" -> ((s, dir) => {
+      val n = Tables.embeddings(s, dir).count()
+      val truth = bruteFiltered(s, dir, 64, 5).select("probe_id", "cand_id")
+      val approx = ivfFilteredTopK(
+        s, dir, math.ceil(math.sqrt(n.toDouble)).toInt, 64, 5)
+      recallVs(truth, approx)
+    }),
+
     // The IVF twin of q_knn_recall: same brute-force ground truth, same
     // 64 probes, approx side = the deterministic first-K-centroid IVF.
     // The first-K quantizer has known cell skew (see ivfTopK's doc) —
@@ -958,6 +1046,41 @@ object Similarity {
   /** IVF recall oracle: the q_knn_ivf CTE chain widened to 64 probes,
     * left-joined from the same brute top-5 ground truth as the LSH
     * audit (identical (dot DESC, cand_id) tie-breaks throughout). */
+  /** Shared filtered-IVF CTE chain (through `fscored`), parameterized
+    * by probe count: label-aware first-K assignment, top-FilteredNprobe
+    * probe cells, label predicate inline in the candidate join — the
+    * exact replay of [[ivfFilteredTopKWith]]. */
+  private def ivfFilteredCtes(nProbes: Int): String = s"""
+      q AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      assigned AS (
+        SELECT vec_id, v, label, cell FROM (
+          SELECT q.vec_id, q.v, q.label, c.vec_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS arn
+          FROM q JOIN q c
+            ON c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                           FROM embeddings))
+        WHERE arn = 1),
+      pcells AS (
+        SELECT vec_id AS probe_id, cell FROM (
+          SELECT q.vec_id, c.vec_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS arn
+          FROM q JOIN q c
+            ON q.vec_id < $nProbes
+           AND c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                           FROM embeddings))
+        WHERE arn <= $FilteredNprobe),
+      fscored AS (
+        SELECT pc.probe_id, c.vec_id AS cand_id,
+               CAST(list_dot_product(p.v, c.v) AS BIGINT) AS dot
+        FROM pcells pc JOIN q p ON p.vec_id = pc.probe_id
+             JOIN assigned c ON c.cell = pc.cell AND c.label = p.label
+        WHERE c.vec_id <> pc.probe_id)"""
+
   private def ivfRecallOracleSql: String = s"""
       WITH q AS (
         SELECT vec_id,
@@ -1304,6 +1427,44 @@ object Similarity {
                                        ORDER BY dot DESC, cand_id) AS INTEGER) AS rk
         FROM scored)
       WHERE rk <= 5 ORDER BY probe_id, rk""",
+
+    // The filtered-IVF replay: shared CTE chain at 8 probes.
+    "q_knn_ivf_filtered" -> s"""
+      WITH ${ivfFilteredCtes(8)}
+      SELECT probe_id, cand_id, dot, rk FROM (
+        SELECT probe_id, cand_id, dot,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY dot DESC, cand_id) AS INTEGER) AS rk
+        FROM fscored)
+      WHERE rk <= 5 ORDER BY probe_id, rk""",
+
+    // Filtered recall: the chain at 64 probes vs the exact filtered
+    // brute-force truth, same membership-join aggregation as the other
+    // recall audits.
+    "q_knn_ivf_filtered_recall" -> s"""
+      WITH ${ivfFilteredCtes(64)},
+      fivf AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT probe_id, cand_id,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY dot DESC, cand_id) AS rk
+          FROM fscored)
+        WHERE rk <= 5),
+      truth AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY CAST(list_dot_product(p.v, c.v) AS BIGINT) DESC,
+                            c.vec_id) AS rk
+          FROM q p JOIN q c ON p.vec_id < 64 AND p.vec_id != c.vec_id
+                           AND c.label = p.label)
+        WHERE rk <= 5)
+      SELECT t.probe_id, count(*) AS n_true, count(a.cand_id) AS n_hit,
+             round(CAST(count(a.cand_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+               AS recall
+      FROM truth t LEFT JOIN fivf a
+        ON t.probe_id = a.probe_id AND t.cand_id = a.cand_id
+      GROUP BY t.probe_id ORDER BY t.probe_id""",
 
     // Same first-K assignment as q_knn_ivf's `assigned` CTE, then the
     // per-cell count with empty cells kept via the centroid-list left

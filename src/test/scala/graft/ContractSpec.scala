@@ -13,9 +13,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the declared SURVEY totals") {
-    assert(SparkEntry.queries.size == 127,
+    assert(SparkEntry.queries.size == 130,
       s"queries has ${SparkEntry.queries.size} keys — update SURVEY §2.11 totals")
-    assert(SparkEntry.oracleSql.size == 124,
+    assert(SparkEntry.oracleSql.size == 127,
       s"oracleSql has ${SparkEntry.oracleSql.size} keys — update SURVEY §2.11 totals")
   }
 

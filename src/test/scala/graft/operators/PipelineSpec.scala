@@ -1008,6 +1008,54 @@ class PipelineSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 1L, 1), (0L, 3L, 2)), s"filtered: ${got.toSeq}")
   }
 
+  test("filtered IVF: over-probing recovers the same-label neighbor one cell over") {
+    import spark.implicits._
+    // Probe 0 (label 1) assigns to cell 100 — but its ONLY same-label
+    // neighbor (vec 1) lives in cell 101, and the same-cell candidate
+    // (vec 2) fails the label predicate. nprobe=1 therefore returns
+    // nothing (the filtered under-fill q_knn_filtered audits); nprobe=2
+    // widens to the second cell and finds it — the FilteredNprobe
+    // repair, demonstrated rather than asserted in a comment.
+    val cents = Seq((100L, Seq(1000L, 0L)), (101L, Seq(0L, 1000L)))
+      .toDF("cid", "c")
+    val e = Seq(
+      (0L, Seq(1000L, 900L), 1),
+      (1L, Seq(0L, 800L), 1),
+      (2L, Seq(900L, 0L), 2)).toDF("vec_id", "v", "label")
+    val narrow = Similarity.ivfFilteredTopKWith(e, cents, nProbes = 1,
+      k = 5, nprobe = 1).collect()
+    assert(narrow.isEmpty, s"nprobe=1 should under-fill: ${narrow.toSeq}")
+    val wide = Similarity.ivfFilteredTopKWith(e, cents, nProbes = 1,
+      k = 5, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(wide.toSeq == Seq((0L, 1L)), s"nprobe=2: ${wide.toSeq}")
+  }
+
+  test("semantic dedup: planted paraphrase twins collapse, below-threshold cellmates survive") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1000L, 10L)),   // survivor (earliest in its cluster)
+      (1L, Seq(1000L, 12L)),   // cos≈1 twin of 0 → dropped, dup_of=0
+      (2L, Seq(0L, 1000L)),    // other cell — kept
+      (3L, Seq(990L, 5L)),     // another twin of 0 → dropped, dup_of=0
+      (4L, Seq(200L, -980L)))  // same cell as 0, cos≈0.19 < τ — kept
+      .toDF("vec_id", "v")
+    val cents = Seq((0L, Seq(1000L, 0L)), (1L, Seq(0L, 1000L)))
+      .toDF("cid", "c")
+    def verdicts(c: org.apache.spark.sql.DataFrame) =
+      Dedup.semanticDedup(vecs, c).collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val got = verdicts(cents)
+    assert(got == Map(0L -> (true, -1L), 1L -> (false, 0L),
+      2L -> (true, -1L), 3L -> (false, 0L), 4L -> (true, -1L)), s"$got")
+    // The trained path: spark.ml centroids through the SAME verdict
+    // code — drops identical on this separable layout.
+    val trained = verdicts(Similarity.kmeansCentroids(vecs, 2))
+    assert(trained.view.mapValues(_._1).toMap ==
+      got.view.mapValues(_._1).toMap, s"trained: $trained")
+  }
+
   test("ivf cell stats: occupancy histogram surfaces empty cells") {
     import spark.implicits._
     // Nothing prefers centroid 2 — its row must still appear with 0
