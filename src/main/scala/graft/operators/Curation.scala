@@ -214,6 +214,42 @@ object Curation {
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
       .filter(col("n_hit") > 0)
 
+  /** FUZZY decontamination — the near-dup tier of the train/test gate:
+    * [[decontaminate]] catches verbatim n-gram overlap; this catches
+    * eval material that was paraphrased, reformatted, or partially
+    * rewritten into the corpus (the GPT-3 appendix-C concern — their
+    * fuzzy dedup gate was exactly MinHash against the benchmarks).
+    * Pipeline: MinHash band index of the EVAL slice (tiny — eval sets
+    * are MBs) broadcasts against the corpus's band index; banded
+    * collisions become candidates; candidates are exact-Jaccard
+    * verified (word sets fetched for candidate ids only, the
+    * [[Dedup.verifyJaccard]] tail); output is per-corpus-doc:
+    * (doc_id, n_eval_matches, max_jac).
+    *
+    * Scale shape: the load-bearing asymmetry is the same as the exact
+    * gate's — eval side broadcasts, the corpus's bands never shuffle
+    * to join; corpus cost is the linear signature pass the dedup
+    * pipeline already pays (at 100 TB the band index is built once and
+    * shared by q_dedup_minhash and this gate). Threshold 0.8 = the
+    * minhash dedup family's, one knob. */
+  def decontaminateFuzzy(docs: DataFrame,
+                         threshold: Double = 0.8): DataFrame = {
+    val evalBands = Dedup
+      .minhashBandIndex(docs.filter(col("doc_id") % EvalMod === 0))
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
+    val corpusBands = Dedup
+      .minhashBandIndex(docs.filter(col("doc_id") % EvalMod =!= 0))
+    val cands = corpusBands
+      .join(broadcast(evalBands), Seq("band_id", "band_hash"))
+      .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+    Dedup.verifyJaccard(cands, docs, threshold)
+      .groupBy(col("doc_a"))
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("jac")).as("max_jac"))
+      .select(col("doc_a").as("doc_id"), col("n_eval_matches"),
+        col("max_jac"))
+      .orderBy("doc_id")
+  }
+
   /** Above this eval-set size the gate ships shingles as a BROADCAST
     * VARIABLE instead of a plan literal. A literal array is ONE plan
     * node (no codegen blowup at any size — verified at 100k in
@@ -332,6 +368,54 @@ object Curation {
         shs != null && shs.exists(bc.value.contains))
       stream.filter(!hit(shingleArray(col("text"), eval.width)))
     }
+  }
+
+  /** STREAMING SEMANTIC-DECONTAMINATION gate — the embedding tier of
+    * the ingest door, completing the gate trio (quality → verbatim
+    * shingles → semantic): drop every arriving vector with cosine ≥
+    * τ = SemTauNum/SemTauDen against ANY eval-set embedding. Catches
+    * eval material that was paraphrased into the corpus — the leak the
+    * shingle gate cannot see (zero shared n-grams) and the batch-side
+    * `q_decontaminate_fuzzy` catches only at word-set granularity.
+    *
+    * Stateless per-row (no streaming state, no watermark, replay-safe)
+    * — the eval side BROADCASTS, which is justified by the same
+    * load-bearing asymmetry as [[contaminationGate]]: eval sets are
+    * small by nature, the stream is the unbounded side. Verdicts use
+    * the exact integer cross-multiply from [[Dedup.SemTauNum]] (no
+    * floats, so stream == batch replay is bit-stable). Per-row cost is
+    * |eval| × dim multiplies in a tight local loop. A NULL vector
+    * PASSES (it cannot be near anything) — the contamination gate's
+    * default, not the quality gate's: null-screening is that gate's
+    * job, and the two compose.
+    *
+    * Batch/stream agnostic: the same filter applied to a batch frame
+    * is how the spec pins stream == batch verdicts. */
+  def semanticGate(stream: DataFrame,
+                   evalVecs: Seq[Seq[Long]]): DataFrame = {
+    val prepared = evalVecs.map { v =>
+      val a = v.toArray
+      (a, a.foldLeft(0L)((s, x) => s + x * x))
+    }.toArray
+    val bc = stream.sparkSession.sparkContext.broadcast(prepared)
+    val n2 = Dedup.SemTauNum * Dedup.SemTauNum
+    val d2 = Dedup.SemTauDen * Dedup.SemTauDen
+    val near = udf((v: Seq[Long]) =>
+      v != null && {
+        val arr = v.toArray
+        var bb = 0L
+        var i = 0
+        while (i < arr.length) { bb += arr(i) * arr(i); i += 1 }
+        bc.value.exists { case (e, aa) =>
+          e.length == arr.length && {
+            var dot = 0L
+            var j = 0
+            while (j < e.length) { dot += e(j) * arr(j); j += 1 }
+            dot > 0 && d2 * dot * dot >= n2 * aa * bb
+          }
+        }
+      })
+    stream.filter(!near(col("v")))
   }
 
   /** Minimum whitespace-token count for [[qualityGate]]: shorter texts
@@ -938,6 +1022,10 @@ object Curation {
       decontaminateBatch(batch, index, width).orderBy("doc_id")
     }),
 
+    // Fuzzy (MinHash) decontamination — see [[decontaminateFuzzy]].
+    "q_decontaminate_fuzzy" -> ((s, dir) =>
+      decontaminateFuzzy(Tables.documents(s, dir))),
+
     "q_corpus_mix" -> ((s, dir) => {
       import s.implicits._
       mixSample(Tables.documents(s, dir), MixRates.toDF("lang", "rate_pct"))
@@ -1071,6 +1159,33 @@ object Curation {
         GROUP BY tr.doc_id HAVING count(ev.sh_key) > 0)
       SELECT doc_id, n_shingles, n_hit FROM full_recompute
       WHERE doc_id % 5 = 0 ORDER BY doc_id""",
+
+    // Fuzzy decontamination replay: Dedup's signature CTE chain, band
+    // collision as per-band 4-way signature equality (OR over bands)
+    // between the corpus and eval slices, exact-Jaccard verify on the
+    // candidates, grouped per corpus doc. Threshold on the raw ratio —
+    // same convention as the q_dedup_minhash oracle.
+    "q_decontaminate_fuzzy" -> s"""
+      WITH ${Dedup.minhashSigCtes},
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON (${Dedup.bandEqConds.map(c => s"($c)").mkString("\n              OR ")})
+        WHERE a.doc_id % $EvalMod <> 0 AND b.doc_id % $EvalMod = 0),
+      ws AS (
+        SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
+        FROM documents),
+      verified AS (
+        SELECT doc_a, doc_b,
+               round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+                     (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jac
+        FROM cand JOIN ws a ON cand.doc_a = a.doc_id
+                  JOIN ws b ON cand.doc_b = b.doc_id
+        WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+              (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8)
+      SELECT doc_a AS doc_id, count(*) AS n_eval_matches,
+             max(jac) AS max_jac
+      FROM verified GROUP BY doc_a ORDER BY doc_id""",
 
     "q_verbatim_spans" -> s"""
       WITH ${shingleParamsSql("documents")},

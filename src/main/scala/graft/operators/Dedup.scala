@@ -109,19 +109,13 @@ object Dedup {
     * recompute to a pair slice — the incremental key's proof: the
     * engine's index-once path must hash-match the full pipeline
     * filtered to batch-touching pairs. */
-  private def minhashOracleSql(threshold: Double,
-                               pairFilter: String = "TRUE"): String = {
+  /** The shared toks→shingles→hash→signature CTE chain (through `sig`)
+    * — reused by the fuzzy-decontamination oracle in Curation. */
+  private[operators] def minhashSigCtes: String = {
     val p = MinhashPrime
     val mins = (0 until MinhashPerms)
       .map(j => s"min((${permA(j)} * h + ${permB(j)}) % $p) AS m$j").mkString(",\n               ")
-    val rows = MinhashPerms / MinhashBands
-    val bandJoins = (0 until MinhashBands).map { b =>
-      val eqs = (0 until rows).map(r => s"a.m${b * rows + r} = b.m${b * rows + r}").mkString(" AND ")
-      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM sig a JOIN sig b ON $eqs AND a.doc_id < b.doc_id"""
-    }.mkString("\n          UNION\n          ")
-    s"""
-      WITH toks AS (
+    s"""toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
       sh AS (
         SELECT doc_id,
@@ -138,7 +132,26 @@ object Dedup {
       sig AS (
         SELECT doc_id,
                $mins
-        FROM h GROUP BY doc_id),
+        FROM h GROUP BY doc_id)"""
+  }
+
+  /** Per-band 4-way signature-equality conjunctions between aliases
+    * `a` and `b` — collision in band i ⟺ conjunct i holds. */
+  private[operators] def bandEqConds: Seq[String] = {
+    val rows = MinhashPerms / MinhashBands
+    (0 until MinhashBands).map { b =>
+      (0 until rows).map(r => s"a.m${b * rows + r} = b.m${b * rows + r}").mkString(" AND ")
+    }
+  }
+
+  private def minhashOracleSql(threshold: Double,
+                               pairFilter: String = "TRUE"): String = {
+    val bandJoins = bandEqConds.map { eqs =>
+      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sig a JOIN sig b ON $eqs AND a.doc_id < b.doc_id"""
+    }.mkString("\n          UNION\n          ")
+    s"""
+      WITH $minhashSigCtes,
       cand AS (
         SELECT DISTINCT doc_a, doc_b FROM (
           $bandJoins)),
@@ -533,8 +546,8 @@ object Dedup {
   /** Exact-Jaccard verify of candidate (doc_a, doc_b) pairs: word sets
     * joined back for the candidates only, `jac` rounded and thresholded
     * — the shared tail of the full and incremental MinHash paths. */
-  private def verifyJaccard(candidates: DataFrame, docs: DataFrame,
-                            threshold: Double): DataFrame = {
+  private[operators] def verifyJaccard(candidates: DataFrame, docs: DataFrame,
+                                       threshold: Double): DataFrame = {
     val words = docs.select(col("doc_id"), wordSet(col("text")).as("ws"))
     withJaccard(
       candidates
@@ -584,6 +597,26 @@ object Dedup {
       .distinct()
     verifyJaccard(candidates, docs, threshold)
   }
+
+  /** Band-bucket occupancy AUDIT — the MinHash analogue of
+    * `q_knn_ivf_stats`: per band, the histogram of (bucket size →
+    * bucket count) over (band_id, band_hash) groups. The candidate
+    * join's per-bucket pair work is sz·(sz−1)/2, so this table IS the
+    * skew forecast for the band join (a boilerplate-heavy corpus shows
+    * up as a fat-bucket tail here before it shows up as a straggler
+    * task). One extra count shuffle over the index the pipeline
+    * already builds; output is tiny (≤ distinct sizes × bands rows).
+    * Oracle groups on the band's signature 4-tuple instead of the
+    * engine's xxhash64 of it — identical buckets unless two distinct
+    * tuples collide in 64 bits (~n²/2⁶⁵: never at any plausible n, and
+    * deterministic either way). */
+  def minhashBandStats(docs: DataFrame): DataFrame =
+    minhashBandIndex(docs)
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("band_id"), col("sz"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .orderBy("band_id", "sz")
 
   /** SemDeDup cosine threshold τ = 7/20 = 0.35, held as a rational so
     * the verdict is an exact integer cross-multiply (the Gopher-screen
@@ -637,10 +670,14 @@ object Dedup {
     val assigned = Similarity.assignCells(vectors, centroids)
       .withColumn("n_self",
         graft.functions.VectorOps.longDot(col("v"), col("v")))
-      .repartition(col("cell"))
-    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+    // The cell-keyed copy feeds BOTH self-join sides (one exchange,
+    // embeddingPairs' trick); the verdict join below reads `assigned`
+    // directly so it stays on the vec_id hash partitioning the
+    // assignment groupBy already produced — no exchange back.
+    val cellFrame = assigned.repartition(col("cell"))
+    val a = cellFrame.select(col("cell"), col("vec_id").as("id_a"),
       col("v").as("v_a"), col("n_self").as("aa"))
-    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+    val b = cellFrame.select(col("cell"), col("vec_id").as("id_b"),
       col("v").as("v_b"), col("n_self").as("bb"))
     val dot = graft.functions.VectorOps.longDot(col("v_a"), col("v_b"))
     val dups = a.join(b, Seq("cell"))
@@ -652,6 +689,52 @@ object Dedup {
       .groupBy(col("id_b").as("vec_id"))
       .agg(min(col("id_a")).as("dup_of"))
     assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNull.as("keep"), col("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  /** INCREMENTAL SemDeDup — the semantic member of the incremental
+    * family (exact anti-join, MinHash band index, contracted CC,
+    * shingle gate, span positions… and now this): the corpus's cell
+    * assignment index (vec_id, v, cell, |v|²) is built ONCE and
+    * persisted (localCheckpoint stands in for the write — same
+    * convention as [[minhashPairsIncremental]]); an arriving batch
+    * assigns against the SAME frozen centroid artifact, broadcasts,
+    * and takes verdicts against (corpus ∪ batch) earlier neighbors.
+    * Corpus×corpus pairs are never re-examined — per-batch cost is
+    * batch-linear assignment + the batch-broadcast cell join.
+    *
+    * A batch verdict depends only on the PRESENCE of earlier same-cell
+    * docs (kept or dropped — SemDeDup compares against all earlier
+    * members, not survivors), so incremental == the full recompute
+    * restricted to batch ids EXACTLY; the oracle replays the full
+    * pipeline with that restriction and the hash match proves it. */
+  def semanticDedupIncremental(vectors: DataFrame, centroids: DataFrame,
+                               batchPred: Column): DataFrame = {
+    def withNorm(df: DataFrame): DataFrame = df.withColumn("n_self",
+      graft.functions.VectorOps.longDot(col("v"), col("v")))
+    val corpusIdx = withNorm(
+      Similarity.assignCells(vectors.filter(!batchPred), centroids))
+      .localCheckpoint(true)
+    val batch = withNorm(
+      Similarity.assignCells(vectors.filter(batchPred), centroids))
+    val earlier = corpusIdx.unionByName(batch)
+      .select(col("cell"), col("vec_id").as("id_a"), col("v").as("v_a"),
+        col("n_self").as("aa"))
+    val arriving = batch.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("n_self").as("bb"))
+    val dups = earlier.join(broadcast(arriving), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot",
+        graft.functions.VectorOps.longDot(col("v_a"), col("v_b")))
+      .filter(col("dot") > 0 &&
+        lit(SemTauDen * SemTauDen) * col("dot") * col("dot") >=
+        lit(SemTauNum * SemTauNum) * col("aa") * col("bb"))
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    batch.select(col("vec_id"), col("cell"))
       .join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         col("dup_of").isNull.as("keep"), col("dup_of"))
@@ -805,6 +888,25 @@ object Dedup {
         vectors.filter(col("vec_id") < k)
           .select(col("vec_id").as("cid"), col("v").as("c")))
     }),
+
+    // Incremental SemDeDup — see [[semanticDedupIncremental]]: batch =
+    // vec_id % 5 (the q_dedup_incremental slice convention), centroid
+    // artifact frozen from the full table, verdicts for the batch only.
+    "q_dedup_semantic_incremental" -> ((s, dir) => {
+      val vectors = Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+      val k = deriveSemCells(vectors.count())
+      semanticDedupIncremental(vectors,
+        vectors.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("v").as("c")),
+        col("vec_id") % 5 === 0)
+    }),
+
+    // MinHash band-bucket occupancy — see [[minhashBandStats]]; same
+    // corpus slice as q_dedup_minhash (the whole documents table).
+    "q_dedup_minhash_stats" -> ((s, dir) =>
+      minhashBandStats(Tables.documents(s, dir))),
   )
 
   /** (doc_id, sh BIGINT) simhash sketches.
@@ -1088,7 +1190,42 @@ object Dedup {
     // cross-multiply verdict — dots cast to BIGINT BEFORE squaring
     // (den²·dot² overflows DOUBLE's 2⁵³ integer range; see SemTauNum's
     // doc).
-    "q_dedup_semantic" -> s"""
+    "q_dedup_semantic" -> semanticOracleSql(),
+
+    // The incremental proof: the FULL pipeline restricted to the batch
+    // slice — a hash match means index-once == recompute-everything.
+    "q_dedup_semantic_incremental" ->
+      semanticOracleSql("a.vec_id % 5 = 0"),
+
+    // Band-bucket histogram over the signature 4-tuples (the engine
+    // groups on xxhash64 of the same tuples — see minhashBandStats's
+    // collision note).
+    "q_dedup_minhash_stats" -> {
+      val rows = MinhashPerms / MinhashBands
+      val cols = (0 until rows).map(r => s"c$r").mkString(", ")
+      // Per-band rename to c0..c3 so the UNION ALL columns line up.
+      val bandUnion = (0 until MinhashBands).map { b =>
+        val renamed = (0 until rows)
+          .map(r => s"m${b * rows + r} AS c$r").mkString(", ")
+        s"SELECT $b AS band_id, $renamed FROM sig"
+      }.mkString("\n          UNION ALL ")
+      s"""
+      WITH $minhashSigCtes,
+      bands AS (
+          $bandUnion),
+      bsz AS (
+        SELECT band_id, $cols, CAST(count(*) AS BIGINT) AS sz
+        FROM bands GROUP BY band_id, $cols)
+      SELECT band_id, sz, CAST(count(*) AS BIGINT) AS n_buckets
+      FROM bsz GROUP BY band_id, sz
+      ORDER BY band_id, sz"""
+    },
+  )
+
+  /** SemDeDup DuckDB twin, with an optional final restriction over the
+    * verdict rows (`a` = the assigned frame) — the incremental key
+    * passes its batch predicate here. */
+  private def semanticOracleSql(finalFilter: String = "TRUE"): String = s"""
       WITH params AS (
         SELECT (count(*) + $SemTargetCell - 1) // $SemTargetCell AS K
         FROM embeddings),
@@ -1117,8 +1254,8 @@ object Dedup {
         GROUP BY id_b)
       SELECT a.vec_id, a.cell, d.dup_of IS NULL AS keep, d.dup_of
       FROM assigned a LEFT JOIN dups d USING (vec_id)
-      ORDER BY a.vec_id""",
-  )
+      WHERE ($finalFilter)
+      ORDER BY a.vec_id"""
 
   /** DuckDB twin of the hyperplane-blocked embedding near-dup — the same
     * plane-weight formula and table/bucket layout as Similarity.bucketed

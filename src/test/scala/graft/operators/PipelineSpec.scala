@@ -1031,6 +1031,65 @@ class PipelineSpec extends SparkSpec {
     assert(wide.toSeq == Seq((0L, 1L)), s"nprobe=2: ${wide.toSeq}")
   }
 
+  test("incremental semantic dedup equals the full recompute restricted to the batch") {
+    import spark.implicits._
+    // Randomized model check (fixed seed): the incremental contract is
+    // bit-equality with the full pipeline's batch slice, not a planted
+    // fixture — same proof style as the other incremental keys.
+    val rnd = new scala.util.Random(20260813L)
+    val vecs = (0L until 80L).map(i =>
+      (i, Seq.fill(4)(rnd.nextInt(2001) - 1000L))).toDF("vec_id", "v")
+    val k = Dedup.deriveSemCells(80)
+    val cents = vecs.filter($"vec_id" < k)
+      .select($"vec_id".as("cid"), $"v".as("c"))
+    val batchPred = $"vec_id" % 5 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val full = rows(Dedup.semanticDedup(vecs, cents)
+      .filter($"vec_id" % 5 === 0))
+    val inc = rows(Dedup.semanticDedupIncremental(vecs, cents, batchPred))
+    assert(inc == full, s"incremental diverged: ${inc.diff(full)} vs ${full.diff(inc)}")
+    assert(full.nonEmpty && full.exists(!_._3),
+      s"model produced no dropped batch rows — weaken the layout: $full")
+  }
+
+  test("fuzzy decontamination flags a verbatim eval copy, passes unrelated docs") {
+    import spark.implicits._
+    // doc 0 (0 % 97 == 0) is the eval doc; doc 1 is a verbatim corpus
+    // copy (all bands collide, jac = 1.0); doc 2 shares nothing.
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, evalText),
+      (1L, evalText),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val got = Curation.decontaminateFuzzy(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 1L, 1.0)), s"fuzzy: $got")
+  }
+
+  test("minhash band stats: planted copies form one 3-bucket per band, singletons the rest") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (0L, t), (1L, t), (2L, t),
+      (3L, "completely different content about spark physical plans"),
+      (4L, "yet another unrelated text on parquet footer statistics"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashBandStats(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // Every band: the 3 copies share one bucket, the two distinct docs
+    // are singletons — histogram (sz=1 → 2 buckets, sz=3 → 1 bucket).
+    val expected = (0 until 4).flatMap(b =>
+      Seq((b, 1L, 2L), (b, 3L, 1L)))
+    assert(got.toSeq == expected, s"stats: ${got.toSeq}")
+    // Mass check: Σ sz·n_buckets per band = n_docs.
+    got.groupBy(_._1).foreach { case (b, rows) =>
+      assert(rows.map(r => r._2 * r._3).sum == 5L, s"band $b loses docs")
+    }
+  }
+
   test("semantic dedup: planted paraphrase twins collapse, below-threshold cellmates survive") {
     import spark.implicits._
     val vecs = Seq(

@@ -216,4 +216,35 @@ class CurationStreamSpec extends SparkSpec {
       assert(delivered == Seq(2L, 3L), s"gate delivered: $delivered")
     } finally { UpdateLog.drop(qn); Outbox.drop(bx) }
   }
+
+  test("semantic gate: near-eval vectors dropped mid-stream, orthogonal and null pass; stream == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Eval embedding (the frozen artifact). τ = 7/20: vec 1 is a
+    // near-copy (cos ≈ 1), vec 2 is orthogonal (dot < 0 ⇒ passes),
+    // vec 3 sits at cos ≈ 0.19 < τ, vec 4 is null.
+    val eval = Seq(Seq(1000L, 10L))
+    val in = MemoryStream[(Long, Option[Seq[Long]])]
+    in.addData(
+      (1L, Some(Seq(995L, 12L))),
+      (2L, Some(Seq(-10L, 1000L))),
+      (3L, Some(Seq(200L, -980L))),
+      (4L, None))
+    val gated = Curation.semanticGate(
+      in.toDF().toDF("vec_id", "v"), eval)
+    val q = gated.writeStream.format("memory")
+      .queryName("sem_gate_out").outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("sem_gate_out")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 3L, 4L), s"semantic gate kept: $kept")
+    // Batch parity: the same filter over a batch frame.
+    val batchKept = Curation.semanticGate(
+        Seq((1L, Some(Seq(995L, 12L))), (2L, Some(Seq(-10L, 1000L))),
+          (3L, Some(Seq(200L, -980L))), (4L, Option.empty[Seq[Long]]))
+          .toDF("vec_id", "v"), eval)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(batchKept == kept, s"batch gate kept: $batchKept")
+  }
 }
