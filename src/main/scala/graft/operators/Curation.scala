@@ -393,6 +393,17 @@ object Curation {
     * is how the spec pins stream == batch verdicts. */
   def semanticGate(stream: DataFrame,
                    evalVecs: Seq[Seq[Long]]): DataFrame = {
+    // Overflow guard for the integer cross-multiply: with |component|
+    // ≤ 1000 and dim ≤ 128, dot ≤ 1.28·10⁸ so den²·dot² ≤ 6.6·10¹⁸ <
+    // 2⁶³ — outside that domain the UDF's Long math would WRAP (not
+    // throw, unlike ANSI Column arithmetic) and verdicts would flip
+    // silently. Stream vectors must share the quantized domain
+    // (floor(x·1000) of unit-scale embeddings, the engine-wide
+    // convention); the eval side is validated here because it is the
+    // frozen artifact a config error would most plausibly corrupt.
+    require(evalVecs.forall(v =>
+        v.length <= 128 && v.forall(x => math.abs(x) <= 1000L)),
+      "semanticGate eval vectors must be quantized: dim <= 128, |component| <= 1000")
     val prepared = evalVecs.map { v =>
       val a = v.toArray
       (a, a.foldLeft(0L)((s, x) => s + x * x))
@@ -1163,8 +1174,9 @@ object Curation {
     // Fuzzy decontamination replay: Dedup's signature CTE chain, band
     // collision as per-band 4-way signature equality (OR over bands)
     // between the corpus and eval slices, exact-Jaccard verify on the
-    // candidates, grouped per corpus doc. Threshold on the raw ratio —
-    // same convention as the q_dedup_minhash oracle.
+    // candidates, grouped per corpus doc. Threshold on the ROUNDED
+    // ratio — the engine's verifyJaccard filters the rounded column
+    // (same convention as the q_dedup_minhash oracle).
     "q_decontaminate_fuzzy" -> s"""
       WITH ${Dedup.minhashSigCtes},
       cand AS (
@@ -1181,8 +1193,8 @@ object Curation {
                      (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jac
         FROM cand JOIN ws a ON cand.doc_a = a.doc_id
                   JOIN ws b ON cand.doc_b = b.doc_id
-        WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
-              (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8)
+        WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+              (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) >= 0.8)
       SELECT doc_a AS doc_id, count(*) AS n_eval_matches,
              max(jac) AS max_jac
       FROM verified GROUP BY doc_a ORDER BY doc_id""",

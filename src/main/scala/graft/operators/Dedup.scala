@@ -163,8 +163,12 @@ object Dedup {
                    (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jac
       FROM cand JOIN ws a ON cand.doc_a = a.doc_id
                 JOIN ws b ON cand.doc_b = b.doc_id
-      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
-            (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= $threshold
+      -- Threshold on the ROUNDED value — verifyJaccard filters the
+      -- rounded column, and a raw-ratio compare here would diverge on
+      -- a boundary pair (e.g. raw 0.79996 rounds to 0.8000 and passes
+      -- the engine, but fails raw >= 0.8).
+      WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+            (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) >= $threshold
         AND ($pairFilter)
       ORDER BY doc_a, doc_b"""
   }
@@ -646,9 +650,13 @@ object Dedup {
     * Differs from `q_dedup_embedding` in both output and contract:
     * that key EMITS near-dup pairs from LSH buckets (recall governed
     * by plane count); this one makes keep/drop DECISIONS from a
-    * partition of the corpus (every doc gets a verdict row, duplicate
-    * rows name their `dup_of` survivor — min-id, the survivorship rule
-    * shared with q_dedup_exact).
+    * partition of the corpus. Every doc gets a verdict row; a dropped
+    * row's `dup_of` names its EARLIEST qualifying earlier neighbor —
+    * which may itself be dropped (chains like A≈B, B≈C with A̸≈C give
+    * C a dup_of of the dropped B): SemDeDup verdicts are against all
+    * earlier members, not survivors, so consumers wanting a kept
+    * representative follow dup_of transitively (or join
+    * q_dedup_representative's policy).
     *
     * Takes ANY (cid, c) centroid frame: the deterministic first-K
     * quantizer keys the oracle-checked query; [[Similarity.kmeansCentroids]]
@@ -679,17 +687,28 @@ object Dedup {
       col("v").as("v_a"), col("n_self").as("aa"))
     val b = cellFrame.select(col("cell"), col("vec_id").as("id_b"),
       col("v").as("v_b"), col("n_self").as("bb"))
-    val dot = graft.functions.VectorOps.longDot(col("v_a"), col("v_b"))
-    val dups = a.join(b, Seq("cell"))
+    semanticVerdicts(a.join(b, Seq("cell")),
+      assigned.select(col("vec_id"), col("cell")))
+  }
+
+  /** The shared SemDeDup verdict tail — ONE place for the τ
+    * cross-multiply, the min-earlier-neighbor aggregation, and the
+    * verdict projection (full and incremental paths both end here):
+    * candidate pairs (id_a, v_a, aa) × (id_b, v_b, bb) → per-id_b
+    * `dup_of` = min qualifying earlier id → (vec_id, cell, keep,
+    * dup_of) rows for `outRows` (vec_id, cell). */
+  private def semanticVerdicts(pairs: DataFrame,
+                               outRows: DataFrame): DataFrame = {
+    val dups = pairs
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dot", dot)
+      .withColumn("dot",
+        graft.functions.VectorOps.longDot(col("v_a"), col("v_b")))
       .filter(col("dot") > 0 &&
         lit(SemTauDen * SemTauDen) * col("dot") * col("dot") >=
         lit(SemTauNum * SemTauNum) * col("aa") * col("bb"))
       .groupBy(col("id_b").as("vec_id"))
       .agg(min(col("id_a")).as("dup_of"))
-    assigned.select(col("vec_id"), col("cell"))
-      .join(dups, Seq("vec_id"), "left")
+    outRows.join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         col("dup_of").isNull.as("keep"), col("dup_of"))
       .orderBy("vec_id")
@@ -725,20 +744,8 @@ object Dedup {
         col("n_self").as("aa"))
     val arriving = batch.select(col("cell"), col("vec_id").as("id_b"),
       col("v").as("v_b"), col("n_self").as("bb"))
-    val dups = earlier.join(broadcast(arriving), Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("dot",
-        graft.functions.VectorOps.longDot(col("v_a"), col("v_b")))
-      .filter(col("dot") > 0 &&
-        lit(SemTauDen * SemTauDen) * col("dot") * col("dot") >=
-        lit(SemTauNum * SemTauNum) * col("aa") * col("bb"))
-      .groupBy(col("id_b").as("vec_id"))
-      .agg(min(col("id_a")).as("dup_of"))
-    batch.select(col("vec_id"), col("cell"))
-      .join(dups, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"),
-        col("dup_of").isNull.as("keep"), col("dup_of"))
-      .orderBy("vec_id")
+    semanticVerdicts(earlier.join(broadcast(arriving), Seq("cell")),
+      batch.select(col("vec_id"), col("cell")))
   }
 
   val queries: Map[String, Q] = Map(

@@ -330,12 +330,18 @@ object Similarity {
     * spelling shuffled every scored row). Tie-break (cdot desc, cid
     * asc) via the (cdot, -cid) struct, same rule as the window had.
     * Shared by IVF and IVF-PQ. */
-  private[operators] def assignCells(e: DataFrame, centroids: DataFrame): DataFrame =
+  private[operators] def assignCells(e: DataFrame, centroids: DataFrame,
+                                     carry: Seq[String] = Nil): DataFrame = {
+    // `carry`: per-vector metadata columns (e.g. a filter label) to
+    // thread through the argmax — first() is exact because the K
+    // joined rows of one vec_id all share them.
+    val aggs = carry.map(c0 => first(col(c0)).as(c0)) :+
+      max_by(col("cid"), struct(col("cdot"), -col("cid"))).as("cell")
     e.join(broadcast(centroids))
       .withColumn("cdot", graft.functions.VectorOps.longDot(col("v"), col("c")))
       .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"),
-        max_by(col("cid"), struct(col("cdot"), -col("cid"))).as("cell"))
+      .agg(first(col("v")).as("v"), aggs: _*)
+  }
 
   /** Cells searched per probe — the standard IVF recall knob (nprobe
     * in FAISS terms). 1 = assigned cell only; each increment adds
@@ -408,11 +414,7 @@ object Similarity {
   def ivfFilteredTopKWith(e: DataFrame, centroids: DataFrame,
                           nProbes: Int, k: Int,
                           nprobe: Int = FilteredNprobe): DataFrame = {
-    val assigned = e.join(broadcast(centroids))
-      .withColumn("cdot", graft.functions.VectorOps.longDot(col("v"), col("c")))
-      .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"), first(col("label")).as("label"),
-        max_by(col("cid"), struct(col("cdot"), -col("cid"))).as("cell"))
+    val assigned = assignCells(e, centroids, carry = Seq("label"))
     val probeSide = assigned.filter(col("vec_id") < nProbes)
     val cellScores = probeSide.select(col("vec_id"), col("v"))
       .join(broadcast(centroids))
@@ -1043,9 +1045,6 @@ object Similarity {
         ON t.probe_id = l.probe_id AND t.cand_id = l.cand_id
       GROUP BY t.probe_id ORDER BY t.probe_id"""
 
-  /** IVF recall oracle: the q_knn_ivf CTE chain widened to 64 probes,
-    * left-joined from the same brute top-5 ground truth as the LSH
-    * audit (identical (dot DESC, cand_id) tie-breaks throughout). */
   /** Shared filtered-IVF CTE chain (through `fscored`), parameterized
     * by probe count: label-aware first-K assignment, top-FilteredNprobe
     * probe cells, label predicate inline in the candidate join — the
@@ -1081,6 +1080,9 @@ object Similarity {
              JOIN assigned c ON c.cell = pc.cell AND c.label = p.label
         WHERE c.vec_id <> pc.probe_id)"""
 
+  /** IVF recall oracle: the q_knn_ivf CTE chain widened to 64 probes,
+    * left-joined from the same brute top-5 ground truth as the LSH
+    * audit (identical (dot DESC, cand_id) tie-breaks throughout). */
   private def ivfRecallOracleSql: String = s"""
       WITH q AS (
         SELECT vec_id,
