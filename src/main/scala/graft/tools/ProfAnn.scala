@@ -67,6 +67,26 @@ object ProfAnn {
         Similarity.ivfPqResidualTopKWith(e, centroids,
           rv => Similarity.pqCodebook(rv, kCodes), 64, 5, nprobe = np))
     }
+    // FILTERED-IVF nprobe curve vs the exact filtered truth: how much
+    // over-probing buys under a selectivity-1/|labels| predicate (the
+    // FilteredNprobe=4 default is the np=4 row). Needs its own truth
+    // frame (the constrained answer, not the global one) and its own
+    // recall join.
+    val el = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(quant).as("v"), col("label"))
+    val fTruth = Similarity.filteredTopK(
+      graft.Tables.embeddings(s, dir), 64, 5).select("probe_id", "cand_id")
+    def filteredRecall(name: String)(approx: org.apache.spark.sql.DataFrame): Unit =
+      Prof.time(name) {
+        val rows = Similarity.recallVs(fTruth, approx)
+          .select(col("recall")).collect()
+        val m = rows.map(_.getDouble(0)).sum / rows.length
+        println(f"[prof] $name mean recall = $m%.4f")
+        rows.length.toLong
+      }
+    for (np <- Seq(1, 2, 4, 8))
+      filteredRecall(s"ivf_filtered_recall_nprobe$np")(
+        Similarity.ivfFilteredTopKWith(el, centroids, 64, 5, nprobe = np))
     s.stop()
   }
 }
