@@ -250,6 +250,60 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The CURATION FUNNEL — the §2.11 operators composed into the
+    * pipeline they exist for, as one oracle-checked query: input →
+    * quality screen → exact dedup → decontamination → semantic dedup,
+    * each stage over the previous stage's survivors, output = the
+    * per-stage kept-count funnel table every pipeline report leads
+    * with. Frozen artifacts follow the production convention: the
+    * shingle width and eval set derive from the FULL corpus (the eval
+    * set is fixed — it is not itself being curated), as do the
+    * semantic centroids and cell count; stage predicates see only
+    * survivors. Docs without an embedding PASS the semantic stage
+    * (nothing to compare — the conservative default, same reasoning as
+    * the gates' null handling; at sf0.1 only a subset of docs carry
+    * vectors, so this path is exercised). Eval-slice docs drop at the
+    * decontamination stage: benchmarks are held out of training data,
+    * not trained on.
+    *
+    * Scale shape: a linear composition of already-scale-shaped stages
+    * — the funnel adds five count aggregates (bytes) on top of the
+    * stages it composes; survivor filtering is semi/anti joins on
+    * doc_id, each reusing the id partitioning of the frames involved.
+    */
+  def corpusFunnel(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val width = deriveShingleWidth(docs.count())
+    val s1 = qualityGate(docs)
+    val exactSurvivors = s1
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val s2 = s1.join(exactSurvivors, Seq("doc_id"), "left_semi")
+    val corpus3 = s2.filter(col("doc_id") % EvalMod =!= 0)
+    val flagged = decontaminateBatch(
+      corpus3, evalShingleIndex(docs, width), width).select("doc_id")
+    val s3 = corpus3.join(flagged, Seq("doc_id"), "left_anti")
+    val vecs = embeddings.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+      .as("v"))
+    val k = Dedup.deriveSemCells(vecs.count())
+    val cents = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val survivorVecs = vecs.join(
+      s3.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val semanticDrops = Dedup.semanticDedup(survivorVecs, cents)
+      .filter(!col("keep")).select(col("vec_id").as("doc_id"))
+    val s4 = s3.join(semanticDrops, Seq("doc_id"), "left_anti")
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_kept"))
+        .select(lit(name).as("stage"), col("n_kept"))
+    stage("0_input", docs)
+      .unionByName(stage("1_quality", s1))
+      .unionByName(stage("2_exact", s2))
+      .unionByName(stage("3_decontam", s3))
+      .unionByName(stage("4_semantic", s4))
+      .orderBy("stage")
+  }
+
   /** Above this eval-set size the gate ships shingles as a BROADCAST
     * VARIABLE instead of a plan literal. A literal array is ONE plan
     * node (no codegen blowup at any size — verified at 100k in
@@ -1037,6 +1091,10 @@ object Curation {
     "q_decontaminate_fuzzy" -> ((s, dir) =>
       decontaminateFuzzy(Tables.documents(s, dir))),
 
+    // The composed curation funnel — see [[corpusFunnel]].
+    "q_corpus_funnel" -> ((s, dir) =>
+      corpusFunnel(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
     "q_corpus_mix" -> ((s, dir) => {
       import s.implicits._
       mixSample(Tables.documents(s, dir), MixRates.toDF("lang", "rate_pct"))
@@ -1170,6 +1228,71 @@ object Curation {
         GROUP BY tr.doc_id HAVING count(ev.sh_key) > 0)
       SELECT doc_id, n_shingles, n_hit FROM full_recompute
       WHERE doc_id % 5 = 0 ORDER BY doc_id""",
+
+    // The funnel replay: each stage as a CTE over the previous stage's
+    // survivors. Exact dedup groups by TEXT where the engine groups by
+    // sha256(text) — identical partitions of the rows, so the min-id
+    // survivors agree without cross-engine digest comparison. The
+    // semantic stage restates the q_dedup_semantic chain over the
+    // stage-3 survivor subset with the FULL-table centroid artifact
+    // (same first-K tie-break, same BIGINT-before-squaring rule).
+    "q_corpus_funnel" -> s"""
+      WITH ${shingleParamsSql("documents")},
+      sh AS ($shinglesSql),
+      q1 AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text, tk,
+                 list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bg
+          FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS tk
+                FROM documents WHERE text IS NOT NULL))
+        WHERE len(tk) >= $QualityMinTokens
+          AND NOT ((len(bg) - len(list_distinct(bg))) * 10 > len(bg))),
+      q2 AS (SELECT min(doc_id) AS doc_id FROM q1 GROUP BY text),
+      ev AS (SELECT DISTINCT sh_key FROM sh WHERE doc_id % $EvalMod = 0),
+      q3 AS (
+        SELECT doc_id FROM q2
+        WHERE doc_id % $EvalMod <> 0
+          AND NOT EXISTS (SELECT 1 FROM sh JOIN ev USING (sh_key)
+                          WHERE sh.doc_id = q2.doc_id)),
+      vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      semp AS (
+        SELECT (count(*) + ${Dedup.SemTargetCell} - 1) // ${Dedup.SemTargetCell} AS K
+        FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cid, v AS c FROM vecs
+        WHERE vec_id < (SELECT K FROM semp)),
+      sv AS (SELECT * FROM vecs WHERE vec_id IN (SELECT doc_id FROM q3)),
+      assigned AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT sv.vec_id, sv.v, c.cid AS cell,
+                 row_number() OVER (PARTITION BY sv.vec_id
+                   ORDER BY list_dot_product(sv.v, c.c) DESC, c.cid) AS arn
+          FROM sv, cents c)
+        WHERE arn = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id FROM (
+          SELECT b.vec_id,
+                 CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot,
+                 CAST(list_dot_product(a.v, a.v) AS BIGINT) AS aa,
+                 CAST(list_dot_product(b.v, b.v) AS BIGINT) AS bb
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id) b
+        WHERE dot > 0
+          AND ${Dedup.SemTauDen * Dedup.SemTauDen} * dot * dot >=
+              ${Dedup.SemTauNum * Dedup.SemTauNum} * aa * bb),
+      q4 AS (
+        SELECT doc_id FROM q3
+        WHERE doc_id NOT IN (SELECT vec_id FROM dropped))
+      SELECT stage, n_kept FROM (
+        SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_kept FROM documents
+        UNION ALL SELECT '1_quality', CAST(count(*) AS BIGINT) FROM q1
+        UNION ALL SELECT '2_exact', CAST(count(*) AS BIGINT) FROM q2
+        UNION ALL SELECT '3_decontam', CAST(count(*) AS BIGINT) FROM q3
+        UNION ALL SELECT '4_semantic', CAST(count(*) AS BIGINT) FROM q4)
+      ORDER BY stage""",
 
     // Fuzzy decontamination replay: Dedup's signature CTE chain, band
     // collision as per-band 4-way signature equality (OR over bands)

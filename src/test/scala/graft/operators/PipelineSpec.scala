@@ -1031,6 +1031,33 @@ class PipelineSpec extends SparkSpec {
     assert(wide.toSeq == Seq((0L, 1L)), s"nprobe=2: ${wide.toSeq}")
   }
 
+  test("curation funnel: each stage drops exactly its planted victim") {
+    import spark.implicits._
+    // One doc per drop reason: 2 fails quality (repetitive), 3 is an
+    // exact copy of 1, 0 is the eval doc (held out at decontam), 4
+    // shares a width-5 shingle with it (contaminated), 5 is a
+    // semantic near-dup of 1's embedding, 6 has NO embedding and must
+    // pass the semantic stage (conservative keep).
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two three four five six seven"),
+      (2L, "spam spam spam spam spam spam spam"),
+      (3L, "one two three four five six seven"),
+      (4L, "prefix words alpha beta gamma delta epsilon more tail"),
+      (5L, "completely different wording here entirely unique"),
+      (6L, "another rather distinct document with words"))
+      .toDF("doc_id", "text")
+    val embs = Seq(
+      (0L, Seq(1.0, 0.0)),     // centroid slot (k = ceil(3/32) = 1)
+      (1L, Seq(1.0, 0.01)),
+      (5L, Seq(1.0, 0.012)))   // cos ≈ 1 vs vec 1 → dropped
+      .toDF("vec_id", "embedding")
+    val got = Curation.corpusFunnel(docs, embs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("0_input", 7L), ("1_quality", 6L), ("2_exact", 5L),
+      ("3_decontam", 3L), ("4_semantic", 2L)), s"funnel: $got")
+  }
+
   test("incremental semantic dedup equals the full recompute restricted to the batch") {
     import spark.implicits._
     // Randomized model check (fixed seed): the incremental contract is
