@@ -416,20 +416,33 @@ object Similarity {
                           nprobe: Int = FilteredNprobe): DataFrame = {
     val assigned = assignCells(e, centroids, carry = Seq("label"))
     val probeSide = assigned.filter(col("vec_id") < nProbes)
-    val cellScores = probeSide.select(col("vec_id"), col("v"))
-      .join(broadcast(centroids))
-      .select(col("vec_id"), col("cid"),
-        graft.functions.VectorOps.longDot(col("v"), col("c")).as("cdot"))
+      .select(col("vec_id").as("probe_id"), col("v").as("v_p"),
+        col("label").as("lbl_p"))
+    searchFilteredAssignIndex(assigned, probeSide, centroids, k, nprobe)
+  }
+
+  /** Filtered search against a PREBUILT label-carrying assignment
+    * index (vec_id, v, label, cell) — in-memory, or reread from a
+    * cell-bucketed table with plan-time bucket pruning (the serving
+    * shape AnnIndexSpec drives: probe→cell ranking is a bounded driver
+    * action over the tiny centroid table, so the literal cell list
+    * restricts the scan to nprobe buckets BEFORE any index row is
+    * read, and the label predicate drops cross-label candidates inside
+    * the broadcast probe join). Same search body the in-memory path
+    * uses — persistence changes the I/O shape, not the answer. */
+  def searchFilteredAssignIndex(index: DataFrame, probes: DataFrame,
+                                centroids: DataFrame, k: Int,
+                                nprobe: Int = FilteredNprobe): DataFrame = {
+    val cellScores = probes.join(broadcast(centroids))
+      .select(col("probe_id").as("vec_id"), col("cid"),
+        graft.functions.VectorOps.longDot(col("v_p"), col("c")).as("cdot"))
     val probeCells = graft.functions.TopK
       .perKey(cellScores, "vec_id", "cdot", "cid", nprobe)
       .select(col("vec_id").as("probe_id"), col("cid").as("cell"))
-    val probes = probeCells.join(
-      probeSide.select(col("vec_id").as("probe_id"), col("v").as("v_p"),
-        col("label").as("lbl_p")),
-      Seq("probe_id"))
-    val cands = assigned.select(col("cell"), col("vec_id").as("cand_id"),
+    val pr = probeCells.join(probes, Seq("probe_id"))
+    val cands = index.select(col("cell"), col("vec_id").as("cand_id"),
       col("v").as("v_c"), col("label").as("lbl_c"))
-    val scored = broadcast(probes).join(cands, Seq("cell"))
+    val scored = broadcast(pr).join(cands, Seq("cell"))
       .filter(col("lbl_p") === col("lbl_c") && col("probe_id") =!= col("cand_id"))
       .withColumn("dot", dotAB)
       .select("probe_id", "cand_id", "dot")

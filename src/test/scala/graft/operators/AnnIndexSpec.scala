@@ -175,4 +175,53 @@ class AnnIndexSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ivfpq_tr_idx")
     }
   }
+
+  test("FILTERED serving from a persisted assignment index: pruned scan + label predicate, identical results") {
+    // The metadata-constrained production pattern end-to-end: the
+    // label-carrying assignment index (vec_id, v, label, cell)
+    // persists bucketed by cell; a filtered query prunes to its probed
+    // buckets at plan time and the label predicate rides the broadcast
+    // probe join inside them.
+    val quant =
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr(quant).as("v"), col("label"))
+    val n = e.count()
+    val kCentroids = math.ceil(math.sqrt(n.toDouble)).toInt
+    val centroids = e.filter(col("vec_id") < kCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val nBuckets = 32
+    val nProbes = 4
+    try {
+      graft.sources.Sinks.writeBucketed(
+        Similarity.assignCells(e, centroids, carry = Seq("label")),
+        "ivf_filtered_idx", "cell", nBuckets)
+      val probes = e.filter(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("v").as("v_p"),
+          col("label").as("lbl_p"))
+      val cellScores = probes.join(broadcast(centroids))
+        .select(col("probe_id").as("vec_id"), col("cid"),
+          graft.functions.VectorOps.longDot(col("v_p"), col("c")).as("cdot"))
+      val cells = graft.functions.TopK
+        .perKey(cellScores, "vec_id", "cdot", "cid", Similarity.FilteredNprobe)
+        .select("cid").distinct().collect().map(_.getLong(0)).toSeq
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val pruned = Similarity.readIvfPqIndexPruned(spark, "ivf_filtered_idx", cells)
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(pruned.queryExecution.executedPlan.toString)
+      assert(sel.isDefined && sel.get.group(1).toInt < nBuckets,
+        s"filtered index scan not pruned: $sel")
+      val fromDisk = Similarity
+        .searchFilteredAssignIndex(pruned, probes, centroids, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val inMemory = Similarity
+        .ivfFilteredTopKWith(e, centroids, nProbes, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(fromDisk == inMemory,
+        s"filtered disk path diverges: ${fromDisk.take(5)} vs ${inMemory.take(5)}")
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS ivf_filtered_idx")
+    }
+  }
 }
