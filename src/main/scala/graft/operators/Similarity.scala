@@ -359,6 +359,25 @@ object Similarity {
     * stream, filter inline, never post-filter a finished top-k). */
   val FilteredNprobe = 2 * IvfNprobe
 
+  /** Per-probe top-`nprobe` cell ranking over the broadcast centroid
+    * set — THE one definition of which cells a probe searches, shared
+    * by every IVF-family search body AND the AnnIndexSpec pruning
+    * tests (so a tie-break change can never make a test's cell list
+    * drift from the engine's). Tie rule (cdot desc, cid asc),
+    * identical to assignment, so nprobe=1 reproduces the assigned
+    * cell. `probes`: (probe_id, v). Returns (probe_id, cell, cdot) —
+    * the residual ADC path consumes the ranked cell's centroid dot as
+    * its cell term; other callers drop it. */
+  private[operators] def probeCells(probes: DataFrame, centroids: DataFrame,
+                                    nprobe: Int): DataFrame = {
+    val cellScores = probes.join(broadcast(centroids))
+      .select(col("probe_id").as("vec_id"), col("cid"),
+        graft.functions.VectorOps.longDot(col("v"), col("c")).as("cdot"))
+    graft.functions.TopK.perKey(cellScores, "vec_id", "cdot", "cid", nprobe)
+      .select(col("vec_id").as("probe_id"), col("cid").as("cell"),
+        col("cdot"))
+  }
+
   /** Assign + search over an arbitrary centroid frame (cid, c). */
   def ivfTopKWith(e: DataFrame, centroids: DataFrame,
                   nProbes: Int, k: Int, nprobe: Int = IvfNprobe): DataFrame = {
@@ -372,15 +391,12 @@ object Similarity {
     // centroid set with the same (dot desc, cid asc) tie rule as
     // assignment, so nprobe = 1 reproduces the assigned cell exactly
     // and the DuckDB twin replays the identical cell sequence.
-    val cellScores = assigned.filter(col("vec_id") < nProbes)
-      .select(col("vec_id"), col("v"))
-      .join(broadcast(centroids))
-      .select(col("vec_id"), col("cid"),
-        graft.functions.VectorOps.longDot(col("v"), col("c")).as("cdot"))
-    val probeCells = graft.functions.TopK
-      .perKey(cellScores, "vec_id", "cdot", "cid", nprobe)
-      .select(col("vec_id").as("probe_id"), col("cid").as("cell"))
-    val probes = probeCells.join(
+    val cells = probeCells(
+      assigned.filter(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("v")),
+      centroids, nprobe)
+      .select(col("probe_id"), col("cell"))
+    val probes = cells.join(
       assigned.filter(col("vec_id") < nProbes)
         .select(col("vec_id").as("probe_id"), col("v").as("v_p")),
       Seq("probe_id"))
@@ -433,13 +449,10 @@ object Similarity {
   def searchFilteredAssignIndex(index: DataFrame, probes: DataFrame,
                                 centroids: DataFrame, k: Int,
                                 nprobe: Int = FilteredNprobe): DataFrame = {
-    val cellScores = probes.join(broadcast(centroids))
-      .select(col("probe_id").as("vec_id"), col("cid"),
-        graft.functions.VectorOps.longDot(col("v_p"), col("c")).as("cdot"))
-    val probeCells = graft.functions.TopK
-      .perKey(cellScores, "vec_id", "cdot", "cid", nprobe)
-      .select(col("vec_id").as("probe_id"), col("cid").as("cell"))
-    val pr = probeCells.join(probes, Seq("probe_id"))
+    val cells = probeCells(
+      probes.select(col("probe_id"), col("v_p").as("v")), centroids, nprobe)
+      .select(col("probe_id"), col("cell"))
+    val pr = cells.join(probes, Seq("probe_id"))
     val cands = index.select(col("cell"), col("vec_id").as("cand_id"),
       col("v").as("v_c"), col("label").as("lbl_c"))
     val scored = broadcast(pr).join(cands, Seq("cell"))
@@ -758,16 +771,10 @@ object Similarity {
                                nprobe: Int = IvfNprobe): DataFrame = {
     val probeVecs = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v"))
-    val cellScores = probeVecs.join(broadcast(centroids))
-      .select(col("probe_id").as("vec_id"), col("cid"),
-        graft.functions.VectorOps.longDot(col("v"), col("c")).as("cdot"))
-    // TopK emits (vec_id, cid, cdot, rk) — the cdot per searched cell
-    // rides along and becomes the ADC cell term below.
-    val probeCells = graft.functions.TopK
-      .perKey(cellScores, "vec_id", "cdot", "cid", nprobe)
-      .select(col("vec_id").as("probe_id"), col("cid").as("cell"),
-        col("cdot"))
-    val lt = probeCells.select(col("probe_id"), col("cell"))
+    // probeCells' cdot per searched cell rides along and becomes the
+    // ADC cell term below.
+    val rankedCells = probeCells(probeVecs, centroids, nprobe)
+    val lt = rankedCells.select(col("probe_id"), col("cell"))
       .join(probeVecs, Seq("probe_id"))
       .join(broadcast(codebook.select(col("m"), col("k"), col("c"))))
       .select(col("probe_id"), col("cell"), col("m"), col("k"),
@@ -777,7 +784,7 @@ object Similarity {
       .filter(col("cand_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("cand_id"), col("cell"))
       .agg(sum(col("pd")).as("rdot"))
-      .join(broadcast(probeCells), Seq("probe_id", "cell"))
+      .join(broadcast(rankedCells), Seq("probe_id", "cell"))
       .select(col("probe_id"), col("cand_id"),
         (col("rdot") + col("cdot")).as("adot"))
     graft.functions.TopK.perKey(scored, "probe_id", "adot", "cand_id", k)

@@ -34,17 +34,22 @@ object ProfAnn {
       .select(col("vec_id"), expr(quant).as("v"))
     val n = e.count()
     val truth = Similarity.brute(s, dir, 64, 5).select("probe_id", "cand_id")
-    def trainedRecall(name: String)(approx: org.apache.spark.sql.DataFrame): Unit =
+    // ONE action per measurement: collecting the (tiny, per-probe)
+    // recall frame once and averaging locally — a second agg would
+    // re-execute the whole ANN pipeline and double the reported
+    // latency. Parameterized by the truth frame: the filtered sweep
+    // audits against the CONSTRAINED answer, not the global one.
+    def recallAgainst(truthFrame: org.apache.spark.sql.DataFrame)(
+        name: String)(approx: org.apache.spark.sql.DataFrame): Unit =
       Prof.time(name) {
-        // ONE action: collecting the (tiny, per-probe) recall frame
-        // once and averaging locally — a second agg would re-execute
-        // the whole ANN pipeline and double the reported latency.
-        val rows = Similarity.recallVs(truth, approx)
+        val rows = Similarity.recallVs(truthFrame, approx)
           .select(col("recall")).collect()
         val m = rows.map(_.getDouble(0)).sum / rows.length
         println(f"[prof] $name mean recall = $m%.4f")
         rows.length.toLong
       }
+    def trainedRecall(name: String)(approx: org.apache.spark.sql.DataFrame): Unit =
+      recallAgainst(truth)(name)(approx)
     val kCodes = Similarity.derivePqCodes(n)
     val kCells = math.ceil(math.sqrt(n.toDouble)).toInt
     // kmeansPqCodebook fits eagerly and returns a local relation — safe
@@ -74,18 +79,14 @@ object ProfAnn {
     // recall join.
     val el = graft.Tables.embeddings(s, dir)
       .select(col("vec_id"), expr(quant).as("v"), col("label"))
+    // Materialized ONCE: otherwise each timed nprobe iteration re-runs
+    // the exact filtered reference and the per-nprobe latency deltas
+    // drown in a constant truth-recomputation term.
     val fTruth = Similarity.filteredTopK(
-      graft.Tables.embeddings(s, dir), 64, 5).select("probe_id", "cand_id")
-    def filteredRecall(name: String)(approx: org.apache.spark.sql.DataFrame): Unit =
-      Prof.time(name) {
-        val rows = Similarity.recallVs(fTruth, approx)
-          .select(col("recall")).collect()
-        val m = rows.map(_.getDouble(0)).sum / rows.length
-        println(f"[prof] $name mean recall = $m%.4f")
-        rows.length.toLong
-      }
+        graft.Tables.embeddings(s, dir), 64, 5)
+      .select("probe_id", "cand_id").localCheckpoint(true)
     for (np <- Seq(1, 2, 4, 8))
-      filteredRecall(s"ivf_filtered_recall_nprobe$np")(
+      recallAgainst(fTruth)(s"ivf_filtered_recall_nprobe$np")(
         Similarity.ivfFilteredTopKWith(el, centroids, 64, 5, nprobe = np))
     s.stop()
   }

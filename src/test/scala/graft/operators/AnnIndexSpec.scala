@@ -32,12 +32,11 @@ class AnnIndexSpec extends SparkSpec {
       // prune buckets at plan time.
       val probeVecs = e.filter(col("vec_id") < nProbes)
         .select(col("vec_id").as("probe_id"), col("v"))
-      val cellScores = probeVecs.join(broadcast(centroids))
-        .select(col("probe_id").as("vec_id"), col("cid"),
-          graft.functions.VectorOps.longDot(col("v"), col("c")).as("cdot"))
-      val cells = graft.functions.TopK
-        .perKey(cellScores, "vec_id", "cdot", "cid", Similarity.IvfNprobe)
-        .select("cid").distinct().collect().map(_.getLong(0)).toSeq
+      // THE engine's own cell ranking (Similarity.probeCells) — the
+      // test's pruning list can never drift from what the search body
+      // actually probes.
+      val cells = Similarity.probeCells(probeVecs, centroids, Similarity.IvfNprobe)
+        .select("cell").distinct().collect().map(_.getLong(0)).toSeq
       assert(cells.nonEmpty && cells.size <= nProbes * Similarity.IvfNprobe)
 
       // The serving-session posture (see readIvfPqIndexPruned's doc):
@@ -94,12 +93,11 @@ class AnnIndexSpec extends SparkSpec {
       Similarity.writeIvfPqResIndex(e, centroids, codebook, "ivfpq_res_idx", nBuckets)
       val probeVecs = e.filter(col("vec_id") < nProbes)
         .select(col("vec_id").as("probe_id"), col("v"))
-      val cellScores = probeVecs.join(broadcast(centroids))
-        .select(col("probe_id").as("vec_id"), col("cid"),
-          graft.functions.VectorOps.longDot(col("v"), col("c")).as("cdot"))
-      val cells = graft.functions.TopK
-        .perKey(cellScores, "vec_id", "cdot", "cid", Similarity.IvfNprobe)
-        .select("cid").distinct().collect().map(_.getLong(0)).toSeq
+      // THE engine's own cell ranking (Similarity.probeCells) — the
+      // test's pruning list can never drift from what the search body
+      // actually probes.
+      val cells = Similarity.probeCells(probeVecs, centroids, Similarity.IvfNprobe)
+        .select("cell").distinct().collect().map(_.getLong(0)).toSeq
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       val pruned = Similarity.readIvfPqIndexPruned(spark, "ivfpq_res_idx", cells)
       val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
@@ -148,12 +146,11 @@ class AnnIndexSpec extends SparkSpec {
       Similarity.writeIvfPqResIndex(e, centroids, codebook, "ivfpq_tr_idx", nBuckets)
       val probeVecs = e.filter(col("vec_id") < nProbes)
         .select(col("vec_id").as("probe_id"), col("v"))
-      val cellScores = probeVecs.join(broadcast(centroids))
-        .select(col("probe_id").as("vec_id"), col("cid"),
-          graft.functions.VectorOps.longDot(col("v"), col("c")).as("cdot"))
-      val cells = graft.functions.TopK
-        .perKey(cellScores, "vec_id", "cdot", "cid", Similarity.IvfNprobe)
-        .select("cid").distinct().collect().map(_.getLong(0)).toSeq
+      // THE engine's own cell ranking (Similarity.probeCells) — the
+      // test's pruning list can never drift from what the search body
+      // actually probes.
+      val cells = Similarity.probeCells(probeVecs, centroids, Similarity.IvfNprobe)
+        .select("cell").distinct().collect().map(_.getLong(0)).toSeq
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       val pruned = Similarity.readIvfPqIndexPruned(spark, "ivfpq_tr_idx", cells)
       val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
@@ -199,12 +196,11 @@ class AnnIndexSpec extends SparkSpec {
       val probes = e.filter(col("vec_id") < nProbes)
         .select(col("vec_id").as("probe_id"), col("v").as("v_p"),
           col("label").as("lbl_p"))
-      val cellScores = probes.join(broadcast(centroids))
-        .select(col("probe_id").as("vec_id"), col("cid"),
-          graft.functions.VectorOps.longDot(col("v_p"), col("c")).as("cdot"))
-      val cells = graft.functions.TopK
-        .perKey(cellScores, "vec_id", "cdot", "cid", Similarity.FilteredNprobe)
-        .select("cid").distinct().collect().map(_.getLong(0)).toSeq
+      val cells = Similarity.probeCells(
+          probes.select(col("probe_id"), col("v_p").as("v")),
+          centroids, Similarity.FilteredNprobe)
+        .select("cell").distinct().collect().map(_.getLong(0)).toSeq
+      assert(cells.nonEmpty, "no probed cells")
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       val pruned = Similarity.readIvfPqIndexPruned(spark, "ivf_filtered_idx", cells)
       val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
@@ -217,6 +213,8 @@ class AnnIndexSpec extends SparkSpec {
       val inMemory = Similarity
         .ivfFilteredTopKWith(e, centroids, nProbes, k = 5)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(fromDisk.nonEmpty,
+        "filtered serving returned no rows — the equality below would be vacuous")
       assert(fromDisk == inMemory,
         s"filtered disk path diverges: ${fromDisk.take(5)} vs ${inMemory.take(5)}")
     } finally {
