@@ -272,6 +272,29 @@ object Curation {
     * doc_id, each reusing the id partitioning of the frames involved.
     */
   def corpusFunnel(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val f = funnelFrames(docs, embeddings)
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_kept"))
+        .select(lit(name).as("stage"), col("n_kept"))
+    docs.sparkSession.range(1)
+      .select(lit("0_input").as("stage"), lit(f.nInput).as("n_kept"))
+      .unionByName(stage("1_quality", f.s1))
+      .unionByName(stage("2_exact", f.s2))
+      .unionByName(stage("3_decontam", f.s3))
+      .unionByName(stage("4_semantic", f.s4))
+      .orderBy("stage")
+  }
+
+  /** The funnel's per-stage survivor frames plus the DROP sets each
+    * stage subtracted — one computation feeding both the count view
+    * ([[corpusFunnel]]) and the per-doc verdict view
+    * ([[corpusFunnelReasons]]). */
+  private final case class FunnelFrames(
+      nInput: Long, s1: DataFrame, s2: DataFrame, flagged: DataFrame,
+      s3: DataFrame, semanticDrops: DataFrame, s4: DataFrame)
+
+  private def funnelFrames(docs: DataFrame,
+                           embeddings: DataFrame): FunnelFrames = {
     val nInput = docs.count() // one count: width derivation AND stage 0
     val width = deriveShingleWidth(nInput)
     // Each stage MATERIALIZES (eager localCheckpoint standing in for
@@ -292,6 +315,7 @@ object Curation {
     val corpus3 = s2.filter(col("doc_id") % EvalMod =!= 0)
     val flagged = decontaminateBatch(
       corpus3, evalShingleIndex(docs, width), width).select("doc_id")
+      .localCheckpoint(true)
     val s3 = corpus3.join(flagged, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     val vecs = embeddings.select(col("vec_id"), expr(
@@ -304,17 +328,46 @@ object Curation {
       s3.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
     val semanticDrops = Dedup.semanticDedup(survivorVecs, cents)
       .filter(!col("keep")).select(col("vec_id").as("doc_id"))
+      .localCheckpoint(true)
     val s4 = s3.join(semanticDrops, Seq("doc_id"), "left_anti")
-    def stage(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_kept"))
-        .select(lit(name).as("stage"), col("n_kept"))
-    docs.sparkSession.range(1)
-      .select(lit("0_input").as("stage"), lit(nInput).as("n_kept"))
-      .unionByName(stage("1_quality", s1))
-      .unionByName(stage("2_exact", s2))
-      .unionByName(stage("3_decontam", s3))
-      .unionByName(stage("4_semantic", s4))
-      .orderBy("stage")
+    FunnelFrames(nInput, s1, s2, flagged, s3, semanticDrops, s4)
+  }
+
+  /** The funnel made ACTIONABLE per document: every input doc with the
+    * verdict `kept` or the stage-tagged reason it was dropped —
+    * `1_quality` (failed the length/repetition screen), `2_exact_dup`
+    * (a byte-identical earlier copy survives instead), `3_eval_held_out`
+    * (the doc IS eval-set material — held out of training by
+    * membership, not similarity), `3_contaminated` (shares a shingle
+    * with the eval set), `4_semantic_dup` (an earlier same-cell
+    * neighbor at cos ≥ τ survives instead). The count view answers
+    * "how much did each stage cost"; this answers "why is doc X gone"
+    * — the first question a pipeline owner asks of a funnel report.
+    *
+    * Scale shape: the same stage frames (computed once, checkpointed)
+    * plus four doc_id-keyed left joins and one CASE projection — every
+    * join key is the id the frames already hash on, and the drop sets
+    * (flagged, semanticDrops) are the SMALL sides. */
+  def corpusFunnelReasons(docs: DataFrame,
+                          embeddings: DataFrame): DataFrame = {
+    val f = funnelFrames(docs, embeddings)
+    docs.select(col("doc_id"))
+      .join(f.s1.select(col("doc_id"), lit(true).as("__in1")),
+        Seq("doc_id"), "left")
+      .join(f.s2.select(col("doc_id"), lit(true).as("__in2")),
+        Seq("doc_id"), "left")
+      .join(f.flagged.select(col("doc_id"), lit(true).as("__contam")),
+        Seq("doc_id"), "left")
+      .join(f.semanticDrops.select(col("doc_id"), lit(true).as("__sem")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__in1").isNull, "1_quality")
+          .when(col("__in2").isNull, "2_exact_dup")
+          .when(col("doc_id") % EvalMod === 0, "3_eval_held_out")
+          .when(col("__contam").isNotNull, "3_contaminated")
+          .when(col("__sem").isNotNull, "4_semantic_dup")
+          .otherwise("kept").as("outcome"))
+      .orderBy("doc_id")
   }
 
   /** Above this eval-set size the gate ships shingles as a BROADCAST
@@ -1107,6 +1160,11 @@ object Curation {
     // The composed curation funnel — see [[corpusFunnel]].
     "q_corpus_funnel" -> ((s, dir) =>
       corpusFunnel(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
+    // Per-doc drop verdicts — see [[corpusFunnelReasons]].
+    "q_corpus_funnel_reasons" -> ((s, dir) =>
+      corpusFunnelReasons(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))),
 
     "q_corpus_mix" -> ((s, dir) => {
       import s.implicits._

@@ -116,6 +116,23 @@ object Sinks {
       .bucketBy(nBuckets, keyCol).sortBy(keyCol)
       .saveAsTable(table)
 
+  /** APPEND a batch to an existing bucketed table — the table
+    * MAINTENANCE path: new rows land as additional files inside their
+    * key's bucket (Spark validates the bucket spec against the
+    * existing table), so plan-time bucket pruning and exchange-free
+    * joins keep working across the combined data without rewriting
+    * the original. The per-bucket file count grows by one per append
+    * — after many appends, run [[compact]]; and appends are NOT
+    * idempotent (a replayed batch doubles its rows), so a streaming
+    * caller must gate on its batchId ledger the way the Outbox sink
+    * does. AnnIndexSpec proves append == rebuild for the served ANN
+    * index. */
+  def appendBucketed(df: DataFrame, table: String, keyCol: String,
+                     nBuckets: Int): Unit =
+    df.write.mode("append").format("parquet")
+      .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+      .saveAsTable(table)
+
   /** Small-file compaction — after many streaming/partitioned appends a
     * table degrades into thousands of tiny files; rewrite to
     * `targetFiles` and swap in. The swap is two renames (current → .old,

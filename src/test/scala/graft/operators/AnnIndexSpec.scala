@@ -222,4 +222,57 @@ class AnnIndexSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ivf_filtered_idx")
     }
   }
+
+  test("index MAINTENANCE: a batch appended into the bucketed index serves identically to a rebuild") {
+    // The ingest-time story for the served index: new vectors assign
+    // against the FROZEN centroid artifact and APPEND into their
+    // buckets (Sinks.appendBucketed) — no rebuild, pruning intact, and
+    // the served answer equals a from-scratch index over corpus+batch.
+    val quant =
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr(quant).as("v"), col("label"))
+    val n = e.count()
+    val kCentroids = math.ceil(math.sqrt(n.toDouble)).toInt
+    val centroids = e.filter(col("vec_id") < kCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val batchPred = col("vec_id") % 5 === 0
+    val nBuckets = 32
+    val nProbes = 4
+    try {
+      graft.sources.Sinks.writeBucketed(
+        Similarity.assignCells(e.filter(!batchPred), centroids,
+          carry = Seq("label")),
+        "ivf_app_idx", "cell", nBuckets)
+      graft.sources.Sinks.appendBucketed(
+        Similarity.assignCells(e.filter(batchPred), centroids,
+          carry = Seq("label")),
+        "ivf_app_idx", "cell", nBuckets)
+      val probes = e.filter(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("v").as("v_p"),
+          col("label").as("lbl_p"))
+      val cells = Similarity.probeCells(
+          probes.select(col("probe_id"), col("v_p").as("v")),
+          centroids, Similarity.FilteredNprobe)
+        .select("cell").distinct().collect().map(_.getLong(0)).toSeq
+      assert(cells.nonEmpty, "no probed cells")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val pruned = Similarity.readIvfPqIndexPruned(spark, "ivf_app_idx", cells)
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(pruned.queryExecution.executedPlan.toString)
+      assert(sel.isDefined && sel.get.group(1).toInt < nBuckets,
+        s"appended index scan not pruned: $sel")
+      val fromDisk = Similarity
+        .searchFilteredAssignIndex(pruned, probes, centroids, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val rebuilt = Similarity
+        .ivfFilteredTopKWith(e, centroids, nProbes, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(fromDisk.nonEmpty && fromDisk == rebuilt,
+        s"appended index diverges from rebuild: ${fromDisk.take(5)} vs ${rebuilt.take(5)}")
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS ivf_app_idx")
+    }
+  }
 }
