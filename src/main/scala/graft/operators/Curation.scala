@@ -881,7 +881,12 @@ object Curation {
         expr(s"(${budget}L * coalesce(rate_pct, 0)) div rate_sum"))
       .select(col("lang"), col("available_tokens"),
         col("target_tokens"),
-        when(col("target_tokens") === 0, lit(0L))
+        // available_tokens = 0 (a language whose docs all estimate 0
+        // tokens) guards the ceil-div: no data ⟹ no repeat factor —
+        // 0, not a NULL (and not the DuckDB division error the
+        // unguarded oracle would throw; round-9 advice).
+        when(col("target_tokens") === 0 || col("available_tokens") === 0,
+          lit(0L))
           .otherwise(expr(
             "(target_tokens + available_tokens - 1) div available_tokens"))
           .as("repeat_factor"),
@@ -942,9 +947,13 @@ object Curation {
           .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
     cum.join(broadcast(recipe), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("est_tokens"),
-        (expr("target_tokens div available_tokens") +
-          when(col("cum_before") < expr("target_tokens % available_tokens"),
-            lit(1L)).otherwise(lit(0L))).as("n_copies"))
+        // Same available_tokens = 0 guard as corpusRecipe: a language
+        // with no estimable tokens expands to 0 copies instead of
+        // tripping ANSI div-by-zero here / a division error in DuckDB.
+        when(col("available_tokens") === 0, lit(0L))
+          .otherwise(expr("target_tokens div available_tokens") +
+            when(col("cum_before") < expr("target_tokens % available_tokens"),
+              lit(1L)).otherwise(lit(0L))).as("n_copies"))
   }
 
   /** Per-lang median/MAD outlier verdicts over (doc_id, lang, n_chars)
@@ -1746,7 +1755,7 @@ object Curation {
                  AS target_tokens
         FROM avail a LEFT JOIN rates r ON a.lang = r.lang, rs)
       SELECT lang, available_tokens, target_tokens,
-             CAST(CASE WHEN target_tokens = 0 THEN 0
+             CAST(CASE WHEN target_tokens = 0 OR available_tokens = 0 THEN 0
                   ELSE (target_tokens + available_tokens - 1) // available_tokens
                   END AS BIGINT) AS repeat_factor,
              CASE WHEN target_tokens = 0 THEN 'excluded'
@@ -1783,9 +1792,11 @@ object Curation {
                  AS BIGINT) AS cum_before
         FROM d)
       SELECT c.doc_id, c.lang, c.est_tokens,
-             CAST(r.target_tokens // r.available_tokens +
-                  CASE WHEN c.cum_before < r.target_tokens % r.available_tokens
-                       THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+             CAST(CASE WHEN r.available_tokens = 0 THEN 0
+                  ELSE r.target_tokens // r.available_tokens +
+                       CASE WHEN c.cum_before < r.target_tokens % r.available_tokens
+                            THEN 1 ELSE 0 END
+                  END AS BIGINT) AS n_copies
       FROM c JOIN recipe r ON c.lang = r.lang
       ORDER BY doc_id""",
 

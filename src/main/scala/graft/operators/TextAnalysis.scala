@@ -105,17 +105,23 @@ object TextAnalysis {
     * redaction pass every modern training pipeline runs before
     * release. Emails masked BEFORE IPs so a dotted quad inside an
     * email domain is consumed by the email placeholder, not
-    * double-masked. Pure per-row regex work: linear scan, no shuffle,
-    * fully codegen'd. Driver corpora contain no PII — all-zero counts
-    * with text unchanged IS the correct oracle-checked answer there
-    * (same posture as `q_quality_outliers`); the masking branch is
-    * proven on planted PII in PipelineSpec. */
-  def piiMask(docs: DataFrame): DataFrame =
+    * double-masked — and n_ips COUNTS on the email-masked text for the
+    * same reason (round-9 advice: counting on the raw text made
+    * `a@1.2.3.4.com` increment n_ips while producing no `<IP>`
+    * placeholder — counts and mask disagreed; now n_ips is exactly the
+    * number of `<IP>` substitutions). Pure per-row regex work: linear
+    * scan, no shuffle, fully codegen'd. Driver corpora contain no PII
+    * — all-zero counts with text unchanged IS the correct
+    * oracle-checked answer there (same posture as
+    * `q_quality_outliers`); the masking branch is proven on planted
+    * PII in PipelineSpec. */
+  def piiMask(docs: DataFrame): DataFrame = {
+    val emailMasked = regexp_replace(col("text"), EmailRe, "<EMAIL>")
     docs.select(col("doc_id"),
       size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
-      size(regexp_extract_all(col("text"), lit(IpRe), lit(0))).as("n_ips"),
-      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-        IpRe, "<IP>").as("masked"))
+      size(regexp_extract_all(emailMasked, lit(IpRe), lit(0))).as("n_ips"),
+      regexp_replace(emailMasked, IpRe, "<IP>").as("masked"))
+  }
 
   /** Vocabulary floor and divisor for [[vocabCoverage]]'s derived
     * vocab size: V = max(8, n_distinct_tokens / 4) — a quarter of the
@@ -591,10 +597,14 @@ object TextAnalysis {
     // Same patterns verbatim (single-quoted SQL literals pass the
     // backslashes raw to RE2); DuckDB's regexp_replace needs the 'g'
     // flag to mirror Spark's replace-all default.
+    // n_ips counts on the email-masked text (matching the engine), so
+    // counts and the <IP> substitutions in `masked` always agree.
     "q_text_pii_mask" -> s"""
       SELECT doc_id,
              CAST(len(regexp_extract_all(text, '$EmailRe')) AS INTEGER) AS n_emails,
-             CAST(len(regexp_extract_all(text, '$IpRe')) AS INTEGER) AS n_ips,
+             CAST(len(regexp_extract_all(
+               regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), '$IpRe'))
+               AS INTEGER) AS n_ips,
              regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
                             '$IpRe', '<IP>', 'g') AS masked
       FROM documents ORDER BY doc_id""",

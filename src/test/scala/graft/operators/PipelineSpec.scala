@@ -929,6 +929,26 @@ class PipelineSpec extends SparkSpec {
     assert(got("fr") == (10L, 0L, 0L, "excluded"), s"fr: ${got("fr")}")
   }
 
+  test("recipe: a weighted language with zero estimable tokens yields 0, not div-by-zero") {
+    import spark.implicits._
+    // n_chars = 0 ⟹ est_tokens = (0+3) div 4 = 0 ⟹ available_tokens
+    // = 0 with a weight row (target > 0): the round-9 advice edge. Both
+    // the ceil-div repeat factor and the expansion's div/mod must guard
+    // to 0 instead of NULL (Spark) / a division error (the oracle).
+    val docs = Seq((1L, "xx", 0L), (2L, "en", 397L))
+      .toDF("doc_id", "lang", "n_chars")
+    val rates = Seq(("xx", 50L), ("en", 50L)).toDF("lang", "rate_pct")
+    val recipe = Curation.corpusRecipe(docs, rates, budget = 1000L)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(recipe("xx") == (0L, 500L, 0L, "upsampled"), s"xx: ${recipe("xx")}")
+    val expand = Curation.recipeExpand(docs, rates, budget = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(expand(1L) == 0L, s"zero-token lang expands to 0 copies: $expand")
+    assert(expand(2L) == 5L, s"en: target 500 over 100 avail = 5 epochs: $expand")
+  }
+
   test("cluster representatives: longest member wins, ties break to the lowest id") {
     import spark.implicits._
     // Cluster 1 = {1, 2, 3}: doc 1 is short, docs 2 and 3 tie at 50
@@ -1184,7 +1204,12 @@ class PipelineSpec extends SparkSpec {
       2L -> "server at 192.168.1.10 and backup at 10.0.0.1 respond",
       3L -> "no pii in this perfectly ordinary document at all",
       4L -> "mail bob@host.org from 172.16.254.3 today",
-      5L -> "odd address user@1.2.3.4 still redacts the quad"))
+      5L -> "odd address user@1.2.3.4 still redacts the quad",
+      // The round-9 advice case: the quad lives INSIDE a valid email
+      // domain (trailing label alphabetic), so the email mask consumes
+      // it — n_ips must be 0 (counted post-email-mask), matching the
+      // zero <IP> placeholders in the output.
+      6L -> "reach a@1.2.3.4.com now"))
     val got = TextAnalysis.piiMask(docs).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
     assert(got(1L) == (1, 0, "contact <EMAIL> for details"), s"doc1: ${got(1L)}")
@@ -1192,6 +1217,7 @@ class PipelineSpec extends SparkSpec {
     assert(got(3L) == (0, 0, "no pii in this perfectly ordinary document at all"), s"doc3: ${got(3L)}")
     assert(got(4L) == (1, 1, "mail <EMAIL> from <IP> today"), s"doc4: ${got(4L)}")
     assert(got(5L) == (0, 1, "odd address user@<IP> still redacts the quad"), s"doc5: ${got(5L)}")
+    assert(got(6L) == (1, 0, "reach <EMAIL> now"), s"doc6: ${got(6L)}")
   }
 
   test("vocab coverage: derived-V head vocabulary, exact per-doc OOV rates") {
