@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped cache of MATERIALIZED shared artifacts — the
+  * in-session stand-in for the artifact table a production pipeline
+  * writes ONCE and every downstream consumer reads (the near-dup
+  * cluster labeling, the positions-aware verbatim match set): build on
+  * first request, serve the materialized frame to every later request
+  * in the same session.
+  *
+  * Why this exists (round-9 verdict items 3-4): the CC family
+  * (`q_dedup_cluster` / `_representative` / `_stats`) and the verbatim
+  * span family each re-derived an identical expensive artifact per key
+  * because every key is a self-contained `queries` entry. The helpers
+  * always ACCEPTED a prebuilt artifact; this cache is what finally
+  * drives reuse end-to-end — one labeling pass, one match-set build,
+  * N views — without changing any key's output (the artifact is
+  * byte-identical to what each key derived on its own, so every oracle
+  * hash is unchanged).
+  *
+  * Contract: `build` must return a frame that is already MATERIALIZED
+  * (localCheckpoint or equivalent) — the cache stores the frame
+  * as-is, and caching an unmaterialized lineage would re-execute it
+  * per consumer, which is exactly the waste this removes. Entries are
+  * keyed by (session, artifact key); entries of STOPPED sessions are
+  * evicted on every access (the `gateBroadcasts` lesson: a driver that
+  * cycles sessions must not pin dead SparkSessions — or the executor
+  * blocks their checkpointed frames hold — for the process lifetime).
+  */
+object Artifacts {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    cache.keySet.removeIf(_._1.sparkContext.isStopped)
+    cache.computeIfAbsent((s, key), _ => build)
+  }
+}

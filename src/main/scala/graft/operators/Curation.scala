@@ -624,29 +624,77 @@ object Curation {
     * contribution is ≤ VerbatimMaxDf². */
   val VerbatimMaxDf = 64
 
-  /** Longest shared verbatim token run per doc pair — see the
-    * `q_verbatim_extents` entry for the algorithm (diagonal alignment +
-    * gaps-and-islands runs over positions-aware rolling-hash shingles).
-    * Exposed so specs can prove exact run lengths on planted reuse. */
-  def verbatimExtents(docs: DataFrame, width: Int): DataFrame = {
-    val sh = shinglesWithPos(docs, width)
-    val rare = sh.groupBy("sh_key")
+  /** Aligned shingle MATCHES between distinct docs, derived from a
+    * [[verbatimIndex]]: (sh_key, doc_a, doc_b, pos_a, diag) for every
+    * co-occurrence of an index key in two docs (doc_a < doc_b). Keys
+    * present in only one doc are pruned BEFORE the self-join (the same
+    * df > 1 restriction the span keys always applied — a df-1 key can
+    * only produce same-doc rows the a < b filter would discard after
+    * paying the join). This is the shared middle of the whole span
+    * family: spans counts it per pair, extents/offsets run the
+    * gaps-and-islands windows over it, removal and the char/byte cut
+    * lists consume those offsets. */
+  private def verbatimMatchesFrom(index: DataFrame): DataFrame = {
+    val multi = index.groupBy("sh_key")
       .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") > 1 && col("df") <= VerbatimMaxDf)
-      .select("sh_key")
-    val shr = sh.join(rare, Seq("sh_key"))
-    val m = shr.as("a").join(shr.as("b"), Seq("sh_key"))
+      .filter(col("df") > 1).select("sh_key")
+    val shr = index.join(multi, Seq("sh_key"))
+    shr.as("a").join(shr.as("b"), Seq("sh_key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      .select(col("sh_key"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("diag"))
+  }
+
+  /** Every maximal run from a prebuilt match frame — the
+    * gaps-and-islands tail shared by extents/offsets/removal/cut-list:
+    * consecutive positions within one (pair, diagonal) form an island;
+    * each island is (start_a, start_b, run_tokens). */
+  private def verbatimOffsetsFrom(m: DataFrame, width: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     m.withColumn("grp", col("pos_a") - row_number().over(w))
       .groupBy("doc_a", "doc_b", "diag", "grp")
-      .agg((count(lit(1)) + width - 1).as("run_tokens"))
+      .agg(min(col("pos_a")).as("start_a"),
+        (count(lit(1)) + width - 1).as("run_tokens"))
+      .select(col("doc_a"), col("doc_b"), col("start_a"),
+        (col("start_a") - col("diag")).as("start_b"), col("run_tokens"))
+  }
+
+  /** The SHARED span-family artifacts, one build per (session, dir) —
+    * round-9 verdict item 4: the five batch span keys each re-derived
+    * the identical positions-aware shingle pipeline; now the
+    * [[verbatimIndex]] is built once (the artifact a production
+    * pipeline persists next to the corpus — the incremental key
+    * already consumes exactly this form), the match frame and run
+    * offsets derive from it once, and every batch key is a cheap view.
+    * Values are byte-identical to each key's own derivation (same
+    * index, same windows), so every oracle hash is unchanged. */
+  private def verbatimMatchesArtifact(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"verbatim-matches:$dir") {
+      val docs = Tables.documents(s, dir)
+      verbatimMatchesFrom(
+        verbatimIndex(docs, deriveShingleWidth(docs.count())))
+        .localCheckpoint(true)
+    }
+
+  private def verbatimOffsetsArtifact(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"verbatim-offsets:$dir") {
+      val docs = Tables.documents(s, dir)
+      verbatimOffsetsFrom(verbatimMatchesArtifact(s, dir),
+        deriveShingleWidth(docs.count()))
+        .localCheckpoint(true)
+    }
+
+  /** Longest shared verbatim token run per doc pair — see the
+    * `q_verbatim_extents` entry for the algorithm (diagonal alignment +
+    * gaps-and-islands runs over positions-aware rolling-hash shingles).
+    * Exposed so specs can prove exact run lengths on planted reuse. */
+  def verbatimExtents(docs: DataFrame, width: Int): DataFrame =
+    verbatimOffsetsFrom(
+      verbatimMatchesFrom(verbatimIndex(docs, width)), width)
       .groupBy("doc_a", "doc_b")
       .agg(max(col("run_tokens")).as("max_run_tokens"))
-  }
 
   /** Every maximal shared verbatim run per doc pair WITH its offsets —
     * the removal-ready form of [[verbatimExtents]]: (start_a, start_b,
@@ -660,26 +708,9 @@ object Curation {
     * reported runs — the documented VerbatimMaxDf trade, unchanged.
     * (start_a, start_b) is unique per pair (islands on one diagonal
     * are disjoint), so the ordering is total and deterministic. */
-  def verbatimOffsets(docs: DataFrame, width: Int): DataFrame = {
-    val sh = shinglesWithPos(docs, width)
-    val rare = sh.groupBy("sh_key")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") > 1 && col("df") <= VerbatimMaxDf)
-      .select("sh_key")
-    val shr = sh.join(rare, Seq("sh_key"))
-    val m = shr.as("a").join(shr.as("b"), Seq("sh_key"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("diag"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
-    m.withColumn("grp", col("pos_a") - row_number().over(w))
-      .groupBy("doc_a", "doc_b", "diag", "grp")
-      .agg(min(col("pos_a")).as("start_a"),
-        (count(lit(1)) + width - 1).as("run_tokens"))
-      .select(col("doc_a"), col("doc_b"), col("start_a"),
-        (col("start_a") - col("diag")).as("start_b"), col("run_tokens"))
-  }
+  def verbatimOffsets(docs: DataFrame, width: Int): DataFrame =
+    verbatimOffsetsFrom(
+      verbatimMatchesFrom(verbatimIndex(docs, width)), width)
 
   /** Substring DEDUP — the consumer of [[verbatimOffsets]] and the Lee
     * et al. end goal: CUT every shared verbatim run of ≥ `minRun`
@@ -700,8 +731,14 @@ object Curation {
     * spans ≥ 50 tokens). */
   def verbatimRemove(docs: DataFrame, width: Int,
                      minRun: Long = 0L): DataFrame =
+    verbatimRemoveFrom(docs, verbatimOffsets(docs, width), width, minRun)
+
+  /** [[verbatimRemove]] over PREBUILT offsets — the consumer form for
+    * callers holding the shared offsets artifact. */
+  def verbatimRemoveFrom(docs: DataFrame, offsets: DataFrame, width: Int,
+                         minRun: Long = 0L): DataFrame =
     cutSpans(docs,
-      verbatimOffsets(docs, width)
+      offsets
         .filter(col("run_tokens") >= math.max(minRun, width))
         .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
           (col("start_b") + col("run_tokens") - 1).as("e")))
@@ -733,7 +770,11 @@ object Curation {
     * docs (inner join), each row touching one doc's own token array —
     * no explode, no window. */
   def verbatimCharSpans(docs: DataFrame, width: Int): DataFrame =
-    charOffsetBase(docs, width)
+    verbatimCharSpansFrom(docs, verbatimOffsets(docs, width))
+
+  /** [[verbatimCharSpans]] over PREBUILT offsets. */
+  def verbatimCharSpansFrom(docs: DataFrame, offsets: DataFrame): DataFrame =
+    charOffsetBase(docs, offsets)
       .select(col("doc_id"), col("s"), col("e"),
         col("char_start"), col("char_end"),
         expr("""substring(text, cast(char_start + 1 as int),
@@ -749,7 +790,11 @@ object Curation {
     * bytes directly on a planted multibyte fixture). Identical scale
     * shape: per-row arithmetic on AFFECTED docs only. */
   def verbatimByteSpans(docs: DataFrame, width: Int): DataFrame =
-    charOffsetBase(docs, width)
+    verbatimByteSpansFrom(docs, verbatimOffsets(docs, width))
+
+  /** [[verbatimByteSpans]] over PREBUILT offsets. */
+  def verbatimByteSpansFrom(docs: DataFrame, offsets: DataFrame): DataFrame =
+    charOffsetBase(docs, offsets)
       .select(col("doc_id"), col("s"), col("e"),
         expr("cast(octet_length(substring(text, 1, cast(char_start as int))) as bigint)")
           .as("byte_start"),
@@ -762,8 +807,8 @@ object Curation {
     * (partner-collapsed) joined onto only the AFFECTED docs, with the
     * char interval of each token span computed from the doc's own
     * token array — no explode, no window. */
-  private def charOffsetBase(docs: DataFrame, width: Int): DataFrame = {
-    val spans = verbatimOffsets(docs, width)
+  private def charOffsetBase(docs: DataFrame, offsets: DataFrame): DataFrame = {
+    val spans = offsets
       .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
         (col("start_b") + col("run_tokens") - 1).as("e"))
       .distinct()
@@ -1014,26 +1059,15 @@ object Curation {
     // footer — between otherwise-unrelated docs. Blocked by the shingle
     // key itself (rolling-hash, 8-byte); keys above VerbatimMaxDf docs
     // are excluded as boilerplate, so per-key pair work is bounded.
-    "q_verbatim_spans" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val width = deriveShingleWidth(docs.count())
-      val sh = shingles(docs, width)
-      // The df side re-derives the shingle frame (Spark shares no
-      // subplans across DataFrame branches without explicit
-      // materialization): two linear corpus passes, which at scale
-      // beats materializing the full O(corpus × shingles) frame just
-      // to read it twice. The resulting rare-key set is small (df-
-      // capped) and broadcasts into the pair join.
-      val rare = sh.groupBy("sh_key").agg(count(lit(1)).as("df"))
-        .filter(col("df") > 1 && col("df") <= VerbatimMaxDf)
-        .select("sh_key")
-      val shared = sh.join(rare, Seq("sh_key"))
-      shared.as("a").join(shared.as("b"), Seq("sh_key"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
-        .orderBy("doc_a", "doc_b")
-    }),
+    "q_verbatim_spans" -> ((s, dir) =>
+      // Count of DISTINCT shared shingle keys per pair, read off the
+      // shared match artifact (the positions-aware frame counts a key
+      // once per position pair; distinct keys = exactly what the old
+      // distinct-shingle self-join counted — same values, one build).
+      verbatimMatchesArtifact(s, dir)
+        .groupBy("doc_a", "doc_b")
+        .agg(countDistinct(col("sh_key")).as("n_shared"))
+        .orderBy("doc_a", "doc_b")),
 
     // Verbatim span EXTENTS — the step beyond q_verbatim_spans toward
     // Lee et al.-style substring dedup: for each doc pair, the LONGEST
@@ -1047,22 +1081,20 @@ object Curation {
     // the documented VerbatimMaxDf trade); repeated phrases WITHIN a
     // doc create parallel diagonals, each measured independently, max
     // taken per pair.
-    "q_verbatim_extents" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      verbatimExtents(docs, deriveShingleWidth(docs.count()))
-        .orderBy("doc_a", "doc_b")
-    }),
+    "q_verbatim_extents" -> ((s, dir) =>
+      verbatimOffsetsArtifact(s, dir)
+        .groupBy("doc_a", "doc_b")
+        .agg(max(col("run_tokens")).as("max_run_tokens"))
+        .orderBy("doc_a", "doc_b")),
 
     // Verbatim run OFFSETS — the removal-ready step past
     // q_verbatim_extents: every maximal shared run per pair with
     // (start_a, start_b, run_tokens), so spans can be CUT (Lee et al.
     // substring dedup), not just measured. Same deterministic window
     // arithmetic as the extents key ⟹ oracle-exact.
-    "q_verbatim_offsets" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      verbatimOffsets(docs, deriveShingleWidth(docs.count()))
-        .orderBy("doc_a", "doc_b", "start_a", "start_b")
-    }),
+    "q_verbatim_offsets" -> ((s, dir) =>
+      verbatimOffsetsArtifact(s, dir)
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")),
 
     // Substring DEDUP — offsets CONSUMED: every shared verbatim run is
     // CUT from the higher-id doc (keep-first), tokens reassembled.
@@ -1072,7 +1104,8 @@ object Curation {
     // ⟹ oracle-exact, text included.
     "q_verbatim_removal" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      verbatimRemove(docs.select(col("doc_id"), col("text")),
+      verbatimRemoveFrom(docs.select(col("doc_id"), col("text")),
+        verbatimOffsetsArtifact(s, dir),
         deriveShingleWidth(docs.count()))
         .orderBy("doc_id")
     }),
@@ -1106,8 +1139,8 @@ object Curation {
     // offsets). Deterministic length/concat arithmetic ⟹ oracle-exact.
     "q_verbatim_char_spans" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      verbatimCharSpans(docs.select(col("doc_id"), col("text")),
-        deriveShingleWidth(docs.count()))
+      verbatimCharSpansFrom(docs.select(col("doc_id"), col("text")),
+        verbatimOffsetsArtifact(s, dir))
         .orderBy("doc_id", "s", "e")
     }),
 
@@ -1116,8 +1149,8 @@ object Curation {
     // index bytes rather than chars.
     "q_verbatim_byte_spans" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      verbatimByteSpans(docs.select(col("doc_id"), col("text")),
-        deriveShingleWidth(docs.count()))
+      verbatimByteSpansFrom(docs.select(col("doc_id"), col("text")),
+        verbatimOffsetsArtifact(s, dir))
         .orderBy("doc_id", "s", "e")
     }),
 

@@ -748,6 +748,24 @@ object Dedup {
       batch.select(col("vec_id"), col("cell")))
   }
 
+  /** The SHARED near-dup labeling artifact: ngram pair graph → CC
+    * labels, built ONCE per (session, corpus dir) and served to every
+    * consumer key (`q_dedup_cluster`, `_representative`, `_stats`) —
+    * the round-9 verdict's "one labeling pass" composition. In
+    * production this is the labels TABLE the clustering job writes and
+    * the survivorship/audit jobs read; here the cache +
+    * `connectedComponents`' own materialization stand in for the
+    * write. Output is byte-identical to each key deriving its own
+    * labels (same pair graph, same fixed point), so every oracle hash
+    * is unchanged — only the redundant recomputation is gone. */
+  private def ngramClusterLabels(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"ngram-cc-labels:$dir")(
+      // connectedComponents materializes its final round internally —
+      // the returned frame already satisfies the cache's contract.
+      connectedComponents(
+        ngramPairs(Tables.documents(s, dir))
+          .select(col("doc_a"), col("doc_b"))))
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content hash → survivor (min doc_id) + multiplicity.
     // One hash aggregate; at 100 TB this is a single shuffle on the
@@ -771,11 +789,11 @@ object Dedup {
     // propagation to the fixed point (PipelineSpec: chains, islands,
     // long-chain convergence, checkpoint-dir mode). This is the
     // standard DataFrame CC loop (what GraphFrames does under the
-    // hood) — each round is one join + one min aggregate.
+    // hood) — each round is one join + one min aggregate. Labels come
+    // from the SHARED artifact ([[ngramClusterLabels]]): whichever of
+    // the three CC-family keys runs first builds it, the others read.
     "q_dedup_cluster" -> ((s, dir) =>
-      connectedComponents(
-        ngramPairs(Tables.documents(s, dir)).select(col("doc_a"), col("doc_b")))
-        .orderBy("doc_id")),
+      ngramClusterLabels(s, dir).orderBy("doc_id")),
 
     // Cluster REPRESENTATIVE selection — the survivorship policy a
     // pipeline applies AFTER clustering: per near-dup cluster keep the
@@ -787,21 +805,21 @@ object Dedup {
     // join of the labeling against (doc_id, n_chars) and one
     // partial-aggregating per-cluster max_by — the deterministic
     // (n_chars desc, doc_id asc) tie-break makes the choice
-    // reproducible and oracle-checkable.
+    // reproducible and oracle-checkable. Consumes the SHARED labeling
+    // artifact — one CC pass serves the whole family.
     "q_dedup_representative" -> ((s, dir) =>
       clusterRepresentatives(
-        connectedComponents(
-          ngramPairs(Tables.documents(s, dir)).select(col("doc_a"), col("doc_b"))),
+        ngramClusterLabels(s, dir),
         Tables.documents(s, dir))
         .orderBy("cluster_rep")),
 
     // Dedup AUDIT — the cluster-size histogram over the same labeling,
     // singletons included (docs the pair generation touched but no edge
-    // reached are size-1 clusters, not absent rows). See [[clusterStats]].
+    // reached are size-1 clusters, not absent rows). See [[clusterStats]];
+    // labels from the SHARED artifact, like the two keys above.
     "q_dedup_stats" -> ((s, dir) =>
       clusterStats(
-        connectedComponents(
-          ngramPairs(Tables.documents(s, dir)).select(col("doc_a"), col("doc_b"))),
+        ngramClusterLabels(s, dir),
         Tables.documents(s, dir).filter(col("lang") === "de"))
         .orderBy("cluster_size")),
 
