@@ -36,6 +36,12 @@ object Curation {
     * design below the right one). */
   val EvalMod = 97
 
+  /** doc_id of the derived near-dup `q_decontaminate_fuzzy_planted`
+    * unions into the corpus: far outside any driver id range, and
+    * 1000000 % 97 = 27 ≠ 0 so the plant lands on the CORPUS side of
+    * the eval split. */
+  val PlantId = 1000000L
+
   /** Fallback contamination shingle width (word n-grams) for callers
     * with no corpus count at hand (an unbounded stream has no count to
     * derive from). The streaming gate takes its width from the
@@ -252,7 +258,8 @@ object Curation {
 
   /** The CURATION FUNNEL — the §2.11 operators composed into the
     * pipeline they exist for, as one oracle-checked query: input →
-    * quality screen → exact dedup → decontamination → semantic dedup,
+    * quality screen → exact dedup → exact decontamination → FUZZY
+    * decontamination → verbatim (substring) scrub → semantic dedup,
     * each stage over the previous stage's survivors, output = the
     * per-stage kept-count funnel table every pipeline report leads
     * with. Frozen artifacts follow the production convention: the
@@ -263,25 +270,36 @@ object Curation {
     * (nothing to compare — the conservative default, same reasoning as
     * the gates' null handling; at sf0.1 only a subset of docs carry
     * vectors, so this path is exercised). Eval-slice docs drop at the
-    * decontamination stage: benchmarks are held out of training data,
-    * not trained on.
+    * exact decontamination stage: benchmarks are held out of training
+    * data, not trained on. The fuzzy stage (the GPT-3 appendix-C gate)
+    * catches the paraphrase the shingle gate structurally cannot: a
+    * doc sharing NO width-w n-gram with the eval set can still be a
+    * banded MinHash collision with word-set Jaccard ≥ 0.8 (block-
+    * reordered text — PipelineSpec plants exactly that). The verbatim
+    * stage cuts cross-doc shared runs among survivors (keep-first) and
+    * drops docs whose every token was removed — a doc that is nothing
+    * but other docs' text contributes nothing but duplication.
     *
     * Scale shape: a linear composition of already-scale-shaped stages
-    * — the funnel adds five count aggregates (bytes) on top of the
+    * — the funnel adds seven count aggregates (bytes) on top of the
     * stages it composes; survivor filtering is semi/anti joins on
     * doc_id, each reusing the id partitioning of the frames involved.
     */
-  def corpusFunnel(docs: DataFrame, embeddings: DataFrame): DataFrame = {
-    val f = funnelFrames(docs, embeddings)
+  def corpusFunnel(docs: DataFrame, embeddings: DataFrame): DataFrame =
+    funnelCounts(docs.sparkSession, funnelFrames(docs, embeddings))
+
+  private def funnelCounts(s: SparkSession, f: FunnelFrames): DataFrame = {
     def stage(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_kept"))
         .select(lit(name).as("stage"), col("n_kept"))
-    docs.sparkSession.range(1)
+    s.range(1)
       .select(lit("0_input").as("stage"), lit(f.nInput).as("n_kept"))
       .unionByName(stage("1_quality", f.s1))
       .unionByName(stage("2_exact", f.s2))
       .unionByName(stage("3_decontam", f.s3))
-      .unionByName(stage("4_semantic", f.s4))
+      .unionByName(stage("4_fuzzy", f.s4))
+      .unionByName(stage("5_verbatim", f.s5))
+      .unionByName(stage("6_semantic", f.s6))
       .orderBy("stage")
   }
 
@@ -291,7 +309,26 @@ object Curation {
     * ([[corpusFunnelReasons]]). */
   private final case class FunnelFrames(
       nInput: Long, s1: DataFrame, s2: DataFrame, flagged: DataFrame,
-      s3: DataFrame, semanticDrops: DataFrame, s4: DataFrame)
+      s3: DataFrame, fuzzyFlagged: DataFrame, s4: DataFrame,
+      emptied: DataFrame, s5: DataFrame,
+      semanticDrops: DataFrame, s6: DataFrame)
+
+  /** ONE FunnelFrames build per (session, corpus dir) — the round-9
+    * verdict's funnel-pair memoization: `q_corpus_funnel` and
+    * `q_corpus_funnel_reasons` are two VIEWS of the same checkpointed
+    * stage frames, so whichever runs first builds them and the other
+    * reads (the per-stage localCheckpoint already stands in for the
+    * stage table a production funnel writes — this cache is just the
+    * "read the table you already wrote" half of that story). Stopped
+    * sessions are evicted, as in [[Artifacts]]. */
+  private val funnelCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), FunnelFrames]()
+
+  private def funnelFramesArtifact(s: SparkSession, dir: String): FunnelFrames = {
+    funnelCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    funnelCache.computeIfAbsent((s, dir), _ =>
+      funnelFrames(Tables.documents(s, dir), Tables.embeddings(s, dir)))
+  }
 
   private def funnelFrames(docs: DataFrame,
                            embeddings: DataFrame): FunnelFrames = {
@@ -302,10 +339,10 @@ object Curation {
     // every survivor frame feeds BOTH the next stage and its own
     // count, and Spark shares no subplans across DataFrame branches —
     // without the cut, stage i's lineage re-executes under stages
-    // i+1…n and the counts, turning a 4-stage funnel into O(stages²)
-    // work (measured 15.6 → 6.6 s at sf0.1; the remainder is the
-    // honest sum of stage compute plus per-stage checkpoint job
-    // latency, which amortizes on a cluster).
+    // i+1…n and the counts, turning the funnel into O(stages²)
+    // work (measured 15.6 → 6.6 s at sf0.1 on the 4-stage form; the
+    // remainder is the honest sum of stage compute plus per-stage
+    // checkpoint job latency, which amortizes on a cluster).
     val s1 = qualityGate(docs).localCheckpoint(true)
     val exactSurvivors = s1
       .groupBy(sha2(col("text"), 256).as("digest"))
@@ -318,6 +355,29 @@ object Curation {
       .localCheckpoint(true)
     val s3 = corpus3.join(flagged, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
+    // 4_fuzzy — MinHash near-dup gate against the SAME frozen eval
+    // slice (decontaminateFuzzy's shape: eval bands broadcast, the
+    // survivor corpus never shuffles for the comparison).
+    val evalBands = Dedup
+      .minhashBandIndex(docs.filter(col("doc_id") % EvalMod === 0))
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
+    val fuzzyCands = Dedup.minhashBandIndex(s3)
+      .join(broadcast(evalBands), Seq("band_id", "band_hash"))
+      .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+    val fuzzyFlagged = Dedup.verifyJaccard(fuzzyCands, docs, 0.8)
+      .select(col("doc_a").as("doc_id")).distinct()
+      .localCheckpoint(true)
+    val s4 = s3.join(fuzzyFlagged, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    // 5_verbatim — substring scrub among survivors (width frozen from
+    // the full corpus, spans from survivor pairs only, keep-first): a
+    // doc whose every token sits in a shared run is dropped.
+    val emptied = verbatimRemove(
+      s4.select(col("doc_id"), col("text")), width)
+      .filter(col("n_removed") === col("n_tokens"))
+      .select("doc_id").localCheckpoint(true)
+    val s5 = s4.join(emptied, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     val vecs = embeddings.select(col("vec_id"), expr(
       "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
       .as("v"))
@@ -325,12 +385,13 @@ object Curation {
     val cents = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("c"))
     val survivorVecs = vecs.join(
-      s3.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      s5.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
     val semanticDrops = Dedup.semanticDedup(survivorVecs, cents)
       .filter(!col("keep")).select(col("vec_id").as("doc_id"))
       .localCheckpoint(true)
-    val s4 = s3.join(semanticDrops, Seq("doc_id"), "left_anti")
-    FunnelFrames(nInput, s1, s2, flagged, s3, semanticDrops, s4)
+    val s6 = s5.join(semanticDrops, Seq("doc_id"), "left_anti")
+    FunnelFrames(nInput, s1, s2, flagged, s3, fuzzyFlagged, s4,
+      emptied, s5, semanticDrops, s6)
   }
 
   /** The funnel made ACTIONABLE per document: every input doc with the
@@ -339,24 +400,34 @@ object Curation {
     * (a byte-identical earlier copy survives instead), `3_eval_held_out`
     * (the doc IS eval-set material — held out of training by
     * membership, not similarity), `3_contaminated` (shares a shingle
-    * with the eval set), `4_semantic_dup` (an earlier same-cell
+    * with the eval set), `4_fuzzy_contaminated` (a banded MinHash
+    * near-dup of eval material at Jaccard ≥ 0.8), `5_verbatim_emptied`
+    * (every token sat in a cross-doc shared run — nothing left after
+    * the substring scrub), `6_semantic_dup` (an earlier same-cell
     * neighbor at cos ≥ τ survives instead). The count view answers
     * "how much did each stage cost"; this answers "why is doc X gone"
     * — the first question a pipeline owner asks of a funnel report.
     *
     * Scale shape: the same stage frames (computed once, checkpointed)
-    * plus four doc_id-keyed left joins and one CASE projection — every
+    * plus six doc_id-keyed left joins and one CASE projection — every
     * join key is the id the frames already hash on, and the drop sets
-    * (flagged, semanticDrops) are the SMALL sides. */
+    * (flagged, fuzzyFlagged, emptied, semanticDrops) are the SMALL
+    * sides. */
   def corpusFunnelReasons(docs: DataFrame,
-                          embeddings: DataFrame): DataFrame = {
-    val f = funnelFrames(docs, embeddings)
+                          embeddings: DataFrame): DataFrame =
+    funnelReasons(docs, funnelFrames(docs, embeddings))
+
+  private def funnelReasons(docs: DataFrame, f: FunnelFrames): DataFrame =
     docs.select(col("doc_id"))
       .join(f.s1.select(col("doc_id"), lit(true).as("__in1")),
         Seq("doc_id"), "left")
       .join(f.s2.select(col("doc_id"), lit(true).as("__in2")),
         Seq("doc_id"), "left")
       .join(f.flagged.select(col("doc_id"), lit(true).as("__contam")),
+        Seq("doc_id"), "left")
+      .join(f.fuzzyFlagged.select(col("doc_id"), lit(true).as("__fuzzy")),
+        Seq("doc_id"), "left")
+      .join(f.emptied.select(col("doc_id"), lit(true).as("__empt")),
         Seq("doc_id"), "left")
       .join(f.semanticDrops.select(col("doc_id"), lit(true).as("__sem")),
         Seq("doc_id"), "left")
@@ -365,10 +436,11 @@ object Curation {
           .when(col("__in2").isNull, "2_exact_dup")
           .when(col("doc_id") % EvalMod === 0, "3_eval_held_out")
           .when(col("__contam").isNotNull, "3_contaminated")
-          .when(col("__sem").isNotNull, "4_semantic_dup")
+          .when(col("__fuzzy").isNotNull, "4_fuzzy_contaminated")
+          .when(col("__empt").isNotNull, "5_verbatim_emptied")
+          .when(col("__sem").isNotNull, "6_semantic_dup")
           .otherwise("kept").as("outcome"))
       .orderBy("doc_id")
-  }
 
   /** Above this eval-set size the gate ships shingles as a BROADCAST
     * VARIABLE instead of a plan literal. A literal array is ONE plan
@@ -1199,14 +1271,37 @@ object Curation {
     "q_decontaminate_fuzzy" -> ((s, dir) =>
       decontaminateFuzzy(Tables.documents(s, dir))),
 
-    // The composed curation funnel — see [[corpusFunnel]].
-    "q_corpus_funnel" -> ((s, dir) =>
-      corpusFunnel(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+    // The NON-VACUOUS twin (round-9 advice): the driver corpora hold
+    // no fuzzy eval near-dups, so the key above oracle-compares
+    // empty == empty — honest, but it never drives a row through the
+    // banded-collision + verify path in DuckDB. This key UNIONS one
+    // DERIVED near-dup into the corpus side — eval doc 0's text minus
+    // its last token, under [[PlantId]] — then runs the SAME pipeline;
+    // the oracle performs the identical construction, so the collision
+    // and exact-Jaccard verify are exercised with nonzero rows at
+    // every SF (the plant shares all but ~2 trigram shingles with doc
+    // 0 ⟹ bands collide; word-set Jaccard ≥ (n−1)/n ≥ 0.8).
+    "q_decontaminate_fuzzy_planted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") === 0)
+        .select(lit(PlantId).as("doc_id"),
+          expr("""concat_ws(' ',
+                    slice(split(text, ' '), 1, size(split(text, ' ')) - 1))""")
+            .as("text"))
+      decontaminateFuzzy(docs.unionByName(planted))
+    }),
 
-    // Per-doc drop verdicts — see [[corpusFunnelReasons]].
+    // The composed curation funnel — see [[corpusFunnel]]. Both funnel
+    // keys are views of ONE memoized FunnelFrames build
+    // ([[funnelFramesArtifact]]): the stage frames are computed and
+    // checkpointed once per (session, dir), not once per key.
+    "q_corpus_funnel" -> ((s, dir) =>
+      funnelCounts(s, funnelFramesArtifact(s, dir))),
+
+    // Per-doc drop verdicts — see [[corpusFunnelReasons]]; same shared
+    // FunnelFrames build as the count view.
     "q_corpus_funnel_reasons" -> ((s, dir) =>
-      corpusFunnelReasons(
-        Tables.documents(s, dir), Tables.embeddings(s, dir))),
+      funnelReasons(Tables.documents(s, dir), funnelFramesArtifact(s, dir))),
 
     "q_corpus_mix" -> ((s, dir) => {
       import s.implicits._
@@ -1315,6 +1410,144 @@ object Curation {
                                       t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS tf
                 FROM documents), params)"""
 
+  /** The funnel's shared DuckDB CTE chain — every stage of the 6-stage
+    * funnel as a CTE over the previous stage's survivors, ending at
+    * `q6`, with each stage's DROP set (`flagged`, `fz`, `vempt`,
+    * `dropped`) named so the reasons oracle can read membership.
+    * Details mirroring the engine exactly:
+    *   - exact dedup groups by TEXT where the engine groups by
+    *     sha256(text) — identical row partitions, so min-id survivors
+    *     agree without cross-engine digest comparison;
+    *   - the fuzzy stage embeds the MinHash signature chain under an
+    *     `mh` prefix (names would otherwise collide with the decontam
+    *     `sh` CTE), candidates restricted to q3 survivors × the eval
+    *     slice, verified on ROUNDED word-set Jaccard ≥ 0.8 (the
+    *     verifyJaccard convention);
+    *   - the verbatim stage re-runs the positions-aware span pipeline
+    *     restricted to q4 survivors at the SAME full-corpus width W;
+    *     `vempt` is the q4 docs with no uncovered token left;
+    *   - the semantic stage restates the q_dedup_semantic chain over
+    *     q5 survivors with the FULL-table centroid artifact (same
+    *     first-K tie-break, same BIGINT-before-squaring rule). */
+  private lazy val funnelCtes = s"""
+      WITH ${shingleParamsSql("documents")},
+      sh AS ($shinglesSql),
+      q1 AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text, tk,
+                 list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bg
+          FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS tk
+                FROM documents WHERE text IS NOT NULL))
+        WHERE len(tk) >= $QualityMinTokens
+          AND NOT ((len(bg) - len(list_distinct(bg))) * 10 > len(bg))),
+      q2 AS (SELECT min(doc_id) AS doc_id FROM q1 GROUP BY text),
+      ev AS (SELECT DISTINCT sh_key FROM sh WHERE doc_id % $EvalMod = 0),
+      flagged AS (
+        SELECT doc_id FROM q2
+        WHERE doc_id % $EvalMod <> 0
+          AND EXISTS (SELECT 1 FROM sh JOIN ev USING (sh_key)
+                      WHERE sh.doc_id = q2.doc_id)),
+      q3 AS (
+        SELECT doc_id FROM q2
+        WHERE doc_id % $EvalMod <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+      ${Dedup.minhashSigCtesFrom("documents", "mh")},
+      fcand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM mhsig a JOIN mhsig b
+          ON (${Dedup.bandEqConds.map(c => s"($c)").mkString("\n              OR ")})
+        WHERE a.doc_id IN (SELECT doc_id FROM q3)
+          AND b.doc_id % $EvalMod = 0),
+      fws AS (
+        SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
+        FROM documents),
+      fz AS (
+        SELECT DISTINCT doc_a AS doc_id
+        FROM fcand JOIN fws a ON fcand.doc_a = a.doc_id
+                   JOIN fws b ON fcand.doc_b = b.doc_id
+        WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+              (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) >= 0.8),
+      q4 AS (SELECT doc_id FROM q3 WHERE doc_id NOT IN (SELECT doc_id FROM fz)),
+      vsh AS (
+        SELECT doc_id, generate_subscripts(ks, 1) - 1 AS pos, unnest(ks) AS sh_key
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN len(tf) < W THEN []
+                      ELSE list_transform(range(1, len(tf) - W + 2),
+                             i -> list_reduce(tf[i:i+W-1],
+                                    (acc, h) -> xor((acc % $RotHi) * 2 + (acc // $RotHi), h)))
+                 END AS ks
+          FROM (SELECT doc_id,
+                       list_transform(string_split(lower(text), ' '),
+                                      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS tf
+                FROM documents
+                WHERE doc_id IN (SELECT doc_id FROM q4)), params)),
+      vrare AS (
+        SELECT sh_key FROM (
+          SELECT sh_key, count(DISTINCT doc_id) AS df FROM vsh GROUP BY sh_key)
+        WHERE df > 1 AND df <= $VerbatimMaxDf),
+      vm AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, a.pos - b.pos AS diag
+        FROM vsh a JOIN vrare USING (sh_key)
+             JOIN vsh b ON a.sh_key = b.sh_key AND a.doc_id < b.doc_id),
+      vr AS (
+        SELECT doc_a, doc_b, diag, pos_a,
+               pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                          ORDER BY pos_a) AS grp
+        FROM vm),
+      vspans AS (
+        SELECT doc_b AS doc_id, min(pos_a) - diag AS s,
+               min(pos_a) - diag + count(*) + W - 1 - 1 AS e
+        FROM vr, params GROUP BY doc_a, doc_b, diag, grp, W),
+      vtoks AS (
+        SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+              WHERE doc_id IN (SELECT doc_id FROM q4))),
+      vkept AS (
+        SELECT DISTINCT doc_id FROM vtoks
+        WHERE NOT EXISTS (SELECT 1 FROM vspans r
+                          WHERE r.doc_id = vtoks.doc_id
+                            AND vtoks.pos >= r.s AND vtoks.pos <= r.e)),
+      vempt AS (
+        SELECT doc_id FROM q4
+        WHERE doc_id NOT IN (SELECT doc_id FROM vkept)),
+      q5 AS (
+        SELECT doc_id FROM q4
+        WHERE doc_id NOT IN (SELECT doc_id FROM vempt)),
+      vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      semp AS (
+        SELECT (count(*) + ${Dedup.SemTargetCell} - 1) // ${Dedup.SemTargetCell} AS K
+        FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cid, v AS c FROM vecs
+        WHERE vec_id < (SELECT K FROM semp)),
+      sv AS (SELECT * FROM vecs WHERE vec_id IN (SELECT doc_id FROM q5)),
+      assigned AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT sv.vec_id, sv.v, c.cid AS cell,
+                 row_number() OVER (PARTITION BY sv.vec_id
+                   ORDER BY list_dot_product(sv.v, c.c) DESC, c.cid) AS arn
+          FROM sv, cents c)
+        WHERE arn = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id FROM (
+          SELECT b.vec_id,
+                 CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot,
+                 CAST(list_dot_product(a.v, a.v) AS BIGINT) AS aa,
+                 CAST(list_dot_product(b.v, b.v) AS BIGINT) AS bb
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id) b
+        WHERE dot > 0
+          AND ${Dedup.SemTauDen * Dedup.SemTauDen} * dot * dot >=
+              ${Dedup.SemTauNum * Dedup.SemTauNum} * aa * bb),
+      q6 AS (
+        SELECT doc_id FROM q5
+        WHERE doc_id NOT IN (SELECT vec_id FROM dropped))"""
+
   val oracle: Map[String, String] = Map(
     "q_decontaminate" -> s"""
       WITH ${shingleParamsSql("documents")},
@@ -1343,69 +1576,38 @@ object Curation {
       WHERE doc_id % 5 = 0 ORDER BY doc_id""",
 
     // The funnel replay: each stage as a CTE over the previous stage's
-    // survivors. Exact dedup groups by TEXT where the engine groups by
-    // sha256(text) — identical partitions of the rows, so the min-id
-    // survivors agree without cross-engine digest comparison. The
-    // semantic stage restates the q_dedup_semantic chain over the
-    // stage-3 survivor subset with the FULL-table centroid artifact
-    // (same first-K tie-break, same BIGINT-before-squaring rule).
+    // survivors — see [[funnelCtes]]. Both funnel oracles share the
+    // chain; this one reads the per-stage counts.
     "q_corpus_funnel" -> s"""
-      WITH ${shingleParamsSql("documents")},
-      sh AS ($shinglesSql),
-      q1 AS (
-        SELECT doc_id, text FROM (
-          SELECT doc_id, text, tk,
-                 list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bg
-          FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS tk
-                FROM documents WHERE text IS NOT NULL))
-        WHERE len(tk) >= $QualityMinTokens
-          AND NOT ((len(bg) - len(list_distinct(bg))) * 10 > len(bg))),
-      q2 AS (SELECT min(doc_id) AS doc_id FROM q1 GROUP BY text),
-      ev AS (SELECT DISTINCT sh_key FROM sh WHERE doc_id % $EvalMod = 0),
-      q3 AS (
-        SELECT doc_id FROM q2
-        WHERE doc_id % $EvalMod <> 0
-          AND NOT EXISTS (SELECT 1 FROM sh JOIN ev USING (sh_key)
-                          WHERE sh.doc_id = q2.doc_id)),
-      vecs AS (
-        SELECT vec_id,
-               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-        FROM embeddings),
-      semp AS (
-        SELECT (count(*) + ${Dedup.SemTargetCell} - 1) // ${Dedup.SemTargetCell} AS K
-        FROM embeddings),
-      cents AS (
-        SELECT vec_id AS cid, v AS c FROM vecs
-        WHERE vec_id < (SELECT K FROM semp)),
-      sv AS (SELECT * FROM vecs WHERE vec_id IN (SELECT doc_id FROM q3)),
-      assigned AS (
-        SELECT vec_id, v, cell FROM (
-          SELECT sv.vec_id, sv.v, c.cid AS cell,
-                 row_number() OVER (PARTITION BY sv.vec_id
-                   ORDER BY list_dot_product(sv.v, c.c) DESC, c.cid) AS arn
-          FROM sv, cents c)
-        WHERE arn = 1),
-      dropped AS (
-        SELECT DISTINCT b.vec_id FROM (
-          SELECT b.vec_id,
-                 CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot,
-                 CAST(list_dot_product(a.v, a.v) AS BIGINT) AS aa,
-                 CAST(list_dot_product(b.v, b.v) AS BIGINT) AS bb
-          FROM assigned a JOIN assigned b
-            ON a.cell = b.cell AND a.vec_id < b.vec_id) b
-        WHERE dot > 0
-          AND ${Dedup.SemTauDen * Dedup.SemTauDen} * dot * dot >=
-              ${Dedup.SemTauNum * Dedup.SemTauNum} * aa * bb),
-      q4 AS (
-        SELECT doc_id FROM q3
-        WHERE doc_id NOT IN (SELECT vec_id FROM dropped))
+      $funnelCtes
       SELECT stage, n_kept FROM (
         SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_kept FROM documents
         UNION ALL SELECT '1_quality', CAST(count(*) AS BIGINT) FROM q1
         UNION ALL SELECT '2_exact', CAST(count(*) AS BIGINT) FROM q2
         UNION ALL SELECT '3_decontam', CAST(count(*) AS BIGINT) FROM q3
-        UNION ALL SELECT '4_semantic', CAST(count(*) AS BIGINT) FROM q4)
+        UNION ALL SELECT '4_fuzzy', CAST(count(*) AS BIGINT) FROM q4
+        UNION ALL SELECT '5_verbatim', CAST(count(*) AS BIGINT) FROM q5
+        UNION ALL SELECT '6_semantic', CAST(count(*) AS BIGINT) FROM q6)
       ORDER BY stage""",
+
+    // The per-doc verdict view over the SAME chain: the CASE mirrors
+    // the engine's outcome precedence exactly (quality before exact
+    // before holdout before exact-contam before fuzzy before verbatim
+    // before semantic), and every membership set is a stage CTE the
+    // count view also reads — so a green hash here proves counts and
+    // verdicts reconcile by construction (round-9 verdict item 1).
+    "q_corpus_funnel_reasons" -> s"""
+      $funnelCtes
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM q1) THEN '1_quality'
+                  WHEN d.doc_id NOT IN (SELECT doc_id FROM q2) THEN '2_exact_dup'
+                  WHEN d.doc_id % $EvalMod = 0 THEN '3_eval_held_out'
+                  WHEN d.doc_id IN (SELECT doc_id FROM flagged) THEN '3_contaminated'
+                  WHEN d.doc_id IN (SELECT doc_id FROM fz) THEN '4_fuzzy_contaminated'
+                  WHEN d.doc_id IN (SELECT doc_id FROM vempt) THEN '5_verbatim_emptied'
+                  WHEN d.doc_id IN (SELECT vec_id FROM dropped) THEN '6_semantic_dup'
+                  ELSE 'kept' END AS outcome
+      FROM documents d ORDER BY d.doc_id""",
 
     // Fuzzy decontamination replay: Dedup's signature CTE chain, band
     // collision as per-band 4-way signature equality (OR over bands)
@@ -1423,6 +1625,38 @@ object Curation {
       ws AS (
         SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
         FROM documents),
+      verified AS (
+        SELECT doc_a, doc_b,
+               round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+                     (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jac
+        FROM cand JOIN ws a ON cand.doc_a = a.doc_id
+                  JOIN ws b ON cand.doc_b = b.doc_id
+        WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+              (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) >= 0.8)
+      SELECT doc_a AS doc_id, count(*) AS n_eval_matches,
+             max(jac) AS max_jac
+      FROM verified GROUP BY doc_a ORDER BY doc_id""",
+
+    // The identical pipeline over documents ∪ the derived plant (doc
+    // 0's text minus its last token, id PlantId): the same CTE chain
+    // re-pointed at `base`, so the hash match exercises the banded
+    // collision and the verify with nonzero rows.
+    "q_decontaminate_fuzzy_planted" -> s"""
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT $PlantId AS doc_id, array_to_string(tk[1:len(tk)-1], ' ') AS text
+        FROM (SELECT string_split(text, ' ') AS tk
+              FROM documents WHERE doc_id = 0)),
+      ${Dedup.minhashSigCtesFrom("base")},
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON (${Dedup.bandEqConds.map(c => s"($c)").mkString("\n              OR ")})
+        WHERE a.doc_id % $EvalMod <> 0 AND b.doc_id % $EvalMod = 0),
+      ws AS (
+        SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
+        FROM base),
       verified AS (
         SELECT doc_a, doc_b,
                round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /

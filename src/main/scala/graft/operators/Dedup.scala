@@ -109,30 +109,36 @@ object Dedup {
     * recompute to a pair slice — the incremental key's proof: the
     * engine's index-once path must hash-match the full pipeline
     * filtered to batch-touching pairs. */
-  /** The shared toks→shingles→hash→signature CTE chain (through `sig`)
-    * — reused by the fuzzy-decontamination oracle in Curation. */
-  private[operators] def minhashSigCtes: String = {
-    val p = MinhashPrime
+  /** The shared toks→shingles→hash→signature CTE chain (through
+    * `sig`) — reused by the fuzzy-decontamination oracles in Curation.
+    * `table` is the doc source; `p` prefixes every CTE name so the
+    * chain can be embedded in a larger WITH (the funnel oracle) whose
+    * names would otherwise collide. */
+  private[operators] def minhashSigCtes: String = minhashSigCtesFrom()
+
+  private[operators] def minhashSigCtesFrom(table: String = "documents",
+                                            p: String = ""): String = {
+    val pr = MinhashPrime
     val mins = (0 until MinhashPerms)
-      .map(j => s"min((${permA(j)} * h + ${permB(j)}) % $p) AS m$j").mkString(",\n               ")
-    s"""toks AS (
-        SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
-      sh AS (
+      .map(j => s"min((${permA(j)} * h + ${permB(j)}) % $pr) AS m$j").mkString(",\n               ")
+    s"""${p}toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tk FROM $table),
+      ${p}sh AS (
         SELECT doc_id,
                CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
                     ELSE list_transform(range(1, len(tk) - 1),
                                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
                END AS shingles
-        FROM toks),
-      ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-      h AS (
+        FROM ${p}toks),
+      ${p}ex AS (SELECT doc_id, unnest(shingles) AS s FROM ${p}sh),
+      ${p}h AS (
         SELECT doc_id,
-               ('0x' || substr(md5(s), 1, 15))::BIGINT % $p AS h
-        FROM ex),
-      sig AS (
+               ('0x' || substr(md5(s), 1, 15))::BIGINT % $pr AS h
+        FROM ${p}ex),
+      ${p}sig AS (
         SELECT doc_id,
                $mins
-        FROM h GROUP BY doc_id)"""
+        FROM ${p}h GROUP BY doc_id)"""
   }
 
   /** Per-band 4-way signature-equality conjunctions between aliases

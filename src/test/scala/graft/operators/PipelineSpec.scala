@@ -1055,17 +1055,27 @@ class PipelineSpec extends SparkSpec {
     import spark.implicits._
     // One doc per drop reason: 2 fails quality (repetitive), 3 is an
     // exact copy of 1, 0 is the eval doc (held out at decontam), 4
-    // shares a width-5 shingle with it (contaminated), 5 is a
+    // shares a width-5 shingle with it (contaminated), 7 is a BLOCK-
+    // REORDERED paraphrase of the eval doc — word set identical (jac
+    // 1.0) but NO width-5 word n-gram survives the reorder, so it
+    // passes exact decontamination and must be caught by the FUZZY
+    // stage (the block order was searched offline so its MinHash
+    // signature collides with the eval doc's in 2 of 4 bands under
+    // the fixed permutation constants — the rare-but-real paraphrase
+    // the fuzzy gate exists for), 8 is a strict 6-token prefix of 6
+    // (shared runs cover every token — verbatim-emptied), 5 is a
     // semantic near-dup of 1's embedding, 6 has NO embedding and must
     // pass the semantic stage (conservative keep).
     val docs = Seq(
-      (0L, "alpha beta gamma delta epsilon zeta"),
+      (0L, "alpha beta gamma delta epsilon pi rho sigma tau upsilon"),
       (1L, "one two three four five six seven"),
       (2L, "spam spam spam spam spam spam spam"),
       (3L, "one two three four five six seven"),
       (4L, "prefix words alpha beta gamma delta epsilon more tail"),
       (5L, "completely different wording here entirely unique"),
-      (6L, "another rather distinct document with words"))
+      (6L, "another rather distinct document with words and more trailing content here"),
+      (7L, "sigma tau upsilon delta epsilon pi rho alpha beta gamma"),
+      (8L, "another rather distinct document with words"))
       .toDF("doc_id", "text")
     val embs = Seq(
       (0L, Seq(1.0, 0.0)),     // centroid slot (k = ceil(3/32) = 1)
@@ -1074,8 +1084,17 @@ class PipelineSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val got = Curation.corpusFunnel(docs, embs).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(got == Seq(("0_input", 7L), ("1_quality", 6L), ("2_exact", 5L),
-      ("3_decontam", 3L), ("4_semantic", 2L)), s"funnel: $got")
+    assert(got == Seq(("0_input", 9L), ("1_quality", 8L), ("2_exact", 7L),
+      ("3_decontam", 5L), ("4_fuzzy", 4L), ("5_verbatim", 3L),
+      ("6_semantic", 2L)), s"funnel: $got")
+    // The reasons view must reconcile doc-for-doc with the counts.
+    val reasons = Curation.corpusFunnelReasons(docs, embs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reasons == Map(
+      0L -> "3_eval_held_out", 1L -> "kept", 2L -> "1_quality",
+      3L -> "2_exact_dup", 4L -> "3_contaminated", 5L -> "6_semantic_dup",
+      6L -> "kept", 7L -> "4_fuzzy_contaminated",
+      8L -> "5_verbatim_emptied"), s"reasons: $reasons")
   }
 
   test("incremental semantic dedup equals the full recompute restricted to the batch") {
