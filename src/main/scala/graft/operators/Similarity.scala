@@ -323,6 +323,67 @@ object Similarity {
       .toDF("cid", "c")
   }
 
+  /** Lloyd iterations for the deterministic TRAINED quantizer. Two
+    * rounds move the first-K seed most of the way to the k-means fixed
+    * point on clustered data while keeping the oracle's unrolled SQL
+    * replay bounded; the knob exists so specs can sweep it. */
+  val LloydIters = 2
+
+  /** The deterministic TRAINED coarse quantizer — real k-means
+    * training (Lloyd's algorithm) expressed so a DuckDB oracle can
+    * replay it bit-for-bit, closing the round-9 gap where every
+    * trained path (spark.ml KMeans) was Spark-test-only and every
+    * oracle-checked key used the untrained first-K stub:
+    *
+    *   - seed = the first-K stub (cid, c) — the same artifact the
+    *     untrained paths serve, so the improvement is attributable to
+    *     training alone;
+    *   - assignment = the standard broadcast argmax ([[assignCells]],
+    *     max dot, ties to lowest cid — identical rule to serving);
+    *   - update = per-cell per-dimension INTEGER mean, floor division
+    *     spelled as an explicit CASE over the sign so Spark's
+    *     truncating `div` and DuckDB's flooring `//` compute the SAME
+    *     centroid from the same members;
+    *   - empty cells keep their previous centroid (the standard Lloyd
+    *     rule, and what keeps the cell count stable for serving).
+    *
+    * Unlike [[kmeansCentroids]] (k-means|| init samples per partition
+    * ⟹ partitioning-dependent ⟹ Spark-test-only), every step here is
+    * a deterministic function of the data, so the FULL lifecycle —
+    * train → persist → serve — is oracle-checkable.
+    *
+    * Scale shape: each iteration is one broadcast-centroid linear
+    * assignment pass + one (cell, dim) partial-aggregating sum over
+    * the posexploded corpus (64 rows per vector, map-side combined) +
+    * a K-row rebuild; the corpus never shuffles wide rows, and the
+    * iteration count is a small constant. localCheckpoint cuts each
+    * round's lineage (the CC-loop lesson: K small jobs, not one
+    * K-deep DAG). */
+  def lloydCentroids(e: DataFrame, k: Int,
+                     iters: Int = LloydIters): DataFrame = {
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val perDim = assignCells(e, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .select(col("cell"), col("dim"), expr(
+          "CASE WHEN sx >= 0 THEN sx div n ELSE -(((-sx) + n - 1) div n) END")
+          .as("cx"))
+      val refreshed = perDim.groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cx))), s -> s.cx)")
+          .as("cn"))
+        .select(col("cell").as("cid"), col("cn"))
+      cents = cents
+        .join(refreshed, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cn"), col("c")).as("c"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   /** Nearest-centroid cell assignment as a partial-aggregating max_by:
     * the broadcast join emits all K candidate rows for a vector inside
     * one map partition, so the argmax collapses K→1 BEFORE the shuffle
@@ -824,6 +885,70 @@ object Similarity {
                            cells: Seq[Long]): DataFrame =
     spark.table(table).filter(col("cell").isin(cells: _*))
 
+  /** Buckets for the trained serving index: comfortably above the
+    * nprobe cells any one query touches, so plan-time bucket pruning
+    * has skippable files to skip. */
+  val TrainedIdxBuckets = 16
+
+  /** The TRAINED-QUANTIZER LIFECYCLE, end to end, as one query —
+    * build → persist → serve (round-9 verdict item 6):
+    *
+    *   1. TRAIN: [[lloydCentroids]] refines the first-K seed for
+    *      [[LloydIters]] rounds (deterministic ⟹ the oracle replays
+    *      the training, not just the serving);
+    *   2. PERSIST: the (vec_id, v, cell) assignment index is written
+    *      through the production bucketed path
+    *      (`Sinks.writeBucketed(cell)`) — once per (session, dir), via
+    *      the [[Artifacts]] cache; the TABLE is the materialization;
+    *   3. SERVE: probe→cell ranking runs over the tiny driver-resident
+    *      centroid artifact, the ranked cell ids become LITERALS in
+    *      the index read ([[readIvfPqIndexPruned]] — plan-time bucket
+    *      pruning; the session conf it documents is set here), and the
+    *      cell-restricted candidates rank through the same map-side
+    *      TopK as every kNN path.
+    *
+    * The one `.collect()` is the probe→cell list: ≤ nProbes × nprobe
+    * ids off a K-row frame — the bounded driver action production ANN
+    * serving performs before planning the scan (readIvfPqIndexPruned's
+    * doc). Answer shape matches `q_knn_ivf` exactly, so the recall
+    * delta vs the untrained key is directly readable off the two
+    * results. */
+  def ivfTrainedServe(s: SparkSession, dir: String, nProbes: Int,
+                      k: Int, nprobe: Int = IvfNprobe): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
+    val kk = math.ceil(math.sqrt(e.count().toDouble)).toInt
+    val cents = graft.operators.Artifacts.cached(s, s"ivf-trained-cents:$dir")(
+      lloydCentroids(e, kk))
+    val table = s"graft_ivf_trained_${java.lang.Integer.toHexString(dir.hashCode)}"
+    graft.operators.Artifacts.cached(s, s"ivf-trained-idx:$dir") {
+      graft.sources.Sinks.writeBucketed(
+        assignCells(e, cents).select(col("vec_id"), col("v"), col("cell")),
+        table, "cell", TrainedIdxBuckets)
+      s.table(table) // the persisted table IS the materialized artifact
+    }
+    val probeVecs = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v"))
+    val rankedCells = probeCells(probeVecs, cents, nprobe)
+      .select(col("probe_id"), col("cell"))
+    val cellList = rankedCells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // Pruning-only bucketed reads need the auto-bucketed-scan cost
+    // model off (readIvfPqIndexPruned's doc); only catalog-table reads
+    // see this conf, and this is the only query path that does one.
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val index = readIvfPqIndexPruned(s, table, cellList.toSeq)
+    val pr = rankedCells.join(probeVecs.withColumnRenamed("v", "v_p"),
+      Seq("probe_id"))
+    val scored = broadcast(pr)
+      .join(index.select(col("cell"), col("vec_id").as("cand_id"),
+        col("v").as("v_c")), Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("dot", dotAB)
+      .select("probe_id", "cand_id", "dot")
+    graft.functions.TopK.perKey(scored, "probe_id", "dot", "cand_id", k)
+      .orderBy("probe_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_knn_topk" -> ((s, dir) => brute(s, dir, 8, 5)),
 
@@ -913,6 +1038,13 @@ object Similarity {
       val n = Tables.embeddings(s, dir).count()
       ivfTopK(s, dir, math.ceil(math.sqrt(n.toDouble)).toInt, 8, 5)
     }),
+
+    // The trained-quantizer LIFECYCLE — see [[ivfTrainedServe]]:
+    // deterministic Lloyd training, bucketed persist, pruned serve;
+    // the oracle replays training AND serving (the first
+    // oracle-checked TRAINED index — every prior trained path was
+    // Spark-test-only).
+    "q_knn_ivf_trained" -> ((s, dir) => ivfTrainedServe(s, dir, 8, 5)),
 
     // ANN QUALITY AUDIT as a first-class query: per-probe recall@5 of
     // the LSH path against brute-force ground truth, computed in-engine.
@@ -1396,6 +1528,34 @@ object Similarity {
         ON t.probe_id = a.probe_id AND t.cand_id = a.cand_id
       GROUP BY t.probe_id ORDER BY t.probe_id"""
 
+  /** One Lloyd round as DuckDB CTEs (a$i assignment, s$i per-(cell,
+    * dim) integer means, c$i rebuild) — the SQL twin of one
+    * [[lloydCentroids]] iteration. Floor division is the identical
+    * sign-explicit CASE (both arms see nonnegative operands, so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree). */
+  private def lloydIterSql(i: Int): String = {
+    val prev = if (i == 1) "c0" else s"c${i - 1}"
+    s"""a$i AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT q.vec_id, q.v, c.cid AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.c) DESC, c.cid) AS arn
+          FROM q, $prev c)
+        WHERE arn = 1),
+      s$i AS (
+        SELECT cell, dim,
+               CASE WHEN sx >= 0 THEN sx // n
+                    ELSE -(((-sx) + n - 1) // n) END AS cx
+        FROM (SELECT cell, dim, CAST(sum(x) AS BIGINT) AS sx, count(*) AS n
+              FROM (SELECT cell, generate_subscripts(v, 1) AS dim,
+                           unnest(v) AS x FROM a$i)
+              GROUP BY cell, dim)),
+      c$i AS (
+        SELECT p.cid, coalesce(r.cn, p.c) AS c
+        FROM $prev p LEFT JOIN (SELECT cell AS cid, list(cx ORDER BY dim) AS cn
+                                FROM s$i GROUP BY cell) r USING (cid))"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q_knn_lsh" -> lshOracleSql,
 
@@ -1515,6 +1675,50 @@ object Similarity {
       SELECT c.cell, CAST(coalesce(s.n_vectors, 0) AS BIGINT) AS n_vectors
       FROM cents c LEFT JOIN sizes s USING (cell)
       ORDER BY cell""",
+
+    // The trained lifecycle replayed END TO END: c0 = the first-K
+    // seed, each Lloyd round as three CTEs (argmax assignment,
+    // per-(cell, dim) integer mean with the sign-explicit floor
+    // division, rebuild with empty cells keeping their centroid), then
+    // the exact q_knn_ivf serving chain under the TRAINED centroids.
+    // A hash match here proves training AND the persisted-index
+    // serving computed the same answer.
+    "q_knn_ivf_trained" -> s"""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      c0 AS (
+        SELECT vec_id AS cid, v AS c FROM q
+        WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                        FROM embeddings)),
+      ${(1 to LloydIters).map(lloydIterSql).mkString(",\n      ")},
+      assigned AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT q.vec_id, q.v, c.cid AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.c) DESC, c.cid) AS arn
+          FROM q, c$LloydIters c)
+        WHERE arn = 1),
+      pcells AS (
+        SELECT vec_id AS probe_id, cell FROM (
+          SELECT q.vec_id, c.cid AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.c) DESC, c.cid) AS arn
+          FROM q, c$LloydIters c WHERE q.vec_id < 8)
+        WHERE arn <= $IvfNprobe),
+      scored AS (
+        SELECT pc.probe_id, c.vec_id AS cand_id,
+               CAST(list_dot_product(p.v, c.v) AS BIGINT) AS dot
+        FROM pcells pc JOIN q p ON p.vec_id = pc.probe_id
+             JOIN assigned c ON c.cell = pc.cell
+        WHERE c.vec_id <> pc.probe_id)
+      SELECT probe_id, cand_id, dot, rk FROM (
+        SELECT probe_id, cand_id, dot,
+               CAST(row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY dot DESC, cand_id) AS INTEGER) AS rk
+        FROM scored)
+      WHERE rk <= 5 ORDER BY probe_id, rk""",
 
     "q_knn_ivf" -> s"""
       WITH q AS (

@@ -13,9 +13,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the declared SURVEY totals") {
-    assert(SparkEntry.queries.size == 136,
+    assert(SparkEntry.queries.size == 137,
       s"queries has ${SparkEntry.queries.size} keys — update SURVEY §2.11 totals")
-    assert(SparkEntry.oracleSql.size == 133,
+    assert(SparkEntry.oracleSql.size == 134,
       s"oracleSql has ${SparkEntry.oracleSql.size} keys — update SURVEY §2.11 totals")
   }
 

@@ -271,6 +271,66 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"kmeans-IVF recall $recall (${truth.size} truth pairs)")
   }
 
+  test("lloyd centroids: deterministic training beats the first-K seed on planted clusters") {
+    import spark.implicits._
+    // Same planted-cluster generator as the kmeans-IVF case: 8
+    // separated centers, 30 jittered members. The first-K seed takes
+    // vectors 0..7 — ALL from cluster 0 — so untrained IVF collapses
+    // most clusters into few cells; two deterministic Lloyd rounds
+    // must spread the centroids and lift top-5 recall strictly above
+    // the seed's. Determinism is separately load-bearing: the DuckDB
+    // oracle replays this exact training, so the result must not
+    // depend on partitioning (assert by re-running on a repartitioned
+    // corpus).
+    def mix(x0: Long): Long = {
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def center(cl: Long): Seq[Long] =
+      (0 until 64).map(d => Math.floorMod(mix(cl * 64 + d), 2000L) - 1000)
+    def member(cl: Long, i: Long): Seq[Long] =
+      center(cl).zipWithIndex.map { case (x, d) =>
+        x + Math.floorMod(mix((cl * 100 + i) * 64 + d + 7777), 61L) - 30 }
+    val corpus = for (cl <- 0L until 8L; i <- 0L until 30L)
+      yield (cl * 100 + i, member(cl, i))
+    val e = corpus.toDF("vec_id", "v")
+    val probes = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("v_p"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("v").as("v_c"))
+    val scored = broadcast(probes).join(cands, col("probe_id") =!= col("cand_id"))
+      .withColumn("dot", graft.functions.VectorOps.longDot(col("v_p"), col("v_c")))
+      .select("probe_id", "cand_id", "dot")
+    val truth = graft.functions.TopK.perKey(scored, "probe_id", "dot", "cand_id", 5)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nprobe = 1 (assigned cell only) exposes quantizer quality
+    // directly — multi-probing papers over a skewed seed on this
+    // small fixture.
+    def recallWith(cents: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.ivfTopKWith(e, cents, nProbes = 800, k = 5,
+          nprobe = 1)
+        .filter(col("probe_id") % 100 === 0)
+        .select("probe_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val seed = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val trained = Similarity.lloydCentroids(e, 8)
+    val (r0, r1) = (recallWith(seed), recallWith(trained))
+    info(s"nprobe=1 recall@5 on planted clusters: seed $r0, lloyd-trained $r1")
+    assert(r1 > r0, s"lloyd must beat the seed: seed $r0 vs trained $r1")
+    assert(r1 >= 0.9, s"lloyd recall on planted clusters: $r1")
+    val trainedRepart = Similarity.lloydCentroids(e.repartition(7), 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val trainedMap = trained.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(trainedRepart == trainedMap,
+      "lloyd centroids must be partitioning-independent (the oracle replays them)")
+  }
+
   test("kmeans-PQ: trained codebooks rank within clusters; first-K stub degrades") {
     import spark.implicits._
     // Same planted-cluster generator as the kmeans-IVF case: 8 separated
