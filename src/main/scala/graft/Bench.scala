@@ -56,6 +56,29 @@ object Bench {
     }
     calProbe() // untimed codegen warm for the probe plan itself
     val calSec = (1 to 3).map(_ => calProbe()).min
+    // SHARED-ARTIFACT builds, timed EXPLICITLY and added to the total.
+    // The build-once/serve-many families (CC labels, verbatim span
+    // index, funnel stage frames, trained ANN index) would otherwise
+    // have their one-time build cost land on whichever family key runs
+    // first alphabetically — and worse, the contention retry below
+    // would re-run that key against the now-warm cache and keep the
+    // cheap second timing, silently ERASING the build from the total
+    // (observed: funnel/trained/byte_spans all "retried" into
+    // sub-0.3 s rows). Billing each build as its own named row keeps
+    // the total honest — total = every query + every build, nothing
+    // hidden — while the per-key rows show true serving cost, which is
+    // what a production consumer of a written artifact pays.
+    val artifactBuilds: Seq[(String, Double)] = Seq[(String, () => Unit)](
+      ("ngram_cc_labels", () => operators.Dedup.warmClusterLabels(spark, sfDir)),
+      ("verbatim_span_index", () => operators.Curation.warmVerbatimArtifacts(spark, sfDir)),
+      ("funnel_frames", () => operators.Curation.warmFunnelFrames(spark, sfDir)),
+      ("ivf_trained_index", () => operators.Similarity.warmTrainedIndex(spark, sfDir))
+    ).map { case (name, build) =>
+      val t0 = System.nanoTime()
+      try { build() } catch { case e: Throwable =>
+        System.err.println(s"[bench] artifact $name FAILED: ${e.getMessage}") }
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
     // Fast-phase cost of the probe on this host (measured 0.238 s min
     // of 3 during the verified fast-phase round-9 run that produced
     // zero >2× rows); overridable when the hardware changes.
@@ -156,7 +179,12 @@ object Bench {
       "\"" + k + "\":" + fmt(v.map(_._1).getOrElse(-1.0)) }
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, Some((s, _)), _) => s }.sum
+    // Total = per-key serving times + the one-time artifact builds
+    // (see artifactBuilds above): value therefore exceeds the sum of
+    // "queries" by exactly the build cost, broken down per artifact in
+    // BENCH_FULL.json's "artifact_builds".
+    val total = results.collect { case (_, Some((s, _)), _) => s }.sum +
+      artifactBuilds.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
@@ -170,8 +198,10 @@ object Bench {
     val rt = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val cal = s"""{"probe_sec":${fmt(calSec)},"probe_sec_end":${fmt(calSecEnd)},"probe_baseline":${fmt(calBaseline)},"host_factor":${fmt(hostFactor)}}"""
+    val ab = artifactBuilds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val full = line.dropRight(1) +
-      s""","shuffle_bytes":$sh,"retried":$rt,"calibration":$cal}"""
+      s""","shuffle_bytes":$sh,"retried":$rt,"artifact_builds":$ab,"calibration":$cal}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     spark.stop()

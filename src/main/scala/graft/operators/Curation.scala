@@ -330,6 +330,20 @@ object Curation {
       funnelFrames(Tables.documents(s, dir), Tables.embeddings(s, dir)))
   }
 
+  /** Build the shared span-family artifacts now (index → matches →
+    * offsets) — Bench's explicit artifact-build pass. */
+  def warmVerbatimArtifacts(s: SparkSession, dir: String): Unit = {
+    verbatimOffsetsArtifact(s, dir)
+    ()
+  }
+
+  /** Build (and checkpoint) the shared funnel stage frames now —
+    * Bench's explicit artifact-build pass. */
+  def warmFunnelFrames(s: SparkSession, dir: String): Unit = {
+    funnelFramesArtifact(s, dir)
+    ()
+  }
+
   private def funnelFrames(docs: DataFrame,
                            embeddings: DataFrame): FunnelFrames = {
     val nInput = docs.count() // one count: width derivation AND stage 0

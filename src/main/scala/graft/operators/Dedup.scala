@@ -772,6 +772,14 @@ object Dedup {
         ngramPairs(Tables.documents(s, dir))
           .select(col("doc_a"), col("doc_b"))))
 
+  /** Build the shared labeling artifact NOW (Bench's explicit
+    * artifact-build pass — the build is timed there as its own row so
+    * it can never hide inside, or be retried out of, a family key). */
+  def warmClusterLabels(s: SparkSession, dir: String): Unit = {
+    ngramClusterLabels(s, dir)
+    ()
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content hash → survivor (min doc_id) + multiplicity.
     // One hash aggregate; at 100 TB this is a single shuffle on the
