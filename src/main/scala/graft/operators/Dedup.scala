@@ -720,6 +720,51 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** Resolve every SemDeDup `dup_of` CHAIN to its KEPT terminal — the
+    * consumer-facing form of the verdicts (round-9 ROADMAP candidate):
+    * `dup_of` names the EARLIEST qualifying earlier neighbor, which
+    * may itself be dropped (A≈B, B≈C with A̸≈C leaves C pointing at
+    * the dropped B), so a consumer wanting a surviving representative
+    * must follow the chain. This walks parent pointers to the fixed
+    * point: (vec_id, cell, keep, resolved_rep) where resolved_rep is
+    * the kept doc at the chain's end (kept docs resolve to
+    * themselves).
+    *
+    * Convergence: dup_of < vec_id always (earlier neighbor), so reps
+    * STRICTLY DECREASE along a chain and an unchanged rep sum ⇔ the
+    * fixed point — the CC loop's convergence rule, with the same
+    * bounded-rounds backstop-that-throws. Each round is one equi join
+    * of the verdict-sized frame against the (dropped-doc) parent map
+    * plus a checkpoint; the corpus is not involved. */
+  def resolveDupChains(verdicts: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val parents = verdicts.filter(col("dup_of").isNotNull)
+      .select(col("vec_id").as("rep"), col("dup_of").as("next"))
+      .localCheckpoint(true)
+    var labels = verdicts.select(col("vec_id"), col("cell"), col("keep"),
+      coalesce(col("dup_of"), col("vec_id")).as("rep")).localCheckpoint(true)
+    def sumReps = labels.agg(coalesce(sum(col("rep")), lit(0L)))
+      .collect()(0).getLong(0)
+    var prev = -1L
+    var cur = sumReps
+    var r = 0
+    while (r < maxRounds && cur != prev) {
+      prev = cur
+      val old = labels
+      labels = labels.join(parents, Seq("rep"), "left")
+        .select(col("vec_id"), col("cell"), col("keep"),
+          coalesce(col("next"), col("rep")).as("rep")).localCheckpoint(true)
+      old.unpersist()
+      cur = sumReps
+      r += 1
+    }
+    if (cur != prev)
+      throw new IllegalStateException(
+        s"dup_of resolution did not converge in $maxRounds rounds")
+    parents.unpersist()
+    labels.select(col("vec_id"), col("cell"), col("keep"),
+      col("rep").as("resolved_rep"))
+  }
+
   /** INCREMENTAL SemDeDup — the semantic member of the incremental
     * family (exact anti-join, MinHash band index, contracted CC,
     * shingle gate, span positions… and now this): the corpus's cell
@@ -926,6 +971,21 @@ object Dedup {
       semanticDedup(vectors,
         vectors.filter(col("vec_id") < k)
           .select(col("vec_id").as("cid"), col("v").as("c")))
+    }),
+
+    // dup_of chains RESOLVED to kept representatives — see
+    // [[resolveDupChains]]; same cell/centroid artifacts as
+    // q_dedup_semantic, so the two keys differ only by the resolution
+    // walk.
+    "q_dedup_semantic_resolve" -> ((s, dir) => {
+      val vectors = Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+      val k = deriveSemCells(vectors.count())
+      resolveDupChains(semanticDedup(vectors,
+        vectors.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("v").as("c"))))
+        .orderBy("vec_id")
     }),
 
     // Incremental SemDeDup — see [[semanticDedupIncremental]]: batch =
@@ -1236,6 +1296,27 @@ object Dedup {
     "q_dedup_semantic_incremental" ->
       semanticOracleSql("a.vec_id % 5 = 0"),
 
+    // Chain resolution as a recursive CTE over the SAME verdict chain:
+    // every hop appends the next dup_of; chain values strictly
+    // decrease (dup_of < vec_id), so min(cur) IS the terminal kept
+    // ancestor the engine's fixed-point walk reaches.
+    "q_dedup_semantic_resolve" -> s"""
+      WITH RECURSIVE $semanticVerdictCtes,
+      verdicts AS (
+        SELECT a.vec_id, a.cell, d.dup_of IS NULL AS keep, d.dup_of
+        FROM assigned a LEFT JOIN dups d USING (vec_id)),
+      chain(vec_id, cur) AS (
+        SELECT vec_id, coalesce(dup_of, vec_id) FROM verdicts
+        UNION ALL
+        SELECT c.vec_id, v.dup_of
+        FROM chain c JOIN verdicts v ON c.cur = v.vec_id
+        WHERE v.dup_of IS NOT NULL),
+      resolved AS (
+        SELECT vec_id, min(cur) AS resolved_rep FROM chain GROUP BY vec_id)
+      SELECT v.vec_id, v.cell, v.keep, r.resolved_rep
+      FROM verdicts v JOIN resolved r USING (vec_id)
+      ORDER BY v.vec_id""",
+
     // Band-bucket histogram over the signature 4-tuples (the engine
     // groups on xxhash64 of the same tuples — see minhashBandStats's
     // collision note).
@@ -1264,8 +1345,9 @@ object Dedup {
   /** SemDeDup DuckDB twin, with an optional final restriction over the
     * verdict rows (`a` = the assigned frame) — the incremental key
     * passes its batch predicate here. */
-  private def semanticOracleSql(finalFilter: String = "TRUE"): String = s"""
-      WITH params AS (
+  /** The SemDeDup verdict chain through `dups` — shared by the
+    * semantic oracles and the chain-resolution oracle. */
+  private def semanticVerdictCtes: String = s"""params AS (
         SELECT (count(*) + $SemTargetCell - 1) // $SemTargetCell AS K
         FROM embeddings),
       q AS (
@@ -1290,7 +1372,10 @@ object Dedup {
         WHERE dot > 0
           AND ${SemTauDen * SemTauDen} * dot * dot >=
               ${SemTauNum * SemTauNum} * aa * bb
-        GROUP BY id_b)
+        GROUP BY id_b)"""
+
+  private def semanticOracleSql(finalFilter: String = "TRUE"): String = s"""
+      WITH $semanticVerdictCtes
       SELECT a.vec_id, a.cell, d.dup_of IS NULL AS keep, d.dup_of
       FROM assigned a LEFT JOIN dups d USING (vec_id)
       WHERE ($finalFilter)

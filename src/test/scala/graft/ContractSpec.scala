@@ -13,9 +13,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the declared SURVEY totals") {
-    assert(SparkEntry.queries.size == 137,
+    assert(SparkEntry.queries.size == 138,
       s"queries has ${SparkEntry.queries.size} keys — update SURVEY §2.11 totals")
-    assert(SparkEntry.oracleSql.size == 134,
+    assert(SparkEntry.oracleSql.size == 135,
       s"oracleSql has ${SparkEntry.oracleSql.size} keys — update SURVEY §2.11 totals")
   }
 

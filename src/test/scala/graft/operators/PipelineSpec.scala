@@ -1157,6 +1157,31 @@ class PipelineSpec extends SparkSpec {
       8L -> "5_verbatim_emptied"), s"reasons: $reasons")
   }
 
+  test("dup_of chains resolve through dropped intermediates to the kept terminal") {
+    import spark.implicits._
+    // The doc-comment chain case, planted exactly: A=(1000,0),
+    // B=(800,600), C=(280,960) in one cell. cos(A,B)=cos(B,C)=0.8 ≥ τ
+    // but cos(A,C)=0.28 < τ=0.35 — so C's dup_of is the DROPPED B
+    // (earliest qualifying earlier neighbor), and resolution must walk
+    // C → B → A to the kept terminal.
+    val vecs = Seq(
+      (0L, Seq(1000L, 0L)),
+      (1L, Seq(800L, 600L)),
+      (2L, Seq(280L, 960L))).toDF("vec_id", "v")
+    val cents = vecs.filter($"vec_id" < 1)
+      .select($"vec_id".as("cid"), $"v".as("c"))
+    val verdicts = Dedup.semanticDedup(vecs, cents)
+    val rawDupOf = verdicts.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(rawDupOf(2L) == 1L,
+      s"fixture must exercise a chain: C's dup_of should be the dropped B, got $rawDupOf")
+    val got = Dedup.resolveDupChains(verdicts).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getLong(3))).toMap
+    assert(got == Map(
+      0L -> (true, 0L), 1L -> (false, 0L), 2L -> (false, 0L)),
+      s"resolved: $got")
+  }
+
   test("incremental semantic dedup equals the full recompute restricted to the batch") {
     import spark.implicits._
     // Randomized model check (fixed seed): the incremental contract is
