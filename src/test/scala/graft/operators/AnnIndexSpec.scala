@@ -275,4 +275,105 @@ class AnnIndexSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ivf_app_idx")
     }
   }
+
+  test("STREAMING ingest: ledger-gated appends survive replays AND the append-then-crash window") {
+    // The exactly-once contract of IndexIngest, attacked at both holes
+    // a plain-parquet append has: (a) a REPLAYED committed epoch must
+    // be a no-op (marker gate); (b) an append that crashed BEFORE its
+    // marker must leave only INVISIBLE orphans — the replay commits a
+    // fresh attempt, and serving (table ⋉ ledger on (batch_id,
+    // attempt)) sees exactly one copy of every row.
+    val quant =
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr(quant).as("v"))
+    val n = e.count()
+    val kCentroids = math.ceil(math.sqrt(n.toDouble)).toInt
+    val centroids = e.filter(col("vec_id") < kCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val assign = (b: org.apache.spark.sql.DataFrame) =>
+      Similarity.assignCells(b, centroids)
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-ledger").toString
+    val table = "ivf_stream_idx"
+    val nBuckets = 32
+    try {
+      import graft.streaming.IndexIngest
+      IndexIngest.ingestBatch(e.filter(col("vec_id") % 3 === 0), 0L,
+        assign, table, nBuckets, ledgerDir)
+      IndexIngest.ingestBatch(e.filter(col("vec_id") % 3 === 1), 1L,
+        assign, table, nBuckets, ledgerDir)
+      // (a) replay of the committed epoch 1 — must append nothing.
+      val before = spark.table(table).count()
+      IndexIngest.ingestBatch(e.filter(col("vec_id") % 3 === 1), 1L,
+        assign, table, nBuckets, ledgerDir)
+      assert(spark.table(table).count() == before,
+        "replayed committed epoch must be a no-op")
+      // (b) the crash window: batch 2's first attempt appends its rows
+      // and dies before the marker — simulated by the raw tagged
+      // append IndexIngest would have done, with no ledger commit.
+      val b2 = e.filter(col("vec_id") % 3 === 2)
+      graft.sources.Sinks.appendBucketed(
+        assign(b2).withColumn("batch_id", lit(2L))
+          .withColumn("attempt", lit("dead-attempt")),
+        table, "cell", nBuckets)
+      // The streaming replay of epoch 2 re-ingests and commits.
+      IndexIngest.ingestBatch(b2, 2L, assign, table, nBuckets, ledgerDir)
+      val served = IndexIngest.readCommitted(spark, table, ledgerDir)
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      val want = e.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(served == want,
+        s"served view must hold exactly one copy of every vector (got ${served.size}, want ${want.size})")
+      // Non-vacuity: the orphan attempt's rows really are in the raw
+      // table — only the ledger join hides them.
+      assert(spark.table(table).count() > want.size,
+        "the dead attempt should exist in the raw table")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val d = new java.io.File(ledgerDir)
+      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+      ()
+    }
+  }
+
+  test("STREAMING ingest end-to-end: foreachBatch over a MemoryStream builds the served index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val centroids = Seq((0L, Seq(1000L, 0L)), (1L, Seq(0L, 1000L)))
+      .toDF("cid", "c")
+    val assign = (b: org.apache.spark.sql.DataFrame) =>
+      Similarity.assignCells(b, centroids)
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-e2e-ledger").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ingest-e2e-ckpt").toString
+    val table = "ivf_stream_e2e"
+    try {
+      import graft.streaming.IndexIngest
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Long])]
+      val q = in.toDF().toDF("vec_id", "v").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+          IndexIngest.ingestBatch(b, id, assign, table, 8, ledgerDir))
+        .start()
+      try {
+        in.addData((10L, Seq(900L, 100L)), (11L, Seq(100L, 900L)))
+        q.processAllAvailable()
+        in.addData((12L, Seq(800L, 50L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = graft.streaming.IndexIngest
+        .readCommitted(spark, table, ledgerDir)
+        .select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == Seq((10L, 0L), (11L, 1L), (12L, 0L)),
+        s"served index after two epochs: $got")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      Seq(ledgerDir, ckpt).foreach { p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)); ()
+      }
+    }
+  }
 }
