@@ -219,6 +219,81 @@ object Multimodal {
           .otherwise(lit(0)).cast("int").as("height"))
   }
 
+  /** Perceptual-hash sketch length (60 bits — the md5-fold/simhash bit
+    * convention, so chunk widths that divide evenly exist at every
+    * derived setting) and the exact-pair hamming radius. */
+  val PhashBits = 60
+  val PhashHammingMax = 3
+
+  /** Chunk width for the banded-hamming block join: the simhash
+    * derivation (key space grows with N so block population stays
+    * bounded), capped at 15 so at least HammingMax + 1 = 4 chunks
+    * exist — the pigeonhole guarantee (two hashes within hamming ≤ 3
+    * MUST agree on one of 4+ chunks) that makes the blocking EXACT at
+    * the radius. Beyond N ≈ 2¹⁵ × target-block the cap binds and
+    * per-block population grows with N/2¹⁵ — the documented trade
+    * (widening the radius guarantee vs block size; same tension as
+    * every banded sketch here). */
+  def phashChunkWidth(n: Long): Int =
+    math.min(Dedup.deriveSimhashWidth(n), 15)
+
+  /** IMAGE near-dup via PERCEPTUAL HASH — the multimodal member of the
+    * dedup family (training pipelines run exactly this over image
+    * corpora: pHash/aHash sketch per image, hamming near-pairs merge).
+    * The average-hash over an 8×8 DOWNSAMPLED GRAYSCALE GRID is the
+    * textbook aHash; the DECODE-to-pixels step is this container's
+    * stubbed seam, so the "grid" is [[PhashBits]] evenly-spaced payload
+    * BYTES — real byte plumbing (offsets, sampling, thresholding, the
+    * hash fold, the banded join) with the pixel source swappable for a
+    * real decoder's luma grid behind the same column contract.
+    *
+    *   - sample b_k = payload byte at 1 + ⌊(len−1)·k/59⌋ (1-based),
+    *     k = 0..59 — substring+hex+conv, fully codegen;
+    *   - mean m = (Σ b_k) div 60 (integer floor — exact both engines);
+    *   - bit_k = b_k > m; phash = Σ bit_k · 2^k (< 2⁶⁰, sign-safe);
+    *   - candidates: block join on (chunk_id, chunk value) over
+    *     [[phashChunkWidth]]-bit chunks — identical sketches collide in
+    *     every chunk, hamming ≤ [[PhashHammingMax]] pairs in ≥ 1 by
+    *     pigeonhole (exact recall at the radius);
+    *   - verify: exact `bit_count(a ⊕ b) ≤` radius on candidates only.
+    *
+    * Scale shape: sketching is one linear pass (the binary drops out
+    * after the 60 sampled bytes); the block join shuffles (chunk, id,
+    * sketch) rows — 8 B keys, never payloads; verify touches candidate
+    * pairs only. Identical to the SimHash text path's economics. */
+  def phashSketch(payloads: DataFrame): DataFrame = {
+    val byteAt = (k: Int) =>
+      s"cast(conv(hex(substring(payload, cast(1 + ((length(payload) - 1) * $k) div 59 as int), 1)), 16, 10) as bigint)"
+    val bCols = (0 until PhashBits).map(k => expr(byteAt(k)).as(s"b$k"))
+    val meanExpr = (0 until PhashBits).map(k => s"b$k").mkString("(", " + ", s") div $PhashBits")
+    val hashExpr = (0 until PhashBits)
+      .map(k => s"(CASE WHEN b$k > m THEN ${1L << k}L ELSE 0L END)")
+      .mkString(" + ")
+    payloads.select(col("doc_id") +: bCols: _*)
+      .withColumn("m", expr(meanExpr))
+      .select(col("doc_id"), expr(hashExpr).as("phash"))
+  }
+
+  /** Banded-hamming near-pairs over [[phashSketch]] sketches. */
+  def phashPairs(payloads: DataFrame, chunkWidth: Int,
+                 hammingMax: Int = PhashHammingMax): DataFrame = {
+    val nChunks = PhashBits / chunkWidth
+    val sk = phashSketch(payloads)
+    val chunks = sk.select(col("doc_id"), col("phash"), explode(expr(
+      s"""transform(sequence(0, ${nChunks - 1}),
+            c -> named_struct('c', c,
+                   'v', (phash div shiftleft(cast(1 as bigint), $chunkWidth * c))
+                        % ${1L << chunkWidth}L))""")).as("ch"))
+      .select(col("doc_id"), col("phash"),
+        col("ch.c").as("c"), col("ch.v").as("v"))
+    chunks.as("a").join(chunks.as("b"), Seq("c", "v"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(expr("a.phash ^ b.phash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= hammingMax)
+  }
+
   val queries: Map[String, Q] = Map(
     // Metadata extraction by REAL header parsing over the staged binary
     // payloads: signature dispatch + big-endian (PNG IHDR, JPEG SOF)/
@@ -249,6 +324,18 @@ object Multimodal {
           floor(w * scale).cast("int").as("out_w"),
           floor(h * scale).cast("int").as("out_h"))
         .orderBy("doc_id")
+    }),
+
+    // Perceptual-hash image near-dup — see [[phashSketch]]/[[phashPairs]]:
+    // aHash over sampled payload bytes (decode seam stubbed), banded
+    // hamming blocking, exact verify. Chunk width derives from corpus
+    // size (the simhash rule, capped for the pigeonhole guarantee);
+    // exact text dups stage byte-identical payloads, so hamming-0
+    // pairs exist in the driver corpora and the compare is non-vacuous.
+    "q_mm_phash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      phashPairs(stagedPayloads(s, dir), phashChunkWidth(docs.count()))
+        .orderBy("doc_a", "doc_b")
     }),
 
     // Frame sampling plumbing: every-Nth-frame index list per media row —
