@@ -25,21 +25,29 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
 
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]) unless nanos are read as
-    * plain longs. We read nanos as `ts_ns BIGINT` (exact — keep it for
-    * ordering / range arithmetic; integer math never loses precision) and
-    * expose `ts TIMESTAMP` truncated to micros for calendar functions.
-    * `ts_ns div 1000` is integer division: a double roundtrip would lose
-    * precision above 2^53 ns (~1970+104 days). DuckDB oracle parity:
-    * `epoch_ns(ts)` ↔ `ts_ns`, `CAST(ts AS TIMESTAMP)` ↔ `ts` (both
-    * truncate ns → us).
+  /** `events.parquet` has shipped `ts` two ways across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark 4 rejects unless
+    * nanos are read as plain longs) and plain TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ). Either way every query sees the same two columns:
+    *  - `ts_ns BIGINT` — exact epoch nanoseconds, for ordering / range
+    *    arithmetic (integer math never loses precision; a double
+    *    roundtrip would lose precision above 2^53 ns).
+    *  - `ts TIMESTAMP` — micros, session tz is UTC everywhere, for
+    *    calendar functions.
+    * DuckDB oracle parity: `epoch_ns(ts)` ↔ `ts_ns`, `CAST(ts AS
+    * TIMESTAMP)` ↔ `ts` (naive DuckDB timestamps == UTC wall clock).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

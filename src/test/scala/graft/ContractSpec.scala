@@ -4,8 +4,29 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The driver-contract invariants — the exact drift that zeroed round 1
   * (authored queries never registered) must be structurally impossible
-  * to reintroduce. */
+  * to reintroduce.
+  *
+  * The inventory counts are NOT pinned here as literals (the round-10/11
+  * lesson: a literal pin and the registry drift apart and the suite goes
+  * red for bookkeeping). They are parsed from SURVEY.md's "Inventory
+  * totals" table — the single declared source of truth — so a key added
+  * to the registry without its SURVEY row (or vice versa) is what fails,
+  * and updating SURVEY is the one required bookkeeping step. */
 class ContractSpec extends AnyFunSuite {
+
+  /** Parse the bolded count from a SURVEY totals-table row by its label
+    * prefix, e.g. `| Query keys … | **139** | …`. */
+  private lazy val surveyTotals: Map[String, Int] = {
+    val src = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+    val lines = try src.getLines().toVector finally src.close()
+    val row = """\|\s*([^|]+?)\s*\|\s*\*?\*?(\d+)\*?\*?\s*\|.*""".r
+    lines.collect { case row(label, n) => label -> n.toInt }.toMap
+  }
+
+  private def surveyCount(labelPrefix: String): Int =
+    surveyTotals.collectFirst {
+      case (label, n) if label.startsWith(labelPrefix) => n
+    }.getOrElse(fail(s"SURVEY.md totals table has no '$labelPrefix' row"))
 
   test("every oracle key has a queries entry") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -13,9 +34,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the declared SURVEY totals") {
-    assert(SparkEntry.queries.size == 138,
+    assert(SparkEntry.queries.size == surveyCount("Query keys"),
       s"queries has ${SparkEntry.queries.size} keys — update SURVEY §2.11 totals")
-    assert(SparkEntry.oracleSql.size == 135,
+    assert(SparkEntry.oracleSql.size == surveyCount("With DuckDB oracle"),
       s"oracleSql has ${SparkEntry.oracleSql.size} keys — update SURVEY §2.11 totals")
   }
 
@@ -26,7 +47,10 @@ class ContractSpec extends AnyFunSuite {
     // Spark-test bound instead (OperatorSpec / PipelineSpec).
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q_agg_approx_distinct",
-      "q_agg_percentile_approx", "q_quality_outliers_approx"), noOracle)
+      "q_agg_percentile_approx", "q_quality_outliers_approx",
+      "q_mm_phash"), noOracle)
+    assert(noOracle.size == surveyCount("No-oracle keys"),
+      "SURVEY 'No-oracle keys' count drifted from the registry")
   }
 
   test("every key follows the q_ naming convention (file-path safe)") {
