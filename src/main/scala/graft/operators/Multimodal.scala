@@ -118,7 +118,13 @@ object Multimodal {
     * row-at-a-time step. Header sizes: PNG 33 B (sig + IHDR + CRC),
     * JPEG 15 B (SOI + SOF0 segment), GIF 13 B (sig + screen descriptor).
     */
-  def stagedPayloads(s: SparkSession, dir: String): DataFrame = {
+  def stagedPayloads(s: SparkSession, dir: String): DataFrame =
+    stagePayloadsFrom(Tables.documents(s, dir))
+
+  /** Core of [[stagedPayloads]] over any (doc_id, text) frame — the
+    * phash planted-twin path re-stages a handful of re-keyed docs
+    * through the same header synthesis. */
+  def stagePayloadsFrom(docs: DataFrame): DataFrame = {
     val n = length(col("text")).cast("bigint")
     def beHex(v: Column, digits: Int) = lpad(hex(v), digits, "0")
     def leHex16(v: Column) =
@@ -142,7 +148,7 @@ object Multimodal {
     val hdr = when(n % 3 === 0, pngHdr)
       .when(n % 3 === 1, jpegHdr)
       .otherwise(gifHdr)
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"),
         concat(unhex(hdr), col("text").cast("binary")).as("payload"))
   }
@@ -225,6 +231,17 @@ object Multimodal {
   val PhashBits = 60
   val PhashHammingMax = 3
 
+  /** Planted-twin fixture for `q_mm_phash`: the first [[PhashPlantCount]]
+    * docs are re-staged byte-identically under `doc_id + PhashPlantBase`,
+    * guaranteeing hamming-0 pairs at EVERY scale factor — without them
+    * the pair set is legitimately empty on a dup-free corpus and the
+    * oracle compare is vacuous (the round-11 hole). The oracle SQL
+    * replays the same union, so the planted rows are part of the query
+    * definition on both engines, exactly like
+    * `q_decontaminate_fuzzy_planted`. */
+  val PhashPlantBase = 1000000L
+  val PhashPlantCount = 3
+
   /** Chunk width for the banded-hamming block join: the simhash
     * derivation (key space grows with N so block population stays
     * bounded), capped at 15 so at least HammingMax + 1 = 4 chunks
@@ -290,8 +307,12 @@ object Multimodal {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(expr("a.phash ^ b.phash")).as("hamming"))
-      .distinct()
+      // Filter BEFORE distinct: a pair colliding in several chunks
+      // duplicates, but only in-radius pairs need the dedup shuffle —
+      // filtering first cuts the distinct's input from all candidate
+      // collisions to the (tiny) within-radius set.
       .filter(col("hamming") <= hammingMax)
+      .distinct()
   }
 
   val queries: Map[String, Q] = Map(
@@ -329,12 +350,17 @@ object Multimodal {
     // Perceptual-hash image near-dup — see [[phashSketch]]/[[phashPairs]]:
     // aHash over sampled payload bytes (decode seam stubbed), banded
     // hamming blocking, exact verify. Chunk width derives from corpus
-    // size (the simhash rule, capped for the pigeonhole guarantee);
-    // exact text dups stage byte-identical payloads, so hamming-0
-    // pairs exist in the driver corpora and the compare is non-vacuous.
+    // size (the simhash rule, capped for the pigeonhole guarantee).
+    // The planted twins (PhashPlantBase) keep the pair set non-empty on
+    // a dup-free corpus; the oracle replays the identical union + byte
+    // arithmetic, so rows/schema/hash are a real signal at every SF.
     "q_mm_phash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      phashPairs(stagedPayloads(s, dir), phashChunkWidth(docs.count()))
+      val twins = docs.filter(col("doc_id") < PhashPlantCount)
+        .select((col("doc_id") + PhashPlantBase).as("doc_id"), col("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(twins)
+      phashPairs(stagePayloadsFrom(corpus),
+        phashChunkWidth(docs.count() + PhashPlantCount))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -382,6 +408,70 @@ object Multimodal {
                CAST(240 + (n_chars * 7) % 840 AS DOUBLE) AS h
         FROM documents)
       ORDER BY doc_id""",
+
+    // Full SQL replay of the phash byte arithmetic — header synthesis in
+    // hex-string space (DuckDB 1.0 has no BLOB substring, and the corpus
+    // is ASCII so text bytes == code points via ascii()): sampled byte
+    // b_k comes from the header hex when its position lands inside the
+    // header, else from the text; mean/threshold/fold mirror
+    // phashSketch term for term. The final pair semantics (a<b, hamming
+    // <= radius) equal the banded plan's output because the blocking is
+    // pigeonhole-EXACT at the radius (>= 4 chunks always — width <= 15).
+    "q_mm_phash" -> s"""
+      WITH corpus AS (
+        SELECT doc_id, text, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + $PhashPlantBase AS doc_id, text, n_chars
+        FROM documents WHERE doc_id < $PhashPlantCount
+      ),
+      staged AS (
+        SELECT doc_id, text,
+               CASE WHEN n_chars % 3 = 0 THEN 33
+                    WHEN n_chars % 3 = 1 THEN 15 ELSE 13 END AS hdr_len,
+               CASE WHEN n_chars % 3 = 0 THEN
+                      '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+                      lpad(hex(320 + n_chars % 1600), 8, '0') ||
+                      lpad(hex(240 + (n_chars * 7) % 840), 8, '0') ||
+                      '0802000000' || '00000000'
+                    WHEN n_chars % 3 = 1 THEN
+                      'FFD8' || 'FFC0' || '000B' || '08' ||
+                      lpad(hex(240 + (n_chars * 7) % 840), 4, '0') ||
+                      lpad(hex(320 + n_chars % 1600), 4, '0') ||
+                      '01' || '011100'
+                    ELSE
+                      '474946383961' ||
+                      lpad(hex((320 + n_chars % 1600) % 256), 2, '0') ||
+                      lpad(hex((320 + n_chars % 1600) // 256), 2, '0') ||
+                      lpad(hex((240 + (n_chars * 7) % 840) % 256), 2, '0') ||
+                      lpad(hex((240 + (n_chars * 7) % 840) // 256), 2, '0') ||
+                      '000000' END AS hdr_hex
+        FROM corpus),
+      sampled AS (
+        SELECT doc_id,
+               list_transform(range(0, $PhashBits), k ->
+                 CASE WHEN 1 + ((hdr_len + length(text) - 1) * k) // ${PhashBits - 1} <= hdr_len
+                      THEN ('0x' || substr(hdr_hex,
+                              2 * (1 + ((hdr_len + length(text) - 1) * k) // ${PhashBits - 1}) - 1,
+                              2))::BIGINT
+                      ELSE ascii(substr(text,
+                              (1 + ((hdr_len + length(text) - 1) * k) // ${PhashBits - 1}) - hdr_len,
+                              1))::BIGINT
+                 END) AS bs
+        FROM staged),
+      meaned AS (
+        SELECT doc_id, bs, CAST(list_sum(bs) AS BIGINT) // $PhashBits AS m
+        FROM sampled),
+      sk AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, $PhashBits), k ->
+                 CASE WHEN bs[k + 1] > m THEN (1::BIGINT << k) ELSE 0::BIGINT END))
+                 AS BIGINT) AS phash
+        FROM meaned)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+      FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHammingMax
+      ORDER BY doc_a, doc_b""",
 
     "q_mm_frames" -> """
       WITH t AS (

@@ -47,8 +47,7 @@ class ContractSpec extends AnyFunSuite {
     // Spark-test bound instead (OperatorSpec / PipelineSpec).
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q_agg_approx_distinct",
-      "q_agg_percentile_approx", "q_quality_outliers_approx",
-      "q_mm_phash"), noOracle)
+      "q_agg_percentile_approx", "q_quality_outliers_approx"), noOracle)
     assert(noOracle.size == surveyCount("No-oracle keys"),
       "SURVEY 'No-oracle keys' count drifted from the registry")
   }

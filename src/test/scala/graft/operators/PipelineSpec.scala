@@ -587,6 +587,45 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decode(8L, "GIF89a".getBytes("US-ASCII")).format == "unknown")
   }
 
+  test("phash: planted hamming-0 twin and hamming-2 near-pair, far docs excluded") {
+    import spark.implicits._
+    // Controlled payloads (L=256): every byte 10, then the 60 SAMPLED
+    // positions (1 + 255k/59, 1-based) set to 240 for k>=30 — samples
+    // sit far from the mean (125±8 across variants), so flipping a
+    // sampled byte flips exactly its own bit and nothing else.
+    val L = 256
+    def sampledPos(k: Int): Int = 1 + ((L - 1) * k) / 59 // 1-based
+    def payload(highs: Set[Int]): Array[Byte] = {
+      val p = Array.fill[Byte](L)(10)
+      highs.foreach(k => p(sampledPos(k) - 1) = 240.toByte)
+      p
+    }
+    val base = payload((30 until 60).toSet)
+    val twin = payload((30 until 60).toSet)           // byte-identical
+    val near = payload((30 until 60).toSet + 0 + 1)   // bits 0,1 flip
+    val far  = payload((0 until 30).toSet)            // complement: hamming 60
+    val df = Seq((1L, base), (2L, twin), (3L, near), (4L, far))
+      .toDF("doc_id", "payload")
+
+    // Pin the sketch arithmetic: 30 high samples → 30 set bits.
+    val sk = Multimodal.phashSketch(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(sk(1L)) == 30)
+    assert(sk(1L) == sk(2L))
+    assert(java.lang.Long.bitCount(sk(1L) ^ sk(3L)) == 2)
+    assert(java.lang.Long.bitCount(sk(1L) ^ sk(4L)) == 60)
+
+    val pairs = Multimodal.phashPairs(df, Multimodal.phashChunkWidth(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 2), (2L, 3L, 2)), pairs)
+
+    // The registered query stays non-vacuous at every SF: the planted
+    // byte-identical twins guarantee >= PhashPlantCount hamming-0 rows.
+    val q = graft.SparkEntry.queries("q_mm_phash")(spark, sfDir)
+    val planted = q.filter(col("doc_b") >= Multimodal.PhashPlantBase).count()
+    assert(planted >= Multimodal.PhashPlantCount, s"planted rows: $planted")
+  }
+
   test("connected components: chains merge, islands stay, long chains converge") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
