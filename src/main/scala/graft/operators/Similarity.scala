@@ -958,15 +958,25 @@ object Similarity {
     val cellList = rankedCells.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     // Pruning-only bucketed reads need the auto-bucketed-scan cost
-    // model off (readIvfPqIndexPruned's doc); only catalog-table reads
-    // see this conf, and this is the only query path that does one.
-    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    val index = readIvfPqIndexPruned(s, table, cellList.toSeq)
+    // model off (readIvfPqIndexPruned's doc). The flip must hold when
+    // THIS query plans — which is lazy, long after this method returns —
+    // so it cannot be a set/restore bracket here, and flipping the
+    // caller's session conf permanently (the round-10/11 leak) silently
+    // de-pruned every later bucketed catalog read in the session. A
+    // forked serving session carries the conf instead: it shares the
+    // SparkContext, catalog, and cached data, but its SQLConf is
+    // isolated, and a Dataset plans under the conf of the session it
+    // was created from — so the chain below is rooted at the fork (the
+    // index read is the LEFT side of the join) and the caller's conf is
+    // never touched (PlanShapeSpec pins both properties).
+    val serve = s.newSession()
+    serve.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val index = readIvfPqIndexPruned(serve, table, cellList.toSeq)
     val pr = rankedCells.join(probeVecs.withColumnRenamed("v", "v_p"),
       Seq("probe_id"))
-    val scored = broadcast(pr)
-      .join(index.select(col("cell"), col("vec_id").as("cand_id"),
-        col("v").as("v_c")), Seq("cell"))
+    val scored = index.select(col("cell"), col("vec_id").as("cand_id"),
+        col("v").as("v_c"))
+      .join(broadcast(pr), Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("dot", dotAB)
       .select("probe_id", "cand_id", "dot")

@@ -130,6 +130,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("trained serve prunes buckets WITHOUT leaking conf into the caller's session") {
+    val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val before = spark.conf.getOption(confKey)
+    val df = graft.SparkEntry.queries("q_knn_ivf_trained")(spark, sfDir)
+    // The serve plan itself still bucket-prunes: the conf flip rides the
+    // forked serving session, and the query chain is rooted there, so
+    // DisableUnnecessaryBucketedScan can't plan the pruned scan away.
+    val p = df.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val hit = sel.findFirstMatchIn(p)
+    assert(hit.isDefined, s"no bucket pruning in trained-serve plan:\n${p.take(2000)}")
+    assert(hit.get.group(1).toInt < hit.get.group(2).toInt,
+      s"trained serve read every bucket: ${hit.get.matched}")
+    df.collect() // execute: the old leak happened on the serve path itself
+    // The caller's session conf is untouched — before round 12 this came
+    // back Some(false) and every later bucketed catalog read in the
+    // session silently lost its bucketed scan.
+    assert(spark.conf.getOption(confKey) == before,
+      s"conf leaked: $before -> ${spark.conf.getOption(confKey)}")
+  }
+
   test("windows are all partitioned (no single-task global window)") {
     for ((k, fn) <- graft.SparkEntry.queries) {
       val optimized = fn(spark, sfDir).queryExecution.optimizedPlan
