@@ -146,7 +146,7 @@ object Curation {
   /** (doc_id, pos, sh_key): every shingle WITH its 0-based token
     * position — the positions-aware form of [[shingles]] (no distinct:
     * repeats matter when reconstructing runs). Same rolling-hash keys. */
-  private def shinglesWithPos(docs: DataFrame, width: Int): DataFrame =
+  private[operators] def shinglesWithPos(docs: DataFrame, width: Int): DataFrame =
     docs
       .select(col("doc_id"),
         expr(s"transform(split(lower(text), ' '), t -> ${Tables.md5FoldSql("t")})")
@@ -348,27 +348,40 @@ object Curation {
                            embeddings: DataFrame): FunnelFrames = {
     val nInput = docs.count() // one count: width derivation AND stage 0
     val width = deriveShingleWidth(nInput)
-    // Each stage MATERIALIZES (eager localCheckpoint standing in for
-    // the per-stage table write a production funnel does anyway):
-    // every survivor frame feeds BOTH the next stage and its own
-    // count, and Spark shares no subplans across DataFrame branches —
-    // without the cut, stage i's lineage re-executes under stages
-    // i+1…n and the counts, turning the funnel into O(stages²)
-    // work (measured 15.6 → 6.6 s at sf0.1 on the 4-stage form; the
-    // remainder is the honest sum of stage compute plus per-stage
-    // checkpoint job latency, which amortizes on a cluster).
+    // MATERIALIZATION SHAPE (round-12 rework of the round-9 per-stage
+    // checkpoint): exactly ONE text-carrying frame is ever
+    // materialized — s1, whose quality features cost a regex pass —
+    // plus the five id-only DROP sets each stage subtracts. Survivor
+    // frames s2…s6 are LAZY views: s1 minus the accumulated drop sets
+    // via broadcast anti/semi joins (a drop set is the SMALL side by
+    // construction — it's the rejects). Re-deriving a stage input is
+    // then one streamed pass over the in-memory s1 with tiny broadcast
+    // hash joins — no shuffle, no text re-write — where the old shape
+    // re-checkpointed the (barely shrinking) full-text frame at every
+    // stage and paid five more corpus-sized materialization jobs
+    // (measured 12.8 → ~5 s clean at sf0.1). The drop sets still
+    // checkpoint eagerly: each is both a funnel output (the reasons
+    // view) and the cut that stops stage i's compute re-running under
+    // stages i+1…n. Scale caveat: id-only drop sets broadcast fine up
+    // to ~10⁷ rejects (≈ 100 MB); a corpus whose exact-dup rate makes
+    // dropExact bigger than that is the point where a production
+    // funnel writes per-stage tables and these become shuffle-on-id
+    // anti joins — the localCheckpoint stand-in documents that seam.
     val s1 = qualityGate(docs).localCheckpoint(true)
-    val exactSurvivors = s1
-      .groupBy(sha2(col("text"), 256).as("digest"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val s2 = s1.join(exactSurvivors, Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
+    // 2_exact — drop set: every doc that is NOT its digest group's
+    // min-id keeper. One hash shuffle on digest; id-only output.
+    val dropExact = s1
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+      .withColumn("keep_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("digest")))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id").localCheckpoint(true)
+    val s2 = s1.join(broadcast(dropExact), Seq("doc_id"), "left_anti")
     val corpus3 = s2.filter(col("doc_id") % EvalMod =!= 0)
     val flagged = decontaminateBatch(
       corpus3, evalShingleIndex(docs, width), width).select("doc_id")
       .localCheckpoint(true)
-    val s3 = corpus3.join(flagged, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    val s3 = corpus3.join(broadcast(flagged), Seq("doc_id"), "left_anti")
     // 4_fuzzy — MinHash near-dup gate against the SAME frozen eval
     // slice (decontaminateFuzzy's shape: eval bands broadcast, the
     // survivor corpus never shuffles for the comparison).
@@ -381,17 +394,29 @@ object Curation {
     val fuzzyFlagged = Dedup.verifyJaccard(fuzzyCands, docs, 0.8)
       .select(col("doc_a").as("doc_id")).distinct()
       .localCheckpoint(true)
-    val s4 = s3.join(fuzzyFlagged, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    val s4 = s3.join(broadcast(fuzzyFlagged), Seq("doc_id"), "left_anti")
     // 5_verbatim — substring scrub among survivors (width frozen from
     // the full corpus, spans from survivor pairs only, keep-first): a
-    // doc whose every token sits in a shared run is dropped.
-    val emptied = verbatimRemove(
-      s4.select(col("doc_id"), col("text")), width)
+    // doc whose every token sits in a shared run is dropped. The
+    // shingle frame and the df-capped index checkpoint FIRST: the
+    // matches self-join references the index twice and the df cap
+    // references the shingles again, so the plain verbatimRemove call
+    // re-shingles the survivor corpus ~4× here (measured 7.2 → 2.5 s
+    // at sf0.1); both frames are id/key-only and checkpoint in
+    // milliseconds.
+    val s4docs = s4.select(col("doc_id"), col("text"))
+    val s4Shingles = shinglesWithPos(s4docs, width).localCheckpoint(true)
+    val s4Index = s4Shingles.join(
+      s4Shingles.groupBy("sh_key")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") <= VerbatimMaxDf)
+        .select("sh_key"),
+      Seq("sh_key")).localCheckpoint(true)
+    val emptied = verbatimRemoveFrom(s4docs,
+      verbatimOffsetsFrom(verbatimMatchesFrom(s4Index), width), width)
       .filter(col("n_removed") === col("n_tokens"))
       .select("doc_id").localCheckpoint(true)
-    val s5 = s4.join(emptied, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    val s5 = s4.join(broadcast(emptied), Seq("doc_id"), "left_anti")
     val vecs = embeddings.select(col("vec_id"), expr(
       "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
       .as("v"))
@@ -403,7 +428,7 @@ object Curation {
     val semanticDrops = Dedup.semanticDedup(survivorVecs, cents)
       .filter(!col("keep")).select(col("vec_id").as("doc_id"))
       .localCheckpoint(true)
-    val s6 = s5.join(semanticDrops, Seq("doc_id"), "left_anti")
+    val s6 = s5.join(broadcast(semanticDrops), Seq("doc_id"), "left_anti")
     FunnelFrames(nInput, s1, s2, flagged, s3, fuzzyFlagged, s4,
       emptied, s5, semanticDrops, s6)
   }
@@ -656,18 +681,24 @@ object Curation {
     * verdicts. */
   def qualityGate(stream: DataFrame,
                   minTokens: Int = QualityMinTokens): DataFrame =
-    stream
-      .withColumn("__toks", split(lower(col("text")), " "))
-      .withColumn("__bg", expr(
-        """CASE WHEN size(__toks) < 2 THEN array()
-                ELSE transform(sequence(0, size(__toks) - 2),
-                               i -> concat_ws(' ', __toks[i], __toks[i+1]))
-           END"""))
-      .filter(col("text").isNotNull &&
-        size(col("__toks")) >= minTokens &&
-        !((size(col("__bg")) - size(array_distinct(col("__bg")))) * 10
-          > size(col("__bg"))))
-      .drop("__toks", "__bg")
+    // The verdict is ONE expression with the token/bigram arrays bound
+    // as lambda variables (`element_at(transform(array(x), v -> …), 1)`
+    // is "let v = x in …"). The spelled-out withColumn+filter form
+    // reads better but is an 18× slowdown in exactly this position:
+    // predicate pushdown substitutes the column aliases into the
+    // filter, so the interpreted (non-codegen) transform() re-evaluates
+    // per REFERENCE — 3× per row for the bigram array, with the token
+    // split re-run inside each — measured 5.8 s vs 0.32 s over sf0.1
+    // docs. Lambda-variable reads cost nothing, so every array here is
+    // built exactly once per row no matter how the optimizer moves the
+    // predicate.
+    stream.filter(expr(s"""
+      text IS NOT NULL AND element_at(transform(array(split(lower(text), ' ')), __toks ->
+        size(__toks) >= $minTokens AND NOT (
+          element_at(transform(array(CASE WHEN size(__toks) < 2 THEN array()
+              ELSE transform(sequence(0, size(__toks) - 2),
+                   i -> concat_ws(' ', __toks[i], __toks[i+1])) END),
+            __bg -> (size(__bg) - size(array_distinct(__bg))) * 10 > size(__bg)), 1))), 1)"""))
 
   /** Deterministic weighted sampling per source: an md5-fold bucket in
     * [0,100) (salted 'mix:' so it is independent of `q_text_split`'s
@@ -720,7 +751,7 @@ object Curation {
     * family: spans counts it per pair, extents/offsets run the
     * gaps-and-islands windows over it, removal and the char/byte cut
     * lists consume those offsets. */
-  private def verbatimMatchesFrom(index: DataFrame): DataFrame = {
+  private[operators] def verbatimMatchesFrom(index: DataFrame): DataFrame = {
     val multi = index.groupBy("sh_key")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > 1).select("sh_key")
@@ -736,7 +767,7 @@ object Curation {
     * gaps-and-islands tail shared by extents/offsets/removal/cut-list:
     * consecutive positions within one (pair, diagonal) form an island;
     * each island is (start_a, start_b, run_tokens). */
-  private def verbatimOffsetsFrom(m: DataFrame, width: Int): DataFrame = {
+  private[operators] def verbatimOffsetsFrom(m: DataFrame, width: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     m.withColumn("grp", col("pos_a") - row_number().over(w))
