@@ -336,6 +336,87 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("STREAMING ingest COMPACTION: fold to one marker, exactly-once across the rewrite/commit crash window") {
+    val quant =
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr(quant).as("v"))
+    val kCentroids = math.ceil(math.sqrt(e.count().toDouble)).toInt
+    val centroids = e.filter(col("vec_id") < kCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val assign = (b: org.apache.spark.sql.DataFrame) =>
+      Similarity.assignCells(b, centroids)
+    val ledgerDir = java.nio.file.Files
+      .createTempDirectory("graft-compact-ledger").toString
+    val table = "ivf_compact_idx"
+    val nBuckets = 32
+    def served() = graft.streaming.IndexIngest
+      .readCommitted(spark, table, ledgerDir)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def markers() = {
+      def walk(d: java.io.File): Seq[String] =
+        Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap(f =>
+          if (f.isDirectory) walk(f) else Seq(f.getName))
+      walk(new java.io.File(ledgerDir)).filter(_.startsWith("b"))
+    }
+    try {
+      import graft.streaming.IndexIngest
+      IndexIngest.ingestBatch(e.filter(col("vec_id") % 3 === 0), 0L,
+        assign, table, nBuckets, ledgerDir)
+      IndexIngest.ingestBatch(e.filter(col("vec_id") % 3 === 1), 1L,
+        assign, table, nBuckets, ledgerDir)
+      // A dead attempt (append, no marker): compaction must DROP it.
+      graft.sources.Sinks.appendBucketed(
+        assign(e.filter(col("vec_id") % 3 === 2))
+          .withColumn("batch_id", lit(2L))
+          .withColumn("attempt", lit("dead-attempt")),
+        table, "cell", nBuckets)
+      val before = served()
+      assert(markers().size == 2)
+
+      // (a) CRASH inside the window: rewrite + new marker are durable,
+      // HEAD never lands. Serving must still be the OLD view, exactly.
+      val boom = new RuntimeException("injected crash before commit")
+      val thrown = intercept[RuntimeException] {
+        IndexIngest.compact(spark, table, nBuckets, ledgerDir,
+          beforeCommit = () => throw boom)
+      }
+      assert(thrown eq boom)
+      assert(served() == before,
+        "crashed compaction must leave the old generation serving")
+
+      // (b) The retry completes: same rows, ONE marker, orphans gone.
+      IndexIngest.compact(spark, table, nBuckets, ledgerDir)
+      assert(served() == before, "compaction must not change the answer")
+      assert(markers().size == 1, s"ledger not truncated: ${markers()}")
+      val servedTable = spark.table(s"${table}_gen1")
+      assert(servedTable.count() == before.size,
+        "rewrite must carry exactly the committed rows (no dead attempts)")
+
+      // (c) A replay of a FOLDED epoch is a no-op (high-water gate).
+      IndexIngest.ingestBatch(e.filter(col("vec_id") % 3 === 1), 1L,
+        assign, table, nBuckets, ledgerDir)
+      assert(served() == before, "replayed folded epoch must be a no-op")
+
+      // (d) The stream continues into the new generation, and a second
+      // compaction folds the tail back to one marker.
+      IndexIngest.ingestBatch(e.filter(col("vec_id") % 3 === 2), 2L,
+        assign, table, nBuckets, ledgerDir)
+      val withTail = served()
+      assert(withTail.size == e.count(),
+        "post-compaction append must serve alongside the folded rows")
+      IndexIngest.compact(spark, table, nBuckets, ledgerDir)
+      assert(served() == withTail)
+      assert(markers().size == 1)
+    } finally {
+      Seq(table, s"${table}_gen1", s"${table}_gen2", s"${table}_gen3")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ledgerDir))
+      ()
+    }
+  }
+
   test("STREAMING ingest end-to-end: foreachBatch over a MemoryStream builds the served index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
