@@ -18,10 +18,13 @@ import graft.Tables
   * little-endian GIF dims) in front of the document bytes, and both the
   * declarative plan (substring+hex+conv, all codegen) and the imperative
   * kernel (`decode`, a proper JPEG segment scanner) recover dimensions
-  * from those actual header bytes. Only PIXEL work (full decode, resize
-  * kernels, frame extraction) remains stubbed — the container has no
-  * media libs — behind the same signatures a JNI/ffmpeg binding would
-  * keep.
+  * from those actual header bytes. PIXEL decode for still images is
+  * real too: [[lumaSamples]] runs JDK ImageIO (PNG/JPEG/BMP/GIF, no
+  * media libs needed) and feeds the same phash sketch contract, with
+  * the byte-sampling path as the fallback for what ImageIO can't read
+  * (and as the DuckDB oracle twin). Resize kernels and video frame
+  * extraction remain stubbed behind the same signatures a JNI/ffmpeg
+  * binding would keep.
   *
   * Scale shape: `mapPartitions` keeps the decoder batched per partition
   * (amortizing any native-lib init), payloads never shuffle before the
@@ -291,11 +294,85 @@ object Multimodal {
       .select(col("doc_id"), expr(hashExpr).as("phash"))
   }
 
+  /** REAL pixel decode behind the sketch seam — JDK ImageIO (PNG, JPEG,
+    * BMP, GIF; no new deps): the payload decodes to pixels and the
+    * "grid" is [[PhashBits]] evenly-spaced PIXELS in row-major order —
+    * the same ⌊(n−1)·k/59⌋ arithmetic as the byte path, over integer
+    * luma (⌊(299R + 587G + 114B)/1000⌋) instead of raw bytes. A payload
+    * ImageIO cannot decode (the staged synthetic corpus, truncated
+    * files, audio/video containers) is None — callers fall back to
+    * [[byteSamples]], which is why the registered query's answer is
+    * identical with or without a decoder present. */
+  def lumaSamples(payload: Array[Byte],
+                  bits: Int = PhashBits): Option[Array[Int]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth
+        val npix = w.toLong * img.getHeight
+        Some(Array.tabulate(bits) { k =>
+          val p = ((npix - 1) * k / (bits - 1)).toInt
+          val rgb = img.getRGB(p % w, p / w)
+          val r = (rgb >> 16) & 0xFF
+          val g = (rgb >> 8) & 0xFF
+          val b = rgb & 0xFF
+          (299 * r + 587 * g + 114 * b) / 1000
+        })
+      }
+    } catch { case _: Exception => None }
+
+  /** Kernel twin of [[phashSketch]]'s byte sampling: payload byte at
+    * 1 + ⌊(len−1)·k/59⌋ (1-based), unsigned. */
+  def byteSamples(payload: Array[Byte],
+                  bits: Int = PhashBits): Array[Int] =
+    Array.tabulate(bits) { k =>
+      payload(((payload.length - 1).toLong * k / (bits - 1)).toInt) & 0xFF
+    }
+
+  /** The aHash fold shared by both sample sources: mean-threshold the
+    * samples, set bit k iff sample k clears the integer-floor mean —
+    * term for term the arithmetic of [[phashSketch]]'s SQL. */
+  def phashOf(samples: Array[Int]): Long = {
+    val m = samples.foldLeft(0L)(_ + _) / samples.length
+    var acc = 0L
+    var k = 0
+    while (k < samples.length) {
+      if (samples(k) > m) acc |= 1L << k
+      k += 1
+    }
+    acc
+  }
+
+  /** Partition-local DECODED sketch: pixel luma where ImageIO decodes,
+    * sampled bytes where it can't — same (doc_id, phash) contract as
+    * the declarative [[phashSketch]], so [[phashPairsFrom]] (and any
+    * consumer of the sketch column) is source-agnostic. mapPartitions
+    * batches the decoder per partition like [[decodePartitions]];
+    * payloads never shuffle, the binary drops at the sketch. */
+  def phashSketchDecoded(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, phashOf(lumaSamples(bytes).getOrElse(byteSamples(bytes))))
+      })
+      .toDF("doc_id", "phash")
+  }
+
   /** Banded-hamming near-pairs over [[phashSketch]] sketches. */
   def phashPairs(payloads: DataFrame, chunkWidth: Int,
-                 hammingMax: Int = PhashHammingMax): DataFrame = {
+                 hammingMax: Int = PhashHammingMax): DataFrame =
+    phashPairsFrom(phashSketch(payloads), chunkWidth, hammingMax)
+
+  /** Banded-hamming near-pairs over ANY (doc_id, phash) sketch frame —
+    * the declarative byte sketch and the ImageIO-decoded kernel sketch
+    * flow through the same blocking and verify. */
+  def phashPairsFrom(sk: DataFrame, chunkWidth: Int,
+                     hammingMax: Int = PhashHammingMax): DataFrame = {
     val nChunks = PhashBits / chunkWidth
-    val sk = phashSketch(payloads)
     val chunks = sk.select(col("doc_id"), col("phash"), explode(expr(
       s"""transform(sequence(0, ${nChunks - 1}),
             c -> named_struct('c', c,

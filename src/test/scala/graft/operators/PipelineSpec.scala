@@ -626,6 +626,61 @@ class PipelineSpec extends SparkSpec {
     assert(planted >= Multimodal.PhashPlantCount, s"planted rows: $planted")
   }
 
+  test("phash DECODED path: re-encoded pixel-identical images hash equal, pixel flips stay in radius") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // 256×1 grayscale image with the SAME sample geometry as the byte
+    // fixture: row-major pixel p(k) = 255k/59; luma 10 except sampled
+    // positions k>=30 -> 240, so every sample sits far from the mean
+    // and a flipped sample flips exactly its own bit.
+    def image(highs: Set[Int]): BufferedImage = {
+      val img = new BufferedImage(256, 1, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 256) img.setRGB(x, 0, 10 * 0x010101)
+      highs.foreach { k =>
+        img.setRGB(255 * k / 59, 0, 240 * 0x010101); ()
+      }
+      img
+    }
+    def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    val base = image((30 until 60).toSet)
+    val png = enc(base, "png")
+    val bmp = enc(base, "bmp") // same pixels, entirely different bytes
+    assert(!java.util.Arrays.equals(png, bmp))
+    val near = enc(image((30 until 60).toSet + 0 + 1), "png") // bits 0,1 flip
+    // Kernel-level: the decode really ran (byte path would differ
+    // wildly between png and bmp bytes of the same image).
+    val hPng = Multimodal.phashOf(Multimodal.lumaSamples(png).get)
+    val hBmp = Multimodal.phashOf(Multimodal.lumaSamples(bmp).get)
+    val hNear = Multimodal.phashOf(Multimodal.lumaSamples(near).get)
+    assert(hPng == hBmp, "pixel-identical re-encode must hash equal")
+    assert(java.lang.Long.bitCount(hPng ^ hNear) == 2)
+    assert(java.lang.Long.bitCount(
+      Multimodal.phashOf(Multimodal.byteSamples(png)) ^
+      Multimodal.phashOf(Multimodal.byteSamples(bmp))) > Multimodal.PhashHammingMax,
+      "byte path must NOT see the re-encoded pair as near (the decode is load-bearing)")
+    // Undecodable payloads fall back to the byte path, exactly.
+    val junk = Array.tabulate[Byte](256)(i => (i % 251).toByte)
+    val viaDecoded = Multimodal.phashSketchDecoded(
+      Seq((1L, junk)).toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDecoded(1L) == Multimodal.phashOf(Multimodal.byteSamples(junk)))
+    // End-to-end through the shared banded join: the decoded sketches of
+    // (png twin, bmp twin, near, far) pair up exactly like the byte
+    // fixture — hamming-0 across encodings, hamming-2 near, far excluded.
+    val far = enc(image((0 until 30).toSet), "png")
+    val pairs = Multimodal.phashPairsFrom(
+      Multimodal.phashSketchDecoded(
+        Seq((1L, png), (2L, bmp), (3L, near), (4L, far))
+          .toDF("doc_id", "payload")),
+      Multimodal.phashChunkWidth(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 2), (2L, 3L, 2)), pairs)
+  }
+
   test("connected components: chains merge, islands stay, long chains converge") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
