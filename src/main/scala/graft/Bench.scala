@@ -72,7 +72,8 @@ object Bench {
       ("ngram_cc_labels", () => operators.Dedup.warmClusterLabels(spark, sfDir)),
       ("verbatim_span_index", () => operators.Curation.warmVerbatimArtifacts(spark, sfDir)),
       ("funnel_frames", () => operators.Curation.warmFunnelFrames(spark, sfDir)),
-      ("ivf_trained_index", () => operators.Similarity.warmTrainedIndex(spark, sfDir))
+      ("ivf_trained_index", () => operators.Similarity.warmTrainedIndex(spark, sfDir)),
+      ("phash_cc_labels", () => operators.Multimodal.warmPhashClusterLabels(spark, sfDir))
     ).map { case (name, build) =>
       val t0 = System.nanoTime()
       try { build() } catch { case e: Throwable =>

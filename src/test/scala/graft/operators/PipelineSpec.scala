@@ -624,6 +624,15 @@ class PipelineSpec extends SparkSpec {
     val q = graft.SparkEntry.queries("q_mm_phash")(spark, sfDir)
     val planted = q.filter(col("doc_b") >= Multimodal.PhashPlantBase).count()
     assert(planted >= Multimodal.PhashPlantCount, s"planted rows: $planted")
+
+    // And the cluster view labels each twin with its original (min-id
+    // rep = the original's doc_id), reconciling pairs and clusters.
+    val labels = graft.SparkEntry.queries("q_mm_phash_cluster")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- 0L until Multimodal.PhashPlantCount.toLong)
+      assert(labels.get(Multimodal.PhashPlantBase + k).contains(
+        labels.getOrElse(k, k)),
+        s"twin ${Multimodal.PhashPlantBase + k} must share its original's cluster")
   }
 
   test("phash DECODED path: re-encoded pixel-identical images hash equal, pixel flips stay in radius") {
