@@ -57,4 +57,25 @@ class ContractSpec extends AnyFunSuite {
       assert(k.matches("q_[a-z0-9_]+"), s"unsafe key name: $k")
     }
   }
+
+  private def backtickedKeys(file: String): Set[String] = {
+    val src = scala.io.Source.fromFile(file, "UTF-8")
+    val txt = try src.mkString finally src.close()
+    "`(q_[a-z0-9_]+)`".r.findAllMatchIn(txt).map(_.group(1)).toSet
+  }
+
+  test("every registered key is named in SURVEY §2 (totals can't mask a name mismatch)") {
+    // The totals test catches COUNT drift; this catches a renamed or
+    // mistyped key whose add+drop leaves the counts balanced.
+    val missing = SparkEntry.queries.keySet -- backtickedKeys("SURVEY.md")
+    assert(missing.isEmpty, s"keys missing from SURVEY.md: $missing")
+  }
+
+  test("every registered key has a BASELINE.md row (the bench 2x guard needs a denominator)") {
+    // A key without a baseline row gets only Bench's absolute 1 s
+    // retry floor — regressions in sub-second keys would be invisible,
+    // and the judge's >2x audit silently skips it.
+    val missing = SparkEntry.queries.keySet -- backtickedKeys("BASELINE.md")
+    assert(missing.isEmpty, s"keys missing from BASELINE.md: $missing")
+  }
 }
