@@ -393,13 +393,20 @@ object Multimodal {
   }
 
   /** The registered phash pair query body (docs + planted twins →
-    * banded pairs) — shared by `q_mm_phash` and the cluster view. */
+    * banded pairs) — shared by `q_mm_phash` and the cluster view.
+    * The twins are byte-identical re-keys, so their SKETCHES are the
+    * originals' sketches re-keyed — derived from the sketch frame,
+    * not re-staged, which halves the plan's corpus scans (the banded
+    * self-join evaluates its input once per side; re-staging the
+    * twins from documents would scan the corpus 4×, plan-asserted
+    * down to 2 in PlanShapeSpec). */
   private def phashPairsQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val twins = docs.filter(col("doc_id") < PhashPlantCount)
-      .select((col("doc_id") + PhashPlantBase).as("doc_id"), col("text"))
-    val corpus = docs.select(col("doc_id"), col("text")).unionByName(twins)
-    phashPairs(stagePayloadsFrom(corpus),
+    val sk = phashSketch(
+      stagePayloadsFrom(docs.select(col("doc_id"), col("text"))))
+    val twinSk = sk.filter(col("doc_id") < PhashPlantCount)
+      .select((col("doc_id") + PhashPlantBase).as("doc_id"), col("phash"))
+    phashPairsFrom(sk.unionByName(twinSk),
       phashChunkWidth(docs.count() + PhashPlantCount))
   }
 

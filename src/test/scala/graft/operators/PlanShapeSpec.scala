@@ -151,6 +151,19 @@ class PlanShapeSpec extends SparkSpec {
       s"conf leaked: $before -> ${spark.conf.getOption(confKey)}")
   }
 
+  test("q_mm_phash: at most 2 FULL corpus scans (twin scans must be pushdown-pruned)") {
+    // The banded self-join evaluates its input once per side — 2 full
+    // scans is the floor without materialization. The planted-twin
+    // subtree may scan again, but only under a doc_id pushdown that
+    // prunes it to PhashPlantCount rows; an unpruned twin derivation
+    // would double the corpus reads at 100 TB.
+    val p = plan("q_mm_phash")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    val pruned = "LessThan\\(doc_id".r.findAllIn(p).size
+    assert(scans - pruned <= 2,
+      s"q_mm_phash plans ${scans - pruned} full corpus scans ($scans total, $pruned pruned)")
+  }
+
   test("windows are all partitioned (no single-task global window)") {
     for ((k, fn) <- graft.SparkEntry.queries) {
       val optimized = fn(spark, sfDir).queryExecution.optimizedPlan
