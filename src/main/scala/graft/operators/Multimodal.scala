@@ -362,24 +362,66 @@ object Multimodal {
       .toDF("doc_id", "phash")
   }
 
+  /** REAL pixel ENCODE for the decoded-sketch round trip: render a
+    * document to a genuine 1×n truecolor PNG where pixel p (row-major)
+    * carries the text's byte p in all three channels. Two exactness
+    * facts make the downstream sketch oracle-replayable from the text
+    * alone: PNG is lossless, and the integer luma of a gray pixel is
+    * the identity — ⌊(299v + 587v + 114v)/1000⌋ = v, since the weights
+    * sum to exactly 1000. TYPE_INT_RGB (not TYPE_BYTE_GRAY, whose
+    * getRGB runs a non-identity gray→sRGB color-space conversion). */
+  def encodeGrayPng(text: String): Array[Byte] = {
+    val n = math.max(text.length, 1)
+    val img = new java.awt.image.BufferedImage(
+      1, n, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < n) {
+      val v = if (text.isEmpty) 0 else text.charAt(i) & 0xFF
+      img.setRGB(0, i, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** (doc_id, payload) of REAL PNGs rendered by [[encodeGrayPng]] —
+    * partition-local like every decode step; the binary never
+    * shuffles (the sketch immediately follows in the same stage). */
+  def renderedPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, encodeGrayPng(t)) })
+      .toDF("doc_id", "payload")
+  }
+
   /** Banded-hamming near-pairs over [[phashSketch]] sketches. */
   def phashPairs(payloads: DataFrame, chunkWidth: Int,
                  hammingMax: Int = PhashHammingMax): DataFrame =
     phashPairsFrom(phashSketch(payloads), chunkWidth, hammingMax)
 
-  /** Banded-hamming near-pairs over ANY (doc_id, phash) sketch frame —
-    * the declarative byte sketch and the ImageIO-decoded kernel sketch
-    * flow through the same blocking and verify. */
-  def phashPairsFrom(sk: DataFrame, chunkWidth: Int,
-                     hammingMax: Int = PhashHammingMax): DataFrame = {
+  /** [[phashChunkWidth]]-bit chunk rows of a (doc_id, phash) sketch
+    * frame — the banded-join key derivation shared by the batch and
+    * incremental pair paths. */
+  private def phashChunks(sk: DataFrame, chunkWidth: Int): DataFrame = {
     val nChunks = PhashBits / chunkWidth
-    val chunks = sk.select(col("doc_id"), col("phash"), explode(expr(
+    sk.select(col("doc_id"), col("phash"), explode(expr(
       s"""transform(sequence(0, ${nChunks - 1}),
             c -> named_struct('c', c,
                    'v', (phash div shiftleft(cast(1 as bigint), $chunkWidth * c))
                         % ${1L << chunkWidth}L))""")).as("ch"))
       .select(col("doc_id"), col("phash"),
         col("ch.c").as("c"), col("ch.v").as("v"))
+  }
+
+  /** Banded-hamming near-pairs over ANY (doc_id, phash) sketch frame —
+    * the declarative byte sketch and the ImageIO-decoded kernel sketch
+    * flow through the same blocking and verify. */
+  def phashPairsFrom(sk: DataFrame, chunkWidth: Int,
+                     hammingMax: Int = PhashHammingMax): DataFrame = {
+    val chunks = phashChunks(sk, chunkWidth)
     chunks.as("a").join(chunks.as("b"), Seq("c", "v"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -388,6 +430,38 @@ object Multimodal {
       // duplicates, but only in-radius pairs need the dedup shuffle —
       // filtering first cuts the distinct's input from all candidate
       // collisions to the (tiny) within-radius set.
+      .filter(col("hamming") <= hammingMax)
+      .distinct()
+  }
+
+  /** INCREMENTAL image near-dup ingest — the multimodal member of the
+    * incremental family (exact/minhash/CC/semantic/verbatim/decontam
+    * all have one; production image pipelines ingest batches the same
+    * way). The corpus's chunk index is built once and persisted
+    * (localCheckpoint stands in for the write); an arriving batch
+    * chunks its own sketches and band-joins against index ∪ own-chunks,
+    * so every candidate touches a batch image by construction and
+    * corpus×corpus is never re-chunked or re-joined. Verify is inline —
+    * the chunk rows carry both sketches, so exact `bit_count(a ⊕ b)`
+    * needs no fetch join. Pigeonhole-exactness of the blocking makes
+    * the output EQUAL to the full recompute restricted to
+    * batch-touching pairs — the oracle proves it. Per-batch cost:
+    * batch sketching (linear) + a band join whose left side is the
+    * batch's chunks. */
+  def phashPairsIncremental(sk: DataFrame, batchPred: Column,
+                            chunkWidth: Int,
+                            hammingMax: Int = PhashHammingMax): DataFrame = {
+    val index = phashChunks(sk.filter(!batchPred), chunkWidth)
+      .localCheckpoint(true)
+    val batchChunks = phashChunks(sk.filter(batchPred), chunkWidth)
+    batchChunks.as("a")
+      .join(index.unionByName(batchChunks).as("b"), Seq("c", "v"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      // least/greatest orientation: batch-batch collisions arrive in
+      // both orders, batch-corpus in one — normalize then dedupe.
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        bit_count(expr("a.phash ^ b.phash")).as("hamming"))
       .filter(col("hamming") <= hammingMax)
       .distinct()
   }
@@ -401,12 +475,20 @@ object Multimodal {
     * twins from documents would scan the corpus 4×, plan-asserted
     * down to 2 in PlanShapeSpec). */
   private def phashPairsQuery(s: SparkSession, dir: String): DataFrame = {
+    val (sk, width) = phashSketchWithTwins(s, dir)
+    phashPairsFrom(sk, width)
+  }
+
+  /** The corpus+twins sketch frame and its derived chunk width — the
+    * shared front end of the batch and incremental pair keys. */
+  private def phashSketchWithTwins(
+      s: SparkSession, dir: String): (DataFrame, Int) = {
     val docs = Tables.documents(s, dir)
     val sk = phashSketch(
       stagePayloadsFrom(docs.select(col("doc_id"), col("text"))))
     val twinSk = sk.filter(col("doc_id") < PhashPlantCount)
       .select((col("doc_id") + PhashPlantBase).as("doc_id"), col("phash"))
-    phashPairsFrom(sk.unionByName(twinSk),
+    (sk.unionByName(twinSk),
       phashChunkWidth(docs.count() + PhashPlantCount))
   }
 
@@ -468,6 +550,35 @@ object Multimodal {
     // arithmetic, so rows/schema/hash are a real signal at every SF.
     "q_mm_phash" -> ((s, dir) =>
       phashPairsQuery(s, dir).orderBy("doc_a", "doc_b")),
+
+    // DECODED perceptual hash, oracle-checked end to end: each doc
+    // renders to a REAL 1×n gray PNG (pixel p = text byte p,
+    // encodeGrayPng), the payload decodes back through ImageIO
+    // (lumaSamples), and the sampled pixel lumas fold to the sketch.
+    // PNG losslessness + the exact gray-luma identity (weights sum to
+    // 1000) make the decoded sketch a pure function of the text bytes,
+    // which the oracle replays with ascii(substr(...)). The hash match
+    // PROVES the decode ran: had ImageIO failed, the byteSamples
+    // fallback would sample PNG CONTAINER bytes (signature + zlib
+    // stream) and diverge on every row. Scale shape: encode → decode →
+    // sketch is one partition-local pipeline; the binary exists only
+    // inside the stage and never shuffles.
+    "q_mm_phash_decoded" -> ((s, dir) =>
+      phashSketchDecoded(
+        renderedPayloads(Tables.documents(s, dir))).orderBy("doc_id")),
+
+    // Incremental image ingest — see phashPairsIncremental: the
+    // arriving batch (the doc_id % 5 slice every incremental key uses;
+    // the planted twins split across batch and corpus, keeping the
+    // answer non-empty at every SF) near-dups against the persisted
+    // chunk index + itself; the corpus is never re-chunked. Oracle =
+    // the full phash pair replay restricted to batch-touching pairs,
+    // so the hash match proves incremental == full.
+    "q_mm_phash_incremental" -> ((s, dir) => {
+      val (sk, width) = phashSketchWithTwins(s, dir)
+      phashPairsIncremental(sk, col("doc_id") % 5 === 0, width)
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // Image near-dup CLUSTERS — the multimodal twin of q_dedup_cluster:
     // connected components (min-label, checkpointed loop) over the
@@ -536,6 +647,38 @@ object Multimodal {
     "q_mm_phash" -> s"""
       WITH $phashSqlCtes
       $phashPairsSelect
+      ORDER BY doc_a, doc_b""",
+
+    // The decoded-sketch replay needs no header synthesis: the rendered
+    // PNG's pixel p IS text byte p, so sample k is
+    // ascii(text[1 + ((len−1)·k) // 59]) and the mean/threshold/fold
+    // mirror phashOf term for term (see the q_mm_phash_decoded query
+    // comment for why a hash match proves the ImageIO decode was exact).
+    "q_mm_phash_decoded" -> s"""
+      WITH sampled AS (
+        SELECT doc_id,
+               list_transform(range(0, $PhashBits), k ->
+                 ascii(substr(text,
+                   1 + ((length(text) - 1) * k) // ${PhashBits - 1},
+                   1))::BIGINT) AS bs
+        FROM documents),
+      meaned AS (
+        SELECT doc_id, bs, CAST(list_sum(bs) AS BIGINT) // $PhashBits AS m
+        FROM sampled)
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, $PhashBits), k ->
+               CASE WHEN bs[k + 1] > m THEN (1::BIGINT << k) ELSE 0::BIGINT END))
+               AS BIGINT) AS phash
+      FROM meaned ORDER BY doc_id""",
+
+    // Full pair replay restricted to batch-touching pairs — the
+    // incremental-family oracle shape (the minhash twin's predicate,
+    // same % arithmetic on the twin ids: PhashPlantBase % 5 = 0).
+    "q_mm_phash_incremental" -> s"""
+      WITH $phashSqlCtes,
+      pairs AS ($phashPairsSelect)
+      SELECT doc_a, doc_b, hamming FROM pairs
+      WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
       ORDER BY doc_a, doc_b""",
 
     // Recursive reachability over the SAME replayed pair SQL — the

@@ -223,12 +223,48 @@ object TextAnalysis {
     graft.functions.TopK.perKey(scored, "query_id", "score", "doc_id", k)
   }
 
+  /** Unigram corpus-frequency LM score — the integer-exact stand-in for
+    * the KenLM-perplexity quality filter every web-scale pipeline runs
+    * (CCNet, Gopher, RefinedWeb): a document whose tokens are mostly
+    * corpus-rare is noise (OCR garbage, misspellings, codes); one whose
+    * tokens are mostly corpus-common is fluent boilerplate. Instead of
+    * float log-probs (cross-engine ulp risk), the score is the MEAN
+    * CORPUS FREQUENCY of the doc's token instances — monotone in
+    * unigram likelihood, hash-exact both engines:
+    *   - tf per (doc, token) partial-aggregates BEFORE any join, so the
+    *     token-keyed shuffle carries distinct (doc, token) pairs, not
+    *     raw token instances;
+    *   - cf (corpus frequency) is one more partial aggregate of the
+    *     same tf frame — the corpus is tokenized ONCE;
+    *   - per-doc score = Σ tf·cf div Σ tf (integer floor), plus min cf
+    *     (the rarest-token signal a mean hides).
+    * At 100 TB the cf side is vocab-sized (heavy-tailed but bounded);
+    * the tf ⋈ cf join shuffles on the token with AQE handling the
+    * stop-word skew; every aggregate is map-side partial. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("tok").agg(sum(col("tf")).as("cf"))
+    tf.join(cf, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        expr("sum(tf * cf) div sum(tf)").as("lm_score"),
+        min(col("cf")).as("min_cf"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Lexical top-k search — see [[lexicalSearch]]: integer tf·idf
     // scoring, corpus scored row-locally, map-side TopK per query.
     "q_text_search" -> ((s, dir) =>
       lexicalSearch(Tables.documents(s, dir))
         .orderBy("query_id", "rk")),
+
+    // Unigram-LM quality score — see [[lmScore]]: mean corpus frequency
+    // of the doc's tokens + rarest-token frequency, integer-exact.
+    "q_text_lm_score" -> ((s, dir) =>
+      lmScore(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // n-gram-heuristic language ID: stopword-hit argmax with ordered
     // tie-break (en > de > es > fr > und), mirroring the ordered-cascade
@@ -427,6 +463,25 @@ object TextAnalysis {
       SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
              CAST(rk AS INTEGER) AS rk
       FROM ranked WHERE rk <= $SearchK ORDER BY query_id, rk""",
+
+    // Same tf → cf frames; CASTs keep DuckDB's HUGEINT sums at BIGINT
+    // so the dtype compare holds, and // mirrors Spark's div exactly
+    // (both operands nonnegative).
+    "q_text_lm_score" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf
+             FROM toks GROUP BY doc_id, tok),
+      cf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf
+             FROM tf GROUP BY tok)
+      SELECT t.doc_id,
+             CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+             CAST(sum(t.tf * c.cf) AS BIGINT) // CAST(sum(t.tf) AS BIGINT)
+               AS lm_score,
+             CAST(min(c.cf) AS BIGINT) AS min_cf
+      FROM tf t JOIN cf c USING (tok)
+      GROUP BY t.doc_id ORDER BY doc_id""",
 
     "q_text_langid" -> s"""
       WITH t AS (

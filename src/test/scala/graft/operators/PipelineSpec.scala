@@ -690,6 +690,92 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 0), (1L, 3L, 2), (2L, 3L, 2)), pairs)
   }
 
+  test("phash decoded ROUND TRIP: rendered PNG decodes to the text's own bytes") {
+    import spark.implicits._
+    // Every renderable luma value: the printable-ASCII ramp, twice, so
+    // sampled positions hit a spread of values (a text shorter than 60
+    // would alias samples onto repeated positions — still exact, less
+    // discriminating).
+    val text = (32 to 126).map(_.toChar).mkString * 2
+    val png = Multimodal.encodeGrayPng(text)
+    // The decode must succeed (this is a REAL PNG) and sample EXACTLY
+    // the text bytes at the ⌊(n−1)k/59⌋ positions — the gray-luma
+    // identity (⌊1000v/1000⌋ = v) plus PNG losslessness.
+    val samples = Multimodal.lumaSamples(png)
+      .getOrElse(fail("ImageIO must decode the rendered PNG"))
+    val expected = Array.tabulate(Multimodal.PhashBits) { k =>
+      text.charAt(((text.length - 1) * k / (Multimodal.PhashBits - 1))).toInt
+    }
+    assert(samples.sameElements(expected),
+      s"decoded samples must equal the text bytes at the sample grid")
+    // End-to-end through the registered shape: sketch-of-decode equals
+    // the JVM fold over the text bytes for a mixed frame.
+    val docs = Seq((1L, text), (2L, "a short doc"), (3L, text.reverse))
+      .toDF("doc_id", "text")
+    val got = Multimodal.phashSketchDecoded(Multimodal.renderedPayloads(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ref(t: String): Long = Multimodal.phashOf(Array.tabulate(
+      Multimodal.PhashBits)(k =>
+        t.charAt((t.length - 1) * k / (Multimodal.PhashBits - 1)).toInt))
+    assert(got == Map(1L -> ref(text), 2L -> ref("a short doc"),
+      3L -> ref(text.reverse)), got)
+  }
+
+  test("phash incremental == full restricted to batch-touching pairs; corpus never re-paired") {
+    import spark.implicits._
+    // The byte-fixture geometry: twin (hamming 0), near (2), far (60).
+    val L = 256
+    def payload(highs: Set[Int]): Array[Byte] = {
+      val p = Array.fill[Byte](L)(10)
+      highs.foreach(k => p(1 + ((L - 1) * k) / 59 - 1) = 240.toByte)
+      p
+    }
+    val df = Seq(
+      (1L, payload((30 until 60).toSet)),
+      (2L, payload((30 until 60).toSet)),          // twin of 1
+      (3L, payload((30 until 60).toSet + 0 + 1)),  // near 1 and 2
+      (4L, payload((0 until 30).toSet))            // far from all
+    ).toDF("doc_id", "payload")
+    val sk = Multimodal.phashSketch(df)
+    val width = Multimodal.phashChunkWidth(4)
+    val full = Multimodal.phashPairsFrom(sk, width)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == Set((1L, 2L, 0), (1L, 3L, 2), (2L, 3L, 2)), full)
+    // Batch = {3, 4}: the incremental ingest must emit exactly the
+    // full pairs touching the batch — the batch-corpus pairs (1,3),
+    // (2,3) — and NOT the corpus-corpus pair (1,2).
+    val inc = Multimodal.phashPairsIncremental(sk, col("doc_id") >= 3, width)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(inc == Set((1L, 3L, 2), (2L, 3L, 2)), inc)
+    // Batch-batch pairs surface too (batch = {1, 2} makes the twin
+    // pair internal to the batch), and a batch touching nothing adds
+    // nothing.
+    val inc2 = Multimodal.phashPairsIncremental(sk, col("doc_id") <= 2, width)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(inc2 == Set((1L, 2L, 0), (1L, 3L, 2), (2L, 3L, 2)), inc2)
+    val inc3 = Multimodal.phashPairsIncremental(sk, col("doc_id") === 4, width)
+      .count()
+    assert(inc3 == 0, "a far-from-everything batch must pair with nothing")
+  }
+
+  test("lm score: planted rare-token doc scores low, common-token doc high") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the"),   // all instances of the commonest token
+      (2L, "the zxq"),       // mixed
+      (3L, "zxq")            // all rare
+    ).toDF("doc_id", "text")
+    // cf: the=4, zxq=2. Scores: doc1 (3·4) div 3 = 4; doc2 (4+2) div 2
+    // = 3; doc3 2. min_cf: 4 / 2 / 2.
+    val got = TextAnalysis.lmScore(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 4L, 4L)),
+      2L -> ((2L, 3L, 2L)),
+      3L -> ((1L, 2L, 2L))), got)
+  }
+
   test("connected components: chains merge, islands stay, long chains converge") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
