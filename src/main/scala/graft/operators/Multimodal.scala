@@ -492,6 +492,35 @@ object Multimodal {
       phashChunkWidth(docs.count() + PhashPlantCount))
   }
 
+  /** Image RETRIEVAL probe/answer sizes: the first [[PhashProbeCount]]
+    * corpus images query for their [[PhashTopK]] hamming-nearest
+    * neighbors. */
+  val PhashProbeCount = 5
+  val PhashTopK = 5
+
+  /** Hamming top-k image SEARCH — the retrieval member of the
+    * multimodal family (dedup answers "what duplicates exist",
+    * retrieval answers "what is nearest to THIS image"): exact
+    * brute-force bit_count distance from each probe sketch to every
+    * corpus sketch, ranked (hamming asc, doc_id asc) per probe. The
+    * q_knn_topk economics: probes BROADCAST, the corpus never
+    * shuffles, and the map-side-combining TopK aggregator carries at
+    * most k × probes × partitions rows to the reduce side. This is
+    * the exact audit reference; a radius-bounded sublinear variant
+    * goes through [[phashChunks]] exactly like the pair keys (the
+    * banded index is the scale path, the brute scan the truth). */
+  def phashSearch(sk: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val scored = sk.crossJoin(broadcast(probes))
+      .select(col("probe_id"),
+        (lit(PhashBits) - bit_count(expr("phash ^ probe_hash")))
+          .cast("bigint").as("score"),
+        col("doc_id"))
+    graft.functions.TopK.perKey(scored, "probe_id", "score", "doc_id", k)
+      .select(col("probe_id"), col("doc_id"),
+        (lit(PhashBits) - col("score")).cast("int").as("hamming"),
+        col("rk"))
+  }
+
   /** ONE image-CC labeling per (session, dir), like the text family's
     * ngram labels — connectedComponents materializes internally, so
     * the cached frame is already checkpointed. */
@@ -578,6 +607,19 @@ object Multimodal {
       val (sk, width) = phashSketchWithTwins(s, dir)
       phashPairsIncremental(sk, col("doc_id") % 5 === 0, width)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Image retrieval — see phashSearch: the first PhashProbeCount
+    // originals query the corpus+twins universe for their PhashTopK
+    // hamming-nearest sketches. The planted twins make retrieval
+    // observable at every SF: probes 0..2 find their byte-identical
+    // twin at hamming 0, ranked right after themselves (tie on
+    // hamming 0 broken by doc_id).
+    "q_mm_phash_search" -> ((s, dir) => {
+      val (sk, _) = phashSketchWithTwins(s, dir)
+      val probes = sk.filter(col("doc_id") < PhashProbeCount)
+        .select(col("doc_id").as("probe_id"), col("phash").as("probe_hash"))
+      phashSearch(sk, probes, PhashTopK).orderBy("probe_id", "rk")
     }),
 
     // Image near-dup CLUSTERS — the multimodal twin of q_dedup_cluster:
@@ -680,6 +722,28 @@ object Multimodal {
       SELECT doc_a, doc_b, hamming FROM pairs
       WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
       ORDER BY doc_a, doc_b""",
+
+    // Brute hamming ranking replayed relationally — the row_number
+    // twin of the engine's map-side TopK ((hamming asc, doc_id asc)
+    // is a total order, so ranks hash-match).
+    "q_mm_phash_search" -> s"""
+      WITH $phashSqlCtes,
+      probes AS (
+        SELECT doc_id AS probe_id, phash AS probe_hash
+        FROM sk WHERE doc_id < $PhashProbeCount),
+      scored AS (
+        SELECT p.probe_id, s.doc_id,
+               CAST(bit_count(xor(s.phash, p.probe_hash)) AS INTEGER)
+                 AS hamming
+        FROM sk s CROSS JOIN probes p),
+      ranked AS (
+        SELECT probe_id, doc_id, hamming,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY hamming, doc_id) AS rk
+        FROM scored)
+      SELECT probe_id, doc_id, hamming, CAST(rk AS INTEGER) AS rk
+      FROM ranked WHERE rk <= $PhashTopK
+      ORDER BY probe_id, rk""",
 
     // Recursive reachability over the SAME replayed pair SQL — the
     // q_dedup_cluster oracle shape on the image pair graph.

@@ -235,12 +235,16 @@ object TextAnalysis {
     *     token-keyed shuffle carries distinct (doc, token) pairs, not
     *     raw token instances;
     *   - cf (corpus frequency) is one more partial aggregate of the
-    *     same tf frame — the corpus is tokenized ONCE;
+    *     same tf frame — AQE's exchange reuse collapses the two
+    *     identical tf subtrees at runtime, so the corpus is scanned
+    *     and tokenized ONCE per call (plan-asserted in PlanShapeSpec);
     *   - per-doc score = Σ tf·cf div Σ tf (integer floor), plus min cf
     *     (the rarest-token signal a mean hides).
-    * At 100 TB the cf side is vocab-sized (heavy-tailed but bounded);
-    * the tf ⋈ cf join shuffles on the token with AQE handling the
-    * stop-word skew; every aggregate is map-side partial. */
+    * At 100 TB the cf side is vocab-sized (heavy-tailed but bounded):
+    * Catalyst broadcasts it when it fits (the plan here — tf never
+    * shuffles on the token) and falls back to a token-keyed shuffle
+    * join with AQE absorbing stop-word skew when it doesn't; every
+    * aggregate is map-side partial. */
   def lmScore(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"),

@@ -758,6 +758,31 @@ class PipelineSpec extends SparkSpec {
     assert(inc3 == 0, "a far-from-everything batch must pair with nothing")
   }
 
+  test("phash search: each probe ranks itself first; twinned probes retrieve their twin at hamming 0") {
+    val df = graft.SparkEntry.queries("q_mm_phash_search")(spark, sfDir)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getInt(2))))
+      .toMap
+    for (p <- 0L until Multimodal.PhashProbeCount.toLong) {
+      assert(rows((p, 1)) == ((p, 0)),
+        s"probe $p must rank itself first at hamming 0: ${rows((p, 1))}")
+      if (p < Multimodal.PhashPlantCount) {
+        // The byte-identical twin shares the sketch: hamming 0, and
+        // doc_id tie-break puts it right after the original (any
+        // other hamming-0 doc would have a smaller id than the twin's
+        // PhashPlantBase offset only if it were an original — then
+        // the twin lands later, still at hamming 0; on this corpus
+        // the twin is the sole other hamming-0 holder).
+        assert(rows((p, 2)) == ((p + Multimodal.PhashPlantBase, 0)),
+          s"probe $p must retrieve its planted twin second: ${rows((p, 2))}")
+      }
+    }
+    // Scale shape: the ranking partial-aggregates map-side (the TopK
+    // aggregator), so the scored corpus never shuffles.
+    assert(df.queryExecution.executedPlan.toString
+      .contains("partial_topkbyscore"))
+  }
+
   test("lm score: planted rare-token doc scores low, common-token doc high") {
     import spark.implicits._
     val docs = Seq(

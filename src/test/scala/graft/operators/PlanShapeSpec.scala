@@ -16,6 +16,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q_text_lm_score tokenizes the corpus once at runtime (tf exchange reused by the cf branch)") {
+    // The cf (corpus-frequency) frame is an aggregate OF the tf frame,
+    // so the initial plan carries two identical scan→explode→tf
+    // subtrees; AQE's exchange reuse must collapse them at runtime —
+    // otherwise the corpus is scanned and exploded twice per call.
+    val df = graft.SparkEntry.queries("q_text_lm_score")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      p.linesIterator.take(40).mkString("\n"))
+  }
+
   test("q_config_lookup enriches via broadcast joins only (corpus never shuffles to join)") {
     val p = plan("q_config_lookup")
     // Both config layers must broadcast; a sort-merge join would shuffle
