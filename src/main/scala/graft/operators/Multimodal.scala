@@ -492,6 +492,39 @@ object Multimodal {
       phashChunkWidth(docs.count() + PhashPlantCount))
   }
 
+  /** STREAMING image-dup gate — the multimodal tier of the ingest door
+    * (the gate family: quality → shingle → semantic → THIS): drop an
+    * arriving image whose DECODED sketch lands within `hammingMax` of
+    * any index sketch. The index (a blocklist, or the sketch set of the
+    * already-ingested corpus) broadcasts once per executor — the
+    * contaminationGate asymmetry: the frozen side is small and rides a
+    * broadcast, the stream side never shuffles. The per-row UDF is
+    * justified exactly like semanticGate's: the probe needs the
+    * broadcast array + the ImageIO kernel, neither expressible as a
+    * Column; the linear scan is right for gate-sized indexes (swap in
+    * a banded chunk-bucket broadcast map when the index outgrows it).
+    * Stateless: no streaming state, replay-safe, composable with the
+    * other gates in front of an exactly-once sink. Empty payloads pass
+    * (not duplicates — the quality tier owns degenerate-input drops).
+    */
+  def phashGate(stream: DataFrame, indexSketches: Seq[Long],
+                hammingMax: Int = PhashHammingMax): DataFrame = {
+    val bc = stream.sparkSession.sparkContext.broadcast(indexSketches.toArray)
+    val dup = udf((payload: Array[Byte]) =>
+      payload != null && payload.nonEmpty && {
+        val h = phashOf(lumaSamples(payload).getOrElse(byteSamples(payload)))
+        val idx = bc.value
+        var i = 0
+        var hit = false
+        while (!hit && i < idx.length) {
+          hit = java.lang.Long.bitCount(idx(i) ^ h) <= hammingMax
+          i += 1
+        }
+        hit
+      })
+    stream.filter(!dup(col("payload")))
+  }
+
   /** Image RETRIEVAL probe/answer sizes: the first [[PhashProbeCount]]
     * corpus images query for their [[PhashTopK]] hamming-nearest
     * neighbors. */

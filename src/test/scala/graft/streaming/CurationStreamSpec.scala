@@ -247,4 +247,49 @@ class CurationStreamSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(batchKept == kept, s"batch gate kept: $batchKept")
   }
+
+  test("phash gate drops near-dup images through the DECODE (re-encodes caught), stream == batch") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import java.awt.image.BufferedImage
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // The PipelineSpec fixture geometry: 256×1 gray images whose 60
+    // sampled pixels sit far from the mean, so one flipped sample
+    // flips exactly one sketch bit.
+    def image(highs: Set[Int]): BufferedImage = {
+      val img = new BufferedImage(256, 1, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 256) img.setRGB(x, 0, 10 * 0x010101)
+      highs.foreach { k => img.setRGB(255 * k / 59, 0, 240 * 0x010101); () }
+      img
+    }
+    def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    val indexed = image((30 until 60).toSet)
+    // Index holds the PNG's decoded sketch; the stream re-encodes the
+    // same pixels as BMP (byte-different) — only a decoding gate can
+    // catch it. near = 2 bits inside the radius; far = 60 bits out.
+    val index = Seq(Multimodal.phashOf(
+      Multimodal.lumaSamples(enc(indexed, "png")).get))
+    val rows = Seq(
+      (1L, enc(indexed, "bmp")),                            // re-encoded dup
+      (2L, enc(image((30 until 60).toSet + 0 + 1), "png")), // near, in radius
+      (3L, enc(image((0 until 30).toSet), "png")),          // far
+      (4L, Array.emptyByteArray))                           // empty: passes
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+    in.addData(rows: _*)
+    val q = Multimodal.phashGate(
+        in.toDF().toDF("doc_id", "payload"), index)
+      .writeStream.format("memory")
+      .queryName("phash_gate_out").outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("phash_gate_out")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(3L, 4L), s"phash gate kept: $kept")
+    val batchKept = Multimodal.phashGate(rows.toDF("doc_id", "payload"), index)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(batchKept == kept, s"batch gate kept: $batchKept")
+  }
 }
