@@ -554,6 +554,128 @@ object Multimodal {
         col("rk"))
   }
 
+  /** Cells a probe searches in the hamming IVF — the [[PhashBits]]-bit
+    * analogue of Similarity.IvfNprobe: 1 = assigned cell only, each
+    * increment adds ~corpus/K candidates and recovers neighbors just
+    * across a cell boundary. */
+  val PhashIvfNprobe = 2
+
+  /** First-K hamming-cell centroids: the sketches of doc_id < kk, cid =
+    * doc_id — the deterministic seeding every oracle-checked quantizer
+    * here uses (Similarity.lloydCentroids seeds the same way), so the
+    * DuckDB twin replays the cell set from the same predicate. */
+  def phashIvfCells(sk: DataFrame, kk: Int): DataFrame =
+    sk.filter(col("doc_id") < kk)
+      .select(col("doc_id").as("cid"), col("phash").as("cent"))
+
+  /** Hamming-space IVF over phash sketches — the SUBLINEAR image
+    * retrieval path (`q_mm_phash_search` is the exact brute reference
+    * it audits against): cluster the sketch universe into K first-K
+    * hamming cells, search only each probe's [[PhashIvfNprobe]] nearest
+    * cells. FAISS's binary IVF (IndexBinaryIVF) is exactly this shape.
+    *
+    *   - assignment: argmin cell by (bit_count(phash ^ cent), cid) — a
+    *     partial-aggregating min_by over the BROADCAST centroid join,
+    *     so the wire carries corpus rows, not corpus×K (the
+    *     Similarity.assignCells economics in hamming space);
+    *   - probe→cell ranking: same metric, same tie rule, through the
+    *     map-side TopK aggregator (score = PhashBits − hamming so the
+    *     (score desc, id asc) order IS (hamming asc, cid asc)), so
+    *     nprobe = 1 reproduces the assigned cell exactly;
+    *   - search: probes + their cell lists BROADCAST against the
+    *     cell-keyed assignment index; candidates = the probed cells'
+    *     members only (~nprobe/K of the corpus); exact bit_count
+    *     scoring; map-side TopK.
+    *
+    * Scale shape: the index is (cell, doc_id, phash) — 100 TB of
+    * images reduce to ~20 B/row; persisted it buckets by cell exactly
+    * like writeIvfPqIndex (plan-time pruning to nprobe buckets); the
+    * corpus never shuffles on the query path. Recall is audited by
+    * `q_mm_phash_ivf_recall` (planted twins sketch-identical to their
+    * originals assign to the SAME cell, so nprobe=1 already finds
+    * them at hamming 0 — the audit's floor is structural). */
+  def phashIvfSearch(sk: DataFrame, nProbes: Int, k: Int, kk: Int,
+                     nprobe: Int = PhashIvfNprobe): DataFrame = {
+    val cents = phashIvfCells(sk, kk)
+    phashIvfServe(phashIvfAssign(sk, cents), cents, nProbes, k, nprobe)
+  }
+
+  /** BUILD step: argmin cell assignment over the broadcast centroid
+    * join — the index a production pipeline writes once (cell-bucketed,
+    * the writeIvfPqIndex shape) and every query serves from. Billed as
+    * its own Bench artifact row via [[warmPhashIvfIndex]]: assignment
+    * is N×K bit_counts, the one linear-in-corpus pass of the family. */
+  def phashIvfAssign(sk: DataFrame, cents: DataFrame): DataFrame =
+    sk.join(broadcast(cents))
+      .withColumn("cd", bit_count(expr("phash ^ cent")))
+      .groupBy(col("doc_id"))
+      .agg(first(col("phash")).as("phash"),
+        min_by(col("cid"), struct(col("cd"), col("cid"))).as("cell"))
+
+  /** SERVE step over a prebuilt assignment index: probe→cell ranking +
+    * cell-restricted exact scoring — ~nprobe·N/K candidates per probe,
+    * never the corpus. Probes are the first `nProbes` index rows. */
+  def phashIvfServe(assigned: DataFrame, cents: DataFrame,
+                    nProbes: Int, k: Int,
+                    nprobe: Int = PhashIvfNprobe): DataFrame = {
+    val probes = assigned.filter(col("doc_id") < nProbes)
+      .select(col("doc_id").as("probe_id"), col("phash").as("probe_hash"))
+    val cellScores = probes.join(broadcast(cents))
+      .select(col("probe_id"),
+        (lit(PhashBits) - bit_count(expr("probe_hash ^ cent")))
+          .cast("bigint").as("score"),
+        col("cid"))
+    val cells = graft.functions.TopK
+      .perKey(cellScores, "probe_id", "score", "cid", nprobe)
+      .select(col("probe_id"), col("cid").as("cell"))
+    val withHash = cells.join(probes, Seq("probe_id"))
+    val cands = assigned.select(col("cell"), col("doc_id").as("cand_id"),
+      col("phash").as("cand_hash"))
+    val scored = broadcast(withHash).join(cands, Seq("cell"))
+      .select(col("probe_id"),
+        (lit(PhashBits) - bit_count(expr("cand_hash ^ probe_hash")))
+          .cast("bigint").as("score"),
+        col("cand_id"))
+    graft.functions.TopK.perKey(scored, "probe_id", "score", "cand_id", k)
+      .select(col("probe_id"), col("cand_id").as("doc_id"),
+        (lit(PhashBits) - col("score")).cast("int").as("hamming"),
+        col("rk"))
+  }
+
+  /** ONE (centroids, assigned-index) build per (session, dir) — the
+    * Artifacts pattern (the ivf-trained-idx twin): cell count K = ⌈√N⌉
+    * (the Similarity rule — balanced cells put ~√N sketches in each),
+    * both frames materialized so every IVF key serves without
+    * re-assigning the corpus. */
+  private def phashIvfArtifacts(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cents = Artifacts.cached(s, s"phash-ivf-cents:$dir") {
+      val (sk, _) = phashSketchWithTwins(s, dir)
+      val n = Tables.documents(s, dir).count() + PhashPlantCount
+      phashIvfCells(sk, math.ceil(math.sqrt(n.toDouble)).toInt)
+        .localCheckpoint(true)
+    }
+    val assigned = Artifacts.cached(s, s"phash-ivf-index:$dir") {
+      val (sk, _) = phashSketchWithTwins(s, dir)
+      phashIvfAssign(sk, cents).localCheckpoint(true)
+    }
+    (cents, assigned)
+  }
+
+  /** Build the shared hamming-IVF index NOW — Bench's explicit
+    * artifact-build row (the warmTrainedIndex accounting rule). */
+  def warmPhashIvfIndex(s: SparkSession, dir: String): Unit = {
+    phashIvfArtifacts(s, dir)
+    ()
+  }
+
+  /** The shared front end of both IVF keys: serve from the cached
+    * index. */
+  private def phashIvfQuery(s: SparkSession, dir: String): DataFrame = {
+    val (cents, assigned) = phashIvfArtifacts(s, dir)
+    phashIvfServe(assigned, cents, PhashProbeCount, PhashTopK)
+  }
+
   /** ONE image-CC labeling per (session, dir), like the text family's
     * ngram labels — connectedComponents materializes internally, so
     * the cached frame is already checkpointed. */
@@ -665,6 +787,28 @@ object Multimodal {
     // construction.
     "q_mm_phash_cluster" -> ((s, dir) =>
       phashClusterLabels(s, dir).orderBy("doc_id")),
+
+    // Hamming-IVF image retrieval — see phashIvfSearch: first-K hamming
+    // cells (K = ceil(sqrt N)), probes search their PhashIvfNprobe
+    // nearest cells only (~nprobe·sqrt(N) candidates instead of N).
+    // q_mm_phash_search is the exact reference; the recall twin below
+    // quantifies what cell restriction costs.
+    "q_mm_phash_ivf" -> ((s, dir) =>
+      phashIvfQuery(s, dir).orderBy("probe_id", "rk")),
+
+    // Oracle-exact recall@k of the hamming IVF vs the brute truth —
+    // the audit row every served index here carries (the q_knn_*_recall
+    // pattern): per probe, |ivf top-k ∩ brute top-k| / k.
+    "q_mm_phash_ivf_recall" -> ((s, dir) => {
+      val (sk, _) = phashSketchWithTwins(s, dir)
+      val probes = sk.filter(col("doc_id") < PhashProbeCount)
+        .select(col("doc_id").as("probe_id"), col("phash").as("probe_hash"))
+      val truth = phashSearch(sk, probes, PhashTopK)
+        .select(col("probe_id"), col("doc_id").as("cand_id"))
+      val approx = phashIvfQuery(s, dir)
+        .select(col("probe_id"), col("doc_id").as("cand_id"))
+      Similarity.recallVs(truth, approx)
+    }),
 
     // Frame sampling plumbing: every-Nth-frame index list per media row —
     // the explode shape a video pipeline uses, with frame count from the
@@ -794,6 +938,39 @@ object Multimodal {
       SELECT n AS doc_id, min(m) AS cluster_rep
       FROM reach GROUP BY n ORDER BY doc_id""",
 
+    // The hamming-IVF replay: first-K cells from the same sk CTE,
+    // argmin assignment and probe-cell ranking as row_number twins of
+    // the engine's min_by / TopK (both order (hamming, cid) — a total
+    // order, so the cell sets and ranks hash-match).
+    "q_mm_phash_ivf" -> s"""
+      WITH $phashSqlCtes,
+      $phashIvfSqlCtes
+      SELECT probe_id, doc_id, hamming, CAST(rk AS INTEGER) AS rk
+      FROM ivf_ranked WHERE rk <= $PhashTopK
+      ORDER BY probe_id, rk""",
+
+    // Brute truth (the q_mm_phash_search ranking) LEFT JOIN the IVF
+    // answer — the recallOracleSql shape on the image index.
+    "q_mm_phash_ivf_recall" -> s"""
+      WITH $phashSqlCtes,
+      $phashIvfSqlCtes,
+      brute AS (
+        SELECT probe_id, doc_id FROM (
+          SELECT p.probe_id, s.doc_id,
+                 row_number() OVER (PARTITION BY p.probe_id
+                   ORDER BY bit_count(xor(s.phash, p.probe_hash)),
+                            s.doc_id) AS rk
+          FROM sk s CROSS JOIN iprobes p)
+        WHERE rk <= $PhashTopK),
+      approx AS (
+        SELECT probe_id, doc_id FROM ivf_ranked WHERE rk <= $PhashTopK)
+      SELECT t.probe_id, count(*) AS n_true, count(a.doc_id) AS n_hit,
+             round(CAST(count(a.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+               AS recall
+      FROM brute t LEFT JOIN approx a
+        ON t.probe_id = a.probe_id AND t.doc_id = a.doc_id
+      GROUP BY t.probe_id ORDER BY t.probe_id""",
+
     "q_mm_frames" -> """
       WITH t AS (
         SELECT doc_id, CAST(1 + n_chars % 240 AS INTEGER) AS n_frames
@@ -856,6 +1033,46 @@ object Multimodal {
                  CASE WHEN bs[k + 1] > m THEN (1::BIGINT << k) ELSE 0::BIGINT END))
                  AS BIGINT) AS phash
         FROM meaned)"""
+
+  /** The hamming-IVF replay as reusable CTE text over `sk` (see the
+    * `q_mm_phash_ivf` oracle comment): derived K = ⌈√N⌉, first-K
+    * cells, argmin assignment, top-nprobe probe cells, cell-restricted
+    * scoring — each row_number a twin of the engine's min_by / TopK
+    * under the shared (hamming, id) total order. */
+  private def phashIvfSqlCtes: String = s"""params_ivf AS (
+        SELECT CAST(ceil(sqrt(CAST((SELECT count(*) FROM documents)
+                                   + $PhashPlantCount AS DOUBLE)))
+               AS BIGINT) AS kk),
+      cents AS (
+        SELECT doc_id AS cid, phash AS cent FROM sk
+        WHERE doc_id < (SELECT kk FROM params_ivf)),
+      asg AS (
+        SELECT doc_id, phash, cid AS cell FROM (
+          SELECT s.doc_id, s.phash, c.cid,
+                 row_number() OVER (PARTITION BY s.doc_id
+                   ORDER BY bit_count(xor(s.phash, c.cent)), c.cid) AS rn
+          FROM sk s CROSS JOIN cents c)
+        WHERE rn = 1),
+      iprobes AS (
+        SELECT doc_id AS probe_id, phash AS probe_hash FROM sk
+        WHERE doc_id < $PhashProbeCount),
+      pcells AS (
+        SELECT probe_id, probe_hash, cid AS cell FROM (
+          SELECT p.probe_id, p.probe_hash, c.cid,
+                 row_number() OVER (PARTITION BY p.probe_id
+                   ORDER BY bit_count(xor(p.probe_hash, c.cent)), c.cid) AS rn
+          FROM iprobes p CROSS JOIN cents c)
+        WHERE rn <= $PhashIvfNprobe),
+      iscored AS (
+        SELECT pc.probe_id, a.doc_id,
+               CAST(bit_count(xor(a.phash, pc.probe_hash)) AS INTEGER)
+                 AS hamming
+        FROM pcells pc JOIN asg a USING (cell)),
+      ivf_ranked AS (
+        SELECT probe_id, doc_id, hamming,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY hamming, doc_id) AS rk
+        FROM iscored)"""
 
   /** The pair SELECT over the `sk` CTE: a<b, exact bit_count at the
     * radius. No ORDER BY — callers append theirs (a CTE body must not

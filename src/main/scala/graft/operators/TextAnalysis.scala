@@ -245,6 +245,90 @@ object TextAnalysis {
     * shuffles on the token) and falls back to a token-keyed shuffle
     * join with AQE absorbing stop-word skew when it doesn't; every
     * aggregate is map-side partial. */
+  /** Fixed-point scale for the backoff score's rational arithmetic —
+    * 1e6 keeps every intermediate far inside BIGINT (Σ tf·s ≤ 1e6 ·
+    * corpus bigram instances) while giving 6 digits of resolution. */
+  val LmScale = 1000000L
+
+  /** Planted score-side doc for the bigram key: an ODD id (never in
+    * the even-id model slice) whose 'zzqx' token no model doc
+    * contains, so the unseen-bigram backoff branch and the
+    * unseen-unigram zero branch both have rows at EVERY SF (the
+    * driver corpus's ~30-word vocabulary is fully covered by the
+    * model slice, so without the plant the backoff arms would be
+    * dead code at the verify SF — the q_decontaminate_fuzzy_planted
+    * rule: an approximate/conditional path needs a planted witness).
+    * Bigrams: (zzqx,the)/(zzqx,fast)/(zzqx,sort) hit the cf1(w2)
+    * backoff, (the,zzqx)/(fast,zzqx) hit the zero branch. */
+  val LmPlantId = 9000001L
+  val LmPlantText = "zzqx the zzqx fast zzqx sort"
+
+  /** BIGRAM LM score with STUPID BACKOFF (Brants et al. '07) against a
+    * HELD-OUT model — the two-gram step from [[lmScore]] toward the
+    * KenLM-perplexity filter, integer-exact in both engines. The model
+    * is the even-doc_id half of the corpus (production trains the LM
+    * on a reference corpus — CCNet uses Wikipedia — and scores
+    * everything else; the half-split gives the same train/score
+    * asymmetry without external data, and makes unseen bigrams REAL
+    * for odd docs rather than structurally impossible):
+    *
+    *   - per bigram instance (w1, w2), fixed-point score s =
+    *     (LmScale · cf2(w1,w2)) div cf1(w1)        if the model saw the
+    *                                               bigram (the ML
+    *                                               conditional);
+    *     (2 · LmScale · cf1(w2)) div (5 · N)       else if it saw w2
+    *                                               (stupid backoff,
+    *                                               α = 0.4 = 2/5);
+    *     0                                         else;
+    *   - doc score = Σ tf·s div Σ tf, plus the backed-off instance
+    *     count (the "how much of this doc the model has never seen"
+    *     signal a mean hides).
+    *
+    * Scale shape: bigram tf partial-aggregates per (doc, w1, w2)
+    * BEFORE any join; the model's cf2 is one more aggregate of the
+    * SAME tf2 frame (the lmScore exchange-reuse economics); cf1/cf2
+    * are vocab²-bounded so Catalyst broadcasts them when they fit and
+    * falls back to token-keyed joins with AQE skew handling when they
+    * don't; N folds to a 1-row broadcast. */
+  def lmScoreBigram(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val plant = Seq((LmPlantId, LmPlantText.split(" ").toSeq))
+      .toDF("doc_id", "ts")
+    val toks = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      .unionByName(plant)
+    val bg = toks.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(ts) - 2),
+             i -> named_struct('w1', ts[i], 'w2', ts[i + 1]))""")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val tf2 = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val cf1 = toks.filter(col("doc_id") % 2 === 0)
+      .select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cf"))
+    val nTok = cf1.agg(sum(col("cf")).as("n"))
+    val cf2 = tf2.filter(col("doc_id") % 2 === 0)
+      .groupBy("w1", "w2").agg(sum(col("tf")).as("cf2"))
+    tf2
+      .join(cf2, Seq("w1", "w2"), "left")
+      .join(cf1.select(col("w").as("w1"), col("cf").as("cf_w1")),
+        Seq("w1"), "left")
+      .join(cf1.select(col("w").as("w2"), col("cf").as("cf_w2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(nTok)) // 1-row N
+      .select(col("doc_id"), col("tf"),
+        expr(s"""CASE WHEN cf2 IS NOT NULL THEN ($LmScale * cf2) div cf_w1
+                      WHEN cf_w2 IS NOT NULL
+                        THEN (2 * $LmScale * cf_w2) div (5 * n)
+                      ELSE 0 END""").as("s"),
+        expr("CASE WHEN cf2 IS NULL THEN tf ELSE 0L END").as("bo"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        expr("sum(tf * s) div sum(tf)").as("sb_score"),
+        sum(col("bo")).as("n_backoff"))
+  }
+
   def lmScore(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"),
@@ -269,6 +353,12 @@ object TextAnalysis {
     // of the doc's tokens + rarest-token frequency, integer-exact.
     "q_text_lm_score" -> ((s, dir) =>
       lmScore(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Bigram stupid-backoff LM score vs the held-out even-id model —
+    // see [[lmScoreBigram]]: fixed-point ML conditional / α=2/5
+    // backoff / zero, mean per doc + backed-off instance count.
+    "q_text_lm_score_bigram" -> ((s, dir) =>
+      lmScoreBigram(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // n-gram-heuristic language ID: stopword-hit argmax with ordered
     // tie-break (en > de > es > fr > und), mirroring the ordered-cascade
@@ -486,6 +576,52 @@ object TextAnalysis {
              CAST(min(c.cf) AS BIGINT) AS min_cf
       FROM tf t JOIN cf c USING (tok)
       GROUP BY t.doc_id ORDER BY doc_id""",
+
+    // Same frames in DuckDB lambda/list arithmetic: the plant is a
+    // literal UNION ALL in both engines; every branch of the CASE is
+    // nonnegative-integer // (== Spark div); CASTs pin HUGEINT sums.
+    "q_text_lm_score_bigram" -> s"""
+      WITH docs_u AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT $LmPlantId AS doc_id, '$LmPlantText' AS text),
+      toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ts FROM docs_u),
+      bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)), i ->
+                 struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS p
+        FROM toks WHERE len(ts) >= 2),
+      tf2 AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2,
+               CAST(count(*) AS BIGINT) AS tf
+        FROM bg GROUP BY doc_id, p.w1, p.w2),
+      cf1 AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS cf FROM (
+          SELECT unnest(ts) AS w FROM toks WHERE doc_id % 2 = 0)
+        GROUP BY w),
+      nn AS (SELECT CAST(sum(cf) AS BIGINT) AS n FROM cf1),
+      cf2 AS (
+        SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cf2
+        FROM tf2 WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+      scored AS (
+        SELECT t.doc_id, t.tf,
+               CASE WHEN c2.cf2 IS NOT NULL
+                      THEN (${LmScale}::BIGINT * c2.cf2) // c1a.cf
+                    WHEN c1b.cf IS NOT NULL
+                      THEN (2::BIGINT * ${LmScale}::BIGINT * c1b.cf)
+                           // (5::BIGINT * (SELECT n FROM nn))
+                    ELSE 0::BIGINT END AS s,
+               CASE WHEN c2.cf2 IS NULL THEN t.tf ELSE 0::BIGINT END AS bo
+        FROM tf2 t
+        LEFT JOIN cf2 c2 ON t.w1 = c2.w1 AND t.w2 = c2.w2
+        LEFT JOIN cf1 c1a ON t.w1 = c1a.w
+        LEFT JOIN cf1 c1b ON t.w2 = c1b.w)
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             CAST(sum(tf * s) AS BIGINT) // CAST(sum(tf) AS BIGINT)
+               AS sb_score,
+             CAST(sum(bo) AS BIGINT) AS n_backoff
+      FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
     "q_text_langid" -> s"""
       WITH t AS (

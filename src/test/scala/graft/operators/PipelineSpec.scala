@@ -758,6 +758,56 @@ class PipelineSpec extends SparkSpec {
     assert(inc3 == 0, "a far-from-everything batch must pair with nothing")
   }
 
+  test("phash IVF: controlled cells assign by hamming argmin; nprobe widens the searched set") {
+    import spark.implicits._
+    // Hand-built sketch universe with two obvious poles: doc 0 = all
+    // zeros, doc 1 = all ones (60 bits). kk = 2 makes them the first-K
+    // centroids. Members: 2 and 4 orbit pole 0 (hamming 1 / 0), 3
+    // orbits pole 1 (hamming 1).
+    val ones = (1L << Multimodal.PhashBits) - 1
+    val sk = Seq(
+      (0L, 0L), (1L, ones),
+      (2L, 1L),                // hamming 1 from pole 0, 59 from pole 1
+      (3L, ones ^ 2L),         // hamming 1 from pole 1
+      (4L, 0L)                 // twin of pole 0
+    ).toDF("doc_id", "phash")
+    def rows(nprobe: Int) =
+      Multimodal.phashIvfSearch(sk, nProbes = 2, k = 5, kk = 2, nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // nprobe = 1: each probe sees exactly its own cell's members —
+    // probe 0 the {0, 2, 4} cell, probe 1 the {1, 3} cell.
+    assert(rows(1) == Set((0L, 0L, 0), (0L, 4L, 0), (0L, 2L, 1),
+      (1L, 1L, 0), (1L, 3L, 1)), rows(1))
+    // nprobe = 2: both probes see the full universe — brute truth.
+    assert(rows(2) == Set(
+      (0L, 0L, 0), (0L, 4L, 0), (0L, 2L, 1), (0L, 3L, 59), (0L, 1L, 60),
+      (1L, 1L, 0), (1L, 3L, 1), (1L, 2L, 59), (1L, 0L, 60), (1L, 4L, 60)),
+      rows(2))
+
+    // Registered keys on the real corpus: every probe retrieves ITSELF
+    // at rank 1 hamming 0 (the probe's cell always contains it), and
+    // the planted twins — sketch-identical, therefore same-cell by the
+    // shared argmin rule — surface at hamming 0 for probes 0..2, the
+    // structural recall floor the key's doc promises.
+    val ivf = graft.SparkEntry.queries("q_mm_phash_ivf")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    for (p <- 0L until Multimodal.PhashProbeCount.toLong)
+      assert(ivf.contains((p, p, 0, 1)), s"probe $p must rank itself first")
+    for (p <- 0L until Multimodal.PhashPlantCount.toLong)
+      assert(ivf.exists(r => r._1 == p && r._2 == Multimodal.PhashPlantBase + p
+        && r._3 == 0),
+        s"probe $p must retrieve its planted twin at hamming 0")
+    val rec = graft.SparkEntry.queries("q_mm_phash_ivf_recall")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rec.length == Multimodal.PhashProbeCount)
+    rec.foreach { case (p, nTrue, nHit) =>
+      assert(nTrue == Multimodal.PhashTopK.toLong, s"probe $p n_true $nTrue")
+      val floor = if (p < Multimodal.PhashPlantCount) 2L else 1L
+      assert(nHit >= floor && nHit <= nTrue,
+        s"probe $p n_hit $nHit outside [$floor, $nTrue]")
+    }
+  }
+
   test("phash search: each probe ranks itself first; twinned probes retrieve their twin at hamming 0") {
     val df = graft.SparkEntry.queries("q_mm_phash_search")(spark, sfDir)
     val rows = df.collect()
@@ -799,6 +849,41 @@ class PipelineSpec extends SparkSpec {
       1L -> ((3L, 4L, 4L)),
       2L -> ((2L, 3L, 2L)),
       3L -> ((1L, 2L, 2L))), got)
+  }
+
+  test("bigram LM backoff: hand-computed fixture exercises all three branches") {
+    import spark.implicits._
+    // Model = even ids {0, 2}. cf1: a=2, b=3, c=1; N=6.
+    // cf2: (a,b)=2, (b,a)=1, (b,c)=1.
+    val docs = Seq(
+      (0L, "a b a b"),   // model; bigrams (a,b)x2 s=1e6, (b,a) s=333333
+      (2L, "b c"),       // model; (b,c) s = 1e6 div 3 = 333333
+      (1L, "a b c"),     // scored-only: (a,b) 1e6, (b,c) 333333
+      (3L, "c a x c")    // (c,a) BACKOFF via cf1(a), (a,x) zero, (x,c) backoff
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScoreBigram(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc3: (2e6·2) div 30 = 133333; (2e6·1) div 30 = 66666; zero —
+    // mean 199999 div 3 = 66666, 3 of 3 instances backed off.
+    assert(got(0L) == ((3L, 777777L, 0L)), got(0L))
+    assert(got(1L) == ((2L, 666666L, 0L)), got(1L))
+    assert(got(2L) == ((1L, 333333L, 0L)), got(2L))
+    assert(got(3L) == ((3L, 66666L, 3L)), got(3L))
+    // The plant rides every call: all-unseen bigrams, three of them
+    // backing off onto tokens this fixture's model never saw → score 0.
+    assert(got(TextAnalysis.LmPlantId) == ((5L, 0L, 5L)),
+      got(TextAnalysis.LmPlantId))
+
+    // On the real corpus the plant's 'zzqx' is unseen but its partner
+    // tokens are model-common: every instance backs off (n_backoff =
+    // n_bigrams = 5) yet the score stays positive via the cf1(w2) arm —
+    // the non-vacuity guarantee the key's doc promises at every SF.
+    val real = graft.SparkEntry.queries("q_text_lm_score_bigram")(spark, sfDir)
+      .filter(col("doc_id") === TextAnalysis.LmPlantId)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(real.length == 1 && real(0)._1 == 5L && real(0)._3 == 5L
+      && real(0)._2 > 0L, real.toSeq)
   }
 
   test("connected components: chains merge, islands stay, long chains converge") {
