@@ -1164,6 +1164,62 @@ object Curation {
           .otherwise("ok").as("verdict"))
   }
 
+  /** Fixed-point scale for the importance ratio — 1e6 = "exactly as
+    * target-like as the raw corpus"; per-instance ratios stay inside
+    * BIGINT through sf0.1 (Scale·cf_t·N_raw ≤ ~5e17); at corpus sizes
+    * where the product would overflow, the ratio folds at a reduced
+    * scale or through DECIMAL(38) — the documented seam. */
+  val DsirScale = 1000000L
+
+  /** Target-distribution slice for importance weighting: one source
+    * stands in for the curated high-quality reference corpus (DSIR
+    * targets Wikipedia/books; the driver corpus's `src0` plays that
+    * role so the two distributions are real and distinct). */
+  val DsirTarget = "src0"
+
+  /** DSIR-style IMPORTANCE WEIGHTING (Xie et al. '23, "Data Selection
+    * via Importance Resampling"): score every raw doc by how much more
+    * likely its tokens are under a TARGET distribution than under the
+    * raw-corpus distribution, then keep the target-like slice — the
+    * published alternative to classifier-based quality filtering
+    * (GPT-3's LR filter) that needs no labels, only a reference corpus.
+    * DSIR proper uses hashed-n-gram log-likelihood ratios; the
+    * integer-exact stand-in is the fixed-point MEAN PER-INSTANCE
+    * frequency ratio (mean-of-ratios rather than sum-of-log-ratios —
+    * same ordering signal, no float ulp risk):
+    *
+    *   r(tok) = (Scale · cf_t(tok) · N_raw) div (cf_r(tok) · N_t)
+    *   imp_score = Σ tf·r div Σ tf;  selected ⟺ imp_score ≥ Scale
+    *
+    * (a token the target never saw contributes 0 — the smoothing-free
+    * DSIR convention for out-of-domain mass). Scale shape: tf
+    * partial-aggregates per (doc, token) BEFORE any join (the lmScore
+    * economics — the raw and target cf frames are two more aggregates
+    * of the SAME tf frame, AQE exchange reuse tokenizes once);
+    * vocab-bounded cf frames broadcast when they fit; the two totals
+    * fold to 1-row broadcasts; the corpus never shuffles on tokens. */
+  def importanceWeights(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("doc_id", "source", "tok").agg(count(lit(1)).as("tf"))
+    val cfRaw = tf.groupBy("tok").agg(sum(col("tf")).as("cf_r"))
+    val cfTgt = tf.filter(col("source") === DsirTarget)
+      .groupBy("tok").agg(sum(col("tf")).as("cf_t"))
+    val nR = cfRaw.agg(sum(col("cf_r")).as("n_r"))
+    val nT = cfTgt.agg(sum(col("cf_t")).as("n_t"))
+    tf.join(cfRaw, Seq("tok"))
+      .join(cfTgt, Seq("tok"), "left")
+      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT)) // 1-row totals
+      .select(col("doc_id"), col("tf"),
+        expr(s"($DsirScale * coalesce(cf_t, 0L) * n_r) div (cf_r * n_t)")
+          .as("r"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        expr("sum(tf * r) div sum(tf)").as("imp_score"))
+      .withColumn("selected",
+        (col("imp_score") >= DsirScale).cast("int"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_decontaminate" -> ((s, dir) =>
       decontaminate(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -1391,6 +1447,12 @@ object Curation {
             .otherwise("test").as("split"))
         .orderBy("doc_id")
     }),
+
+    // DSIR-style importance weighting — see [[importanceWeights]]:
+    // fixed-point target/raw frequency ratio per doc + the selection
+    // verdict, integer-exact in both engines.
+    "q_corpus_importance" -> ((s, dir) =>
+      importanceWeights(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // Stratified sampling: EXACTLY SampleK docs per lang (rate-based
     // mixing can't promise exact counts), chosen as the top-K salted-md5
@@ -2111,6 +2173,39 @@ object Curation {
                   END AS BIGINT) AS n_copies
       FROM c JOIN recipe r ON c.lang = r.lang
       ORDER BY doc_id""",
+
+    // Same tf → cf frames; nonnegative-integer // == div; CASTs pin
+    // DuckDB's HUGEINT sums to BIGINT so the dtype compare holds.
+    "q_corpus_importance" -> s"""
+      WITH toks AS (
+        SELECT doc_id, source,
+               unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents),
+      tf AS (
+        SELECT doc_id, source, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, source, tok),
+      cfr AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf_r
+              FROM tf GROUP BY tok),
+      cft AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf_t
+              FROM tf WHERE source = '$DsirTarget' GROUP BY tok),
+      nr AS (SELECT CAST(sum(cf_r) AS BIGINT) AS n_r FROM cfr),
+      nt AS (SELECT CAST(sum(cf_t) AS BIGINT) AS n_t FROM cft),
+      scored AS (
+        SELECT t.doc_id, t.tf,
+               (${DsirScale}::BIGINT * coalesce(c2.cf_t, 0::BIGINT)
+                  * (SELECT n_r FROM nr))
+                 // (c1.cf_r * (SELECT n_t FROM nt)) AS r
+        FROM tf t
+        JOIN cfr c1 USING (tok)
+        LEFT JOIN cft c2 USING (tok))
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS n_tokens,
+             CAST(sum(tf * r) AS BIGINT) // CAST(sum(tf) AS BIGINT)
+               AS imp_score,
+             CAST(CASE WHEN CAST(sum(tf * r) AS BIGINT)
+                            // CAST(sum(tf) AS BIGINT) >= $DsirScale
+                       THEN 1 ELSE 0 END AS INTEGER) AS selected
+      FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
     "q_split_leakage_safe" -> """
       SELECT doc_id, source, bucket,

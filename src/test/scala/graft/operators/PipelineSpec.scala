@@ -886,6 +886,35 @@ class PipelineSpec extends SparkSpec {
       && real(0)._2 > 0L, real.toSeq)
   }
 
+  test("importance weighting: target-like docs selected, out-of-domain scores zero") {
+    import spark.implicits._
+    // Target slice (src0): "alpha alpha beta". cf_t: alpha=2, beta=1,
+    // N_t=3. Raw adds doc1 (target-like) and doc2 (gamma only — a
+    // token the target never saw). cf_r: alpha=3, beta=2, gamma=2,
+    // N_r=7.
+    val docs = Seq(
+      (0L, "alpha alpha beta", Curation.DsirTarget),
+      (1L, "alpha beta", "src1"),
+      (2L, "gamma gamma", "src1")
+    ).toDF("doc_id", "text", "source")
+    // r(alpha) = (1e6·2·7) div (3·3) = 1555555;
+    // r(beta)  = (1e6·1·7) div (2·3) = 1166666; r(gamma) = 0.
+    val got = Curation.importanceWeights(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(got(0L) == ((3L, 1425925L, 1)), got(0L)) // (2·1555555+1166666) div 3
+    assert(got(1L) == ((2L, 1361110L, 1)), got(1L)) // (1555555+1166666) div 2
+    assert(got(2L) == ((2L, 0L, 0)), got(2L))       // out-of-domain mass → 0
+
+    // Registered key on the real corpus: the verdict must discriminate
+    // (some selected, some not) — a constant column would mean the
+    // ratio degenerated.
+    val real = graft.SparkEntry.queries("q_corpus_importance")(spark, sfDir)
+      .agg(count(lit(1)), sum(col("selected")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(real._2 > 0 && real._2 < real._1, real)
+  }
+
   test("connected components: chains merge, islands stay, long chains converge") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
