@@ -220,6 +220,30 @@ object Curation {
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
       .filter(col("n_hit") > 0)
 
+  /** EVAL-SIDE contamination report — [[decontaminate]] flipped around:
+    * per EVAL doc, how many corpus docs share ≥ 1 width-w shingle with
+    * it and how many of its distinct shingles leaked. The corpus-side
+    * audit answers "which training docs must go"; THIS answers the
+    * question the benchmark maintainer asks — "which of MY eval items
+    * are compromised, and how badly" (the table behind every
+    * contamination appendix, e.g. GPT-3's appendix C per-benchmark
+    * dirty counts). Same broadcast asymmetry: the eval shingle frame is
+    * tiny and broadcasts, the corpus's keys never shuffle to join; the
+    * output is bounded by the leak volume. The two count-distincts ride
+    * one grouped aggregate (an expand doubles the hit rows — hit rows,
+    * not the corpus). */
+  def decontaminateReport(docs: DataFrame): DataFrame = {
+    val width = deriveShingleWidth(docs.count())
+    val sh = shingles(docs, width)
+    val eval_ = sh.filter(col("doc_id") % EvalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("sh_key"))
+    sh.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(eval_), Seq("sh_key"))
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("doc_id")).as("n_corpus_docs"),
+        countDistinct(col("sh_key")).as("n_shared_shingles"))
+  }
+
   /** FUZZY decontamination — the near-dup tier of the train/test gate:
     * [[decontaminate]] catches verbatim n-gram overlap; this catches
     * eval material that was paraphrased, reformatted, or partially
@@ -1392,6 +1416,19 @@ object Curation {
       decontaminateFuzzy(docs.unionByName(planted))
     }),
 
+    // Eval-side contamination report — see [[decontaminateReport]]:
+    // per eval doc, corpus docs sharing shingles + distinct leaked
+    // shingles. The planted full copy of eval doc 0 (the fuzzy_planted
+    // pattern: PlantId % EvalMod ≠ 0 puts it on the corpus side) keeps
+    // the report non-vacuous at every SF — eval doc 0 always reports
+    // at least its own copy.
+    "q_decontaminate_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") === 0)
+        .select(lit(PlantId).as("doc_id"), col("text"))
+      decontaminateReport(docs.unionByName(planted)).orderBy("eval_id")
+    }),
+
     // The composed curation funnel — see [[corpusFunnel]]. Both funnel
     // keys are views of ONE memoized FunnelFrames build
     // ([[funnelFramesArtifact]]): the stage frames are computed and
@@ -1403,6 +1440,22 @@ object Curation {
     // FunnelFrames build as the count view.
     "q_corpus_funnel_reasons" -> ((s, dir) =>
       funnelReasons(Tables.documents(s, dir), funnelFramesArtifact(s, dir))),
+
+    // The funnel grouped by SOURCE — the "which sources are dirty"
+    // table a curation pass publishes (per (source, outcome) doc
+    // counts): a source whose rows skew to 2_exact_dup is a mirror, to
+    // 3_contaminated an eval leak, to 1_quality a scraper problem.
+    // Third view of the SAME shared FunnelFrames build; the verdict
+    // frame is id+outcome only, so the source join is a broadcast of
+    // the id→source projection and the aggregate is a ≤
+    // sources×outcomes row answer.
+    "q_corpus_funnel_by_source" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      funnelReasons(docs, funnelFramesArtifact(s, dir))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source", "outcome").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "outcome")
+    }),
 
     "q_corpus_mix" -> ((s, dir) => {
       import s.implicits._
@@ -1447,6 +1500,23 @@ object Curation {
             .otherwise("test").as("split"))
         .orderBy("doc_id")
     }),
+
+    // Per-(lang, log2-bucket) doc-length histogram — the length
+    // distribution every dataset card publishes and every
+    // maxPartitionBytes / packing-budget decision reads. The bucket is
+    // ⌊log2 n⌋ spelled as binary-digit count (length(bin(n)) − 1):
+    // pure integer arithmetic both engines — float log2 flips buckets
+    // at exact powers of two by one ulp. One partial-aggregating
+    // count/sum shuffle over ≤ langs × 64 groups.
+    "q_corpus_length_hist" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          (length(bin(greatest(col("n_chars"), lit(1)))) - 1)
+            .cast("int").as("bucket"),
+          col("n_chars"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang", "bucket")),
 
     // DSIR-style importance weighting — see [[importanceWeights]]:
     // fixed-point target/raw frequency ratio per doc + the selection
@@ -1504,7 +1574,7 @@ object Curation {
     * cross-joined in from the `params` CTE ([[shingleParamsSql]]) —
     * DuckDB lambdas capture outer columns, so the derived knob reaches
     * inside list_transform. */
-  private val shinglesSql = s"""
+  private def shinglesSqlFrom(table: String) = s"""
         SELECT DISTINCT doc_id, sh_key FROM (
           SELECT doc_id,
                  unnest(CASE WHEN len(tf) < W THEN []
@@ -1515,7 +1585,9 @@ object Curation {
           FROM (SELECT doc_id,
                        list_transform(string_split(lower(text), ' '),
                                       t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS tf
-                FROM documents), params)"""
+                FROM $table), params)"""
+
+  private val shinglesSql = shinglesSqlFrom("documents")
 
   /** The funnel's shared DuckDB CTE chain — every stage of the 6-stage
     * funnel as a CTE over the previous stage's survivors, ending at
@@ -1536,6 +1608,19 @@ object Curation {
     *   - the semantic stage restates the q_dedup_semantic chain over
     *     q5 survivors with the FULL-table centroid artifact (same
     *     first-K tie-break, same BIGINT-before-squaring rule). */
+  /** The per-doc outcome CASE over the funnel CTE chain — ONE text
+    * shared by the reasons and by-source oracles, so their verdicts
+    * cannot drift (references `d` as the documents alias). */
+  private lazy val funnelOutcomeCase = s"""
+             CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM q1) THEN '1_quality'
+                  WHEN d.doc_id NOT IN (SELECT doc_id FROM q2) THEN '2_exact_dup'
+                  WHEN d.doc_id % $EvalMod = 0 THEN '3_eval_held_out'
+                  WHEN d.doc_id IN (SELECT doc_id FROM flagged) THEN '3_contaminated'
+                  WHEN d.doc_id IN (SELECT doc_id FROM fz) THEN '4_fuzzy_contaminated'
+                  WHEN d.doc_id IN (SELECT doc_id FROM vempt) THEN '5_verbatim_emptied'
+                  WHEN d.doc_id IN (SELECT vec_id FROM dropped) THEN '6_semantic_dup'
+                  ELSE 'kept' END"""
+
   private lazy val funnelCtes = s"""
       WITH ${shingleParamsSql("documents")},
       sh AS ($shinglesSql),
@@ -1666,6 +1751,25 @@ object Curation {
       GROUP BY tr.doc_id HAVING count(ev.sh_key) > 0
       ORDER BY doc_id""",
 
+    // The eval-side flip of the q_decontaminate replay over the
+    // plant-unioned universe (width re-derives from the unioned count,
+    // as in the engine).
+    "q_decontaminate_report" -> s"""
+      WITH corpus_u AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT $PlantId AS doc_id, text FROM documents WHERE doc_id = 0),
+      ${shingleParamsSql("corpus_u")},
+      sh AS (${shinglesSqlFrom("corpus_u")}),
+      ev AS (SELECT doc_id AS eval_id, sh_key FROM sh
+             WHERE doc_id % $EvalMod = 0),
+      tr AS (SELECT doc_id, sh_key FROM sh WHERE doc_id % $EvalMod <> 0)
+      SELECT ev.eval_id,
+             CAST(count(DISTINCT tr.doc_id) AS BIGINT) AS n_corpus_docs,
+             CAST(count(DISTINCT tr.sh_key) AS BIGINT) AS n_shared_shingles
+      FROM tr JOIN ev ON tr.sh_key = ev.sh_key
+      GROUP BY ev.eval_id ORDER BY eval_id""",
+
     // FULL recompute (the exact q_decontaminate pipeline) restricted to
     // the batch slice: the hash match proves the engine's
     // index-once/gate-batch path computes the same answer as
@@ -1705,16 +1809,19 @@ object Curation {
     // verdicts reconcile by construction (round-9 verdict item 1).
     "q_corpus_funnel_reasons" -> s"""
       $funnelCtes
-      SELECT d.doc_id,
-             CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM q1) THEN '1_quality'
-                  WHEN d.doc_id NOT IN (SELECT doc_id FROM q2) THEN '2_exact_dup'
-                  WHEN d.doc_id % $EvalMod = 0 THEN '3_eval_held_out'
-                  WHEN d.doc_id IN (SELECT doc_id FROM flagged) THEN '3_contaminated'
-                  WHEN d.doc_id IN (SELECT doc_id FROM fz) THEN '4_fuzzy_contaminated'
-                  WHEN d.doc_id IN (SELECT doc_id FROM vempt) THEN '5_verbatim_emptied'
-                  WHEN d.doc_id IN (SELECT vec_id FROM dropped) THEN '6_semantic_dup'
-                  ELSE 'kept' END AS outcome
+      SELECT d.doc_id, $funnelOutcomeCase AS outcome
       FROM documents d ORDER BY d.doc_id""",
+
+    // The same per-doc verdict CASE, grouped by source — a green hash
+    // proves the by-source table reconciles with BOTH sibling views
+    // (shared CTE chain, shared CASE text).
+    "q_corpus_funnel_by_source" -> s"""
+      $funnelCtes
+      SELECT source, outcome, CAST(count(*) AS BIGINT) AS n_docs
+      FROM (
+        SELECT d.source, $funnelOutcomeCase AS outcome
+        FROM documents d)
+      GROUP BY source, outcome ORDER BY source, outcome""",
 
     // Fuzzy decontamination replay: Dedup's signature CTE chain, band
     // collision as per-band 4-way signature equality (OR over bands)
@@ -2173,6 +2280,17 @@ object Curation {
                   END AS BIGINT) AS n_copies
       FROM c JOIN recipe r ON c.lang = r.lang
       ORDER BY doc_id""",
+
+    // Binary-digit bucket arithmetic in both engines; CASTs pin
+    // HUGEINT sums.
+    "q_corpus_length_hist" -> """
+      SELECT lang,
+             CAST(length(bin(greatest(n_chars, 1))) - 1 AS INTEGER)
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      GROUP BY lang, bucket ORDER BY lang, bucket""",
 
     // Same tf → cf frames; nonnegative-integer // == div; CASTs pin
     // DuckDB's HUGEINT sums to BIGINT so the dtype compare holds.

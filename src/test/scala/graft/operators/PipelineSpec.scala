@@ -886,6 +886,53 @@ class PipelineSpec extends SparkSpec {
       && real(0)._2 > 0L, real.toSeq)
   }
 
+  test("funnel by source reconciles with reasons; report and hist fixtures exact") {
+    import spark.implicits._
+    // by_source is a VIEW of the same verdicts: grouping the reasons
+    // key by (source, outcome) must reproduce it row for row, and its
+    // counts must sum to the corpus.
+    val docs = graft.Tables.documents(spark, sfDir)
+    val bySrc = graft.SparkEntry.queries("q_corpus_funnel_by_source")(spark, sfDir)
+    val fromReasons = graft.SparkEntry
+      .queries("q_corpus_funnel_reasons")(spark, sfDir)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source", "outcome").agg(count(lit(1)).as("n_docs"))
+    assert(bySrc.exceptAll(fromReasons).count() == 0
+      && fromReasons.exceptAll(bySrc).count() == 0)
+    assert(bySrc.agg(sum(col("n_docs"))).head.getLong(0) == docs.count())
+
+    // decontaminateReport on a hand fixture (3 docs → width 5): doc 1
+    // shares one width-5 shingle with eval doc 0, doc 2 is a full copy
+    // sharing both.
+    val fix = Seq(
+      (0L, "a b c d e f"),   // eval (0 % EvalMod = 0): shingles {abcde, bcdef}
+      (1L, "a b c d e x"),   // shares {abcde}
+      (2L, "a b c d e f")    // shares both
+    ).toDF("doc_id", "text")
+    val rep = Curation.decontaminateReport(fix)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rep.toSeq == Seq((0L, 2L, 2L)), rep.toSeq)
+
+    // Registered report: the planted copy of eval doc 0 guarantees a
+    // row for it at every SF.
+    val real = graft.SparkEntry.queries("q_decontaminate_report")(spark, sfDir)
+      .filter(col("eval_id") === 0).collect()
+    assert(real.length == 1 && real(0).getLong(1) >= 1, real.toSeq)
+
+    // Length-hist bucket arithmetic is exact at powers of two (a float
+    // log2 flips 256 between buckets 7/8 by one ulp).
+    val hist = graft.SparkEntry.queries("q_corpus_length_hist")(spark, sfDir)
+    assert(hist.agg(sum(col("n_docs"))).head.getLong(0) == docs.count())
+    val buckets = Seq((1L, 1L), (2L, 3L), (3L, 255L), (4L, 256L), (5L, 1024L))
+      .toDF("doc_id", "n_chars").withColumn("lang", lit("en"))
+      .select(col("lang"),
+        (length(bin(greatest(col("n_chars"), lit(1)))) - 1)
+          .cast("int").as("bucket"), col("doc_id"))
+      .collect().map(r => r.getLong(2) -> r.getInt(1)).toMap
+    assert(buckets == Map(1L -> 0, 2L -> 1, 3L -> 7, 4L -> 8, 5L -> 10),
+      buckets)
+  }
+
   test("importance weighting: target-like docs selected, out-of-domain scores zero") {
     import spark.implicits._
     // Target slice (src0): "alpha alpha beta". cf_t: alpha=2, beta=1,
