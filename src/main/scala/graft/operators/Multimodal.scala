@@ -620,18 +620,39 @@ object Multimodal {
                     nprobe: Int = PhashIvfNprobe): DataFrame = {
     val probes = assigned.filter(col("doc_id") < nProbes)
       .select(col("doc_id").as("probe_id"), col("phash").as("probe_hash"))
+    val cands = assigned.select(col("cell"), col("doc_id").as("cand_id"),
+      col("phash").as("cand_hash"))
+    phashIvfSearchFrom(probes, cands, cents, k, nprobe)
+  }
+
+  /** Per-probe top-`nprobe` cell ranking over the broadcast centroid
+    * set — THE one definition of which cells a probe searches (the
+    * probeCells rule in hamming space): score = PhashBits − hamming so
+    * the TopK (score desc, id asc) order IS (hamming asc, cid asc),
+    * the assignment tie rule — nprobe = 1 reproduces the assigned
+    * cell. */
+  private def phashIvfRankCells(probes: DataFrame, cents: DataFrame,
+                                nprobe: Int): DataFrame = {
     val cellScores = probes.join(broadcast(cents))
       .select(col("probe_id"),
         (lit(PhashBits) - bit_count(expr("probe_hash ^ cent")))
           .cast("bigint").as("score"),
         col("cid"))
-    val cells = graft.functions.TopK
+    graft.functions.TopK
       .perKey(cellScores, "probe_id", "score", "cid", nprobe)
       .select(col("probe_id"), col("cid").as("cell"))
-    val withHash = cells.join(probes, Seq("probe_id"))
-    val cands = assigned.select(col("cell"), col("doc_id").as("cand_id"),
-      col("phash").as("cand_hash"))
-    val scored = broadcast(withHash).join(cands, Seq("cell"))
+  }
+
+  /** The shared serve tail: probed cells' members scored exactly,
+    * map-side TopK. `cands` is the LEFT side of the join so a
+    * fork-rooted pruned index read keeps its planning session (the
+    * ivfTrainedServe rule). */
+  private def phashIvfSearchFrom(probes: DataFrame, cands: DataFrame,
+                                 cents: DataFrame, k: Int,
+                                 nprobe: Int): DataFrame = {
+    val withHash = phashIvfRankCells(probes, cents, nprobe)
+      .join(probes, Seq("probe_id"))
+    val scored = cands.join(broadcast(withHash), Seq("cell"))
       .select(col("probe_id"),
         (lit(PhashBits) - bit_count(expr("cand_hash ^ probe_hash")))
           .cast("bigint").as("score"),
@@ -662,10 +683,70 @@ object Multimodal {
     (cents, assigned)
   }
 
-  /** Build the shared hamming-IVF index NOW — Bench's explicit
-    * artifact-build row (the warmTrainedIndex accounting rule). */
+  /** Buckets for the persisted image index — comfortably above the
+    * nprobe cells any one query touches, so plan-time bucket pruning
+    * has skippable files to skip (the TrainedIdxBuckets rule). */
+  val PhashIdxBuckets = 16
+
+  /** PERSIST the assignment index through the production bucketed
+    * path (`Sinks.writeBucketed(cell)`) — the TABLE is the serving
+    * artifact: cell is both the bucket key and the only predicate a
+    * probe needs, so a query reads nprobe buckets, never the table.
+    * One write per (session, dir) via [[Artifacts]]; the stale-table/
+    * orphaned-location recovery is the trainedIndexArtifacts rule. */
+  private def phashIvfTableArtifacts(
+      s: SparkSession, dir: String): (DataFrame, String) = {
+    val (cents, assigned) = phashIvfArtifacts(s, dir)
+    val table = s"graft_phash_ivf_${java.lang.Integer.toHexString(dir.hashCode)}"
+    Artifacts.cached(s, s"phash-ivf-table:$dir") {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+      graft.sources.Sinks.writeBucketed(
+        assigned.select(col("doc_id"), col("phash"), col("cell")),
+        table, "cell", PhashIdxBuckets)
+      s.table(table)
+    }
+    (cents, table)
+  }
+
+  /** SERVE from the persisted bucketed table: probe→cell ranking over
+    * the tiny driver-resident centroid artifact, the ranked cell ids
+    * become LITERALS in the index read (plan-time bucket pruning —
+    * SelectedBucketsCount, plan-asserted in AnnIndexSpec), scoring and
+    * TopK identical to the in-memory path, so the served answer is
+    * byte-equal (the `q_mm_phash_ivf_served` oracle is the SAME SQL as
+    * `q_mm_phash_ivf` — one hash pins in-memory == persisted ==
+    * replay). The one `.collect()` is the ≤ nProbes × nprobe cell
+    * list; the pruned read rides a forked serving session carrying
+    * `autoBucketedScan.enabled=false` (the ivfTrainedServe conf story:
+    * pruning-only bucketed reads get planned away under the default,
+    * and the caller's session conf must never change). */
+  def phashIvfServePersisted(s: SparkSession, dir: String, nProbes: Int,
+                             k: Int,
+                             nprobe: Int = PhashIvfNprobe): DataFrame = {
+    val (cents, table) = phashIvfTableArtifacts(s, dir)
+    val (sk, _) = phashSketchWithTwins(s, dir)
+    val probes = sk.filter(col("doc_id") < nProbes)
+      .select(col("doc_id").as("probe_id"), col("phash").as("probe_hash"))
+    val cellList = phashIvfRankCells(probes, cents, nprobe)
+      .select(col("cell")).distinct().collect().map(_.getLong(0)).sorted
+    val serve = s.newSession()
+    serve.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val index = serve.table(table).filter(col("cell").isin(cellList: _*))
+      .select(col("cell"), col("doc_id").as("cand_id"),
+        col("phash").as("cand_hash"))
+    phashIvfSearchFrom(probes, index, cents, k, nprobe)
+  }
+
+  /** Build the shared hamming-IVF index (in-memory assignment AND the
+    * persisted bucketed table) NOW — Bench's explicit artifact-build
+    * row (the warmTrainedIndex accounting rule). */
   def warmPhashIvfIndex(s: SparkSession, dir: String): Unit = {
-    phashIvfArtifacts(s, dir)
+    phashIvfTableArtifacts(s, dir)
     ()
   }
 
@@ -795,6 +876,14 @@ object Multimodal {
     // quantifies what cell restriction costs.
     "q_mm_phash_ivf" -> ((s, dir) =>
       phashIvfQuery(s, dir).orderBy("probe_id", "rk")),
+
+    // The persisted-lifecycle twin: SAME answer served from the
+    // cell-bucketed TABLE with plan-time bucket pruning — its oracle
+    // is q_mm_phash_ivf's SQL verbatim, so one hash pins
+    // in-memory == persisted == replay.
+    "q_mm_phash_ivf_served" -> ((s, dir) =>
+      phashIvfServePersisted(s, dir, PhashProbeCount, PhashTopK)
+        .orderBy("probe_id", "rk")),
 
     // Oracle-exact recall@k of the hamming IVF vs the brute truth —
     // the audit row every served index here carries (the q_knn_*_recall
@@ -943,6 +1032,15 @@ object Multimodal {
     // the engine's min_by / TopK (both order (hamming, cid) — a total
     // order, so the cell sets and ranks hash-match).
     "q_mm_phash_ivf" -> s"""
+      WITH $phashSqlCtes,
+      $phashIvfSqlCtes
+      SELECT probe_id, doc_id, hamming, CAST(rk AS INTEGER) AS rk
+      FROM ivf_ranked WHERE rk <= $PhashTopK
+      ORDER BY probe_id, rk""",
+
+    // Same replay as q_mm_phash_ivf — the served path must hash-match
+    // the in-memory path AND the SQL twin.
+    "q_mm_phash_ivf_served" -> s"""
       WITH $phashSqlCtes,
       $phashIvfSqlCtes
       SELECT probe_id, doc_id, hamming, CAST(rk AS INTEGER) AS rk

@@ -457,4 +457,36 @@ class AnnIndexSpec extends SparkSpec {
       }
     }
   }
+
+  test("phash IVF persisted: pruned bucketed serve equals in-memory; caller conf untouched") {
+    // The registered served key runs the full lifecycle: build +
+    // persist (Artifacts-cached) + pruned serve on a forked session.
+    val before = spark.conf.getOption(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    val served = graft.SparkEntry
+      .queries("q_mm_phash_ivf_served")(spark, sfDir)
+    // The executed plan must carry a PRUNED bucketed scan of the index
+    // table — SelectedBucketsCount strictly below the bucket count.
+    val plan = served.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in served plan:\n$plan")
+    val (selected, total) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+    assert(total == Multimodal.PhashIdxBuckets && selected < total,
+      s"expected pruned scan, got $selected out of $total buckets")
+    // Persistence changes the I/O shape, not the answer: row-for-row
+    // equal to the in-memory key (both ordered (probe_id, rk)).
+    val inMem = graft.SparkEntry.queries("q_mm_phash_ivf")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val disk = served
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(disk.toSeq == inMem.toSeq,
+      s"served diverges: ${disk.take(3).toSeq} vs ${inMem.take(3).toSeq}")
+    // The conf flip rode the forked serving session — the caller's
+    // session conf is exactly what it was (the ivfTrainedServe leak
+    // regression guard).
+    assert(spark.conf.getOption(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled") == before,
+      "serving leaked autoBucketedScan into the caller's session")
+  }
 }
