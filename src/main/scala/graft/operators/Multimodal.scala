@@ -650,8 +650,10 @@ object Multimodal {
   private def phashIvfSearchFrom(probes: DataFrame, cands: DataFrame,
                                  cents: DataFrame, k: Int,
                                  nprobe: Int): DataFrame = {
+    // probes is nProbes rows — broadcast it so the (probe, cell)
+    // re-attach can never plan a shuffle join of two tiny frames.
     val withHash = phashIvfRankCells(probes, cents, nprobe)
-      .join(probes, Seq("probe_id"))
+      .join(broadcast(probes), Seq("probe_id"))
     val scored = cands.join(broadcast(withHash), Seq("cell"))
       .select(col("probe_id"),
         (lit(PhashBits) - bit_count(expr("cand_hash ^ probe_hash")))

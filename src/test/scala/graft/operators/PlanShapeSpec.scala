@@ -28,6 +28,34 @@ class PlanShapeSpec extends SparkSpec {
       p.linesIterator.take(40).mkString("\n"))
   }
 
+  test("q_text_lm_score_bigram and q_corpus_importance reuse the tf exchange at runtime") {
+    // Both keys aggregate their model/target cf frames FROM the shared
+    // (doc, token[, source]) tf frame — the lm_score economics: AQE
+    // exchange reuse must collapse the identical tf subtrees, or the
+    // corpus is tokenized once per cf branch.
+    for (key <- Seq("q_text_lm_score_bigram", "q_corpus_importance")) {
+      val df = graft.SparkEntry.queries(key)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"$key: no exchange reuse\n" + p.linesIterator.take(40).mkString("\n"))
+    }
+  }
+
+  test("phash search and IVF broadcast the small side (corpus sketches never shuffle to join)") {
+    // Brute search: probes broadcast against the corpus sketch scan.
+    // IVF: centroids broadcast for assignment AND probe ranking, and
+    // the probe×cell frame broadcasts into the candidate join — no
+    // SortMergeJoin anywhere on either query path.
+    for (key <- Seq("q_mm_phash_search", "q_mm_phash_ivf")) {
+      val p = plan(key)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$key: no broadcast join\n" + p.linesIterator.take(30).mkString("\n"))
+      assert(!p.contains("SortMergeJoin"),
+        s"$key: corpus-side shuffle join\n" + p.linesIterator.take(30).mkString("\n"))
+    }
+  }
+
   test("q_config_lookup enriches via broadcast joins only (corpus never shuffles to join)") {
     val p = plan("q_config_lookup")
     // Both config layers must broadcast; a sort-merge join would shuffle
