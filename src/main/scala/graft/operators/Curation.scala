@@ -1222,6 +1222,79 @@ object Curation {
     * of the SAME tf frame, AQE exchange reuse tokenizes once);
     * vocab-bounded cf frames broadcast when they fit; the two totals
     * fold to 1-row broadcasts; the corpus never shuffles on tokens. */
+  /** FROZEN importance model — the (cf_target, cf_raw, totals) vocab
+    * maps [[importanceGate]] scores against: built once from a batch
+    * corpus (the artifact a production pipeline trains offline and
+    * ships to the ingest door), validated non-degenerate at
+    * construction. Vocab-bounded by construction — the collect is the
+    * vocabulary, never the corpus; a model whose vocabulary outgrows a
+    * driver map is the point where the gate swaps to the broadcast-
+    * join batch form ([[importanceWeights]] on micro-batches). */
+  final case class ImportanceModel(cfT: Map[String, Long],
+                                   cfR: Map[String, Long],
+                                   nT: Long, nR: Long) {
+    require(nT > 0 && nR > 0,
+      s"importance model needs nonempty target and raw corpora (nT=$nT, nR=$nR)")
+  }
+
+  object ImportanceModel {
+    /** Train from a batch corpus: the same tf → cf frames as
+      * [[importanceWeights]], collected to vocab maps. */
+    def fromCorpus(docs: DataFrame): ImportanceModel = {
+      val tf = docs.select(col("source"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+      val cfR = tf.groupBy("tok").agg(sum(col("tf")).as("cf"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cfT = tf.filter(col("source") === DsirTarget)
+        .groupBy("tok").agg(sum(col("tf")).as("cf"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      ImportanceModel(cfT, cfR, cfT.values.sum, cfR.values.sum)
+    }
+  }
+
+  /** STREAMING importance gate — the ingest-door form of
+    * [[importanceWeights]] (the gate family's fifth tier: quality →
+    * shingle → semantic → image → THIS): drop an arriving doc whose
+    * DSIR score against the broadcast frozen model falls below
+    * `minScore` (default [[DsirScale]] = "less target-like than the
+    * raw corpus"). Stateless: no stream-side state or join, replay-
+    * safe, composable with the other gates in front of an exactly-once
+    * sink. The per-row UDF is justified exactly like semanticGate's
+    * (the probe needs two broadcast maps, not expressible as a
+    * Column); arithmetic is term-for-term importanceWeights' — same
+    * fixed-point ratio, same floor division, tokenization split(" ",
+    * -1) + Locale.ROOT lower so it matches Spark's split/lower on
+    * every edge (trailing empties, Turkish-I) — and a token the model
+    * corpus never saw contributes 0, the conservative out-of-domain
+    * convention. CurationStreamSpec pins stream == batch verdicts on
+    * corpus copies. Null/empty texts drop (score 0 < any positive
+    * floor — degenerate input is not target-like). */
+  def importanceGate(stream: DataFrame, model: ImportanceModel,
+                     minScore: Long = DsirScale): DataFrame = {
+    val bc = stream.sparkSession.sparkContext.broadcast(model)
+    val scoreOf = udf((text: String) => {
+      if (text == null) 0L
+      else {
+        val m = bc.value
+        val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+        if (toks.isEmpty) 0L
+        else {
+          var acc = 0L
+          var i = 0
+          while (i < toks.length) {
+            val t = toks(i)
+            val ct = m.cfT.getOrElse(t, 0L)
+            if (ct > 0L) acc += DsirScale * ct * m.nR / (m.cfR(t) * m.nT)
+            i += 1
+          }
+          acc / toks.length
+        }
+      }
+    })
+    stream.filter(scoreOf(col("text")) >= minScore)
+  }
+
   def importanceWeights(docs: DataFrame): DataFrame = {
     val tf = docs.select(col("doc_id"), col("source"),
         explode(split(lower(col("text")), " ")).as("tok"))

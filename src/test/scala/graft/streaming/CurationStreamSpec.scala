@@ -292,4 +292,47 @@ class CurationStreamSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(batchKept == kept, s"batch gate kept: $batchKept")
   }
+
+  test("importance gate: corpus-copy verdicts equal the batch key's; junk and null drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Train the frozen model on the PipelineSpec importance fixture
+    // corpus; stream COPIES of its docs — a copy's tokens carry the
+    // corpus cf values, so the gate's score equals the batch key's
+    // imp_score for that doc, making stream == batch checkable
+    // verdict-for-verdict.
+    val corpus = Seq(
+      (0L, "alpha alpha beta", Curation.DsirTarget),
+      (1L, "alpha beta", "src1"),
+      (2L, "gamma gamma", "src1")
+    ).toDF("doc_id", "text", "source")
+    val model = Curation.ImportanceModel.fromCorpus(corpus)
+    val batchSelected = Curation.importanceWeights(corpus)
+      .filter(col("selected") === 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(batchSelected == Set(0L, 1L), batchSelected)
+    val rows = Seq(
+      (10L, "alpha alpha beta"),  // copy of doc 0 → selected
+      (11L, "alpha beta"),        // copy of doc 1 → selected
+      (12L, "gamma gamma"),       // copy of doc 2 → out-of-domain, drops
+      (13L, "zzz zzz"),           // unseen tokens → score 0, drops
+      (14L, null.asInstanceOf[String])) // null → drops
+    val in = MemoryStream[(Long, String)]
+    in.addData(rows: _*)
+    val q = Curation.importanceGate(in.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory")
+      .queryName("imp_gate_out").outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("imp_gate_out")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(10L, 11L), s"importance gate kept: $kept")
+    val batchKept = Curation.importanceGate(rows.toDF("doc_id", "text"), model)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(batchKept == kept, s"batch gate kept: $batchKept")
+    // A degenerate model fails at construction, not by gating nothing.
+    assertThrows[IllegalArgumentException] {
+      Curation.ImportanceModel(Map(), Map(), 0L, 0L)
+    }
+  }
 }
