@@ -1539,6 +1539,22 @@ object Curation {
     "q_pack_sequences" -> ((s, dir) =>
       packShards(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // Shard FILL audit over the same packing — the packing-efficiency
+    // table an engineer reads before touching PackBudget: per shard,
+    // doc count, token sum, integer fill percent (the group's LAST
+    // shard underfills by construction; a fill_pct far under 100
+    // elsewhere means doc sizes straddle the budget badly). One more
+    // grouped aggregate over the pack frame; output rows = shards
+    // (corpus tokens div budget), not docs.
+    "q_pack_sequences_stats" -> ((s, dir) =>
+      packShards(Tables.documents(s, dir))
+        .groupBy("lang", "pack_group", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("est_tokens")).as("shard_tokens"))
+        .withColumn("fill_pct",
+          expr(s"(shard_tokens * 100) div $PackBudget"))
+        .orderBy("lang", "pack_group", "shard")),
+
     // The data-recipe table — see [[corpusRecipe]]: per-source target
     // tokens and epoch/repeat factors against a token budget, exact
     // integer ceil-div arithmetic.
@@ -2436,6 +2452,30 @@ object Curation {
       SELECT doc_id, lang, pack_group, est_tokens,
              (cum - est_tokens) // $PackBudget AS shard
       FROM c ORDER BY doc_id""",
+
+    // The pack chain grouped per shard; same window, same floor
+    // division.
+    "q_pack_sequences_stats" -> s"""
+      WITH t AS (
+        SELECT doc_id, lang, doc_id // $PackGroup AS pack_group,
+               (n_chars + 3) // 4 AS est_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, pack_group, est_tokens,
+               CAST(sum(est_tokens) OVER (PARTITION BY lang, pack_group
+                                          ORDER BY doc_id) AS BIGINT) AS cum
+        FROM t),
+      sh AS (
+        SELECT lang, pack_group, est_tokens,
+               (cum - est_tokens) // $PackBudget AS shard
+        FROM c)
+      SELECT lang, pack_group, shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(est_tokens) AS BIGINT) AS shard_tokens,
+             (CAST(sum(est_tokens) AS BIGINT) * 100) // $PackBudget
+               AS fill_pct
+      FROM sh GROUP BY lang, pack_group, shard
+      ORDER BY lang, pack_group, shard""",
 
     "q_text_repetition" -> """
       WITH t AS (

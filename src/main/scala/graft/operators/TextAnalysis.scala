@@ -342,6 +342,24 @@ object TextAnalysis {
         min(col("cf")).as("min_cf"))
   }
 
+  /** The langid prediction frame — doc_id, labeled lang, per-language
+    * stopword hits, and the ordered-argmax prediction; shared by
+    * `q_text_langid` (per-doc view) and `q_text_langid_confusion`
+    * (the grouped audit), so the two can never disagree on the rule. */
+  private def langidPlan(docs: DataFrame): DataFrame = {
+    val words = split(lower(col("text")), " ")
+    val (en, de, es, fr) =
+      (hits(words, stopEn), hits(words, stopDe),
+        hits(words, stopEs), hits(words, stopFr))
+    docs.select(col("doc_id"), col("lang"),
+      en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"),
+      when(greatest(en, de, es, fr) === 0, "und")
+        .when(en >= de && en >= es && en >= fr, "en")
+        .when(de >= es && de >= fr, "de")
+        .when(es >= fr, "es")
+        .otherwise("fr").as("pred_lang"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Lexical top-k search — see [[lexicalSearch]]: integer tf·idf
     // scoring, corpus scored row-locally, map-side TopK per query.
@@ -363,20 +381,21 @@ object TextAnalysis {
     // n-gram-heuristic language ID: stopword-hit argmax with ordered
     // tie-break (en > de > es > fr > und), mirroring the ordered-cascade
     // classification shape of agent-loop.sh:399-411.
-    "q_text_langid" -> ((s, dir) => {
-      val words = split(lower(col("text")), " ")
-      val (en, de, es, fr) =
-        (hits(words, stopEn), hits(words, stopDe), hits(words, stopEs), hits(words, stopFr))
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"),
-          when(greatest(en, de, es, fr) === 0, "und")
-            .when(en >= de && en >= es && en >= fr, "en")
-            .when(de >= es && de >= fr, "de")
-            .when(es >= fr, "es")
-            .otherwise("fr").as("pred_lang"))
-        .orderBy("doc_id")
-    }),
+    "q_text_langid" -> ((s, dir) =>
+      langidPlan(Tables.documents(s, dir))
+        .select("doc_id", "s_en", "s_de", "s_es", "s_fr", "pred_lang")
+        .orderBy("doc_id")),
+
+    // Classifier AUDIT: predicted vs labeled language as a confusion
+    // matrix — the table that tells you WHERE the heuristic fails
+    // (which labeled langs bleed into which predictions) before you
+    // trust its verdicts on a corpus slice. Same prediction frame as
+    // q_text_langid; one grouped count over ≤ langs² rows.
+    "q_text_langid_confusion" -> ((s, dir) =>
+      langidPlan(Tables.documents(s, dir))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred_lang")),
 
     // Quality scoring: length band + stopword ratio + mean word length,
     // composed into an integer 0-3 score (exact arithmetic only).
@@ -638,6 +657,26 @@ object TextAnalysis {
                   WHEN s_es >= s_fr THEN 'es'
                   ELSE 'fr' END AS pred_lang
       FROM t ORDER BY doc_id""",
+
+    // The same hit/CASE arithmetic grouped by the labeled lang.
+    "q_text_langid_confusion" -> s"""
+      WITH t AS (
+        SELECT doc_id, lang,
+               CAST(${sqlHits(stopEn)} AS INTEGER) AS s_en,
+               CAST(${sqlHits(stopDe)} AS INTEGER) AS s_de,
+               CAST(${sqlHits(stopEs)} AS INTEGER) AS s_es,
+               CAST(${sqlHits(stopFr)} AS INTEGER) AS s_fr
+        FROM documents),
+      v AS (
+        SELECT lang,
+               CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM t)
+      SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM v GROUP BY lang, pred_lang ORDER BY lang, pred_lang""",
 
     "q_text_quality" -> s"""
       WITH t AS (

@@ -933,6 +933,30 @@ class PipelineSpec extends SparkSpec {
       buckets)
   }
 
+  test("langid confusion and pack stats reconcile with their per-doc keys") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    // Confusion totals = corpus; each (lang, pred) cell = the per-doc
+    // key's rows grouped the same way.
+    val conf = graft.SparkEntry.queries("q_text_langid_confusion")(spark, sfDir)
+    assert(conf.agg(sum(col("n_docs"))).head.getLong(0) == docs.count())
+    val fromDocs = graft.SparkEntry.queries("q_text_langid")(spark, sfDir)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+    assert(conf.exceptAll(fromDocs).count() == 0
+      && fromDocs.exceptAll(conf).count() == 0)
+    // Pack stats token total = the per-doc packing's token total, and
+    // no shard exceeds the budget by more than one doc's tokens.
+    val perDoc = graft.SparkEntry.queries("q_pack_sequences")(spark, sfDir)
+    val stats = graft.SparkEntry.queries("q_pack_sequences_stats")(spark, sfDir)
+    assert(stats.agg(sum(col("shard_tokens"))).head.getLong(0)
+      == perDoc.agg(sum(col("est_tokens"))).head.getLong(0))
+    val maxDoc = perDoc.agg(max(col("est_tokens"))).head.getLong(0)
+    val maxShard = stats.agg(max(col("shard_tokens"))).head.getLong(0)
+    assert(maxShard < Curation.PackBudget + maxDoc,
+      s"shard overfull beyond one straddling doc: $maxShard")
+  }
+
   test("importance weighting: target-like docs selected, out-of-domain scores zero") {
     import spark.implicits._
     // Target slice (src0): "alpha alpha beta". cf_t: alpha=2, beta=1,
