@@ -825,6 +825,54 @@ object Dedup {
     ()
   }
 
+  /** False-positive rate for the ingest Bloom prefilter — 1% keeps the
+    * exact-verify side at ~1% of a dup-free batch while the filter
+    * stays ~1.2 GB per 10⁹ corpus digests (the broadcast-side seam:
+    * past driver-broadcast size, shard the filter by digest prefix or
+    * fall back to the plain anti join). */
+  val BloomFpp = 0.01
+
+  /** Incremental exact dedup with a BLOOM PREFILTER — the standard
+    * web-pipeline trick for ingesting against a corpus too big to anti
+    * join every batch row against: build one Bloom filter over the
+    * corpus digest set (offline, reused across batches), broadcast it,
+    * and let every arriving digest probe it executor-locally.
+    *
+    *   - bloom MISS ⟹ definitely unseen (no false negatives) — the row
+    *     keeps WITHOUT touching the corpus;
+    *   - bloom HIT ⟹ maybe seen — only these rows (true dups + ~fpp of
+    *     the batch) pay the exact distinct-digest anti join;
+    *   - intra-batch first-holder dedup is unchanged.
+    *
+    * The answer is therefore EXACTLY `q_dedup_incremental`'s — the
+    * filter moves work, never the verdict — which is why this key can
+    * carry the same full-recompute oracle (hash match proves the
+    * bloom path == exact). Spark's own sketch
+    * (DataFrameStatFunctions.bloomFilter) builds the filter with one
+    * corpus aggregate; the probe UDF is justified like the gates': a
+    * broadcast BloomFilter has no Column spelling. At 100 TB the
+    * shuffle-side win is the point — the anti join's left side shrinks
+    * from the whole batch to its bloom-hit slice. */
+  def dedupBloomIncremental(batch: DataFrame, existing: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    val digest = sha2(col("text"), 256)
+    val n = math.max(existing.count(), 1L)
+    val bloom = existing.stat.bloomFilter(digest, n, BloomFpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightSeen = udf((d: String) => bc.value.mightContain(d))
+    val batchD = batch.select(col("doc_id"), digest.as("digest"))
+    val misses = batchD.filter(!mightSeen(col("digest")))
+    val seen = existing.select(digest.as("digest")).distinct()
+    val verified = batchD.filter(mightSeen(col("digest")))
+      .join(seen, Seq("digest"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("digest").orderBy("doc_id")
+    misses.unionByName(verified)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content hash → survivor (min doc_id) + multiplicity.
     // One hash aggregate; at 100 TB this is a single shuffle on the
@@ -917,6 +965,17 @@ object Dedup {
         .filter(col("rn") === 1)
         .select(col("doc_id"))
         .orderBy("doc_id")
+    }),
+
+    // Bloom-PREFILTERED incremental ingest — see [[dedupBloomIncremental]]:
+    // same answer as q_dedup_incremental (the oracle is the same exact
+    // replay — the bloom is a pre-filter, never the verdict), but the
+    // corpus-side anti join processes only bloom-HIT digests.
+    "q_dedup_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      dedupBloomIncremental(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0)).orderBy("doc_id")
     }),
 
     // MinHash + LSH banding → exact verify. Oracle-checked end to end
@@ -1256,6 +1315,20 @@ object Dedup {
       FROM reach GROUP BY n ORDER BY doc_id""",
 
     "q_dedup_incremental" -> """
+      WITH batch AS (
+        SELECT doc_id, sha256(text) AS digest FROM documents WHERE doc_id % 5 = 0),
+      seen AS (
+        SELECT DISTINCT sha256(text) AS digest FROM documents WHERE doc_id % 5 != 0)
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+        FROM batch WHERE digest NOT IN (SELECT digest FROM seen))
+      WHERE rn = 1 ORDER BY doc_id""",
+
+    // The SAME exact replay as q_dedup_incremental — the bloom is a
+    // pre-filter, so a hash match proves the prefiltered path computes
+    // the identical survivor set.
+    "q_dedup_bloom" -> """
       WITH batch AS (
         SELECT doc_id, sha256(text) AS digest FROM documents WHERE doc_id % 5 = 0),
       seen AS (

@@ -933,6 +933,33 @@ class PipelineSpec extends SparkSpec {
       buckets)
   }
 
+  test("bloom-prefiltered ingest: planted corpus/intra-batch dups dropped, answer == plain path") {
+    import spark.implicits._
+    val existing = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "delta epsilon")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma"),  // corpus dup → bloom hit → exact-verified drop
+      (11L, "fresh one"),         // unseen → bloom miss path keeps it
+      (12L, "fresh two"),
+      (13L, "fresh two")          // intra-batch dup → first holder 12 survives
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupBloomIncremental(batch, existing)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(11L, 12L), got)
+    // Equality with the plain anti-join path on the real corpus slices
+    // (the registered keys share one oracle; this pins it in-engine).
+    val docs = graft.Tables.documents(spark, sfDir)
+    val bloomKey = graft.SparkEntry.queries("q_dedup_bloom")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    val plain = graft.SparkEntry.queries("q_dedup_incremental")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(bloomKey == plain,
+      s"bloom path diverges from exact: ${bloomKey.take(5)} vs ${plain.take(5)}")
+    assert(bloomKey.nonEmpty && bloomKey.size <= docs.count())
+  }
+
   test("langid confusion and pack stats reconcile with their per-doc keys") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sfDir)
