@@ -730,8 +730,11 @@ object Multimodal {
                              k: Int,
                              nprobe: Int = PhashIvfNprobe): DataFrame = {
     val (cents, table) = phashIvfTableArtifacts(s, dir)
-    val (sk, _) = phashSketchWithTwins(s, dir)
-    val probes = sk.filter(col("doc_id") < nProbes)
+    // Probes come from the CACHED assignment artifact, not a fresh
+    // corpus sketch pass — serving must never rescan documents (the
+    // index IS the sketch store; production probes arrive as queries).
+    val (_, assigned) = phashIvfArtifacts(s, dir)
+    val probes = assigned.filter(col("doc_id") < nProbes)
       .select(col("doc_id").as("probe_id"), col("phash").as("probe_hash"))
     val cellList = phashIvfRankCells(probes, cents, nprobe)
       .select(col("cell")).distinct().collect().map(_.getLong(0)).sorted
@@ -878,6 +881,20 @@ object Multimodal {
     // quantifies what cell restriction costs.
     "q_mm_phash_ivf" -> ((s, dir) =>
       phashIvfQuery(s, dir).orderBy("probe_id", "rk")),
+
+    // Cell-occupancy audit of the image index — the q_knn_ivf_stats
+    // analogue: per cell, member count with EMPTY cells surfaced (a
+    // first-K quantizer's skew forecast; a fat cell is the straggler
+    // the nprobe search would hit). One grouped count over the cached
+    // assignment; answer = K rows.
+    "q_mm_phash_ivf_stats" -> ((s, dir) => {
+      val (cents, assigned) = phashIvfArtifacts(s, dir)
+      cents.select(col("cid").as("cell"))
+        .join(assigned.groupBy("cell").agg(count(lit(1)).as("n")),
+          Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("n"), lit(0L)).as("n_images"))
+        .orderBy("cell")
+    }),
 
     // The persisted-lifecycle twin: SAME answer served from the
     // cell-bucketed TABLE with plan-time bucket pruning — its oracle
@@ -1039,6 +1056,18 @@ object Multimodal {
       SELECT probe_id, doc_id, hamming, CAST(rk AS INTEGER) AS rk
       FROM ivf_ranked WHERE rk <= $PhashTopK
       ORDER BY probe_id, rk""",
+
+    // The assignment CTE grouped, empty cells via the centroid LEFT
+    // join — the q_knn_ivf_stats oracle shape on the sketch universe.
+    "q_mm_phash_ivf_stats" -> s"""
+      WITH $phashSqlCtes,
+      $phashIvfSqlCtes,
+      sizes AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS n FROM asg GROUP BY cell)
+      SELECT c.cid AS cell,
+             CAST(coalesce(s.n, 0) AS BIGINT) AS n_images
+      FROM cents c LEFT JOIN sizes s ON c.cid = s.cell
+      ORDER BY cell""",
 
     // Same replay as q_mm_phash_ivf — the served path must hash-match
     // the in-memory path AND the SQL twin.
