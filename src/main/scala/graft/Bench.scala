@@ -74,7 +74,8 @@ object Bench {
       ("funnel_frames", () => operators.Curation.warmFunnelFrames(spark, sfDir)),
       ("ivf_trained_index", () => operators.Similarity.warmTrainedIndex(spark, sfDir)),
       ("phash_cc_labels", () => operators.Multimodal.warmPhashClusterLabels(spark, sfDir)),
-      ("phash_ivf_index", () => operators.Multimodal.warmPhashIvfIndex(spark, sfDir))
+      ("phash_ivf_index", () => operators.Multimodal.warmPhashIvfIndex(spark, sfDir)),
+      ("phash_ivf_trained", () => operators.Multimodal.warmPhashIvfTrained(spark, sfDir))
     ).map { case (name, build) =>
       val t0 = System.nanoTime()
       try { build() } catch { case e: Throwable =>

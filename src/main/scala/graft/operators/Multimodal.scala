@@ -685,6 +685,56 @@ object Multimodal {
     (cents, assigned)
   }
 
+  /** Training rounds for the majority quantizer — the LloydIters
+    * convention: a small constant; each round is one broadcast-centroid
+    * assignment pass + one (cell, bit) partial aggregate. */
+  val PhashTrainIters = 2
+
+  /** The deterministic TRAINED hamming quantizer — BINARY k-means
+    * (k-majority): the hamming-space analogue of
+    * Similarity.lloydCentroids, expressed so a DuckDB oracle replays
+    * training bit for bit:
+    *
+    *   - seed = the first-K cells ([[phashIvfCells]] — the same
+    *     artifact the untrained keys serve, so improvement is
+    *     attributable to training alone);
+    *   - assignment = the standard argmin (bit_count hamming, ties to
+    *     lowest cid — identical rule to serving);
+    *   - update = per-cell per-bit MAJORITY VOTE (bit set iff
+    *     2·ones > members; the exact minimizer of total hamming
+    *     distance to the members, ties to 0 — deterministic);
+    *   - empty cells keep their previous centroid (the Lloyd rule).
+    *
+    * Scale shape: each round is one broadcast-centroid linear
+    * assignment + one (cell, bit) partial-aggregating sum (60 rows per
+    * sketch, map-side combined) + a K-row rebuild; the corpus never
+    * shuffles wide rows. localCheckpoint cuts per-round lineage. */
+  def phashMajorityCentroids(sk: DataFrame, kk: Int,
+                             iters: Int = PhashTrainIters): DataFrame = {
+    var cents = phashIvfCells(sk, kk).localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val perBit = phashIvfAssign(sk, cents)
+        .select(col("cell"), explode(expr(
+          s"""transform(sequence(0, ${PhashBits - 1}),
+                b -> named_struct('b', b,
+                       'v', (phash div shiftleft(cast(1 as bigint), b)) % 2))"""))
+          .as("x"))
+        .groupBy(col("cell"), col("x.b").as("b"))
+        .agg(sum(col("x.v")).as("ones"), count(lit(1)).as("n"))
+      val refreshed = perBit
+        .select(col("cell"),
+          when(col("ones") * 2 > col("n"),
+            expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L).as("bit"))
+        .groupBy(col("cell")).agg(sum(col("bit")).as("cn"))
+      cents = cents
+        .join(refreshed.select(col("cell").as("cid"), col("cn")),
+          Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cn"), col("cent")).as("cent"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   /** Buckets for the persisted image index — comfortably above the
     * nprobe cells any one query touches, so plan-time bucket pruning
     * has skippable files to skip (the TrainedIdxBuckets rule). */
@@ -752,6 +802,30 @@ object Multimodal {
     * row (the warmTrainedIndex accounting rule). */
   def warmPhashIvfIndex(s: SparkSession, dir: String): Unit = {
     phashIvfTableArtifacts(s, dir)
+    ()
+  }
+
+  /** ONE (trained centroids, trained assignment) build per (session,
+    * dir) — [[phashMajorityCentroids]] refines the first-K seed, the
+    * corpus re-assigns once under the trained cells, both materialize
+    * so the trained key serves without re-training or re-assigning. */
+  private def phashIvfTrainedArtifacts(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cents = Artifacts.cached(s, s"phash-ivf-trained-cents:$dir") {
+      val (sk, _) = phashSketchWithTwins(s, dir)
+      val n = Tables.documents(s, dir).count() + PhashPlantCount
+      phashMajorityCentroids(sk, math.ceil(math.sqrt(n.toDouble)).toInt)
+    }
+    val assigned = Artifacts.cached(s, s"phash-ivf-trained-idx:$dir") {
+      val (sk, _) = phashSketchWithTwins(s, dir)
+      phashIvfAssign(sk, cents).localCheckpoint(true)
+    }
+    (cents, assigned)
+  }
+
+  /** Train + assign now — Bench's explicit artifact-build row. */
+  def warmPhashIvfTrained(s: SparkSession, dir: String): Unit = {
+    phashIvfTrainedArtifacts(s, dir)
     ()
   }
 
@@ -881,6 +955,18 @@ object Multimodal {
     // quantifies what cell restriction costs.
     "q_mm_phash_ivf" -> ((s, dir) =>
       phashIvfQuery(s, dir).orderBy("probe_id", "rk")),
+
+    // TRAINED hamming quantizer serving — see phashMajorityCentroids:
+    // binary k-means refines the first-K seed for PhashTrainIters
+    // rounds (deterministic ⟹ the oracle replays TRAINING, not just
+    // serving — the q_knn_ivf_trained story in hamming space); the
+    // search body is the untrained key's verbatim, so the recall delta
+    // vs q_mm_phash_ivf is attributable to training alone.
+    "q_mm_phash_ivf_trained" -> ((s, dir) => {
+      val (cents, assigned) = phashIvfTrainedArtifacts(s, dir)
+      phashIvfServe(assigned, cents, PhashProbeCount, PhashTopK)
+        .orderBy("probe_id", "rk")
+    }),
 
     // Cell-occupancy audit of the image index — the q_knn_ivf_stats
     // analogue: per cell, member count with EMPTY cells surfaced (a
@@ -1057,6 +1143,17 @@ object Multimodal {
       FROM ivf_ranked WHERE rk <= $PhashTopK
       ORDER BY probe_id, rk""",
 
+    // TRAINING replayed end to end — seed, PhashTrainIters majority
+    // rounds (assignment / per-bit votes / rebuild), then the same
+    // serve chain rooted at the final centroids. A hash match proves
+    // the engine's trained quantizer bit for bit.
+    "q_mm_phash_ivf_trained" -> s"""
+      WITH $phashSqlCtes,
+      $phashIvfTrainedSqlCtes
+      SELECT probe_id, doc_id, hamming, CAST(rk AS INTEGER) AS rk
+      FROM ivf_ranked WHERE rk <= $PhashTopK
+      ORDER BY probe_id, rk""",
+
     // The assignment CTE grouped, empty cells via the centroid LEFT
     // join — the q_knn_ivf_stats oracle shape on the sketch universe.
     "q_mm_phash_ivf_stats" -> s"""
@@ -1168,19 +1265,16 @@ object Multimodal {
     * cells, argmin assignment, top-nprobe probe cells, cell-restricted
     * scoring — each row_number a twin of the engine's min_by / TopK
     * under the shared (hamming, id) total order. */
-  private def phashIvfSqlCtes: String = s"""params_ivf AS (
-        SELECT CAST(ceil(sqrt(CAST((SELECT count(*) FROM documents)
-                                   + $PhashPlantCount AS DOUBLE)))
-               AS BIGINT) AS kk),
-      cents AS (
-        SELECT doc_id AS cid, phash AS cent FROM sk
-        WHERE doc_id < (SELECT kk FROM params_ivf)),
-      asg AS (
+  /** The serve chain over an arbitrary centroid CTE (`cents` for the
+    * first-K keys, `cents2` for the trained key): argmin assignment,
+    * top-nprobe probe cells, cell-restricted scoring, total-order
+    * ranking. */
+  private def phashIvfServeSqlFrom(cents: String): String = s"""asg AS (
         SELECT doc_id, phash, cid AS cell FROM (
           SELECT s.doc_id, s.phash, c.cid,
                  row_number() OVER (PARTITION BY s.doc_id
                    ORDER BY bit_count(xor(s.phash, c.cent)), c.cid) AS rn
-          FROM sk s CROSS JOIN cents c)
+          FROM sk s CROSS JOIN $cents c)
         WHERE rn = 1),
       iprobes AS (
         SELECT doc_id AS probe_id, phash AS probe_hash FROM sk
@@ -1190,7 +1284,7 @@ object Multimodal {
           SELECT p.probe_id, p.probe_hash, c.cid,
                  row_number() OVER (PARTITION BY p.probe_id
                    ORDER BY bit_count(xor(p.probe_hash, c.cent)), c.cid) AS rn
-          FROM iprobes p CROSS JOIN cents c)
+          FROM iprobes p CROSS JOIN $cents c)
         WHERE rn <= $PhashIvfNprobe),
       iscored AS (
         SELECT pc.probe_id, a.doc_id,
@@ -1202,6 +1296,59 @@ object Multimodal {
                row_number() OVER (PARTITION BY probe_id
                                   ORDER BY hamming, doc_id) AS rk
         FROM iscored)"""
+
+  /** Derived K + first-K cells — the shared head of every IVF oracle. */
+  private def phashIvfCellsSql: String = s"""params_ivf AS (
+        SELECT CAST(ceil(sqrt(CAST((SELECT count(*) FROM documents)
+                                   + $PhashPlantCount AS DOUBLE)))
+               AS BIGINT) AS kk),
+      cents AS (
+        SELECT doc_id AS cid, phash AS cent FROM sk
+        WHERE doc_id < (SELECT kk FROM params_ivf))"""
+
+  private def phashIvfSqlCtes: String =
+    phashIvfCellsSql + ",\n      " + phashIvfServeSqlFrom("cents")
+
+  /** One majority-training round as CTE text: argmin assignment under
+    * `cents$round`, per-(cell, bit) ones/members counts, majority
+    * rebuild, empty cells keep their centroid — term for term
+    * [[phashMajorityCentroids]]'s round ( // == div and (x>>b)&1
+    * spelled as // % on the shared nonnegative domain). */
+  private def phashTrainRoundSql(round: Int): String = {
+    val next = round + 1
+    s"""tasg$round AS (
+        SELECT doc_id, phash, cid AS cell FROM (
+          SELECT s.doc_id, s.phash, c.cid,
+                 row_number() OVER (PARTITION BY s.doc_id
+                   ORDER BY bit_count(xor(s.phash, c.cent)), c.cid) AS rn
+          FROM sk s CROSS JOIN cents$round c)
+        WHERE rn = 1),
+      tbits$round AS (
+        SELECT cell, b,
+               CAST(sum((phash // (1::BIGINT << b)) % 2) AS BIGINT) AS ones,
+               CAST(count(*) AS BIGINT) AS n
+        FROM tasg$round CROSS JOIN range(0, $PhashBits) t(b)
+        GROUP BY cell, b),
+      tcn$round AS (
+        SELECT cell,
+               CAST(sum(CASE WHEN ones * 2 > n THEN (1::BIGINT << b)
+                             ELSE 0::BIGINT END) AS BIGINT) AS cn
+        FROM tbits$round GROUP BY cell),
+      cents$next AS (
+        SELECT c.cid, coalesce(n.cn, c.cent) AS cent
+        FROM cents$round c LEFT JOIN tcn$round n ON c.cid = n.cell)"""
+  }
+
+  /** The full trained-serve replay: first-K seed renamed `cents0`,
+    * [[PhashTrainIters]] majority rounds, the serve chain rooted at
+    * the final centroid CTE. */
+  private def phashIvfTrainedSqlCtes: String = {
+    val rounds = (0 until PhashTrainIters)
+      .map(phashTrainRoundSql).mkString(",\n      ")
+    s"""${phashIvfCellsSql.replace("cents AS", "cents0 AS")},
+      $rounds,
+      ${phashIvfServeSqlFrom(s"cents$PhashTrainIters")}"""
+  }
 
   /** The pair SELECT over the `sk` CTE: a<b, exact bit_count at the
     * radius. No ORDER BY — callers append theirs (a CTE body must not

@@ -933,6 +933,46 @@ class PipelineSpec extends SparkSpec {
       buckets)
   }
 
+  test("majority training: two-pole fixture converges to exact cluster majorities") {
+    import spark.implicits._
+    // Two tight hamming clusters; BOTH first-K seeds (docs 0, 1) sit in
+    // cluster A — the bad-seed case first-K cannot fix. Round 1's
+    // majority update pulls one centroid toward B's members (hand
+    // trace: cells {0,2,ones^1}/{1,ones,ones^2} → cents (2, ones^2));
+    // round 2 separates the clusters exactly and the final majorities
+    // ARE the cluster modes (0L, ones).
+    val ones = (1L << Multimodal.PhashBits) - 1
+    val sk = Seq(
+      (0L, 0L), (1L, 1L), (2L, 2L),
+      (3L, ones), (4L, ones ^ 1L), (5L, ones ^ 2L)
+    ).toDF("doc_id", "phash")
+    val cents = Multimodal.phashMajorityCentroids(sk, kk = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cents == Map(0L -> 0L, 1L -> ones), cents)
+    // With the trained centroids, nprobe=1 serving separates the
+    // clusters: each pole's probe sees exactly its own cluster.
+    val served = Multimodal.phashIvfServe(
+        Multimodal.phashIvfAssign(sk, Multimodal.phashMajorityCentroids(sk, 2)),
+        Multimodal.phashMajorityCentroids(sk, 2), nProbes = 6, k = 6, nprobe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    val a = Set(0L, 1L, 2L); val b = Set(3L, 4L, 5L)
+    for (p <- a) assert(served(p) == a, s"probe $p saw ${served(p)}")
+    for (p <- b) assert(served(p) == b, s"probe $p saw ${served(p)}")
+
+    // Registered trained key keeps the structural floor: identical
+    // sketches share a cell under ANY centroid set, so every probe
+    // ranks itself first and twinned probes retrieve their twin.
+    val tr = graft.SparkEntry.queries("q_mm_phash_ivf_trained")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    for (p <- 0L until Multimodal.PhashProbeCount.toLong)
+      assert(tr.contains((p, p, 0, 1)), s"probe $p must rank itself first")
+    for (p <- 0L until Multimodal.PhashPlantCount.toLong)
+      assert(tr.exists(r => r._1 == p && r._2 == Multimodal.PhashPlantBase + p
+        && r._3 == 0),
+        s"probe $p must retrieve its planted twin at hamming 0")
+  }
+
   test("bloom-prefiltered ingest: planted corpus/intra-batch dups dropped, answer == plain path") {
     import spark.implicits._
     val existing = Seq(
