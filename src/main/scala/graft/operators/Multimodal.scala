@@ -968,6 +968,21 @@ object Multimodal {
         .orderBy("probe_id", "rk")
     }),
 
+    // Recall audit of the TRAINED quantizer vs the brute truth — read
+    // next to q_mm_phash_ivf_recall, the delta is what training bought
+    // (the untrained/trained recall pair every served index publishes).
+    "q_mm_phash_ivf_trained_recall" -> ((s, dir) => {
+      val (sk, _) = phashSketchWithTwins(s, dir)
+      val probes = sk.filter(col("doc_id") < PhashProbeCount)
+        .select(col("doc_id").as("probe_id"), col("phash").as("probe_hash"))
+      val truth = phashSearch(sk, probes, PhashTopK)
+        .select(col("probe_id"), col("doc_id").as("cand_id"))
+      val (cents, assigned) = phashIvfTrainedArtifacts(s, dir)
+      val approx = phashIvfServe(assigned, cents, PhashProbeCount, PhashTopK)
+        .select(col("probe_id"), col("doc_id").as("cand_id"))
+      Similarity.recallVs(truth, approx)
+    }),
+
     // Cell-occupancy audit of the image index — the q_knn_ivf_stats
     // analogue: per cell, member count with EMPTY cells surfaced (a
     // first-K quantizer's skew forecast; a fat cell is the straggler
@@ -1153,6 +1168,28 @@ object Multimodal {
       SELECT probe_id, doc_id, hamming, CAST(rk AS INTEGER) AS rk
       FROM ivf_ranked WHERE rk <= $PhashTopK
       ORDER BY probe_id, rk""",
+
+    // Brute truth LEFT JOIN the trained-serve replay — the recall
+    // oracle shape over the trained CTE chain.
+    "q_mm_phash_ivf_trained_recall" -> s"""
+      WITH $phashSqlCtes,
+      $phashIvfTrainedSqlCtes,
+      brute AS (
+        SELECT probe_id, doc_id FROM (
+          SELECT p.probe_id, s.doc_id,
+                 row_number() OVER (PARTITION BY p.probe_id
+                   ORDER BY bit_count(xor(s.phash, p.probe_hash)),
+                            s.doc_id) AS rk
+          FROM sk s CROSS JOIN iprobes p)
+        WHERE rk <= $PhashTopK),
+      approx AS (
+        SELECT probe_id, doc_id FROM ivf_ranked WHERE rk <= $PhashTopK)
+      SELECT t.probe_id, count(*) AS n_true, count(a.doc_id) AS n_hit,
+             round(CAST(count(a.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+               AS recall
+      FROM brute t LEFT JOIN approx a
+        ON t.probe_id = a.probe_id AND t.doc_id = a.doc_id
+      GROUP BY t.probe_id ORDER BY t.probe_id""",
 
     // The assignment CTE grouped, empty cells via the centroid LEFT
     // join — the q_knn_ivf_stats oracle shape on the sketch universe.

@@ -971,6 +971,18 @@ class PipelineSpec extends SparkSpec {
       assert(tr.exists(r => r._1 == p && r._2 == Multimodal.PhashPlantBase + p
         && r._3 == 0),
         s"probe $p must retrieve its planted twin at hamming 0")
+    // The trained recall audit keeps the same structural floors (self
+    // always found; self + twin for twinned probes) — training moves
+    // cell boundaries, never splits identical sketches.
+    val rec = graft.SparkEntry
+      .queries("q_mm_phash_ivf_trained_recall")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rec.length == Multimodal.PhashProbeCount)
+    rec.foreach { case (p, nTrue, nHit) =>
+      val floor = if (p < Multimodal.PhashPlantCount) 2L else 1L
+      assert(nTrue == Multimodal.PhashTopK.toLong && nHit >= floor,
+        s"probe $p n_hit $nHit below floor $floor")
+    }
   }
 
   test("bloom-prefiltered ingest: planted corpus/intra-batch dups dropped, answer == plain path") {
