@@ -1230,26 +1230,88 @@ object Curation {
     * vocabulary, never the corpus; a model whose vocabulary outgrows a
     * driver map is the point where the gate swaps to the broadcast-
     * join batch form ([[importanceWeights]] on micro-batches). */
+  sealed trait FrozenImportance {
+    def nT: Long
+    def nR: Long
+  }
+
   final case class ImportanceModel(cfT: Map[String, Long],
                                    cfR: Map[String, Long],
-                                   nT: Long, nR: Long) {
+                                   nT: Long, nR: Long) extends FrozenImportance {
+    require(nT > 0 && nR > 0,
+      s"importance model needs nonempty target and raw corpora (nT=$nT, nR=$nR)")
+    // Overflow guard for the gate's per-token product Scale·cf_t·N_raw:
+    // the ~5e17 BIGINT seam documented at [[DsirScale]] fails LOUDLY at
+    // model construction instead of wrapping (possibly negative) and
+    // silently flipping keep/drop verdicts at scoring time. BigInt only
+    // here, once, on the driver — the hot path stays pure Long.
+    require(cfT.isEmpty ||
+        BigInt(DsirScale) * cfT.values.max * nR <= Long.MaxValue,
+      s"importance model overflows the Long fixed-point seam: " +
+        s"DsirScale($DsirScale) * max cf_t(${cfT.values.max}) * nR($nR) " +
+        "exceeds Long.MaxValue — retrain at a reduced scale or score " +
+        "through DECIMAL(38) (see DsirScale doc)")
+  }
+
+  /** Join-form frozen importance model — the auto-routed shape when the
+    * training vocabulary outgrows the driver-map cap: the (tok, cf_t,
+    * cf_r) frame stays DISTRIBUTED (persisted, vocab-sized — never the
+    * corpus) and scoring joins against it per micro-batch instead of
+    * probing a broadcast map. Same totals, same fixed-point arithmetic;
+    * [[importanceGate]] dispatches on the model shape so callers train
+    * once and never branch. */
+  final case class ImportanceModelFrames(cf: DataFrame,
+                                         nT: Long, nR: Long) extends FrozenImportance {
     require(nT > 0 && nR > 0,
       s"importance model needs nonempty target and raw corpora (nT=$nT, nR=$nR)")
   }
 
   object ImportanceModel {
+    /** Driver-map vocab ceiling: ~2e7 entries × ~100 B/entry ≈ 2 GB of
+      * driver heap — past this the collect itself is the scale bug, so
+      * [[fromCorpus]] routes to the join form instead of collecting. */
+    val MaxBroadcastVocab = 20000000L
+
     /** Train from a batch corpus: the same tf → cf frames as
-      * [[importanceWeights]], collected to vocab maps. */
-    def fromCorpus(docs: DataFrame): ImportanceModel = {
+      * [[importanceWeights]]. The vocabulary is COUNTED before anything
+      * is collected (one more aggregate of the same tf frame — the
+      * probe costs a vocab-sized count, never a corpus pass): under
+      * `maxVocab` the cf frames collect to driver maps (broadcast-UDF
+      * gate, streaming-capable); over it the frames persist distributed
+      * and the gate scores by join per micro-batch. The unguarded
+      * collect-first shape is structurally gone. */
+    def fromCorpus(docs: DataFrame,
+                   maxVocab: Long = MaxBroadcastVocab): FrozenImportance = {
       val tf = docs.select(col("source"),
           explode(split(lower(col("text")), " ")).as("tok"))
         .groupBy("source", "tok").agg(count(lit(1)).as("tf"))
-      val cfR = tf.groupBy("tok").agg(sum(col("tf")).as("cf"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val cfT = tf.filter(col("source") === DsirTarget)
-        .groupBy("tok").agg(sum(col("tf")).as("cf"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      ImportanceModel(cfT, cfR, cfT.values.sum, cfR.values.sum)
+      val cf = tf.groupBy("tok").agg(
+        sum(when(col("source") === DsirTarget, col("tf"))).as("cf_t"),
+        sum(col("tf")).as("cf_r"))
+      cf.persist()
+      val vocab = cf.count()
+      val totals = cf.agg(
+        coalesce(sum(col("cf_t")), lit(0L)).as("n_t"),
+        coalesce(sum(col("cf_r")), lit(0L)).as("n_r"),
+        coalesce(max(col("cf_t")), lit(0L)).as("max_cf_t")).head()
+      val (nT, nR, maxCfT) =
+        (totals.getLong(0), totals.getLong(1), totals.getLong(2))
+      // The join form shares the map form's Long fixed-point seam —
+      // same loud construction-time guard (ImportanceModel's own
+      // require covers the map branch).
+      require(BigInt(DsirScale) * maxCfT * nR <= Long.MaxValue,
+        s"importance model overflows the Long fixed-point seam: " +
+          s"DsirScale($DsirScale) * max cf_t($maxCfT) * nR($nR) " +
+          "exceeds Long.MaxValue — retrain at a reduced scale or score " +
+          "through DECIMAL(38) (see DsirScale doc)")
+      if (vocab <= maxVocab) {
+        val rows = cf.collect()
+        cf.unpersist()
+        val cfR = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+        val cfT = rows.filter(!_.isNullAt(1))
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        ImportanceModel(cfT, cfR, nT, nR)
+      } else ImportanceModelFrames(cf, nT, nR)
     }
   }
 
@@ -1269,9 +1331,49 @@ object Curation {
     * corpus never saw contributes 0, the conservative out-of-domain
     * convention. CurationStreamSpec pins stream == batch verdicts on
     * corpus copies. Null/empty texts drop (score 0 < any positive
-    * floor — degenerate input is not target-like). */
-  def importanceGate(stream: DataFrame, model: ImportanceModel,
-                     minScore: Long = DsirScale): DataFrame = {
+    * floor — degenerate input is not target-like).
+    *
+    * Dispatches on the frozen model's shape: a vocab-map
+    * [[ImportanceModel]] scores through the broadcast UDF
+    * (streaming-capable, stateless); an over-cap
+    * [[ImportanceModelFrames]] routes through the broadcast/AQE-join
+    * batch form — term-for-term the same fixed-point arithmetic,
+    * verdict-identical by PipelineSpec — applied PER MICRO-BATCH
+    * (inside foreachBatch at the ingest door; a direct streaming frame
+    * is refused loudly because the per-doc score aggregate is not an
+    * append-mode streaming plan). The join form keys rows by `idCol`
+    * so kept rows semi-join back with duplicates preserved. */
+  def importanceGate(stream: DataFrame, model: FrozenImportance,
+                     minScore: Long = DsirScale,
+                     idCol: String = "doc_id"): DataFrame = model match {
+    case f: ImportanceModelFrames =>
+      require(!stream.isStreaming,
+        "join-routed importance gate scores per micro-batch: call it " +
+          "on each batch DataFrame inside foreachBatch")
+      require(stream.columns.contains(idCol),
+        s"join-routed importance gate needs id column '$idCol' " +
+          s"(have: ${stream.columns.mkString(", ")})")
+      require(minScore > 0,
+        "join-routed gate drops unscored (null-text) docs; a non-positive " +
+          "floor would keep them in the UDF form but not here")
+      val tf = stream.select(col(idCol),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+      val kept = tf.join(f.cf, Seq("tok"), "left")
+        .select(col(idCol), col("tf"),
+          when(col("cf_t").isNotNull,
+            expr(s"(${DsirScale}L * cf_t * ${f.nR}L) div (cf_r * ${f.nT}L)"))
+            .otherwise(lit(0L)).as("r"))
+        .groupBy(idCol)
+        .agg(expr("sum(tf * r) div sum(tf)").as("imp_gate_score"))
+        .filter(col("imp_gate_score") >= minScore)
+        .select(col(idCol))
+      stream.join(kept, Seq(idCol), "left_semi")
+    case m: ImportanceModel => importanceGateUdf(stream, m, minScore)
+  }
+
+  private def importanceGateUdf(stream: DataFrame, model: ImportanceModel,
+                                minScore: Long): DataFrame = {
     val bc = stream.sparkSession.sparkContext.broadcast(model)
     val scoreOf = udf((text: String) => {
       if (text == null) 0L

@@ -1065,6 +1065,54 @@ class PipelineSpec extends SparkSpec {
     assert(real._2 > 0 && real._2 < real._1, real)
   }
 
+  test("importance model vocab cap: join-routed gate verdicts equal the broadcast form's") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha alpha beta", Curation.DsirTarget),
+      (1L, "alpha beta", "src1"),
+      (2L, "gamma gamma", "src1")
+    ).toDF("doc_id", "text", "source")
+    // Above the cap: the collect runs, the model is the broadcast-map
+    // shape. Below it (cap 0 < vocab 4): NOTHING collects — training
+    // auto-routes to the distributed cf-frame shape.
+    val mapModel = Curation.ImportanceModel.fromCorpus(corpus)
+    assert(mapModel.isInstanceOf[Curation.ImportanceModel],
+      s"under-cap training must collect to maps: $mapModel")
+    val joinModel = Curation.ImportanceModel.fromCorpus(corpus, maxVocab = 0L)
+    assert(joinModel.isInstanceOf[Curation.ImportanceModelFrames],
+      s"over-cap training must stay distributed: $joinModel")
+    // Identical gate verdicts on the same batch, row for row — the cap
+    // moves WHERE scoring happens, never the verdict. Doc 13's unseen
+    // tokens and doc 14's null text drop in both forms; doc 12 carries
+    // a duplicate row to pin that the semi-join keeps multiplicity.
+    val batch = Seq(
+      (10L, "alpha alpha beta"), (11L, "alpha beta"),
+      (12L, "gamma gamma"), (12L, "gamma gamma"),
+      (13L, "zzz zzz"), (14L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val viaMap = Curation.importanceGate(batch, mapModel)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val viaJoin = Curation.importanceGate(batch, joinModel)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaMap == Seq(10L, 11L), s"broadcast-form kept: $viaMap")
+    assert(viaJoin == viaMap, s"join-form diverged: $viaJoin vs $viaMap")
+    // The join form refuses a direct streaming frame (its per-doc score
+    // aggregate is not an append-mode plan): foreachBatch is the door.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    assertThrows[IllegalArgumentException] {
+      Curation.importanceGate(in.toDF().toDF("doc_id", "text"), joinModel)
+    }
+    // The Long fixed-point seam fails loudly at CONSTRUCTION, not by
+    // wrapping verdicts at scoring time: Scale·cf_t·nR past Long range.
+    assertThrows[IllegalArgumentException] {
+      Curation.ImportanceModel(
+        Map("x" -> 10000000000L), Map("x" -> 10000000000L),
+        10000000000L, 10000000000L)
+    }
+  }
+
   test("connected components: chains merge, islands stay, long chains converge") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
