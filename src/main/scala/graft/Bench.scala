@@ -75,7 +75,8 @@ object Bench {
       ("ivf_trained_index", () => operators.Similarity.warmTrainedIndex(spark, sfDir)),
       ("phash_cc_labels", () => operators.Multimodal.warmPhashClusterLabels(spark, sfDir)),
       ("phash_ivf_index", () => operators.Multimodal.warmPhashIvfIndex(spark, sfDir)),
-      ("phash_ivf_trained", () => operators.Multimodal.warmPhashIvfTrained(spark, sfDir))
+      ("phash_ivf_trained", () => operators.Multimodal.warmPhashIvfTrained(spark, sfDir)),
+      ("phash_ivf_policy", () => operators.Multimodal.warmPhashIvfPolicy(spark, sfDir))
     ).map { case (name, build) =>
       val t0 = System.nanoTime()
       try { build() } catch { case e: Throwable =>

@@ -778,12 +778,28 @@ object Multimodal {
     * and the caller's session conf must never change). */
   def phashIvfServePersisted(s: SparkSession, dir: String, nProbes: Int,
                              k: Int,
-                             nprobe: Int = PhashIvfNprobe): DataFrame = {
-    val (cents, table) = phashIvfTableArtifacts(s, dir)
+                             nprobe: Int = PhashIvfNprobe): DataFrame =
+    // POLICY-ROUTED: serve whichever quantizer the recall audit
+    // selected ([[phashIvfPolicy]]) — the engine measures both recalls;
+    // serving the loser was the gap the policy closes.
+    phashIvfServePersistedAs(s, dir, phashIvfSelectedQuantizer(s, dir),
+      nProbes, k, nprobe)
+
+  /** The quantizer-explicit persisted serve (the policy route's body,
+    * public so the spec can drive BOTH tables regardless of which one
+    * the live corpus's policy picks). */
+  def phashIvfServePersistedAs(s: SparkSession, dir: String,
+                               quantizer: String, nProbes: Int, k: Int,
+                               nprobe: Int = PhashIvfNprobe): DataFrame = {
+    val (cents, table) =
+      if (quantizer == "trained") phashIvfTrainedTableArtifacts(s, dir)
+      else phashIvfTableArtifacts(s, dir)
     // Probes come from the CACHED assignment artifact, not a fresh
     // corpus sketch pass — serving must never rescan documents (the
     // index IS the sketch store; production probes arrive as queries).
-    val (_, assigned) = phashIvfArtifacts(s, dir)
+    val (_, assigned) =
+      if (quantizer == "trained") phashIvfTrainedArtifacts(s, dir)
+      else phashIvfArtifacts(s, dir)
     val probes = assigned.filter(col("doc_id") < nProbes)
       .select(col("doc_id").as("probe_id"), col("phash").as("probe_hash"))
     val cellList = phashIvfRankCells(probes, cents, nprobe)
@@ -829,11 +845,129 @@ object Multimodal {
     ()
   }
 
+  /** The TRAINED quantizer's persisted bucketed table — same lifecycle
+    * as [[phashIvfTableArtifacts]] (cell-bucketed, plan-time pruning),
+    * built only when the serving policy selects the trained index. */
+  private def phashIvfTrainedTableArtifacts(
+      s: SparkSession, dir: String): (DataFrame, String) = {
+    val (cents, assigned) = phashIvfTrainedArtifacts(s, dir)
+    val table =
+      s"graft_phash_ivf_tr_${java.lang.Integer.toHexString(dir.hashCode)}"
+    Artifacts.cached(s, s"phash-ivf-trained-table:$dir") {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+      graft.sources.Sinks.writeBucketed(
+        assigned.select(col("doc_id"), col("phash"), col("cell")),
+        table, "cell", PhashIdxBuckets)
+      s.table(table)
+    }
+    (cents, table)
+  }
+
   /** The shared front end of both IVF keys: serve from the cached
     * index. */
   private def phashIvfQuery(s: SparkSession, dir: String): DataFrame = {
     val (cents, assigned) = phashIvfArtifacts(s, dir)
     phashIvfServe(assigned, cents, PhashProbeCount, PhashTopK)
+  }
+
+  /** ONE brute-truth build per (session, dir): the exact hamming top-k
+    * every audit ranks against (`q_mm_phash_search`'s frame verbatim —
+    * that key still computes it inline because its PLAN is the brute
+    * reference, plan-asserted). Cached so the two recall audits and
+    * the quantizer policy pay ONE corpus pass between them instead of
+    * three. */
+  private def phashBruteTruth(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"phash-brute-truth:$dir") {
+      val (sk, _) = phashSketchWithTwins(s, dir)
+      val probes = sk.filter(col("doc_id") < PhashProbeCount)
+        .select(col("doc_id").as("probe_id"),
+          col("phash").as("probe_hash"))
+      phashSearch(sk, probes, PhashTopK).localCheckpoint(true)
+    }
+
+  /** AUDIT-DRIVEN QUANTIZER SELECTION — the serving policy: compare
+    * the two quantizers' recall audits against the shared brute truth
+    * and pick the winner (micro-averaged: total hits over total truth
+    * rows — the n_true sides are identical, so the DECISION is a pure
+    * integer comparison with no float in the loop; ties go to first-K,
+    * the quantizer with no training build to amortize). The engine
+    * MEASURES both recalls anyway (`q_mm_phash_ivf_recall` /
+    * `_trained_recall`); letting a caller serve the loser was the gap
+    * — now [[phashIvfServePersisted]] reads this policy and serves the
+    * winner's index. All three inputs are probes×k frames (tiny,
+    * broadcast); output is ONE row (quantizer, recall_firstk,
+    * recall_trained), rounding exactly the recallVs convention. */
+  def phashIvfPolicy(truth: DataFrame, firstK: DataFrame,
+                     trained: DataFrame): DataFrame = {
+    val t = truth.select(col("probe_id"), col("doc_id"))
+    t.join(broadcast(firstK.select(col("probe_id"), col("doc_id"),
+        lit(1).as("hit_f"))), Seq("probe_id", "doc_id"), "left")
+      .join(broadcast(trained.select(col("probe_id"), col("doc_id"),
+        lit(1).as("hit_t"))), Seq("probe_id", "doc_id"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        count(col("hit_f")).as("hit_f"),
+        count(col("hit_t")).as("hit_t"))
+      .select(
+        when(col("hit_t") > col("hit_f"), lit("trained"))
+          .otherwise(lit("firstk")).as("quantizer"),
+        round(col("hit_f").cast("double") / col("n_true").cast("double"), 4)
+          .as("recall_firstk"),
+        round(col("hit_t").cast("double") / col("n_true").cast("double"), 4)
+          .as("recall_trained"))
+  }
+
+  /** Fixture-drivable policy: brute truth + both quantizers computed
+    * from a raw (doc_id, phash) sketch frame — what PipelineSpec
+    * drives with the two-pole planted-cluster fixture (trained wins)
+    * and a uniform corpus (first-K wins). */
+  def phashIvfPolicyFor(sk: DataFrame, kk: Int, nProbes: Int, k: Int,
+                        nprobe: Int = PhashIvfNprobe): DataFrame = {
+    val probes = sk.filter(col("doc_id") < nProbes)
+      .select(col("doc_id").as("probe_id"), col("phash").as("probe_hash"))
+    val truth = phashSearch(sk, probes, k)
+    val cents = phashIvfCells(sk, kk)
+    val firstK = phashIvfServe(phashIvfAssign(sk, cents), cents,
+      nProbes, k, nprobe)
+    val tc = phashMajorityCentroids(sk, kk)
+    val trained = phashIvfServe(phashIvfAssign(sk, tc), tc,
+      nProbes, k, nprobe)
+    phashIvfPolicy(truth, firstK, trained)
+  }
+
+  /** ONE policy decision per (session, dir) — built from the cached
+    * truth and both cached quantizer artifacts (nothing here re-scans
+    * the corpus beyond the shared truth build). */
+  private def phashIvfPolicyQuery(s: SparkSession, dir: String): DataFrame = {
+    // Dependencies resolve BEFORE the cached block — nested cached()
+    // builds trip ConcurrentHashMap's recursive-update guard (the
+    // phashIvfTableArtifacts convention).
+    val truth = phashBruteTruth(s, dir)
+    val (cents, assigned) = phashIvfArtifacts(s, dir)
+    val (tc, ta) = phashIvfTrainedArtifacts(s, dir)
+    Artifacts.cached(s, s"phash-ivf-policy:$dir") {
+      val firstK = phashIvfServe(assigned, cents, PhashProbeCount, PhashTopK)
+      val trained = phashIvfServe(ta, tc, PhashProbeCount, PhashTopK)
+      phashIvfPolicy(truth, firstK, trained).localCheckpoint(true)
+    }
+  }
+
+  /** The policy's selection, as the serving switch reads it. */
+  def phashIvfSelectedQuantizer(s: SparkSession, dir: String): String =
+    phashIvfPolicyQuery(s, dir).collect().head.getString(0)
+
+  /** Build the policy NOW (brute truth + decision + the WINNER's
+    * persisted table) — Bench's explicit artifact-build row, so
+    * policy-routed serving never pays a build inside the timed key. */
+  def warmPhashIvfPolicy(s: SparkSession, dir: String): Unit = {
+    phashIvfSelectedQuantizer(s, dir) match {
+      case "trained" => phashIvfTrainedTableArtifacts(s, dir)
+      case _ => phashIvfTableArtifacts(s, dir)
+    }
+    ()
   }
 
   /** ONE image-CC labeling per (session, dir), like the text family's
@@ -972,16 +1106,23 @@ object Multimodal {
     // next to q_mm_phash_ivf_recall, the delta is what training bought
     // (the untrained/trained recall pair every served index publishes).
     "q_mm_phash_ivf_trained_recall" -> ((s, dir) => {
-      val (sk, _) = phashSketchWithTwins(s, dir)
-      val probes = sk.filter(col("doc_id") < PhashProbeCount)
-        .select(col("doc_id").as("probe_id"), col("phash").as("probe_hash"))
-      val truth = phashSearch(sk, probes, PhashTopK)
+      val truth = phashBruteTruth(s, dir)
         .select(col("probe_id"), col("doc_id").as("cand_id"))
       val (cents, assigned) = phashIvfTrainedArtifacts(s, dir)
       val approx = phashIvfServe(assigned, cents, PhashProbeCount, PhashTopK)
         .select(col("probe_id"), col("doc_id").as("cand_id"))
       Similarity.recallVs(truth, approx)
     }),
+
+    // THE SERVING POLICY — audit-driven quantizer selection (see
+    // phashIvfPolicy): one row naming the quantizer the recall audits
+    // select, with both micro-averaged recalls. phashIvfServePersisted
+    // reads this decision, so the persisted lifecycle serves the
+    // measured winner, never the loser. Oracle replays BOTH serve
+    // chains (first-K and trained) against the brute truth and the
+    // same integer hit comparison.
+    "q_mm_phash_ivf_policy" -> ((s, dir) =>
+      phashIvfPolicyQuery(s, dir).orderBy("quantizer")),
 
     // Cell-occupancy audit of the image index — the q_knn_ivf_stats
     // analogue: per cell, member count with EMPTY cells surfaced (a
@@ -1009,10 +1150,7 @@ object Multimodal {
     // the audit row every served index here carries (the q_knn_*_recall
     // pattern): per probe, |ivf top-k ∩ brute top-k| / k.
     "q_mm_phash_ivf_recall" -> ((s, dir) => {
-      val (sk, _) = phashSketchWithTwins(s, dir)
-      val probes = sk.filter(col("doc_id") < PhashProbeCount)
-        .select(col("doc_id").as("probe_id"), col("phash").as("probe_hash"))
-      val truth = phashSearch(sk, probes, PhashTopK)
+      val truth = phashBruteTruth(s, dir)
         .select(col("probe_id"), col("doc_id").as("cand_id"))
       val approx = phashIvfQuery(s, dir)
         .select(col("probe_id"), col("doc_id").as("cand_id"))
@@ -1203,14 +1341,35 @@ object Multimodal {
       FROM cents c LEFT JOIN sizes s ON c.cid = s.cell
       ORDER BY cell""",
 
-    // Same replay as q_mm_phash_ivf — the served path must hash-match
-    // the in-memory path AND the SQL twin.
+    // POLICY-GATED replay: both serve chains, the winner selected by
+    // the same integer hit comparison the engine's policy makes — the
+    // served path must hash-match whichever quantizer the audit
+    // selects, at EVERY scale factor.
     "q_mm_phash_ivf_served" -> s"""
       WITH $phashSqlCtes,
-      $phashIvfSqlCtes
+      $phashIvfPolicySqlCtes
       SELECT probe_id, doc_id, hamming, CAST(rk AS INTEGER) AS rk
-      FROM ivf_ranked WHERE rk <= $PhashTopK
+      FROM (
+        SELECT probe_id, doc_id, hamming, rk FROM ivf_ranked
+        WHERE rk <= $PhashTopK AND (SELECT hit_t <= hit_f FROM pol)
+        UNION ALL
+        SELECT probe_id, doc_id, hamming, rk FROM ivf_ranked_t
+        WHERE rk <= $PhashTopK AND (SELECT hit_t > hit_f FROM pol))
       ORDER BY probe_id, rk""",
+
+    // The decision row replayed: both recalls from the shared brute
+    // truth, the quantizer named by the integer comparison — a hash
+    // match proves the engine serves the audit's winner.
+    "q_mm_phash_ivf_policy" -> s"""
+      WITH $phashSqlCtes,
+      $phashIvfPolicySqlCtes
+      SELECT CASE WHEN hit_t > hit_f THEN 'trained' ELSE 'firstk' END
+               AS quantizer,
+             round(CAST(hit_f AS DOUBLE) / CAST(n_true AS DOUBLE), 4)
+               AS recall_firstk,
+             round(CAST(hit_t AS DOUBLE) / CAST(n_true AS DOUBLE), 4)
+               AS recall_trained
+      FROM pol ORDER BY quantizer""",
 
     // Brute truth (the q_mm_phash_search ranking) LEFT JOIN the IVF
     // answer — the recallOracleSql shape on the image index.
@@ -1306,33 +1465,34 @@ object Multimodal {
     * first-K keys, `cents2` for the trained key): argmin assignment,
     * top-nprobe probe cells, cell-restricted scoring, total-order
     * ranking. */
-  private def phashIvfServeSqlFrom(cents: String): String = s"""asg AS (
+  private def phashIvfServeSqlFrom(cents: String,
+                                   sfx: String = ""): String = s"""asg$sfx AS (
         SELECT doc_id, phash, cid AS cell FROM (
           SELECT s.doc_id, s.phash, c.cid,
                  row_number() OVER (PARTITION BY s.doc_id
                    ORDER BY bit_count(xor(s.phash, c.cent)), c.cid) AS rn
           FROM sk s CROSS JOIN $cents c)
         WHERE rn = 1),
-      iprobes AS (
+      iprobes$sfx AS (
         SELECT doc_id AS probe_id, phash AS probe_hash FROM sk
         WHERE doc_id < $PhashProbeCount),
-      pcells AS (
+      pcells$sfx AS (
         SELECT probe_id, probe_hash, cid AS cell FROM (
           SELECT p.probe_id, p.probe_hash, c.cid,
                  row_number() OVER (PARTITION BY p.probe_id
                    ORDER BY bit_count(xor(p.probe_hash, c.cent)), c.cid) AS rn
-          FROM iprobes p CROSS JOIN $cents c)
+          FROM iprobes$sfx p CROSS JOIN $cents c)
         WHERE rn <= $PhashIvfNprobe),
-      iscored AS (
+      iscored$sfx AS (
         SELECT pc.probe_id, a.doc_id,
                CAST(bit_count(xor(a.phash, pc.probe_hash)) AS INTEGER)
                  AS hamming
-        FROM pcells pc JOIN asg a USING (cell)),
-      ivf_ranked AS (
+        FROM pcells$sfx pc JOIN asg$sfx a USING (cell)),
+      ivf_ranked$sfx AS (
         SELECT probe_id, doc_id, hamming,
                row_number() OVER (PARTITION BY probe_id
                                   ORDER BY hamming, doc_id) AS rk
-        FROM iscored)"""
+        FROM iscored$sfx)"""
 
   /** Derived K + first-K cells — the shared head of every IVF oracle. */
   private def phashIvfCellsSql: String = s"""params_ivf AS (
@@ -1385,6 +1545,41 @@ object Multimodal {
     s"""${phashIvfCellsSql.replace("cents AS", "cents0 AS")},
       $rounds,
       ${phashIvfServeSqlFrom(s"cents$PhashTrainIters")}"""
+  }
+
+  /** BOTH quantizers' serve chains in one WITH (trained names carry a
+    * `_t` suffix; cents0 aliases the shared first-K seed so the
+    * training rounds replay unchanged), plus the brute truth and the
+    * policy comparison: `pol` is one row (n_true, hit_f, hit_t) — the
+    * integer hit counts [[phashIvfPolicy]] decides on. */
+  private def phashIvfPolicySqlCtes: String = {
+    val rounds = (0 until PhashTrainIters)
+      .map(phashTrainRoundSql).mkString(",\n      ")
+    s"""$phashIvfCellsSql,
+      cents0 AS (SELECT cid, cent FROM cents),
+      $rounds,
+      ${phashIvfServeSqlFrom("cents")},
+      ${phashIvfServeSqlFrom(s"cents$PhashTrainIters", "_t")},
+      brute AS (
+        SELECT probe_id, doc_id FROM (
+          SELECT p.probe_id, s.doc_id,
+                 row_number() OVER (PARTITION BY p.probe_id
+                   ORDER BY bit_count(xor(s.phash, p.probe_hash)),
+                            s.doc_id) AS rk
+          FROM sk s CROSS JOIN iprobes p)
+        WHERE rk <= $PhashTopK),
+      apx AS (
+        SELECT probe_id, doc_id FROM ivf_ranked WHERE rk <= $PhashTopK),
+      apx_t AS (
+        SELECT probe_id, doc_id FROM ivf_ranked_t WHERE rk <= $PhashTopK),
+      pol AS (
+        SELECT (SELECT count(*) FROM brute) AS n_true,
+               (SELECT count(*) FROM brute b JOIN apx a
+                  ON b.probe_id = a.probe_id AND b.doc_id = a.doc_id)
+                 AS hit_f,
+               (SELECT count(*) FROM brute b JOIN apx_t a
+                  ON b.probe_id = a.probe_id AND b.doc_id = a.doc_id)
+                 AS hit_t)"""
   }
 
   /** The pair SELECT over the `sk` CTE: a<b, exact bit_count at the

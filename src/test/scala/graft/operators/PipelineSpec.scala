@@ -985,6 +985,68 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ivf quantizer policy: clusters select trained, uniform selects first-K, serving honors it") {
+    import spark.implicits._
+    // The two-pole bad-seed fixture (both first-K seeds in pole A):
+    // nprobe=1 first-K serving mixes the poles (recall < 1), trained
+    // centroids separate them exactly (recall 1.0) — the policy must
+    // select the trained quantizer where real cluster structure exists.
+    val ones = (1L << Multimodal.PhashBits) - 1
+    val twoPole = Seq(
+      (0L, 0L), (1L, 1L), (2L, 2L),
+      (3L, ones), (4L, ones ^ 1L), (5L, ones ^ 2L)
+    ).toDF("doc_id", "phash")
+    val polT = Multimodal
+      .phashIvfPolicyFor(twoPole, kk = 2, nProbes = 6, k = 3, nprobe = 1)
+      .collect().head
+    assert(polT.getString(0) == "trained",
+      s"planted clusters must select trained: $polT")
+    assert(polT.getDouble(2) == 1.0 && polT.getDouble(1) < 1.0,
+      s"two-pole recalls: $polT")
+    // A structureless (uniform) sketch set: majority training collapses
+    // toward shared bit patterns and cannot beat the first-K audit —
+    // the policy keeps first-K (ties also go to first-K: no training
+    // build to amortize).
+    val uniform = (0L until 12L)
+      .map(i => (i, (i * 0x9E3779B97F4A7C15L) & ((1L << 60) - 1)))
+      .toDF("doc_id", "phash")
+    val polU = Multimodal
+      .phashIvfPolicyFor(uniform, kk = 4, nProbes = 6, k = 3)
+      .collect().head
+    assert(polU.getString(0) == "firstk",
+      s"uniform corpus must select first-K: $polU")
+    // Registered policy key and the real-corpus decision agree with
+    // the persisted serving route: phashIvfServePersisted serves the
+    // SELECTED quantizer's table, row for row.
+    val choice = Multimodal.phashIvfSelectedQuantizer(spark, sfDir)
+    val served = Multimodal
+      .phashIvfServePersisted(spark, sfDir,
+        Multimodal.PhashProbeCount, Multimodal.PhashTopK)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val asChosen = Multimodal
+      .phashIvfServePersistedAs(spark, sfDir, choice,
+        Multimodal.PhashProbeCount, Multimodal.PhashTopK)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(served == asChosen,
+      s"policy route must serve the '$choice' table")
+    // The trained persisted path is REAL (not only reachable when the
+    // live corpus happens to select it): explicit trained serving
+    // equals the in-memory trained key row for row.
+    val servedTrained = Multimodal
+      .phashIvfServePersistedAs(spark, sfDir, "trained",
+        Multimodal.PhashProbeCount, Multimodal.PhashTopK)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val inMemTrained = graft.SparkEntry
+      .queries("q_mm_phash_ivf_trained")(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(servedTrained == inMemTrained,
+      "trained persisted serve diverged from the in-memory trained key")
+  }
+
   test("bloom-prefiltered ingest: planted corpus/intra-batch dups dropped, answer == plain path") {
     import spark.implicits._
     val existing = Seq(
