@@ -1419,6 +1419,141 @@ object Curation {
         (col("imp_score") >= DsirScale).cast("int"))
   }
 
+  /** Hashed-feature bucket count for the bigram importance tier —
+    * DSIR proper hashes n-grams into 10k buckets (Xie et al. '23 §3,
+    * "hashed n-gram features"); a prime keeps the modulo mixing. The
+    * hash BOUNDS the model: whatever the corpus, the cf frames have
+    * ≤ [[DsirBuckets]] rows — the driver-map cap is satisfied BY
+    * CONSTRUCTION, which is exactly why DSIR hashes in the first
+    * place (a 100 TB corpus's raw bigram vocabulary would not fit
+    * anywhere). */
+  val DsirBuckets = 10007
+
+  /** The bigram feature id, as one shared definition for the batch
+    * expression, the gate kernel and the DuckDB twin: md5 of
+    * `w1 ⊔ w2` (space-joined), first 8 hex digits as an unsigned int,
+    * mod [[DsirBuckets]]. md5 is bit-identical everywhere; the 8-digit
+    * prefix fits INT64 in both engines. */
+  private def bigramFeatureCol(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(b), 1, 8), 16, 10).cast("long") % DsirBuckets
+
+  /** The gate-kernel twin of [[bigramFeatureCol]] — byte-for-byte the
+    * same md5-prefix arithmetic in JVM code (CurationStreamSpec pins
+    * kernel == expression on every corpus bigram). */
+  def bigramFeatureOf(w1: String, w2: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest((w1 + " " + w2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    v % DsirBuckets
+  }
+
+  /** DSIR importance weighting over HASHED BIGRAM features — the
+    * Xie et al.-faithful feature tier ([[importanceWeights]] is the
+    * unigram stand-in; DSIR proper scores hashed n-gram counts):
+    * consecutive token pairs hash into [[DsirBuckets]] buckets, and
+    * the same fixed-point mean-of-ratios verdict runs in bucket space:
+    *
+    *   f(w1,w2) = md5-bucket;  r(f) = (Scale·cf_t(f)·N_raw) div
+    *                                  (cf_r(f)·N_t)
+    *   imp_score = Σ tf·r div Σ tf;  selected ⟺ imp_score ≥ Scale
+    *
+    * Docs with fewer than 2 tokens have NO bigram features and are out
+    * of this tier's domain (no output row — route degenerate docs
+    * through the unigram tier or the quality gate; emitting a
+    * fabricated 0 would claim a measurement that never happened).
+    * Scale shape: tf partial-aggregates per (doc, bucket) BEFORE any
+    * join; the cf frames are ≤ DsirBuckets rows each — they ALWAYS
+    * broadcast (the hash is the cap); totals fold to 1-row broadcasts;
+    * the corpus never shuffles on features. */
+  def importanceWeightsBigram(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      split(lower(col("text")), " ").as("ts"))
+    val bg = toks.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        """transform(sequence(0, size(ts) - 2),
+             i -> concat(ts[i], ' ', ts[i + 1]))""")).as("b"))
+      .select(col("doc_id"), col("source"),
+        bigramFeatureCol(col("b")).as("f"))
+    val tf = bg.groupBy("doc_id", "source", "f")
+      .agg(count(lit(1)).as("tf"))
+    val cfRaw = tf.groupBy("f").agg(sum(col("tf")).as("cf_r"))
+    val cfTgt = tf.filter(col("source") === DsirTarget)
+      .groupBy("f").agg(sum(col("tf")).as("cf_t"))
+    val nR = cfRaw.agg(sum(col("cf_r")).as("n_r"))
+    val nT = cfTgt.agg(sum(col("cf_t")).as("n_t"))
+    tf.join(broadcast(cfRaw), Seq("f"))
+      .join(broadcast(cfTgt), Seq("f"), "left")
+      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+      .select(col("doc_id"), col("tf"),
+        expr(s"($DsirScale * coalesce(cf_t, 0L) * n_r) div (cf_r * n_t)")
+          .as("r"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_feats"),
+        expr("sum(tf * r) div sum(tf)").as("imp_score"))
+      .withColumn("selected",
+        (col("imp_score") >= DsirScale).cast("int"))
+  }
+
+  object ImportanceModelBigram {
+    /** Train the frozen BIGRAM-feature model: same cf frames as
+      * [[importanceWeightsBigram]], collected to bucket-keyed maps.
+      * No vocab probe needed — the hash bounds the collect to
+      * ≤ [[DsirBuckets]] rows by construction (the reason DSIR
+      * hashes). The overflow guard is ImportanceModel's own. */
+    def fromCorpus(docs: DataFrame): ImportanceModel = {
+      val toks = docs.select(col("source"),
+        split(lower(col("text")), " ").as("ts"))
+      val tf = toks.filter(size(col("ts")) >= 2)
+        .select(col("source"), explode(expr(
+          """transform(sequence(0, size(ts) - 2),
+               i -> concat(ts[i], ' ', ts[i + 1]))""")).as("b"))
+        .select(col("source"), bigramFeatureCol(col("b")).as("f"))
+        .groupBy("source", "f").agg(count(lit(1)).as("tf"))
+      val cfR = tf.groupBy("f").agg(sum(col("tf")).as("cf"))
+        .collect().map(r => r.getLong(0).toString -> r.getLong(1)).toMap
+      val cfT = tf.filter(col("source") === DsirTarget)
+        .groupBy("f").agg(sum(col("tf")).as("cf"))
+        .collect().map(r => r.getLong(0).toString -> r.getLong(1)).toMap
+      ImportanceModel(cfT, cfR, cfT.values.sum, cfR.values.sum)
+    }
+  }
+
+  /** STREAMING bigram importance gate — [[importanceGate]]'s feature-
+    * order twin over the hashed-bigram model: score an arriving doc's
+    * bigram FEATURES against the broadcast frozen bucket maps, same
+    * fixed-point arithmetic, stateless and replay-safe. A doc with
+    * fewer than two tokens has no features → score 0 → drops under
+    * any positive floor (the degenerate-input rule
+    * [[importanceWeightsBigram]] documents). The kernel's feature ids
+    * come from [[bigramFeatureOf]] — the md5 arithmetic is shared
+    * with the batch expression, so stream == batch verdicts hold
+    * bigram for bigram (CurationStreamSpec). */
+  def importanceGateBigram(stream: DataFrame, model: ImportanceModel,
+                           minScore: Long = DsirScale): DataFrame = {
+    val bc = stream.sparkSession.sparkContext.broadcast(model)
+    val scoreOf = udf((text: String) => {
+      if (text == null) 0L
+      else {
+        val m = bc.value
+        val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+        if (toks.length < 2) 0L
+        else {
+          var acc = 0L
+          var i = 0
+          while (i < toks.length - 1) {
+            val f = bigramFeatureOf(toks(i), toks(i + 1)).toString
+            val ct = m.cfT.getOrElse(f, 0L)
+            if (ct > 0L) acc += DsirScale * ct * m.nR / (m.cfR(f) * m.nT)
+            i += 1
+          }
+          acc / (toks.length - 1)
+        }
+      }
+    })
+    stream.filter(scoreOf(col("text")) >= minScore)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_decontaminate" -> ((s, dir) =>
       decontaminate(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -1714,6 +1849,12 @@ object Curation {
     // verdict, integer-exact in both engines.
     "q_corpus_importance" -> ((s, dir) =>
       importanceWeights(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // DSIR over HASHED BIGRAM features — see importanceWeightsBigram:
+    // the Xie et al.-faithful feature order (md5 buckets, the hash IS
+    // the vocab cap), same fixed-point mean-of-ratios verdict.
+    "q_corpus_importance_bigram" -> ((s, dir) =>
+      importanceWeightsBigram(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // Stratified sampling: EXACTLY SampleK docs per lang (rate-based
     // mixing can't promise exact counts), chosen as the top-K salted-md5
@@ -2509,6 +2650,47 @@ object Curation {
         LEFT JOIN cft c2 USING (tok))
       SELECT doc_id,
              CAST(sum(tf) AS BIGINT) AS n_tokens,
+             CAST(sum(tf * r) AS BIGINT) // CAST(sum(tf) AS BIGINT)
+               AS imp_score,
+             CAST(CASE WHEN CAST(sum(tf * r) AS BIGINT)
+                            // CAST(sum(tf) AS BIGINT) >= $DsirScale
+                       THEN 1 ELSE 0 END AS INTEGER) AS selected
+      FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    // The bigram tier's twin: consecutive-pair features through the
+    // SAME md5-prefix bucket arithmetic (md5 is bit-identical across
+    // engines; the 8-hex prefix fits BIGINT in both), then the
+    // unigram oracle's ratio fold in bucket space. len(ts) >= 2
+    // replays the no-features domain rule.
+    "q_corpus_importance_bigram" -> s"""
+      WITH toks AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS ts
+        FROM documents),
+      bg AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(unnest(list_transform(
+                   range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))),
+                 1, 8))::BIGINT % $DsirBuckets AS f
+        FROM toks WHERE len(ts) >= 2),
+      tf AS (
+        SELECT doc_id, source, f, CAST(count(*) AS BIGINT) AS tf
+        FROM bg GROUP BY doc_id, source, f),
+      cfr AS (SELECT f, CAST(sum(tf) AS BIGINT) AS cf_r
+              FROM tf GROUP BY f),
+      cft AS (SELECT f, CAST(sum(tf) AS BIGINT) AS cf_t
+              FROM tf WHERE source = '$DsirTarget' GROUP BY f),
+      nr AS (SELECT CAST(sum(cf_r) AS BIGINT) AS n_r FROM cfr),
+      nt AS (SELECT CAST(sum(cf_t) AS BIGINT) AS n_t FROM cft),
+      scored AS (
+        SELECT t.doc_id, t.tf,
+               (${DsirScale}::BIGINT * coalesce(c2.cf_t, 0::BIGINT)
+                  * (SELECT n_r FROM nr))
+                 // (c1.cf_r * (SELECT n_t FROM nt)) AS r
+        FROM tf t
+        JOIN cfr c1 USING (f)
+        LEFT JOIN cft c2 USING (f))
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS n_feats,
              CAST(sum(tf * r) AS BIGINT) // CAST(sum(tf) AS BIGINT)
                AS imp_score,
              CAST(CASE WHEN CAST(sum(tf * r) AS BIGINT)

@@ -291,13 +291,13 @@ object TextAnalysis {
     * falls back to token-keyed joins with AQE skew handling when they
     * don't; N folds to a 1-row broadcast. */
   def lmScoreBigram(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val plant = Seq((LmPlantId, LmPlantText.split(" ").toSeq))
-      .toDF("doc_id", "ts")
+    // PURE over its input: the planted backoff witness is unioned by
+    // the registered key (the q_decontaminate_report convention), not
+    // here — an API caller's corpus that happens to contain doc_id
+    // 9000001 must never have a fabricated doc's bigrams merged into
+    // its score or an extra output row appended.
     val toks = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
-      .unionByName(plant)
     val bg = toks.filter(size(col("ts")) >= 2)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, size(ts) - 2),
@@ -374,9 +374,16 @@ object TextAnalysis {
 
     // Bigram stupid-backoff LM score vs the held-out even-id model —
     // see [[lmScoreBigram]]: fixed-point ML conditional / α=2/5
-    // backoff / zero, mean per doc + backed-off instance count.
-    "q_text_lm_score_bigram" -> ((s, dir) =>
-      lmScoreBigram(Tables.documents(s, dir)).orderBy("doc_id")),
+    // backoff / zero, mean per doc + backed-off instance count. The
+    // planted backoff witness (LmPlantId/LmPlantText) unions HERE,
+    // at the key boundary — the operator itself is pure.
+    "q_text_lm_score_bigram" -> ((s, dir) => {
+      import s.implicits._
+      val plant = Seq((LmPlantId, LmPlantText)).toDF("doc_id", "text")
+      lmScoreBigram(Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).unionByName(plant))
+        .orderBy("doc_id")
+    }),
 
     // n-gram-heuristic language ID: stopword-hit argmax with ordered
     // tie-break (en > de > es > fr > und), mirroring the ordered-cascade

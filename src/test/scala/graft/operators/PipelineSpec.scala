@@ -861,7 +861,9 @@ class PipelineSpec extends SparkSpec {
       (1L, "a b c"),     // scored-only: (a,b) 1e6, (b,c) 333333
       (3L, "c a x c")    // (c,a) BACKOFF via cf1(a), (a,x) zero, (x,c) backoff
     ).toDF("doc_id", "text")
-    val got = TextAnalysis.lmScoreBigram(docs)
+    val plant = Seq((TextAnalysis.LmPlantId, TextAnalysis.LmPlantText))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmScoreBigram(docs.unionByName(plant))
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     // doc3: (2e6·2) div 30 = 133333; (2e6·1) div 30 = 66666; zero —
@@ -870,10 +872,15 @@ class PipelineSpec extends SparkSpec {
     assert(got(1L) == ((2L, 666666L, 0L)), got(1L))
     assert(got(2L) == ((1L, 333333L, 0L)), got(2L))
     assert(got(3L) == ((3L, 66666L, 3L)), got(3L))
-    // The plant rides every call: all-unseen bigrams, three of them
-    // backing off onto tokens this fixture's model never saw → score 0.
+    // The plant unions at the KEY boundary (here replicated): all-
+    // unseen bigrams, three backing off onto tokens this fixture's
+    // model never saw → score 0. The OPERATOR is pure: without the
+    // union, a caller's corpus gets no fabricated extra row.
     assert(got(TextAnalysis.LmPlantId) == ((5L, 0L, 5L)),
       got(TextAnalysis.LmPlantId))
+    assert(!TextAnalysis.lmScoreBigram(docs).collect()
+      .exists(_.getLong(0) == TextAnalysis.LmPlantId),
+      "pure operator must not inject the plant")
 
     // On the real corpus the plant's 'zzqx' is unseen but its partner
     // tokens are model-common: every instance backs off (n_backoff =

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
@@ -334,5 +334,59 @@ class CurationStreamSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       Curation.ImportanceModel(Map(), Map(), 0L, 0L)
     }
+  }
+
+  test("bigram importance gate: stream == batch verdicts; kernel matches the batch hash expression") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Bigram-discriminating corpus: the target's dominant PAIR is
+    // (alpha,beta); (beta,alpha) is raw-common but target-rare, so the
+    // two orderings split the verdict — exactly what the unigram tier
+    // cannot see (both docs have identical token multisets).
+    //   cf_t: (a,b)=2, (b,a)=1, N_t=3; cf_r: (a,b)=3, (b,a)=2, N_r=5
+    //   r(a,b) = (1e6·2·5) div (3·3) = 1111111 ≥ 1e6 → target-like
+    //   r(b,a) = (1e6·1·5) div (2·3) =  833333 < 1e6 → drops
+    val corpus = Seq(
+      (0L, "alpha beta alpha beta", Curation.DsirTarget),
+      (1L, "alpha beta", "src1"),
+      (2L, "beta alpha", "src1")
+    ).toDF("doc_id", "text", "source")
+    val model = Curation.ImportanceModelBigram.fromCorpus(corpus)
+    val batchSel = Curation.importanceWeightsBigram(corpus)
+      .filter(col("selected") === 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(batchSel == Set(0L, 1L), batchSel)
+    val rows = Seq(
+      (10L, "alpha beta"),   // copy of doc 1 → selected
+      (11L, "beta alpha"),   // copy of doc 2 → target-rare pair, drops
+      (12L, "alpha"),        // single token: no bigram features, drops
+      (13L, "zz qq"),        // unseen pair → score 0, drops
+      (14L, null.asInstanceOf[String])) // null → drops
+    val in = MemoryStream[(Long, String)]
+    in.addData(rows: _*)
+    val q = Curation
+      .importanceGateBigram(in.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory")
+      .queryName("imp_bg_gate_out").outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("imp_bg_gate_out")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(10L), s"bigram gate kept: $kept")
+    val batchKept = Curation
+      .importanceGateBigram(rows.toDF("doc_id", "text"), model)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(batchKept == kept, s"batch gate kept: $batchKept")
+    // The JVM kernel and the batch md5-bucket expression must agree
+    // on every feature id — including empty and non-ASCII tokens
+    // (md5 runs over UTF-8 bytes in both engines).
+    val pairs = Seq(("alpha", "beta"), ("beta", "alpha"), ("", "x"),
+      ("zzqx", "Über"), ("café", ""))
+    val exprIds = pairs.toDF("w1", "w2")
+      .select(expr("cast(conv(substr(md5(concat(w1, ' ', w2)), 1, 8)" +
+        s", 16, 10) as bigint) % ${Curation.DsirBuckets}"))
+      .collect().map(_.getLong(0)).toSeq
+    val kernelIds = pairs.map { case (a, b) => Curation.bigramFeatureOf(a, b) }
+    assert(exprIds == kernelIds, s"expr $exprIds vs kernel $kernelIds")
   }
 }
