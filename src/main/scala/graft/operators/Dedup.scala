@@ -853,18 +853,46 @@ object Dedup {
     * broadcast BloomFilter has no Column spelling. At 100 TB the
     * shuffle-side win is the point — the anti join's left side shrinks
     * from the whole batch to its bloom-hit slice. */
-  def dedupBloomIncremental(batch: DataFrame, existing: DataFrame): DataFrame = {
-    val spark = batch.sparkSession
-    val digest = sha2(col("text"), 256)
-    val n = math.max(existing.count(), 1L)
-    val bloom = existing.stat.bloomFilter(digest, n, BloomFpp)
-    val bc = spark.sparkContext.broadcast(bloom)
+  def dedupBloomIncremental(batch: DataFrame, existing: DataFrame): DataFrame =
+    dedupBloomProbe(batch, BloomDedupIndex.build(existing))
+
+  /** The frozen corpus-side index the bloom-prefiltered ingest probes:
+    * the broadcast Bloom plus the distinct corpus digest view hit rows
+    * exact-verify against. BUILD is the offline step (two corpus
+    * passes — count + the bloom aggregate — paid ONCE); PROBE is the
+    * per-batch step, whose only corpus work is the hit slice's anti
+    * join. [[dedupBloomIncremental]] composes the two for the
+    * registered key; a production ingest loop calls `build` once and
+    * [[dedupBloomProbe]] per batch — the documented per-batch
+    * economics now match the code (previously every call rebuilt the
+    * filter, paying the prefilter win back twice over). */
+  final case class BloomDedupIndex(
+      bloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
+      seen: DataFrame)
+
+  object BloomDedupIndex {
+    def build(existing: DataFrame,
+              fpp: Double = BloomFpp): BloomDedupIndex = {
+      val digest = sha2(col("text"), 256)
+      val n = math.max(existing.count(), 1L)
+      val bloom = existing.stat.bloomFilter(digest, n, fpp)
+      BloomDedupIndex(
+        existing.sparkSession.sparkContext.broadcast(bloom),
+        existing.select(digest.as("digest")).distinct())
+    }
+  }
+
+  /** Per-batch probe against a prebuilt [[BloomDedupIndex]] — see
+    * [[dedupBloomIncremental]] for the verdict semantics (identical:
+    * the filter moves work, never the verdict). */
+  def dedupBloomProbe(batch: DataFrame, index: BloomDedupIndex): DataFrame = {
+    val bc = index.bloom
     val mightSeen = udf((d: String) => bc.value.mightContain(d))
-    val batchD = batch.select(col("doc_id"), digest.as("digest"))
+    val batchD = batch.select(col("doc_id"), sha2(col("text"), 256).as("digest"))
     val misses = batchD.filter(!mightSeen(col("digest")))
-    val seen = existing.select(digest.as("digest")).distinct()
     val verified = batchD.filter(mightSeen(col("digest")))
-      .join(seen, Seq("digest"), "left_anti")
+      .join(index.seen, Seq("digest"), "left_anti")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("digest").orderBy("doc_id")
     misses.unionByName(verified)

@@ -1069,6 +1069,21 @@ class PipelineSpec extends SparkSpec {
     val got = Dedup.dedupBloomIncremental(batch, existing)
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(got == Seq(11L, 12L), got)
+    // Build-once / probe-per-batch split: ONE prebuilt index serves
+    // successive batches with verdicts identical to the compose-form
+    // (the production ingest shape — the filter builds offline, probes
+    // never rebuild it).
+    val index = Dedup.BloomDedupIndex.build(existing)
+    val probe1 = Dedup.dedupBloomProbe(batch, index)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(probe1 == got, s"probe-form diverged: $probe1")
+    val batch2 = Seq(
+      (20L, "delta epsilon"),     // corpus dup against the SAME index
+      (21L, "brand new")
+    ).toDF("doc_id", "text")
+    val probe2 = Dedup.dedupBloomProbe(batch2, index)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(probe2 == Seq(21L), s"second probe against shared index: $probe2")
     // Equality with the plain anti-join path on the real corpus slices
     // (the registered keys share one oracle; this pins it in-engine).
     val docs = graft.Tables.documents(spark, sfDir)
