@@ -370,19 +370,89 @@ object Multimodal {
     * the identity — ⌊(299v + 587v + 114v)/1000⌋ = v, since the weights
     * sum to exactly 1000. TYPE_INT_RGB (not TYPE_BYTE_GRAY, whose
     * getRGB runs a non-identity gray→sRGB color-space conversion). */
-  def encodeGrayPng(text: String): Array[Byte] = {
-    val n = math.max(text.length, 1)
+  def encodeGrayPng(text: String): Array[Byte] =
+    encodeGrayPixels(text.toCharArray.map(_ & 0xFF))
+
+  /** The general gray-strip encoder behind [[encodeGrayPng]]: render a
+    * value array as a REAL 1×n image (value in all three channels —
+    * the luma-identity trick), in any ImageIO-writable container.
+    * Empty input renders the 1-pixel zero strip. */
+  def encodeGrayPixels(pix: Array[Int],
+                       format: String = "png"): Array[Byte] = {
+    val n = math.max(pix.length, 1)
     val img = new java.awt.image.BufferedImage(
       1, n, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var i = 0
     while (i < n) {
-      val v = if (text.isEmpty) 0 else text.charAt(i) & 0xFF
+      val v = if (pix.isEmpty) 0 else pix(i) & 0xFF
       img.setRGB(0, i, (v << 16) | (v << 8) | v)
       i += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, format, bos)
     bos.toByteArray
+  }
+
+  /** FULL-image luma decode (the [[lumaSamples]] kernel without the
+    * sampling): every pixel's integer luma in row-major order — the
+    * source rows an executed resize resamples. None where ImageIO
+    * cannot decode. */
+  def lumaPixels(payload: Array[Byte]): Option[Array[Int]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth
+        Some(Array.tabulate(w * img.getHeight) { p =>
+          val rgb = img.getRGB(p % w, p / w)
+          (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF)
+            + 114 * (rgb & 0xFF)) / 1000
+        })
+      }
+    } catch { case _: Exception => None }
+
+  /** Output strip height for the EXECUTED resize — [[PhashBits]] rows,
+    * so the resized strip's aHash fold reuses [[phashOf]] verbatim. */
+  val ResizeOutH: Int = PhashBits
+
+  /** Nearest-neighbor resample to `outH` rows: out j = src row
+    * ⌊(n−1)·j/(outH−1)⌋ — the same floor arithmetic every sampler in
+    * this file uses, so the DuckDB twin replays it in list space.
+    * Works in both directions (downscale and upscale); n = 1
+    * degenerates to a constant strip. */
+  def resizeNearest(src: Array[Int], outH: Int): Array[Int] = {
+    require(outH >= 2, s"resize target must be >= 2 rows (got $outH)")
+    Array.tabulate(outH)(j =>
+      src(((src.length - 1).toLong * j / (outH - 1)).toInt))
+  }
+
+  /** EXECUTED RESIZE through the real codec seam — `q_mm_resize` is
+    * the geometry plan; THIS runs the pixels: decode the payload
+    * (ImageIO), nearest-neighbor resample to [[ResizeOutH]] rows,
+    * RE-ENCODE the result as a genuine PNG (the resize's output
+    * artifact), decode that second PNG again, and emit the round-
+    * tripped strip's pixel sum + aHash fold. On [[renderedPayloads]]
+    * the luma identity + PNG losslessness make every hop a pure
+    * function of the text bytes, so a DuckDB hash match PROVES both
+    * encodes, both decodes and the resample all executed — any hop
+    * falling back to container bytes diverges on every row (the
+    * q_mm_phash_decoded proof pattern, extended through a second
+    * encode). Partition-local end to end; binaries never shuffle. */
+  def resizeExec(payloads: DataFrame,
+                 outH: Int = ResizeOutH): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val src = lumaPixels(bytes).getOrElse(bytes.map(_ & 0xFF))
+        val out = resizeNearest(src, outH)
+        val back = lumaPixels(encodeGrayPixels(out))
+          .getOrElse(Array.fill(outH)(0))
+        (id, src.length, outH, back.foldLeft(0L)(_ + _), phashOf(back))
+      })
+      .toDF("doc_id", "src_h", "out_h", "pix_sum", "rhash")
   }
 
   /** (doc_id, payload) of REAL PNGs rendered by [[encodeGrayPng]] —
@@ -1019,6 +1089,15 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // EXECUTED resize through the real codec seam — see [[resizeExec]]:
+    // decode → nearest-neighbor resample to 60 rows → re-encode as a
+    // REAL PNG → decode again → pixel sum + aHash fold. The oracle
+    // replays every hop from the text bytes (luma identity + PNG
+    // losslessness), so the hash match proves the pixels moved.
+    "q_mm_resize_exec" -> ((s, dir) =>
+      resizeExec(renderedPayloads(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
+
     // Perceptual-hash image near-dup — see [[phashSketch]]/[[phashPairs]]:
     // aHash over sampled payload bytes (decode seam stubbed), banded
     // hamming blocking, exact verify. Chunk width derives from corpus
@@ -1201,6 +1280,39 @@ object Multimodal {
                CAST(240 + (n_chars * 7) % 840 AS DOUBLE) AS h
         FROM documents)
       ORDER BY doc_id""",
+
+    // Every hop of the executed resize replayed from the text bytes:
+    // source rows = text bytes (luma identity through the first
+    // encode/decode), nearest-neighbor resample at the shared floor
+    // arithmetic, then sum + aHash of the strip (the second PNG hop is
+    // lossless, so the round-tripped pixels ARE the resampled ones —
+    // which is exactly what a hash match proves about the engine).
+    "q_mm_resize_exec" -> s"""
+      WITH src AS (
+        SELECT doc_id,
+               list_transform(range(0, greatest(length(text), 1)), i ->
+                 CASE WHEN length(text) = 0 THEN 0::BIGINT
+                      ELSE ascii(substr(text, CAST(i + 1 AS INTEGER), 1))::BIGINT
+                 END) AS px
+        FROM documents),
+      res AS (
+        SELECT doc_id, len(px) AS src_h,
+               list_transform(range(0, $ResizeOutH), j ->
+                 px[CAST(1 + ((len(px) - 1) * j) // ${ResizeOutH - 1}
+                    AS INTEGER)]) AS rp
+        FROM src),
+      m AS (
+        SELECT doc_id, src_h, rp,
+               CAST(list_sum(rp) AS BIGINT) // $ResizeOutH AS mean
+        FROM res)
+      SELECT doc_id,
+             CAST(src_h AS INTEGER) AS src_h,
+             CAST($ResizeOutH AS INTEGER) AS out_h,
+             CAST(list_sum(rp) AS BIGINT) AS pix_sum,
+             CAST(list_sum(list_transform(range(0, $ResizeOutH), k ->
+               CASE WHEN rp[k + 1] > mean THEN (1::BIGINT << k)
+                    ELSE 0::BIGINT END)) AS BIGINT) AS rhash
+      FROM m ORDER BY doc_id""",
 
     // Full SQL replay of the phash byte arithmetic — header synthesis in
     // hex-string space (DuckDB 1.0 has no BLOB substring, and the corpus

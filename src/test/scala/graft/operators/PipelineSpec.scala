@@ -992,6 +992,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("executed resize is pixel-driven: a BMP re-encode resizes identically, bytes differ") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog, at length!"
+    val png = Multimodal.encodeGrayPng(text)
+    // Hop 1 exactness: decode of the rendered PNG returns the text
+    // bytes (gray-luma identity + losslessness).
+    val pix = Multimodal.lumaPixels(png).get
+    assert(pix.toSeq == text.map(_ & 0xFF).toSeq)
+    // The SAME pixels in a byte-different container: only a decoding
+    // resize can see they are the same image.
+    val bmp = Multimodal.encodeGrayPixels(pix, "bmp")
+    assert(!java.util.Arrays.equals(png, bmp))
+    val rows = Multimodal
+      .resizeExec(Seq((1L, png), (2L, bmp)).toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows(1L) == rows(2L),
+      s"container changed the executed resize: ${rows(1L)} vs ${rows(2L)}")
+    // The byte fallback would NOT agree across containers — the
+    // equality above is decode-driven, not vacuous.
+    assert(Multimodal.byteSamples(png).toSeq
+      != Multimodal.byteSamples(bmp).toSeq)
+    // And the output is exactly the documented resample + fold.
+    val expect = Multimodal.resizeNearest(
+      text.map(_ & 0xFF).toArray, Multimodal.ResizeOutH)
+    assert(rows(1L)._3 == expect.foldLeft(0L)(_ + _)
+      && rows(1L)._4 == Multimodal.phashOf(expect), rows(1L))
+  }
+
   test("ivf quantizer policy: clusters select trained, uniform selects first-K, serving honors it") {
     import spark.implicits._
     // The two-pole bad-seed fixture (both first-K seeds in pole A):
