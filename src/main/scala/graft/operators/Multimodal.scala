@@ -781,9 +781,28 @@ object Multimodal {
     * shuffles wide rows. localCheckpoint cuts per-round lineage. */
   def phashMajorityCentroids(sk: DataFrame, kk: Int,
                              iters: Int = PhashTrainIters): DataFrame = {
-    var cents = phashIvfCells(sk, kk).localCheckpoint(true)
-    for (_ <- 0 until iters) {
-      val perBit = phashIvfAssign(sk, cents)
+    val cents0 = phashIvfCells(sk, kk).localCheckpoint(true)
+    phashMajorityCentroidsFrom(
+      phashIvfAssign(sk, cents0).localCheckpoint(true), cents0, iters)
+  }
+
+  /** The training loop over a PREBUILT round-0 assignment — the build
+    * saver (round 15): the seed centroids are the first-K cells, which
+    * is exactly what the UNTRAINED index assigns under, so the cached
+    * `phash-ivf-index` artifact IS round 0's assignment. Reusing it
+    * drops one full N×K assignment pass AND every corpus re-sketch
+    * from the trained build (each round previously re-ran the sketch
+    * pipeline from `documents`; now all rounds read the checkpointed
+    * (doc_id, phash, cell) frame). Arithmetic is round-for-round the
+    * original: vote on the round-i assignment, rebuild, re-assign —
+    * so the trained oracle hashes are unchanged by construction. */
+  def phashMajorityCentroidsFrom(assigned0: DataFrame, cents0: DataFrame,
+                                 iters: Int = PhashTrainIters): DataFrame = {
+    val skFrame = assigned0.select(col("doc_id"), col("phash"))
+    var cents = cents0
+    for (i <- 0 until iters) {
+      val asg = if (i == 0) assigned0 else phashIvfAssign(skFrame, cents)
+      val perBit = asg
         .select(col("cell"), explode(expr(
           s"""transform(sequence(0, ${PhashBits - 1}),
                 b -> named_struct('b', b,
@@ -897,14 +916,17 @@ object Multimodal {
     * so the trained key serves without re-training or re-assigning. */
   private def phashIvfTrainedArtifacts(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // The untrained artifacts ARE the trained build's inputs: cents0 is
+    // the shared first-K seed and the cached assignment is round 0's
+    // (identical centroids ⟹ identical argmin) — so training touches
+    // neither `documents` nor the sketch pipeline again.
+    val (cents0, assigned0) = phashIvfArtifacts(s, dir)
     val cents = Artifacts.cached(s, s"phash-ivf-trained-cents:$dir") {
-      val (sk, _) = phashSketchWithTwins(s, dir)
-      val n = Tables.documents(s, dir).count() + PhashPlantCount
-      phashMajorityCentroids(sk, math.ceil(math.sqrt(n.toDouble)).toInt)
+      phashMajorityCentroidsFrom(assigned0, cents0)
     }
     val assigned = Artifacts.cached(s, s"phash-ivf-trained-idx:$dir") {
-      val (sk, _) = phashSketchWithTwins(s, dir)
-      phashIvfAssign(sk, cents).localCheckpoint(true)
+      phashIvfAssign(assigned0.select(col("doc_id"), col("phash")), cents)
+        .localCheckpoint(true)
     }
     (cents, assigned)
   }
