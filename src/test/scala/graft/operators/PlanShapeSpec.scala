@@ -42,6 +42,37 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("lm bigram cf joins actually FLIP broadcast→shuffle when the cf side outgrows the threshold") {
+    // The documented scale story: cf1/cf2 are vocab²-bounded — they
+    // broadcast when they fit and fall back to token-keyed shuffle
+    // joins when they don't. That switch must be REAL, not prose: at a
+    // forced -1 threshold the executed plan must carry shuffle joins
+    // (and still AQE-reuse the tf exchange), and the answer must be
+    // byte-identical to the broadcast plan's.
+    val key = "q_text_lm_score_bigram"
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val dfB = graft.SparkEntry.queries(key)(spark, sfDir)
+    val broadcastRows = dfB.collect().toSeq
+    val pB = dfB.queryExecution.executedPlan.toString
+    assert(pB.contains("BroadcastHashJoin"),
+      "default plan should broadcast the tiny cf frames\n" +
+        pB.linesIterator.take(30).mkString("\n"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dfS = graft.SparkEntry.queries(key)(spark, sfDir)
+      val shuffleRows = dfS.collect().toSeq
+      val pS = dfS.queryExecution.executedPlan.toString
+      assert(!pS.contains("BroadcastHashJoin"),
+        "forced -1 threshold still planned a broadcast join\n" +
+          pS.linesIterator.take(30).mkString("\n"))
+      assert(pS.contains("SortMergeJoin") || pS.contains("ShuffledHashJoin"),
+        "no shuffle join under the forced threshold\n" +
+          pS.linesIterator.take(30).mkString("\n"))
+      assert(shuffleRows == broadcastRows,
+        "the join strategy changed the ANSWER")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
   test("phash search and IVF broadcast the small side (corpus sketches never shuffle to join)") {
     // Brute search: probes broadcast against the corpus sketch scan.
     // IVF: centroids broadcast for assignment AND probe ranking, and
