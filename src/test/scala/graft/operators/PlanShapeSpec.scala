@@ -42,6 +42,34 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_corpus_importance_bigram: bucket-bounded cf frames broadcast; tf exchange reused") {
+    // The hash IS the cap: cf frames are ≤ DsirBuckets rows at any
+    // corpus size, so the plan must carry broadcast joins only (the
+    // corpus never shuffles on features) and AQE must collapse the
+    // identical tf subtrees under the two cf aggregates.
+    val df = graft.SparkEntry.queries("q_corpus_importance_bigram")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled to join a bucket-bounded cf frame\n" +
+        p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("ReusedExchange"),
+      "tf subtree evaluated once per cf branch\n" +
+        p.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("q_mm_resize_exec plans no shuffle (partition-local codec pipeline)") {
+    val df = graft.SparkEntry.queries("q_mm_resize_exec")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // The only exchange allowed is the final orderBy's range partition;
+    // the encode→decode→resample→encode→decode chain itself must be
+    // one mapPartitions with no aggregation/join shuffle.
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"),
+      p.linesIterator.take(30).mkString("\n"))
+  }
+
   test("lm bigram cf joins actually FLIP broadcast→shuffle when the cf side outgrows the threshold") {
     // The documented scale story: cf1/cf2 are vocab²-bounded — they
     // broadcast when they fit and fall back to token-keyed shuffle
