@@ -995,21 +995,9 @@ object Multimodal {
     * recall_trained), rounding exactly the recallVs convention. */
   def phashIvfPolicy(truth: DataFrame, firstK: DataFrame,
                      trained: DataFrame): DataFrame = {
-    val t = truth.select(col("probe_id"), col("doc_id"))
-    t.join(broadcast(firstK.select(col("probe_id"), col("doc_id"),
-        lit(1).as("hit_f"))), Seq("probe_id", "doc_id"), "left")
-      .join(broadcast(trained.select(col("probe_id"), col("doc_id"),
-        lit(1).as("hit_t"))), Seq("probe_id", "doc_id"), "left")
-      .agg(count(lit(1)).as("n_true"),
-        count(col("hit_f")).as("hit_f"),
-        count(col("hit_t")).as("hit_t"))
-      .select(
-        when(col("hit_t") > col("hit_f"), lit("trained"))
-          .otherwise(lit("firstk")).as("quantizer"),
-        round(col("hit_f").cast("double") / col("n_true").cast("double"), 4)
-          .as("recall_firstk"),
-        round(col("hit_t").cast("double") / col("n_true").cast("double"), 4)
-          .as("recall_trained"))
+    def c(df: DataFrame) =
+      df.select(col("probe_id"), col("doc_id").as("cand_id"))
+    Similarity.quantizerPolicy(c(truth), c(firstK), c(trained))
   }
 
   /** Fixture-drivable policy: brute truth + both quantizers computed

@@ -1129,7 +1129,89 @@ object Similarity {
       val approx = ivfTopK(s, dir, math.ceil(math.sqrt(n.toDouble)).toInt, 64, 5)
       recallVs(truth, approx)
     }),
+
+    // THE EMBEDDING SERVING POLICY — see quantizerPolicy: the decision
+    // row naming which quantizer (first-K vs the trained lifecycle)
+    // the 64-probe recall audit selects; q_knn_ivf_policy_served
+    // serves by it. The q_mm_phash_ivf_policy pattern on the text-ANN
+    // side — an index that publishes recall audits should SERVE by
+    // them.
+    "q_knn_ivf_policy" -> ((s, dir) =>
+      knnIvfPolicyQuery(s, dir).orderBy("quantizer")),
+
+    // Policy-ROUTED serving: whichever quantizer the audit selected
+    // answers the standard 8-probe/top-5 query; the oracle replays
+    // both chains gated by the same integer hit comparison, so the
+    // hash match holds at every SF regardless of the winner.
+    "q_knn_ivf_policy_served" -> ((s, dir) =>
+      ivfServePolicyRouted(s, dir, 8, 5).orderBy("probe_id", "rk")),
   )
+
+  /** GENERIC audit-driven serving policy (shared by the embedding and
+    * phash IVF families): compare two quantizers' top-k answers
+    * against the brute truth and name the winner — micro-averaged
+    * (total hits over total truth rows; n_true is identical on both
+    * sides, so the DECISION is a pure integer hit-count comparison
+    * with no float in the loop), ties to first-K (no training build to
+    * amortize). All inputs are (probe_id, cand_id) probes×k frames —
+    * tiny, broadcast; output is ONE row (quantizer, recall_firstk,
+    * recall_trained), rounded the recallVs way. */
+  def quantizerPolicy(truth: DataFrame, firstK: DataFrame,
+                      trained: DataFrame): DataFrame =
+    truth.select(col("probe_id"), col("cand_id"))
+      .join(broadcast(firstK.select(col("probe_id"), col("cand_id"),
+        lit(1).as("hit_f"))), Seq("probe_id", "cand_id"), "left")
+      .join(broadcast(trained.select(col("probe_id"), col("cand_id"),
+        lit(1).as("hit_t"))), Seq("probe_id", "cand_id"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        count(col("hit_f")).as("hit_f"),
+        count(col("hit_t")).as("hit_t"))
+      .select(
+        when(col("hit_t") > col("hit_f"), lit("trained"))
+          .otherwise(lit("firstk")).as("quantizer"),
+        round(col("hit_f").cast("double") / col("n_true").cast("double"), 4)
+          .as("recall_firstk"),
+        round(col("hit_t").cast("double") / col("n_true").cast("double"), 4)
+          .as("recall_trained"))
+
+  /** ONE policy decision per (session, dir) for the EMBEDDING IVF
+    * family — the audit convention's 64 probes, k = 5: brute truth vs
+    * the first-K quantizer (`q_knn_ivf_recall`'s approx) vs the
+    * trained-lifecycle serve. The trained side reads the persisted
+    * bucketed index (cached artifacts), so the policy costs the audit,
+    * not a rebuild. */
+  private def knnIvfPolicyQuery(s: SparkSession, dir: String): DataFrame = {
+    // All inputs build OUTSIDE the cached block (ivfTrainedServe
+    // resolves the cached trained artifacts — nested Artifacts.cached
+    // builds trip ConcurrentHashMap's recursive-update guard).
+    val n = Tables.embeddings(s, dir).count()
+    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
+    val truth = brute(s, dir, 64, 5).select("probe_id", "cand_id")
+    val firstK = ivfTopK(s, dir, kk, 64, 5).select("probe_id", "cand_id")
+    val trained = ivfTrainedServe(s, dir, 64, 5)
+      .select("probe_id", "cand_id")
+    graft.operators.Artifacts.cached(s, s"knn-ivf-policy:$dir")(
+      quantizerPolicy(truth, firstK, trained).localCheckpoint(true))
+  }
+
+  /** The embedding policy's selection, as the serving switch reads
+    * it. */
+  def knnIvfSelectedQuantizer(s: SparkSession, dir: String): String =
+    knnIvfPolicyQuery(s, dir).collect().head.getString(0)
+
+  /** POLICY-ROUTED embedding serving — the q_mm_phash_ivf_served
+    * pattern on the text-ANN side: serve whichever quantizer the
+    * recall audit selected (first-K in-memory chain or the trained
+    * persisted lifecycle; both end in the same (probe_id, cand_id,
+    * dot, rk) shape). */
+  def ivfServePolicyRouted(s: SparkSession, dir: String, nProbes: Int,
+                           k: Int): DataFrame =
+    knnIvfSelectedQuantizer(s, dir) match {
+      case "trained" => ivfTrainedServe(s, dir, nProbes, k)
+      case _ =>
+        val n = Tables.embeddings(s, dir).count()
+        ivfTopK(s, dir, math.ceil(math.sqrt(n.toDouble)).toInt, nProbes, k)
+    }
 
   /** Per-probe recall@k of `approx` against `truth` (both (probe_id,
     * cand_id[, …]) top-k frames): the id-only membership join over
@@ -1591,8 +1673,96 @@ object Similarity {
                                 FROM s$i GROUP BY cell) r USING (cid))"""
   }
 
+  /** One IVF serve chain (assignment → probe cells → ranked
+    * candidates) over a (cid, c) centroid CTE, 64-probe wide; the
+    * served key filters `probe_id < 8` downstream — per-probe
+    * independence makes the 64-probe ranking a strict superset. */
+  private def knnServeChainSql(cents: String, sfx: String): String = s"""asg$sfx AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT q.vec_id, q.v, c.cid AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.c) DESC, c.cid) AS arn
+          FROM q, $cents c)
+        WHERE arn = 1),
+      pcl$sfx AS (
+        SELECT vec_id AS probe_id, cell FROM (
+          SELECT q.vec_id, c.cid AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.c) DESC, c.cid) AS arn
+          FROM q, $cents c WHERE q.vec_id < 64)
+        WHERE arn <= $IvfNprobe),
+      ranked$sfx AS (
+        SELECT probe_id, cand_id, dot,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY dot DESC, cand_id) AS rk
+        FROM (SELECT pc.probe_id, c.vec_id AS cand_id,
+                     CAST(list_dot_product(p.v, c.v) AS BIGINT) AS dot
+              FROM pcl$sfx pc JOIN q p ON p.vec_id = pc.probe_id
+                   JOIN asg$sfx c ON c.cell = pc.cell
+              WHERE c.vec_id <> pc.probe_id))"""
+
+  /** BOTH quantizers' chains + brute truth + the policy comparison in
+    * one WITH: c0 (the first-K seed) feeds the untrained chain
+    * directly AND the Lloyd rounds; `pol` carries the integer hit
+    * counts [[quantizerPolicy]] decides on. */
+  private def knnPolicyCtes: String = s"""q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      c0 AS (
+        SELECT vec_id AS cid, v AS c FROM q
+        WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                        FROM embeddings)),
+      ${(1 to LloydIters).map(lloydIterSql).mkString(",\n      ")},
+      ${knnServeChainSql("c0", "")},
+      ${knnServeChainSql(s"c$LloydIters", "_t")},
+      truth AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY CAST(list_dot_product(p.v, c.v) AS BIGINT) DESC,
+                            c.vec_id) AS rk
+          FROM q p JOIN q c ON p.vec_id < 64 AND p.vec_id != c.vec_id)
+        WHERE rk <= 5),
+      apx AS (SELECT probe_id, cand_id FROM ranked WHERE rk <= 5),
+      apx_t AS (SELECT probe_id, cand_id FROM ranked_t WHERE rk <= 5),
+      pol AS (
+        SELECT (SELECT count(*) FROM truth) AS n_true,
+               (SELECT count(*) FROM truth b JOIN apx a
+                  ON b.probe_id = a.probe_id AND b.cand_id = a.cand_id)
+                 AS hit_f,
+               (SELECT count(*) FROM truth b JOIN apx_t a
+                  ON b.probe_id = a.probe_id AND b.cand_id = a.cand_id)
+                 AS hit_t)"""
+
   val oracle: Map[String, String] = Map(
     "q_knn_lsh" -> lshOracleSql,
+
+    // The decision row replayed: both 64-probe recalls from the shared
+    // brute truth, the quantizer named by the integer comparison.
+    "q_knn_ivf_policy" -> s"""
+      WITH $knnPolicyCtes
+      SELECT CASE WHEN hit_t > hit_f THEN 'trained' ELSE 'firstk' END
+               AS quantizer,
+             round(CAST(hit_f AS DOUBLE) / CAST(n_true AS DOUBLE), 4)
+               AS recall_firstk,
+             round(CAST(hit_t AS DOUBLE) / CAST(n_true AS DOUBLE), 4)
+               AS recall_trained
+      FROM pol ORDER BY quantizer""",
+
+    // Policy-gated serving replay: the 8-probe answer from whichever
+    // chain the SAME integer comparison selects.
+    "q_knn_ivf_policy_served" -> s"""
+      WITH $knnPolicyCtes
+      SELECT probe_id, cand_id, dot, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT probe_id, cand_id, dot, rk FROM ranked
+        WHERE probe_id < 8 AND rk <= 5
+          AND (SELECT hit_t <= hit_f FROM pol)
+        UNION ALL
+        SELECT probe_id, cand_id, dot, rk FROM ranked_t
+        WHERE probe_id < 8 AND rk <= 5
+          AND (SELECT hit_t > hit_f FROM pol))
+      ORDER BY probe_id, rk""",
 
     "q_knn_pq" -> pqOracleSql,
 

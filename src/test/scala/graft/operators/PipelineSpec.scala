@@ -992,6 +992,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("knn ivf policy: the served answer IS the named winner's key, row for row") {
+    // The embedding-family twin of the phash serving policy: the
+    // decision row names a quantizer, and the policy-served key must
+    // equal that quantizer's own registered key exactly (at sf0.01 the
+    // live corpus actually selects TRAINED — 0.525 vs 0.506 — so the
+    // route is exercised in both directions across SFs).
+    val pol = graft.SparkEntry.queries("q_knn_ivf_policy")(spark, sfDir)
+      .collect().head
+    val choice = pol.getString(0)
+    assert(Set("firstk", "trained")(choice), pol.toString)
+    assert(pol.getDouble(1) > 0.0 && pol.getDouble(1) <= 1.0
+      && pol.getDouble(2) > 0.0 && pol.getDouble(2) <= 1.0, pol.toString)
+    def rows(key: String) = graft.SparkEntry.queries(key)(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val served = rows("q_knn_ivf_policy_served")
+    val winner =
+      rows(if (choice == "trained") "q_knn_ivf_trained" else "q_knn_ivf")
+    assert(served == winner,
+      s"policy-served diverged from the '$choice' key")
+  }
+
   test("executed resize is pixel-driven: a BMP re-encode resizes identically, bytes differ") {
     import spark.implicits._
     val text = "the quick brown fox jumps over the lazy dog, at length!"
