@@ -402,9 +402,25 @@ object Curation {
       .select("doc_id").localCheckpoint(true)
     val s2 = s1.join(broadcast(dropExact), Seq("doc_id"), "left_anti")
     val corpus3 = s2.filter(col("doc_id") % EvalMod =!= 0)
-    val flagged = decontaminateBatch(
-      corpus3, evalShingleIndex(docs, width), width).select("doc_id")
+    // ONE positional-shingle pass (round 15) feeds BOTH shingle
+    // consumers: the decontamination count reads the distinct
+    // (doc_id, sh_key) view, the verbatim stage semi-joins the s4
+    // survivor ids. Per-doc shingles are corpus-independent — a
+    // filtered view of this frame is BIT-IDENTICAL to re-shingling
+    // the subset (the exactness argument; every funnel hash is
+    // unchanged) — so the share moves no arithmetic, it only deletes
+    // the second shingle pass. The eval index still shingles from the
+    // FULL corpus (corpus3 excludes the eval slice by construction).
+    val basePos = shinglesWithPos(
+      corpus3.select(col("doc_id"), col("text")), width)
       .localCheckpoint(true)
+    val flagged = basePos.select(col("doc_id"), col("sh_key")).distinct()
+      .join(broadcast(evalShingleIndex(docs, width)
+        .withColumn("hit", lit(1))), Seq("sh_key"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("hit")).as("n_hit"))
+      .filter(col("n_hit") > 0)
+      .select("doc_id").localCheckpoint(true)
     val s3 = corpus3.join(broadcast(flagged), Seq("doc_id"), "left_anti")
     // 4_fuzzy — MinHash near-dup gate against the SAME frozen eval
     // slice (decontaminateFuzzy's shape: eval bands broadcast, the
@@ -429,7 +445,9 @@ object Curation {
     // at sf0.1); both frames are id/key-only and checkpoint in
     // milliseconds.
     val s4docs = s4.select(col("doc_id"), col("text"))
-    val s4Shingles = shinglesWithPos(s4docs, width).localCheckpoint(true)
+    val s4Shingles = basePos
+      .join(s4.select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
     val s4Index = s4Shingles.join(
       s4Shingles.groupBy("sh_key")
         .agg(countDistinct(col("doc_id")).as("df"))
