@@ -360,7 +360,141 @@ object TextAnalysis {
         .otherwise("fr").as("pred_lang"))
   }
 
+  /** Merge rounds for the BPE trainer — the classic "few thousand" is
+    * the production setting; 10 keeps the oracle's unrolled SQL replay
+    * bounded while exercising every mechanism (pair counting, argmax
+    * tie rule, merge application, re-counting under merges). */
+  val BpeMerges = 10
+
+  /** ' c h a r s ' — a word as space-separated character symbols with
+    * sentinel pads, the string representation every BPE step rewrites.
+    * Both engines enumerate chars by position (no empty-regex split —
+    * its edge cases differ across engines); callers must filter empty
+    * words first (Spark's sequence(1, 0) counts DOWN). */
+  private def bpeSymSql(word: String): String =
+    s"concat(' ', array_join(transform(sequence(1, length($word)), " +
+      s"i -> substring($word, i, 1)), ' '), ' ')"
+
+  /** BPE MERGE TRAINING (Sennrich et al. '16), deterministic and
+    * oracle-replayable — the tokenizer-training step of an LLM data
+    * pipeline (`q_text_token_count` counts tokens; THIS learns them):
+    *
+    *   1. word-frequency pass over the corpus (the vocab-bounding
+    *      step real BPE trainers start with — after it, training cost
+    *      is VOCAB-sized, independent of corpus size);
+    *   2. each word becomes ' c h a r s ' (no end-of-word marker —
+    *      words are separate strings, merges cannot cross them);
+    *   3. [[BpeMerges]] rounds of: count adjacent symbol pairs
+    *      weighted by word frequency → pick argmax (count DESC, then
+    *      (left, right) ASC — a total order, so both engines pick the
+    *      same pair) → apply the merge.
+    *
+    * MERGE APPLICATION SEMANTICS: leftmost non-overlapping via string
+    * `replace(' l r ' → ' lr ')` — scan resumes after each match, so
+    * a run like `a a a a` merges once per occurrence scan (` aa a a `),
+    * not pairwise-greedy. This is the ONE deliberate divergence from
+    * the reference implementation's run handling, chosen because
+    * replace() has bit-identical semantics in Spark and DuckDB — the
+    * oracle replays training exactly, which a "faithful" but
+    * unreplayable loop could not claim. The sentinel pads make a
+    * symbol boundary exactly one space, so a pattern can never match
+    * across symbols ('xa b' does not contain ' a b ').
+    *
+    * Scale shape: the corpus is touched ONCE (word count); every
+    * round is a vocab-sized explode + partial-aggregated count and a
+    * 1-row argmax (the bounded driver action, like the IVF cell
+    * list); the vocab frame re-checkpoints per round. Output: the
+    * merge table (rank, left, right, merged, pair_count) — the
+    * artifact a tokenizer ships. */
+  def bpeTrain(docs: DataFrame,
+               nMerges: Int = BpeMerges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = docs
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    var state = wf
+      .select(col("cnt"), expr(bpeSymSql("word")).as("sym"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[
+      (Int, String, String, String, Long)]()
+    for (r <- 1 to nMerges) {
+      val best = state
+        .select(col("cnt"), split(trim(col("sym")), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(0, size(ts) - 2),
+               i -> named_struct('l', ts[i], 'r', ts[i + 1]))""")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(best.nonEmpty,
+        s"BPE pair space exhausted at round $r — corpus too small for $nMerges merges")
+      val (l, rr, pc) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((r, l, rr, l + rr, pc))
+      state = state
+        .withColumn("sym", replace(col("sym"),
+          lit(" " + l + " " + rr + " "), lit(" " + l + rr + " ")))
+        .localCheckpoint(true)
+    }
+    merges.toSeq.toDF("rk", "left", "right", "merged", "pair_count")
+      .withColumn("rk", col("rk").cast("int"))
+  }
+
+  /** ONE trained merge table per (session, dir) — the Artifacts
+    * pattern; apply reads it instead of re-training. */
+  private def bpeMergesArtifact(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"bpe-merges:$dir")(
+      bpeTrain(Tables.documents(s, dir)).localCheckpoint(true))
+
+  /** Train the merge table NOW — Bench's explicit artifact-build row
+    * (~5.8 s at sf0.1: ten sequential vocab-sized rounds; a tokenizer
+    * trains once and every consumer serves the cached table). */
+  def warmBpeMerges(s: SparkSession, dir: String): Unit = {
+    bpeMergesArtifact(s, dir)
+    ()
+  }
+
+  /** APPLY the trained merges: per doc, symbolize every word and run
+    * the merge table in rank order (same replace semantics as
+    * training), then count the resulting BPE tokens — the segmentation
+    * a packing/budgeting stage bills by. The merge table is the
+    * driver-resident trained artifact (ships broadcast in production);
+    * application is one partition-local pass, corpus never shuffles. */
+  def bpeApply(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val wordSym = expr(
+      s"""transform(filter(split(lower(text), ' '), w -> length(w) > 0),
+            w -> ${bpeSymSql("w")})""")
+    val merged = merges.foldLeft[Column](wordSym) { case (c, (l, r)) =>
+      transform(c, s => replace(s,
+        lit(" " + l + " " + r + " "), lit(" " + l + r + " ")))
+    }
+    docs.select(col("doc_id"), merged.as("syms"))
+      .select(col("doc_id"),
+        size(col("syms")).as("n_words"),
+        coalesce(aggregate(col("syms"), lit(0L),
+          (acc, s) => acc + size(split(trim(s), " "))), lit(0L))
+          .cast("bigint").as("n_bpe_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // BPE merge training — see [[bpeTrain]]: the learned merge table,
+    // replayed round for round by the oracle's unrolled SQL (the
+    // Lloyd-unroll pattern on strings).
+    "q_text_bpe_train" -> ((s, dir) =>
+      bpeMergesArtifact(s, dir).orderBy("rk")),
+
+    // The trained merges applied back to the corpus: per-doc BPE token
+    // counts under the learned segmentation.
+    "q_text_bpe_apply" -> ((s, dir) => {
+      val m = bpeMergesArtifact(s, dir).orderBy("rk")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      bpeApply(Tables.documents(s, dir), m).orderBy("doc_id")
+    }),
+
     // Lexical top-k search — see [[lexicalSearch]]: integer tf·idf
     // scoring, corpus scored row-locally, map-side TopK per query.
     "q_text_search" -> ((s, dir) =>
@@ -555,7 +689,77 @@ object TextAnalysis {
   private def sqlHits(stops: Seq[String]): String =
     s"len(list_filter(string_split(lower(text), ' '), w -> w IN (${stops.map("'" + _ + "'").mkString(",")})))"
 
+  /** One BPE round as CTE text: pair counts over the previous symbol
+    * frame, the (count DESC, pair ASC) argmax, the merge applied with
+    * the same replace semantics [[bpeTrain]] documents. */
+  private def bpeRoundSql(r: Int): String = {
+    val prev = s"sym${r - 1}"
+    s"""p$r AS (
+      SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+        SELECT cnt, unnest(list_transform(
+            range(1, len(string_split(trim(sym), ' '))),
+            i -> struct_pack(l := string_split(trim(sym), ' ')[i],
+                             r := string_split(trim(sym), ' ')[i + 1])))
+          AS p
+        FROM $prev
+        WHERE len(string_split(trim(sym), ' ')) >= 2)
+      GROUP BY p.l, p.r),
+    b$r AS MATERIALIZED (SELECT l, r, pc FROM p$r ORDER BY pc DESC, l, r LIMIT 1),
+    sym$r AS MATERIALIZED (SELECT cnt, replace(sym,
+        (SELECT ' ' || l || ' ' || r || ' ' FROM b$r),
+        (SELECT ' ' || l || r || ' ' FROM b$r)) AS sym FROM $prev)"""
+  }
+
+  /** Word frequencies → char symbols → [[BpeMerges]] unrolled rounds
+    * (the Lloyd-unroll pattern on strings). */
+  private def bpeTrainCtes: String = s"""wf AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS word
+        FROM documents)
+      WHERE word <> '' GROUP BY word),
+    sym0 AS MATERIALIZED (
+      SELECT cnt,
+             ' ' || array_to_string(list_transform(
+               range(1, length(word) + 1),
+               i -> substr(word, CAST(i AS INTEGER), 1)), ' ') || ' '
+               AS sym
+      FROM wf),
+    ${(1 to BpeMerges).map(bpeRoundSql).mkString(",\n    ")}"""
+
   val oracle: Map[String, String] = Map(
+    // Training replayed round for round: a hash match proves the pair
+    // counts, the argmax tie rule and every merge application.
+    "q_text_bpe_train" -> s"""
+      WITH $bpeTrainCtes
+      SELECT * FROM (
+        ${(1 to BpeMerges).map(r =>
+          s"""SELECT CAST($r AS INTEGER) AS rk, l AS "left", r AS "right", l || r AS merged, pc AS pair_count FROM b$r""")
+          .mkString("\n        UNION ALL ")})
+      ORDER BY rk""",
+
+    // The learned merges applied back to every doc with the identical
+    // replace chain, then token counting under the new segmentation.
+    "q_text_bpe_apply" -> s"""
+      WITH $bpeTrainCtes,
+      m AS (SELECT ${(1 to BpeMerges).map(r =>
+        s"(SELECT ' ' || l || ' ' || r || ' ' FROM b$r) AS s$r, " +
+          s"(SELECT ' ' || l || r || ' ' FROM b$r) AS t$r").mkString(", ")}),
+      applied AS (
+        SELECT doc_id,
+               list_transform(
+                 list_filter(string_split(lower(text), ' '),
+                             w -> length(w) > 0),
+                 w -> ${(1 to BpeMerges).foldLeft(
+                   "' ' || array_to_string(list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INTEGER), 1)), ' ') || ' '") {
+                   (acc, r) => s"replace($acc, m.s$r, m.t$r)" }}) AS syms
+        FROM documents, m)
+      SELECT doc_id,
+             CAST(len(syms) AS INTEGER) AS n_words,
+             CAST(coalesce(list_sum(list_transform(syms,
+               s2 -> len(string_split(trim(s2), ' ')))), 0) AS BIGINT)
+               AS n_bpe_tokens
+      FROM applied ORDER BY doc_id""",
+
     // Relational twin of the row-local scoring: unnest→tf→df→weighted
     // sum→row_number top-k — same exact integer arithmetic (tf, df,
     // IdfScale div (df+1)), so scores and ranks hash-match.

@@ -992,6 +992,47 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("BPE: hand fixture learns the exact merges; run semantics pinned; corpus keys consistent") {
+    import spark.implicits._
+    // wf: aa→2, ab→1. Round 1 pairs: (a,a)=2 beats (a,b)=1 → merge
+    // 'aa'; round 2 only (a,b)=1 remains. Ties never arise — the
+    // counts are distinct by construction.
+    val docs = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(docs, nMerges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(m == Seq((1, "a", "a", "aa", 2L), (2, "a", "b", "ab", 1L)), m)
+    val applied = TextAnalysis
+      .bpeApply(docs, Seq(("a", "a"), ("a", "b"))).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).head
+    assert(applied == ((1L, 3, 3L)), applied) // every word one token
+    // Replace-run semantics (documented in bpeTrain): ' a a a a '
+    // merges once per scan — 'aaaa' under (a,a) becomes aa|a|a, THREE
+    // tokens, not two. Both engines share this exactly.
+    val run = TextAnalysis
+      .bpeApply(Seq((2L, "aaaa")).toDF("doc_id", "text"), Seq(("a", "a")))
+      .collect().head.getLong(2)
+    assert(run == 3L, s"run-merge semantics drifted: $run")
+    // Registered keys on the real corpus: BpeMerges learned rows, all
+    // counts positive; application strictly compresses (BPE tokens <
+    // raw char count) and never goes below one token per word.
+    val merges = graft.SparkEntry.queries("q_text_bpe_train")(spark, sfDir)
+      .collect()
+    assert(merges.length == TextAnalysis.BpeMerges
+      && merges.forall(_.getLong(4) > 0))
+    val ap = graft.SparkEntry.queries("q_text_bpe_apply")(spark, sfDir)
+    val docsT = graft.Tables.documents(spark, sfDir)
+    val totals = ap.agg(sum(col("n_bpe_tokens")), sum(col("n_words")))
+      .collect().head
+    val nChars = docsT
+      .agg(sum(length(regexp_replace(col("text"), " ", ""))))
+      .collect().head.getLong(0)
+    assert(totals.getLong(0) < nChars,
+      s"BPE did not compress: ${totals.getLong(0)} tokens vs $nChars chars")
+    assert(totals.getLong(0) >= totals.getLong(1),
+      "fewer tokens than words is impossible")
+  }
+
   test("knn ivf policy: the served answer IS the named winner's key, row for row") {
     // The embedding-family twin of the phash serving policy: the
     // decision row names a quantizer, and the policy-served key must
