@@ -495,6 +495,25 @@ object TextAnalysis {
       bpeApply(Tables.documents(s, dir), m).orderBy("doc_id")
     }),
 
+    // The OTHER half of the shipped tokenizer artifact (merges +
+    // vocab): the final symbol vocabulary with corpus frequencies —
+    // the word-frequency frame re-symbolized under the full merge
+    // chain and exploded to symbols. Vocab-sized end to end.
+    "q_text_bpe_vocab" -> ((s, dir) => {
+      val m = bpeMergesArtifact(s, dir).orderBy("rk")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val wf = Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val sym = m.foldLeft(expr(bpeSymSql("word"))) { case (c, (l, r)) =>
+        replace(c, lit(" " + l + " " + r + " "), lit(" " + l + r + " "))
+      }
+      wf.select(col("cnt"), explode(split(trim(sym), " ")).as("symbol"))
+        .groupBy("symbol").agg(sum(col("cnt")).as("freq"))
+        .orderBy("symbol")
+    }),
+
     // Lexical top-k search — see [[lexicalSearch]]: integer tf·idf
     // scoring, corpus scored row-locally, map-side TopK per query.
     "q_text_search" -> ((s, dir) =>
@@ -759,6 +778,14 @@ object TextAnalysis {
                s2 -> len(string_split(trim(s2), ' ')))), 0) AS BIGINT)
                AS n_bpe_tokens
       FROM applied ORDER BY doc_id""",
+
+    // The final symbol vocabulary off the last training round's frame.
+    "q_text_bpe_vocab" -> s"""
+      WITH $bpeTrainCtes
+      SELECT symbol, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+        SELECT cnt, unnest(string_split(trim(sym), ' ')) AS symbol
+        FROM sym$BpeMerges)
+      GROUP BY symbol ORDER BY symbol""",
 
     // Relational twin of the row-local scoring: unnest→tf→df→weighted
     // sum→row_number top-k — same exact integer arithmetic (tf, df,
