@@ -901,6 +901,99 @@ object Dedup {
       .select(col("doc_id"))
   }
 
+  /** Line-level boilerplate dedup (the CCNet §4.1 / C4 paragraph scrub):
+    * a LINE that recurs across ≥ `LineDupDf` distinct documents is
+    * boilerplate (headers, footers, cookie banners, nav chrome) and is
+    * cut from every document that carries it; document identity
+    * survives. This is the granularity between whole-doc dedup
+    * (q_dedup_exact) and substring dedup (q_verbatim_*): the unit is
+    * the newline-delimited line, the verdict is corpus-frequency, and
+    * removal is per-line — no pair graph, no alignment.
+    *
+    * Scale shape: one explode; the df count partial-aggregates on the
+    * fixed-width md5 line key (the text itself never rides the
+    * aggregate shuffle); the boilerplate set is the heavy-hitter slice
+    * (small by construction — lines with ≥ minDf holders), so the
+    * left-semi probe broadcasts under AQE; removal is a positional
+    * filter over the doc's OWN split array — the corpus text never
+    * shuffles. The driver corpus has no newlines, so registered keys
+    * union the [[LinePlants]] fixture (the planted-witness rule) in
+    * both engines; single-line exact-dup docs with ≥ minDf copies are
+    * real corpus signal and drop to empty — by design.
+    */
+  val LineDupDf = 3
+
+  /** Multi-line planted fixture (doc_ids 91xxxxx, clear of the corpus
+    * id space): a 4-doc "subscribe" header (df 4 ≥ 3 → cut), a 5-doc
+    * "all rights reserved" footer (df 5 → cut), a df-2 line pinning
+    * the threshold boundary (kept), and unique bodies (kept).
+    * 9100005/9100010 sit on the doc_id % 5 = 0 arriving slice so the
+    * incremental key's batch is non-vacuous. */
+  val LinePlants: Seq[(Long, String)] = Seq(
+    9100001L -> "subscribe to our newsletter\nplanted body one stands alone\nall rights reserved",
+    9100002L -> "subscribe to our newsletter\nplanted body two differs here\nall rights reserved",
+    9100003L -> "subscribe to our newsletter\nplanted body three unique words\nall rights reserved",
+    9100004L -> "rare pair line shared twice\nplanted body four its own\nall rights reserved",
+    9100005L -> "subscribe to our newsletter\nplanted body five arriving batch\nrare pair line shared twice",
+    9100010L -> "planted body six wholly unique\nall rights reserved")
+
+  /** The boilerplate line-key set: md5 of every line whose distinct-doc
+    * frequency reaches `minDf`. The offline artifact of the family —
+    * production builds this once per corpus snapshot and probes
+    * batches against it ([[lineDedupProbe]]). */
+  def lineBoilerplateIndex(docs: DataFrame, minDf: Int = LineDupDf): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .groupBy(md5(col("line")).as("lk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("lk")
+
+  /** Cut every line of `docs` whose md5 is in `boilerKeys`; rebuild the
+    * cleaned text in original line order. Output per doc: line counts
+    * before/after + the cleaned text ('' if everything was cut). The
+    * removal is a two-arg lambda filter over the doc's own split array
+    * keyed by the dropped POSITIONS (only positions shuffle — the text
+    * column stays put). */
+  private def cutLines(docs: DataFrame, boilerKeys: DataFrame): DataFrame = {
+    val parts = split(col("text"), "\n")
+    val lines = docs
+      .select(col("doc_id"), posexplode(parts).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), md5(col("line")).as("lk"))
+    val drops = lines.join(boilerKeys, Seq("lk"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("drop_ps"))
+    docs.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(parts).cast("bigint").as("n_lines"),
+        (size(parts) - coalesce(size(col("drop_ps")), lit(0)))
+          .cast("bigint").as("n_kept"),
+        array_join(filter(parts, (_, i) =>
+          coalesce(!array_contains(col("drop_ps"), i), lit(true))), "\n")
+          .as("cleaned"))
+  }
+
+  /** Full-corpus line dedup: index and removal over the same frame. */
+  def lineDedup(docs: DataFrame, minDf: Int = LineDupDf): DataFrame =
+    cutLines(docs, lineBoilerplateIndex(docs, minDf))
+
+  /** Per-batch probe against a frozen boilerplate index — the ingest
+    * form (the frozen-artifact convention of every incremental family
+    * member: batch-only lines that would be boilerplate TOGETHER are
+    * by contract not cut until the next index rebuild). */
+  def lineDedupProbe(batch: DataFrame, index: DataFrame): DataFrame =
+    cutLines(batch, index)
+
+  /** The boilerplate audit table: each over-threshold line with its
+    * distinct-doc frequency and total occurrence count. Groups by the
+    * raw line (the audit wants the text); the filtered output is the
+    * heavy-hitter slice, so the post-filter frame is small even though
+    * the group-by key is wide. */
+  def lineBoilerplate(docs: DataFrame, minDf: Int = LineDupDf): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("df") >= minDf)
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content hash → survivor (min doc_id) + multiplicity.
     // One hash aggregate; at 100 TB this is a single shuffle on the
@@ -1093,7 +1186,41 @@ object Dedup {
     // corpus slice as q_dedup_minhash (the whole documents table).
     "q_dedup_minhash_stats" -> ((s, dir) =>
       minhashBandStats(Tables.documents(s, dir))),
+
+    // Line-level boilerplate removal — see [[lineDedup]]. The corpus
+    // unions the multi-line plants HERE (the registered-key boundary,
+    // the lmScoreBigram purity rule): the operator itself never
+    // fabricates rows into a caller's corpus.
+    "q_dedup_lines" -> ((s, dir) =>
+      lineDedup(linePlantedDocs(s, dir)).orderBy("doc_id")),
+
+    // The boilerplate audit table — see [[lineBoilerplate]]: which
+    // lines, how many docs, how many occurrences.
+    "q_dedup_lines_stats" -> ((s, dir) =>
+      lineBoilerplate(linePlantedDocs(s, dir))
+        .orderBy(col("df").desc, col("line"))),
+
+    // Incremental line dedup — the frozen-index ingest form: the index
+    // builds from the EXISTING slice only (doc_id % 5 != 0, the family
+    // slice convention) and the arriving batch is cut against it; the
+    // oracle replays the same frozen-index semantics, so the hash match
+    // proves probe == build-then-cut on this corpus.
+    "q_dedup_lines_incremental" -> ((s, dir) => {
+      val docs = linePlantedDocs(s, dir)
+      lineDedupProbe(
+        docs.filter(col("doc_id") % 5 === 0),
+        lineBoilerplateIndex(docs.filter(col("doc_id") % 5 =!= 0)))
+        .orderBy("doc_id")
+    }),
   )
+
+  /** documents ∪ [[LinePlants]] — the shared input frame of the three
+    * line-dedup keys (id + text only; the family needs no metadata). */
+  private def linePlantedDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(LinePlants.toDF("doc_id", "text"))
+  }
 
   /** (doc_id, sh BIGINT) simhash sketches.
     *
@@ -1246,7 +1373,86 @@ object Dedup {
         WHERE len(list_intersect(a.ws, b.ws)) * $NgramThrDen >=
               (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) * $NgramThrNum"""
 
+  /** The planted docs as literal UNION ALL rows (newlines as chr(10)
+    * concatenation — the SQL never contains a raw newline-in-literal). */
+  private def linePlantsSql: String = LinePlants.map { case (id, t) =>
+    val lit = t.split("\n", -1).map(seg => s"'$seg'").mkString(" || chr(10) || ")
+    s"SELECT CAST($id AS BIGINT) AS doc_id, $lit AS text"
+  }.mkString("\n        UNION ALL ")
+
+  /** docs ∪ plants + the per-(doc, pos) line frame with md5 keys —
+    * the shared front of all three line-dedup oracles. */
+  private def lineOracleFront(docFilter: String = "TRUE"): String = s"""
+      docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL $linePlantsSql),
+      lks AS (
+        SELECT doc_id, pos, line, md5(line) AS lk FROM (
+          SELECT doc_id, generate_subscripts(ls, 1) - 1 AS pos,
+                 unnest(ls) AS line
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM docs WHERE $docFilter)))"""
+
   val oracle: Map[String, String] = Map(
+    // Full-corpus line dedup: df count over md5 line keys, cut at
+    // df >= LineDupDf, rebuild in line order; docs losing every line
+    // come back as '' via the left join (the Spark twin's coalesce).
+    "q_dedup_lines" -> s"""
+      WITH ${lineOracleFront()},
+      boiler AS (
+        SELECT lk FROM (
+          SELECT lk, count(DISTINCT doc_id) AS df FROM lks GROUP BY lk)
+        WHERE df >= $LineDupDf),
+      rebuilt AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS cleaned
+        FROM lks WHERE lk NOT IN (SELECT lk FROM boiler)
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+             CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+             coalesce(r.cleaned, '') AS cleaned
+      FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+      ORDER BY doc_id""",
+
+    "q_dedup_lines_stats" -> s"""
+      WITH ${lineOracleFront()}
+      SELECT line, CAST(df AS BIGINT) AS df, n_occ FROM (
+        SELECT line, count(DISTINCT doc_id) AS df,
+               CAST(count(*) AS BIGINT) AS n_occ
+        FROM lks GROUP BY line)
+      WHERE df >= $LineDupDf
+      ORDER BY df DESC, line""",
+
+    // Frozen-index replay: boilerplate from the existing slice ONLY,
+    // batch cut against it — identical semantics to the engine's
+    // build-once/probe-batch path, so the hash pins probe == frozen.
+    "q_dedup_lines_incremental" -> s"""
+      WITH ${lineOracleFront("doc_id % 5 != 0")},
+      boiler AS (
+        SELECT lk FROM (
+          SELECT lk, count(DISTINCT doc_id) AS df FROM lks GROUP BY lk)
+        WHERE df >= $LineDupDf),
+      batch AS (
+        SELECT doc_id, text FROM docs WHERE doc_id % 5 = 0),
+      blks AS (
+        SELECT doc_id, pos, line, md5(line) AS lk FROM (
+          SELECT doc_id, generate_subscripts(ls, 1) - 1 AS pos,
+                 unnest(ls) AS line
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM batch))),
+      rebuilt AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS cleaned
+        FROM blks WHERE lk NOT IN (SELECT lk FROM boiler)
+        GROUP BY doc_id)
+      SELECT b.doc_id,
+             CAST(len(string_split(b.text, chr(10))) AS BIGINT) AS n_lines,
+             CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+             coalesce(r.cleaned, '') AS cleaned
+      FROM batch b LEFT JOIN rebuilt r USING (doc_id)
+      ORDER BY doc_id""",
+
     "q_dedup_minhash" -> minhashOracleSql(0.8),
 
     "q_dedup_minhash_incremental" ->

@@ -1,0 +1,22 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object TimeNew {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    // warmup
+    graft.SparkEntry.queries("q_scan_full")(spark, dir).collect()
+    for (k <- args) {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(k)(spark, dir).collect()
+      println(f"$k: ${(System.nanoTime()-t0)/1e9}%.3f s")
+    }
+  }
+}

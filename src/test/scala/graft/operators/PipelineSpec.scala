@@ -2206,4 +2206,44 @@ class PipelineSpec extends SparkSpec {
       assert(Config.oracle("q_config_lookup").contains("80"))
     }
   }
+
+  test("line dedup: threshold boundary, positional removal, frozen-index probe semantics") {
+    import spark.implicits._
+    // Hand fixture: header df=3 (cut), footer df=3 (cut), df=2 line
+    // (KEPT — the threshold is >= 3), unique bodies kept; doc 40 is
+    // all boilerplate and must come back as '' with n_kept = 0.
+    val docs = Seq(
+      (10L, "top banner\nbody ten\nfine print"),
+      (20L, "top banner\nbody twenty\nfine print"),
+      (30L, "top banner\nbody thirty\nshared twice"),
+      (35L, "shared twice\nbody thirty five"),
+      (40L, "fine print")).toDF("doc_id", "text")
+    val full = Dedup.lineDedup(docs).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(full(10L) == (1L, "body ten"))
+    assert(full(30L) == (2L, "body thirty\nshared twice"),
+      "df=2 line must survive a df>=3 threshold")
+    assert(full(35L) == (2L, "shared twice\nbody thirty five"))
+    assert(full(40L) == (0L, ""), "all-boilerplate doc drops to empty")
+
+    // Frozen-index contract: the probe cuts ONLY index lines — two
+    // batch docs sharing a line 3+ ways with each other are untouched
+    // until the next index rebuild (deliberate, documented).
+    val index = Dedup.lineBoilerplateIndex(docs)
+    val batch = Seq(
+      (100L, "top banner\nnew arrival\nbatch chorus"),
+      (101L, "batch chorus\nanother arrival"),
+      (102L, "batch chorus")).toDF("doc_id", "text")
+    val probed = Dedup.lineDedupProbe(batch, index).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(probed(100L) == "new arrival\nbatch chorus",
+      "index line cut, batch-only chorus kept under the frozen index")
+    assert(probed(101L) == "batch chorus\nanother arrival")
+    assert(probed(102L) == "batch chorus")
+
+    // Audit table names the cut lines with exact df / occurrence counts.
+    val stats = Dedup.lineBoilerplate(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats == Map("top banner" -> (3L, 3L), "fine print" -> (3L, 3L)))
+  }
 }
