@@ -329,6 +329,86 @@ object TextAnalysis {
         sum(col("bo")).as("n_backoff"))
   }
 
+  /** C4-style heuristic document filters (Raffel et al. '20 §2.2, the
+    * doc-level members): terminal punctuation, a minimum word count,
+    * the curly-brace code screen, the "lorem ipsum" placeholder screen,
+    * and the boilerplate-policy-page screen. Output = one row per doc
+    * with each signal as its own column plus the precedence-ordered
+    * first-fail verdict (the corpus_filter cascade convention) — a
+    * curation run reads the columns to tune, the verdict to act.
+    * Pure projection: no shuffle at any scale; every rule is a
+    * codegen'd string predicate. The driver corpus has no punctuation,
+    * braces, or policy phrases, so the registered key unions
+    * [[C4Plants]] — one witness per branch, incl. an all-pass doc. */
+  val C4Plants: Seq[(Long, String)] = Seq(
+    9200001L -> "this well formed planted sentence carries enough words to pass every single gate.",
+    9200002L -> "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor.",
+    9200003L -> "function planted() { return code; } the brace rule catches this doc.",
+    9200004L -> "tiny stub doc.",
+    9200005L -> "please read our privacy policy and the terms of use before continuing here.")
+
+  def c4Filters(docs: DataFrame): DataFrame = {
+    val lo = lower(col("text"))
+    val nWords = size(split(col("text"), " "))
+    val endsPunct = expr("right(text, 1)").isin(".", "!", "?", "\"")
+    val hasBrace = col("text").contains("{")
+    val hasLorem = lo.contains("lorem ipsum")
+    val hasPolicy = lo.contains("privacy policy") ||
+      lo.contains("terms of use") || lo.contains("cookie policy")
+    docs.select(col("doc_id"),
+      nWords.cast("bigint").as("n_words"),
+      endsPunct.as("ends_punct"),
+      hasBrace.as("has_brace"),
+      hasLorem.as("has_lorem"),
+      hasPolicy.as("has_policy"),
+      when(!endsPunct, "no_terminal_punct")
+        .when(nWords < C4MinWords, "too_few_words")
+        .when(hasBrace, "brace")
+        .when(hasLorem, "lorem_ipsum")
+        .when(hasPolicy, "policy_page")
+        .otherwise("keep").as("verdict"))
+  }
+
+  /** C4's "at least three sentences"-adjacent floor, applied to words
+    * (the corpus has single-line docs): verdict rule #2. */
+  val C4MinWords = 5
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. '20 §4.3): within
+    * each language, rank docs by LM score and cut the corpus into
+    * head / middle / tail TERTILES — the mix knob pretraining recipes
+    * cite ("CommonCrawl head"). The stand-in for KenLM perplexity is
+    * [[lmScore]] (higher = more typical = head, so the orientation
+    * matches low-perplexity = head).
+    *
+    * Scale shape: tertile cutoffs are a per-language TWO-VALUE exact
+    * percentile aggregate (no window ever spans a language — the
+    * q_corpus_recipe_expand lesson); bucket assignment is a per-row
+    * compare against the broadcast 5-row cutoff frame. The exact
+    * `percentile` buffers per-group values (the q_agg_percentile
+    * caveat) — at 100 TB swap in percentile_approx exactly as the
+    * sketch-twin convention does; verdicts then shift only at bucket
+    * boundaries. */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val scored = lmScore(docs).select(col("doc_id"), col("lm_score"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val cuts = scored.groupBy(col("lang"))
+      .agg(expr(s"percentile(lm_score, ${CcnetP1})").as("c1"),
+        expr(s"percentile(lm_score, ${CcnetP2})").as("c2"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        when(col("lm_score") >= col("c2"), "head")
+          .when(col("lm_score") >= col("c1"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** Tertile points as exact decimal literals — the SAME literal text
+    * is spliced into the Spark expression and the DuckDB oracle, so
+    * both engines parse the identical double and the interpolated
+    * percentile arithmetic ((n-1)·p, linear between neighbors) is
+    * bit-identical. */
+  val CcnetP1 = "0.3333333333333333"
+  val CcnetP2 = "0.6666666666666666"
+
   def lmScore(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"),
@@ -537,6 +617,23 @@ object TextAnalysis {
         .select(col("doc_id"), col("text")).unionByName(plant))
         .orderBy("doc_id")
     }),
+
+    // C4 heuristic doc filters — see [[c4Filters]]; plants union at
+    // the key boundary (one witness per branch; the real corpus fails
+    // the terminal-punctuation rule wholesale, which the flag columns
+    // make visible rather than hiding).
+    "q_text_c4_filters" -> ((s, dir) => {
+      import s.implicits._
+      c4Filters(Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .unionByName(C4Plants.toDF("doc_id", "text")))
+        .orderBy("doc_id")
+    }),
+
+    // CCNet head/middle/tail perplexity tertiles per language — see
+    // [[ccnetBuckets]].
+    "q_corpus_ccnet_buckets" -> ((s, dir) =>
+      ccnetBuckets(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // n-gram-heuristic language ID: stopword-hit argmax with ordered
     // tie-break (en > de > es > fr > und), mirroring the ordered-cascade
@@ -818,6 +915,65 @@ object TextAnalysis {
     // Same tf → cf frames; CASTs keep DuckDB's HUGEINT sums at BIGINT
     // so the dtype compare holds, and // mirrors Spark's div exactly
     // (both operands nonnegative).
+    // Lateral alias references are avoided (subquery instead) so the
+    // flag expressions are written once and the verdict CASE reads
+    // them — same shape as the Spark side.
+    "q_text_c4_filters" -> s"""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL ${C4Plants.map { case (id, t) =>
+          s"SELECT CAST($id AS BIGINT) AS doc_id, '$t' AS text"
+        }.mkString("\n        UNION ALL ")}),
+      flags AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               right(text, 1) IN ('.', '!', '?', '"') AS ends_punct,
+               contains(text, '{') AS has_brace,
+               contains(lower(text), 'lorem ipsum') AS has_lorem,
+               (contains(lower(text), 'privacy policy')
+                OR contains(lower(text), 'terms of use')
+                OR contains(lower(text), 'cookie policy')) AS has_policy
+        FROM docs)
+      SELECT doc_id, n_words, ends_punct, has_brace, has_lorem, has_policy,
+             CASE WHEN NOT ends_punct THEN 'no_terminal_punct'
+                  WHEN n_words < $C4MinWords THEN 'too_few_words'
+                  WHEN has_brace THEN 'brace'
+                  WHEN has_lorem THEN 'lorem_ipsum'
+                  WHEN has_policy THEN 'policy_page'
+                  ELSE 'keep' END AS verdict
+      FROM flags ORDER BY doc_id""",
+
+    // The q_text_lm_score chain + per-lang tertile cutoffs; the
+    // percentile points are the SAME decimal literals the Spark
+    // expression parses, and quantile_cont's (n-1)·p linear
+    // interpolation is Spark percentile's exact formula.
+    "q_corpus_ccnet_buckets" -> s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf
+             FROM toks GROUP BY doc_id, tok),
+      cf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf
+             FROM tf GROUP BY tok),
+      scored AS (
+        SELECT t.doc_id,
+               CAST(sum(t.tf * c.cf) AS BIGINT) // CAST(sum(t.tf) AS BIGINT)
+                 AS lm_score
+        FROM tf t JOIN cf c USING (tok) GROUP BY t.doc_id),
+      j AS (
+        SELECT s.doc_id, d.lang, s.lm_score
+        FROM scored s JOIN documents d USING (doc_id)),
+      cuts AS (
+        SELECT lang, quantile_cont(lm_score, $CcnetP1) AS c1,
+               quantile_cont(lm_score, $CcnetP2) AS c2
+        FROM j GROUP BY lang)
+      SELECT j.doc_id, j.lang, j.lm_score,
+             CASE WHEN j.lm_score >= c.c2 THEN 'head'
+                  WHEN j.lm_score >= c.c1 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM j JOIN cuts c USING (lang)
+      ORDER BY doc_id""",
+
     "q_text_lm_score" -> """
       WITH toks AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok

@@ -2246,4 +2246,30 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(stats == Map("top banner" -> (3L, 3L), "fine print" -> (3L, 3L)))
   }
+
+  test("c4 filters: one witness per branch; ccnet buckets: exact tertiles on a hand fixture") {
+    import spark.implicits._
+    val verdicts = TextAnalysis.c4Filters(
+      TextAnalysis.C4Plants.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(verdicts == Map(
+      9200001L -> "keep", 9200002L -> "lorem_ipsum", 9200003L -> "brace",
+      9200004L -> "too_few_words", 9200005L -> "policy_page"))
+    // The cascade is precedence-ordered: a doc failing the punctuation
+    // rule never reaches the later screens.
+    val noPunct = TextAnalysis.c4Filters(
+      Seq((1L, "lorem ipsum without any ending mark")).toDF("doc_id", "text"))
+      .collect().head
+    assert(noPunct.getString(6) == "no_terminal_punct")
+    assert(noPunct.getBoolean(4), "the lorem flag column still reports")
+
+    // lmScore fixture: cf(a)=4, cf(b)=1, cf(c)=1 -> doc scores 4 / 2 / 1;
+    // tertile cutoffs over [1,2,4] are 1.667 / 2.667 -> one doc per bucket.
+    val docs = Seq(
+      (1L, "a a a", "en"), (2L, "a b", "en"), (3L, "c", "en"))
+      .toDF("doc_id", "text", "lang")
+    val buckets = TextAnalysis.ccnetBuckets(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(buckets == Map(1L -> "head", 2L -> "middle", 3L -> "tail"))
+  }
 }
