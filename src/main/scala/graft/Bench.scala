@@ -77,7 +77,8 @@ object Bench {
       ("phash_ivf_index", () => operators.Multimodal.warmPhashIvfIndex(spark, sfDir)),
       ("phash_ivf_trained", () => operators.Multimodal.warmPhashIvfTrained(spark, sfDir)),
       ("phash_ivf_policy", () => operators.Multimodal.warmPhashIvfPolicy(spark, sfDir)),
-      ("bpe_merges", () => operators.TextAnalysis.warmBpeMerges(spark, sfDir))
+      ("bpe_merges", () => operators.TextAnalysis.warmBpeMerges(spark, sfDir)),
+      ("knn_tier_policy", () => operators.Similarity.warmKnnTierPolicy(spark, sfDir))
     ).map { case (name, build) =>
       val t0 = System.nanoTime()
       try { build() } catch { case e: Throwable =>

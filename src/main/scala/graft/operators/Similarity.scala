@@ -569,9 +569,12 @@ object Similarity {
   def derivePqCodes(n: Long): Int =
     (1 to 8).map(1 << _).find(k => k.toLong * k >= n).getOrElse(256)
 
-  /** SQL twin of [[derivePqCodes]]: same min-l scan, same cap. */
-  def pqParamsSql(countFrom: String): String = s"""
-      pqparams AS (
+  /** SQL twin of [[derivePqCodes]]: same min-l scan, same cap. The
+    * `sfx` parameter (here and in the chain builders below) renames
+    * every CTE so two tiers' chains can share one WITH — the
+    * knnServeChainSql convention; "" reproduces the original text. */
+  def pqParamsSql(countFrom: String, sfx: String = ""): String = s"""
+      pqparams$sfx AS (
         SELECT coalesce(min(1 << l), 256) AS K FROM range(1, 9) t(l)
         WHERE (1::BIGINT << l) * (1::BIGINT << l) >= (SELECT count(*) FROM $countFrom))"""
 
@@ -1145,6 +1148,14 @@ object Similarity {
     // hash match holds at every SF regardless of the winner.
     "q_knn_ivf_policy_served" -> ((s, dir) =>
       ivfServePolicyRouted(s, dir, 8, 5).orderBy("probe_id", "rk")),
+
+    // THE STORAGE-TIER DECISION TABLE — see [[storageTierPolicy]]:
+    // flat IVF vs PQ vs residual IVF-PQ on the shared brute truth,
+    // cheapest tier within 4/5 of the best recall selected (integer
+    // cross-multiply). The three-way widening of the quantizer policy
+    // (ROADMAP round-16 candidate).
+    "q_knn_tier_policy" -> ((s, dir) =>
+      tierDecision(knnTierRows(s, dir)).orderBy("bytes_per_vec")),
   )
 
   /** GENERIC audit-driven serving policy (shared by the embedding and
@@ -1212,6 +1223,79 @@ object Similarity {
         val n = Tables.embeddings(s, dir).count()
         ivfTopK(s, dir, math.ceil(math.sqrt(n.toDouble)).toInt, nProbes, k)
     }
+
+  /** THE STORAGE-TIER DECISION TABLE — [[quantizerPolicy]] widened from
+    * a two-quantizer duel to the memory/recall frontier a production
+    * deployment actually chooses on: flat IVF (raw 64×8-byte vectors,
+    * highest fidelity), PQ (8 one-byte codes — the ~64× compression),
+    * and residual IVF-PQ (codes + a cell id — PQ in the tighter
+    * residual domain). Each tier's 64-probe top-5 is audited against
+    * ONE shared brute truth; the selection rule is "cheapest tier
+    * whose recall holds ≥ 4/5 of the best" — an integer cross-multiply
+    * (5·hit ≥ 4·best_hit), no float in the decision. Output: one row
+    * per tier (bytes_per_vec, hit counts, recall, selected).
+    *
+    * Scale shape: the three chains are the already-shaped audit paths
+    * (probes broadcast, corpus never shuffles on the query side); the
+    * decision itself runs over a 3-row localCheckpointed frame. */
+  def storageTierPolicy(truth: DataFrame,
+                        tiers: Seq[(String, Long, DataFrame)]): DataFrame = {
+    val rows = tiers.map { case (name, bytes, apx) =>
+      truth.join(broadcast(apx.select(col("probe_id"), col("cand_id"),
+          lit(1).as("hit"))), Seq("probe_id", "cand_id"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
+        .select(lit(name).as("tier"), lit(bytes).as("bytes_per_vec"),
+          col("n_true"), col("n_hit"))
+    }.reduce(_ unionByName _)
+    tierDecision(rows)
+  }
+
+  /** The decision over a (tier, bytes_per_vec, n_true, n_hit) frame —
+    * split out so the registered key can cache the audited hit rows
+    * and re-derive the (cheap) decision. */
+  def tierDecision(rows: DataFrame): DataFrame = {
+    val best = rows.agg(max(col("n_hit")).as("best_hit"))
+    val sel = rows.crossJoin(broadcast(best))
+      .filter(lit(5L) * col("n_hit") >= lit(4L) * col("best_hit"))
+      .agg(min(col("bytes_per_vec")).as("sel_bytes"))
+    rows.crossJoin(broadcast(sel))
+      .select(col("tier"), col("bytes_per_vec"), col("n_true"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_true").cast("double"), 4)
+          .as("recall"),
+        (col("bytes_per_vec") === col("sel_bytes")).as("selected"))
+  }
+
+  /** The embedding family's tier audit rows, cached per (session, dir)
+    * — the three 64-probe chains run once; the decision re-derives from
+    * the 3-row checkpoint. */
+  private def knnTierRows(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
+    val truth = brute(s, dir, 64, 5).select("probe_id", "cand_id")
+    val tiers = Seq(
+      ("ivf_flat", 512L, ivfTopK(s, dir, kk, 64, 5)
+        .select("probe_id", "cand_id")),
+      ("pq", 8L, pqTopK(e, derivePqCodes(n), 64, 5)
+        .select("probe_id", "cand_id")),
+      ("ivfpq_res", 12L, ivfPqResidualTopK(e, kk, derivePqCodes(n), 64, 5)
+        .select("probe_id", "cand_id")))
+    graft.operators.Artifacts.cached(s, s"knn-tier-policy:$dir")(
+      tiers.map { case (name, bytes, apx) =>
+        truth.join(broadcast(apx.select(col("probe_id"), col("cand_id"),
+            lit(1).as("hit"))), Seq("probe_id", "cand_id"), "left")
+          .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
+          .select(lit(name).as("tier"), lit(bytes).as("bytes_per_vec"),
+            col("n_true"), col("n_hit"))
+      }.reduce(_ unionByName _).localCheckpoint(true))
+  }
+
+  /** Bench artifact hook: materialize the tier-policy audit rows (the
+    * three 64-probe chains + truth) so the key's row shows serving
+    * cost — the artifact-row accounting rule. */
+  def warmKnnTierPolicy(s: SparkSession, dir: String): Unit = {
+    knnTierRows(s, dir).count(); ()
+  }
 
   /** Per-probe recall@k of `approx` against `truth` (both (probe_id,
     * cand_id[, …]) top-k frames): the id-only membership join over
@@ -1409,46 +1493,46 @@ object Similarity {
   /** The shared PQ prefix: params, quantized vectors, subvectors,
     * codebooks, and the argmin encoding — everything up to (but not
     * including) a query path. */
-  private def pqPrefixCtes: String = s"""
-      ${pqParamsSql("embeddings")},
-      q AS (
+  private def pqPrefixCtes(sfx: String = ""): String = s"""
+      ${pqParamsSql("embeddings", sfx)},
+      q$sfx AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
         FROM embeddings),
-      sub AS (
+      sub$sfx AS (
         SELECT vec_id, m, v[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
-        FROM q, range($PqSubspaces) t(m)),
-      cb AS (
+        FROM q$sfx, range($PqSubspaces) t(m)),
+      cb$sfx AS (
         SELECT m, vec_id AS k, sv AS c,
                CAST(list_dot_product(sv, sv) AS BIGINT) AS cc
-        FROM sub, pqparams WHERE vec_id < K),
-      enc AS (
+        FROM sub$sfx, pqparams$sfx WHERE vec_id < K),
+      enc$sfx AS (
         SELECT vec_id, m, k FROM (
-          SELECT s.vec_id, s.m, cb.k,
+          SELECT s.vec_id, s.m, cb$sfx.k,
                  row_number() OVER (PARTITION BY s.vec_id, s.m
-                   ORDER BY cc - 2 * CAST(list_dot_product(s.sv, cb.c) AS BIGINT),
-                            cb.k) AS rn
-          FROM sub s JOIN cb ON s.m = cb.m)
+                   ORDER BY cc - 2 * CAST(list_dot_product(s.sv, cb$sfx.c) AS BIGINT),
+                            cb$sfx.k) AS rn
+          FROM sub$sfx s JOIN cb$sfx ON s.m = cb$sfx.m)
         WHERE rn = 1)"""
 
-  private def pqCtes(nProbes: Int): String = s"""
-      $pqPrefixCtes,
-      lt AS (
-        SELECT p.vec_id AS probe_id, cb.m, cb.k,
-               CAST(list_dot_product(p.sv, cb.c) AS BIGINT) AS pd
-        FROM sub p JOIN cb ON p.m = cb.m
+  private def pqCtes(nProbes: Int, sfx: String = ""): String = s"""
+      ${pqPrefixCtes(sfx)},
+      lt$sfx AS (
+        SELECT p.vec_id AS probe_id, cb$sfx.m, cb$sfx.k,
+               CAST(list_dot_product(p.sv, cb$sfx.c) AS BIGINT) AS pd
+        FROM sub$sfx p JOIN cb$sfx ON p.m = cb$sfx.m
         WHERE p.vec_id < $nProbes),
-      scored AS (
-        SELECT lt.probe_id, enc.vec_id AS cand_id, CAST(sum(pd) AS BIGINT) AS adot
-        FROM enc JOIN lt ON enc.m = lt.m AND enc.k = lt.k
-        WHERE enc.vec_id <> lt.probe_id
-        GROUP BY lt.probe_id, enc.vec_id)"""
+      scored$sfx AS (
+        SELECT lt$sfx.probe_id, enc$sfx.vec_id AS cand_id, CAST(sum(pd) AS BIGINT) AS adot
+        FROM enc$sfx JOIN lt$sfx ON enc$sfx.m = lt$sfx.m AND enc$sfx.k = lt$sfx.k
+        WHERE enc$sfx.vec_id <> lt$sfx.probe_id
+        GROUP BY lt$sfx.probe_id, enc$sfx.vec_id)"""
 
   /** IVF-PQ twin: the PQ prefix plus the first-⌈√N⌉ coarse assignment
     * (identical to the IVF oracle's `assigned`); candidates meet probes
     * on (cell, m, code) exactly like the engine's index join. */
   private def ivfPqCtes(nProbes: Int): String = s"""
-      $pqPrefixCtes,
+      ${pqPrefixCtes()},
       assigned AS (
         SELECT vec_id, cell FROM (
           SELECT q.vec_id, c.vec_id AS cell,
@@ -1484,67 +1568,67 @@ object Similarity {
     * x − c(cell) (`res`), and the ADC sum shifted back by the
     * probe×cell centroid dot (grouped by `cdot`, constant per
     * (probe, cell) and a candidate has exactly one cell). */
-  private def ivfPqResCtes(nProbes: Int): String = s"""
-      ${pqParamsSql("embeddings")},
-      q AS (
+  private def ivfPqResCtes(nProbes: Int, sfx: String = ""): String = s"""
+      ${pqParamsSql("embeddings", sfx)},
+      q$sfx AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
         FROM embeddings),
-      assigned AS (
+      assigned$sfx AS (
         SELECT vec_id, v, cell FROM (
           SELECT q.vec_id, q.v, c.vec_id AS cell,
                  row_number() OVER (PARTITION BY q.vec_id
                    ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS arn
-          FROM q JOIN q c
+          FROM q$sfx q JOIN q$sfx c
             ON c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
                            FROM embeddings))
         WHERE arn = 1),
-      res AS (
+      res$sfx AS (
         SELECT a.vec_id, a.cell,
                list_transform(range(1, 65), i -> a.v[i] - c.v[i]) AS v
-        FROM assigned a JOIN q c ON c.vec_id = a.cell),
-      rsub AS (
+        FROM assigned$sfx a JOIN q$sfx c ON c.vec_id = a.cell),
+      rsub$sfx AS (
         SELECT vec_id, cell, m,
                v[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
-        FROM res, range($PqSubspaces) t(m)),
-      cb AS (
+        FROM res$sfx, range($PqSubspaces) t(m)),
+      cb$sfx AS (
         SELECT m, vec_id AS k, sv AS c,
                CAST(list_dot_product(sv, sv) AS BIGINT) AS cc
-        FROM rsub, pqparams WHERE vec_id < K),
-      enc AS (
+        FROM rsub$sfx, pqparams$sfx WHERE vec_id < K),
+      enc$sfx AS (
         SELECT vec_id, cell, m, k FROM (
-          SELECT s.vec_id, s.cell, s.m, cb.k,
+          SELECT s.vec_id, s.cell, s.m, cb$sfx.k,
                  row_number() OVER (PARTITION BY s.vec_id, s.m
-                   ORDER BY cc - 2 * CAST(list_dot_product(s.sv, cb.c) AS BIGINT),
-                            cb.k) AS rn
-          FROM rsub s JOIN cb ON s.m = cb.m)
+                   ORDER BY cc - 2 * CAST(list_dot_product(s.sv, cb$sfx.c) AS BIGINT),
+                            cb$sfx.k) AS rn
+          FROM rsub$sfx s JOIN cb$sfx ON s.m = cb$sfx.m)
         WHERE rn = 1),
-      psub AS (
+      psub$sfx AS (
         SELECT vec_id, m, v[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sv
-        FROM q, range($PqSubspaces) t(m)
+        FROM q$sfx, range($PqSubspaces) t(m)
         WHERE vec_id < $nProbes),
-      pcells AS (
+      pcells$sfx AS (
         SELECT vec_id AS probe_id, cell, cdot FROM (
           SELECT q.vec_id, c.vec_id AS cell,
                  CAST(list_dot_product(q.v, c.v) AS BIGINT) AS cdot,
                  row_number() OVER (PARTITION BY q.vec_id
                    ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS arn
-          FROM q JOIN q c
+          FROM q$sfx q JOIN q$sfx c
             ON q.vec_id < $nProbes
            AND c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
                            FROM embeddings))
         WHERE arn <= $IvfNprobe),
-      lt AS (
-        SELECT pc.probe_id, pc.cell, pc.cdot, cb.m, cb.k,
-               CAST(list_dot_product(p.sv, cb.c) AS BIGINT) AS pd
-        FROM pcells pc JOIN psub p ON p.vec_id = pc.probe_id
-             JOIN cb ON p.m = cb.m),
-      scored AS (
-        SELECT lt.probe_id, enc.vec_id AS cand_id,
-               CAST(sum(pd) + lt.cdot AS BIGINT) AS adot
-        FROM enc JOIN lt ON enc.cell = lt.cell AND enc.m = lt.m AND enc.k = lt.k
-        WHERE enc.vec_id <> lt.probe_id
-        GROUP BY lt.probe_id, enc.vec_id, lt.cdot)"""
+      lt$sfx AS (
+        SELECT pc.probe_id, pc.cell, pc.cdot, cb$sfx.m, cb$sfx.k,
+               CAST(list_dot_product(p.sv, cb$sfx.c) AS BIGINT) AS pd
+        FROM pcells$sfx pc JOIN psub$sfx p ON p.vec_id = pc.probe_id
+             JOIN cb$sfx ON p.m = cb$sfx.m),
+      scored$sfx AS (
+        SELECT lt$sfx.probe_id, enc$sfx.vec_id AS cand_id,
+               CAST(sum(pd) + lt$sfx.cdot AS BIGINT) AS adot
+        FROM enc$sfx JOIN lt$sfx ON enc$sfx.cell = lt$sfx.cell AND enc$sfx.m = lt$sfx.m AND enc$sfx.k = lt$sfx.k
+        WHERE enc$sfx.vec_id <> lt$sfx.probe_id
+        GROUP BY lt$sfx.probe_id, enc$sfx.vec_id, lt$sfx.cdot)"""
 
   private def ivfPqResOracleSql: String = s"""
       WITH ${ivfPqResCtes(8)}
@@ -1767,6 +1851,87 @@ object Similarity {
     "q_knn_pq" -> pqOracleSql,
 
     "q_knn_pq_recall" -> pqRecallOracleSql,
+
+    // Three tiers' 64-probe chains in one WITH (the suffix machinery),
+    // one shared truth, integer hit counts, and the same cheapest-
+    // within-4/5 cross-multiply decision the engine computes.
+    "q_knn_tier_policy" -> s"""
+      WITH ${pqCtes(64, "_pq")},
+      ${ivfPqResCtes(64, "_rq")},
+      fassigned AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT q.vec_id, q.v, c.vec_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS arn
+          FROM q_rq q JOIN q_rq c
+            ON c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                           FROM embeddings))
+        WHERE arn = 1),
+      fpcells AS (
+        SELECT vec_id AS probe_id, cell FROM (
+          SELECT q.vec_id, c.vec_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS arn
+          FROM q_rq q JOIN q_rq c
+            ON q.vec_id < 64
+           AND c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                           FROM embeddings))
+        WHERE arn <= $IvfNprobe),
+      apx_flat AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT pc.probe_id, c.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY pc.probe_id
+                   ORDER BY CAST(list_dot_product(p.v, c.v) AS BIGINT) DESC,
+                            c.vec_id) AS rk
+          FROM fpcells pc JOIN q_rq p ON p.vec_id = pc.probe_id
+               JOIN fassigned c ON c.cell = pc.cell
+          WHERE c.vec_id <> pc.probe_id)
+        WHERE rk <= 5),
+      apx_pq AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT probe_id, cand_id,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY adot DESC, cand_id) AS rk
+          FROM scored_pq)
+        WHERE rk <= 5),
+      apx_rq AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT probe_id, cand_id,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY adot DESC, cand_id) AS rk
+          FROM scored_rq)
+        WHERE rk <= 5),
+      truth AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY CAST(list_dot_product(p.v, c.v) AS BIGINT) DESC,
+                            c.vec_id) AS rk
+          FROM q_rq p JOIN q_rq c ON p.vec_id < 64 AND p.vec_id != c.vec_id)
+        WHERE rk <= 5),
+      hits AS (
+        SELECT 'ivf_flat' AS tier, CAST(512 AS BIGINT) AS bytes_per_vec,
+               (SELECT count(*) FROM truth) AS n_true,
+               (SELECT count(*) FROM truth b JOIN apx_flat a
+                  ON b.probe_id = a.probe_id AND b.cand_id = a.cand_id) AS n_hit
+        UNION ALL
+        SELECT 'pq', CAST(8 AS BIGINT),
+               (SELECT count(*) FROM truth),
+               (SELECT count(*) FROM truth b JOIN apx_pq a
+                  ON b.probe_id = a.probe_id AND b.cand_id = a.cand_id)
+        UNION ALL
+        SELECT 'ivfpq_res', CAST(12 AS BIGINT),
+               (SELECT count(*) FROM truth),
+               (SELECT count(*) FROM truth b JOIN apx_rq a
+                  ON b.probe_id = a.probe_id AND b.cand_id = a.cand_id)),
+      sel AS (
+        SELECT min(bytes_per_vec) AS sel_bytes FROM hits
+        WHERE 5 * n_hit >= 4 * (SELECT max(n_hit) FROM hits))
+      SELECT tier, bytes_per_vec, n_true, n_hit,
+             round(CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE), 4)
+               AS recall,
+             bytes_per_vec = (SELECT sel_bytes FROM sel) AS selected
+      FROM hits ORDER BY bytes_per_vec""",
 
     "q_knn_ivfpq" -> ivfPqOracleSql,
 

@@ -2272,4 +2272,24 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(buckets == Map(1L -> "head", 2L -> "middle", 3L -> "tail"))
   }
+
+  test("storage-tier policy: cheapest tier within 4/5 of best wins; the boundary is exact") {
+    import spark.implicits._
+    val truth = (0 until 2).flatMap(p => (0 until 5).map(c => (p.toLong, c.toLong + 10)))
+      .toDF("probe_id", "cand_id")
+    def tier(hits: Int) =
+      truth.limit(hits).toDF("probe_id", "cand_id")
+    // pq has exactly 8/10 hits: 5*8 = 40 >= 4*10 = 40 — ON the 4/5
+    // boundary, qualifies, and being cheapest (8 B) takes the slot
+    // from the perfect flat tier; res at 7 hits misses the boundary.
+    val sel = Similarity.storageTierPolicy(truth, Seq(
+      ("flat", 512L, tier(10)), ("pq", 8L, tier(8)), ("res", 12L, tier(7))))
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(sel == Map("flat" -> false, "pq" -> true, "res" -> false))
+    // One hit fewer and pq no longer qualifies: fidelity wins.
+    val sel2 = Similarity.storageTierPolicy(truth, Seq(
+      ("flat", 512L, tier(10)), ("pq", 8L, tier(7))))
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(sel2 == Map("flat" -> true, "pq" -> false))
+  }
 }
