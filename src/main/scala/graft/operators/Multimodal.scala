@@ -156,6 +156,111 @@ object Multimodal {
         concat(unhex(hdr), col("text").cast("binary")).as("payload"))
   }
 
+  // ======================= Audio (WAV/PCM) =======================
+
+  /** Canonical PCM WAV header size: RIFF(12) + fmt(24) + data hdr(8). */
+  val WavHeaderBytes = 44
+
+  /** Per-window sample count for the audio feature pass: 50 ms at the
+    * 8 kHz base rate — the standard speech-processing frame. */
+  val AudioWindow = 400
+
+  /** Staged AUDIO payload table — the WAV member of the staging
+    * convention ([[stagePayloadsFrom]] for images): each document's
+    * bytes behind a VALID 44-byte PCM WAV header as 8-bit unsigned
+    * MONO samples, sample rate derived as 8000 + 250·(n % 17) so the
+    * DuckDB oracle predicts every field a parser must recover (the
+    * synthesize→parse round-trip proof). Header synthesis is
+    * declarative hex-concat → unhex; little-endian fields are built
+    * byte-reversed in hex space. */
+  def stageWavPayloads(docs: DataFrame): DataFrame = {
+    val n = length(col("text")).cast("bigint")
+    def beHex(v: Column, digits: Int) = lpad(hex(v), digits, "0")
+    def leHex32(v: Column) = concat(
+      beHex(v % 256, 2),
+      beHex((v / 256).cast("bigint") % 256, 2),
+      beHex((v / 65536).cast("bigint") % 256, 2),
+      beHex((v / 16777216).cast("bigint") % 256, 2))
+    val rate = lit(8000L) + lit(250L) * (n % 17)
+    val hdr = concat(
+      lit("52494646"), leHex32(n + 36), lit("57415645"), // RIFF size WAVE
+      lit("666D7420"), lit("10000000"), // "fmt " + chunk len 16
+      lit("0100"), lit("0100"), // PCM, mono (LE 2B each)
+      leHex32(rate), leHex32(rate), // sample rate; byte rate (8-bit mono)
+      lit("0100"), lit("0800"), // block align 1, bits 8
+      lit("64617461"), leHex32(n)) // "data" + payload size
+    docs.select(col("doc_id"),
+      concat(unhex(hdr), col("text").cast("binary")).as("payload"))
+  }
+
+  /** Declarative WAV metadata parse over (doc_id, payload BINARY) —
+    * the audio twin of [[metaPlan]]: every field read from the BYTES
+    * by little-endian substring+hex+conv arithmetic (never from the
+    * staging formula), duration as integer ms. Fully codegen'd. */
+  def wavMetaPlan(payloads: DataFrame): DataFrame = {
+    val p = col("payload")
+    def le(pos: Int, len: Int): Column =
+      (0 until len).map(i =>
+        conv(hex(substring(p, pos + i, 1)), 16, 10).cast("bigint") *
+          lit(1L << (8 * i))).reduce(_ + _)
+    val isWav = hex(substring(p, 1, 4)) === "52494646" &&
+      hex(substring(p, 9, 8)) === "57415645666D7420" &&
+      length(p) >= WavHeaderBytes
+    payloads.select(col("doc_id"),
+        when(isWav, lit("wav")).otherwise(lit("unknown")).as("format"),
+        when(isWav, le(23, 2)).cast("int").as("channels"),
+        when(isWav, le(25, 4)).as("sample_rate"),
+        when(isWav, le(29, 4)).as("byte_rate"),
+        when(isWav, le(35, 2)).cast("int").as("bits"),
+        when(isWav, le(41, 4)).as("data_bytes"))
+      .withColumn("duration_ms",
+        expr("CAST(data_bytes * 1000 div byte_rate AS BIGINT)"))
+  }
+
+  /** Windowed audio features over the staged PCM: per 400-sample
+    * window, integer energy Σ(s−128)² (8-bit PCM centers at 128) and
+    * the zero-crossing count of the MEAN-CENTERED window signal —
+    * DC offset removal by cross-multiply (sign of s·n − Σs), so the
+    * count is integer-exact and non-vacuous on ASCII-band samples
+    * (every word boundary crosses the window mean). The decode reads
+    * the payload's data section, not the source text — the oracle
+    * replays from the text, so a hash match proves the byte path.
+    *
+    * Scale shape: one partition-local pass — per-doc array math, no
+    * explode of samples into rows, no shuffle before the per-window
+    * output (windows explode to rows only AFTER reduction inputs are
+    * sliced; output is n/400 rows per doc). */
+  def audioFeatures(payloads: DataFrame): DataFrame =
+    payloads
+      .select(col("doc_id"),
+        expr(s"CAST(substring(payload, ${WavHeaderBytes + 1}) AS STRING)")
+          .as("pcm"))
+      // split('') → one array element per char: linear in doc length,
+      // where indexed substring(pcm, i, 1) would be quadratic (each
+      // call re-walks the prefix). The oracle keeps the indexed form —
+      // its cost is not on the bench path, and the two enumerations
+      // are equal on the single-byte ASCII corpus (spec-pinned).
+      .select(col("doc_id"), expr(
+        """CASE WHEN length(pcm) = 0 THEN CAST(array() AS ARRAY<INT>)
+                ELSE transform(split(pcm, ''), c -> ascii(c))
+           END""").as("sm"))
+      .select(col("doc_id"), col("sm"), explode(expr(
+        s"sequence(0, CAST(ceil(greatest(size(sm), 1) / $AudioWindow.0) AS INT) - 1)"))
+        .as("win"))
+      .select(col("doc_id"), col("win"),
+        expr(s"slice(sm, win * $AudioWindow + 1, $AudioWindow)").as("sl"))
+      .withColumn("ssum", expr("aggregate(sl, 0L, (a, x) -> a + x)"))
+      .select(col("doc_id"), col("win"),
+        expr("CAST(size(sl) AS BIGINT)").as("n_samples"),
+        expr("aggregate(sl, 0L, (a, x) -> a + CAST(x - 128 AS BIGINT) * (x - 128))")
+          .as("energy"),
+        expr(s"""CASE WHEN size(sl) < 2 THEN 0L ELSE
+            aggregate(transform(sequence(2, size(sl)), j ->
+              CASE WHEN ((CAST(element_at(sl, j - 1) AS BIGINT) * size(sl) - ssum) >= 0)
+                        != ((CAST(element_at(sl, j) AS BIGINT) * size(sl) - ssum) >= 0)
+                   THEN 1L ELSE 0L END),
+              0L, (a, x) -> a + x) END""").as("zcr"))
+
   /** Unrolled-step bound of the declarative JPEG segment walk in
     * [[metaPlan]]: covers APPn/JFIF/Exif + DQT/DHT preambles of typical
     * files; a SOF deeper than this parses as 0×0 in the PLAN path
@@ -1084,6 +1189,22 @@ object Multimodal {
     "q_mm_meta" -> ((s, dir) =>
       metaPlan(Multimodal.stagedPayloads(s, dir)).orderBy("doc_id")),
 
+    // WAV metadata parse over the staged audio payloads — see
+    // [[wavMetaPlan]]: every field read back from the bytes; the
+    // oracle predicts them from n_chars, so a hash match proves the
+    // synthesize→parse round trip (the q_mm_meta convention on the
+    // audio member of the modality set).
+    "q_mm_audio_meta" -> ((s, dir) =>
+      wavMetaPlan(stageWavPayloads(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
+
+    // Windowed PCM energy + mean-centered zero-crossing counts — see
+    // [[audioFeatures]]: the feature-extraction pass of the audio
+    // pipeline, decoded from the payload's data section.
+    "q_mm_audio_energy" -> ((s, dir) =>
+      audioFeatures(stageWavPayloads(Tables.documents(s, dir)))
+        .orderBy("doc_id", "win")),
+
     // Resize plumbing: aspect-preserving fit into 640×480 — the target
     // geometry every thumbnailing stage computes before the (stubbed)
     // pixel work. Scale in double, output dims floored, never upscale.
@@ -1267,6 +1388,55 @@ object Multimodal {
     // format-specific header size (PNG 33 B, JPEG 15 B, GIF 13 B) to the
     // body length. A hash match proves the synthesize→parse round-trip
     // is exact on every row.
+    // Every parsed field predicted from n_chars — equality proves the
+    // engine's little-endian byte arithmetic recovered the header the
+    // staging wrote.
+    "q_mm_audio_meta" -> """
+      SELECT doc_id, 'wav' AS format,
+             CAST(1 AS INTEGER) AS channels,
+             CAST(8000 + 250 * (n_chars % 17) AS BIGINT) AS sample_rate,
+             CAST(8000 + 250 * (n_chars % 17) AS BIGINT) AS byte_rate,
+             CAST(8 AS INTEGER) AS bits,
+             CAST(n_chars AS BIGINT) AS data_bytes,
+             CAST(n_chars * 1000 // (8000 + 250 * (n_chars % 17)) AS BIGINT)
+               AS duration_ms
+      FROM documents ORDER BY doc_id""",
+
+    // The feature pass replayed from the text bytes (the staged data
+    // section IS the text): per-window Σ(s−128)² and the
+    // cross-multiplied mean-centered sign-change count.
+    "q_mm_audio_energy" -> s"""
+      WITH sm AS (
+        SELECT doc_id,
+               list_transform(range(1, n_chars + 1),
+                 i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS s
+        FROM documents),
+      win AS (
+        SELECT doc_id, CAST(unnest(range(0,
+                 CAST(ceil(greatest(len(s), 1) / $AudioWindow.0) AS BIGINT)))
+               AS INTEGER) AS win, s
+        FROM sm),
+      sliced AS (
+        SELECT doc_id, win,
+               s[CAST(win * $AudioWindow + 1 AS BIGINT) :
+                 CAST(win * $AudioWindow + $AudioWindow AS BIGINT)] AS sl
+        FROM win),
+      summed AS (
+        SELECT doc_id, win, sl,
+               CAST(coalesce(list_sum(sl), 0) AS BIGINT) AS ssum
+        FROM sliced)
+      SELECT doc_id, win,
+             CAST(len(sl) AS BIGINT) AS n_samples,
+             CAST(coalesce(list_sum(list_transform(sl,
+               x -> CAST(x - 128 AS BIGINT) * (x - 128))), 0) AS BIGINT)
+               AS energy,
+             CAST(CASE WHEN len(sl) < 2 THEN 0 ELSE
+               coalesce(list_sum(list_transform(range(2, len(sl) + 1), j ->
+                 CASE WHEN ((CAST(sl[j - 1] AS BIGINT) * len(sl) - ssum) >= 0)
+                           != ((CAST(sl[j] AS BIGINT) * len(sl) - ssum) >= 0)
+                      THEN 1 ELSE 0 END)), 0) END AS BIGINT) AS zcr
+      FROM summed ORDER BY doc_id, win""",
+
     "q_mm_meta" -> """
       SELECT doc_id,
              CAST(n_chars + CASE WHEN n_chars % 3 = 0 THEN 33

@@ -2292,4 +2292,30 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
     assert(sel2 == Map("flat" -> true, "pq" -> false))
   }
+
+  test("audio staging: header fields parse back from bytes; features hand-exact; garbage is unknown") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab"), (2L, "a b")).toDF("doc_id", "text")
+    val staged = Multimodal.stageWavPayloads(docs)
+    val meta = Multimodal.wavMetaPlan(staged).orderBy("doc_id").collect()
+    // n=2 -> rate 8500; n=3 -> 8750; every field read from the BYTES.
+    assert(meta(0).getAs[Long]("sample_rate") == 8500L)
+    assert(meta(1).getAs[Long]("sample_rate") == 8750L)
+    assert(meta(0).getAs[Long]("data_bytes") == 2L)
+    assert(meta(0).getAs[Int]("channels") == 1 && meta(0).getAs[Int]("bits") == 8)
+    assert(meta(0).getString(1) == "wav")
+
+    // "ab" = [97, 98]: energy (-31)^2 + (-30)^2 = 1861; mean-centered
+    // signs (-1, +1) -> 1 crossing. "a b" = [97, 32, 98]: energy
+    // 961 + 9216 + 900 = 11077; signs (+, -, +) -> 2 crossings.
+    val feats = Multimodal.audioFeatures(staged).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(feats.toSeq == Seq((1L, 2L, 1861L, 1L), (2L, 3L, 11077L, 2L)))
+
+    // A payload that is not a WAV parses as unknown, never as garbage
+    // field values (the metaPlan guard convention).
+    val garbage = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val g = Multimodal.wavMetaPlan(garbage).collect().head
+    assert(g.getString(1) == "unknown" && g.isNullAt(3))
+  }
 }
