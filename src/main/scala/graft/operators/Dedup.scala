@@ -994,6 +994,54 @@ object Dedup {
         count(lit(1)).as("n_occ"))
       .filter(col("df") >= minDf)
 
+  /** Per-(session, index-digest) broadcast cache for [[lineGate]]'s
+    * over-threshold path — the contaminationGate cache discipline
+    * (evict stopped sessions on every construction). */
+  private val lineGateBroadcasts =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      org.apache.spark.broadcast.Broadcast[Set[String]]]()
+
+  /** Spark-md5-identical JVM hex (lowercase) for the gate's UDF path. */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** STREAMING boilerplate-line gate — the ingest form of
+    * [[lineDedup]], the sixth gate of the door (quality → shingle →
+    * semantic → phash → importance → lines): every arriving doc has
+    * its lines cut against a FROZEN boilerplate key set
+    * ([[lineBoilerplateIndex]] md5 keys, collected once — the
+    * heavy-hitter slice, small by construction), and a doc whose every
+    * line was boilerplate DROPS. Stateless and per-row (no streaming
+    * aggregation, no watermark, replay-safe): ≤ [[Curation.GateInlineMax]]
+    * keys inline as one literal array into a codegen'd lambda filter;
+    * above it the set ships as a session-cached broadcast with a UDF
+    * whose JVM md5 is hex-identical to Spark's. A NULL text passes
+    * unchanged (it carries no boilerplate — the contamination gate's
+    * conservative default; null-screening is the quality gate's job).
+    * Batch/stream agnostic — the spec pins stream == batch rewrites. */
+  def lineGate(stream: DataFrame, boilerKeys: Seq[String]): DataFrame = {
+    lineGateBroadcasts.keySet.removeIf(_._1.sparkContext.isStopped)
+    val cleaned: Column =
+      if (boilerKeys.size <= Curation.GateInlineMax) {
+        val arr = lit(boilerKeys.toArray)
+        array_join(filter(split(col("text"), "\n"),
+          l => !array_contains(arr, md5(l))), "\n")
+      } else {
+        val key = (stream.sparkSession, md5Hex(boilerKeys.sorted.mkString(" ")))
+        val bc = lineGateBroadcasts.computeIfAbsent(key,
+          _ => stream.sparkSession.sparkContext.broadcast(boilerKeys.toSet))
+        val cut = udf((t: String) =>
+          t.split("\n", -1).filter(l => !bc.value.contains(md5Hex(l)))
+            .mkString("\n"))
+        cut(col("text"))
+      }
+    stream
+      .withColumn("text",
+        when(col("text").isNull, col("text")).otherwise(cleaned))
+      .filter(col("text").isNull || length(col("text")) > 0)
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content hash → survivor (min doc_id) + multiplicity.
     // One hash aggregate; at 100 TB this is a single shuffle on the

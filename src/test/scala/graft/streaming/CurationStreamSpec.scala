@@ -389,4 +389,52 @@ class CurationStreamSpec extends SparkSpec {
     val kernelIds = pairs.map { case (a, b) => Curation.bigramFeatureOf(a, b) }
     assert(exprIds == kernelIds, s"expr $exprIds vs kernel $kernelIds")
   }
+
+  test("line gate: frozen boilerplate cut mid-stream, emptied docs drop, stream == batch, both paths") {
+    val qn = "lines-in"; val bx = "lines-out"
+    val ckpt = java.nio.file.Files.createTempDirectory("lines-ckpt").toString
+    try {
+      import spark.implicits._
+      val corpus = Seq(
+        (101L, "join our mailing list\nalpha body"),
+        (102L, "join our mailing list\nbeta body"),
+        (103L, "join our mailing list\ngamma body")).toDF("doc_id", "text")
+      val keys = graft.operators.Dedup.lineBoilerplateIndex(corpus)
+        .collect().map(_.getString(0)).toSeq
+      assert(keys.size == 1, "exactly the shared banner is boilerplate")
+
+      UpdateLog.post(qn, 1L, "join our mailing list\nfresh arriving body")
+      UpdateLog.post(qn, 2L, "join our mailing list") // all boilerplate
+      UpdateLog.post(qn, 3L, "untouched arriving doc")
+      val q = graft.operators.Dedup.lineGate(
+          spark.readStream.format(classOf[UpdateLogProvider].getName)
+            .option("queue", qn).load(), keys)
+        .select(col("chat_id"), col("text"))
+        .writeStream.format(classOf[OutboxProvider].getName)
+        .option("box", bx)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val delivered = Outbox.delivered(bx).map(_._2).sorted
+      assert(delivered == Seq(1L, 3L), s"line gate delivered: $delivered")
+
+      // Batch parity incl. the REWRITE content and the null pass-through;
+      // then the broadcast path (5000 decoy keys) must agree verbatim.
+      val arriving = Seq(
+        (1L, "join our mailing list\nfresh arriving body"),
+        (2L, "join our mailing list"),
+        (3L, "untouched arriving doc"),
+        (4L, null.asInstanceOf[String])).toDF("chat_id", "text")
+      val expect = Map(1L -> "fresh arriving body",
+        3L -> "untouched arriving doc", 4L -> null)
+      val inline = graft.operators.Dedup.lineGate(arriving, keys)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(inline == expect, s"inline path: $inline")
+      val big = keys ++ (1 to 5000).map(i => f"$i%032x")
+      val bcast = graft.operators.Dedup.lineGate(arriving, big)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(bcast == expect, s"broadcast path: $bcast")
+    } finally { UpdateLog.drop(qn); Outbox.drop(bx) }
+  }
 }
