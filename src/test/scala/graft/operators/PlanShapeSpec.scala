@@ -273,4 +273,39 @@ class PlanShapeSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_dedup_lines: boilerplate probe and drop-set joins broadcast; text never rides an aggregate shuffle") {
+    // The df count groups on the fixed-width md5 key and the
+    // boilerplate set is the tiny heavy-hitter slice: at runtime AQE
+    // must turn both the left-semi probe and the doc_id drop-set join
+    // into broadcasts — a sort-merge here would shuffle the corpus
+    // text for a handful of hot lines.
+    val df = graft.SparkEntry.queries("q_dedup_lines")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(40).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-side SMJ in the line-dedup plan:\n" + p.linesIterator.take(60).mkString("\n"))
+  }
+
+  test("q_corpus_ccnet_buckets: cutoffs broadcast (5 rows), tf exchange reused") {
+    val df = graft.SparkEntry.queries("q_corpus_ccnet_buckets")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(40).mkString("\n"))
+    assert(p.contains("ReusedExchange"),
+      "lm tf frame tokenized more than once:\n" + p.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("q_text_c4_filters and q_mm_audio_meta plan no exchange at all (pure projections)") {
+    for (key <- Seq("q_text_c4_filters", "q_mm_audio_meta")) {
+      val df = graft.SparkEntry.queries(key)(spark, sfDir)
+      val p = df.queryExecution.executedPlan.toString
+      // The single allowed exchange is the final orderBy's range
+      // repartition; nothing else may shuffle.
+      val shuffles = p.linesIterator.count(_.contains("Exchange"))
+      assert(shuffles <= 1, s"$key plans $shuffles exchanges:\n" +
+        p.linesIterator.take(40).mkString("\n"))
+    }
+  }
 }
