@@ -1862,6 +1862,26 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("lang", "bucket")),
 
+    // THE DATASET CARD (round 16): the per-language summary table a
+    // corpus release ships — doc/token/char totals, integer mean
+    // length, and the corpus share in basis points (fixed-point, no
+    // float percentages). One partial-aggregating shuffle over ≤ langs
+    // groups; the grand total folds to a 1-row broadcast.
+    "q_corpus_dataset_card" -> ((s, dir) => {
+      val total = Tables.documents(s, dir).agg(count(lit(1)).as("n_total"))
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("bigint")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars_total"),
+          expr("sum(n_chars) div count(1)").as("mean_chars"))
+        .crossJoin(broadcast(total))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          col("n_chars_total"), col("mean_chars"),
+          expr("n_docs * 10000 div n_total").as("pct_docs_bp"))
+        .orderBy("lang")
+    }),
+
     // DSIR-style importance weighting — see [[importanceWeights]]:
     // fixed-point target/raw frequency ratio per doc + the selection
     // verdict, integer-exact in both engines.
@@ -2641,6 +2661,19 @@ object Curation {
              CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM documents
       GROUP BY lang, bucket ORDER BY lang, bucket""",
+
+    // CASTs pin HUGEINT sums; basis points by nonnegative integer //.
+    "q_corpus_dataset_card" -> """
+      WITH t AS (SELECT count(*) AS n_total FROM documents),
+      g AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+               CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars
+        FROM documents GROUP BY lang)
+      SELECT lang, n_docs, n_tokens, n_chars_total, mean_chars,
+             CAST(n_docs * 10000 // n_total AS BIGINT) AS pct_docs_bp
+      FROM g, t ORDER BY lang""",
 
     // Same tf → cf frames; nonnegative-integer // == div; CASTs pin
     // DuckDB's HUGEINT sums to BIGINT so the dtype compare holds.

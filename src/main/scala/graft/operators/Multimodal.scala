@@ -1205,6 +1205,20 @@ object Multimodal {
       audioFeatures(stageWavPayloads(Tables.documents(s, dir)))
         .orderBy("doc_id", "win")),
 
+    // Loudest-window retrieval: top-2 windows per doc by energy
+    // through the map-side-combining TopK aggregate (partials reduce
+    // to k rows per doc per partition BEFORE the shuffle — the
+    // q_sample_stratified shape; no full-width window).
+    "q_mm_audio_loudest" -> ((s, dir) => {
+      val feats = audioFeatures(stageWavPayloads(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("win").cast("bigint").as("win"),
+          col("energy"))
+      graft.functions.TopK.perKey(feats, "doc_id", "energy", "win", 2)
+        .select(col("doc_id"), col("win").cast("int").as("win"),
+          col("energy"), col("rk"))
+        .orderBy("doc_id", "rk")
+    }),
+
     // Resize plumbing: aspect-preserving fit into 640×480 — the target
     // geometry every thumbnailing stage computes before the (stubbed)
     // pixel work. Scale in double, output dims floored, never upscale.
@@ -1382,7 +1396,42 @@ object Multimodal {
         .orderBy("doc_id", "sample_idx")),
   )
 
+  /** Shared audio oracle front: per-char samples from the text, the
+    * per-doc window enumeration, and the window slices — the DuckDB
+    * twin of [[audioFeatures]]'s decode + slicing. */
+  private def audioSliceCtes: String = s"""sm AS (
+        SELECT doc_id,
+               list_transform(range(1, n_chars + 1),
+                 i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS s
+        FROM documents),
+      win AS (
+        SELECT doc_id, CAST(unnest(range(0,
+                 CAST(ceil(greatest(len(s), 1) / $AudioWindow.0) AS BIGINT)))
+               AS INTEGER) AS win, s
+        FROM sm),
+      sliced AS (
+        SELECT doc_id, win,
+               s[CAST(win * $AudioWindow + 1 AS BIGINT) :
+                 CAST(win * $AudioWindow + $AudioWindow AS BIGINT)] AS sl
+        FROM win)"""
+
   val oracle: Map[String, String] = Map(
+    // The energy ranking replayed + the row_number twin of the
+    // map-side TopK (same (energy desc, win) tie rule).
+    "q_mm_audio_loudest" -> s"""
+      WITH $audioSliceCtes,
+      en AS (
+        SELECT doc_id, win,
+               CAST(coalesce(list_sum(list_transform(sl,
+                 x -> CAST(x - 128 AS BIGINT) * (x - 128))), 0) AS BIGINT)
+                 AS energy
+        FROM sliced)
+      SELECT doc_id, win, energy, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT doc_id, win, energy,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY energy DESC, win) AS rk
+        FROM en)
+      WHERE rk <= 2 ORDER BY doc_id, rk""",
     // The oracle PREDICTS what the byte parser must recover: the staged
     // headers encode dims (320 + n % 1600, 240 + 7n % 840) and add a
     // format-specific header size (PNG 33 B, JPEG 15 B, GIF 13 B) to the
@@ -1406,21 +1455,7 @@ object Multimodal {
     // section IS the text): per-window Σ(s−128)² and the
     // cross-multiplied mean-centered sign-change count.
     "q_mm_audio_energy" -> s"""
-      WITH sm AS (
-        SELECT doc_id,
-               list_transform(range(1, n_chars + 1),
-                 i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS s
-        FROM documents),
-      win AS (
-        SELECT doc_id, CAST(unnest(range(0,
-                 CAST(ceil(greatest(len(s), 1) / $AudioWindow.0) AS BIGINT)))
-               AS INTEGER) AS win, s
-        FROM sm),
-      sliced AS (
-        SELECT doc_id, win,
-               s[CAST(win * $AudioWindow + 1 AS BIGINT) :
-                 CAST(win * $AudioWindow + $AudioWindow AS BIGINT)] AS sl
-        FROM win),
+      WITH $audioSliceCtes,
       summed AS (
         SELECT doc_id, win, sl,
                CAST(coalesce(list_sum(sl), 0) AS BIGINT) AS ssum
