@@ -594,6 +594,26 @@ object TextAnalysis {
         .orderBy("symbol")
     }),
 
+    // Tokenizer FERTILITY audit (round 16): BPE tokens per whitespace
+    // word, per language, in basis points — the table a multilingual
+    // pipeline reads to see which languages the trained tokenizer
+    // fragments (fertility ≫ 10000 ⟹ under-merged scripts get fewer
+    // effective context tokens). Reuses the cached merge artifact and
+    // the bpeApply chain; one ≤-langs-group aggregate on top.
+    "q_text_bpe_fertility" -> ((s, dir) => {
+      val m = bpeMergesArtifact(s, dir).orderBy("rk")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      bpeApply(Tables.documents(s, dir), m)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .groupBy("lang")
+        .agg(sum(col("n_words").cast("bigint")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+        .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+          expr("n_bpe_tokens * 10000 div n_words").as("fertility_bp"))
+        .orderBy("lang")
+    }),
+
     // Lexical top-k search — see [[lexicalSearch]]: integer tf·idf
     // scoring, corpus scored row-locally, map-side TopK per query.
     "q_text_search" -> ((s, dir) =>
@@ -875,6 +895,33 @@ object TextAnalysis {
                s2 -> len(string_split(trim(s2), ' ')))), 0) AS BIGINT)
                AS n_bpe_tokens
       FROM applied ORDER BY doc_id""",
+
+    // The apply chain grouped per language; fertility by nonnegative
+    // integer //.
+    "q_text_bpe_fertility" -> s"""
+      WITH $bpeTrainCtes,
+      m AS (SELECT ${(1 to BpeMerges).map(r =>
+        s"(SELECT ' ' || l || ' ' || r || ' ' FROM b$r) AS s$r, " +
+          s"(SELECT ' ' || l || r || ' ' FROM b$r) AS t$r").mkString(", ")}),
+      applied AS (
+        SELECT doc_id, lang,
+               list_transform(
+                 list_filter(string_split(lower(text), ' '),
+                             w -> length(w) > 0),
+                 w -> ${(1 to BpeMerges).foldLeft(
+                   "' ' || array_to_string(list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INTEGER), 1)), ' ') || ' '") {
+                   (acc, r) => s"replace($acc, m.s$r, m.t$r)" }}) AS syms
+        FROM documents, m),
+      g AS (
+        SELECT lang,
+               CAST(sum(len(syms)) AS BIGINT) AS n_words,
+               CAST(sum(coalesce(list_sum(list_transform(syms,
+                 s2 -> len(string_split(trim(s2), ' ')))), 0)) AS BIGINT)
+                 AS n_bpe_tokens
+        FROM applied GROUP BY lang)
+      SELECT lang, n_words, n_bpe_tokens,
+             CAST(n_bpe_tokens * 10000 // n_words AS BIGINT) AS fertility_bp
+      FROM g ORDER BY lang""",
 
     // The final symbol vocabulary off the last training round's frame.
     "q_text_bpe_vocab" -> s"""
