@@ -1156,6 +1156,13 @@ object Similarity {
     // (ROADMAP round-16 candidate).
     "q_knn_tier_policy" -> ((s, dir) =>
       tierDecision(knnTierRows(s, dir)).orderBy("bytes_per_vec")),
+
+    // Tier-policy-ROUTED serving — see [[knnTierServeRouted]]: the
+    // oracle replays all three 8-probe chains gated by the same
+    // integer decision, so the hash holds at every SF regardless of
+    // which tier wins.
+    "q_knn_tier_policy_served" -> ((s, dir) =>
+      knnTierServeRouted(s, dir, 8, 5).orderBy("probe_id", "rk")),
   )
 
   /** GENERIC audit-driven serving policy (shared by the embedding and
@@ -1295,6 +1302,36 @@ object Similarity {
     * cost — the artifact-row accounting rule. */
   def warmKnnTierPolicy(s: SparkSession, dir: String): Unit = {
     knnTierRows(s, dir).count(); ()
+  }
+
+  /** The storage tier the audit selected — the serving switch reads
+    * the cached decision (one 3-row frame, no chain re-run). */
+  def knnSelectedTier(s: SparkSession, dir: String): String =
+    tierDecision(knnTierRows(s, dir))
+      .filter(col("selected")).collect().head.getString(0)
+
+  /** TIER-POLICY-ROUTED serving — the policy_served pattern one level
+    * up: the standard 8-probe/top-5 query answered by whichever
+    * STORAGE tier the recall-at-cost audit selected, score column
+    * unified so callers are tier-agnostic (exact dot for the flat
+    * tier, ADC approximation for the code tiers — the score SEMANTICS
+    * follow the tier, which is the point of the policy). */
+  def knnTierServeRouted(s: SparkSession, dir: String,
+                         nProbes: Int, k: Int): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
+    val served = knnSelectedTier(s, dir) match {
+      case "pq" =>
+        pqTopK(e, derivePqCodes(n), nProbes, k)
+          .withColumnRenamed("adot", "score")
+      case "ivfpq_res" =>
+        ivfPqResidualTopK(e, kk, derivePqCodes(n), nProbes, k)
+          .withColumnRenamed("adot", "score")
+      case _ =>
+        ivfTopK(s, dir, kk, nProbes, k).withColumnRenamed("dot", "score")
+    }
+    served.select(col("probe_id"), col("cand_id"), col("score"), col("rk"))
   }
 
   /** Per-probe recall@k of `approx` against `truth` (both (probe_id,
@@ -1932,6 +1969,121 @@ object Similarity {
                AS recall,
              bytes_per_vec = (SELECT sel_bytes FROM sel) AS selected
       FROM hits ORDER BY bytes_per_vec""",
+
+    // The decision chains (64-probe, as above) PLUS all three 8-probe
+    // serving chains, the winner's arm selected by the same integer
+    // comparison — one hash pins decision AND routed serving at any
+    // SF.
+    "q_knn_tier_policy_served" -> s"""
+      WITH ${pqCtes(64, "_pq")},
+      ${ivfPqResCtes(64, "_rq")},
+      ${pqCtes(8, "_pq8")},
+      ${ivfPqResCtes(8, "_rq8")},
+      fassigned AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT q.vec_id, q.v, c.vec_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS arn
+          FROM q_rq q JOIN q_rq c
+            ON c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                           FROM embeddings))
+        WHERE arn = 1),
+      fpcells AS (
+        SELECT vec_id AS probe_id, cell FROM (
+          SELECT q.vec_id, c.vec_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS arn
+          FROM q_rq q JOIN q_rq c
+            ON q.vec_id < 64
+           AND c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                           FROM embeddings))
+        WHERE arn <= $IvfNprobe),
+      apx_flat AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT pc.probe_id, c.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY pc.probe_id
+                   ORDER BY CAST(list_dot_product(p.v, c.v) AS BIGINT) DESC,
+                            c.vec_id) AS rk
+          FROM fpcells pc JOIN q_rq p ON p.vec_id = pc.probe_id
+               JOIN fassigned c ON c.cell = pc.cell
+          WHERE c.vec_id <> pc.probe_id)
+        WHERE rk <= 5),
+      apx_pq AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT probe_id, cand_id,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY adot DESC, cand_id) AS rk
+          FROM scored_pq)
+        WHERE rk <= 5),
+      apx_rq AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT probe_id, cand_id,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY adot DESC, cand_id) AS rk
+          FROM scored_rq)
+        WHERE rk <= 5),
+      truth AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY CAST(list_dot_product(p.v, c.v) AS BIGINT) DESC,
+                            c.vec_id) AS rk
+          FROM q_rq p JOIN q_rq c ON p.vec_id < 64 AND p.vec_id != c.vec_id)
+        WHERE rk <= 5),
+      hits AS (
+        SELECT CAST(512 AS BIGINT) AS bytes_per_vec,
+               (SELECT count(*) FROM truth b JOIN apx_flat a
+                  ON b.probe_id = a.probe_id AND b.cand_id = a.cand_id) AS n_hit
+        UNION ALL
+        SELECT CAST(8 AS BIGINT),
+               (SELECT count(*) FROM truth b JOIN apx_pq a
+                  ON b.probe_id = a.probe_id AND b.cand_id = a.cand_id)
+        UNION ALL
+        SELECT CAST(12 AS BIGINT),
+               (SELECT count(*) FROM truth b JOIN apx_rq a
+                  ON b.probe_id = a.probe_id AND b.cand_id = a.cand_id)),
+      sel AS (
+        SELECT min(bytes_per_vec) AS sel_bytes FROM hits
+        WHERE 5 * n_hit >= 4 * (SELECT max(n_hit) FROM hits)),
+      fpcells8 AS (
+        SELECT vec_id AS probe_id, cell FROM (
+          SELECT q.vec_id, c.vec_id AS cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS arn
+          FROM q_rq q JOIN q_rq c
+            ON q.vec_id < 8
+           AND c.vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                           FROM embeddings))
+        WHERE arn <= $IvfNprobe),
+      flat8 AS (
+        SELECT probe_id, cand_id, dot,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY dot DESC, cand_id) AS rk
+        FROM (SELECT pc.probe_id, c.vec_id AS cand_id,
+                     CAST(list_dot_product(p.v, c.v) AS BIGINT) AS dot
+              FROM fpcells8 pc JOIN q_rq p ON p.vec_id = pc.probe_id
+                   JOIN fassigned c ON c.cell = pc.cell
+              WHERE c.vec_id <> pc.probe_id)),
+      pq8 AS (
+        SELECT probe_id, cand_id, adot,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY adot DESC, cand_id) AS rk
+        FROM scored_pq8),
+      rq8 AS (
+        SELECT probe_id, cand_id, adot,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY adot DESC, cand_id) AS rk
+        FROM scored_rq8)
+      SELECT probe_id, cand_id, score, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT probe_id, cand_id, dot AS score, rk FROM flat8
+        WHERE rk <= 5 AND (SELECT sel_bytes FROM sel) = 512
+        UNION ALL
+        SELECT probe_id, cand_id, adot AS score, rk FROM pq8
+        WHERE rk <= 5 AND (SELECT sel_bytes FROM sel) = 8
+        UNION ALL
+        SELECT probe_id, cand_id, adot AS score, rk FROM rq8
+        WHERE rk <= 5 AND (SELECT sel_bytes FROM sel) = 12)
+      ORDER BY probe_id, rk""",
 
     "q_knn_ivfpq" -> ivfPqOracleSql,
 

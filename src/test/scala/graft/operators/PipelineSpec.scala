@@ -2318,4 +2318,27 @@ class PipelineSpec extends SparkSpec {
     val g = Multimodal.wavMetaPlan(garbage).collect().head
     assert(g.getString(1) == "unknown" && g.isNullAt(3))
   }
+
+  test("tier-routed serving equals the audit winner's direct chain row-for-row") {
+    val winner = graft.SparkEntry.queries("q_knn_tier_policy")(spark, sfDir)
+      .filter(col("selected")).collect().head.getString(0)
+    val served = graft.SparkEntry.queries("q_knn_tier_policy_served")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
+    val e = graft.Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+    val direct = (winner match {
+      case "pq" => Similarity.pqTopK(e, Similarity.derivePqCodes(n), 8, 5)
+        .withColumnRenamed("adot", "score")
+      case "ivfpq_res" => Similarity.ivfPqResidualTopK(e, kk,
+        Similarity.derivePqCodes(n), 8, 5).withColumnRenamed("adot", "score")
+      case _ => Similarity.ivfTopK(spark, sfDir, kk, 8, 5)
+        .withColumnRenamed("dot", "score")
+    }).orderBy("probe_id", "rk")
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Long]("score"), r.getAs[Int]("rk"))).toSeq
+    assert(served == direct,
+      s"winner=$winner served=${served.take(3)} direct=${direct.take(3)}")
+  }
 }
