@@ -29,6 +29,7 @@ object SparkEntry {
     operators.Joins.queries ++
     operators.Config.queries ++
     operators.Windows.queries ++
+    operators.Events.queries ++
     operators.SortsSets.queries ++
     operators.Scalars.queries ++
     operators.Udfs.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
     operators.Joins.oracle ++
     operators.Config.oracle ++
     operators.Windows.oracle ++
+    operators.Events.oracle ++
     operators.SortsSets.oracle ++
     operators.Scalars.oracle ++
     operators.Udfs.oracle ++

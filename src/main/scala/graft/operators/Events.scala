@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Product-analytics operators over the event stream — the classic
+  * OLAP pair every analytics engine serves (the reference's status
+  * rollups generalized to user-journey shape): the ordered conversion
+  * FUNNEL and weekly cohort RETENTION.
+  *
+  * Scale posture: both are user-keyed aggregations — per-user state is
+  * bounded by that user's event count, partial-aggregated map-side;
+  * nothing here is a global window or an all-pairs step. The funnel
+  * folds each user's ORDERED event-type sequence (array_sort of
+  * (ts_ns, event_id, type) structs — deterministic total order) into
+  * a reach depth with first-match-position arithmetic; retention is
+  * two user-keyed aggregates and one co-partitioned join.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The funnel definition: strictly-ordered first-match stages. A
+    * user reaches stage k iff an event of step k's type exists AFTER
+    * the matched stage-(k−1) event — the standard ordered-funnel
+    * semantics (re-orderings do not count; repeats are fine). */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "signup", "purchase")
+
+  /** Per-user funnel depth (0..4): each step's match position is
+    * materialized in its OWN projection layer (the SPARK-36718
+    * CollapseProject discipline — array_position over a slice is
+    * non-cheap and multiply-referenced, so naming it guarantees a
+    * single evaluation). */
+  def funnelDepth(events: DataFrame): DataFrame = {
+    val sq = events
+      .groupBy("user_id")
+      .agg(expr(
+        """transform(array_sort(collect_list(struct(ts_ns, event_id, event_type))),
+                     x -> x.event_type)""").as("sq"))
+      .withColumn("p1", expr(s"array_position(sq, '${FunnelSteps.head}')"))
+    val stepped = FunnelSteps.zipWithIndex.drop(1).foldLeft(sq) {
+      case (df, (step, i)) =>
+        val k = i + 1 // this stage's 1-based index (2..4)
+        df.withColumn(s"r$k", expr(
+            s"""CASE WHEN p${k - 1} > 0
+                  THEN array_position(
+                         slice(sq, CAST(p${k - 1} + 1 AS INT), size(sq)),
+                         '$step')
+                  ELSE 0L END"""))
+          .withColumn(s"p$k", expr(
+            s"CASE WHEN p${k - 1} > 0 AND r$k > 0 THEN p${k - 1} + r$k ELSE 0L END"))
+    }
+    stepped.select(col("user_id"), expr(
+      """CASE WHEN p4 > 0 THEN 4 WHEN p3 > 0 THEN 3
+              WHEN p2 > 0 THEN 2 WHEN p1 > 0 THEN 1 ELSE 0 END""").as("depth"))
+  }
+
+  /** The funnel report: per stage, users reached + conversion from
+    * stage 1 in basis points (integer, div-by-zero guarded). */
+  def eventsFunnel(events: DataFrame): DataFrame =
+    funnelDepth(events)
+      .agg(count(when(col("depth") >= 1, 1)).as("s1"),
+        count(when(col("depth") >= 2, 1)).as("s2"),
+        count(when(col("depth") >= 3, 1)).as("s3"),
+        count(when(col("depth") >= 4, 1)).as("s4"))
+      .select(explode(expr(
+        s"""array(named_struct('stage_idx', 1, 'stage', '${FunnelSteps(0)}', 'n_users', s1),
+                  named_struct('stage_idx', 2, 'stage', '${FunnelSteps(1)}', 'n_users', s2),
+                  named_struct('stage_idx', 3, 'stage', '${FunnelSteps(2)}', 'n_users', s3),
+                  named_struct('stage_idx', 4, 'stage', '${FunnelSteps(3)}', 'n_users', s4))"""))
+        .as("r"), col("s1"))
+      .select(expr("r.stage_idx").as("stage_idx"), expr("r.stage").as("stage"),
+        expr("r.n_users").as("n_users"),
+        expr("CASE WHEN s1 = 0 THEN 0L ELSE r.n_users * 10000 div s1 END")
+          .as("conv_bp"))
+      .orderBy("stage_idx")
+
+  /** Nanoseconds per 7-day week — the integer cohort bucket. */
+  val WeekNs = 604800000000000L
+
+  /** Weekly cohort retention: cohort = the user's first active week,
+    * one row per (cohort_week, week_offset) with distinct active
+    * users. Two user-keyed aggregates + one co-partitioned join. */
+  def eventsRetention(events: DataFrame): DataFrame = {
+    val weeks = events
+      .select(col("user_id"), expr(s"ts_ns div ${WeekNs}L").as("week"))
+      .distinct()
+    val firsts = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    weeks.join(firsts, Seq("user_id"))
+      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Ordered conversion funnel — see [[eventsFunnel]].
+    "q_events_funnel" -> ((s, dir) => eventsFunnel(Tables.events(s, dir))),
+
+    // Weekly cohort retention — see [[eventsRetention]].
+    "q_events_retention" -> ((s, dir) =>
+      eventsRetention(Tables.events(s, dir))),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // The same ordered-sequence first-match arithmetic over the
+    // (epoch_ns, event_id)-ordered type list; DuckDB list_position is
+    // NULL on miss where Spark's array_position is 0 — coalesced.
+    "q_events_funnel" -> s"""
+      WITH sq AS (
+        SELECT user_id,
+               list(event_type ORDER BY epoch_ns(ts), event_id) AS sq
+        FROM events GROUP BY user_id),
+      s1t AS (
+        SELECT user_id, sq,
+               coalesce(list_position(sq, '${FunnelSteps(0)}'), 0) AS p1
+        FROM sq),
+      s2t AS (
+        SELECT user_id, sq, p1,
+               CASE WHEN p1 > 0 AND r2 > 0 THEN p1 + r2 ELSE 0 END AS p2
+        FROM (SELECT user_id, sq, p1,
+                     CASE WHEN p1 > 0
+                       THEN coalesce(list_position(sq[p1 + 1 :],
+                                                   '${FunnelSteps(1)}'), 0)
+                       ELSE 0 END AS r2
+              FROM s1t)),
+      s3t AS (
+        SELECT user_id, sq, p1, p2,
+               CASE WHEN p2 > 0 AND r3 > 0 THEN p2 + r3 ELSE 0 END AS p3
+        FROM (SELECT user_id, sq, p1, p2,
+                     CASE WHEN p2 > 0
+                       THEN coalesce(list_position(sq[p2 + 1 :],
+                                                   '${FunnelSteps(2)}'), 0)
+                       ELSE 0 END AS r3
+              FROM s2t)),
+      s4t AS (
+        SELECT user_id, p1, p2, p3,
+               CASE WHEN p3 > 0 AND r4 > 0 THEN p3 + r4 ELSE 0 END AS p4
+        FROM (SELECT user_id, sq, p1, p2, p3,
+                     CASE WHEN p3 > 0
+                       THEN coalesce(list_position(sq[p3 + 1 :],
+                                                   '${FunnelSteps(3)}'), 0)
+                       ELSE 0 END AS r4
+              FROM s3t)),
+      c AS (
+        SELECT count(*) FILTER (p1 > 0) AS s1,
+               count(*) FILTER (p2 > 0) AS s2,
+               count(*) FILTER (p3 > 0) AS s3,
+               count(*) FILTER (p4 > 0) AS s4
+        FROM s4t)
+      SELECT stage_idx, stage, n_users,
+             CAST(CASE WHEN s1 = 0 THEN 0
+                       ELSE n_users * 10000 // s1 END AS BIGINT) AS conv_bp
+      FROM (
+        SELECT CAST(1 AS INTEGER) AS stage_idx, '${FunnelSteps(0)}' AS stage,
+               s1 AS n_users, s1 FROM c
+        UNION ALL SELECT CAST(2 AS INTEGER), '${FunnelSteps(1)}', s2, s1 FROM c
+        UNION ALL SELECT CAST(3 AS INTEGER), '${FunnelSteps(2)}', s3, s1 FROM c
+        UNION ALL SELECT CAST(4 AS INTEGER), '${FunnelSteps(3)}', s4, s1 FROM c)
+      ORDER BY stage_idx""",
+
+    "q_events_retention" -> s"""
+      WITH w AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // ${WeekNs} AS week
+        FROM events),
+      f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+      SELECT cohort_week, week - cohort_week AS week_offset,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM w JOIN f USING (user_id)
+      GROUP BY cohort_week, week_offset
+      ORDER BY cohort_week, week_offset""",
+  )
+}

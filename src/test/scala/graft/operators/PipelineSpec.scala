@@ -2341,4 +2341,37 @@ class PipelineSpec extends SparkSpec {
     assert(served == direct,
       s"winner=$winner served=${served.take(3)} direct=${direct.take(3)}")
   }
+
+  test("events funnel: strictly-ordered stages (out-of-order events do not count); retention offsets exact") {
+    import spark.implicits._
+    def ev(rows: (Long, Long, Long, String)*) =
+      rows.toSeq.toDF("event_id", "user_id", "ts_ns", "event_type")
+    // u1 completes in order; u2's purchase PRECEDES its signup-less
+    // tail (depth 2: view->click only); u3's click precedes its view
+    // (click must not count -> depth 1); u4 never starts.
+    val fx = ev(
+      (1L, 1L, 10L, "view"), (2L, 1L, 20L, "click"),
+      (3L, 1L, 30L, "signup"), (4L, 1L, 40L, "purchase"),
+      (5L, 2L, 10L, "purchase"), (6L, 2L, 20L, "view"), (7L, 2L, 30L, "click"),
+      (8L, 3L, 10L, "click"), (9L, 3L, 20L, "view"),
+      (10L, 4L, 10L, "error"))
+    val depths = Events.funnelDepth(fx)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(depths == Map(1L -> 4, 2L -> 2, 3L -> 1, 4L -> 0), s"$depths")
+    val funnel = Events.eventsFunnel(fx)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3))).toSeq
+    // 3 users reach view; conversions in basis points off stage 1.
+    assert(funnel == Seq((1, 3L, 10000L), (2, 2L, 6666L),
+      (3, 1L, 3333L), (4, 1L, 3333L)), s"$funnel")
+
+    // Retention: u1 first in week 0 (ns domain), active again in
+    // week 2; u2 only week 1.
+    val wk = Events.WeekNs
+    val rx = ev(
+      (1L, 1L, 5L, "view"), (2L, 1L, 2 * wk + 5L, "view"),
+      (3L, 2L, wk + 5L, "click"))
+    val ret = Events.eventsRetention(rx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ret == Seq((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L)), s"$ret")
+  }
 }
