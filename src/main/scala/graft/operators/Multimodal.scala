@@ -232,34 +232,24 @@ object Multimodal {
     * sliced; output is n/400 rows per doc). */
   def audioFeatures(payloads: DataFrame): DataFrame =
     payloads
+      // The data section as raw BYTES — 8-bit PCM samples ARE the
+      // bytes, so there is no string detour at all; the per-window
+      // fold is the native [[graft.functions.PcmWindowStats]] kernel
+      // (one tight byte loop inside WholeStageCodegen — the composed
+      // transform/aggregate form ran interpreted at ~2 s per 5M
+      // samples; the kernel serves the same integers, spec-pinned).
       .select(col("doc_id"),
-        expr(s"CAST(substring(payload, ${WavHeaderBytes + 1}) AS STRING)")
-          .as("pcm"))
-      // split('') → one array element per char: linear in doc length,
-      // where indexed substring(pcm, i, 1) would be quadratic (each
-      // call re-walks the prefix). The oracle keeps the indexed form —
-      // its cost is not on the bench path, and the two enumerations
-      // are equal on the single-byte ASCII corpus (spec-pinned).
-      .select(col("doc_id"), expr(
-        """CASE WHEN length(pcm) = 0 THEN CAST(array() AS ARRAY<INT>)
-                ELSE transform(split(pcm, ''), c -> ascii(c))
-           END""").as("sm"))
-      .select(col("doc_id"), col("sm"), explode(expr(
-        s"sequence(0, CAST(ceil(greatest(size(sm), 1) / $AudioWindow.0) AS INT) - 1)"))
+        expr(s"substring(payload, ${WavHeaderBytes + 1})").as("pcm"))
+      .select(col("doc_id"), col("pcm"), explode(expr(
+        s"sequence(0, CAST(ceil(greatest(length(pcm), 1) / $AudioWindow.0) AS INT) - 1)"))
         .as("win"))
+      .select(col("doc_id"), col("win").cast("int").as("win"),
+        graft.functions.PcmOps.pcmWindowStats(
+          col("pcm"), col("win").cast("bigint"), AudioWindow).as("st"))
       .select(col("doc_id"), col("win"),
-        expr(s"slice(sm, win * $AudioWindow + 1, $AudioWindow)").as("sl"))
-      .withColumn("ssum", expr("aggregate(sl, 0L, (a, x) -> a + x)"))
-      .select(col("doc_id"), col("win"),
-        expr("CAST(size(sl) AS BIGINT)").as("n_samples"),
-        expr("aggregate(sl, 0L, (a, x) -> a + CAST(x - 128 AS BIGINT) * (x - 128))")
-          .as("energy"),
-        expr(s"""CASE WHEN size(sl) < 2 THEN 0L ELSE
-            aggregate(transform(sequence(2, size(sl)), j ->
-              CASE WHEN ((CAST(element_at(sl, j - 1) AS BIGINT) * size(sl) - ssum) >= 0)
-                        != ((CAST(element_at(sl, j) AS BIGINT) * size(sl) - ssum) >= 0)
-                   THEN 1L ELSE 0L END),
-              0L, (a, x) -> a + x) END""").as("zcr"))
+        col("st.n_samples").as("n_samples"),
+        col("st.energy").as("energy"),
+        col("st.zcr").as("zcr"))
 
   /** Unrolled-step bound of the declarative JPEG segment walk in
     * [[metaPlan]]: covers APPn/JFIF/Exif + DQT/DHT preambles of typical
