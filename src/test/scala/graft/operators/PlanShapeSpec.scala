@@ -308,4 +308,20 @@ class PlanShapeSpec extends SparkSpec {
         p.linesIterator.take(40).mkString("\n"))
     }
   }
+
+  test("q_mm_audio_energy: the native PCM kernel is in the plan and nothing falls back") {
+    val df = graft.SparkEntry.queries("q_mm_audio_energy")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(p.toString.contains("pcm_window_stats"),
+      "kernel expression missing from the executed plan:\n" + p.toString.linesIterator.take(30).mkString("\n"))
+    val fallbacks = p.collect {
+      case n => n.expressions.flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+          if !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] => e
+      })
+    }.flatten
+    assert(fallbacks.isEmpty,
+      s"CodegenFallback in the audio plan: ${fallbacks.map(_.getClass.getSimpleName)}")
+  }
 }
