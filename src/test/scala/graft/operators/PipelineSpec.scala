@@ -2374,4 +2374,44 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(ret == Seq((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L)), s"$ret")
   }
+
+  test("line dedup: randomized equivalence against a JVM reference model") {
+    import spark.implicits._
+    // Small line alphabet + many docs => df thresholds actually trip;
+    // fixed seed so the case is reproducible.
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = (0 until 12).map(i => s"line $i of the shared pool")
+    val docs = (1L to 60L).map { id =>
+      val nLines = 1 + rnd.nextInt(5)
+      val text = Seq.fill(nLines)(alphabet(rnd.nextInt(alphabet.size)))
+        .mkString("\n")
+      (id, text)
+    }
+    // JVM reference: df per distinct line over distinct docs, cut >= 3.
+    val df_ = docs.flatMap { case (id, t) => t.split("\n", -1).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.size }
+    val boiler = df_.filter(_._2 >= Dedup.LineDupDf).keySet
+    val expect = docs.map { case (id, t) =>
+      val kept = t.split("\n", -1).filterNot(boiler)
+      id -> (t.split("\n", -1).length.toLong, kept.length.toLong, kept.mkString("\n"))
+    }.toMap
+    val got = Dedup.lineDedup(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got.keySet == expect.keySet)
+    for ((id, e) <- expect) assert(got(id) == e,
+      s"doc $id: got ${got(id)}, expected $e")
+
+    // Probe vs the model with the index frozen on the existing slice.
+    val existing = docs.filter(_._1 % 5 != 0)
+    val batch = docs.filter(_._1 % 5 == 0)
+    val edf = existing.flatMap { case (id, t) => t.split("\n", -1).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.size }
+    val eboiler = edf.filter(_._2 >= Dedup.LineDupDf).keySet
+    val probed = Dedup.lineDedupProbe(batch.toDF("doc_id", "text"),
+        Dedup.lineBoilerplateIndex(existing.toDF("doc_id", "text")))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    for ((id, t) <- batch)
+      assert(probed(id) == t.split("\n", -1).filterNot(eboiler).mkString("\n"),
+        s"probe doc $id diverged from the frozen-index model")
+  }
 }
