@@ -76,6 +76,80 @@ object Events {
           .as("conv_bp"))
       .orderBy("stage_idx")
 
+  /** Conversion window for the windowed funnel: each stage must land
+    * within ONE DAY of the previous matched stage (ns). Tight enough
+    * that the dense driver corpus shows real attrition — the
+    * unwindowed funnel saturates there (every user eventually
+    * completes), which is itself correct but signal-free. */
+  val FunnelWindowNs = 86400000000000L
+
+  /** Windowed funnel depth — first-touch anchored: the match positions
+    * are the SAME first-match-after-previous positions as
+    * [[funnelDepth]] (ts is monotone in sequence position, so the
+    * first candidate after stage k−1 is also the EARLIEST — if it
+    * falls outside the window, every later one does too, making the
+    * greedy match exact, not a heuristic). Stage k converts iff its
+    * matched event lands within `windowNs` of stage k−1's. A later
+    * re-occurrence of stage 1 does NOT re-anchor (single-anchor
+    * semantics, documented; re-anchoring funnels are a different
+    * operator). */
+  def funnelDepthWindowed(events: DataFrame,
+                          windowNs: Long = FunnelWindowNs): DataFrame = {
+    val sq = events
+      .groupBy("user_id")
+      .agg(expr(
+        """array_sort(collect_list(struct(ts_ns, event_id, event_type)))""")
+        .as("ev"))
+      .select(col("user_id"),
+        expr("transform(ev, x -> x.event_type)").as("sq"),
+        expr("transform(ev, x -> x.ts_ns)").as("tq"))
+      .withColumn("p1", expr(s"array_position(sq, '${FunnelSteps.head}')"))
+    val stepped = FunnelSteps.zipWithIndex.drop(1).foldLeft(sq) {
+      case (df, (step, i)) =>
+        val k = i + 1
+        df.withColumn(s"r$k", expr(
+            s"""CASE WHEN p${k - 1} > 0
+                  THEN array_position(
+                         slice(sq, CAST(p${k - 1} + 1 AS INT), size(sq)),
+                         '$step')
+                  ELSE 0L END"""))
+          .withColumn(s"p$k", expr(
+            s"CASE WHEN p${k - 1} > 0 AND r$k > 0 THEN p${k - 1} + r$k ELSE 0L END"))
+    }
+    // wK chains: every stage so far matched AND inside its window.
+    val timed = stepped
+      .withColumn("w1", expr("p1 > 0"))
+      .withColumn("w2", expr(
+        s"w1 AND p2 > 0 AND element_at(tq, CAST(p2 AS INT)) - element_at(tq, CAST(p1 AS INT)) <= ${windowNs}L"))
+      .withColumn("w3", expr(
+        s"w2 AND p3 > 0 AND element_at(tq, CAST(p3 AS INT)) - element_at(tq, CAST(p2 AS INT)) <= ${windowNs}L"))
+      .withColumn("w4", expr(
+        s"w3 AND p4 > 0 AND element_at(tq, CAST(p4 AS INT)) - element_at(tq, CAST(p3 AS INT)) <= ${windowNs}L"))
+    timed.select(col("user_id"), expr(
+      "CASE WHEN w4 THEN 4 WHEN w3 THEN 3 WHEN w2 THEN 2 WHEN w1 THEN 1 ELSE 0 END")
+      .as("depth"))
+  }
+
+  /** The windowed funnel report — same shape as [[eventsFunnel]]. */
+  def eventsFunnelWindowed(events: DataFrame,
+                           windowNs: Long = FunnelWindowNs): DataFrame =
+    funnelDepthWindowed(events, windowNs)
+      .agg(count(when(col("depth") >= 1, 1)).as("s1"),
+        count(when(col("depth") >= 2, 1)).as("s2"),
+        count(when(col("depth") >= 3, 1)).as("s3"),
+        count(when(col("depth") >= 4, 1)).as("s4"))
+      .select(explode(expr(
+        s"""array(named_struct('stage_idx', 1, 'stage', '${FunnelSteps(0)}', 'n_users', s1),
+                  named_struct('stage_idx', 2, 'stage', '${FunnelSteps(1)}', 'n_users', s2),
+                  named_struct('stage_idx', 3, 'stage', '${FunnelSteps(2)}', 'n_users', s3),
+                  named_struct('stage_idx', 4, 'stage', '${FunnelSteps(3)}', 'n_users', s4))"""))
+        .as("r"), col("s1"))
+      .select(expr("r.stage_idx").as("stage_idx"), expr("r.stage").as("stage"),
+        expr("r.n_users").as("n_users"),
+        expr("CASE WHEN s1 = 0 THEN 0L ELSE r.n_users * 10000 div s1 END")
+          .as("conv_bp"))
+      .orderBy("stage_idx")
+
   /** Nanoseconds per 7-day week — the integer cohort bucket. */
   val WeekNs = 604800000000000L
 
@@ -101,6 +175,12 @@ object Events {
     // Weekly cohort retention — see [[eventsRetention]].
     "q_events_retention" -> ((s, dir) =>
       eventsRetention(Tables.events(s, dir))),
+
+    // WINDOWED conversion funnel — see [[eventsFunnelWindowed]]: each
+    // stage within one day of the previous; real attrition where the
+    // unwindowed funnel saturates.
+    "q_events_funnel_windowed" -> ((s, dir) =>
+      eventsFunnelWindowed(Tables.events(s, dir))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -149,6 +229,73 @@ object Events {
                count(*) FILTER (p3 > 0) AS s3,
                count(*) FILTER (p4 > 0) AS s4
         FROM s4t)
+      SELECT stage_idx, stage, n_users,
+             CAST(CASE WHEN s1 = 0 THEN 0
+                       ELSE n_users * 10000 // s1 END AS BIGINT) AS conv_bp
+      FROM (
+        SELECT CAST(1 AS INTEGER) AS stage_idx, '${FunnelSteps(0)}' AS stage,
+               s1 AS n_users, s1 FROM c
+        UNION ALL SELECT CAST(2 AS INTEGER), '${FunnelSteps(1)}', s2, s1 FROM c
+        UNION ALL SELECT CAST(3 AS INTEGER), '${FunnelSteps(2)}', s3, s1 FROM c
+        UNION ALL SELECT CAST(4 AS INTEGER), '${FunnelSteps(3)}', s4, s1 FROM c)
+      ORDER BY stage_idx""",
+
+    // The unwindowed position chain + a parallel ordered ts list; the
+    // window chain compares matched-stage timestamps.
+    "q_events_funnel_windowed" -> s"""
+      WITH sq AS (
+        SELECT user_id,
+               list(event_type ORDER BY epoch_ns(ts), event_id) AS sq,
+               list(epoch_ns(ts) ORDER BY epoch_ns(ts), event_id) AS tq
+        FROM events GROUP BY user_id),
+      s1t AS (
+        SELECT user_id, sq, tq,
+               coalesce(list_position(sq, '${FunnelSteps(0)}'), 0) AS p1
+        FROM sq),
+      s2t AS (
+        SELECT user_id, sq, tq, p1,
+               CASE WHEN p1 > 0 AND r2 > 0 THEN p1 + r2 ELSE 0 END AS p2
+        FROM (SELECT user_id, sq, tq, p1,
+                     CASE WHEN p1 > 0
+                       THEN coalesce(list_position(sq[p1 + 1 :],
+                                                   '${FunnelSteps(1)}'), 0)
+                       ELSE 0 END AS r2
+              FROM s1t)),
+      s3t AS (
+        SELECT user_id, sq, tq, p1, p2,
+               CASE WHEN p2 > 0 AND r3 > 0 THEN p2 + r3 ELSE 0 END AS p3
+        FROM (SELECT user_id, sq, tq, p1, p2,
+                     CASE WHEN p2 > 0
+                       THEN coalesce(list_position(sq[p2 + 1 :],
+                                                   '${FunnelSteps(2)}'), 0)
+                       ELSE 0 END AS r3
+              FROM s2t)),
+      s4t AS (
+        SELECT user_id, tq, p1, p2, p3,
+               CASE WHEN p3 > 0 AND r4 > 0 THEN p3 + r4 ELSE 0 END AS p4
+        FROM (SELECT user_id, sq, tq, p1, p2, p3,
+                     CASE WHEN p3 > 0
+                       THEN coalesce(list_position(sq[p3 + 1 :],
+                                                   '${FunnelSteps(3)}'), 0)
+                       ELSE 0 END AS r4
+              FROM s3t)),
+      wt AS (
+        SELECT user_id, w1, w2, w3,
+               w3 AND p4 > 0 AND tq[p4] - tq[p3] <= ${FunnelWindowNs} AS w4
+        FROM (
+          SELECT user_id, tq, p3, p4, w1, w2,
+                 w2 AND p3 > 0 AND tq[p3] - tq[p2] <= ${FunnelWindowNs} AS w3
+          FROM (
+            SELECT user_id, tq, p2, p3, p4, w1,
+                   w1 AND p2 > 0 AND tq[p2] - tq[p1] <= ${FunnelWindowNs} AS w2
+            FROM (SELECT user_id, tq, p1, p2, p3, p4, p1 > 0 AS w1
+                  FROM s4t)))),
+      c AS (
+        SELECT count(*) FILTER (w1) AS s1,
+               count(*) FILTER (w2) AS s2,
+               count(*) FILTER (w3) AS s3,
+               count(*) FILTER (w4) AS s4
+        FROM wt)
       SELECT stage_idx, stage, n_users,
              CAST(CASE WHEN s1 = 0 THEN 0
                        ELSE n_users * 10000 // s1 END AS BIGINT) AS conv_bp

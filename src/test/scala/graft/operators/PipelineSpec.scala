@@ -2414,4 +2414,28 @@ class PipelineSpec extends SparkSpec {
       assert(probed(id) == t.split("\n", -1).filterNot(eboiler).mkString("\n"),
         s"probe doc $id diverged from the frozen-index model")
   }
+
+  test("windowed funnel: exact window boundary, no re-anchoring, greedy match is exact") {
+    import spark.implicits._
+    val W = Events.FunnelWindowNs
+    def ev(rows: (Long, Long, Long, String)*) =
+      rows.toSeq.toDF("event_id", "user_id", "ts_ns", "event_type")
+    val fx = ev(
+      // u1: click lands EXACTLY at the window edge -> counts (<=).
+      (1L, 1L, 0L, "view"), (2L, 1L, W, "click"),
+      // u2: one ns past the edge -> depth 1.
+      (3L, 2L, 0L, "view"), (4L, 2L, W + 1L, "click"),
+      // u3: first click after view is outside the window; a LATER
+      // click exists inside no window (ts monotone) -> depth 1; and
+      // the second view must NOT re-anchor the funnel.
+      (5L, 3L, 0L, "view"), (6L, 3L, W + 5L, "click"),
+      (7L, 3L, W + 6L, "view"), (8L, 3L, W + 7L, "click"),
+      // u4: full chain, each hop inside its own window even though
+      // the TOTAL exceeds one window (per-stage semantics).
+      (9L, 4L, 0L, "view"), (10L, 4L, W - 1L, "click"),
+      (11L, 4L, 2 * W - 2L, "signup"), (12L, 4L, 3 * W - 3L, "purchase"))
+    val d = Events.funnelDepthWindowed(fx)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(1L -> 2, 2L -> 1, 3L -> 1, 4L -> 4), s"$d")
+  }
 }
