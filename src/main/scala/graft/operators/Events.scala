@@ -168,6 +168,107 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Session gap for [[eventsSessions]]: 6 hours in ns. The driver
+    * corpus averages one event per ~10.8 h per user, so a web-analytics
+    * 30-minute gap would make nearly every session a singleton; 6 h
+    * keeps ~40% of gaps intra-session — a distribution with signal.
+    * Boundary semantics: a gap of EXACTLY the threshold stays in the
+    * same session (new session iff gap > threshold; spec-pinned). */
+  val SessionGapNs = 21600000000000L
+
+  /** Session-size cap for the report bucket: sessions with more than
+    * this many events fold into the top bucket (`least(n, cap)`). */
+  val SessionBucketCap = 8
+
+  /** Event-type TRANSITION MATRIX — the path-analysis staple: for each
+    * consecutive event pair within a user's (ts_ns, event_id)-ordered
+    * stream, count (prev_type → event_type) and the share of each
+    * destination among its source's outgoing transitions, in integer
+    * basis points.
+    *
+    * Scale shape: ONE user-keyed window shuffle (lag); the pair
+    * aggregation partial-aggregates map-side into at most |types|²
+    * groups, and the per-source totals frame is |types| rows —
+    * broadcast back onto the counts. Nothing global touches raw
+    * events after the lag. */
+  def eventsPaths(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val pairs = events
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("prev_type").agg(sum(col("n")).as("tot"))
+    pairs.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("event_type"), col("n"),
+        expr("n * 10000 div tot").as("share_bp"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  /** Gap-based SESSIONIZATION + the session-size report: a new session
+    * starts when the user's inter-event gap EXCEEDS [[SessionGapNs]];
+    * per (user, session) the event count and ns duration, reported as
+    * a size-bucketed distribution (bucket = `least(n_events, cap)`)
+    * with session counts, total events, and total duration.
+    *
+    * Scale shape: one user-keyed window shuffle carries BOTH the lag
+    * and the running session counter; the (user_id, session) aggregate
+    * needs no second exchange — HashPartitioning(user_id) already
+    * satisfies the clustered distribution on the superset key
+    * (plan-pinned in PlanShapeSpec). The final bucket aggregate is
+    * ≤ cap rows. */
+  def eventsSessions(events: DataFrame,
+                     gapNs: Long = SessionGapNs,
+                     cap: Int = SessionBucketCap): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns", "event_id")
+    events
+      .select(col("user_id"), col("ts_ns"), col("event_id"))
+      .withColumn("gap", col("ts_ns") - lag(col("ts_ns"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("gap").isNull || col("gap") > gapNs, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(w))
+      .groupBy("user_id", "sess")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_ns")) - min(col("ts_ns"))).as("dur_ns"))
+      .groupBy(least(col("n_events"), lit(cap.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events_total"),
+        sum(col("dur_ns")).as("dur_ns_total"))
+      .orderBy("bucket")
+  }
+
+  /** Nanoseconds per day — the integer activity bucket. */
+  val DayNs = 86400000000000L
+
+  /** DAILY + ROLLING-7-DAY ACTIVE USERS (DAU/WAU): per observed epoch
+    * day, distinct active users that day and distinct users active in
+    * the trailing 7-day window ending that day.
+    *
+    * Scale shape: the rolling count is NOT a window or a range join —
+    * each distinct (user, day) row explodes to the ≤7 future days it
+    * covers (`sequence(day, day+6)`), then one distinct + count per
+    * day: pure equi-aggregation with a fixed ×7 fan-out, which is the
+    * shape that survives a 1000-executor corpus (a per-day range join
+    * would rescan actives per day; a global window would single-task).
+    * Phantom days past the observed range drop on the inner join with
+    * the DAU frame. */
+  def eventsActiveUsers(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), expr(s"ts_ns div ${DayNs}L").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau7"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau7"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
     // Ordered conversion funnel — see [[eventsFunnel]].
     "q_events_funnel" -> ((s, dir) => eventsFunnel(Tables.events(s, dir))),
@@ -181,6 +282,17 @@ object Events {
     // unwindowed funnel saturates.
     "q_events_funnel_windowed" -> ((s, dir) =>
       eventsFunnelWindowed(Tables.events(s, dir))),
+
+    // Event-type transition matrix — see [[eventsPaths]].
+    "q_events_paths" -> ((s, dir) => eventsPaths(Tables.events(s, dir))),
+
+    // Gap sessionization + size distribution — see [[eventsSessions]].
+    "q_events_sessions" -> ((s, dir) =>
+      eventsSessions(Tables.events(s, dir))),
+
+    // DAU + rolling 7-day actives — see [[eventsActiveUsers]].
+    "q_events_active" -> ((s, dir) =>
+      eventsActiveUsers(Tables.events(s, dir))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -317,5 +429,66 @@ object Events {
       FROM w JOIN f USING (user_id)
       GROUP BY cohort_week, week_offset
       ORDER BY cohort_week, week_offset""",
+
+    // The same user-keyed lag + pair counts; per-source shares by the
+    // identical integer basis-point division.
+    "q_events_paths" -> """
+      WITH lagged AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_ns(ts), event_id)
+                 AS prev_type
+        FROM events),
+      pairs AS (
+        SELECT prev_type, event_type, count(*) AS n
+        FROM lagged WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type),
+      tot AS (SELECT prev_type, sum(n) AS tot FROM pairs GROUP BY prev_type)
+      SELECT prev_type, event_type, CAST(n AS BIGINT) AS n,
+             CAST(n * 10000 // tot AS BIGINT) AS share_bp
+      FROM pairs JOIN tot USING (prev_type)
+      ORDER BY prev_type, event_type""",
+
+    // Identical window arithmetic: running sum of the strict-gap flag
+    // is the session ordinal (ties impossible — event_id is unique, so
+    // the default RANGE frame equals ROWS in both engines).
+    "q_events_sessions" -> s"""
+      WITH g AS (
+        SELECT user_id, epoch_ns(ts) AS ts_ns,
+               epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+                 (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                 AS gap, event_id
+        FROM events),
+      s AS (
+        SELECT user_id, ts_ns,
+               sum(CASE WHEN gap IS NULL OR gap > ${SessionGapNs}
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id
+                       ORDER BY ts_ns, event_id) AS sess
+        FROM g),
+      per AS (
+        SELECT user_id, sess, count(*) AS n_events,
+               max(ts_ns) - min(ts_ns) AS dur_ns
+        FROM s GROUP BY user_id, sess)
+      SELECT least(n_events, ${SessionBucketCap}) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(n_events) AS BIGINT) AS n_events_total,
+             CAST(sum(dur_ns) AS BIGINT) AS dur_ns_total
+      FROM per GROUP BY bucket ORDER BY bucket""",
+
+    // The cover-explode replay: each (user, day) covers days d..d+6;
+    // phantom days past the observed range drop on the DAU inner join.
+    "q_events_active" -> s"""
+      WITH ud AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // ${DayNs} AS day
+        FROM events),
+      dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+      cov AS (
+        SELECT DISTINCT user_id, day + ofs AS day
+        FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS ofs)),
+      wau AS (SELECT day, count(*) AS wau7 FROM cov GROUP BY day)
+      SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau7 AS BIGINT) AS wau7
+      FROM dau JOIN wau USING (day)
+      ORDER BY day""",
   )
 }

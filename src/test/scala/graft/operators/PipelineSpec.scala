@@ -2438,4 +2438,56 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(d == Map(1L -> 2, 2L -> 1, 3L -> 1, 4L -> 4), s"$d")
   }
+
+  test("sessionization: gap boundary inclusive, bucket cap folds, durations exact") {
+    import spark.implicits._
+    val G = Events.SessionGapNs
+    val base = Seq(
+      // u1: gap EXACTLY G stays in-session (new iff gap > G); the
+      // next gap of G+1 opens session 2.
+      (1L, 1L, 0L), (2L, 1L, G), (3L, 1L, 2 * G + 1L),
+      // u2: singleton session.
+      (4L, 2L, 0L))
+    // u3: ten events 1 ns apart — one session folded into the cap bucket.
+    val burst = (0 until 10).map(i => (10L + i, 3L, 100L + i))
+    val fx = (base ++ burst).toDF("event_id", "user_id", "ts_ns")
+    val got = Events.eventsSessions(fx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // bucket 1: u1's session 2 + u2 = 2 sessions, 0 total duration;
+    // bucket 2: u1's session 1, duration exactly G;
+    // bucket 8 (cap): u3's 10-event session, duration 9 ns.
+    assert(got == Set((1L, 2L, 2L, 0L), (2L, 1L, 2L, G), (8L, 1L, 10L, 9L)), s"$got")
+  }
+
+  test("transition matrix: ordered by (ts, event_id), shares in basis points") {
+    import spark.implicits._
+    val fx = Seq(
+      // u1 inserted out of order; ts tie between b and c resolved by
+      // event_id — the stream is a, b, c.
+      (2L, 1L, 10L, "b"), (1L, 1L, 0L, "a"), (3L, 1L, 10L, "c"),
+      // u2: a → b again, plus a → a self-loop.
+      (4L, 2L, 0L, "a"), (5L, 2L, 1L, "b"), (6L, 2L, 2L, "a"), (7L, 2L, 3L, "a"))
+      .toDF("event_id", "user_id", "ts_ns", "event_type")
+    val got = Events.eventsPaths(fx)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      ("a", "b", 2L, 6666L), ("a", "a", 1L, 3333L),
+      ("b", "c", 1L, 5000L), ("b", "a", 1L, 5000L)), s"$got")
+  }
+
+  test("active users: a user active twice inside one window counts once; phantom days drop") {
+    import spark.implicits._
+    val D = Events.DayNs
+    val fx = Seq(
+      (1L, 1L, 0L), (2L, 1L, 3L * D + 5L), // u1 active day 0 and day 3
+      (3L, 2L, 3L * D))                     // u2 active day 3
+      .toDF("event_id", "user_id", "ts_ns")
+    val got = Events.eventsActiveUsers(fx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // Day 3's trailing window sees u1 twice (day 0 and day 3) — once.
+    // Days 1,2,4..9 are covered by windows but never observed: absent.
+    assert(got == List((0L, 1L, 1L), (3L, 2L, 2L)), s"$got")
+  }
 }

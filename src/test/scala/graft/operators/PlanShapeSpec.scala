@@ -324,4 +324,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(fallbacks.isEmpty,
       s"CodegenFallback in the audio plan: ${fallbacks.map(_.getClass.getSimpleName)}")
   }
+
+  test("q_events_sessions: one user-keyed exchange carries window AND session aggregate") {
+    // The (user_id, sess) aggregate must ride the window's
+    // hashpartitioning(user_id) — HashPartitioning on a subset of the
+    // grouping keys satisfies the clustered distribution, so a second
+    // user-keyed shuffle would be a regression.
+    val p = plan("q_events_sessions")
+    val userExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(userExchanges == 1, s"$userExchanges user-keyed exchanges:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
 }
