@@ -987,8 +987,89 @@ object Similarity {
       .orderBy("probe_id", "rk")
   }
 
+  /** kNN CLASSIFICATION — the retrieval index put to its standard
+    * downstream use: each probe's label predicted by MAJORITY VOTE
+    * over its exact top-k neighbors (ties: most votes, then lowest
+    * label — a total order, so the oracle replays the winner
+    * bit-for-bit), reported against the probe's true label.
+    *
+    * Scale shape: the top-k frame is probes×k rows and BROADCASTS
+    * against the corpus label projection (corpus never shuffles to be
+    * voted on); votes and winners are probe-sized frames. */
+  def knnClassify(s: SparkSession, dir: String, nProbes: Int,
+                  k: Int): DataFrame =
+    knnClassifyFrom(Tables.embeddings(s, dir), nProbes, k)
+
+  /** [[knnClassify]] over an explicit (vec_id, embedding, label) frame
+    * — the injectable form PipelineSpec drives with planted votes. */
+  def knnClassifyFrom(e: DataFrame, nProbes: Int, k: Int): DataFrame = {
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), expr(quant).as("v_p"))
+    val cands = e.select(col("vec_id").as("cand_id"), expr(quant).as("v_c"))
+    val scored = broadcast(probes).join(cands, col("probe_id") =!= col("cand_id"))
+      .withColumn("dot", dotAB)
+      .select("probe_id", "cand_id", "dot")
+    val top = graft.functions.TopK
+      .perKey(scored, "probe_id", "dot", "cand_id", k)
+      .select("probe_id", "cand_id")
+    val votes = e.select(col("vec_id").as("cand_id"), col("label"))
+      .join(broadcast(top), Seq("cand_id"))
+      .groupBy("probe_id", "label").agg(count(lit(1)).as("votes"))
+    val rule = struct(col("votes"), (-col("label")).as("neg"))
+    val winner = votes.groupBy("probe_id").agg(
+      max_by(col("label"), rule).as("pred_label"),
+      max_by(col("votes"), rule).as("votes"))
+    val truth = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("label").as("true_label"))
+    winner.join(broadcast(truth), Seq("probe_id"))
+      .select(col("probe_id"), col("pred_label"), col("votes"),
+        col("true_label"),
+        (col("pred_label") === col("true_label")).cast("int").as("correct"))
+      .orderBy("probe_id")
+  }
+
+  /** CLASS CENTROIDS + their pairwise similarity — the embedding-space
+    * audit a curation pipeline reads before trusting labels: per
+    * label, the integer centroid of its quantized vectors (mean scaled
+    * ×1000, exact `div` — DuckDB `//` truncates toward zero exactly
+    * like Spark's `div`, negatives included), then the dot product of
+    * every label pair's centroids. High off-diagonal dots flag
+    * confusable classes.
+    *
+    * Scale shape: ONE (label, pos) partial aggregate over the exploded
+    * corpus (≤ labels×dim groups — tiny); the pair join is
+    * labels²-sized and broadcast. The corpus is touched exactly once.
+    * Centroid elements ≤ 10^6, so a pair dot is ≤ dim·10^12 —
+    * overflow-free in BIGINT at any corpus size (the ÷count
+    * normalization is what makes the arithmetic scale-stable; raw
+    * sum-vector dots would overflow at ~10^3 vectors per label). */
+  def classCentroids(e: DataFrame): DataFrame = {
+    val sums = e
+      .select(col("label"), posexplode(expr(quant)).as(Seq("pos", "qv")))
+      .groupBy("label", "pos")
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("cnt"))
+      .select(col("label"), col("pos"),
+        expr("s * 1000 div cnt").as("c"))
+    val cents = sums.groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+        .as("cent"))
+    val a = cents.select(col("label").as("label_a"), col("cent").as("v_p"))
+    val b = cents.select(col("label").as("label_b"), col("cent").as("v_c"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), dotAB.as("dot"))
+      .orderBy("label_a", "label_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_knn_topk" -> ((s, dir) => brute(s, dir, 8, 5)),
+
+    // Majority-vote classification over the exact top-k — see
+    // [[knnClassify]].
+    "q_knn_classify" -> ((s, dir) => knnClassify(s, dir, 8, 5)),
+
+    // Label-centroid similarity audit — see [[classCentroids]].
+    "q_emb_class_centroids" -> ((s, dir) =>
+      classCentroids(Tables.embeddings(s, dir))),
 
     // Filtered search — see [[bruteFiltered]]: exact top-k within the
     // probe's own label class, the metadata-constrained query every
@@ -2112,6 +2193,60 @@ object Similarity {
                                        ORDER BY dot DESC, cand_id) AS INTEGER) AS rk
         FROM scored)
       WHERE rk <= 5 ORDER BY probe_id, rk""",
+
+    // The exact top-k replayed, then the identical majority-vote total
+    // order (votes desc, label asc) via row_number.
+    "q_knn_classify" -> """
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      scored AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               CAST(list_dot_product(p.v, c.v) AS BIGINT) AS dot
+        FROM q p JOIN q c ON p.vec_id < 8 AND p.vec_id != c.vec_id),
+      topk AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT probe_id, cand_id,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY dot DESC, cand_id) AS rk
+          FROM scored)
+        WHERE rk <= 5),
+      votes AS (
+        SELECT t.probe_id, e.label, count(*) AS votes
+        FROM topk t JOIN embeddings e ON e.vec_id = t.cand_id
+        GROUP BY t.probe_id, e.label),
+      win AS (
+        SELECT probe_id, label AS pred_label, votes,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY votes DESC, label) AS r
+        FROM votes)
+      SELECT w.probe_id, w.pred_label, CAST(w.votes AS BIGINT) AS votes,
+             e.label AS true_label,
+             CAST(CASE WHEN w.pred_label = e.label THEN 1 ELSE 0 END
+                  AS INTEGER) AS correct
+      FROM win w JOIN embeddings e ON e.vec_id = w.probe_id
+      WHERE w.r = 1 ORDER BY probe_id""",
+
+    // Per-(label, position) sums → ×1000 truncating integer division
+    // (// == div, negatives included) → pairwise centroid dots.
+    "q_emb_class_centroids" -> """
+      WITH q AS (
+        SELECT label,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      ex AS (
+        SELECT label, CAST(i AS INTEGER) - 1 AS pos, v[i] AS qv
+        FROM q, unnest(range(1, len(v) + 1)) u(i)),
+      sums AS (
+        SELECT label, pos, sum(qv) * 1000 // count(*) AS c
+        FROM ex GROUP BY label, pos),
+      cents AS (
+        SELECT label, list(c ORDER BY pos) AS cent FROM sums GROUP BY label)
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(list_dot_product(a.cent, b.cent) AS BIGINT) AS dot
+      FROM cents a JOIN cents b ON a.label < b.label
+      ORDER BY label_a, label_b""",
 
     // The brute twin restricted to same-label candidates — exact
     // filtered-search semantics.

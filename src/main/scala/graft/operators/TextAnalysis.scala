@@ -160,6 +160,38 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 4))
   }
 
+  /** Plant ids for the TTR witnesses (unioned at the KEY boundary —
+    * the [[lmScoreBigram]] purity rule: operators stay pure over
+    * their input). */
+  val TtrPlantBase = 9300001L
+
+  /** LEXICAL DIVERSITY audit — type-token ratio + hapax legomena: per
+    * doc, total tokens, distinct types, types occurring exactly once,
+    * and the TTR / hapax shares in integer basis points. The standard
+    * corpus-quality signal pair: low TTR flags templated/repetitive
+    * docs (the continuous cousin of `q_text_repetition`'s verdict),
+    * high hapax share flags noisy token soup (OCR garbage, code
+    * minification) that inflates vocabulary.
+    *
+    * Scale shape: two-level aggregation — (doc, token) counts
+    * partial-aggregate map-side before the shuffle, then per-doc
+    * reduction over count rows (8-byte rows, never token text beyond
+    * level 1). No per-doc token arrays materialize, so a 100 MB
+    * document costs its partition only streaming token rows. Docs
+    * with zero non-empty tokens drop (no token rows reach level 1) —
+    * same in both engines by construction. */
+  def typeTokenRatio(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 10000 div n_tokens").as("ttr_bp"),
+        expr("n_hapax * 10000 div n_types").as("hapax_bp"))
+
   /** The `q_text_search` query set — literal (query_id, text) pairs
     * over the corpus vocabulary, the tiny side of the search. */
   val SearchQueries: Seq[(Long, String)] = Seq(
@@ -704,6 +736,21 @@ object TextAnalysis {
           expr("(n_chars + 3) div 4").as("est_tokens"))
         .orderBy("doc_id")),
 
+    // Lexical diversity — see [[typeTokenRatio]]. Witness plants union
+    // at the KEY boundary (operator stays pure): an all-repeat doc
+    // (hapax 0), an all-hapax doc (ttr 10000), and a double-space doc
+    // proving the empty-token filter.
+    "q_text_ttr" -> ((s, dir) => {
+      import s.implicits._
+      val plants = Seq(
+        (TtrPlantBase, "dup dup dup dup"),
+        (TtrPlantBase + 1, "one two three"),
+        (TtrPlantBase + 2, "a  b")).toDF("doc_id", "text")
+      typeTokenRatio(
+        Tables.documents(s, dir).select("doc_id", "text").union(plants))
+        .orderBy("doc_id")
+    }),
+
     // Text normalization — the cleaning pass every corpus gets before
     // tokenization: lowercase, strip non-text characters, collapse
     // whitespace runs, trim. Reports the byte delta so the pipeline can
@@ -1141,6 +1188,33 @@ object TextAnalysis {
              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_ish,
              (n_chars + 3) // 4 AS est_tokens
       FROM documents ORDER BY doc_id""",
+
+    // Two-level token aggregation replayed; the same plants injected
+    // via VALUES; empties filtered identically on both sides.
+    "q_text_ttr" -> s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES
+          (${TtrPlantBase}, 'dup dup dup dup'),
+          (${TtrPlantBase + 1}, 'one two three'),
+          (${TtrPlantBase + 2}, 'a  b')) v(doc_id, text)),
+      toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM corpus),
+      tf AS (
+        SELECT doc_id, tok, count(*) AS n FROM toks
+        WHERE tok != '' GROUP BY doc_id, tok),
+      per AS (
+        SELECT doc_id, sum(n) AS n_tokens, count(*) AS n_types,
+               sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_hapax
+        FROM tf GROUP BY doc_id)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(n_types AS BIGINT) AS n_types,
+             CAST(n_hapax AS BIGINT) AS n_hapax,
+             CAST(n_types * 10000 // n_tokens AS BIGINT) AS ttr_bp,
+             CAST(n_hapax * 10000 // n_types AS BIGINT) AS hapax_bp
+      FROM per ORDER BY doc_id""",
 
     "q_text_gopher_rep" -> """
       WITH t AS (

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Events
+
+/** Streaming CONVERSION FUNNEL — the batch funnel pair
+  * (`q_events_funnel` / `q_events_funnel_windowed`, operators/Events.scala)
+  * as keyed incremental state: per user, the greedy first-match depth
+  * advances as events arrive, emitting one row per stage reached. The
+  * greedy machine is EXACT against the batch definition because the
+  * batch match is prefix-incremental: stage k's match is the first
+  * step-k event after stage k−1's, so a state machine consuming the
+  * stream in (ts, event_id) order makes identical decisions — and
+  * under a conversion window, ts monotonicity means a first candidate
+  * failing the window implies every later one does too (the same
+  * argument the batch key documents).
+  *
+  * Ordering contract: events are sorted by (ts_ns, event_id) WITHIN a
+  * micro-batch (the [[Sessions.route]] determinism rule); ACROSS
+  * micro-batches the per-user stream must be ingested in event-time
+  * order (the per-key ordered delivery a user-keyed log partition
+  * gives). StreamingSpec pins stream == batch on both window settings.
+  *
+  * Scale shape: one shuffle on user_id per micro-batch; state is a
+  * fixed 12 bytes per user (depth + last matched ts) — 10⁹ users is
+  * ~12 GB across the fleet's state stores, and completed funnels
+  * (depth 4) could be dropped entirely if retention allows.
+  */
+object FunnelStream {
+
+  case class Ev(userId: Long, tsNs: Long, eventId: Long, eventType: String)
+  /** depth reached so far + ts of the last MATCHED stage (window anchor). */
+  case class FState(depth: Int, lastTsNs: Long)
+  /** Emitted once per stage advance — the funnel's change stream. */
+  case class DepthAdvance(userId: Long, depth: Int, tsNs: Long)
+
+  def advance(windowNs: Long)(userId: Long, evs: Iterator[Ev],
+      state: GroupState[FState]): Iterator[DepthAdvance] = {
+    val steps = Events.FunnelSteps
+    var st = state.getOption.getOrElse(FState(0, 0L))
+    val out = Vector.newBuilder[DepthAdvance]
+    for (e <- evs.toSeq.sortBy(e => (e.tsNs, e.eventId))) {
+      if (st.depth < steps.length && e.eventType == steps(st.depth) &&
+          (st.depth == 0 || e.tsNs - st.lastTsNs <= windowNs)) {
+        st = FState(st.depth + 1, e.tsNs)
+        out += DepthAdvance(userId, st.depth, e.tsNs)
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  /** events (streaming Dataset) → per-stage depth advances.
+    * `windowNs = Long.MaxValue` is the unwindowed funnel;
+    * [[Events.FunnelWindowNs]] matches `q_events_funnel_windowed`. */
+  def funnelDepthStream(events: Dataset[Ev],
+                        windowNs: Long = Long.MaxValue): Dataset[DepthAdvance] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        advance(windowNs))
+  }
+}

@@ -2490,4 +2490,53 @@ class PipelineSpec extends SparkSpec {
     // Days 1,2,4..9 are covered by windows but never observed: absent.
     assert(got == List((0L, 1L, 1L), (3L, 2L, 2L)), s"$got")
   }
+
+  test("type-token ratio: repeats, hapax, empty-token filter, all-space doc drops") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "x x y"),        // 3 tokens, 2 types, 1 hapax (y)
+      (2L, "a  a"),         // double space filtered: 2 tokens, 1 type, 0 hapax
+      (3L, "   "))          // only empties -> no output row
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.typeTokenRatio(fx).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toList
+    assert(got == List(
+      (1L, 3L, 2L, 1L, 6666L, 5000L),
+      (2L, 2L, 1L, 0L, 5000L, 0L)), s"$got")
+  }
+
+  test("knn classify: 2-2-1 vote split resolves to the LOWEST label; correct flag exact") {
+    import spark.implicits._
+    // Probe 0 at [1,0]; five candidates on the same axis so the top-5
+    // IS all of them: labels 2,2 (closest), 1,1, then 3 — a 2-2-1
+    // split where label 1 must win the tie against the closer label 2.
+    val fx = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),
+      (10L, Seq(0.9f, 0.0f), 2), (11L, Seq(0.89f, 0.0f), 2),
+      (12L, Seq(0.8f, 0.0f), 1), (13L, Seq(0.79f, 0.0f), 1),
+      (14L, Seq(0.7f, 0.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassifyFrom(fx, 1, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getInt(4))).toList
+    assert(got == List((0L, 1, 2L, 1, 1)), s"$got")
+  }
+
+  test("class centroids: truncating division on negative sums matches the oracle rule") {
+    import spark.implicits._
+    // label 0 sums to -2 in quantized space over 3 vectors: the float
+    // -0.002f widens to -0.0020000000949 so its quant is floor(-2.0000001)
+    // = -3 (the float→double widening is part of the shared rule), plus
+    // 0 and 1 → sum -2; -2000 div 3 = -666 (truncation toward zero,
+    // NOT floor's -667).
+    val fx = Seq(
+      (0L, Seq(-0.002f), 0), (1L, Seq(0.0005f), 0), (2L, Seq(0.0015f), 0),
+      (3L, Seq(2.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.classCentroids(fx)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toList
+    // centroid(0) = [-666], centroid(1) = [2000*1000 div 1 = 2000000]
+    assert(got == List((0, 1, -666L * 2000000L)), s"$got")
+  }
 }

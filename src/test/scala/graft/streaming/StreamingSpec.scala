@@ -440,4 +440,43 @@ class StreamingSpec extends SparkSpec {
       spark.sparkContext.removeSparkListener(listener)
     }
   }
+
+  test("streaming funnel: incremental depth equals the batch funnel, both window settings") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.FunnelStream.{Ev, DepthAdvance}
+    val W = graft.operators.Events.FunnelWindowNs
+    // u1 completes; u2's click is one ns outside the window (windowed
+    // depth 1, unwindowed 2); u3 never starts; u4 skips a stage.
+    val batch1 = Seq(
+      Ev(1, 0, 1, "view"), Ev(1, 10, 2, "click"),
+      Ev(2, 0, 5, "view"),
+      Ev(3, 0, 7, "click"),
+      Ev(4, 0, 8, "view"))
+    val batch2 = Seq(
+      Ev(1, 20, 3, "signup"), Ev(1, 30, 4, "purchase"),
+      Ev(2, W + 1L, 6, "click"),
+      Ev(4, 40, 9, "purchase"))
+    for ((windowNs, name) <- Seq((Long.MaxValue, "adv_unwin"), (W, "adv_win"))) {
+      val in = MemoryStream[Ev]
+      val q = FunnelStream.funnelDepthStream(in.toDS(), windowNs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(batch1: _*); q.processAllAvailable()
+        in.addData(batch2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(name).as[DepthAdvance].collect()
+        .groupBy(_.userId).map { case (u, as) => u -> as.map(_.depth).max }
+      val all = (batch1 ++ batch2)
+        .map(e => (e.eventId, e.userId, e.tsNs, e.eventType))
+        .toDF("event_id", "user_id", "ts_ns", "event_type")
+      val batchDepth = (if (windowNs == W)
+          graft.operators.Events.funnelDepthWindowed(all)
+        else graft.operators.Events.funnelDepth(all))
+        .collect().map(r => r.getLong(0) -> r.getInt(1))
+        .filter(_._2 > 0).toMap
+      assert(streamed == batchDepth, s"$name: $streamed vs $batchDepth")
+    }
+  }
 }
