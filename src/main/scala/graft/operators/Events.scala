@@ -269,6 +269,95 @@ object Events {
       .orderBy("day")
   }
 
+  /** Trailing-window size (days) and the k of the k·σ rule for
+    * [[eventsAnomaly]]. */
+  val AnomalyWindow = 7
+  val AnomalyK = 3
+
+  /** VOLUME ANOMALY detection over the event stream — the monitoring
+    * query every pipeline runs: per (event_type, day), flag days whose
+    * count deviates more than k·σ from the trailing-window mean. The
+    * k·σ rule is kept in EXACT integer arithmetic by clearing
+    * denominators: with S = Σnᵢ and Q = Σnᵢ² over the w trailing days,
+    *   |n − S/w| > k·σ  ⟺  (w·n − S)² > k²·(w·Q − S²),
+    * so both engines compare the same two BIGINTs — no float variance,
+    * no sqrt. Strict `>`: a day exactly at the bound (and any day of a
+    * zero-variance window equal to its mean) is NOT an anomaly
+    * (spec-pinned). Overflow seam: exact for per-(type,day) counts up
+    * to ~4×10⁸ ((w·n)² must fit in BIGINT) — beyond that, scale counts
+    * (e.g. to thousands) before the rule; documented, not enforced.
+    *
+    * Scale shape: the corpus reduces to a (type, day) count frame in
+    * one partial-aggregated shuffle; the trailing window runs over
+    * that tiny frame, partitioned by type — never over raw events. */
+  def eventsAnomaly(events: DataFrame): DataFrame = {
+    val w = AnomalyWindow
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day").rowsBetween(-w, -1)
+    events
+      .select(expr(s"ts_ns div ${DayNs}L").as("day"), col("event_type"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .withColumn("wn", count(lit(1)).over(frame))
+      .withColumn("s", sum(col("n")).over(frame))
+      .withColumn("q", sum(col("n") * col("n")).over(frame))
+      .filter(col("wn") === w)
+      .select(col("event_type"), col("day"), col("n"),
+        expr(s"($w*n - s)*($w*n - s)").as("dev2"),
+        expr(s"${AnomalyK * AnomalyK}*($w*q - s*s)").as("bound"),
+        expr(s"CAST(($w*n - s)*($w*n - s) > ${AnomalyK * AnomalyK}*($w*q - s*s) AS INT)")
+          .as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Integer fixed-point scale and iteration count for
+    * [[eventsPageRank]]. */
+  val PrScale = 1000000000L
+  val PrIters = 3
+
+  /** PAGERANK over the event-type TRANSITION GRAPH — the iterative
+    * graph computation, demonstrated on the [[eventsPaths]] edge frame
+    * and kept oracle-exact by integer fixed-point arithmetic (rank
+    * scaled by 10⁹; damping 85/100; every division is the truncating
+    * `div` both engines share, applied in a pinned order:
+    * contribution = r·w div out, then 85·Σ div 100). Dangling-mass
+    * redistribution is omitted (standard simplification — every type
+    * in the driver corpus has out-edges; documented).
+    *
+    * Scale shape: the corpus collapses to the |types|² edge frame in
+    * one aggregate pass; all [[PrIters]] iterations run on tiny
+    * broadcast frames. At 100 TB the same plan holds for any
+    * aggregated entity graph whose node set fits a broadcast (types,
+    * domains, labels) — per-node ranks over a billion-node graph are
+    * a different (checkpointed-loop) operator, per the CC family. */
+  def eventsPageRank(events: DataFrame): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val edges = events
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .withColumn("src", lag(col("event_type"), 1).over(win))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("wt"))
+    val outd = edges.groupBy("src").agg(sum(col("wt")).as("out"))
+    val m = edges.join(broadcast(outd), Seq("src"))
+    val nodes = events.select(col("event_type")).distinct()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var r = nodes.crossJoin(broadcast(nn))
+      .select(col("event_type"), expr(s"${PrScale}L div n").as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = m
+        .join(broadcast(r.withColumnRenamed("event_type", "src")), Seq("src"))
+        .select(col("dst").as("event_type"), expr("r * wt div out").as("c"))
+        .groupBy("event_type").agg(sum(col("c")).as("sc"))
+      r = nodes.join(broadcast(contrib), Seq("event_type"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("event_type"),
+          expr(s"(${PrScale}L * 15 div 100) div n + 85 * coalesce(sc, 0L) div 100")
+            .as("r"))
+    }
+    r.select(col("event_type"), col("r").as("rank")).orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     // Ordered conversion funnel — see [[eventsFunnel]].
     "q_events_funnel" -> ((s, dir) => eventsFunnel(Tables.events(s, dir))),
@@ -293,6 +382,15 @@ object Events {
     // DAU + rolling 7-day actives — see [[eventsActiveUsers]].
     "q_events_active" -> ((s, dir) =>
       eventsActiveUsers(Tables.events(s, dir))),
+
+    // Integer k·σ volume anomaly flags — see [[eventsAnomaly]].
+    "q_events_anomaly" -> ((s, dir) =>
+      eventsAnomaly(Tables.events(s, dir))),
+
+    // Fixed-point PageRank over the transition graph — see
+    // [[eventsPageRank]].
+    "q_events_pagerank" -> ((s, dir) =>
+      eventsPageRank(Tables.events(s, dir))),
   )
 
   val oracle: Map[String, String] = Map(
