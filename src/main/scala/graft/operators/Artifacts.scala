@@ -32,8 +32,26 @@ object Artifacts {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
+  /** RE-ENTRANT by design (round-13 verdict item 2): a build that calls
+    * `cached` for a dependency artifact must not deadlock or throw.
+    * `computeIfAbsent` forbids exactly that (nested mutation of the same
+    * map → `IllegalStateException: Recursive update`), so this is
+    * get-then-putIfAbsent instead: a racing duplicate build is possible
+    * but harmless (builds are deterministic and materialized; the loser's
+    * frame is simply dropped), whereas the recursive crash hit real
+    * callers whose FIRST query was a downstream span key. Builders should
+    * still hoist dependency artifacts out of the thunk (the
+    * Similarity/Multimodal convention) so the dependency is warm before
+    * the dependent build starts. */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     cache.keySet.removeIf(_._1.sparkContext.isStopped)
-    cache.computeIfAbsent((s, key), _ => build)
+    val k = (s, key)
+    val hit = cache.get(k)
+    if (hit != null) hit
+    else {
+      val built = build
+      val prior = cache.putIfAbsent(k, built)
+      if (prior != null) prior else built
+    }
   }
 }

@@ -1028,7 +1028,7 @@ object Dedup {
         array_join(filter(split(col("text"), "\n"),
           l => !array_contains(arr, md5(l))), "\n")
       } else {
-        val key = (stream.sparkSession, md5Hex(boilerKeys.sorted.mkString(" ")))
+        val key = (stream.sparkSession, md5Hex(boilerKeys.sorted.mkString("\u0000")))
         val bc = lineGateBroadcasts.computeIfAbsent(key,
           _ => stream.sparkSession.sparkContext.broadcast(boilerKeys.toSet))
         val cut = udf((t: String) =>

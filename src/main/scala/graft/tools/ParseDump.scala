@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Differential-test helper: parse every *.md under a directory with the
   * production TaskListParser and print rows as
-  * `<file><index><group><task>` (unit separator — task
+  * `<file> U+0001 <index> U+0001 <group> U+0001 <task>` (unit separator — task
   * text may contain tabs). `tools/diff_parser.py` runs the reference's
   * actual bash parser on the same files and compares. */
 object ParseDump {
@@ -19,7 +19,7 @@ object ParseDump {
       .collect()
       .map(r => Seq(
         r.getString(0).split("/").last, r.getInt(1).toString,
-        r.getString(2), r.getString(3)).mkString(""))
+        r.getString(2), r.getString(3)).mkString("\u0001"))
       .sorted
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       rows.mkString("\n").getBytes("UTF-8"))

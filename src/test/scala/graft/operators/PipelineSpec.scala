@@ -527,7 +527,7 @@ class PipelineSpec extends SparkSpec {
     // layout never exercises the scan loop, so drive it directly.
     def be16(v: Int) = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
     val app0 = Array(0xFF, 0xE0).map(_.toByte) ++ be16(16) ++
-      "JFIF ".getBytes("US-ASCII") ++ Array.fill[Byte](9)(0)
+      "JFIF\u0000".getBytes("US-ASCII") ++ Array.fill[Byte](9)(0)
     val sof0 = Array(0xFF, 0xC0).map(_.toByte) ++ be16(11) ++
       Array(8.toByte) ++ be16(1080) ++ be16(1920) ++
       Array[Byte](1, 1, 0x11, 0)
@@ -2489,6 +2489,82 @@ class PipelineSpec extends SparkSpec {
     // Day 3's trailing window sees u1 twice (day 0 and day 3) — once.
     // Days 1,2,4..9 are covered by windows but never observed: absent.
     assert(got == List((0L, 1L, 1L), (3L, 2L, 2L)), s"$got")
+  }
+
+  test("artifact cache is re-entrant: a cold session whose FIRST call is q_verbatim_removal") {
+    // Round-13 regression: verbatimOffsetsArtifact built its dependency
+    // INSIDE Artifacts.cached's computeIfAbsent, so a session whose
+    // first span-family request was the offsets consumer died with
+    // IllegalStateException("Recursive update"). The trailing "/." path
+    // variant reads the same parquet but is a DISTINCT artifact key, so
+    // this exercises a genuinely cold cache regardless of which other
+    // suites ran first.
+    val coldDir = sfDir + "/."
+    val out = graft.SparkEntry.queries("q_verbatim_removal")(spark, coldDir)
+    assert(out.count() > 0)
+    // And the raw nesting itself stays legal (get-then-putIfAbsent):
+    import spark.implicits._
+    val nested = Artifacts.cached(spark, "spec-reentrant-outer") {
+      val dep = Artifacts.cached(spark, "spec-reentrant-dep") {
+        Seq(1, 2, 3).toDF("v").localCheckpoint(true)
+      }
+      dep.agg(org.apache.spark.sql.functions.sum("v").as("s"))
+        .localCheckpoint(true)
+    }
+    assert(nested.collect().head.getLong(0) == 6L)
+  }
+
+  test("volume anomaly: strict-> boundary day and zero-variance-window mean are NOT anomalies") {
+    import spark.implicits._
+    val D = Events.DayNs
+    // Per (type, day) counts, emitted as that many one-event rows.
+    def days(tp: String, counts: Seq[Int]) =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(i => (d.toLong * D + i, tp))
+      }
+    // Trailing counts 1..7: S=28, Q=140, variance term 7Q-S²=196, so
+    // bound = 9·196 = 1764 and a day-7 count of 10 lands EXACTLY on the
+    // boundary ((70-28)² = 1764) — strict > says not an anomaly; 11
+    // clears it (49² = 2401). Zero-variance window (all 3s): a day at
+    // the mean has dev2 = 0 = bound (not an anomaly); any deviation
+    // beats bound 0.
+    val fx = (days("anm", Seq(1, 2, 3, 4, 5, 6, 7, 11)) ++
+      days("bnd", Seq(1, 2, 3, 4, 5, 6, 7, 10)) ++
+      days("zva", Seq(3, 3, 3, 3, 3, 3, 3, 4)) ++
+      days("zvm", Seq(3, 3, 3, 3, 3, 3, 3, 3)))
+      .toDF("ts_ns", "event_type")
+    val got = Events.eventsAnomaly(fx).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5))).toList
+    // Days 0-6 have short trailing windows -> filtered; only day 7 rows.
+    assert(got == List(
+      ("anm", 7L, 11L, 2401L, 1764L, 1),
+      ("bnd", 7L, 10L, 1764L, 1764L, 0),
+      ("zva", 7L, 4L, 49L, 0L, 1),
+      ("zvm", 7L, 3L, 0L, 0L, 0)), s"$got")
+  }
+
+  test("pagerank: 3 fixed-point iterations over a 3-node graph, hand-computed ranks exact") {
+    import spark.implicits._
+    // u1: a -> b -> c; u2: a -> c. Edges (a,b,1),(b,c,1),(a,c,1);
+    // out(a)=2, out(b)=1; n=3, r0 = 10⁹ div 3 = 333333333, damped base
+    // = (15·10⁹ div 100) div 3 = 50000000. Hand-rolled iterations
+    // (truncating div at every step):
+    //  it1: r=(50000000, 191666666, 474999999)
+    //  it2: r=(50000000,  71250000, 234166666)
+    //  it3: r=(50000000,  71250000, 131812500)
+    val fx = Seq(
+      (1L, 1L, 10L, "a"), (2L, 1L, 20L, "b"), (3L, 1L, 30L, "c"),
+      (4L, 2L, 10L, "a"), (5L, 2L, 20L, "c"))
+      .toDF("event_id", "user_id", "ts_ns", "event_type")
+    val got = Events.eventsPageRank(fx).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got == List(("a", 50000000L), ("b", 71250000L),
+      ("c", 131812500L)), s"$got")
+    // Mass only ever leaves (truncating div + the documented dangling
+    // simplification — c has no out-edges here): total never exceeds
+    // PrScale.
+    assert(got.map(_._2).sum <= Events.PrScale, s"$got")
   }
 
   test("type-token ratio: repeats, hapax, empty-token filter, all-space doc drops") {

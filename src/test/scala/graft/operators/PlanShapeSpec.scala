@@ -325,6 +325,18 @@ class PlanShapeSpec extends SparkSpec {
       s"CodegenFallback in the audio plan: ${fallbacks.map(_.getClass.getSimpleName)}")
   }
 
+  test("q_events_pagerank: every iteration join is broadcast (graph frames never shuffle-join)") {
+    // The PrIters loop joins the checkpointed edge frame against the
+    // rank frame and re-bases on nodes × nn — all of them ≤ types²
+    // rows. At ANY |types| that fits the documented operator contract
+    // these must stay broadcast; a SortMergeJoin/ShuffledHashJoin here
+    // means an iteration started shuffling the graph per round.
+    val p = plan("q_events_pagerank")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("q_events_sessions: one user-keyed exchange carries window AND session aggregate") {
     // The (user_id, sess) aggregate must ride the window's
     // hashpartitioning(user_id) — HashPartitioning on a subset of the
