@@ -302,6 +302,47 @@ object Dedup {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
 
+  /** DUP-RATE BY SOURCE — the curation view a corpus owner reads first
+    * after a dedup pass: per source, universe docs, duplicate docs (a
+    * duplicate = a cluster member that is NOT its cluster's min-id
+    * representative; singletons and unlabeled docs are their own rep),
+    * and the duplicate share in basis points. One doc_id equi join of
+    * the labeling against the (doc_id, source) projection + a
+    * sources-sized aggregate — at 100 TB both sides shuffle on doc_id
+    * once (the labeling is an artifact read, the projection is
+    * column-pruned), and the report is |sources| rows. */
+  def dedupBySource(labels: DataFrame, universe: DataFrame): DataFrame =
+    universe.select(col("doc_id"), col("source"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("rep") =!= col("doc_id"), 1)).as("n_dup"))
+      .select(col("source"), col("n_docs"), col("n_dup"),
+        expr("n_dup * 10000 div n_docs").as("dup_bp"))
+
+  /** CROSS-SOURCE DUPLICATION MATRIX — who copies from whom: for every
+    * duplicate doc (non-representative cluster member), one count
+    * under (source of the cluster representative, source of the
+    * duplicate). The representative's source arrives by a second
+    * doc_id equi join (rep ids ARE doc ids of the same universe); the
+    * matrix is ≤ |sources|² rows. A diagonal entry is within-source
+    * duplication; off-diagonal mass is the syndication signal a
+    * mix-weighting stage wants. */
+  def dedupCrossSource(labels: DataFrame, universe: DataFrame): DataFrame = {
+    val src = universe.select(col("doc_id"), col("source"))
+    val dups = src
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+      .filter(col("rep") =!= col("doc_id"))
+      .select(col("rep"), col("source").as("dup_source"))
+    dups
+      .join(src.select(col("doc_id").as("rep"),
+        col("source").as("rep_source")), Seq("rep"))
+      .groupBy("rep_source", "dup_source")
+      .agg(count(lit(1)).as("n_dup_docs"))
+  }
+
   def connectedComponents(edges: DataFrame, maxRounds: Int = 64,
                           checkpointDir: Option[String] = None,
                           onRunDir: String => Unit = _ => ()): DataFrame = {
@@ -1099,6 +1140,22 @@ object Dedup {
         Tables.documents(s, dir).filter(col("lang") === "de"))
         .orderBy("cluster_size")),
 
+    // Per-source dup rate over the same labeling + universe — see
+    // [[dedupBySource]]; labels from the SHARED artifact.
+    "q_dedup_by_source" -> ((s, dir) =>
+      dedupBySource(
+        ngramClusterLabels(s, dir),
+        Tables.documents(s, dir).filter(col("lang") === "de"))
+        .orderBy("source")),
+
+    // Cross-source duplication matrix — see [[dedupCrossSource]];
+    // labels from the SHARED artifact.
+    "q_dedup_cross_source" -> ((s, dir) =>
+      dedupCrossSource(
+        ngramClusterLabels(s, dir),
+        Tables.documents(s, dir).filter(col("lang") === "de"))
+        .orderBy("rep_source", "dup_source")),
+
     // INCREMENTAL clustering — the ingest-time form of q_dedup_cluster:
     // edges touching an "arriving" doc slice (doc_id ≡ 0 mod 5, the
     // same slice q_dedup_incremental ingests) merge into the labeling
@@ -1578,6 +1635,58 @@ object Dedup {
       SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
              CAST(cluster_size * count(*) AS BIGINT) AS n_docs
       FROM sizes GROUP BY cluster_size ORDER BY cluster_size""",
+
+    // Same labeling + de universe joined to source; a duplicate is a
+    // non-representative member (// == div on nonnegative operands).
+    "q_dedup_by_source" -> s"""
+      WITH RECURSIVE edges AS ($ngramPairsSql),
+      und AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges),
+      reach(n, m) AS (
+        SELECT a, a FROM und
+        UNION SELECT b, b FROM und
+        UNION
+        SELECT u.a, r.m FROM und u JOIN reach r ON u.b = r.n),
+      labels AS (SELECT n AS doc_id, min(m) AS cluster_rep
+                 FROM reach GROUP BY n),
+      uni AS (SELECT doc_id, source FROM documents WHERE lang = 'de'),
+      lab AS (
+        SELECT u.doc_id, u.source,
+               coalesce(l.cluster_rep, u.doc_id) AS rep
+        FROM uni u LEFT JOIN labels l ON u.doc_id = l.doc_id)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) FILTER (rep <> doc_id) AS BIGINT) AS n_dup,
+             CAST(count(*) FILTER (rep <> doc_id) * 10000 // count(*)
+                  AS BIGINT) AS dup_bp
+      FROM lab GROUP BY source ORDER BY source""",
+
+    // Duplicates keyed by (representative's source, duplicate's
+    // source) — rep ids are doc ids of the same universe, so the rep
+    // source arrives by one more doc_id join.
+    "q_dedup_cross_source" -> s"""
+      WITH RECURSIVE edges AS ($ngramPairsSql),
+      und AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges),
+      reach(n, m) AS (
+        SELECT a, a FROM und
+        UNION SELECT b, b FROM und
+        UNION
+        SELECT u.a, r.m FROM und u JOIN reach r ON u.b = r.n),
+      labels AS (SELECT n AS doc_id, min(m) AS cluster_rep
+                 FROM reach GROUP BY n),
+      uni AS (SELECT doc_id, source FROM documents WHERE lang = 'de'),
+      lab AS (
+        SELECT u.doc_id, u.source,
+               coalesce(l.cluster_rep, u.doc_id) AS rep
+        FROM uni u LEFT JOIN labels l ON u.doc_id = l.doc_id),
+      dups AS (SELECT doc_id, source AS dup_source, rep
+               FROM lab WHERE doc_id <> rep)
+      SELECT r.source AS rep_source, d.dup_source,
+             CAST(count(*) AS BIGINT) AS n_dup_docs
+      FROM dups d JOIN uni r ON d.rep = r.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Full-recompute CC over ALL pairs — deliberately identical to the
     // q_dedup_cluster oracle: the Spark side reaches this labeling

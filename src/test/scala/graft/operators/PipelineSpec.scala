@@ -2567,6 +2567,30 @@ class PipelineSpec extends SparkSpec {
     assert(got.map(_._2).sum <= Events.PrScale, s"$got")
   }
 
+  test("dedup by source / cross-source matrix: singleton, within- and cross-source counts exact") {
+    import spark.implicits._
+    // Cluster {1,2,3} rep 1; {10,11} rep 10; doc 20 unlabeled singleton.
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_rep")
+    val docs = Seq((1L, "web"), (2L, "web"), (3L, "books"),
+      (10L, "books"), (11L, "web"), (20L, "books"))
+      .toDF("doc_id", "source")
+    val by = Dedup.dedupBySource(labels, docs).orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    // books = {3 (dup of 1), 10 (rep), 20 (singleton)} -> 1/3 dup;
+    // web = {1 (rep), 2 (dup of 1), 11 (dup of 10)} -> 2/3 dup.
+    assert(by == List(("books", 3L, 1L, 3333L), ("web", 3L, 2L, 6666L)),
+      s"$by")
+    val cross = Dedup.dedupCrossSource(labels, docs)
+      .orderBy("rep_source", "dup_source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toList
+    // 2(web)->1(web) diagonal; 3(books)->1(web); 11(web)->10(books).
+    assert(cross == List(("books", "web", 1L), ("web", "books", 1L),
+      ("web", "web", 1L)), s"$cross")
+  }
+
   test("type-token ratio: repeats, hapax, empty-token filter, all-space doc drops") {
     import spark.implicits._
     val fx = Seq(
