@@ -479,4 +479,51 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batchDepth, s"$name: $streamed vs $batchDepth")
     }
   }
+
+  test("streaming volume anomaly: closed days equal the batch k-sigma flags; late events ignored") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.AnomalyStream.{Ev, AnomalyFlag}
+    val D = graft.operators.Events.DayNs
+    def evs(tp: String, counts: Seq[Int]): Seq[Ev] =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(i => Ev(tp, d.toLong * D + i))
+      }
+    // "anm": trailing 1..7 then an 11-count day (anomaly), closed by a
+    // day-8 event. The micro-batch split lands mid-stream so the
+    // trailing window must survive state. "zvm": zero-variance window,
+    // at-mean day — closed, NOT an anomaly.
+    val batch1 = evs("anm", Seq(1, 2, 3, 4, 5)) ++ evs("zvm", Seq(3, 3, 3, 3))
+    val batch2 = (evs("anm", Seq(0, 0, 0, 0, 0, 6, 7, 11)) :+ Ev("anm", 8L * D)) ++
+      evs("zvm", Seq(0, 0, 0, 0, 3, 3, 3, 3)) :+ Ev("zvm", 8L * D) :+
+      Ev("anm", 2L * D + 999L) // late event for closed day 2: must be ignored
+    val in = MemoryStream[Ev]
+    val q = AnomalyStream.anomalyFlagStream(in.toDS())
+      .writeStream.format("memory").queryName("anomaly_flags")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("anomaly_flags").as[AnomalyFlag].collect()
+      .map(f => (f.eventType, f.day, f.n, f.dev2, f.bound, f.isAnomaly))
+      .sortBy(t => (t._1, t._2)).toList
+    // Batch twin over the SAME events, minus each type's still-open
+    // newest day (the only row the stream has not yet closed) and
+    // minus the ignored late event.
+    val all = (batch1 ++ batch2)
+      .filterNot(e => e.eventType == "anm" && e.tsNs == 2L * D + 999L)
+      .map(e => (e.tsNs, e.eventType)).toDF("ts_ns", "event_type")
+    val batchRows = graft.operators.Events.eventsAnomaly(all)
+      .withColumn("maxd", max(col("day")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .filter(col("day") < col("maxd"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))
+      .sortBy(t => (t._1, t._2)).toList
+    assert(streamed == batchRows, s"$streamed vs $batchRows")
+    // The anomaly day itself is in the closed set and flagged.
+    assert(streamed.contains(("anm", 7L, 11L, 2401L, 1764L, 1)), s"$streamed")
+    assert(streamed.exists(t => t._1 == "zvm" && t._6 == 0), s"$streamed")
+  }
 }
