@@ -309,6 +309,54 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** Thresholds for [[eventsBots]]: a user is bot-flagged when any
+    * single day carries MORE than [[BotDayCap]] events, or any
+    * inter-event gap is under [[BotMinGapNs]] (60 s). Both chosen off
+    * the driver corpus's upper tail (sf0.01: max day-count 10, p99 6;
+    * min gap ~8 s, p01 ~6.5 min) so both branches fire without
+    * flagging everyone. */
+  val BotDayCap = 7L
+  val BotMinGapNs = 60000000000L
+
+  /** BOT / AUTOMATION DETECTION over the event stream — the abuse
+    * screen every analytics pipeline runs before its human-behavior
+    * metrics (and every crawl corpus runs before training): per user,
+    * total events, distinct active days, the busiest day's count, and
+    * the minimum inter-event gap; flagged when volume
+    * (`max_day_n > BotDayCap`) or cadence (`min_gap_ns < BotMinGapNs`)
+    * is super-human. All-integer (counts and ns gaps), so the verdict
+    * is oracle-exact; single-event users have NULL `min_gap_ns` and
+    * the cadence branch treats NULL as never-fires (coalesce to
+    * Long.Max — spec-pinned along with both rule boundaries).
+    *
+    * Scale shape: ONE user-keyed exchange end-to-end — the lag window
+    * shuffles on user_id, and both downstream aggregates
+    * ((user, day), then (user)) are satisfied by
+    * HashPartitioning(user_id) on a grouping superset/subset, the
+    * [[eventsSessions]] discipline (plan-pinned). Per-user output is
+    * the operator's product (a user classification frame, like per-doc
+    * quality scores) — bounded by |users|, never by |events|. */
+  def eventsBots(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns", "event_id")
+    events
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        expr(s"ts_ns div ${DayNs}L").as("day"))
+      .withColumn("gap", col("ts_ns") - lag(col("ts_ns"), 1).over(w))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("dn"), min(col("gap")).as("mg"))
+      .groupBy("user_id")
+      .agg(sum(col("dn")).as("n_events"),
+        count(lit(1)).as("active_days"),
+        max(col("dn")).as("max_day_n"),
+        min(col("mg")).as("min_gap_ns"))
+      .withColumn("is_bot", expr(
+        s"""CAST(max_day_n > ${BotDayCap}L OR
+                 coalesce(min_gap_ns, ${Long.MaxValue}L) < ${BotMinGapNs}L
+            AS INT)"""))
+      .orderBy("user_id")
+  }
+
   /** Integer fixed-point scale and iteration count for
     * [[eventsPageRank]]. */
   val PrScale = 1000000000L
@@ -400,6 +448,9 @@ object Events {
     // [[eventsPageRank]].
     "q_events_pagerank" -> ((s, dir) =>
       eventsPageRank(Tables.events(s, dir))),
+
+    // Volume/cadence bot screen — see [[eventsBots]].
+    "q_events_bots" -> ((s, dir) => eventsBots(Tables.events(s, dir))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -668,5 +719,28 @@ object Events {
              FROM nodes LEFT JOIN c3 USING (event_type) CROSS JOIN nn)
       SELECT event_type, CAST(r AS BIGINT) AS rank
       FROM r3 ORDER BY event_type""",
+
+    // The same lag window + two-level aggregate; every compared value
+    // is a count or an ns gap (BIGINTs in both engines), and the NULL
+    // cadence branch coalesces to Long.Max in both. CASTs pin DuckDB's
+    // HUGEINT sum back to BIGINT.
+    "q_events_bots" -> s"""
+      WITH g AS (
+        SELECT user_id, epoch_ns(ts) // ${DayNs} AS day,
+               epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+                 (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                 AS gap
+        FROM events),
+      d AS (
+        SELECT user_id, day, count(*) AS dn, min(gap) AS mg
+        FROM g GROUP BY user_id, day)
+      SELECT user_id, CAST(sum(dn) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS active_days,
+             CAST(max(dn) AS BIGINT) AS max_day_n,
+             CAST(min(mg) AS BIGINT) AS min_gap_ns,
+             CAST(max(dn) > ${BotDayCap} OR
+                  coalesce(min(mg), ${Long.MaxValue}) < ${BotMinGapNs}
+                  AS INT) AS is_bot
+      FROM d GROUP BY user_id ORDER BY user_id""",
   )
 }

@@ -2544,6 +2544,36 @@ class PipelineSpec extends SparkSpec {
       ("zvm", 7L, 3L, 0L, 0L, 0)), s"$got")
   }
 
+  test("bot screen: both rule boundaries strict, NULL gap never fires, cross-day gaps counted") {
+    import spark.implicits._
+    val D = Events.DayNs
+    val G = Events.BotMinGapNs // 60 s
+    // u1 volume bot: 8 events one day (> cap 7), gaps EXACTLY 60 s —
+    //    pins the cadence boundary (gap == threshold does NOT fire).
+    // u2 boundary volume: exactly 7 events (== cap, not >), gaps 61 s.
+    // u3 cadence bot: one gap at 60 s − 1 ns (strictly under).
+    // u4 single event: NULL gap — coalesce(Long.Max) never fires.
+    // u5 cross-day cadence bot: 20 ns gap STRADDLING midnight — the
+    //    (user, day) pre-aggregate must not lose a gap whose lag
+    //    reaches into the previous day.
+    val fx = ((0 until 8).map(i => (1L, i.toLong * G)) ++
+      (0 until 7).map(i => (2L, i.toLong * (G + 1000000000L))) ++
+      Seq((3L, 0L), (3L, G - 1), (4L, 0L),
+        (5L, D - 10L), (5L, D + 10L)))
+      .zipWithIndex.map { case ((u, ts), id) => (id.toLong, u, ts) }
+      .toDF("event_id", "user_id", "ts_ns")
+    val got = Events.eventsBots(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getInt(5)))
+      .toList
+    assert(got == List(
+      (1L, 8L, 1L, 8L, Some(G), 1),
+      (2L, 7L, 1L, 7L, Some(G + 1000000000L), 0),
+      (3L, 2L, 1L, 2L, Some(G - 1), 1),
+      (4L, 1L, 1L, 1L, None, 0),
+      (5L, 2L, 2L, 1L, Some(20L), 1)), s"$got")
+  }
+
   test("pagerank: 3 fixed-point iterations over a 3-node graph, hand-computed ranks exact") {
     import spark.implicits._
     // u1: a -> b -> c; u2: a -> c. Edges (a,b,1),(b,c,1),(a,c,1);

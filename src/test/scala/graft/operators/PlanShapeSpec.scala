@@ -348,4 +348,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(userExchanges == 1, s"$userExchanges user-keyed exchanges:\n" +
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
+
+  test("q_events_bots: one user-keyed exchange carries window and BOTH aggregates") {
+    // Same discipline as q_events_sessions, one level deeper: the lag
+    // window's hashpartitioning(user_id) must satisfy the (user, day)
+    // aggregate (superset grouping) AND the final (user) aggregate
+    // (equal grouping) — any second user-keyed shuffle is a regression.
+    val p = plan("q_events_bots")
+    val userExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(userExchanges == 1, s"$userExchanges user-keyed exchanges:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
 }
