@@ -480,6 +480,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming active users: first-activity rows equal the batch distinct (user, day) frame") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ActiveStream.{Ev, UserDay}
+    val D = graft.operators.Events.DayNs
+    // u1 active days 0,1,2 with a SAME-DAY repeat inside batch 1 and a
+    // cross-batch same-day repeat (day 2 closes batch 1, repeats in
+    // batch 2: state must suppress it). u2 skips days (0 then 3). u3
+    // appears only in batch 2.
+    val batch1 = Seq(Ev(1L, 10L), Ev(1L, 20L), Ev(1L, D + 5L),
+      Ev(1L, 2L * D + 1L), Ev(2L, 7L))
+    val batch2 = Seq(Ev(1L, 2L * D + 99L), Ev(2L, 3L * D + 2L), Ev(3L, D + 3L))
+    val in = MemoryStream[Ev]
+    val q = ActiveStream.userDayStream(in.toDS())
+      .writeStream.format("memory").queryName("user_days")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("user_days").as[UserDay].collect()
+      .map(u => (u.userId, u.day)).sorted.toList
+    // EXACTLY the batch ud frame — each pair once, repeats suppressed.
+    assert(streamed == List((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L),
+      (2L, 3L), (3L, 1L)), s"$streamed")
+    // And the batch DAU key over the same events reconciles: counting
+    // the streamed first-activity rows per day IS the dau column.
+    val all = (batch1 ++ batch2).map(e => (e.tsNs, e.userId))
+      .toDF("ts_ns", "user_id")
+    val batchDau = graft.operators.Events.eventsActiveUsers(all)
+      .select("day", "dau").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+    val streamedDau = streamed.groupBy(_._2).view
+      .mapValues(_.size.toLong).toList.map { case (d, n) => (d, n) }.sorted
+    assert(streamedDau == batchDau, s"$streamedDau vs $batchDau")
+  }
+
   test("streaming volume anomaly: closed days equal the batch k-sigma flags; late events ignored") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
