@@ -45,7 +45,16 @@ object Stress10 {
     "q_events_sessions", "q_events_funnel", "q_events_active",
     "q_events_bots")
 
-  def gen(spark: SparkSession, src: String, out: String, n: Int): Unit = {
+  /** `neardup`: copies stay ~99% similar to their original — the
+    * dup-heavy stress (pair graphs densify quadratically with copy
+    * count, which is the OUTPUT growing, not the plan failing).
+    * `spread`: copies are made dissimilar — a per-copy tag token
+    * interleaved every 8 words (kills ~half the 5-shingles → below
+    * near-dup thresholds) and embeddings component-rotated by the copy
+    * index (rotations of random vectors are near-orthogonal) — so only
+    * VOLUME scales and ratios isolate plan shape. */
+  def gen(spark: SparkSession, src: String, out: String, n: Int,
+          mode: String): Unit = {
     def rep(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until n).map(c => shift(df, c)).reduce(_ unionByName _)
 
@@ -57,18 +66,28 @@ object Stress10 {
 
     val docs = Tables.documents(spark, src)
     rep(docs) { (df, c) =>
-      val tagged = if (c == 0) df
-        // A distinct per-copy tail token: copies are ~99% near-dups of
-        // their original (the dup-heavy stress) but not EXACT dups, so
-        // the exact-dedup survivor rate keeps sf0.1's structure.
-        else df.withColumn("text", concat(col("text"), lit(s" xcopy$c")))
-          .withColumn("n_chars", col("n_chars") + lit(7 + (if (c > 9) 1 else 0)))
+      val tagged =
+        if (c == 0) df
+        else if (mode == "spread")
+          df.withColumn("text", expr(
+              s"""array_join(flatten(transform(
+                    sequence(0, (size(split(text, ' ')) - 1) div 8),
+                    i -> concat(slice(split(text, ' '), i * 8 + 1, 8),
+                                array('xc$c')))), ' ')"""))
+            .withColumn("n_chars", length(col("text")))
+        else
+          df.withColumn("text", concat(col("text"), lit(s" xcopy$c")))
+            .withColumn("n_chars", col("n_chars") + lit(7 + (if (c > 9) 1 else 0)))
       tagged.withColumn("doc_id", col("doc_id") + lit(c * IdOff))
     }.write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = Tables.embeddings(spark, src)
     rep(emb) { (df, c) =>
-      df.withColumn("vec_id", col("vec_id") + lit(c * IdOff))
+      val rot =
+        if (c == 0 || mode != "spread") df
+        else df.withColumn("embedding", expr(
+          s"concat(slice(embedding, ${c + 1}, size(embedding) - $c), slice(embedding, 1, $c))"))
+      rot.withColumn("vec_id", col("vec_id") + lit(c * IdOff))
     }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
@@ -76,30 +95,31 @@ object Stress10 {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/sfx10")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
-    val keys = if (args.length > 3) args.drop(3).toSeq else DefaultKeys
+    val mode = args.lift(3).getOrElse("neardup")
+    val keys = if (args.length > 4) args.drop(4).toSeq else DefaultKeys
     val spark = Prof.session()
     if (!new java.io.File(s"$out/documents.parquet").exists()) {
       val t0 = System.nanoTime()
-      gen(spark, src, out, copies)
-      println(f"[stress] generated x$copies replica in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      gen(spark, src, out, copies, mode)
+      println(f"[stress] generated x$copies $mode replica in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     // Footer/listing warm on both dirs so first-touch isn't billed.
     for (d <- Seq(src, out); t <- Seq("events", "documents", "embeddings"))
       spark.read.parquet(s"$d/$t.parquet").count()
 
-    def runKey(k: String, dir: String): (Double, Long) = {
+    def runKey(k: String, dir: String): (Double, Long, Long) = {
       val t0 = System.nanoTime()
       val cdf = graft.SparkEntry.queries(k)(spark, dir).agg(count(lit(1)))
-      cdf.collect()
-      ((System.nanoTime() - t0) / 1e9, graft.Metrics.shuffleBytesOf(cdf.queryExecution))
+      val n = cdf.collect()(0).getLong(0)
+      ((System.nanoTime() - t0) / 1e9, graft.Metrics.shuffleBytesOf(cdf.queryExecution), n)
     }
-    println(f"[stress] ${"key"}%-28s ${"sf0.1"}%8s ${"x" + copies}%8s ${"ratio"}%6s ${"shufMB"}%8s ${"xshufMB"}%8s ${"bratio"}%6s")
+    println(f"[stress] ${"key"}%-28s ${"sf0.1"}%8s ${"x" + copies}%8s ${"ratio"}%6s ${"shufMB"}%8s ${"xshufMB"}%8s ${"bratio"}%6s ${"rows"}%9s ${"xrows"}%9s")
     val rows = for (k <- keys) yield {
-      val (s1, b1) = runKey(k, src)
-      val (sN, bN) = runKey(k, out)
+      val (s1, b1, n1) = runKey(k, src)
+      val (sN, bN, nN) = runKey(k, out)
       val r = sN / s1
       val br = if (b1 > 0) bN.toDouble / b1 else -1.0
-      println(f"[stress] $k%-28s $s1%8.2f $sN%8.2f $r%6.1f ${b1 / 1e6}%8.1f ${bN / 1e6}%8.1f $br%6.1f")
+      println(f"[stress] $k%-28s $s1%8.2f $sN%8.2f $r%6.1f ${b1 / 1e6}%8.1f ${bN / 1e6}%8.1f $br%6.1f $n1%9d $nN%9d")
       (k, s1, sN, r)
     }
     val tot1 = rows.map(_._2).sum; val totN = rows.map(_._3).sum
