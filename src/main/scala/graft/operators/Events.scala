@@ -309,6 +309,57 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** Gap quantization for [[eventsDwell]] — percentiles are computed
+    * over MILLISECOND dwell values, which keeps the count-aggregated
+    * distribution frame far below row count at any scale (the
+    * resolution knob: coarsen to seconds at 100 TB if even the ms
+    * frame matters). */
+  val DwellMsNs = 1000000L
+
+  /** TRANSITION DWELL-TIME PERCENTILES — [[eventsPaths]] with the
+    * third dimension product analytics always asks next: per
+    * (prev_type → event_type) transition, how LONG it takes. Reports
+    * n, lower-median and p90 dwell in ms — EXACT integer rank
+    * selection (0-based ranks (n−1)/2 and (n−1)·9/10, value = first
+    * quantized gap whose cumulative count passes the rank), so both
+    * engines agree bit-for-bit: no float interpolation, no sqrt.
+    *
+    * Scale shape: the lag window is the one user-keyed corpus shuffle;
+    * the distribution frame aggregates on (pair, gap_ms) — a
+    * well-spread 3-part key, NOT a per-pair window over raw rows (a
+    * |types|²-partition hotspot at corpus scale). The cumulative
+    * window then runs over the COUNT frame (≤ distinct observed ms
+    * values per pair), and per-pair totals broadcast back. */
+  def eventsDwell(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val dist = events
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts_ns"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      // Truncating integer div — never a double roundtrip (ns deltas
+      // can exceed 2^53 on long-horizon streams).
+      .withColumn("gap_ms", expr(s"(ts_ns - prev_ts) div ${DwellMsNs}L"))
+      .groupBy(col("prev_type"), col("event_type").as("dst"), col("gap_ms"))
+      .agg(count(lit(1)).as("c"))
+    val totals = dist.groupBy("prev_type", "dst").agg(sum(col("c")).as("tot"))
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy("prev_type", "dst").orderBy("gap_ms")
+    dist
+      .withColumn("cum", sum(col("c")).over(cw))
+      .join(broadcast(totals), Seq("prev_type", "dst"))
+      // 0-based target ranks (n−1)/2 and (n−1)·9/10; the percentile is
+      // the first gap_ms whose cumulative count reaches rank+1.
+      .groupBy(col("prev_type"), col("dst").as("event_type"))
+      .agg(max(col("tot")).as("n"),
+        min(when(expr("cum >= (tot - 1) div 2 + 1"), col("gap_ms")))
+          .as("p50_gap_ms"),
+        min(when(expr("cum >= (tot - 1) * 9 div 10 + 1"), col("gap_ms")))
+          .as("p90_gap_ms"))
+      .orderBy("prev_type", "event_type")
+  }
+
   /** Thresholds for [[eventsBots]]: a user is bot-flagged when any
     * single day carries MORE than [[BotDayCap]] events, or any
     * inter-event gap is under [[BotMinGapNs]] (60 s). Both chosen off
@@ -451,6 +502,9 @@ object Events {
 
     // Volume/cadence bot screen — see [[eventsBots]].
     "q_events_bots" -> ((s, dir) => eventsBots(Tables.events(s, dir))),
+
+    // Transition dwell-time percentiles — see [[eventsDwell]].
+    "q_events_dwell" -> ((s, dir) => eventsDwell(Tables.events(s, dir))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -742,5 +796,36 @@ object Events {
                   coalesce(min(mg), ${Long.MaxValue}) < ${BotMinGapNs}
                   AS INT) AS is_bot
       FROM d GROUP BY user_id ORDER BY user_id""",
+
+    // The same count-aggregated cumulative rank selection; gap_ms
+    // values are distinct per pair after the GROUP BY, so the default
+    // RANGE cumulative frame equals ROWS in both engines; all rank
+    // arithmetic is nonnegative integer div (// == div).
+    "q_events_dwell" -> s"""
+      WITH g AS (
+        SELECT event_type,
+               lag(event_type) OVER w AS prev_type,
+               epoch_ns(ts) - lag(epoch_ns(ts)) OVER w AS gap_ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_ns(ts), event_id)),
+      d AS (
+        SELECT prev_type, event_type AS dst,
+               gap_ns // ${DwellMsNs} AS gap_ms, count(*) AS c
+        FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2, 3),
+      t AS (SELECT prev_type, dst, sum(c) AS tot FROM d GROUP BY 1, 2),
+      cu AS (
+        SELECT d.prev_type, d.dst, d.gap_ms, d.c, t.tot,
+               sum(d.c) OVER (PARTITION BY d.prev_type, d.dst
+                              ORDER BY d.gap_ms) AS cum
+        FROM d JOIN t USING (prev_type, dst))
+      SELECT prev_type, dst AS event_type,
+             CAST(max(tot) AS BIGINT) AS n,
+             CAST(min(CASE WHEN cum >= (tot - 1) // 2 + 1
+                           THEN gap_ms END) AS BIGINT) AS p50_gap_ms,
+             CAST(min(CASE WHEN cum >= (tot - 1) * 9 // 10 + 1
+                           THEN gap_ms END) AS BIGINT) AS p90_gap_ms
+      FROM cu GROUP BY prev_type, dst
+      ORDER BY prev_type, event_type""",
   )
 }

@@ -2574,6 +2574,33 @@ class PipelineSpec extends SparkSpec {
       (5L, 2L, 2L, 1L, Some(20L), 1)), s"$got")
   }
 
+  test("dwell percentiles: hand-computed rank selection, ties fold, sub-ms gaps truncate to 0") {
+    import spark.implicits._
+    val M = Events.DwellMsNs
+    // One 2-event user per transition sample so each contributes
+    // exactly one (prev, dst, gap) observation.
+    // (a,b) gaps [10,20,30,40] ms: n=4, p50 rank (4-1)/2=1 -> 20,
+    //   p90 rank 3*9 div 10=2 -> 30.
+    // (c,d) gaps [10,10,30]: tie folds into one count-2 bucket;
+    //   p50 rank 1 -> cum 2 at 10 -> 10; p90 rank 1 -> 10.
+    // (e,f) one gap of 999999 ns: quantizes to 0 ms.
+    val samples = Seq(
+      ("a", "b", 10L * M), ("a", "b", 20L * M), ("a", "b", 30L * M),
+      ("a", "b", 40L * M), ("c", "d", 10L * M), ("c", "d", 10L * M),
+      ("c", "d", 30L * M), ("e", "f", M - 1))
+    val fx = samples.zipWithIndex.flatMap { case ((p, d, gap), u) =>
+      Seq((2L * u, (u + 100).toLong, 0L, p),
+        (2L * u + 1, (u + 100).toLong, gap, d))
+    }.toDF("event_id", "user_id", "ts_ns", "event_type")
+    val got = Events.eventsDwell(fx).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    assert(got == List(
+      ("a", "b", 4L, 20L, 30L),
+      ("c", "d", 3L, 10L, 10L),
+      ("e", "f", 1L, 0L, 0L)), s"$got")
+  }
+
   test("pagerank: 3 fixed-point iterations over a 3-node graph, hand-computed ranks exact") {
     import spark.implicits._
     // u1: a -> b -> c; u2: a -> c. Edges (a,b,1),(b,c,1),(a,c,1);
