@@ -220,6 +220,44 @@ object Curation {
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
       .filter(col("n_hit") > 0)
 
+  /** N-GRAM NOVELTY — each doc's MARGINAL CONTRIBUTION to the corpus
+    * in doc_id order: of its distinct derived-width word shingles, how
+    * many appear in NO earlier doc (global min doc_id = this doc), and
+    * the novel share in truncating basis points. The
+    * curriculum/source-pricing signal (what does this doc add beyond
+    * everything before it?) and the content-level complement of the
+    * whole-doc dedup family: a doc can be 0 bp novel without being an
+    * exact or near dup of any single doc. Docs shorter than the
+    * shingle width have no shingles and are absent (spec-pinned).
+    *
+    * Scale shape: shingles reduce to 60-bit BIGINT keys before any
+    * wide op (the [[decontaminate]] discipline); n_novel is derived
+    * from the firsts frame ALONE (count of shingles whose min doc is
+    * this doc) instead of joining the corpus-sized shingle frame back
+    * against it. The firsts branch is a straight partial min keyed by
+    * sh_key that COLLAPSES map-side before its one exchange (a
+    * boilerplate shingle in every doc ships as one row per map task,
+    * not one per doc); the per-doc branch is the standard skew-safe
+    * distinct-count shape (map-side pair dedup below the compound
+    * exchange, then the doc-keyed count) — both plan-pinned. The
+    * corpus is scanned and folded twice (CPU-linear; cheaper than
+    * materializing the token-scale pair frame for sharing); the final
+    * join is doc-sized on both sides. Linear at any corpus size —
+    * never doc×doc. */
+  def novelty(docs: DataFrame): DataFrame = {
+    val width = deriveShingleWidth(docs.count())
+    val sh = shinglesWithPos(docs, width).select("doc_id", "sh_key")
+    val nsh = sh.groupBy("doc_id")
+      .agg(count_distinct(col("sh_key")).as("n_shingles"))
+    val novel = sh.groupBy("sh_key").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    nsh.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_bp", expr("n_novel * 10000 div n_shingles"))
+      .orderBy("doc_id")
+  }
+
   /** EVAL-SIDE contamination report — [[decontaminate]] flipped around:
     * per EVAL doc, how many corpus docs share ≥ 1 width-w shingle with
     * it and how many of its distinct shingles leaked. The corpus-side
@@ -754,6 +792,36 @@ object Curation {
       .groupBy(col("lang"), col("rate_pct"))
       .agg(count(lit(1)).as("n_total"),
         count(when(col("keep"), 1)).as("n_sampled"))
+  }
+
+  /** Target corpus size (docs) for [[mixTemperature]]'s allocation. */
+  val TempMixBudget = 100000L
+
+  /** TEMPERATURE-SCALED SOURCE MIXING — the multilingual/multi-source
+    * sampling rule (mBERT/XLM-R style): raw source sizes are flattened
+    * with weight c^α at α = 1/2, upweighting small sources so the head
+    * source stops dominating. Exactly integer-checkable because
+    * w = ⌊√c⌋ is floor'd in BOTH engines (IEEE sqrt is correctly
+    * rounded, so √(k²) = k exactly for every count below 2⁵²: the
+    * floor can never land on k−1 for a perfect square) and every
+    * downstream division is truncating: share_bp = w·10⁴ div Σw,
+    * target_docs = Budget·w div Σw, repeat_bp = target·10⁴ div c
+    * (> 10⁴ ⟺ the source is OVERSAMPLED — repeated across epochs).
+    *
+    * Scale shape: one partial-aggregated groupBy(source) collapses the
+    * corpus to |sources| rows; Σw is a 1-row frame crossJoined back
+    * (the bounded-totals pattern). Nothing after the first aggregate
+    * touches corpus-sized data. */
+  def mixTemperature(docs: DataFrame, budget: Long = TempMixBudget): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", Tables.floorLong(sqrt(col("n_docs"))))
+    val tot = counts.agg(sum(col("w")).as("sw"))
+    counts.crossJoin(broadcast(tot)) // 1-row totals
+      .select(col("source"), col("n_docs"), col("w"),
+        expr("w * 10000 div sw").as("share_bp"),
+        expr(s"$budget * w div sw").as("target_docs"),
+        expr(s"(($budget * w div sw) * 10000) div n_docs").as("repeat_bp"))
+      .orderBy("source")
   }
 
   /** Shard assignment by running token count within (lang, pack_group):
@@ -1583,6 +1651,9 @@ object Curation {
     "q_decontaminate" -> ((s, dir) =>
       decontaminate(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // Per-doc marginal n-gram contribution — see [[novelty]].
+    "q_text_novelty" -> ((s, dir) => novelty(Tables.documents(s, dir))),
+
     // VERBATIM cross-doc span detection (Lee et al.'s "Deduplicating
     // Training Data" substring-reuse concern, shingled): pairs of docs
     // sharing ≥ 1 derived-width word n-gram VERBATIM, with the count of
@@ -1797,6 +1868,10 @@ object Curation {
       mixSample(Tables.documents(s, dir), MixRates.toDF("lang", "rate_pct"))
         .orderBy("lang")
     }),
+
+    // Temperature-scaled source mixing — see [[mixTemperature]].
+    "q_corpus_mix_temperature" -> ((s, dir) =>
+      mixTemperature(Tables.documents(s, dir))),
 
     "q_pack_sequences" -> ((s, dir) =>
       packShards(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -2127,6 +2202,21 @@ object Curation {
       FROM tr LEFT JOIN ev ON tr.sh_key = ev.sh_key
       GROUP BY tr.doc_id HAVING count(ev.sh_key) > 0
       ORDER BY doc_id""",
+
+    // The same derived-width rolled shingle keys; first appearance by
+    // min(doc_id); the novel share a nonnegative truncating div.
+    "q_text_novelty" -> s"""
+      WITH ${shingleParamsSql("documents")},
+      sh AS ($shinglesSql),
+      firsts AS (
+        SELECT sh_key, min(doc_id) AS first_doc FROM sh GROUP BY sh_key)
+      SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(count(CASE WHEN f.first_doc = sh.doc_id THEN 1 END)
+                  AS BIGINT) AS n_novel,
+             CAST(count(CASE WHEN f.first_doc = sh.doc_id THEN 1 END)
+                    * 10000 // count(*) AS BIGINT) AS novelty_bp
+      FROM sh JOIN firsts f USING (sh_key)
+      GROUP BY sh.doc_id ORDER BY doc_id""",
 
     // The eval-side flip of the q_decontaminate replay over the
     // plant-unioned universe (width re-derives from the unioned count,
@@ -2598,6 +2688,22 @@ object Curation {
       SELECT lang, rate_pct, count(*) AS n_total,
              count(CASE WHEN keep THEN 1 END) AS n_sampled
       FROM t GROUP BY lang, rate_pct ORDER BY lang""",
+
+    // Same ⌊√c⌋-weight arithmetic: IEEE sqrt is correctly rounded in
+    // both engines, floor'd on both sides; every division truncating
+    // on nonnegative operands (// == div).
+    "q_corpus_mix_temperature" -> s"""
+      WITH c AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+        FROM documents GROUP BY source),
+      t AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM c)
+      SELECT source, n_docs, w,
+             CAST(w * 10000 // sw AS BIGINT) AS share_bp,
+             CAST($TempMixBudget * w // sw AS BIGINT) AS target_docs,
+             CAST((($TempMixBudget * w // sw) * 10000) // n_docs
+                  AS BIGINT) AS repeat_bp
+      FROM c CROSS JOIN t ORDER BY source""",
 
     // Same integer ceil-div recipe arithmetic over the same VALUES
     // rates table; ceil(a/b) spelled (a + b - 1) // b in both engines.

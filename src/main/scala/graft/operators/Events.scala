@@ -269,6 +269,113 @@ object Events {
       .orderBy("day")
   }
 
+  /** GROWTH ACCOUNTING over the event stream — the DAU decomposition
+    * product analytics runs daily: every active (user, day) is exactly
+    * one of NEW (first-ever day), RETAINED (also active the previous
+    * day) or RESURRECTED (active before, but not yesterday); CHURNED
+    * on day d counts users active on d−1 but not d. The quick ratio
+    * (new + resurrected) / churned ships in basis points by truncating
+    * integer div, NULL when nobody churned (nullif, both engines).
+    * Churn on the day after the last observed day is not yet knowable
+    * and is dropped (the report frame is the observed active days);
+    * all-integer counts, so the frame is oracle-exact.
+    *
+    * Scale shape: the corpus collapses to distinct (user, day) in one
+    * partial-aggregated shuffle; the lag/lead classification window is
+    * user-keyed over that bounded frame (≤ active days per user), and
+    * the final groupBy(day) is satisfied downstream on a tiny frame —
+    * never a day-range self-join and never a window over raw events. */
+  def eventsGrowth(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    val st = events
+      .select(col("user_id"), expr(s"ts_ns div ${DayNs}L").as("day"))
+      .distinct()
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("next", lead(col("day"), 1).over(w))
+      .localCheckpoint(true) // two consumers below; ≤ |user·day| rows
+    val status = st.groupBy("day").agg(
+      count(when(col("prev").isNull, 1)).as("n_new"),
+      count(when(col("prev") === col("day") - 1, 1)).as("n_retained"),
+      count(when(col("prev") < col("day") - 1, 1)).as("n_resurrected"))
+    val churn = st
+      .filter(col("next").isNull || col("next") > col("day") + 1)
+      .groupBy((col("day") + 1).as("day"))
+      .agg(count(lit(1)).as("n_churned_raw"))
+    status.join(churn, Seq("day"), "left")
+      .select(col("day"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        coalesce(col("n_churned_raw"), lit(0L)).as("n_churned"))
+      .withColumn("quick_ratio_bp",
+        expr("(n_new + n_resurrected) * 10000 div nullif(n_churned, 0)"))
+      .orderBy("day")
+  }
+
+  /** EVENT-TYPE AFFINITY (market-basket co-occurrence) — for every
+    * unordered type pair (a < b): users who did BOTH, support in basis
+    * points of the user base, and LIFT in basis points
+    * (co·U·10⁴ div (nₐ·n_b) — >10⁴ ⟺ the pair co-occurs more than
+    * independent behavior predicts). All counts and both ratios are
+    * truncating integer arithmetic, so the frame is oracle-exact.
+    *
+    * Scale shape: the corpus collapses to distinct (user, type) in one
+    * partial-aggregated shuffle (≤ users·types rows); the pair frame
+    * is a CO-PARTITIONED self-join on user_id of that bounded frame
+    * (both sides share one exchange off the checkpoint), fanning out
+    * ≤ types²/2 rows per user before a partial-aggregated collapse to
+    * ≤ types²/2 groups; per-type totals and the user count broadcast
+    * back. Never an all-pairs join on users, never raw events twice. */
+  def eventsAffinity(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint(true) // three consumers; ≤ users·types rows
+    val tot = ut.groupBy("event_type").agg(count(lit(1)).as("nu"))
+    val uu = ut.agg(count_distinct(col("user_id")).as("u"))
+    ut.as("a").join(ut.as("b"), "user_id")
+      .filter(col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("co_users"))
+      .join(broadcast(tot.select(col("event_type").as("type_a"),
+        col("nu").as("nu_a"))), Seq("type_a"))
+      .join(broadcast(tot.select(col("event_type").as("type_b"),
+        col("nu").as("nu_b"))), Seq("type_b"))
+      .crossJoin(broadcast(uu)) // 1-row user total
+      .select(col("type_a"), col("type_b"), col("co_users"),
+        col("nu_a"), col("nu_b"),
+        expr("co_users * 10000 div u").as("support_bp"),
+        expr("co_users * u * 10000 div (nu_a * nu_b)").as("lift_bp"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** The conversion event for [[eventsAttribution]]. */
+  val ConvType = "purchase"
+
+  /** FIRST-TOUCH ATTRIBUTION — per acquisition channel (each user's
+    * FIRST event type in (ts, event_id) order), how many users arrived
+    * that way and how many ever converted ([[ConvType]]); conversion
+    * rate in truncating basis points. The deterministic struct-ordered
+    * `min_by` makes the first touch exact (ties impossible: event_id
+    * breaks them), so the frame is oracle-exact integers.
+    *
+    * Scale shape: ONE user-keyed partial-aggregated shuffle computes
+    * both the first touch (min_by over the (ts, event_id) struct) and
+    * the converted flag (max of an indicator) — no window sort, no
+    * join; the channel rollup then aggregates ≤ |users| rows into
+    * ≤ |types| groups. */
+  def eventsAttribution(events: DataFrame): DataFrame = {
+    events
+      .groupBy("user_id")
+      .agg(
+        min_by(col("event_type"), struct(col("ts_ns"), col("event_id")))
+          .as("first_type"),
+        max(when(col("event_type") === ConvType, 1L).otherwise(0L))
+          .as("conv"))
+      .groupBy("first_type")
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_converted"))
+      .withColumn("conv_bp", expr("n_converted * 10000 div n_users"))
+      .orderBy("first_type")
+  }
+
   /** Trailing-window size (days) and the k of the k·σ rule for
     * [[eventsAnomaly]]. */
   val AnomalyWindow = 7
@@ -505,6 +612,19 @@ object Events {
 
     // Transition dwell-time percentiles — see [[eventsDwell]].
     "q_events_dwell" -> ((s, dir) => eventsDwell(Tables.events(s, dir))),
+
+    // Daily growth accounting (new/retained/resurrected/churned) —
+    // see [[eventsGrowth]].
+    "q_events_growth" -> ((s, dir) => eventsGrowth(Tables.events(s, dir))),
+
+    // Market-basket type-pair affinity (support + lift) — see
+    // [[eventsAffinity]].
+    "q_events_affinity" -> ((s, dir) =>
+      eventsAffinity(Tables.events(s, dir))),
+
+    // First-touch acquisition attribution — see [[eventsAttribution]].
+    "q_events_attribution" -> ((s, dir) =>
+      eventsAttribution(Tables.events(s, dir))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -827,5 +947,84 @@ object Events {
                            THEN gap_ms END) AS BIGINT) AS p90_gap_ms
       FROM cu GROUP BY prev_type, dst
       ORDER BY prev_type, event_type""",
+
+    // The same lag/lead classification over the distinct (user, day)
+    // frame; churn reported on day+1 and LEFT-joined onto the observed
+    // active days (the final phantom day drops in both engines); the
+    // quick ratio is nonnegative truncating div with nullif on both
+    // sides. CASTs pin DuckDB's HUGEINT counts back to BIGINT.
+    "q_events_growth" -> s"""
+      WITH ud AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // ${DayNs} AS day
+        FROM events),
+      st AS (
+        SELECT user_id, day,
+               lag(day)  OVER uw AS prev,
+               lead(day) OVER uw AS next
+        FROM ud
+        WINDOW uw AS (PARTITION BY user_id ORDER BY day)),
+      status AS (
+        SELECT day,
+               count(CASE WHEN prev IS NULL THEN 1 END) AS n_new,
+               count(CASE WHEN prev = day - 1 THEN 1 END) AS n_retained,
+               count(CASE WHEN prev < day - 1 THEN 1 END) AS n_resurrected
+        FROM st GROUP BY day),
+      churn AS (
+        SELECT day + 1 AS day, count(*) AS n_churned_raw
+        FROM st WHERE next IS NULL OR next > day + 1
+        GROUP BY day + 1)
+      SELECT s.day, CAST(n_new AS BIGINT) AS n_new,
+             CAST(n_retained AS BIGINT) AS n_retained,
+             CAST(n_resurrected AS BIGINT) AS n_resurrected,
+             CAST(coalesce(n_churned_raw, 0) AS BIGINT) AS n_churned,
+             CAST((n_new + n_resurrected) * 10000
+                    // nullif(coalesce(n_churned_raw, 0), 0)
+                  AS BIGINT) AS quick_ratio_bp
+      FROM status s LEFT JOIN churn c USING (day)
+      ORDER BY day""",
+
+    // The same distinct (user, type) self-join with the a < b pair
+    // dedup; support and lift both nonnegative truncating div; CASTs
+    // pin HUGEINT products back to BIGINT.
+    "q_events_affinity" -> """
+      WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      tot AS (SELECT event_type, count(*) AS nu FROM ut GROUP BY 1),
+      uu AS (SELECT count(DISTINCT user_id) AS u FROM ut),
+      co AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS co_users
+        FROM ut a JOIN ut b USING (user_id)
+        WHERE a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT type_a, type_b, CAST(co_users AS BIGINT) AS co_users,
+             CAST(ta.nu AS BIGINT) AS nu_a, CAST(tb.nu AS BIGINT) AS nu_b,
+             CAST(co_users * 10000 // u AS BIGINT) AS support_bp,
+             CAST(co_users * u * 10000 // (ta.nu * tb.nu)
+                  AS BIGINT) AS lift_bp
+      FROM co
+      JOIN tot ta ON ta.event_type = co.type_a
+      JOIN tot tb ON tb.event_type = co.type_b
+      CROSS JOIN uu
+      ORDER BY type_a, type_b""",
+
+    // The min_by struct order replayed as a row_number window (the
+    // (epoch_ns, event_id) pair is unique, so both selections are the
+    // same row); conversion as a max-indicator per user; nonnegative
+    // truncating div for the rate.
+    "q_events_attribution" -> s"""
+      WITH o AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ns(ts), event_id) AS rn,
+               max(CASE WHEN event_type = '${ConvType}' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id) AS conv
+        FROM events)
+      SELECT event_type AS first_type,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(conv) AS BIGINT) AS n_converted,
+             CAST(sum(conv) * 10000 // count(*) AS BIGINT) AS conv_bp
+      FROM o WHERE rn = 1
+      GROUP BY event_type
+      ORDER BY first_type""",
   )
 }

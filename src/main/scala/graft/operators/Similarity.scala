@@ -1060,6 +1060,29 @@ object Similarity {
       .orderBy("label_a", "label_b")
   }
 
+  /** PER-DIMENSION EMBEDDING HEALTH AUDIT — the drift/collapse check a
+    * vector pipeline runs before indexing: per dimension, count, sum,
+    * min, max, and the cleared-denominator variance numerator
+    * n·Σq² − (Σq)² over the floor(x·1000) quantized BIGINT domain
+    * (zero ⟺ the dimension has COLLAPSED to a constant; the same
+    * denominator-clearing trick as the anomaly k·σ rule, so the audit
+    * is oracle-exact — no float variance). Overflow seam: Σq² per dim
+    * is ≤ n·10⁶·q̂² — exact past 10⁹ rows for unit-norm embeddings;
+    * re-scale the quantization for larger corpora (documented).
+    *
+    * Scale shape: one posexplode (×dim fan-out) into a
+    * partial-aggregated groupBy(dim) — map-side combine collapses to
+    * ≤ dim groups per partition before the only (tiny) shuffle. */
+  def embDimStats(e: DataFrame): DataFrame = {
+    e.select(posexplode(expr(quant)).as(Seq("dim", "q")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(expr("q * q")).as("ss"),
+        min(col("q")).as("qmin"), max(col("q")).as("qmax"))
+      .withColumn("var_num", expr("n * ss - s * s"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_knn_topk" -> ((s, dir) => brute(s, dir, 8, 5)),
 
@@ -1070,6 +1093,10 @@ object Similarity {
     // Label-centroid similarity audit — see [[classCentroids]].
     "q_emb_class_centroids" -> ((s, dir) =>
       classCentroids(Tables.embeddings(s, dir))),
+
+    // Per-dimension collapse/drift audit — see [[embDimStats]].
+    "q_emb_dim_stats" -> ((s, dir) =>
+      embDimStats(Tables.embeddings(s, dir))),
 
     // Filtered search — see [[bruteFiltered]]: exact top-k within the
     // probe's own label class, the metadata-constrained query every
@@ -2247,6 +2274,27 @@ object Similarity {
              CAST(list_dot_product(a.cent, b.cent) AS BIGINT) AS dot
       FROM cents a JOIN cents b ON a.label < b.label
       ORDER BY label_a, label_b""",
+
+    // The same quantized posexplode + per-dim aggregate; the variance
+    // numerator clears the denominator exactly as the Spark side, and
+    // the CASTs pin DuckDB's HUGEINT sums back to BIGINT.
+    "q_emb_dim_stats" -> """
+      WITH q AS (
+        SELECT list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings),
+      ex AS (
+        SELECT CAST(i AS INTEGER) - 1 AS dim, v[i] AS q
+        FROM q, unnest(range(1, len(v) + 1)) u(i)),
+      st AS (
+        SELECT dim, count(*) AS n, sum(q) AS s, sum(q * q) AS ss,
+               min(q) AS qmin, max(q) AS qmax
+        FROM ex GROUP BY dim)
+      SELECT dim, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+             CAST(ss AS BIGINT) AS ss, CAST(qmin AS BIGINT) AS qmin,
+             CAST(qmax AS BIGINT) AS qmax,
+             CAST(n * ss - s * s AS BIGINT) AS var_num
+      FROM st ORDER BY dim""",
 
     // The brute twin restricted to same-label candidates — exact
     // filtered-search semantics.

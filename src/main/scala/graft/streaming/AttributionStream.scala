@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Events
+
+/** Streaming FIRST-TOUCH ATTRIBUTION — the batch key
+  * (`q_events_attribution`, operators/Events.scala) as keyed
+  * incremental state: per user, the (ts, event_id)-minimal first event
+  * type plus a sticky converted flag, emitting a change row whenever
+  * either moves. Unlike the funnel machine this twin is EXACT under
+  * ANY arrival order — first touch is a running minimum and conversion
+  * a running OR, both order-insensitive folds — so out-of-order and
+  * cross-micro-batch late events need no ordering contract at all: a
+  * late-but-earlier event simply RE-ATTRIBUTES the user and the change
+  * stream records the correction (the last row per user is always the
+  * batch answer).
+  *
+  * Scale shape: one shuffle on user_id per micro-batch; state is one
+  * (ts, id, type, flag) record per user — the same ~tens of bytes the
+  * funnel machine holds, 10⁹ users ≈ a few GB across the fleet. The
+  * channel rollup (`conv_bp` per first type) is a downstream aggregate
+  * over the ≤ |users|-row change stream's latest rows, never over raw
+  * events.
+  */
+object AttributionStream {
+
+  case class Ev(userId: Long, tsNs: Long, eventId: Long, eventType: String)
+  /** The running minimum's full key (ts, id) + its type + sticky conv. */
+  case class AState(tsNs: Long, eventId: Long, firstType: String,
+                    converted: Boolean)
+  /** Emitted on every state change — the attribution correction log. */
+  case class Touch(userId: Long, firstType: String, converted: Boolean)
+
+  def advance(userId: Long, evs: Iterator[Ev],
+              state: GroupState[AState]): Iterator[Touch] = {
+    val before = state.getOption.orNull
+    var st = before
+    for (e <- evs) {
+      if (st == null ||
+          e.tsNs < st.tsNs || (e.tsNs == st.tsNs && e.eventId < st.eventId)) {
+        st =
+          if (st == null) AState(e.tsNs, e.eventId, e.eventType, false)
+          else AState(e.tsNs, e.eventId, e.eventType, st.converted)
+      }
+      if (e.eventType == Events.ConvType) st = st.copy(converted = true)
+    }
+    if (st != before) {
+      state.update(st)
+      Iterator.single(Touch(userId, st.firstType, st.converted))
+    } else Iterator.empty
+  }
+
+  /** events (streaming Dataset) → per-user attribution change rows;
+    * the latest row per user is the batch `q_events_attribution`
+    * per-user frame. */
+  def firstTouchStream(events: Dataset[Ev]): Dataset[Touch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        advance)
+  }
+}

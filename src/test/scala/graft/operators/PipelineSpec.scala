@@ -1691,6 +1691,28 @@ class PipelineSpec extends SparkSpec {
     assert(got("fr") == (10L, 0L, 0L, "excluded"), s"fr: ${got("fr")}")
   }
 
+  test("temperature mix: sqrt weights flatten the head, perfect-square floors exact") {
+    import spark.implicits._
+    // Counts 100/9/8/1 -> weights 10/3/2/1 (sq-root floors: the
+    // perfect squares must land ON k, the non-square 8 on 2), sum 16.
+    // Budget 160: targets 100/30/20/10; repeat_bp shows source 'a'
+    // exactly sampled (10000) and the tail oversampled (d: x10).
+    val docs = (
+      (1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 109).map(i => (i.toLong, "b")) ++
+      (110 to 117).map(i => (i.toLong, "c")) ++
+      Seq((118L, "d"))
+    ).toDF("doc_id", "source")
+    val got = Curation.mixTemperature(docs, budget = 160L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toList
+    assert(got == List(
+      ("a", 100L, 10L, 6250L, 100L, 10000L),
+      ("b", 9L, 3L, 1875L, 30L, 33333L),
+      ("c", 8L, 2L, 1250L, 20L, 25000L),
+      ("d", 1L, 1L, 625L, 10L, 100000L)), s"$got")
+  }
+
   test("recipe: a weighted language with zero estimable tokens yields 0, not div-by-zero") {
     import spark.implicits._
     // n_chars = 0 ⟹ est_tokens = (0+3) div 4 = 0 ⟹ available_tokens
@@ -2599,6 +2621,106 @@ class PipelineSpec extends SparkSpec {
       ("a", "b", 4L, 20L, 30L),
       ("c", "d", 3L, 10L, 10L),
       ("e", "f", 1L, 0L, 0L)), s"$got")
+  }
+
+  test("growth accounting: all four classes, NULL quick ratio, final churn day drops") {
+    import spark.implicits._
+    val D = Events.DayNs
+    // u1 active days {0,1,3}: new@0, retained@1, resurrected@3,
+    //   churn contribution on day 2 (gap) and day 4 (final, dropped).
+    // u2 active {0}: new@0, churns day 1.
+    // u3 active {1,2}: new@1, retained@2, churns day 3.
+    val fx = Seq(
+      (1L, 1L, 0L * D), (2L, 1L, 1L * D), (3L, 1L, 3L * D),
+      (4L, 2L, 0L * D), (5L, 3L, 1L * D), (6L, 3L, 2L * D))
+      .map { case (e, u, t) => (e, u, t + e) } // distinct ts within day
+      .toDF("event_id", "user_id", "ts_ns")
+    val got = Events.eventsGrowth(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toList
+    assert(got == List(
+      // day0: nobody could churn yet; nullif(0) -> NULL ratio.
+      (0L, 2L, 0L, 0L, 0L, None),
+      (1L, 1L, 1L, 0L, 1L, Some(10000L)), // u2 churned; u3 new
+      (2L, 0L, 1L, 0L, 1L, Some(0L)),     // u1 gapped out; u3 retained
+      (3L, 0L, 0L, 1L, 1L, Some(10000L))  // u1 back; u3 churned
+      // day4 (u1's final churn) is unknowable-yet and dropped.
+    ), s"$got")
+  }
+
+  test("affinity: distinct folds repeats, lift exact, zero-co pairs absent") {
+    import spark.implicits._
+    // u1 {a,a,b} (repeat folds), u2 {a,b}, u3 {c}, u4 {a,c}.
+    // U=4; nu a=3 b=2 c=2. (a,b) co=2: support 5000, lift
+    // 2·4·10⁴ div 6 = 13333; (a,c) co=1: 2500, 6666; (b,c) never
+    // co-occurs and is ABSENT (observed pairs only).
+    val fx = Seq(
+      (1L, 1L, "a"), (2L, 1L, "a"), (3L, 1L, "b"), (4L, 2L, "a"),
+      (5L, 2L, "b"), (6L, 3L, "c"), (7L, 4L, "a"), (8L, 4L, "c"))
+      .map { case (e, u, t) => (e, u, e * 10L, t) }
+      .toDF("event_id", "user_id", "ts_ns", "event_type")
+    val got = Events.eventsAffinity(fx).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toList
+    assert(got == List(
+      ("a", "b", 2L, 3L, 2L, 5000L, 13333L),
+      ("a", "c", 1L, 3L, 2L, 2500L, 6666L)), s"$got")
+  }
+
+  test("attribution: first touch by (ts, event_id), conversion rate exact, tie broken by id") {
+    import spark.implicits._
+    // u1 view->purchase (converted via view); u2 view->click (not);
+    // u3 purchase only (self-attributed); u4 two same-ts events —
+    // event_id 40 ('signup') must beat 41 ('error') on the tiebreak.
+    val fx = Seq(
+      (10L, 1L, 10L, "view"), (11L, 1L, 20L, "purchase"),
+      (20L, 2L, 10L, "view"), (21L, 2L, 20L, "click"),
+      (30L, 3L, 10L, "purchase"),
+      (40L, 4L, 10L, "signup"), (41L, 4L, 10L, "error"))
+      .toDF("event_id", "user_id", "ts_ns", "event_type")
+    val got = Events.eventsAttribution(fx).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    assert(got == List(
+      ("purchase", 1L, 1L, 10000L),
+      ("signup", 1L, 0L, 0L),
+      ("view", 2L, 1L, 5000L)), s"$got")
+  }
+
+  test("dim stats: collapsed dim has zero variance numerator, negative floor pins -0.3f to -301") {
+    import spark.implicits._
+    // dim 0 constant 0.5 -> q=500 thrice: var_num = 3·750000 − 1500² = 0.
+    // dim 1 q = {250, 500, -301} (float -0.3 is -0.30000001…, ×1000
+    // floors to -301 — the negative-floor seam, identical in DuckDB):
+    // s=449, ss=403101, var_num = 3·403101 − 449² = 1007702.
+    val fx = Seq(
+      (1L, Array(0.5f, 0.25f)), (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.5f, -0.3f))).toDF("vec_id", "embedding")
+    val got = Similarity.embDimStats(fx).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toList
+    assert(got == List(
+      (0, 3L, 1500L, 750000L, 500L, 500L, 0L),
+      (1, 3L, 449L, 403101L, -301L, 500L, 1007702L)), s"$got")
+  }
+
+  test("novelty: copies score 0 bp, partial reuse 5000, short docs absent") {
+    import spark.implicits._
+    // 4 docs -> derived width 5. doc1 contributes both its shingles;
+    // doc2 shares one with doc1; doc3 is a verbatim copy (0 bp novel
+    // without being flagged against any single doc — the content-level
+    // complement of whole-doc dedup); doc4 is sub-width: NO row.
+    val fx = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e x"),
+      (3L, "a b c d e f"), (4L, "x y")).toDF("doc_id", "text")
+    val got = Curation.novelty(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    assert(got == List(
+      (1L, 2L, 2L, 10000L),
+      (2L, 2L, 1L, 5000L),
+      (3L, 2L, 0L, 0L)), s"$got")
   }
 
   test("pagerank: 3 fixed-point iterations over a 3-node graph, hand-computed ranks exact") {

@@ -60,6 +60,28 @@ class PlanShapeSpec extends SparkSpec {
         p.linesIterator.take(40).mkString("\n"))
   }
 
+  test("q_text_novelty: firsts branch min-collapses map-side; pair dedup is map-side too") {
+    // The firsts branch must be a straight partial_min keyed by
+    // sh_key — ONE corpus exchange whose rows collapse map-side (a
+    // boilerplate shingle in every doc ships as one row per map task,
+    // not one per doc; the optimizer elides the redundant distinct
+    // under min and this pin keeps it that way). The count branch's
+    // pair dedup must likewise run BELOW its exchange (map-side
+    // HashAggregate on (doc_id, sh_key)) so the shuffle carries
+    // deduped pairs.
+    val df = graft.SparkEntry.queries("q_text_novelty")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_min"),
+      "firsts branch lost its map-side min collapse\n" +
+        p.linesIterator.take(40).mkString("\n"))
+    val pairAggs = "HashAggregate\\(keys=\\[doc_id#\\d+L?, sh_key".r
+      .findAllIn(p).size
+    assert(pairAggs >= 2, // partial below + merge above the exchange
+      s"pair dedup not map-side (found $pairAggs pair aggregates)\n" +
+        p.linesIterator.take(40).mkString("\n"))
+  }
+
   test("q_mm_resize_exec plans no shuffle (partition-local codec pipeline)") {
     val df = graft.SparkEntry.queries("q_mm_resize_exec")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

@@ -517,6 +517,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamedDau == batchDau, s"$streamedDau vs $batchDau")
   }
 
+  test("streaming attribution: late earlier event re-attributes; final states equal the batch key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.AttributionStream.{Ev, Touch}
+    // u1 converts after a view first touch; u2 never converts; u3's
+    // batch-2 event is EARLIER than its batch-1 one (cross-batch
+    // out-of-order) — the running minimum must re-attribute u3 from
+    // 'click' to 'signup' and the change log must show the correction.
+    val batch1 = Seq(Ev(1L, 10L, 1L, "view"), Ev(1L, 20L, 2L, "purchase"),
+      Ev(2L, 10L, 3L, "view"), Ev(3L, 50L, 4L, "click"))
+    val batch2 = Seq(Ev(3L, 5L, 5L, "signup"), Ev(2L, 30L, 6L, "click"))
+    val in = MemoryStream[Ev]
+    val q = AttributionStream.firstTouchStream(in.toDS())
+      .writeStream.format("memory").queryName("attribution_touches")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val touches = spark.table("attribution_touches").as[Touch].collect().toList
+    // u3's correction is IN the log (click first, then signup)…
+    assert(touches.count(_.userId == 3L) == 2, s"$touches")
+    assert(touches.filter(_.userId == 3L).map(_.firstType)
+      .contains("signup"), s"$touches")
+    // u2's batch-2 'click' changes nothing (later ts, no conversion):
+    // exactly one u2 row ever emitted.
+    assert(touches.count(_.userId == 2L) == 1, s"$touches")
+    // Last touch per user == the batch per-user frame; rolled up it
+    // reconciles with q_events_attribution over the same events.
+    val last = touches.zipWithIndex.groupBy(_._1.userId).view
+      .mapValues(_.maxBy(_._2)._1).values
+      .map(t => (t.firstType, t.converted)).toList
+    val streamedRollup = last.groupBy(_._1).view.mapValues(ts =>
+      (ts.size.toLong, ts.count(_._2).toLong)).toMap
+    val all = (batch1 ++ batch2)
+      .map(e => (e.eventId, e.userId, e.tsNs, e.eventType))
+      .toDF("event_id", "user_id", "ts_ns", "event_type")
+    val batchRollup = graft.operators.Events.eventsAttribution(all)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(streamedRollup == batchRollup, s"$streamedRollup vs $batchRollup")
+  }
+
   test("streaming volume anomaly: closed days equal the batch k-sigma flags; late events ignored") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
