@@ -258,6 +258,44 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The persisted FIRSTS index for [[novelty]]: the distinct shingle
+    * keys of the corpus prefix (everything ingested so far). In
+    * production this table is written bucketed by `sh_key` next to the
+    * corpus and carries its build width in the table name (the
+    * [[evalShingleIndex]] lesson: the width is part of the artifact —
+    * frozen when the corpus was first indexed, NOT re-derived per
+    * batch, or every prior batch's gate is invalidated). */
+  def noveltyIndex(prefix: DataFrame, width: Int): DataFrame =
+    shinglesWithPos(prefix, width).select(col("sh_key")).distinct()
+
+  /** Gate ONE arriving batch against a persisted [[noveltyIndex]]:
+    * same output contract as [[novelty]] restricted to the batch —
+    * a batch shingle is novel iff it misses the index AND this doc is
+    * its first appearance WITHIN the batch (the within-batch min
+    * replays full doc_id-order semantics, so incremental == full
+    * recompute exactly). Cost per batch: the batch's own shingle fold
+    * plus one anti-join probe of the bucketed index on 8-byte keys —
+    * the corpus text is never rescanned; at 100 TB the index probe is
+    * the only corpus-sized touch and bucket pruning on `sh_key` keeps
+    * it shuffle-free on the index side. The batch's distinct shingle
+    * frame min-collapses map-side BEFORE the anti-join, so the probe
+    * side is bounded by the batch's distinct keys, not its token
+    * count. */
+  def noveltyBatch(batch: DataFrame, index: DataFrame,
+                   width: Int): DataFrame = {
+    val sh = shinglesWithPos(batch, width).select("doc_id", "sh_key")
+    val nsh = sh.groupBy("doc_id")
+      .agg(count_distinct(col("sh_key")).as("n_shingles"))
+    val novel = sh.groupBy("sh_key").agg(min(col("doc_id")).as("doc_id"))
+      .join(index, Seq("sh_key"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    nsh.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_bp", expr("n_novel * 10000 div n_shingles"))
+      .orderBy("doc_id")
+  }
+
   /** EVAL-SIDE contamination report — [[decontaminate]] flipped around:
     * per EVAL doc, how many corpus docs share ≥ 1 width-w shingle with
     * it and how many of its distinct shingles leaked. The corpus-side
@@ -1654,6 +1692,26 @@ object Curation {
     // Per-doc marginal n-gram contribution — see [[novelty]].
     "q_text_novelty" -> ((s, dir) => novelty(Tables.documents(s, dir))),
 
+    // INCREMENTAL novelty — the ingest-time production mode, completing
+    // the incremental family for the novelty signal: the firsts index
+    // over the already-ingested prefix (doc_id < cut at the 80%
+    // max-doc_id mark — novelty is ORDER-dependent, so the split is a
+    // doc_id prefix, not the mod-slice the order-free twins use) is
+    // built once and PERSISTED (localCheckpoint stands in for the
+    // bucketed write), then the arriving batch is gated against it.
+    // The prefix text is never rescanned. The oracle is the FULL
+    // recompute restricted to the batch slice, so the hash match
+    // proves incremental == full — the q_decontaminate_incremental
+    // proof pattern. The 1-row max(doc_id) action is bounded.
+    "q_text_novelty_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val width = deriveShingleWidth(docs.count())
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 4 / 5
+      val index = noveltyIndex(docs.filter(col("doc_id") < cut), width)
+        .localCheckpoint(true)
+      noveltyBatch(docs.filter(col("doc_id") >= cut), index, width)
+    }),
+
     // VERBATIM cross-doc span detection (Lee et al.'s "Deduplicating
     // Training Data" substring-reuse concern, shingled): pairs of docs
     // sharing ≥ 1 derived-width word n-gram VERBATIM, with the count of
@@ -2216,6 +2274,24 @@ object Curation {
              CAST(count(CASE WHEN f.first_doc = sh.doc_id THEN 1 END)
                     * 10000 // count(*) AS BIGINT) AS novelty_bp
       FROM sh JOIN firsts f USING (sh_key)
+      GROUP BY sh.doc_id ORDER BY doc_id""",
+
+    // Full-recompute novelty restricted to the batch slice (doc_id >=
+    // 80% of max) — hash-matching the frozen-index gate proves
+    // incremental == full.
+    "q_text_novelty_incremental" -> s"""
+      WITH ${shingleParamsSql("documents")},
+      sh AS ($shinglesSql),
+      cut AS (SELECT max(doc_id) * 4 // 5 AS c FROM documents),
+      firsts AS (
+        SELECT sh_key, min(doc_id) AS first_doc FROM sh GROUP BY sh_key)
+      SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(count(CASE WHEN f.first_doc = sh.doc_id THEN 1 END)
+                  AS BIGINT) AS n_novel,
+             CAST(count(CASE WHEN f.first_doc = sh.doc_id THEN 1 END)
+                    * 10000 // count(*) AS BIGINT) AS novelty_bp
+      FROM sh JOIN firsts f USING (sh_key), cut
+      WHERE sh.doc_id >= cut.c
       GROUP BY sh.doc_id ORDER BY doc_id""",
 
     // The eval-side flip of the q_decontaminate replay over the

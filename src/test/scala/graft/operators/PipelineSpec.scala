@@ -2723,6 +2723,30 @@ class PipelineSpec extends SparkSpec {
       (3L, 2L, 0L, 0L)), s"$got")
   }
 
+  test("novelty incremental: frozen-index gate == full recompute on the batch slice") {
+    import spark.implicits._
+    // 5 docs -> derived width 5; cut = 5*4/5 = 4: prefix {1,2,3},
+    // batch {4,5}. doc4: one prefix-indexed shingle + one new (5000
+    // bp). doc5: one shingle first seen in doc4 WITHIN the batch (the
+    // within-batch min must deny it) + two novel (6666 bp).
+    val fx = Seq(
+      (1L, "a b c d e f"), (2L, "p q r s t u"), (3L, "a b c d e f"),
+      (4L, "a b c d e z"), (5L, "b c d e z w v"))
+      .toDF("doc_id", "text")
+    val width = Curation.deriveShingleWidth(5L)
+    val index = Curation.noveltyIndex(
+      fx.filter($"doc_id" < 4), width).localCheckpoint(true)
+    val inc = Curation.noveltyBatch(fx.filter($"doc_id" >= 4), index, width)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    assert(inc == List((4L, 2L, 1L, 5000L), (5L, 3L, 2L, 6666L)), s"$inc")
+    // The gate reproduces the full doc_id-order recompute exactly.
+    val full = Curation.novelty(fx).filter($"doc_id" >= 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    assert(inc == full, s"incremental $inc != full $full")
+  }
+
   test("pagerank: 3 fixed-point iterations over a 3-node graph, hand-computed ranks exact") {
     import spark.implicits._
     // u1: a -> b -> c; u2: a -> c. Edges (a,b,1),(b,c,1),(a,c,1);
