@@ -28,7 +28,9 @@ import org.apache.spark.sql.types._
   *   - energy = Σ (s − 128)²            (8-bit PCM centers at 128)
   *   - zcr    = sign changes of s·m − Σs (mean-centered, integer
   *              cross-multiply — no division, no floats)
-  * Out-of-range windows yield (0, 0, 0); null inputs yield null.
+  *   - n_clip = count of rail samples (s = 0 or s = 255 — the 8-bit
+  *              saturation values; the clipping screen's numerator)
+  * Out-of-range windows yield (0, 0, 0, 0); null inputs yield null.
   */
 case class PcmWindowStats(left: Expression, right: Expression, window: Int)
     extends BinaryExpression {
@@ -36,7 +38,8 @@ case class PcmWindowStats(left: Expression, right: Expression, window: Int)
   override def dataType: DataType = StructType(Seq(
     StructField("n_samples", LongType, nullable = false),
     StructField("energy", LongType, nullable = false),
-    StructField("zcr", LongType, nullable = false)))
+    StructField("zcr", LongType, nullable = false),
+    StructField("n_clip", LongType, nullable = false)))
   override def prettyName: String = "pcm_window_stats"
 
   override protected def nullSafeEval(pcm: Any, win: Any): Any = {
@@ -47,12 +50,14 @@ case class PcmWindowStats(left: Expression, right: Expression, window: Int)
     val m = math.max(end - start, 0)
     var ssum = 0L
     var energy = 0L
+    var nclip = 0L
     var i = start
     while (i < end) {
       val v = (a(i) & 0xFF).toLong
       ssum += v
       val c = v - 128L
       energy += c * c
+      if (v == 0L || v == 255L) nclip += 1
       i += 1
     }
     var zcr = 0L
@@ -66,7 +71,7 @@ case class PcmWindowStats(left: Expression, right: Expression, window: Int)
         i += 1
       }
     }
-    new GenericInternalRow(Array[Any](m.toLong, energy, zcr))
+    new GenericInternalRow(Array[Any](m.toLong, energy, zcr, nclip))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -82,16 +87,18 @@ case class PcmWindowStats(left: Expression, right: Expression, window: Int)
       val c = ctx.freshName("c")
       val prev = ctx.freshName("prev")
       val sg = ctx.freshName("sg")
+      val nclip = ctx.freshName("nclip")
       s"""
          |int $start = (int)($win * $window);
          |int $end = java.lang.Math.min($start + $window, $pcm.length);
          |int $m = java.lang.Math.max($end - $start, 0);
-         |long $ssum = 0L; long $energy = 0L;
+         |long $ssum = 0L; long $energy = 0L; long $nclip = 0L;
          |for (int $i = $start; $i < $end; $i++) {
          |  long $v = (long)($pcm[$i] & 0xFF);
          |  $ssum += $v;
          |  long $c = $v - 128L;
          |  $energy += $c * $c;
+         |  if ($v == 0L || $v == 255L) $nclip++;
          |}
          |long $zcr = 0L;
          |if ($m >= 2) {
@@ -103,7 +110,7 @@ case class PcmWindowStats(left: Expression, right: Expression, window: Int)
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |  new Object[]{(long)$m, $energy, $zcr});
+         |  new Object[]{(long)$m, $energy, $zcr, $nclip});
        """.stripMargin
     })
 

@@ -251,6 +251,126 @@ object Multimodal {
         col("st.energy").as("energy"),
         col("st.zcr").as("zcr"))
 
+  /** Silence threshold: a window is SILENT iff its energy is STRICTLY
+    * below this per-sample mean-square bound × n_samples (|s−128| < 3
+    * on average — the dither band of 8-bit PCM). Strict: a window at
+    * exactly 9·n is NOT silent (plant-pinned). */
+  val AudioSilenceEnergyPerSample = 9L
+
+  /** A document is SILENCE-flagged iff STRICTLY more than half its
+    * windows are silent (silence_bp > 5000; the half-silent plant
+    * pins the boundary). */
+  val AudioSilenceShareBp = 5000L
+
+  /** A document is CLIPPING-flagged iff its rail-sample share is
+    * STRICTLY above 1% (clip_bp > 100; the exactly-1% plant pins the
+    * boundary). Rails are the 8-bit saturation values 0 and 255. */
+  val AudioClipBpMax = 100L
+
+  /** doc_id base for the audio screen plants (disjoint from the
+    * corpus and from [[PhashPlantBase]]'s image-plant range). */
+  val AudioPlantBase = 2000000L
+
+  /** The audio-screen PLANT SET: ASCII corpus text never produces a
+    * rail sample (0/255) and almost never a silent window (chars
+    * 32..126 ⇒ per-sample energy ≥ 4, silent only for runs of '~'),
+    * so without plants both screen branches are vacuously untested —
+    * the `PhashPlantBase` / `q_decontaminate_fuzzy_planted` lesson.
+    * Each plant's PCM body is synthesized here as HEX (bytes ≥ 0x80
+    * cannot ride through a UTF-8 string cast — the single-byte-space
+    * constraint that parked this key) and replayed in the oracle as
+    * an INTEGER sample formula, never a string; both engines then run
+    * their full byte/list paths, and the hash match proves the byte
+    * decode equals the formula. The set pins every boundary:
+    *   +1 pure silence (500×128: both windows silent, partial tail)
+    *   +2 energy boundary (400×125: energy = 9·n exactly ⇒ NOT silent)
+    *   +3 dither silence (127/129 alternating: energy n ≪ 9n)
+    *   +4 clipping (12 rails / 400 = 300 bp > 100)
+    *   +5 clip boundary (4 rails / 400 = 100 bp exactly ⇒ NOT clipped)
+    *   +6 silence-share boundary (1 silent / 2 windows = 5000 bp ⇒ ok)
+    *   +7 precedence (clipped AND silent ⇒ verdict 'clipping') */
+  val AudioPlants: Seq[(Long, String)] = Seq(
+    1L -> "80" * 500,
+    2L -> "7D" * 400,
+    3L -> "7F81" * 200,
+    4L -> ("00" * 6 + "FF" * 6 + "20" * 388),
+    5L -> ("00" * 2 + "FF" * 2 + "20" * 396),
+    6L -> ("80" * 400 + "20" * 400),
+    7L -> ("00" * 400 + "80" * 1200))
+
+  /** The 44-byte header of [[stageWavPayloads]] for a known body size,
+    * as driver-side hex — the plants are compile-time constants, so
+    * their headers are too (same fields, same rate formula). */
+  private def wavHeaderHex(n: Long): String = {
+    def le32(v: Long) = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X" +
+      f"${(v >> 16) & 0xFF}%02X${(v >> 24) & 0xFF}%02X"
+    val rate = 8000L + 250L * (n % 17)
+    "52494646" + le32(n + 36) + "57415645" + "666D7420" + "10000000" +
+      "0100" + "0100" + le32(rate) + le32(rate) + "0100" + "0800" +
+      "64617461" + le32(n)
+  }
+
+  /** The [[AudioPlants]] as a (doc_id, payload) frame through the SAME
+    * header convention as the staged corpus — the screens key unions
+    * this under the corpus payloads, and the oracle replays the same
+    * union (plants are part of the query definition on both engines). */
+  def stageWavPlants(s: SparkSession): DataFrame = {
+    import s.implicits._
+    AudioPlants
+      .map { case (i, body) =>
+        (AudioPlantBase + i, wavHeaderHex(body.length / 2) + body) }
+      .toDF("doc_id", "hex")
+      .select(col("doc_id"), unhex(col("hex")).as("payload"))
+  }
+
+  /** AUDIO QUALITY SCREENS over staged PCM — the audio members of the
+    * ingest-gate family (speech pipelines drop silent and clipped
+    * recordings before transcription, exactly as the C4/Gopher gates
+    * drop boilerplate text): per document, the silent-window share and
+    * the rail-sample (0/255) share in basis points, with a first-fail
+    * verdict ('clipping' outranks 'silence' — a clipped recording is
+    * unrecoverable, a silent one merely empty). All integer: the
+    * silence compare is energy < 9·n per window (no division), the
+    * shares truncating div. Runs on the [[graft.functions.PcmWindowStats]]
+    * codegen kernel (one byte loop per window, clip count folded into
+    * the same pass as energy — no second scan of the PCM).
+    *
+    * Scale shape: the kernel pass is partition-local (windows explode
+    * AFTER the per-window fold's inputs are sliced, output n/400 rows
+    * per doc); the per-doc verdict is one partial-aggregated groupBy
+    * on doc_id — fixed-width rows, the payload bytes never ride the
+    * exchange. */
+  def audioScreens(payloads: DataFrame): DataFrame = {
+    val win = payloads
+      .select(col("doc_id"),
+        expr(s"substring(payload, ${WavHeaderBytes + 1})").as("pcm"))
+      .select(col("doc_id"), col("pcm"), explode(expr(
+        s"sequence(0, CAST(ceil(greatest(length(pcm), 1) / $AudioWindow.0) AS INT) - 1)"))
+        .as("win"))
+      .select(col("doc_id"),
+        graft.functions.PcmOps.pcmWindowStats(
+          col("pcm"), col("win").cast("bigint"), AudioWindow).as("st"))
+      .select(col("doc_id"),
+        col("st.n_samples").as("n_samples"), col("st.energy").as("energy"),
+        col("st.n_clip").as("n_clip"))
+    win.groupBy("doc_id")
+      .agg(sum(col("n_samples")).as("n_samples"),
+        count(lit(1)).as("n_windows"),
+        sum(when(col("energy") <
+          lit(AudioSilenceEnergyPerSample) * col("n_samples"), 1L)
+          .otherwise(0L)).as("silent_windows"),
+        sum(col("n_clip")).as("clipped_samples"))
+      .withColumn("silence_bp",
+        expr("silent_windows * 10000 div n_windows"))
+      .withColumn("clip_bp",
+        expr("clipped_samples * 10000 div greatest(n_samples, 1)"))
+      .withColumn("verdict",
+        when(col("clip_bp") > AudioClipBpMax, lit("clipping"))
+          .when(col("silence_bp") > AudioSilenceShareBp, lit("silence"))
+          .otherwise(lit("ok")))
+      .orderBy("doc_id")
+  }
+
   /** Unrolled-step bound of the declarative JPEG segment walk in
     * [[metaPlan]]: covers APPn/JFIF/Exif + DQT/DHT preambles of typical
     * files; a SOF deeper than this parses as 0×0 in the PLAN path
@@ -1195,6 +1315,15 @@ object Multimodal {
       audioFeatures(stageWavPayloads(Tables.documents(s, dir)))
         .orderBy("doc_id", "win")),
 
+    // Silence/clipping ingest screens over the staged corpus UNION the
+    // boundary plant set — see [[audioScreens]] and [[AudioPlants]]
+    // (ASCII corpus bytes can't clip, so the plants make both screen
+    // branches non-vacuous; the oracle replays them as integer sample
+    // formulas, proving the byte decode).
+    "q_mm_audio_screens" -> ((s, dir) =>
+      audioScreens(stageWavPayloads(Tables.documents(s, dir))
+        .unionByName(stageWavPlants(s)))),
+
     // Loudest-window retrieval: top-2 windows per doc by energy
     // through the map-side-combining TopK aggregate (partials reduce
     // to k rows per doc per partition BEFORE the shuffle — the
@@ -1386,15 +1515,17 @@ object Multimodal {
         .orderBy("doc_id", "sample_idx")),
   )
 
-  /** Shared audio oracle front: per-char samples from the text, the
-    * per-doc window enumeration, and the window slices — the DuckDB
-    * twin of [[audioFeatures]]'s decode + slicing. */
-  private def audioSliceCtes: String = s"""sm AS (
+  /** Corpus samples for the audio oracles: per-char integer samples
+    * from the text (the staged data section IS the text bytes). */
+  private def audioCorpusSamplesCte: String = """smc AS (
         SELECT doc_id,
                list_transform(range(1, n_chars + 1),
                  i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS s
-        FROM documents),
-      win AS (
+        FROM documents)"""
+
+  /** Window enumeration + slices over whatever `sm` frame the caller
+    * assembled (corpus alone, or corpus ∪ plants for the screens). */
+  private def audioWindowCtes: String = s"""win AS (
         SELECT doc_id, CAST(unnest(range(0,
                  CAST(ceil(greatest(len(s), 1) / $AudioWindow.0) AS BIGINT)))
                AS INTEGER) AS win, s
@@ -1404,6 +1535,30 @@ object Multimodal {
                s[CAST(win * $AudioWindow + 1 AS BIGINT) :
                  CAST(win * $AudioWindow + $AudioWindow AS BIGINT)] AS sl
         FROM win)"""
+
+  /** Shared audio oracle front: per-char samples from the text, the
+    * per-doc window enumeration, and the window slices — the DuckDB
+    * twin of [[audioFeatures]]'s decode + slicing. */
+  private def audioSliceCtes: String = s"""$audioCorpusSamplesCte,
+      sm AS (SELECT * FROM smc),
+      $audioWindowCtes"""
+
+  /** The [[AudioPlants]] replayed as INTEGER sample formulas (the hex
+    * bodies re-expressed as position rules — bytes ≥ 0x80 never exist
+    * as oracle strings; see [[AudioPlants]]). */
+  private def audioPlantsCte: String = {
+    def p(i: Long, n: Int, rule: String) =
+      s"""SELECT CAST(${AudioPlantBase + i} AS BIGINT) AS doc_id,
+          list_transform(range(1, ${n + 1}), i -> CAST($rule AS INTEGER)) AS s"""
+    s"""plants AS (
+        ${p(1, 500, "128")}
+        UNION ALL ${p(2, 400, "125")}
+        UNION ALL ${p(3, 400, "CASE WHEN i % 2 = 1 THEN 127 ELSE 129 END")}
+        UNION ALL ${p(4, 400, "CASE WHEN i <= 6 THEN 0 WHEN i <= 12 THEN 255 ELSE 32 END")}
+        UNION ALL ${p(5, 400, "CASE WHEN i <= 2 THEN 0 WHEN i <= 4 THEN 255 ELSE 32 END")}
+        UNION ALL ${p(6, 800, "CASE WHEN i <= 400 THEN 128 ELSE 32 END")}
+        UNION ALL ${p(7, 1600, "CASE WHEN i <= 400 THEN 0 ELSE 128 END")})"""
+  }
 
   val oracle: Map[String, String] = Map(
     // The energy ranking replayed + the row_number twin of the
@@ -1461,6 +1616,44 @@ object Multimodal {
                            != ((CAST(sl[j] AS BIGINT) * len(sl) - ssum) >= 0)
                       THEN 1 ELSE 0 END)), 0) END AS BIGINT) AS zcr
       FROM summed ORDER BY doc_id, win""",
+
+    // Screens replayed over corpus ∪ plant formulas: per-window energy
+    // and rail count from the sample lists, per-doc shares by the same
+    // strict-boundary integer rules (9·n silence compare, > 100 bp
+    // clip, > 5000 bp silent-window share, 'clipping' first).
+    "q_mm_audio_screens" -> s"""
+      WITH $audioCorpusSamplesCte,
+      $audioPlantsCte,
+      sm AS (SELECT * FROM smc UNION ALL SELECT * FROM plants),
+      $audioWindowCtes,
+      wstats AS (
+        SELECT doc_id, CAST(len(sl) AS BIGINT) AS n,
+               CAST(coalesce(list_sum(list_transform(sl,
+                 x -> CAST(x - 128 AS BIGINT) * (x - 128))), 0) AS BIGINT)
+                 AS energy,
+               CAST(coalesce(list_sum(list_transform(sl,
+                 x -> CASE WHEN x = 0 OR x = 255 THEN 1 ELSE 0 END)), 0)
+                 AS BIGINT) AS n_clip
+        FROM sliced),
+      agg AS (
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_samples,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN energy < $AudioSilenceEnergyPerSample * n
+                             THEN 1 ELSE 0 END) AS BIGINT) AS silent_windows,
+               CAST(sum(n_clip) AS BIGINT) AS clipped_samples
+        FROM wstats GROUP BY doc_id)
+      SELECT doc_id, n_samples, n_windows, silent_windows,
+             CAST(silent_windows * 10000 // n_windows AS BIGINT)
+               AS silence_bp,
+             clipped_samples,
+             CAST(clipped_samples * 10000 // greatest(n_samples, 1)
+               AS BIGINT) AS clip_bp,
+             CASE WHEN clipped_samples * 10000 // greatest(n_samples, 1)
+                       > $AudioClipBpMax THEN 'clipping'
+                  WHEN silent_windows * 10000 // n_windows
+                       > $AudioSilenceShareBp THEN 'silence'
+                  ELSE 'ok' END AS verdict
+      FROM agg ORDER BY doc_id""",
 
     "q_mm_meta" -> """
       SELECT doc_id,

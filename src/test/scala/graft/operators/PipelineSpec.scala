@@ -2341,6 +2341,36 @@ class PipelineSpec extends SparkSpec {
     assert(g.getString(1) == "unknown" && g.isNullAt(3))
   }
 
+  test("audio screens: every plant boundary lands exactly; ASCII corpus text is never clipped") {
+    import spark.implicits._
+    val base = Multimodal.AudioPlantBase
+    // One plain-text doc rides along: loud, unclipped, 'ok'.
+    val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val out = Multimodal.audioScreens(
+        Multimodal.stageWavPayloads(docs)
+          .unionByName(Multimodal.stageWavPlants(spark)))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    // (n_samples, n_windows, silent_windows, clipped, silence_bp,
+    //  clip_bp, verdict)
+    assert(out(1L) == ((11L, 1L, 0L, 0L, 0L, 0L, "ok")))
+    // +1 pure silence incl. the 100-sample tail window.
+    assert(out(base + 1) == ((500L, 2L, 2L, 0L, 10000L, 0L, "silence")))
+    // +2 energy EXACTLY 9·n — strict < says NOT silent.
+    assert(out(base + 2) == ((400L, 1L, 0L, 0L, 0L, 0L, "ok")))
+    // +3 dither band (energy n < 9n) IS silent.
+    assert(out(base + 3) == ((400L, 1L, 1L, 0L, 10000L, 0L, "silence")))
+    // +4 12 rails / 400 = 300 bp > 100.
+    assert(out(base + 4) == ((400L, 1L, 0L, 12L, 0L, 300L, "clipping")))
+    // +5 exactly 100 bp — strict > says NOT clipped.
+    assert(out(base + 5) == ((400L, 1L, 0L, 4L, 0L, 100L, "ok")))
+    // +6 exactly half the windows silent — strict > says ok.
+    assert(out(base + 6) == ((800L, 2L, 1L, 0L, 5000L, 0L, "ok")))
+    // +7 clipped AND silence-flagged: 'clipping' outranks.
+    assert(out(base + 7) == ((1600L, 4L, 3L, 400L, 7500L, 2500L, "clipping")))
+  }
+
   test("tier-routed serving equals the audit winner's direct chain row-for-row") {
     val winner = graft.SparkEntry.queries("q_knn_tier_policy")(spark, sfDir)
       .filter(col("selected")).collect().head.getString(0)
