@@ -1083,7 +1083,91 @@ object Dedup {
       .filter(col("text").isNull || length(col("text")) > 0)
   }
 
+  /** Chunk-index bits of the instance encoding in [[cdcDedup]]: the
+    * global-first tiebreak key is doc_id·2²⁰ + chunk_idx, so a single
+    * document may hold at most 2²⁰ chunks (64 MB of text at the ~64 B
+    * expected chunk — far above any real document; the bound is
+    * documented, not checked). */
+  val CdcIdxBits = 20
+
+  /** CONTENT-DEFINED CHUNK instances over a (doc_id, source, text)
+    * frame: one row per chunk with its 0-based index, length, and
+    * 60-bit md5-fold content key. Boundaries come from the
+    * [[graft.functions.CdcEnds]] codegen kernel (Rabin-style trailing
+    * window hash, cut at h mod 64 = 0 — content-anchored, so shared
+    * content re-chunks identically regardless of byte offset); the
+    * spans derive declaratively from the ends array and only the
+    * (key, len) pair — never the chunk text — survives past the
+    * projection. */
+  def cdcChunks(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), col("text"),
+        graft.functions.CdcOps.cdcEnds(col("text")).as("ends"))
+      .select(col("doc_id"), col("source"), col("text"),
+        posexplode(expr(
+          """transform(ends, (e, i) ->
+             struct(CASE WHEN i = 0 THEN 1
+                         ELSE element_at(ends, i) + 1 END AS start,
+                    e AS fin))""")))
+      .select(col("doc_id"), col("source"),
+        col("pos").cast("int").as("chunk_idx"),
+        (col("col.fin") - col("col.start") + 1).cast("bigint").as("len"),
+        expr(Tables.md5FoldSql(
+          "substring(text, col.start, col.fin - col.start + 1)"))
+          .as("chunk_key"))
+
+  /** Per-document CDC chunk profile — the chunking audit table:
+    * chunk count, min/max length, and mean length in centichars
+    * (truncating ·100 div). Zero-length docs produce no chunks and
+    * are absent (spec-pinned). */
+  def cdcChunkStats(docs: DataFrame): DataFrame =
+    cdcChunks(docs).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("len")).as("n_bytes"),
+        min(col("len")).as("min_len"),
+        max(col("len")).as("max_len"))
+      .withColumn("avg_len_c", expr("n_bytes * 100 div n_chunks"))
+      .orderBy("doc_id")
+
+  /** CDC STORAGE-DEDUP accounting per source — what a chunk-dedup'd
+    * store would save: every instance whose content key already
+    * appeared at a lexicographically earlier (doc_id, chunk_idx) is a
+    * DUP charged to ITS OWN source; savings_bp is the dup-byte share.
+    * The global first per key is one partial-aggregated min over the
+    * doc_id·2²⁰+idx encoding ([[CdcIdxBits]]); instances then re-join
+    * the firsts frame on the 8-byte key — the `q_text_novelty` shape:
+    * fixed-width rows on every exchange, chunk text never shuffles,
+    * and at 100 TB both sides hash-partition on chunk_key (the store's
+    * natural bucketing). */
+  def cdcDedup(docs: DataFrame): DataFrame = {
+    val inst = cdcChunks(docs)
+      .withColumn("enc",
+        shiftleft(col("doc_id"), CdcIdxBits) + col("chunk_idx"))
+    val firsts = inst.groupBy("chunk_key")
+      .agg(min(col("enc")).as("first_enc"))
+    inst.join(firsts, Seq("chunk_key"))
+      .withColumn("dup", col("enc") =!= col("first_enc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("len")).as("n_bytes"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("dup"), col("len")).otherwise(0L)).as("dup_bytes"))
+      .withColumn("savings_bp",
+        expr("dup_bytes * 10000 div greatest(n_bytes, 1)"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    // Per-doc CDC chunk profile — see [[cdcChunkStats]] and the
+    // [[graft.functions.CdcEnds]] kernel.
+    "q_dedup_cdc_chunks" -> ((s, dir) =>
+      cdcChunkStats(Tables.documents(s, dir))),
+
+    // Chunk-level storage-dedup accounting per source — see
+    // [[cdcDedup]].
+    "q_dedup_cdc" -> ((s, dir) =>
+      cdcDedup(Tables.documents(s, dir))),
+
     // Exact dedup: content hash → survivor (min doc_id) + multiplicity.
     // One hash aggregate; at 100 TB this is a single shuffle on the
     // 32-byte digest.
@@ -1498,7 +1582,78 @@ object Dedup {
           FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
                 FROM docs WHERE $docFilter)))"""
 
+  /** DuckDB twin of [[cdcChunks]]: the trailing-window hash as an
+    * unrolled 8-term polynomial (the kernel's Horner loop expanded —
+    * same Σ c_{i−j}·37^j), cuts as a pure per-position filter, chunk
+    * spans from the ends list, 60-bit md5-fold content keys. */
+  private def cdcOracleFront: String = {
+    val pows = Seq(1L, 37L, 1369L, 50653L, 1874161L, 69343957L,
+      2565726409L, 94931877133L)
+    val hash = pows.zipWithIndex.map { case (p, j) =>
+      s"CAST(ascii(substr(text, CAST(i - $j AS INTEGER), 1)) AS BIGINT) * $p" }
+      .mkString(" + ")
+    s"""cuts AS (
+        SELECT doc_id, source, text, n_chars,
+               list_filter(range(${graft.functions.CdcOps.Window},
+                                 n_chars + 1),
+                 i -> ($hash) % ${graft.functions.CdcOps.CutMod} = 0) AS cs
+        FROM documents),
+      cends AS (
+        SELECT doc_id, source, text,
+               CASE WHEN n_chars = 0 THEN CAST([] AS BIGINT[])
+                    WHEN len(cs) > 0 AND cs[-1] = n_chars THEN cs
+                    ELSE list_append(cs, CAST(n_chars AS BIGINT)) END AS es
+        FROM cuts),
+      chunks0 AS (
+        SELECT doc_id, source, text,
+               unnest(list_transform(range(1, len(es) + 1), k ->
+                 struct_pack(idx := k - 1,
+                   st := CASE WHEN k = 1 THEN 1 ELSE es[k - 1] + 1 END,
+                   fin := es[k]))) AS c
+        FROM cends),
+      chunks AS (
+        SELECT doc_id, source, CAST(c.idx AS INTEGER) AS chunk_idx,
+               CAST(c.fin - c.st + 1 AS BIGINT) AS len,
+               ('0x' || substr(md5(substr(text, CAST(c.st AS INTEGER),
+                 CAST(c.fin - c.st + 1 AS INTEGER))), 1, 15))::BIGINT
+                 AS chunk_key
+        FROM chunks0)"""
+  }
+
   val oracle: Map[String, String] = Map(
+    // Per-doc chunk profile off the shared CDC front.
+    "q_dedup_cdc_chunks" -> s"""
+      WITH $cdcOracleFront
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(len) AS BIGINT) AS n_bytes,
+             CAST(min(len) AS BIGINT) AS min_len,
+             CAST(max(len) AS BIGINT) AS max_len,
+             CAST(sum(len) * 100 // count(*) AS BIGINT) AS avg_len_c
+      FROM chunks GROUP BY doc_id ORDER BY doc_id""",
+
+    // Storage-dedup accounting: global first per key by the same
+    // doc_id·2²⁰+idx encoding, dups charged to their own source.
+    "q_dedup_cdc" -> s"""
+      WITH $cdcOracleFront,
+      firsts AS (
+        SELECT chunk_key,
+               min(doc_id * ${1L << CdcIdxBits} + chunk_idx) AS first_enc
+        FROM chunks GROUP BY chunk_key),
+      inst AS (
+        SELECT source, len,
+               (doc_id * ${1L << CdcIdxBits} + chunk_idx) != f.first_enc
+                 AS dup
+        FROM chunks JOIN firsts f USING (chunk_key))
+      SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(len) AS BIGINT) AS n_bytes,
+             CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_chunks,
+             CAST(sum(CASE WHEN dup THEN len ELSE 0 END) AS BIGINT)
+               AS dup_bytes,
+             CAST(sum(CASE WHEN dup THEN len ELSE 0 END) * 10000
+                  // greatest(sum(len), 1) AS BIGINT) AS savings_bp
+      FROM inst GROUP BY source ORDER BY source""",
+
     // Full-corpus line dedup: df count over md5 line keys, cut at
     // df >= LineDupDf, rebuild in line order; docs losing every line
     // come back as '' via the left join (the Spark twin's coalesce).

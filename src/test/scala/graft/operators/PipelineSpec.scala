@@ -2229,6 +2229,48 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("cdc chunking: content anchoring, forced-cut fixture, dedup accounting exact") {
+    import spark.implicits._
+    def chunksOf(text: String): Seq[(Int, Long, Long)] =
+      Dedup.cdcChunks(Seq((1L, "s", text)).toDF("doc_id", "source", "text"))
+        .orderBy("chunk_idx")
+        .collect().map(r => (r.getInt(2), r.getLong(3), r.getLong(4))).toSeq
+    // No window of 'a's hashes to 0 mod 64 (97·Σ37^j ≡ 56), so a run
+    // of 'a' is ONE chunk closed by the always-final end.
+    assert(chunksOf("a" * 20).map(c => (c._1, c._2)) == Seq((0, 20L)))
+    // "aaaaaaai" is a constructed cut: 97·(Σ−1) + 105 ≡ 0 mod 64 —
+    // the first chunk ends at exactly 8 whatever follows.
+    assert(chunksOf("aaaaaaai" + "bbbb").head._2 == 8L)
+    // CONTENT ANCHORING — the defining CDC property: prefixing an
+    // insertion shifts every byte offset, yet every chunk of the
+    // original AFTER its first cut re-appears key-identical (trailing
+    // windows see the same bytes; fixed-size blocking has no such
+    // property). The base text gets varied content so cuts exist.
+    val base = (0 until 600).map(i => ('a' + (i * 7 + i * i % 13) % 26).toChar)
+      .mkString
+    val orig = chunksOf(base)
+    val shifted = chunksOf("INSERTED-PREFIX! " + base)
+    assert(orig.size >= 3, s"fixture too uniform: ${orig.size} chunks")
+    val tailKeys = orig.drop(1).map(_._3)
+    assert(shifted.map(_._3).containsSlice(tailKeys),
+      s"anchoring broke: ${orig.size} orig, ${shifted.size} shifted")
+    // Dedup accounting: identical content in the same source dups the
+    // second instance; a unique doc elsewhere saves nothing.
+    val docs = Seq((1L, "s1", "a" * 20), (2L, "s1", "a" * 20),
+      (3L, "s2", "b" * 10)).toDF("doc_id", "source", "text")
+    val acct = Dedup.cdcDedup(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(acct == Seq(("s1", 2L, 40L, 1L, 20L, 5000L),
+      ("s2", 1L, 10L, 0L, 0L, 0L)), s"$acct")
+    // Per-doc profile: counts, extremes, centichar mean.
+    val prof = Dedup.cdcChunkStats(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(prof == Seq((1L, 1L, 20L, 20L, 20L, 2000L),
+      (2L, 1L, 20L, 20L, 20L, 2000L), (3L, 1L, 10L, 10L, 10L, 1000L)))
+  }
+
   test("line dedup: threshold boundary, positional removal, frozen-index probe semantics") {
     import spark.implicits._
     // Hand fixture: header df=3 (cut), footer df=3 (cut), df=2 line
