@@ -478,6 +478,84 @@ object TextAnalysis {
     * tie rule, merge application, re-counting under merges). */
   val BpeMerges = 10
 
+  /** Segment width (tokens) for the code-switching detector — small
+    * enough that a two-language document yields segments of each. */
+  val LangMixSegTokens = 20
+
+  /** A document is MIXED iff its dominant language holds STRICTLY
+    * less than this share of segments (the exactly-80% doc is NOT
+    * mixed — spec-pinned). */
+  val LangMixDomBp = 8000L
+
+  /** CODE-SWITCHING / language-mixing detection — the per-SEGMENT
+    * refinement of `q_text_langid` (a whole-doc argmax calls a 60/40
+    * EN/DE document "en" and hides the mixing that poisons
+    * monolingual training slices): the token stream splits into
+    * [[LangMixSegTokens]]-token segments, each labeled by the SAME
+    * stopword-argmax rule (shared tie cascade, so the two keys can
+    * never disagree on a single-segment doc), then per doc the
+    * dominant label's segment share (bp, truncating), the count of
+    * adjacent-segment label SWITCHES (the code-switching signal
+    * proper), and the mixed verdict (dominant share < 80%, strict).
+    *
+    * Scale shape: ENTIRELY array-native inside one projection —
+    * segments are slices of the doc's own token array, labels a
+    * transform over them, switches a positional filter; no explode,
+    * no re-group, ZERO exchanges at any corpus size (the
+    * `q_text_c4_filters` cost class). */
+  def langMix(docs: DataFrame): DataFrame = {
+    def inList(l: Seq[String]) = l.map("'" + _ + "'").mkString(",")
+    def segHits(lang: String, stops: Seq[String]) =
+      s"size(filter(slice(ws, k * $LangMixSegTokens + 1, $LangMixSegTokens), " +
+        s"w -> w IN (${inList(stops)}))) AS h_$lang"
+    // Per-segment hit struct (each filter evaluated once), then the
+    // SAME ordered argmax cascade as [[langidPlan]].
+    val hitsArr = s"""transform(
+        sequence(0, (greatest(size(ws), 1) + ${LangMixSegTokens - 1})
+                    div $LangMixSegTokens - 1),
+        k -> struct(${segHits("en", stopEn)}, ${segHits("de", stopDe)},
+                    ${segHits("es", stopEs)}, ${segHits("fr", stopFr)}))"""
+    val labelsCol = s"""transform($hitsArr, h ->
+        CASE WHEN greatest(h.h_en, h.h_de, h.h_es, h.h_fr) = 0 THEN 'und'
+             WHEN h.h_en >= h.h_de AND h.h_en >= h.h_es
+                  AND h.h_en >= h.h_fr THEN 'en'
+             WHEN h.h_de >= h.h_es AND h.h_de >= h.h_fr THEN 'de'
+             WHEN h.h_es >= h.h_fr THEN 'es'
+             ELSE 'fr' END)"""
+    def cnt(l: String) = s"size(filter(labels, l -> l = '$l'))"
+    docs
+      .select(col("doc_id"),
+        split(lower(col("text")), " ").as("ws"))
+      .select(col("doc_id"), expr(labelsCol).as("labels"))
+      .select(col("doc_id"),
+        size(col("labels")).cast("bigint").as("n_segments"),
+        expr(s"CAST(${cnt("en")} AS BIGINT)").as("c_en"),
+        expr(s"CAST(${cnt("de")} AS BIGINT)").as("c_de"),
+        expr(s"CAST(${cnt("es")} AS BIGINT)").as("c_es"),
+        expr(s"CAST(${cnt("fr")} AS BIGINT)").as("c_fr"),
+        expr(s"CAST(${cnt("und")} AS BIGINT)").as("c_und"),
+        // sequence(1, 0) counts DOWN in Spark (the bpeSymSql lesson):
+        // guard the single-segment doc explicitly.
+        expr("""CAST(CASE WHEN size(labels) < 2 THEN 0 ELSE
+            size(filter(sequence(1, size(labels) - 1),
+              k -> element_at(labels, k + 1) != element_at(labels, k)))
+            END AS BIGINT)""").as("n_switches"))
+      .withColumn("dom_lang", expr(
+        """CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr
+                     AND c_en >= c_und THEN 'en'
+                WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_und THEN 'de'
+                WHEN c_es >= c_fr AND c_es >= c_und THEN 'es'
+                WHEN c_fr >= c_und THEN 'fr'
+                ELSE 'und' END"""))
+      .withColumn("dom_share_bp", expr(
+        """greatest(c_en, c_de, c_es, c_fr, c_und) * 10000
+           div n_segments"""))
+      .withColumn("mixed", col("dom_share_bp") < LangMixDomBp)
+      .select("doc_id", "n_segments", "dom_lang", "dom_share_bp",
+        "n_switches", "mixed")
+      .orderBy("doc_id")
+  }
+
   /** ' c h a r s ' — a word as space-separated character symbols with
     * sentinel pads, the string representation every BPE step rewrites.
     * Both engines enumerate chars by position (no empty-regex split —
@@ -705,6 +783,11 @@ object TextAnalysis {
         .groupBy("lang", "pred_lang")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "pred_lang")),
+
+    // Code-switching detection: per-segment langid, dominant share,
+    // adjacent-label switch count — see [[langMix]].
+    "q_text_lang_mix" -> ((s, dir) =>
+      langMix(Tables.documents(s, dir))),
 
     // Quality scoring: length band + stopword ratio + mean word length,
     // composed into an integer 0-3 score (exact arithmetic only).
@@ -1145,6 +1228,62 @@ object TextAnalysis {
                   WHEN s_es >= s_fr THEN 'es'
                   ELSE 'fr' END AS pred_lang
       FROM t ORDER BY doc_id""",
+
+    // Segment langid replay: same slice windows, same hit filters,
+    // same cascades; switches as a positional label compare.
+    "q_text_lang_mix" -> {
+      def inList(l: Seq[String]) = l.map("'" + _ + "'").mkString(",")
+      val st = LangMixSegTokens
+      def segHits(lang: String, stops: Seq[String]) =
+        s"h_$lang := len(list_filter(ws[k * $st + 1 : k * $st + $st], " +
+          s"w -> w IN (${inList(stops)})))"
+      def cnt(l: String) = s"len(list_filter(labels, l -> l = '$l'))"
+      s"""
+      WITH w AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      hs AS (
+        SELECT doc_id,
+               list_transform(range(0, (greatest(len(ws), 1) + ${st - 1}) // $st),
+                 k -> struct_pack(${segHits("en", stopEn)},
+                   ${segHits("de", stopDe)}, ${segHits("es", stopEs)},
+                   ${segHits("fr", stopFr)})) AS h
+        FROM w),
+      lab AS (
+        SELECT doc_id, list_transform(h, x ->
+          CASE WHEN greatest(x.h_en, x.h_de, x.h_es, x.h_fr) = 0 THEN 'und'
+               WHEN x.h_en >= x.h_de AND x.h_en >= x.h_es
+                    AND x.h_en >= x.h_fr THEN 'en'
+               WHEN x.h_de >= x.h_es AND x.h_de >= x.h_fr THEN 'de'
+               WHEN x.h_es >= x.h_fr THEN 'es'
+               ELSE 'fr' END) AS labels
+        FROM hs),
+      agg AS (
+        SELECT doc_id, CAST(len(labels) AS BIGINT) AS n_segments,
+               CAST(${cnt("en")} AS BIGINT) AS c_en,
+               CAST(${cnt("de")} AS BIGINT) AS c_de,
+               CAST(${cnt("es")} AS BIGINT) AS c_es,
+               CAST(${cnt("fr")} AS BIGINT) AS c_fr,
+               CAST(${cnt("und")} AS BIGINT) AS c_und,
+               CAST(CASE WHEN len(labels) < 2 THEN 0 ELSE
+                 len(list_filter(range(1, len(labels)),
+                   k -> labels[k + 1] != labels[k])) END AS BIGINT)
+                 AS n_switches
+        FROM lab)
+      SELECT doc_id, n_segments,
+             CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr
+                       AND c_en >= c_und THEN 'en'
+                  WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_und
+                       THEN 'de'
+                  WHEN c_es >= c_fr AND c_es >= c_und THEN 'es'
+                  WHEN c_fr >= c_und THEN 'fr'
+                  ELSE 'und' END AS dom_lang,
+             CAST(greatest(c_en, c_de, c_es, c_fr, c_und) * 10000
+                  // n_segments AS BIGINT) AS dom_share_bp,
+             n_switches,
+             greatest(c_en, c_de, c_es, c_fr, c_und) * 10000
+               // n_segments < $LangMixDomBp AS mixed
+      FROM agg ORDER BY doc_id"""
+    },
 
     // The same hit/CASE arithmetic grouped by the labeled lang.
     "q_text_langid_confusion" -> s"""

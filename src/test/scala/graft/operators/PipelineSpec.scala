@@ -2229,6 +2229,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("lang mix: segment labels, switch count, strict 80% dominance boundary") {
+    import spark.implicits._
+    def seg(tok: String, n: Int) = Seq.fill(n)(tok).mkString(" ")
+    val docs = Seq(
+      (1L, seg("the", 20) + " " + seg("der", 20)), // en|de -> mixed
+      (2L, seg("the", 40)),                        // en|en -> pure
+      (3L, seg("the", 80) + " " + seg("der", 20)), // 4 en + 1 de = 8000 bp
+      (4L, "xx yy zz"),                            // no stopwords -> und
+      (5L, seg("the", 20) + " " + seg("der", 20) + " " + seg("the", 20)))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langMix(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == Seq(
+      (1L, 2L, "en", 5000L, 1L, true),
+      (2L, 2L, "en", 10000L, 0L, false),
+      // Exactly 80% dominant is NOT mixed — strict <.
+      (3L, 5L, "en", 8000L, 1L, false),
+      (4L, 1L, "und", 10000L, 0L, false),
+      // Alternation: two switches, dominant still en, mixed.
+      (5L, 3L, "en", 6666L, 2L, true)), s"$got")
+  }
+
   test("cdc chunking: content anchoring, forced-cut fixture, dedup accounting exact") {
     import spark.implicits._
     def chunksOf(text: String): Seq[(Int, Long, Long)] =

@@ -320,7 +320,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q_text_c4_filters and q_mm_audio_meta plan no exchange at all (pure projections)") {
-    for (key <- Seq("q_text_c4_filters", "q_mm_audio_meta")) {
+    for (key <- Seq("q_text_c4_filters", "q_mm_audio_meta",
+        "q_text_lang_mix")) {
       val df = graft.SparkEntry.queries(key)(spark, sfDir)
       val p = df.queryExecution.executedPlan.toString
       // The single allowed exchange is the final orderBy's range
