@@ -1083,6 +1083,73 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Power-iteration rounds — 3, the pagerank/Lloyd bounded-unroll
+    * convention (each round is one corpus pass; the oracle replays
+    * them as CTE pairs). */
+  val PowerIters = 3
+
+  /** L∞ scale of the iterated direction vector (and the dot
+    * down-scale divisor — see [[powerIteration]]'s overflow budget). */
+  val PowerVScale = 10000L
+
+  /** TOP PRINCIPAL DIRECTION by POWER ITERATION over the (uncentered)
+    * second-moment matrix — the embedding-geometry diagnostic behind
+    * whitening and anisotropy checks (Mu & Viswanath '18: embedding
+    * sets concentrate along a dominant direction; this key measures
+    * it WITHOUT materializing the d×d Gram matrix, the only shape
+    * that survives d in the thousands): v ← Σᵢ xᵢ·(xᵢ·v), L∞-normalized
+    * each round, [[PowerIters]] rounds from the all-ones start.
+    *
+    * Integer-exact end to end, so the oracle replays training: x is
+    * the floor(·1000) quant; each round's dot DOWN-SCALES by
+    * [[PowerVScale]] (dropping the v-scale factor) through an explicit
+    * sign-split division — Spark's truncating `div` and DuckDB's
+    * flooring `//` agree only on nonnegative operands, so every
+    * division here splits on sign (the Lloyd centroid convention);
+    * normalization is v'ⱼ = ±(|uⱼ|·10⁴ div max|u|). Overflow budget:
+    * |dot_s| ≤ d·|x|∞² ≈ 3.4e4 ⟹ |uⱼ| ≤ N·526·3.4e4 and the ·10⁴
+    * normalization product stays in a long past N = 5·10⁷ vectors —
+    * beyond that, sample or shard the moment pass (documented seam).
+    *
+    * Scale shape per round: one broadcast of the 1-row direction, one
+    * linear dot pass, one posexplode into a partial-aggregated
+    * groupBy(dim) (map-side combine to ≤ d rows per partition — the
+    * embDimStats shuffle), one d-row rebuild; localCheckpoint cuts
+    * the round lineage (the CC-loop lesson). The corpus never
+    * shuffles; the d×d Gram never exists. */
+  def powerIteration(e0: DataFrame): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val e = e0.select(col("vec_id"), expr(quant).as("x"))
+    val d = e.select(size(col("x"))).head.getInt(0) // bounded 1-row action
+    var pv = Seq(Tuple1(Array.fill(d)(PowerVScale)))
+      .toDF("pv").localCheckpoint(true)
+    for (_ <- 0 until PowerIters) {
+      val dots = e.crossJoin(broadcast(pv))
+        .select(col("x"),
+          graft.functions.VectorOps.longDot(col("x"), col("pv")).as("dot"))
+        .select(col("x"), expr(
+          s"""CASE WHEN dot >= 0 THEN dot div $PowerVScale
+              ELSE -((-dot) div $PowerVScale) END""").as("dot_s"))
+      val u = dots
+        .select(posexplode(col("x")).as(Seq("dim", "xj")), col("dot_s"))
+        .groupBy("dim")
+        .agg(sum(expr("xj * dot_s")).as("u"))
+      pv = u.agg(max(abs(col("u"))).as("um"),
+          expr("transform(array_sort(collect_list(struct(dim, u))), s -> s.u)")
+            .as("uv"))
+        .select(expr(
+          s"""transform(uv, y ->
+              CASE WHEN um = 0 THEN ${PowerVScale}L
+                   WHEN y >= 0 THEN y * $PowerVScale div um
+                   ELSE -(((-y) * $PowerVScale) div um) END)""").as("pv"))
+        .localCheckpoint(true)
+    }
+    pv.select(posexplode(col("pv")).as(Seq("dim", "v")))
+      .select(col("dim").cast("int").as("dim"), col("v"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_knn_topk" -> ((s, dir) => brute(s, dir, 8, 5)),
 
@@ -1097,6 +1164,11 @@ object Similarity {
     // Per-dimension collapse/drift audit — see [[embDimStats]].
     "q_emb_dim_stats" -> ((s, dir) =>
       embDimStats(Tables.embeddings(s, dir))),
+
+    // Top principal direction by integer power iteration — see
+    // [[powerIteration]].
+    "q_emb_power_iter" -> ((s, dir) =>
+      powerIteration(Tables.embeddings(s, dir))),
 
     // Filtered search — see [[bruteFiltered]]: exact top-k within the
     // probe's own label class, the metadata-constrained query every
@@ -2295,6 +2367,49 @@ object Similarity {
              CAST(qmax AS BIGINT) AS qmax,
              CAST(n * ss - s * s AS BIGINT) AS var_num
       FROM st ORDER BY dim""",
+
+    // Power iteration unrolled as CTE rounds (the pagerank/Lloyd
+    // pattern): per round, the down-scaled dot pass, the per-dim
+    // moment sum, the max-|u| normalizer — every division sign-split
+    // so // and div agree.
+    "q_emb_power_iter" -> {
+      def round(t: Int) = s"""d$t AS (
+        SELECT x, list_sum(list_transform(range(1, len(x) + 1),
+                 j -> x[j] * v[j])) AS dot
+        FROM e, pv${t - 1}),
+      ds$t AS (
+        SELECT x, CASE WHEN dot >= 0 THEN dot // $PowerVScale
+                       ELSE -((-dot) // $PowerVScale) END AS dot_s
+        FROM d$t),
+      u$t AS (
+        SELECT CAST(i AS INTEGER) - 1 AS dim,
+               CAST(sum(x[i] * dot_s) AS BIGINT) AS u
+        FROM ds$t, unnest(range(1, len(x) + 1)) t(i)
+        GROUP BY dim),
+      m$t AS (SELECT max(abs(u)) AS um FROM u$t),
+      pv$t AS (
+        SELECT list(CASE WHEN um = 0 THEN CAST($PowerVScale AS BIGINT)
+                         WHEN u >= 0 THEN u * $PowerVScale // um
+                         ELSE -(((-u) * $PowerVScale) // um) END
+                    ORDER BY dim) AS v
+        FROM u$t, m$t)"""
+      s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS x
+        FROM embeddings),
+      pv0 AS (
+        SELECT list_transform(
+                 range(1, (SELECT max(len(embedding)) FROM embeddings) + 1),
+                 i -> CAST($PowerVScale AS BIGINT)) AS v),
+      ${(1 to PowerIters).map(round).mkString(",\n      ")}
+      SELECT dim,
+             CAST(CASE WHEN um = 0 THEN CAST($PowerVScale AS BIGINT)
+                       WHEN u >= 0 THEN u * $PowerVScale // um
+                       ELSE -(((-u) * $PowerVScale) // um) END AS BIGINT)
+               AS v
+      FROM u$PowerIters, m$PowerIters ORDER BY dim"""
+    },
 
     // The brute twin restricted to same-label candidates — exact
     // filtered-search semantics.

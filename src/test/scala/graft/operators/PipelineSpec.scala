@@ -2229,6 +2229,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("power iteration: hand-computed 3-round fixture, negative component, degenerate zero") {
+    import spark.implicits._
+    // Axis-dominant set: 3×[1,0] vs 1×[0,0.5] — the off-axis
+    // component decays 10000 → 833 → 68 → 5 (hand-traced through the
+    // sign-split downscale and L∞ normalization).
+    val a = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)), (4L, Array(0.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.powerIteration(a).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == Seq((0, 10000L), (1, 5L)), s"$got")
+    // Negative direction component survives the sign-split divisions:
+    // 2×[1,−1] + 1×[1,0] → v₃ = [10000, −7691] exactly.
+    val b = Seq((1L, Array(1.0f, -1.0f)), (2L, Array(1.0f, -1.0f)),
+      (3L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val gotB = Similarity.powerIteration(b).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(gotB == Seq((0, 10000L), (1, -7691L)), s"$gotB")
+    // Degenerate: the all-ones start is orthogonal to every vector
+    // (dot 0 each round) — um = 0 keeps the start vector, no crash.
+    val c = Seq((1L, Array(1.0f, -1.0f)), (2L, Array(1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val gotC = Similarity.powerIteration(c).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(gotC == Seq((0, 10000L), (1, 10000L)), s"$gotC")
+  }
+
   test("lang mix: segment labels, switch count, strict 80% dominance boundary") {
     import spark.implicits._
     def seg(tok: String, n: Int) = Seq.fill(n)(tok).mkString(" ")
