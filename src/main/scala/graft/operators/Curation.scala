@@ -296,6 +296,35 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Source-concentration audit (`q_corpus_gini`): Gini of the
+    * per-source doc-count and byte distributions + top-source shares.
+    * Gini via the PAIRWISE mean-absolute-difference form
+    * Σᵢⱼ|cᵢ−cⱼ| · 10⁴ div (2·k·S) — exact integers with one trailing
+    * truncating div, and NO rank window (the rank form needs a global
+    * sort; the plan-shape suite bans unpartitioned windows). The k²
+    * pair frame is per-SOURCE, bounded at any corpus size (the
+    * classCentroids labels² pattern). */
+  def sourceGini(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy("source")
+      .agg(count(lit(1)).as("c"), sum(col("n_chars")).as("b"))
+    val a = per.select(col("c").as("ca"), col("b").as("ba"))
+    val b2 = per.select(col("c").as("cb"), col("b").as("bb"))
+    val pairs = a.crossJoin(broadcast(b2))
+      .agg(sum(abs(col("ca") - col("cb"))).as("dc"),
+        sum(abs(col("ba") - col("bb"))).as("db"))
+    per.agg(count(lit(1)).as("n_sources"), sum(col("c")).as("n_docs"),
+        sum(col("b")).as("total_bytes"),
+        max(col("c")).as("maxc"), max(col("b")).as("maxb"))
+      .crossJoin(broadcast(pairs))
+      .select(col("n_sources"), col("n_docs"), col("total_bytes"),
+        expr("dc * 10000 div (2 * n_sources * n_docs)")
+          .as("gini_docs_bp"),
+        expr("db * 10000 div (2 * n_sources * total_bytes)")
+          .as("gini_bytes_bp"),
+        expr("maxc * 10000 div n_docs").as("top_doc_share_bp"),
+        expr("maxb * 10000 div total_bytes").as("top_byte_share_bp"))
+  }
+
   /** EVAL-SIDE contamination report — [[decontaminate]] flipped around:
     * per EVAL doc, how many corpus docs share ≥ 1 width-w shingle with
     * it and how many of its distinct shingles leaked. The corpus-side
@@ -2022,6 +2051,11 @@ object Curation {
         .orderBy("lang")
     }),
 
+    // SOURCE CONCENTRATION (round 14): one-row Gini + top-share
+    // diversity audit behind mixing decisions (a corpus at gini 0.8
+    // is one crawl wearing twenty source labels) — see [[sourceGini]].
+    "q_corpus_gini" -> ((s, dir) => sourceGini(Tables.documents(s, dir))),
+
     // DSIR-style importance weighting — see [[importanceWeights]]:
     // fixed-point target/raw frequency ratio per doc + the selection
     // verdict, integer-exact in both engines.
@@ -2863,6 +2897,34 @@ object Curation {
       SELECT lang, n_docs, n_tokens, n_chars_total, mean_chars,
              CAST(n_docs * 10000 // n_total AS BIGINT) AS pct_docs_bp
       FROM g, t ORDER BY lang""",
+
+    // The same pairwise-|Δ| Gini arithmetic over the per-source frame;
+    // one trailing // per measure.
+    "q_corpus_gini" -> """
+      WITH per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(n_chars) AS BIGINT) AS b
+        FROM documents GROUP BY source),
+      pairs AS (
+        SELECT CAST(sum(abs(x.c - y.c)) AS BIGINT) AS dc,
+               CAST(sum(abs(x.b - y.b)) AS BIGINT) AS db
+        FROM per x, per y),
+      tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_sources,
+               CAST(sum(c) AS BIGINT) AS n_docs,
+               CAST(sum(b) AS BIGINT) AS total_bytes,
+               CAST(max(c) AS BIGINT) AS maxc,
+               CAST(max(b) AS BIGINT) AS maxb
+        FROM per)
+      SELECT n_sources, n_docs, total_bytes,
+             CAST(dc * 10000 // (2 * n_sources * n_docs) AS BIGINT)
+               AS gini_docs_bp,
+             CAST(db * 10000 // (2 * n_sources * total_bytes) AS BIGINT)
+               AS gini_bytes_bp,
+             CAST(maxc * 10000 // n_docs AS BIGINT) AS top_doc_share_bp,
+             CAST(maxb * 10000 // total_bytes AS BIGINT)
+               AS top_byte_share_bp
+      FROM tot, pairs""",
 
     // Same tf → cf frames; nonnegative-integer // == div; CASTs pin
     // DuckDB's HUGEINT sums to BIGINT so the dtype compare holds.

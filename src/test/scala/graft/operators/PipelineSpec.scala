@@ -2229,6 +2229,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("gini: pairwise-delta form exact on hand fixtures, uniform corpus scores zero") {
+    import spark.implicits._
+    def gini(rows: Seq[(Long, String, Long)]) = {
+      val docs = rows.map { case (id, src, nc) => (id, "t", "en", src, nc) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      Curation.sourceGini(docs)
+        .select("gini_docs_bp", "gini_bytes_bp", "top_doc_share_bp")
+        .collect().head
+    }
+    // 1 vs 3 docs: sum|delta| = 4 -> 4*1e4 div (2*2*4) = 2500; bytes
+    // 10 vs 30 same shape; top share 7500.
+    val r = gini(Seq((1L, "s1", 10L), (2L, "s2", 10L), (3L, "s2", 10L),
+      (4L, "s2", 10L)))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2500L, 2500L, 7500L)))
+    // Uniform: gini exactly 0.
+    val u = gini(Seq((1L, "s1", 10L), (2L, "s2", 10L)))
+    assert((u.getLong(0), u.getLong(1), u.getLong(2)) == ((0L, 0L, 5000L)))
+  }
+
   test("power iteration: hand-computed 3-round fixture, negative component, degenerate zero") {
     import spark.implicits._
     // Axis-dominant set: 3×[1,0] vs 1×[0,0.5] — the off-axis
