@@ -1145,9 +1145,15 @@ object Dedup {
         shiftleft(col("doc_id"), CdcIdxBits) + col("chunk_idx"))
     val firsts = inst.groupBy("chunk_key")
       .agg(min(col("enc")).as("first_enc"))
-    inst.join(firsts, Seq("chunk_key"))
-      .withColumn("dup", col("enc") =!= col("first_enc"))
-      .groupBy("source")
+    cdcAccount(inst.join(firsts, Seq("chunk_key"))
+      .withColumn("dup", col("enc") =!= col("first_enc")))
+  }
+
+  /** Per-source accounting over a (source, len, dup) instance frame —
+    * shared by the full and incremental CDC keys so they can never
+    * disagree on the ledger arithmetic. */
+  private def cdcAccount(inst: DataFrame): DataFrame =
+    inst.groupBy("source")
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("len")).as("n_bytes"),
         sum(when(col("dup"), 1L).otherwise(0L)).as("dup_chunks"),
@@ -1155,6 +1161,36 @@ object Dedup {
       .withColumn("savings_bp",
         expr("dup_bytes * 10000 div greatest(n_bytes, 1)"))
       .orderBy("source")
+
+  /** The persisted CHUNK-KEY index for [[cdcDedupBatch]]: the distinct
+    * content keys of the already-ingested prefix. In production this
+    * is the dedup store's key table, bucketed by chunk_key. */
+  def cdcIndex(prefix: DataFrame): DataFrame =
+    cdcChunks(prefix).select("chunk_key").distinct()
+
+  /** Gate ONE arriving batch against a persisted [[cdcIndex]] — the
+    * ingest-time twin of [[cdcDedup]] restricted to the batch: a batch
+    * instance is a DUP iff its key is in the index OR an earlier
+    * (doc_id, chunk_idx) within the batch already carries it. Because
+    * the split is a doc_id PREFIX (dup attribution is order-dependent
+    * — the novelty-incremental lesson, not the mod-slice the
+    * order-free twins use), every prefix enc is below every batch enc,
+    * so index-hit ∨ within-batch-first replays the full recompute
+    * EXACTLY (oracle = full restricted to the batch; hash match is the
+    * proof). Batch-linear: prefix text never rescanned; the index
+    * probe is the only corpus-sized touch and is keyed on the 8-byte
+    * chunk_key the store buckets by. */
+  def cdcDedupBatch(batch: DataFrame, index: DataFrame): DataFrame = {
+    val inst = cdcChunks(batch)
+      .withColumn("enc",
+        shiftleft(col("doc_id"), CdcIdxBits) + col("chunk_idx"))
+    val bFirsts = inst.groupBy("chunk_key")
+      .agg(min(col("enc")).as("bfirst"))
+    cdcAccount(inst
+      .join(bFirsts, Seq("chunk_key"))
+      .join(index.withColumn("hit", lit(1)), Seq("chunk_key"), "left")
+      .withColumn("dup",
+        col("hit").isNotNull || col("enc") =!= col("bfirst")))
   }
 
   val queries: Map[String, Q] = Map(
@@ -1167,6 +1203,19 @@ object Dedup {
     // [[cdcDedup]].
     "q_dedup_cdc" -> ((s, dir) =>
       cdcDedup(Tables.documents(s, dir))),
+
+    // INCREMENTAL CDC dedup: the frozen chunk-key index over the
+    // doc_id prefix (80% mark — attribution is order-dependent, so a
+    // prefix split, not a mod slice), one arriving batch gated — see
+    // [[cdcDedupBatch]]. localCheckpoint stands in for the store's
+    // bucketed key table; the 1-row max(doc_id) action is bounded.
+    "q_dedup_cdc_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 4 / 5
+      val index = cdcIndex(docs.filter(col("doc_id") < cut))
+        .localCheckpoint(true)
+      cdcDedupBatch(docs.filter(col("doc_id") >= cut), index)
+    }),
 
     // Exact dedup: content hash → survivor (min doc_id) + multiplicity.
     // One hash aggregate; at 100 TB this is a single shuffle on the
@@ -1644,6 +1693,32 @@ object Dedup {
                (doc_id * ${1L << CdcIdxBits} + chunk_idx) != f.first_enc
                  AS dup
         FROM chunks JOIN firsts f USING (chunk_key))
+      SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(len) AS BIGINT) AS n_bytes,
+             CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_chunks,
+             CAST(sum(CASE WHEN dup THEN len ELSE 0 END) AS BIGINT)
+               AS dup_bytes,
+             CAST(sum(CASE WHEN dup THEN len ELSE 0 END) * 10000
+                  // greatest(sum(len), 1) AS BIGINT) AS savings_bp
+      FROM inst GROUP BY source ORDER BY source""",
+
+    // Full recompute restricted to the batch slice (doc_id >= 80% of
+    // max) — hash-matching the frozen-index gate proves
+    // incremental == full (every prefix enc is below every batch enc).
+    "q_dedup_cdc_incremental" -> s"""
+      WITH $cdcOracleFront,
+      cut AS (SELECT max(doc_id) * 4 // 5 AS c FROM documents),
+      firsts AS (
+        SELECT chunk_key,
+               min(doc_id * ${1L << CdcIdxBits} + chunk_idx) AS first_enc
+        FROM chunks GROUP BY chunk_key),
+      inst AS (
+        SELECT source, len,
+               (doc_id * ${1L << CdcIdxBits} + chunk_idx) != f.first_enc
+                 AS dup
+        FROM chunks JOIN firsts f USING (chunk_key), cut
+        WHERE doc_id >= cut.c)
       SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
              CAST(sum(len) AS BIGINT) AS n_bytes,
              CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)

@@ -2340,6 +2340,28 @@ class PipelineSpec extends SparkSpec {
       (2L, 1L, 20L, 20L, 20L, 2000L), (3L, 1L, 10L, 10L, 10L, 1000L)))
   }
 
+  test("cdc incremental: index hit, within-batch first-credit, batch == full on the slice") {
+    import spark.implicits._
+    // Prefix doc 1 carries the 'a'-chunk; batch: doc 4 repeats it
+    // (dup via the index), docs 5/6 share a new 'c'-chunk (5 gets the
+    // within-batch first credit, 6 is the dup).
+    val all = Seq((1L, "s1", "a" * 20), (4L, "s1", "a" * 20),
+      (5L, "s2", "c" * 20), (6L, "s2", "c" * 20))
+      .toDF("doc_id", "source", "text")
+    val index = Dedup.cdcIndex(all.filter($"doc_id" < 4)).localCheckpoint(true)
+    val inc = Dedup.cdcDedupBatch(all.filter($"doc_id" >= 4), index)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(inc == Seq(("s1", 1L, 20L, 1L, 20L, 10000L),
+      ("s2", 2L, 40L, 1L, 20L, 5000L)), s"$inc")
+    // The gate replays the full recompute on the batch slice exactly.
+    val full = Dedup.cdcDedup(all) // full attribution: doc1 first, 4 dup; 5 first, 6 dup
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(full == Seq(("s1", 2L, 40L, 1L, 20L, 5000L),
+      ("s2", 2L, 40L, 1L, 20L, 5000L)), s"$full")
+  }
+
   test("line dedup: threshold boundary, positional removal, frozen-index probe semantics") {
     import spark.implicits._
     // Hand fixture: header df=3 (cut), footer df=3 (cut), df=2 line
