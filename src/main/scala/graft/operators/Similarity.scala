@@ -1117,7 +1117,16 @@ object Similarity {
     * embDimStats shuffle), one d-row rebuild; localCheckpoint cuts
     * the round lineage (the CC-loop lesson). The corpus never
     * shuffles; the d×d Gram never exists. */
-  def powerIteration(e0: DataFrame): DataFrame = {
+  def powerIteration(e0: DataFrame): DataFrame =
+    powerDirection(e0)
+      .select(posexplode(col("pv")).as(Seq("dim", "v")))
+      .select(col("dim").cast("int").as("dim"), col("v"))
+      .orderBy("dim")
+
+  /** The iterated direction as a 1-row ARRAY frame — the shape the
+    * projection key broadcasts; [[powerIteration]] is its exploded
+    * per-dim view. */
+  def powerDirection(e0: DataFrame): DataFrame = {
     val spark = e0.sparkSession
     import spark.implicits._
     val e = e0.select(col("vec_id"), expr(quant).as("x"))
@@ -1145,9 +1154,31 @@ object Similarity {
                    ELSE -(((-y) * $PowerVScale) div um) END)""").as("pv"))
         .localCheckpoint(true)
     }
-    pv.select(posexplode(col("pv")).as(Seq("dim", "v")))
-      .select(col("dim").cast("int").as("dim"), col("v"))
-      .orderBy("dim")
+    pv
+  }
+
+  /** PER-VECTOR ANISOTROPY: each embedding's alignment with the
+    * [[powerDirection]] dominant direction — the projection audit that
+    * finds the vectors whose information the top component swallows
+    * (candidates for removal/whitening à la Mu & Viswanath's top-k
+    * subtraction): signed projection dot x·v and the Cauchy-Schwarz
+    * share (x·v)² / (|x|²|v|²) in bp. Overflow discipline: dot² ≤
+    * ~1.2e17 and |x|²·|v|² ≤ ~1.1e17 both fit; the bp ratio divides
+    * the DENOMINATOR by 10⁴ first (numerator ·10⁴ would overflow) —
+    * a deterministic truncation replayed identically by the oracle
+    * (all operands nonnegative, so // == div). One broadcast + one
+    * linear pass over the corpus after the direction is built. */
+  def powerProjection(e0: DataFrame): DataFrame = {
+    val e = e0.select(col("vec_id"), expr(quant).as("x"))
+    e.crossJoin(broadcast(powerDirection(e0)))
+      .select(col("vec_id"),
+        graft.functions.VectorOps.longDot(col("x"), col("pv")).as("dot"),
+        graft.functions.VectorOps.longDot(col("x"), col("x")).as("x2"),
+        graft.functions.VectorOps.longDot(col("pv"), col("pv")).as("v2"))
+      .select(col("vec_id"), col("dot"),
+        expr(s"""(dot * dot) div greatest((x2 * v2) div $PowerVScale, 1)""")
+          .as("aniso_bp"))
+      .orderBy("vec_id")
   }
 
   val queries: Map[String, Q] = Map(
@@ -1169,6 +1200,11 @@ object Similarity {
     // [[powerIteration]].
     "q_emb_power_iter" -> ((s, dir) =>
       powerIteration(Tables.embeddings(s, dir))),
+
+    // Per-vector anisotropy against the trained direction — see
+    // [[powerProjection]].
+    "q_emb_power_project" -> ((s, dir) =>
+      powerProjection(Tables.embeddings(s, dir))),
 
     // Filtered search — see [[bruteFiltered]]: exact top-k within the
     // probe's own label class, the metadata-constrained query every
@@ -2036,6 +2072,42 @@ object Similarity {
                   ON b.probe_id = a.probe_id AND b.cand_id = a.cand_id)
                  AS hit_t)"""
 
+  /** Shared power-iteration oracle front: the quantized corpus and the
+    * all-ones start vector (length from the data, like the Spark side's
+    * bounded 1-row action). */
+  private def powerFrontSql: String = s"""e AS (
+        SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS x
+        FROM embeddings),
+      pv0 AS (
+        SELECT list_transform(
+                 range(1, (SELECT max(len(embedding)) FROM embeddings) + 1),
+                 i -> CAST($PowerVScale AS BIGINT)) AS v)"""
+
+  /** One power-iteration round as CTE text — the DuckDB twin of one
+    * [[powerDirection]] loop body (down-scaled dots, per-dim moment
+    * sum, max-|u| normalizer; every division sign-split). */
+  private def powerRoundSql(t: Int): String = s"""d$t AS (
+        SELECT x, list_sum(list_transform(range(1, len(x) + 1),
+                 j -> x[j] * v[j])) AS dot
+        FROM e, pv${t - 1}),
+      ds$t AS (
+        SELECT x, CASE WHEN dot >= 0 THEN dot // $PowerVScale
+                       ELSE -((-dot) // $PowerVScale) END AS dot_s
+        FROM d$t),
+      u$t AS (
+        SELECT CAST(i AS INTEGER) - 1 AS dim,
+               CAST(sum(x[i] * dot_s) AS BIGINT) AS u
+        FROM ds$t, unnest(range(1, len(x) + 1)) t(i)
+        GROUP BY dim),
+      m$t AS (SELECT max(abs(u)) AS um FROM u$t),
+      pv$t AS (
+        SELECT list(CASE WHEN um = 0 THEN CAST($PowerVScale AS BIGINT)
+                         WHEN u >= 0 THEN u * $PowerVScale // um
+                         ELSE -(((-u) * $PowerVScale) // um) END
+                    ORDER BY dim) AS v
+        FROM u$t, m$t)"""
+
   val oracle: Map[String, String] = Map(
     "q_knn_lsh" -> lshOracleSql,
 
@@ -2372,44 +2444,36 @@ object Similarity {
     // pattern): per round, the down-scaled dot pass, the per-dim
     // moment sum, the max-|u| normalizer — every division sign-split
     // so // and div agree.
-    "q_emb_power_iter" -> {
-      def round(t: Int) = s"""d$t AS (
-        SELECT x, list_sum(list_transform(range(1, len(x) + 1),
-                 j -> x[j] * v[j])) AS dot
-        FROM e, pv${t - 1}),
-      ds$t AS (
-        SELECT x, CASE WHEN dot >= 0 THEN dot // $PowerVScale
-                       ELSE -((-dot) // $PowerVScale) END AS dot_s
-        FROM d$t),
-      u$t AS (
-        SELECT CAST(i AS INTEGER) - 1 AS dim,
-               CAST(sum(x[i] * dot_s) AS BIGINT) AS u
-        FROM ds$t, unnest(range(1, len(x) + 1)) t(i)
-        GROUP BY dim),
-      m$t AS (SELECT max(abs(u)) AS um FROM u$t),
-      pv$t AS (
-        SELECT list(CASE WHEN um = 0 THEN CAST($PowerVScale AS BIGINT)
-                         WHEN u >= 0 THEN u * $PowerVScale // um
-                         ELSE -(((-u) * $PowerVScale) // um) END
-                    ORDER BY dim) AS v
-        FROM u$t, m$t)"""
-      s"""
-      WITH e AS (
-        SELECT vec_id, list_transform(embedding,
-                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS x
-        FROM embeddings),
-      pv0 AS (
-        SELECT list_transform(
-                 range(1, (SELECT max(len(embedding)) FROM embeddings) + 1),
-                 i -> CAST($PowerVScale AS BIGINT)) AS v),
-      ${(1 to PowerIters).map(round).mkString(",\n      ")}
+    "q_emb_power_iter" -> s"""
+      WITH $powerFrontSql,
+      ${(1 to PowerIters).map(powerRoundSql).mkString(",\n      ")}
       SELECT dim,
              CAST(CASE WHEN um = 0 THEN CAST($PowerVScale AS BIGINT)
                        WHEN u >= 0 THEN u * $PowerVScale // um
                        ELSE -(((-u) * $PowerVScale) // um) END AS BIGINT)
                AS v
-      FROM u$PowerIters, m$PowerIters ORDER BY dim"""
-    },
+      FROM u$PowerIters, m$PowerIters ORDER BY dim""",
+
+    // The trained direction replayed (same unroll), then one per-vec
+    // projection pass; the bp ratio divides the denominator by 10⁴
+    // first — the Spark side's documented overflow discipline.
+    "q_emb_power_project" -> s"""
+      WITH $powerFrontSql,
+      ${(1 to PowerIters).map(powerRoundSql).mkString(",\n      ")},
+      p AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(1, len(x) + 1),
+                 j -> x[j] * v[j])) AS BIGINT) AS dot,
+               CAST(list_sum(list_transform(x, a -> a * a)) AS BIGINT)
+                 AS x2,
+               CAST(list_sum(list_transform(v, a -> a * a)) AS BIGINT)
+                 AS v2
+        FROM e, pv$PowerIters)
+      SELECT vec_id, dot,
+             CAST((dot * dot)
+                  // greatest((x2 * v2) // $PowerVScale, 1) AS BIGINT)
+               AS aniso_bp
+      FROM p ORDER BY vec_id""",
 
     // The brute twin restricted to same-label candidates — exact
     // filtered-search semantics.

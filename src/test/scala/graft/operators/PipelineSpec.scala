@@ -2273,6 +2273,14 @@ class PipelineSpec extends SparkSpec {
     val gotC = Similarity.powerIteration(c).collect()
       .map(r => (r.getInt(0), r.getLong(1))).toSeq
     assert(gotC == Seq((0, 10000L), (1, 10000L)), s"$gotC")
+    // Projection against fixture b's direction [10000, −7691]:
+    // [1000,−1000] → dot 17691000, share 9832 bp; [1000,0] →
+    // dot 10⁷, share 6283 bp (both hand-divided through the
+    // denominator-first overflow discipline).
+    val proj = Similarity.powerProjection(b).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(proj == Seq((1L, 17691000L, 9832L), (2L, 17691000L, 9832L),
+      (3L, 10000000L, 6283L)), s"$proj")
   }
 
   test("lang mix: segment labels, switch count, strict 80% dominance boundary") {
