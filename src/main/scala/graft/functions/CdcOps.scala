@@ -40,22 +40,10 @@ case class CdcEnds(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "cdc_ends"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    val n = bytes.length
-    if (n == 0) return new GenericArrayData(Array.empty[Any])
-    val out = new java.util.ArrayList[Any]()
-    var i = CdcOps.Window
-    while (i <= n) {
-      var h = 0L
-      var p = i - CdcOps.Window
-      while (p < i) { h = h * CdcOps.Base + (bytes(p) & 0xFF); p += 1 }
-      if (h % CdcOps.CutMod == 0L) out.add(i)
-      i += 1
-    }
-    if (out.isEmpty || out.get(out.size - 1).asInstanceOf[Int] != n) out.add(n)
-    new GenericArrayData(out.toArray)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      CdcOps.endsOf(input.asInstanceOf[UTF8String].getBytes)
+        .map(Int.box(_): Any))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, bytes0 => {
@@ -100,6 +88,27 @@ object CdcOps {
   val Base = 37L
   /** Cut when h mod this is 0 — expected chunk length ≈ 64 bytes. */
   val CutMod = 64L
+
+  /** The chunking rule as plain JVM code — the interpreted body of
+    * [[CdcEnds]] AND the byte-identical reference for the gate's
+    * broadcast UDF path (one implementation, so the paths can't
+    * drift; the codegen template mirrors this loop and the spec pins
+    * their agreement through the kernel fixtures). */
+  def endsOf(bytes: Array[Byte]): Array[Int] = {
+    val n = bytes.length
+    if (n == 0) return Array.empty[Int]
+    val out = new java.util.ArrayList[Int]()
+    var i = Window
+    while (i <= n) {
+      var h = 0L
+      var p = i - Window
+      while (p < i) { h = h * Base + (bytes(p) & 0xFF); p += 1 }
+      if (h % CutMod == 0L) out.add(i)
+      i += 1
+    }
+    if (out.isEmpty || out.get(out.size - 1) != n) out.add(n)
+    out.toArray(new Array[Integer](out.size)).map(_.intValue)
+  }
 
   /** Column API: 1-indexed inclusive chunk-end offsets for a text
     * column. */

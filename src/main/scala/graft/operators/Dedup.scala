@@ -1083,6 +1083,85 @@ object Dedup {
       .filter(col("text").isNull || length(col("text")) > 0)
   }
 
+  /** The gate-side CDC index: chunk keys that occur MORE THAN ONCE in
+    * the ingested corpus — the store's known-duplicate set, the frozen
+    * artifact [[cdcGate]] screens against. */
+  def cdcDupIndex(corpus: DataFrame): DataFrame =
+    cdcChunks(corpus).groupBy("chunk_key")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select("chunk_key")
+
+  /** Session-cached broadcasts for [[cdcGate]]'s over-threshold path —
+    * the lineGate cache discipline. */
+  private val cdcGateBroadcasts =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      org.apache.spark.broadcast.Broadcast[Set[Long]]]()
+
+  /** JVM twin of the 60-bit md5 fold (`Tables.md5FoldSql`) for the
+    * gate's UDF path — hex-identical to Spark's md5 on UTF-8 bytes. */
+  private def md5Fold(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+
+  /** STREAMING chunk-dup gate — the seventh gate of the door (quality
+    * → shingle → semantic → phash → importance → lines → CHUNKS): an
+    * arriving doc DROPS iff STRICTLY more than half its bytes lie in
+    * chunks whose content key is in the frozen [[cdcDupIndex]] dup
+    * set — the mostly-recycled page a chunk store would barely grow
+    * by. The compare is dup_bytes·2 > length (no division); chunking
+    * is the same content-anchored [[graft.functions.CdcEnds]] rule,
+    * so an arriving doc's shared content hits the same keys the store
+    * indexed regardless of where it sits in the new doc. Stateless
+    * per-row (no aggregation, no watermark, replay-safe); a NULL text
+    * passes unchanged (the gate-family conservative default). ≤
+    * [[Curation.GateInlineMax]] keys inline as one literal array in a
+    * codegen'd aggregate-filter; above it the set ships as a
+    * session-cached broadcast with a UDF whose chunker is the SAME
+    * JVM function the kernel's interpreted path runs
+    * ([[graft.functions.CdcOps.endsOf]]) and whose md5 fold is
+    * hex-identical to Spark's. Batch/stream agnostic — the spec pins
+    * stream == batch on both paths. */
+  def cdcGate(stream: DataFrame, dupKeys: Seq[Long]): DataFrame = {
+    cdcGateBroadcasts.keySet.removeIf(_._1.sparkContext.isStopped)
+    if (dupKeys.isEmpty) return stream
+    val keep: Column =
+      if (dupKeys.size <= Curation.GateInlineMax) {
+        val keysSql = dupKeys.mkString(",")
+        expr(s"""
+          aggregate(
+            filter(
+              transform(cdc_gate_ends, (e, i) -> struct(
+                CASE WHEN i = 0 THEN 1
+                     ELSE element_at(cdc_gate_ends, i) + 1 END AS st,
+                e AS fin)),
+              c -> array_contains(array($keysSql),
+                ${Tables.md5FoldSql("substring(text, c.st, c.fin - c.st + 1)")})),
+            0L, (acc, c) -> acc + (c.fin - c.st + 1)) * 2
+          <= length(text)""")
+      } else {
+        val key = (stream.sparkSession,
+          md5Hex(dupKeys.sorted.mkString(",")))
+        val bc = cdcGateBroadcasts.computeIfAbsent(key,
+          _ => stream.sparkSession.sparkContext.broadcast(dupKeys.toSet))
+        val ok = udf((t: String) => if (t == null) true else {
+          val ends = graft.functions.CdcOps.endsOf(t.getBytes("UTF-8"))
+          var dup = 0L
+          var prev = 0
+          for (e <- ends) {
+            if (bc.value.contains(md5Fold(t.substring(prev, e))))
+              dup += e - prev
+            prev = e
+          }
+          dup * 2 <= t.length
+        })
+        ok(col("text"))
+      }
+    stream
+      .withColumn("cdc_gate_ends",
+        graft.functions.CdcOps.cdcEnds(col("text")))
+      .filter(col("text").isNull || keep)
+      .drop("cdc_gate_ends")
+  }
+
   /** Chunk-index bits of the instance encoding in [[cdcDedup]]: the
     * global-first tiebreak key is doc_id·2²⁰ + chunk_idx, so a single
     * document may hold at most 2²⁰ chunks (64 MB of text at the ~64 B

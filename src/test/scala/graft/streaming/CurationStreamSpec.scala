@@ -437,4 +437,50 @@ class CurationStreamSpec extends SparkSpec {
       assert(bcast == expect, s"broadcast path: $bcast")
     } finally { UpdateLog.drop(qn); Outbox.drop(bx) }
   }
+
+  test("cdc gate: mostly-recycled docs dropped at the door, exact-half kept, stream == batch, both paths") {
+    val qn = "cdc-in"; val bx = "cdc-out"
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc-ckpt").toString
+    try {
+      import spark.implicits._
+      // 'aaaaaaai' is the constructed CDC cut (whole-doc chunk);
+      // repeating it across two corpus docs makes its key the dup set.
+      val corpus = Seq((101L, "s", "aaaaaaai"), (102L, "s", "aaaaaaai"))
+        .toDF("doc_id", "source", "text")
+      val keys = graft.operators.Dedup.cdcDupIndex(corpus)
+        .collect().map(_.getLong(0)).toSeq
+      assert(keys.size == 1, s"exactly the shared chunk is indexed: $keys")
+
+      UpdateLog.post(qn, 1L, "aaaaaaai") // 100% recycled -> drop
+      UpdateLog.post(qn, 2L, "entirely fresh arriving body")
+      UpdateLog.post(qn, 3L, "aaaaaaai" + "bcdefghj") // exactly half -> keep
+      val q = graft.operators.Dedup.cdcGate(
+          spark.readStream.format(classOf[UpdateLogProvider].getName)
+            .option("queue", qn).load(), keys)
+        .select(col("chat_id"), col("text"))
+        .writeStream.format(classOf[OutboxProvider].getName)
+        .option("box", bx)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val delivered = Outbox.delivered(bx).map(_._2).sorted
+      assert(delivered == Seq(2L, 3L), s"cdc gate delivered: $delivered")
+
+      // Batch parity incl. null pass-through, then the broadcast path
+      // (5000 decoy keys) must agree verbatim.
+      val arriving = Seq((1L, "aaaaaaai"),
+        (2L, "entirely fresh arriving body"),
+        (3L, "aaaaaaai" + "bcdefghj"),
+        (4L, null.asInstanceOf[String])).toDF("chat_id", "text")
+      val expect = Set(2L, 3L, 4L)
+      val inline = graft.operators.Dedup.cdcGate(arriving, keys)
+        .collect().map(_.getLong(0)).toSet
+      assert(inline == expect, s"inline path: $inline")
+      val big = keys ++ (1 to 5000).map(i => 1000000000000000L + i)
+      val bcast = graft.operators.Dedup.cdcGate(arriving, big)
+        .collect().map(_.getLong(0)).toSet
+      assert(bcast == expect, s"broadcast path: $bcast")
+    } finally { UpdateLog.drop(qn); Outbox.drop(bx) }
+  }
 }
