@@ -207,6 +207,39 @@ object Events {
       .orderBy("prev_type", "event_type")
   }
 
+  /** MARKOV PREDICTABILITY audit over the transition graph — how
+    * predictable is the next event given the current one: per
+    * prev_type, the modal next type (count DESC, type ASC — a total
+    * order, both engines pick the same) and its share of the type's
+    * transitions in bp, which IS the accuracy of the order-1 Markov
+    * argmax predictor (n_correct = the modal count — no instance
+    * re-join needed; the model's hit set is exactly the modal pairs).
+    * A type at 10⁴ bp is a deterministic UI flow; one near
+    * 10⁴/|types| is noise.
+    *
+    * Scale shape: the corpus collapses to the ≤ types² pair frame in
+    * the one user-keyed window pass `q_events_paths` already pays;
+    * everything after is pair-frame-sized, the argmax a min_by
+    * aggregate (no rank window). */
+  def eventsMarkov(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns", "event_id")
+    events
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("prev_type")
+      .agg(sum(col("n")).as("n_transitions"),
+        min_by(col("event_type"), struct((-col("n")).as("nn"),
+          col("event_type"))).as("predicted_next"),
+        max(col("n")).as("n_correct"))
+      .withColumn("acc_bp", expr("n_correct * 10000 div n_transitions"))
+      .orderBy("prev_type")
+  }
+
   /** Gap-based SESSIONIZATION + the session-size report: a new session
     * starts when the user's inter-event gap EXCEEDS [[SessionGapNs]];
     * per (user, session) the event count and ns duration, reported as
@@ -590,6 +623,9 @@ object Events {
     // Event-type transition matrix — see [[eventsPaths]].
     "q_events_paths" -> ((s, dir) => eventsPaths(Tables.events(s, dir))),
 
+    // Order-1 Markov predictability audit — see [[eventsMarkov]].
+    "q_events_markov" -> ((s, dir) => eventsMarkov(Tables.events(s, dir))),
+
     // Gap sessionization + size distribution — see [[eventsSessions]].
     "q_events_sessions" -> ((s, dir) =>
       eventsSessions(Tables.events(s, dir))),
@@ -780,6 +816,31 @@ object Events {
              CAST(n * 10000 // tot AS BIGINT) AS share_bp
       FROM pairs JOIN tot USING (prev_type)
       ORDER BY prev_type, event_type""",
+
+    // The same pair frame; the argmax as a rank-1 window (the oracle
+    // may window freely — the no-global-window rule pins SPARK plans),
+    // tie (n DESC, type ASC) matching min_by's (-n, type) key.
+    "q_events_markov" -> """
+      WITH lagged AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_ns(ts), event_id)
+                 AS prev_type
+        FROM events),
+      pairs AS (
+        SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM lagged WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type),
+      ranked AS (
+        SELECT prev_type, event_type, n,
+               row_number() OVER (PARTITION BY prev_type
+                                  ORDER BY n DESC, event_type) AS rk,
+               CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS tot
+        FROM pairs)
+      SELECT prev_type, tot AS n_transitions,
+             event_type AS predicted_next, n AS n_correct,
+             CAST(n * 10000 // tot AS BIGINT) AS acc_bp
+      FROM ranked WHERE rk = 1 ORDER BY prev_type""",
 
     // Identical window arithmetic: running sum of the strict-gap flag
     // is the session ordinal (ties impossible — event_id is unique, so

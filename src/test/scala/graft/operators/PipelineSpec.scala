@@ -2918,6 +2918,30 @@ class PipelineSpec extends SparkSpec {
     assert(inc == full, s"incremental $inc != full $full")
   }
 
+  test("markov audit: modal next-type, deterministic tie, accuracy is the modal share") {
+    import spark.implicits._
+    // u1: a b a c; u2: a b. Transitions from a: b, c, b → modal b
+    // (2 of 3 → 6666 bp); from b: the single b→a (10000 bp).
+    val fx = Seq(
+      (1L, 1L, 10L, "a"), (2L, 1L, 20L, "b"), (3L, 1L, 30L, "a"),
+      (4L, 1L, 40L, "c"), (5L, 2L, 10L, "a"), (6L, 2L, 20L, "b"))
+      .toDF("event_id", "user_id", "ts_ns", "event_type")
+    val got = Events.eventsMarkov(fx).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toList
+    assert(got == List(("a", 3L, "b", 2L, 6666L), ("b", 1L, "a", 1L, 10000L)),
+      s"$got")
+    // TIE: from 'x' one 'p' and one 'q' — count DESC then type ASC
+    // picks 'p' in both engines.
+    val tie = Seq(
+      (1L, 1L, 10L, "x"), (2L, 1L, 20L, "p"),
+      (3L, 2L, 10L, "x"), (4L, 2L, 20L, "q"))
+      .toDF("event_id", "user_id", "ts_ns", "event_type")
+    val t = Events.eventsMarkov(tie).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(4))).toList
+    assert(t == List(("x", "p", 5000L)), s"$t")
+  }
+
   test("pagerank: 3 fixed-point iterations over a 3-node graph, hand-computed ranks exact") {
     import spark.implicits._
     // u1: a -> b -> c; u2: a -> c. Edges (a,b,1),(b,c,1),(a,c,1);
