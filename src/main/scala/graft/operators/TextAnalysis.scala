@@ -472,6 +472,43 @@ object TextAnalysis {
         .otherwise("fr").as("pred_lang"))
   }
 
+  /** VOCABULARY GROWTH (Heaps-law) curve — distinct types vs token
+    * instances at ten doc_id-prefix cutoffs: the scale diagnostic
+    * behind tokenizer sizing and dedup health (a corpus whose type
+    * curve flattens early is recycling text; one growing linearly is
+    * noise/IDs). Order-dependent by construction (prefixes in doc_id
+    * order), so the cumulative TYPE count derives from each token's
+    * FIRST doc — one token-keyed min aggregate, after which every
+    * cutoff is a filter over the distinct-type frame: the corpus is
+    * tokenized ONCE, never ten times. Cumulation is the bounded
+    * cuts-crossJoin (each doc/type row joins the ≤ 10 cut rows it
+    * precedes — no global window, which the plan suite bans;
+    * inflation is ×10 on the doc- and type-count frames, not on
+    * token instances). All integer: cutoffs mx·k div 10, TTR in bp. */
+  def heapsCurve(docs: DataFrame): DataFrame = {
+    val cuts = docs.agg(max(col("doc_id")).as("mx"))
+      .select(explode(expr("sequence(1, 10)")).as("k"), col("mx"))
+      .select(col("k").cast("int").as("k"),
+        expr("mx * k div 10").as("cut_doc_id"))
+    val perDoc = docs.select(col("doc_id"),
+      size(split(lower(col("text")), " ")).cast("bigint").as("n"))
+    val firsts = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(min(col("doc_id")).as("fd"))
+    val tokensCum = perDoc.crossJoin(broadcast(cuts))
+      .filter(col("doc_id") <= col("cut_doc_id"))
+      .groupBy("k").agg(sum(col("n")).as("n_tokens_cum"))
+    val typesCum = firsts.crossJoin(broadcast(cuts))
+      .filter(col("fd") <= col("cut_doc_id"))
+      .groupBy("k").agg(count(lit(1)).as("n_types_cum"))
+    cuts.join(tokensCum, Seq("k")).join(typesCum, Seq("k"))
+      .select(col("k").as("decile"), col("cut_doc_id"),
+        col("n_tokens_cum"), col("n_types_cum"),
+        expr("n_types_cum * 10000 div n_tokens_cum").as("ttr_bp"))
+      .orderBy("decile")
+  }
+
   /** Merge rounds for the BPE trainer — the classic "few thousand" is
     * the production setting; 10 keeps the oracle's unrolled SQL replay
     * bounded while exercising every mechanism (pair counting, argmax
@@ -788,6 +825,11 @@ object TextAnalysis {
     // adjacent-label switch count — see [[langMix]].
     "q_text_lang_mix" -> ((s, dir) =>
       langMix(Tables.documents(s, dir))),
+
+    // Heaps-law vocabulary growth at doc_id-prefix deciles — see
+    // [[heapsCurve]].
+    "q_text_heaps" -> ((s, dir) =>
+      heapsCurve(Tables.documents(s, dir))),
 
     // Quality scoring: length band + stopword ratio + mean word length,
     // composed into an integer 0-3 score (exact arithmetic only).
@@ -1228,6 +1270,33 @@ object TextAnalysis {
                   WHEN s_es >= s_fr THEN 'es'
                   ELSE 'fr' END AS pred_lang
       FROM t ORDER BY doc_id""",
+
+    // Same first-doc derivation and cuts cross join; inner joins drop
+    // empty prefixes identically in both engines.
+    "q_text_heaps" -> """
+      WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+      cuts AS (
+        SELECT CAST(k AS INTEGER) AS k, m * k // 10 AS cut_doc_id
+        FROM mx, unnest(range(1, 11)) t(k)),
+      perdoc AS (
+        SELECT doc_id,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+        FROM documents),
+      firsts AS (
+        SELECT tok, min(doc_id) AS fd
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY tok),
+      tc AS (
+        SELECT k, CAST(sum(n) AS BIGINT) AS n_tokens_cum
+        FROM perdoc, cuts WHERE doc_id <= cut_doc_id GROUP BY k),
+      ty AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_types_cum
+        FROM firsts, cuts WHERE fd <= cut_doc_id GROUP BY k)
+      SELECT k AS decile, cut_doc_id, n_tokens_cum, n_types_cum,
+             CAST(n_types_cum * 10000 // n_tokens_cum AS BIGINT) AS ttr_bp
+      FROM cuts JOIN tc USING (k) JOIN ty USING (k)
+      ORDER BY decile""",
 
     // Segment langid replay: same slice windows, same hit filters,
     // same cascades; switches as a positional label compare.

@@ -2918,6 +2918,20 @@ class PipelineSpec extends SparkSpec {
     assert(inc == full, s"incremental $inc != full $full")
   }
 
+  test("heaps curve: cumulative types from first-doc derivation, decile cutoffs exact") {
+    import spark.implicits._
+    // Docs 1..10 (cut_k = k): doc k carries a fresh type t<k> plus the
+    // shared type — prefix k has 2k tokens, k+1 types.
+    val docs = (1 to 10).map(k => (k.toLong, s"t$k shared"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.heapsCurve(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    val want = (1 to 10).map(k => (k, k.toLong, 2L * k, k + 1L,
+      (k + 1L) * 10000 / (2L * k))).toList
+    assert(got == want, s"$got")
+  }
+
   test("markov audit: modal next-type, deterministic tie, accuracy is the modal share") {
     import spark.implicits._
     // u1: a b a c; u2: a b. Transitions from a: b, c, b → modal b
