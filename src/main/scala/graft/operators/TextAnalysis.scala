@@ -472,6 +472,52 @@ object TextAnalysis {
         .otherwise("fr").as("pred_lang"))
   }
 
+  /** Minimum in-source frequency for a keyness row — kills the
+    * hapax noise floor before the ratio can flatter it. */
+  val KeynessMinTf = 5L
+
+  /** A token is DISTINCTIVE iff its +1-smoothed in-source rate
+    * STRICTLY exceeds its rest-of-corpus rate (lift > 10⁴ bp = above
+    * parity; the exactly-at-parity token is not reported,
+    * spec-pinned). Parity is the non-vacuous operating point for the
+    * driver corpus, whose per-source signature tokens sit at
+    * 10–16.5k bp across every SF — a 1.5× bar reports nothing. */
+  val KeynessLiftBp = 10000L
+
+  /** DISTINCTIVE VOCABULARY per source (keyness) — the
+    * domain-signature report behind mixing and contamination triage
+    * (a "general web" source whose key terms are SKU codes is a
+    * product dump): per (source, token) with tf ≥ [[KeynessMinTf]],
+    * the rate-ratio lift tf_s·N_rest·10⁴ div (N_s·(tf_rest+1))
+    * (+1-smoothed against zero rest counts), reported iff STRICTLY
+    * above [[KeynessLiftBp]]. A THRESHOLD report, not a top-k: no
+    * rank window, no tie rule, fully order-free. Overflow: the
+    * tf·N·10⁴ product caps at ~5e15 for 5M-token shards; past that,
+    * compute per shard (documented seam, the embDimStats convention).
+    *
+    * Scale shape: tf partial-aggregates on (source, tok); the rest
+    * frame is the same aggregate re-keyed on tok — the join keys both
+    * sides on tok (co-partitioned); per-source totals broadcast. */
+  def keyness(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("tf_s"))
+    val tfAll = tf.groupBy("tok").agg(sum(col("tf_s")).as("tf_all"))
+    val totals = tf.groupBy("source").agg(sum(col("tf_s")).as("n_s"))
+    val nAll = totals.agg(sum(col("n_s")).as("n_all"))
+    tf.join(tfAll, Seq("tok"))
+      .join(broadcast(totals), Seq("source"))
+      .crossJoin(broadcast(nAll))
+      .select(col("source"), col("tok"), col("tf_s"),
+        (col("tf_all") - col("tf_s")).as("tf_rest"),
+        expr("""tf_s * (n_all - n_s) * 10000
+                div (n_s * (tf_all - tf_s + 1))""").as("lift_bp"))
+      .filter(col("tf_s") >= KeynessMinTf &&
+        col("lift_bp") > KeynessLiftBp)
+      .orderBy("source", "tok")
+  }
+
   /** VOCABULARY GROWTH (Heaps-law) curve — distinct types vs token
     * instances at ten doc_id-prefix cutoffs: the scale diagnostic
     * behind tokenizer sizing and dedup health (a corpus whose type
@@ -830,6 +876,10 @@ object TextAnalysis {
     // [[heapsCurve]].
     "q_text_heaps" -> ((s, dir) =>
       heapsCurve(Tables.documents(s, dir))),
+
+    // Distinctive vocabulary per source — see [[keyness]].
+    "q_text_keyness" -> ((s, dir) =>
+      keyness(Tables.documents(s, dir))),
 
     // Quality scoring: length band + stopword ratio + mean word length,
     // composed into an integer 0-3 score (exact arithmetic only).
@@ -1270,6 +1320,29 @@ object TextAnalysis {
                   WHEN s_es >= s_fr THEN 'es'
                   ELSE 'fr' END AS pred_lang
       FROM t ORDER BY doc_id""",
+
+    // Same tf frames; the lift arithmetic is one nonnegative product
+    // chain with a single trailing //.
+    "q_text_keyness" -> s"""
+      WITH tf AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS tf_s
+        FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY source, tok),
+      tfall AS (SELECT tok, CAST(sum(tf_s) AS BIGINT) AS tf_all
+                FROM tf GROUP BY tok),
+      tot AS (SELECT source, CAST(sum(tf_s) AS BIGINT) AS n_s
+              FROM tf GROUP BY source),
+      nall AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_all FROM tot)
+      SELECT source, tok, tf_s,
+             CAST(tf_all - tf_s AS BIGINT) AS tf_rest,
+             CAST(tf_s * (n_all - n_s) * 10000
+                  // (n_s * (tf_all - tf_s + 1)) AS BIGINT) AS lift_bp
+      FROM tf JOIN tfall USING (tok) JOIN tot USING (source), nall
+      WHERE tf_s >= $KeynessMinTf
+        AND tf_s * (n_all - n_s) * 10000
+            // (n_s * (tf_all - tf_s + 1)) > $KeynessLiftBp
+      ORDER BY source, tok""",
 
     // Same first-doc derivation and cuts cross join; inner joins drop
     // empty prefixes identically in both engines.

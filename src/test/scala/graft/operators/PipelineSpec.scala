@@ -2918,6 +2918,23 @@ class PipelineSpec extends SparkSpec {
     assert(inc == full, s"incremental $inc != full $full")
   }
 
+  test("keyness: exact-parity token not reported, signature token exact, support floor") {
+    import spark.implicits._
+    // Constructed so (s1, t) lands EXACTLY at parity: tf_s·N_rest =
+    // N_s·(tf_rest+1) → 5·20 = 10·(9+1). s3's zebra is the signature
+    // witness (tf_rest 0 → 100000 bp); every filler fails the tf ≥ 5
+    // support floor, s3's own t (tf 4) too.
+    val docs = Seq(
+      (1L, "s1", "t t t t t f1 f2 f3 f4 f5"),
+      (2L, "s2", "t t t t t g1 g2 g3 g4 g5"),
+      (3L, "s3", "t t t t zebra zebra zebra zebra zebra h1"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.keyness(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    assert(got == List(("s3", "zebra", 5L, 0L, 100000L)), s"$got")
+  }
+
   test("heaps curve: cumulative types from first-doc derivation, decile cutoffs exact") {
     import spark.implicits._
     // Docs 1..10 (cut_k = k): doc k carries a fresh type t<k> plus the
