@@ -243,6 +243,79 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
   }
 
+  /** Thresholds (bp) swept by [[thresholdCurve]] — 50% up to 90% in
+    * 10-point steps; 50% is also the prefix-filter operating point, so
+    * every reported pair is provably found. */
+  val CurveThresholds = Seq(5000L, 6000L, 7000L, 8000L, 9000L)
+
+  /** DEDUP THRESHOLD-SENSITIVITY CURVE — the operating-point audit run
+    * before committing a near-dup threshold (Lee et al. tune exactly
+    * this knob): over the same lang='de' frame as `q_dedup_ngram`,
+    * exact word-set Jaccard in INTEGER bp (inter·10⁴ div union —
+    * floor(jac·10⁴) ≥ t ⟺ jac ≥ t/10⁴ for integer t, so the bp
+    * compare is the exact rational compare), swept across
+    * [[CurveThresholds]]: per threshold, the qualifying pair count
+    * and the distinct docs involved. A curve that cliffs between 80
+    * and 90% means the corpus's near-dups are tight clusters; a flat
+    * one means the threshold barely matters.
+    *
+    * Scale shape: ONE prefix-filtered candidate pass at the 50% floor
+    * (the standard prefix principle — both prefix sets of a
+    * qualifying pair must share a token, so candidates are exact at
+    * the floor and every higher threshold is a filter over the same
+    * scored frame); the ×5 threshold fan-out happens on the PAIR
+    * frame, never on tokens. */
+  def thresholdCurve(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ceilHalf = (n: String) => s"($n + 1) div 2"
+    val d = docs.filter(col("lang") === "de")
+      .select(col("doc_id"), wordSet(col("text")).as("ws"))
+    val tok = d.select(col("doc_id"), size(col("ws")).as("n"),
+      explode(col("ws")).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val prefix = tok.join(broadcast(freq), Seq("tok"))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("n") - expr(ceilHalf("n")) + 1)
+      .select(col("tok"), col("doc_id"), col("n"))
+    val cand = prefix
+      .select(col("tok"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+      .join(prefix.select(col("tok"), col("doc_id").as("doc_b"),
+        col("n").as("n_b")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("n_a"), col("n_b")) >=
+          expr(ceilHalf("greatest(n_a, n_b)")))
+      .select("doc_a", "doc_b").distinct()
+    val scored = cand
+      .join(d.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")),
+        Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")),
+        Seq("doc_b"))
+      // Intersection materialized ONCE — the withJaccard CSE lesson.
+      .select(col("doc_a"), col("doc_b"),
+        size(col("ws_a")).cast("bigint").as("na"),
+        size(col("ws_b")).cast("bigint").as("nb"),
+        size(array_intersect(col("ws_a"), col("ws_b"))).cast("bigint")
+          .as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("inter * 10000 div (na + nb - inter)").as("jac_bp"))
+      .filter(col("jac_bp") >= CurveThresholds.head)
+    val thrs = CurveThresholds.toDF("thr_bp")
+    val pe = scored.crossJoin(broadcast(thrs))
+      .filter(col("jac_bp") >= col("thr_bp"))
+    val np = pe.groupBy("thr_bp").agg(count(lit(1)).as("n_pairs"))
+    val nd = pe
+      .select(col("thr_bp"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("thr_bp").agg(countDistinct(col("d")).as("n_docs"))
+    thrs.join(np, Seq("thr_bp"), "left").join(nd, Seq("thr_bp"), "left")
+      .select(col("thr_bp"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("thr_bp")
+  }
+
   /** Connected components by min-label propagation: each round every
     * node adopts the minimum label among itself and its neighbors — the
     * standard DataFrame CC loop (one join + one min aggregate per
@@ -1306,6 +1379,11 @@ object Dedup {
         .select(col("survivor_id"), col("n_copies"))
         .orderBy("survivor_id")),
 
+    // Threshold-sensitivity curve over the exact Jaccard pair frame —
+    // see [[thresholdCurve]].
+    "q_dedup_threshold_curve" -> ((s, dir) =>
+      thresholdCurve(Tables.documents(s, dir))),
+
     // Exact word-set Jaccard near-dup pairs via prefix filtering — the
     // exact member of the dedup family (see ngramPairs).
     "q_dedup_ngram" -> ((s, dir) =>
@@ -2042,6 +2120,37 @@ object Dedup {
     "q_dedup_exact" -> """
       SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
       FROM documents GROUP BY sha256(text) ORDER BY survivor_id""",
+
+    // Quadratic replay at the 50% floor (DuckDB needs no prefix
+    // filter at sf0.01), same integer bp arithmetic, LEFT joins keep
+    // empty thresholds as zero rows in both engines.
+    "q_dedup_threshold_curve" -> s"""
+      WITH t AS (
+        SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
+        FROM documents WHERE lang = 'de'),
+      p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.ws, b.ws)) * 10000 //
+                    (len(a.ws) + len(b.ws) -
+                     len(list_intersect(a.ws, b.ws))) AS BIGINT) AS jac_bp
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.ws, b.ws)) * 2 >=
+              len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))),
+      thrs AS (
+        SELECT CAST(unnest([${CurveThresholds.mkString(", ")}]) AS BIGINT)
+          AS thr_bp),
+      np AS (
+        SELECT thr_bp, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM p, thrs WHERE jac_bp >= thr_bp GROUP BY thr_bp),
+      nd AS (
+        SELECT thr_bp, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+        FROM (SELECT thr_bp, unnest([doc_a, doc_b]) AS d
+              FROM p, thrs WHERE jac_bp >= thr_bp)
+        GROUP BY thr_bp)
+      SELECT thr_bp, coalesce(n_pairs, 0) AS n_pairs,
+             coalesce(n_docs, 0) AS n_docs
+      FROM thrs LEFT JOIN np USING (thr_bp) LEFT JOIN nd USING (thr_bp)
+      ORDER BY thr_bp""",
 
     "q_dedup_ngram" -> s"""
       WITH t AS (

@@ -2918,6 +2918,26 @@ class PipelineSpec extends SparkSpec {
     assert(inc == full, s"incremental $inc != full $full")
   }
 
+  test("threshold curve: exact bp jaccard, inclusive boundary, zero thresholds kept") {
+    import spark.implicits._
+    // {a b c d} twice (jac 10000) and {a b c e} (6000 against both).
+    val docs = Seq((1L, "de", "a b c d"), (2L, "de", "a b c d"),
+      (3L, "de", "a b c e"), (4L, "en", "a b c d"))
+      .toDF("doc_id", "lang", "text")
+    val got = Dedup.thresholdCurve(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // 6000 is INCLUSIVE (the exactly-at-threshold pair counts); the
+    // en doc is outside the lang frame.
+    assert(got == List((5000L, 3L, 3L), (6000L, 3L, 3L), (7000L, 1L, 2L),
+      (8000L, 1L, 2L), (9000L, 1L, 2L)), s"$got")
+    // A pair-free corpus keeps all five thresholds as zero rows.
+    val lone = Seq((1L, "de", "x y z")).toDF("doc_id", "lang", "text")
+    val z = Dedup.thresholdCurve(lone).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(z == List((5000L, 0L, 0L), (6000L, 0L, 0L), (7000L, 0L, 0L),
+      (8000L, 0L, 0L), (9000L, 0L, 0L)), s"$z")
+  }
+
   test("keyness: exact-parity token not reported, signature token exact, support floor") {
     import spark.implicits._
     // Constructed so (s1, t) lands EXACTLY at parity: tf_s·N_rest =
