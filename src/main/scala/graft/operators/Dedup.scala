@@ -1384,6 +1384,28 @@ object Dedup {
     "q_dedup_threshold_curve" -> ((s, dir) =>
       thresholdCurve(Tables.documents(s, dir))),
 
+    // SPLIT-LEAKAGE AUDIT (round 14): the counterfactual behind
+    // q_split_leakage_safe — label each near-dup CLUSTER with how a
+    // NAIVE doc-level 80/20 split (md5 bucket of doc_id) would cut it;
+    // a cluster with members on both sides is an eval LEAK (a test doc
+    // whose near-copy was trained on). Per cluster: member count,
+    // train/eval member counts, straddle verdict. Consumes the SHARED
+    // CC labeling artifact (one pass serves the family); the bucket is
+    // a pure projection and the audit one partial-aggregated
+    // groupBy(cluster_rep) over fixed-width rows.
+    "q_split_leakage_audit" -> ((s, dir) =>
+      ngramClusterLabels(s, dir)
+        .withColumn("is_train",
+          expr(Tables.md5FoldBucketSql("cast(doc_id as string)", 100))
+            < 80)
+        .groupBy("cluster_rep")
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("is_train"), 0L).otherwise(1L)).as("n_eval"))
+        .withColumn("straddles",
+          col("n_train") > 0 && col("n_eval") > 0)
+        .orderBy("cluster_rep")),
+
     // Exact word-set Jaccard near-dup pairs via prefix filtering — the
     // exact member of the dedup family (see ngramPairs).
     "q_dedup_ngram" -> ((s, dir) =>
@@ -1963,6 +1985,34 @@ object Dedup {
         SELECT u.a, r.m FROM und u JOIN reach r ON u.b = r.n)
       SELECT n AS doc_id, min(m) AS cluster_rep
       FROM reach GROUP BY n ORDER BY doc_id""",
+
+    // Same recursive-CTE labeling, then the md5-bucket split and the
+    // per-cluster straddle arithmetic.
+    "q_split_leakage_audit" -> s"""
+      WITH RECURSIVE edges AS ($ngramPairsSql),
+      und AS (
+        SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION SELECT doc_b, doc_a FROM edges),
+      reach(n, m) AS (
+        SELECT a, a FROM und
+        UNION SELECT b, b FROM und
+        UNION
+        SELECT u.a, r.m FROM und u JOIN reach r ON u.b = r.n),
+      labels AS (SELECT n AS doc_id, min(m) AS cluster_rep
+                 FROM reach GROUP BY n),
+      split AS (
+        SELECT cluster_rep,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 100 < 80 AS is_train
+        FROM labels)
+      SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+             CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_eval,
+             sum(CASE WHEN is_train THEN 1 ELSE 0 END) > 0 AND
+             sum(CASE WHEN is_train THEN 0 ELSE 1 END) > 0 AS straddles
+      FROM split GROUP BY cluster_rep ORDER BY cluster_rep""",
 
     // Same recursive-CTE labeling, then the (n_chars desc, doc_id asc)
     // representative via a window — the deterministic twin of the

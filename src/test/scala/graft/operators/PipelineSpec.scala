@@ -2918,6 +2918,24 @@ class PipelineSpec extends SparkSpec {
     assert(inc == full, s"incremental $inc != full $full")
   }
 
+  test("split leakage audit: rows equal an independent fold of labels x buckets") {
+    val labels = graft.SparkEntry.queries("q_dedup_cluster")(spark, sfDir)
+      .withColumn("is_train",
+        expr(graft.Tables.md5FoldBucketSql("cast(doc_id as string)", 100))
+          < 80)
+      .collect().map(r => (r.getLong(1), r.getBoolean(2)))
+    assert(labels.nonEmpty, "cluster labels are empty at this SF")
+    val want = labels.groupBy(_._1).map { case (rep, ms) =>
+      val t = ms.count(_._2).toLong
+      val e = ms.size - t
+      (rep, ms.size.toLong, t, e, t > 0 && e > 0)
+    }.toList.sortBy(_._1)
+    val got = graft.SparkEntry.queries("q_split_leakage_audit")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toList
+    assert(got == want, s"audit $got != fold $want")
+  }
+
   test("threshold curve: exact bp jaccard, inclusive boundary, zero thresholds kept") {
     import spark.implicits._
     // {a b c d} twice (jac 10000) and {a b c e} (6000 against both).
