@@ -123,6 +123,50 @@ object TextAnalysis {
       regexp_replace(emailMasked, IpRe, "<IP>").as("masked"))
   }
 
+  /** doc_id base for the PII plant set (disjoint from the corpus and
+    * the image/audio plant ranges). */
+  val PiiPlantBase = 3000000L
+
+  /** The PII plant set for [[piiStats]] — the driver corpora carry no
+    * PII, so without plants every branch of the incidence audit is
+    * vacuously zero (the PhashPlantBase lesson); the set covers both
+    * entity types, the email-eats-dotted-quad masking-order witness,
+    * and a clean doc. Both engines replay the same union. */
+  val PiiPlants: Seq[(Long, String, String)] = Seq(
+    (PiiPlantBase + 1, "planted", "contact a@b.com and c@d.org today"),
+    (PiiPlantBase + 2, "planted", "server at 10.0.0.1 failed"),
+    (PiiPlantBase + 3, "planted", "x@1.2.3.4.com only"),
+    (PiiPlantBase + 4, "planted", "clean text"))
+
+  /** PII INCIDENCE audit per source — the release-gate table next to
+    * [[piiMask]]'s row-level redaction: per source, how many docs
+    * carry each entity type, total entity counts, and the any-PII doc
+    * share in bp. Same regexes and the same email-before-IP counting
+    * order as the mask (n_ips counts on the email-masked text, so a
+    * dotted quad inside an email domain never counts — plant-pinned).
+    * One regex projection + one partial-aggregated groupBy(source). */
+  def piiStats(docs: DataFrame): DataFrame = {
+    val emailMasked = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    docs
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast("bigint").as("ne"),
+        size(regexp_extract_all(emailMasked, lit(IpRe), lit(0)))
+          .cast("bigint").as("ni"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ne") > 0, 1L).otherwise(0L)).as("docs_with_email"),
+        sum(when(col("ni") > 0, 1L).otherwise(0L)).as("docs_with_ip"),
+        sum(col("ne")).as("n_emails"),
+        sum(col("ni")).as("n_ips"),
+        sum(when(col("ne") > 0 || col("ni") > 0, 1L).otherwise(0L))
+          .as("docs_with_any"))
+      .withColumn("prevalence_bp",
+        expr("docs_with_any * 10000 div n_docs"))
+      .drop("docs_with_any")
+      .orderBy("source")
+  }
+
   /** Vocabulary floor and divisor for [[vocabCoverage]]'s derived
     * vocab size: V = max(8, n_distinct_tokens / 4) — a quarter of the
     * observed vocabulary, so OOV rates are meaningful on any corpus
@@ -989,6 +1033,14 @@ object TextAnalysis {
     "q_text_gopher_rep" -> ((s, dir) =>
       gopherRep(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // Per-source PII incidence over corpus ∪ plants — see [[piiStats]]
+    // and [[PiiPlants]].
+    "q_text_pii_stats" -> ((s, dir) => {
+      import s.implicits._
+      piiStats(Tables.documents(s, dir).select("doc_id", "source", "text")
+        .unionByName(PiiPlants.toDF("doc_id", "source", "text")))
+    }),
+
     // PII screen — see [[piiMask]]. Zero hits on the driver corpora is
     // the correct answer; the masking branch is PipelineSpec-proven.
     "q_text_pii_mask" -> ((s, dir) =>
@@ -1627,6 +1679,36 @@ object TextAnalysis {
     // Same patterns verbatim (single-quoted SQL literals pass the
     // backslashes raw to RE2); DuckDB's regexp_replace needs the 'g'
     // flag to mirror Spark's replace-all default.
+    // Corpus ∪ plant union replayed, same regexes, same email-first
+    // counting order.
+    "q_text_pii_stats" -> {
+      val plantRows = PiiPlants.map { case (id, src, t) =>
+        s"SELECT CAST($id AS BIGINT) AS doc_id, '$src' AS source, '$t' AS text" }
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH u AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL $plantRows),
+      per AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT)
+                 AS ne,
+               CAST(len(regexp_extract_all(
+                 regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+                 '$IpRe')) AS BIGINT) AS ni
+        FROM u)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_email,
+             CAST(sum(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_ip,
+             CAST(sum(ne) AS BIGINT) AS n_emails,
+             CAST(sum(ni) AS BIGINT) AS n_ips,
+             CAST(sum(CASE WHEN ne > 0 OR ni > 0 THEN 1 ELSE 0 END)
+                  * 10000 // count(*) AS BIGINT) AS prevalence_bp
+      FROM per GROUP BY source ORDER BY source"""
+    },
+
     // n_ips counts on the email-masked text (matching the engine), so
     // counts and the <IP> substitutions in `masked` always agree.
     "q_text_pii_mask" -> s"""

@@ -2918,6 +2918,21 @@ class PipelineSpec extends SparkSpec {
     assert(inc == full, s"incremental $inc != full $full")
   }
 
+  test("pii stats: plant row exact incl. the email-eats-dotted-quad order witness") {
+    import spark.implicits._
+    val got = TextAnalysis.piiStats(
+        TextAnalysis.PiiPlants.toDF("doc_id", "source", "text")
+          .unionByName(Seq((1L, "clean_src", "no pii here"))
+            .toDF("doc_id", "source", "text")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toList
+    // x@1.2.3.4.com is ONE email and ZERO ips (the quad is inside the
+    // masked email domain); 2 of 4 docs carry email, 1 carries ip, 3
+    // carry any -> 7500 bp.
+    assert(got == List(("clean_src", 1L, 0L, 0L, 0L, 0L, 0L),
+      ("planted", 4L, 2L, 1L, 3L, 1L, 7500L)), s"$got")
+  }
+
   test("split leakage audit: rows equal an independent fold of labels x buckets") {
     val labels = graft.SparkEntry.queries("q_dedup_cluster")(spark, sfDir)
       .withColumn("is_train",
