@@ -86,6 +86,24 @@ object Aggs {
           col("n"))
         .orderBy("prio", "status")),
 
+    // Explicit GROUPING SETS — the third member of the cube/rollup
+    // family (a custom lattice: each dimension alone plus the grand
+    // total, WITHOUT the cross cells cube would add). Spelled via
+    // spark.sql — the DataFrame API has no groupingSets until 4.x's
+    // SQL path; the plan is the same Expand as cube's, so the cost
+    // model matches. NULL markers coalesce to 'ALL' (the cube key's
+    // convention) — sum aliased per the column-name contract.
+    "q_agg_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY prio, status""")
+    }),
+
     // Arithmetic over aggregates: pending = total − Σ(known states).
     "q_agg_derived" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -252,6 +270,14 @@ object Aggs {
              coalesce(o_orderstatus, 'ALL') AS status,
              count(*) AS n
       FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      ORDER BY prio, status""",
+
+    "q_agg_grouping_sets" -> """
+      SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+             coalesce(o_orderstatus, 'ALL') AS status,
+             count(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
       ORDER BY prio, status""",
 
     "q_agg_derived" -> """

@@ -123,6 +123,37 @@ object TextAnalysis {
       regexp_replace(emailMasked, IpRe, "<IP>").as("masked"))
   }
 
+  /** Head size for the Zipf constancy audit. */
+  val ZipfTopK = 50
+
+  /** ZIPF RANK-FREQUENCY audit over the corpus head — the
+    * distribution sanity check behind tokenizer/vocab decisions
+    * without a single float: for the top-[[ZipfTopK]] tokens by
+    * (count DESC, token ASC — total order), the rank, frequency, and
+    * the r·f product Zipf's law predicts is ~constant (a head whose
+    * r·f collapses after rank 3 is template text; one growing
+    * linearly is uniform noise — both visible in the integer column
+    * directly, no log-log fit needed). Rank is computed by a bounded
+    * self-join COUNT over the K-row head (1 + rows ordered before) —
+    * rank within the head equals global rank for head rows, and no
+    * global window exists anywhere (the plan-suite ban); the head
+    * itself is TakeOrderedAndProject (per-partition heaps). */
+  def zipfAudit(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("tok")).limit(ZipfTopK)
+    val other = top.select(col("tok").as("tok2"), col("n").as("n2"))
+    top.crossJoin(broadcast(other))
+      .groupBy("tok", "n")
+      .agg((sum(when(col("n2") > col("n") ||
+        (col("n2") === col("n") && col("tok2") < col("tok")), 1L)
+        .otherwise(0L)) + 1L).as("rank"))
+      .select(col("rank").cast("int").as("rank"), col("tok"),
+        col("n").as("freq"), expr("rank * n").as("rf"))
+      .orderBy("rank")
+  }
+
   /** doc_id base for the PII plant set (disjoint from the corpus and
     * the image/audio plant ranges). */
   val PiiPlantBase = 3000000L
@@ -1033,6 +1064,10 @@ object TextAnalysis {
     "q_text_gopher_rep" -> ((s, dir) =>
       gopherRep(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // Zipf head audit — see [[zipfAudit]].
+    "q_text_zipf" -> ((s, dir) =>
+      zipfAudit(Tables.documents(s, dir))),
+
     // Per-source PII incidence over corpus ∪ plants — see [[piiStats]]
     // and [[PiiPlants]].
     "q_text_pii_stats" -> ((s, dir) => {
@@ -1679,6 +1714,22 @@ object TextAnalysis {
     // Same patterns verbatim (single-quoted SQL literals pass the
     // backslashes raw to RE2); DuckDB's regexp_replace needs the 'g'
     // flag to mirror Spark's replace-all default.
+    // row_number twin of the head + bounded self-join rank (rank
+    // within the head == global rank for head rows).
+    "q_text_zipf" -> s"""
+      WITH counts AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY tok),
+      ranked AS (
+        SELECT tok, n,
+               row_number() OVER (ORDER BY n DESC, tok) AS rank
+        FROM counts)
+      SELECT CAST(rank AS INTEGER) AS rank, tok, n AS freq,
+             CAST(rank * n AS BIGINT) AS rf
+      FROM ranked WHERE rank <= $ZipfTopK ORDER BY rank""",
+
     // Corpus ∪ plant union replayed, same regexes, same email-first
     // counting order.
     "q_text_pii_stats" -> {

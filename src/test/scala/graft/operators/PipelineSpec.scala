@@ -2918,6 +2918,19 @@ class PipelineSpec extends SparkSpec {
     assert(inc == full, s"incremental $inc != full $full")
   }
 
+  test("zipf head: bounded self-join rank equals hand order incl. frequency tie") {
+    import spark.implicits._
+    // Frequencies: the 4, of 3, a 3 (tie broken tok ASC: 'a' before
+    // 'of'), zz 1 — rf = rank·freq exact.
+    val docs = Seq((1L, "the the the the of of of a a a zz"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.zipfAudit(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(got == List((1, "the", 4L, 4L), (2, "a", 3L, 6L),
+      (3, "of", 3L, 9L), (4, "zz", 1L, 4L)), s"$got")
+  }
+
   test("pii stats: plant row exact incl. the email-eats-dotted-quad order witness") {
     import spark.implicits._
     val got = TextAnalysis.piiStats(
