@@ -302,6 +302,33 @@ object Events {
       .orderBy("day")
   }
 
+  /** DAU/MAU STICKINESS — the engagement-frequency ratio product
+    * analytics tracks next to the actives feed: per day, DAU, the
+    * trailing-30-day MAU, and their ratio in bp (a product at 5000 bp
+    * is used every other day; 333 bp is monthly-only). Same
+    * contribution trick as the rolling-7d actives: each (user, day)
+    * contributes itself to the 30 calendar days it makes active —
+    * sequence-explode on the DISTINCT user-day frame (×30 on that
+    * bounded frame, never on raw events), then one partial-aggregated
+    * count per day; no day-range self-join, no window. The inner join
+    * back to DAU drops the phantom tail days beyond the last observed
+    * day in both engines. */
+  def eventsStickiness(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), expr(s"ts_ns div ${DayNs}L").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = ud
+      .select(col("user_id"),
+        explode(expr("sequence(day, day + 29)")).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("mau30"))
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau30"),
+        expr("dau * 10000 div mau30").as("stickiness_bp"))
+      .orderBy("day")
+  }
+
   /** GROWTH ACCOUNTING over the event stream — the DAU decomposition
     * product analytics runs daily: every active (user, day) is exactly
     * one of NEW (first-ever day), RETAINED (also active the previous
@@ -634,6 +661,10 @@ object Events {
     "q_events_active" -> ((s, dir) =>
       eventsActiveUsers(Tables.events(s, dir))),
 
+    // DAU/MAU stickiness ratio — see [[eventsStickiness]].
+    "q_events_stickiness" -> ((s, dir) =>
+      eventsStickiness(Tables.events(s, dir))),
+
     // Integer k·σ volume anomaly flags — see [[eventsAnomaly]].
     "q_events_anomaly" -> ((s, dir) =>
       eventsAnomaly(Tables.events(s, dir))),
@@ -882,6 +913,24 @@ object Events {
       wau AS (SELECT day, count(*) AS wau7 FROM cov GROUP BY day)
       SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau7 AS BIGINT) AS wau7
       FROM dau JOIN wau USING (day)
+      ORDER BY day""",
+
+    // The rolling-actives contribution trick at the 30-day horizon;
+    // the inner join drops phantom tail days in both engines.
+    "q_events_stickiness" -> s"""
+      WITH ud AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // ${DayNs} AS day
+        FROM events),
+      dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+              FROM ud GROUP BY day),
+      cov AS (
+        SELECT DISTINCT user_id, day + ofs AS day
+        FROM ud CROSS JOIN (SELECT unnest(range(0, 30)) AS ofs)),
+      mau AS (SELECT day, CAST(count(*) AS BIGINT) AS mau30
+              FROM cov GROUP BY day)
+      SELECT day, dau, mau30,
+             CAST(dau * 10000 // mau30 AS BIGINT) AS stickiness_bp
+      FROM dau JOIN mau USING (day)
       ORDER BY day""",
 
     // The same cleared-denominator k·σ compare: both engines evaluate

@@ -27,6 +27,25 @@ object Windows {
 
   private def byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
 
+  /** Integer cume_dist (`q_win_cume_dist`): peers-inclusive RANGE-frame
+    * count over the partition total, in bp — cume_dist's double output
+    * can't hash-compare across engines, but its definition is a ratio
+    * of two window COUNTS and the default ANSI frame (RANGE UNBOUNDED
+    * PRECEDING → CURRENT ROW) counts order PEERS inclusively in both.
+    * Ordered by o_orderdate so ties are REAL and the peer semantics is
+    * exercised — a unique key would collapse this to row_number/n. */
+  def cumeDistBp(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    val all = Window.partitionBy("o_custkey")
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        count(lit(1)).over(w).as("peers"),
+        count(lit(1)).over(all).as("tot"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        expr("peers * 10000 div tot").as("cd_bp"))
+      .orderBy("o_orderkey")
+  }
+
   /** The hot-window-key mitigation SCALE.md prescribes, made concrete: a
     * running sum per key whose partitions are (key, time-block) instead
     * of key alone, so one user with billions of events never lands on a
@@ -169,6 +188,17 @@ object Windows {
           ntile(4).over(byUser).as("quartile"))
         .orderBy("event_id")
     }),
+
+    // INTEGER cume_dist: the peers-inclusive RANGE-frame count over
+    // the partition total, in bp — cume_dist's double output can't
+    // hash-compare across engines, but its definition (rows ≤ current
+    // ÷ rows) is a ratio of two window COUNTS, and the default ANSI
+    // frame (RANGE UNBOUNDED PRECEDING → CURRENT ROW) counts order
+    // PEERS inclusively in both engines. Order key is o_orderdate, so
+    // ties are REAL (several orders per customer-date) and the peer
+    // semantics is actually exercised — a unique key would collapse
+    // this to row_number/n.
+    "q_win_cume_dist" -> ((s, dir) => cumeDistBp(Tables.orders(s, dir))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -246,5 +276,15 @@ object Windows {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
       ORDER BY event_id""",
+
+    // Same two window counts, same default RANGE frame, single
+    // trailing //.
+    "q_win_cume_dist" -> """
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(count(*) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate) * 10000
+                  // count(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+               AS cd_bp
+      FROM orders ORDER BY o_orderkey""",
   )
 }

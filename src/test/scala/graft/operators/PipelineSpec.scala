@@ -2918,6 +2918,28 @@ class PipelineSpec extends SparkSpec {
     assert(inc == full, s"incremental $inc != full $full")
   }
 
+  test("stickiness: 30-day coverage, phantom tail dropped; cume_dist peers inclusive on ties") {
+    import spark.implicits._
+    val d = Events.DayNs
+    // u1 active day 0 and 1; u2 day 0 only. mau30 counts a user once
+    // per covered day (distinct), so day 1 = {u1, u2} and day 0 = 2/2.
+    val ev = Seq((1L, 1L, 5L), (2L, 1L, d + 5L), (3L, 2L, 9L))
+      .toDF("event_id", "user_id", "ts_ns")
+    val st = Events.eventsStickiness(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(st == List((0L, 2L, 2L, 10000L), (1L, 1L, 2L, 5000L)), s"$st")
+    // cume_dist: two orders tie on the date -> both get peers = 2 of
+    // 3 (6666 bp); the later date is 10000.
+    val ords = Seq((1L, 7L, "1995-01-01"), (2L, 7L, "1995-01-01"),
+      (3L, 7L, "1995-02-01"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+    val cd = Windows.cumeDistBp(ords).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toList
+    assert(cd == List((1L, 6666L), (2L, 6666L), (3L, 10000L)), s"$cd")
+  }
+
   test("zipf head: bounded self-join rank equals hand order incl. frequency tie") {
     import spark.implicits._
     // Frequencies: the 4, of 3, a 3 (tie broken tok ASC: 'a' before
