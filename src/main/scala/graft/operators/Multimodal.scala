@@ -1372,6 +1372,33 @@ object Multimodal {
     "q_mm_phash" -> ((s, dir) =>
       phashPairsQuery(s, dir).orderBy("doc_a", "doc_b")),
 
+    // HAMMING-RADIUS CURVE over the image pair frame — the multimodal
+    // twin of q_dedup_threshold_curve (the radius is the image dedup's
+    // operating knob exactly as the Jaccard threshold is text's): per
+    // radius 0..PhashHammingMax, the CUMULATIVE within-radius pair
+    // count and distinct docs involved; empty radii kept as zero rows.
+    // The pair frame is the banded join already paid by q_mm_phash
+    // (pigeonhole-exact at the max radius ⟹ every sub-radius is a
+    // filter over it); the ×4 fan-out rides the PAIR frame.
+    "q_mm_phash_curve" -> ((s, dir) => {
+      import s.implicits._
+      val (sk, width) = phashSketchWithTwins(s, dir)
+      val pairs = phashPairsFrom(sk, width)
+      val radii = (0 to PhashHammingMax).map(_.toLong).toDF("radius")
+      val pe = pairs.crossJoin(broadcast(radii))
+        .filter(col("hamming") <= col("radius"))
+      val np = pe.groupBy("radius").agg(count(lit(1)).as("n_pairs"))
+      val nd = pe
+        .select(col("radius"),
+          explode(array(col("doc_a"), col("doc_b"))).as("d"))
+        .groupBy("radius").agg(countDistinct(col("d")).as("n_docs"))
+      radii.join(np, Seq("radius"), "left").join(nd, Seq("radius"), "left")
+        .select(col("radius"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy("radius")
+    }),
+
     // DECODED perceptual hash, oracle-checked end to end: each doc
     // renders to a REAL 1×n gray PNG (pixel p = text byte p,
     // encodeGrayPng), the payload decodes back through ImageIO
@@ -1724,6 +1751,27 @@ object Multimodal {
       WITH $phashSqlCtes
       $phashPairsSelect
       ORDER BY doc_a, doc_b""",
+
+    // The pair select re-grouped per cumulative radius; LEFT joins
+    // keep empty radii as zeros in both engines.
+    "q_mm_phash_curve" -> s"""
+      WITH $phashSqlCtes,
+      p AS ($phashPairsSelect),
+      radii AS (
+        SELECT CAST(unnest(range(0, ${PhashHammingMax + 1})) AS BIGINT)
+          AS radius),
+      np AS (
+        SELECT radius, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM p, radii WHERE hamming <= radius GROUP BY radius),
+      nd AS (
+        SELECT radius, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+        FROM (SELECT radius, unnest([doc_a, doc_b]) AS d
+              FROM p, radii WHERE hamming <= radius)
+        GROUP BY radius)
+      SELECT radius, coalesce(n_pairs, 0) AS n_pairs,
+             coalesce(n_docs, 0) AS n_docs
+      FROM radii LEFT JOIN np USING (radius) LEFT JOIN nd USING (radius)
+      ORDER BY radius""",
 
     // The decoded-sketch replay needs no header synthesis: the rendered
     // PNG's pixel p IS text byte p, so sample k is

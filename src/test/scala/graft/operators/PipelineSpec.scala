@@ -2918,6 +2918,19 @@ class PipelineSpec extends SparkSpec {
     assert(inc == full, s"incremental $inc != full $full")
   }
 
+  test("phash curve: plant floor at radius 0, cumulative monotone, all radii present") {
+    val got = graft.SparkEntry.queries("q_mm_phash_curve")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toList
+    assert(got.map(_._1) == List(0L, 1L, 2L, 3L), s"radii: $got")
+    // The hamming-0 plant twins guarantee >= PhashPlantCount pairs at
+    // radius 0 at EVERY scale factor (the non-vacuity contract).
+    assert(got.head._2 >= Multimodal.PhashPlantCount, s"$got")
+    // Cumulative by definition: non-decreasing in both columns.
+    assert(got.sliding(2).forall(w => w(0)._2 <= w(1)._2 &&
+      w(0)._3 <= w(1)._3), s"$got")
+  }
+
   test("stickiness: 30-day coverage, phantom tail dropped; cume_dist peers inclusive on ties") {
     import spark.implicits._
     val d = Events.DayNs
