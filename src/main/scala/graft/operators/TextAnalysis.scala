@@ -123,6 +123,40 @@ object TextAnalysis {
       regexp_replace(emailMasked, IpRe, "<IP>").as("masked"))
   }
 
+  /** READABILITY (Flesch reading-ease) in exact MILLI-POINTS — the
+    * audience-level screen a curation pipeline runs next to the
+    * quality score (a "children's encyclopedia" source scoring
+    * postgraduate is mislabeled): F·1000 = 206835 − 1015·(words div
+    * sentences applied as ONE fused div: 1015·words div sentences) −
+    * 84600·(syllables div words, same fusing) — each term is a single
+    * truncating division over nonnegative counts, so // == div and
+    * the score is integer-exact. Heuristics chosen for bit-identical
+    * cross-engine replay: syllables = vowel-group count
+    * (regexp_extract_all('[aeiou]+') on the lowered text — the
+    * classic approximation), sentences = period count floored at 1
+    * (computed by length difference, not split — split's trailing
+    * empty handling differs across engines). Banded at the textbook
+    * 90/60/30 cuts (≥, milli). Pure projection — zero exchanges. */
+  def readability(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("bigint").as("n_words"),
+        greatest(
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "\\.", ""))).cast("bigint"),
+          lit(1L)).as("n_sentences"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"),
+          lit(0))).cast("bigint").as("n_syllables"))
+      .withColumn("flesch_m", expr(
+        """206835 - 1015 * n_words div n_sentences
+           - 84600 * n_syllables div n_words"""))
+      .withColumn("band", expr(
+        """CASE WHEN flesch_m >= 90000 THEN 'very_easy'
+                WHEN flesch_m >= 60000 THEN 'standard'
+                WHEN flesch_m >= 30000 THEN 'difficult'
+                ELSE 'very_difficult' END"""))
+      .orderBy("doc_id")
+
   /** Head size for the Zipf constancy audit. */
   val ZipfTopK = 50
 
@@ -1068,6 +1102,10 @@ object TextAnalysis {
     "q_text_zipf" -> ((s, dir) =>
       zipfAudit(Tables.documents(s, dir))),
 
+    // Flesch reading-ease in exact milli-points — see [[readability]].
+    "q_text_readability" -> ((s, dir) =>
+      readability(Tables.documents(s, dir))),
+
     // Per-source PII incidence over corpus ∪ plants — see [[piiStats]]
     // and [[PiiPlants]].
     "q_text_pii_stats" -> ((s, dir) => {
@@ -1714,6 +1752,34 @@ object TextAnalysis {
     // Same patterns verbatim (single-quoted SQL literals pass the
     // backslashes raw to RE2); DuckDB's regexp_replace needs the 'g'
     // flag to mirror Spark's replace-all default.
+    // Same fused single-div terms (nonnegative operands, // == div);
+    // sentences by length difference, not split.
+    "q_text_readability" -> """
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                 AS n_words,
+               greatest(CAST(length(text) -
+                 length(replace(text, '.', '')) AS BIGINT), 1)
+                 AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+                 AS BIGINT) AS n_syllables
+        FROM documents)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+             CAST(206835 - 1015 * n_words // n_sentences
+                  - 84600 * n_syllables // n_words AS BIGINT) AS flesch_m,
+             CASE WHEN 206835 - 1015 * n_words // n_sentences
+                       - 84600 * n_syllables // n_words >= 90000
+                    THEN 'very_easy'
+                  WHEN 206835 - 1015 * n_words // n_sentences
+                       - 84600 * n_syllables // n_words >= 60000
+                    THEN 'standard'
+                  WHEN 206835 - 1015 * n_words // n_sentences
+                       - 84600 * n_syllables // n_words >= 30000
+                    THEN 'difficult'
+                  ELSE 'very_difficult' END AS band
+      FROM t ORDER BY doc_id""",
+
     // row_number twin of the head + bounded self-join rank (rank
     // within the head == global rank for head rows).
     "q_text_zipf" -> s"""

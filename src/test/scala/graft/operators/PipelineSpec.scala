@@ -2918,6 +2918,26 @@ class PipelineSpec extends SparkSpec {
     assert(inc == full, s"incremental $inc != full $full")
   }
 
+  test("readability: fused-div flesch milli exact, period floor, negative-score band") {
+    import spark.implicits._
+    val docs = Seq(
+      // 5 words, 2 periods, 5 vowel groups:
+      // 206835 − 1015·5 div 2 − 84600·5 div 5 = 119698.
+      (1L, "the cat sat. it ran."),
+      // No period → sentence floor 1; zero syllables.
+      (2L, "zzz zzz"),
+      // One vowel-heavy word: 3 groups → negative score, hardest band.
+      (3L, "aeiouxaeiouxaeiou"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toList
+    assert(got == List(
+      (1L, 5L, 2L, 5L, 119698L, "very_easy"),
+      (2L, 2L, 1L, 0L, 204805L, "very_easy"),
+      (3L, 1L, 1L, 3L, -47980L, "very_difficult")), s"$got")
+  }
+
   test("phash curve: plant floor at radius 0, cumulative monotone, all radii present") {
     val got = graft.SparkEntry.queries("q_mm_phash_curve")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
