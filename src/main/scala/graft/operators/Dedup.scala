@@ -1281,6 +1281,27 @@ object Dedup {
       .withColumn("avg_len_c", expr("n_bytes * 100 div n_chunks"))
       .orderBy("doc_id")
 
+  /** CDC CHUNK-SIZE DISTRIBUTION — the store's block-size audit
+    * (chunk stores size their object layout and index density off
+    * exactly this histogram): chunks bucketed by bit length of their
+    * byte size (bucket k ⟺ len in [2^(k−1), 2^k), the power-of-2
+    * ladder, computed as the BINARY-STRING length — `bin()` renders
+    * nonnegative integers identically in both engines), with count,
+    * byte total, and byte share in bp. A healthy CDC corpus peaks at
+    * the 64-byte expectation (bucket 7); mass in the top bucket means
+    * the cut hash is misfiring on that content. */
+  def cdcSizeHistogram(docs: DataFrame): DataFrame = {
+    val chunks = cdcChunks(docs).select(col("len"))
+      .withColumn("bucket", length(expr("bin(len)")).cast("int"))
+    val tot = chunks.agg(sum(col("len")).as("total_bytes"))
+    chunks.groupBy("bucket")
+      .agg(count(lit(1)).as("n_chunks"), sum(col("len")).as("n_bytes"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_chunks"), col("n_bytes"),
+        expr("n_bytes * 10000 div total_bytes").as("share_bp"))
+      .orderBy("bucket")
+  }
+
   /** CDC STORAGE-DEDUP accounting per source — what a chunk-dedup'd
     * store would save: every instance whose content key already
     * appeared at a lexicographically earlier (doc_id, chunk_idx) is a
@@ -1355,6 +1376,10 @@ object Dedup {
     // [[cdcDedup]].
     "q_dedup_cdc" -> ((s, dir) =>
       cdcDedup(Tables.documents(s, dir))),
+
+    // Chunk-size power-of-2 histogram — see [[cdcSizeHistogram]].
+    "q_dedup_cdc_sizes" -> ((s, dir) =>
+      cdcSizeHistogram(Tables.documents(s, dir))),
 
     // INCREMENTAL CDC dedup: the frozen chunk-key index over the
     // doc_id prefix (80% mark — attribution is order-dependent, so a
@@ -1881,6 +1906,18 @@ object Dedup {
              CAST(sum(CASE WHEN dup THEN len ELSE 0 END) * 10000
                   // greatest(sum(len), 1) AS BIGINT) AS savings_bp
       FROM inst GROUP BY source ORDER BY source""",
+
+    // Same bin()-length buckets over the shared chunk front.
+    "q_dedup_cdc_sizes" -> s"""
+      WITH $cdcOracleFront,
+      b AS (
+        SELECT CAST(length(bin(len)) AS INTEGER) AS bucket, len
+        FROM chunks),
+      tot AS (SELECT CAST(sum(len) AS BIGINT) AS total_bytes FROM b)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(len) AS BIGINT) AS n_bytes,
+             CAST(sum(len) * 10000 // total_bytes AS BIGINT) AS share_bp
+      FROM b, tot GROUP BY bucket, total_bytes ORDER BY bucket""",
 
     // Full recompute restricted to the batch slice (doc_id >= 80% of
     // max) — hash-matching the frozen-index gate proves

@@ -240,6 +240,35 @@ object Events {
       .orderBy("prev_type")
   }
 
+  /** ORDER-2 MARKOV predictability — [[eventsMarkov]] with a two-event
+    * context: per (prev2, prev1) state, the modal next type and its
+    * share (= the order-2 argmax predictor's accuracy, same
+    * no-re-join identity). Read NEXT TO the order-1 table: states
+    * whose order-2 accuracy beats their order-1 row quantify how much
+    * memory the flow actually has. The state frame is ≤ types³ —
+    * still bounded by the type alphabet, never by the corpus (the
+    * documented ceiling of this family; deeper contexts need the
+    * sessionized-path mining shape instead). */
+  def eventsMarkov2(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns", "event_id")
+    events
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev1", lag(col("event_type"), 1).over(w))
+      .withColumn("prev2", lag(col("event_type"), 2).over(w))
+      .filter(col("prev2").isNotNull)
+      .groupBy("prev2", "prev1", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("prev2", "prev1")
+      .agg(sum(col("n")).as("n_transitions"),
+        min_by(col("event_type"), struct((-col("n")).as("nn"),
+          col("event_type"))).as("predicted_next"),
+        max(col("n")).as("n_correct"))
+      .withColumn("acc_bp", expr("n_correct * 10000 div n_transitions"))
+      .orderBy("prev2", "prev1")
+  }
+
   /** Gap-based SESSIONIZATION + the session-size report: a new session
     * starts when the user's inter-event gap EXCEEDS [[SessionGapNs]];
     * per (user, session) the event count and ns duration, reported as
@@ -653,6 +682,10 @@ object Events {
     // Order-1 Markov predictability audit — see [[eventsMarkov]].
     "q_events_markov" -> ((s, dir) => eventsMarkov(Tables.events(s, dir))),
 
+    // Order-2 Markov (two-event context) — see [[eventsMarkov2]].
+    "q_events_markov2" -> ((s, dir) =>
+      eventsMarkov2(Tables.events(s, dir))),
+
     // Gap sessionization + size distribution — see [[eventsSessions]].
     "q_events_sessions" -> ((s, dir) =>
       eventsSessions(Tables.events(s, dir))),
@@ -914,6 +947,32 @@ object Events {
       SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau7 AS BIGINT) AS wau7
       FROM dau JOIN wau USING (day)
       ORDER BY day""",
+
+    // Two lags over the same total order; argmax as rank-1 window,
+    // tie matching min_by's (-n, type) key.
+    "q_events_markov2" -> """
+      WITH lagged AS (
+        SELECT event_type,
+               lag(event_type, 1) OVER w AS prev1,
+               lag(event_type, 2) OVER w AS prev2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_ns(ts), event_id)),
+      tri AS (
+        SELECT prev2, prev1, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM lagged WHERE prev2 IS NOT NULL
+        GROUP BY prev2, prev1, event_type),
+      ranked AS (
+        SELECT prev2, prev1, event_type, n,
+               row_number() OVER (PARTITION BY prev2, prev1
+                                  ORDER BY n DESC, event_type) AS rk,
+               CAST(sum(n) OVER (PARTITION BY prev2, prev1) AS BIGINT)
+                 AS tot
+        FROM tri)
+      SELECT prev2, prev1, tot AS n_transitions,
+             event_type AS predicted_next, n AS n_correct,
+             CAST(n * 10000 // tot AS BIGINT) AS acc_bp
+      FROM ranked WHERE rk = 1 ORDER BY prev2, prev1""",
 
     // The rolling-actives contribution trick at the 30-day horizon;
     // the inner join drops phantom tail days in both engines.

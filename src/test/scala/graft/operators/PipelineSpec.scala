@@ -3092,6 +3092,14 @@ class PipelineSpec extends SparkSpec {
     val t = Events.eventsMarkov(tie).collect()
       .map(r => (r.getString(0), r.getString(2), r.getLong(4))).toList
     assert(t == List(("x", "p", 5000L)), s"$t")
+    // ORDER-2 memory: after (a,b) the next is always 'a'; after (b,a)
+    // always 'c' — two deterministic states where order-1 'b' was 2/3.
+    // u1: a b a c; u2: a b a — states (a,b)->a ×2, (b,a)->{c, <end>}.
+    val m2 = Events.eventsMarkov2(fx).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).toList
+    assert(m2 == List(("a", "b", 1L, "a", 1L, 10000L),
+      ("b", "a", 1L, "c", 1L, 10000L)), s"$m2")
   }
 
   test("pagerank: 3 fixed-point iterations over a 3-node graph, hand-computed ranks exact") {
