@@ -138,15 +138,21 @@ object TextAnalysis {
     * empty handling differs across engines). Banded at the textbook
     * 90/60/30 cuts (≥, milli). Pure projection — zero exchanges. */
   def readability(docs: DataFrame): DataFrame =
+    readabilityWith(docs, Nil)
+
+  /** [[readability]] with pass-through columns (the card carries
+    * `source` — a projection column, NOT a corpus-sized join back). */
+  private def readabilityWith(docs: DataFrame,
+                              carry: Seq[String]): DataFrame =
     docs
-      .select(col("doc_id"),
+      .select((col("doc_id") +: carry.map(col)) ++ Seq(
         size(split(lower(col("text")), " ")).cast("bigint").as("n_words"),
         greatest(
           (length(col("text")) -
             length(regexp_replace(col("text"), "\\.", ""))).cast("bigint"),
           lit(1L)).as("n_sentences"),
         size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"),
-          lit(0))).cast("bigint").as("n_syllables"))
+          lit(0))).cast("bigint").as("n_syllables")): _*)
       .withColumn("flesch_m", expr(
         """206835 - 1015 * n_words div n_sentences
            - 84600 * n_syllables div n_words"""))
@@ -156,6 +162,31 @@ object TextAnalysis {
                 WHEN flesch_m >= 30000 THEN 'difficult'
                 ELSE 'very_difficult' END"""))
       .orderBy("doc_id")
+
+  /** READABILITY CARD per source — [[readability]] rolled up to the
+    * release table: per source, doc count, truncating mean Flesch
+    * milli-score, and the four band counts (the shape that catches a
+    * mislabeled source at a glance). One projection + one
+    * partial-aggregated groupBy(source). */
+  def readabilityCard(docs: DataFrame): DataFrame =
+    readabilityWith(docs, Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        // Sign-split: a syllable-dense source can sum negative, and
+        // truncating div != flooring // there (the Lloyd convention).
+        expr("""CASE WHEN sum(flesch_m) >= 0
+                     THEN sum(flesch_m) div count(1)
+                     ELSE -((-sum(flesch_m)) div count(1)) END""")
+          .as("mean_flesch_m"),
+        sum(when(col("band") === "very_easy", 1L).otherwise(0L))
+          .as("n_very_easy"),
+        sum(when(col("band") === "standard", 1L).otherwise(0L))
+          .as("n_standard"),
+        sum(when(col("band") === "difficult", 1L).otherwise(0L))
+          .as("n_difficult"),
+        sum(when(col("band") === "very_difficult", 1L).otherwise(0L))
+          .as("n_very_difficult"))
+      .orderBy("source")
 
   /** Head size for the Zipf constancy audit. */
   val ZipfTopK = 50
@@ -664,6 +695,37 @@ object TextAnalysis {
       .orderBy("decile")
   }
 
+  /** [[heapsCurve]] PER SOURCE — the curve that localizes recycling:
+    * a flat per-source type curve flags THAT source as template/dup
+    * text even when the corpus-level curve looks healthy (big diverse
+    * sources mask a recycled one). Same first-doc derivation keyed by
+    * (source, tok) and the same global decile cutoffs; inner joins
+    * drop a source's empty prefixes identically in both engines. */
+  def heapsCurveBySource(docs: DataFrame): DataFrame = {
+    val cuts = docs.agg(max(col("doc_id")).as("mx"))
+      .select(explode(expr("sequence(1, 10)")).as("k"), col("mx"))
+      .select(col("k").cast("int").as("k"),
+        expr("mx * k div 10").as("cut_doc_id"))
+    val perDoc = docs.select(col("source"), col("doc_id"),
+      size(split(lower(col("text")), " ")).cast("bigint").as("n"))
+    val firsts = docs
+      .select(col("source"), col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("source", "tok").agg(min(col("doc_id")).as("fd"))
+    val tokensCum = perDoc.crossJoin(broadcast(cuts))
+      .filter(col("doc_id") <= col("cut_doc_id"))
+      .groupBy("source", "k").agg(sum(col("n")).as("n_tokens_cum"))
+    val typesCum = firsts.crossJoin(broadcast(cuts))
+      .filter(col("fd") <= col("cut_doc_id"))
+      .groupBy("source", "k").agg(count(lit(1)).as("n_types_cum"))
+    tokensCum.join(typesCum, Seq("source", "k"))
+      .join(broadcast(cuts), Seq("k"))
+      .select(col("source"), col("k").as("decile"), col("cut_doc_id"),
+        col("n_tokens_cum"), col("n_types_cum"),
+        expr("n_types_cum * 10000 div n_tokens_cum").as("ttr_bp"))
+      .orderBy("source", "decile")
+  }
+
   /** Merge rounds for the BPE trainer — the classic "few thousand" is
     * the production setting; 10 keeps the oracle's unrolled SQL replay
     * bounded while exercising every mechanism (pair counting, argmax
@@ -1105,6 +1167,14 @@ object TextAnalysis {
     // Flesch reading-ease in exact milli-points — see [[readability]].
     "q_text_readability" -> ((s, dir) =>
       readability(Tables.documents(s, dir))),
+
+    // Per-source readability release card — see [[readabilityCard]].
+    "q_text_readability_card" -> ((s, dir) =>
+      readabilityCard(Tables.documents(s, dir))),
+
+    // Per-source vocabulary-growth curves — see [[heapsCurveBySource]].
+    "q_text_heaps_by_source" -> ((s, dir) =>
+      heapsCurveBySource(Tables.documents(s, dir))),
 
     // Per-source PII incidence over corpus ∪ plants — see [[piiStats]]
     // and [[PiiPlants]].
@@ -1752,6 +1822,64 @@ object TextAnalysis {
     // Same patterns verbatim (single-quoted SQL literals pass the
     // backslashes raw to RE2); DuckDB's regexp_replace needs the 'g'
     // flag to mirror Spark's replace-all default.
+    // The per-doc scoring rolled up; truncating mean, band CASE sums.
+    "q_text_readability_card" -> """
+      WITH t AS (
+        SELECT source,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                 AS n_words,
+               greatest(CAST(length(text) -
+                 length(replace(text, '.', '')) AS BIGINT), 1)
+                 AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+                 AS BIGINT) AS n_syllables
+        FROM documents),
+      f AS (
+        SELECT source,
+               206835 - 1015 * n_words // n_sentences
+               - 84600 * n_syllables // n_words AS fm
+        FROM t)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(CASE WHEN sum(fm) >= 0 THEN sum(fm) // count(*)
+                       ELSE -((-sum(fm)) // count(*)) END AS BIGINT)
+               AS mean_flesch_m,
+             CAST(sum(CASE WHEN fm >= 90000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_very_easy,
+             CAST(sum(CASE WHEN fm >= 60000 AND fm < 90000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_standard,
+             CAST(sum(CASE WHEN fm >= 30000 AND fm < 60000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_difficult,
+             CAST(sum(CASE WHEN fm < 30000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_very_difficult
+      FROM f GROUP BY source ORDER BY source""",
+
+    // Same first-doc/cuts machinery keyed by (source, tok).
+    "q_text_heaps_by_source" -> """
+      WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+      cuts AS (
+        SELECT CAST(k AS INTEGER) AS k, m * k // 10 AS cut_doc_id
+        FROM mx, unnest(range(1, 11)) t(k)),
+      perdoc AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+        FROM documents),
+      firsts AS (
+        SELECT source, tok, min(doc_id) AS fd
+        FROM (SELECT source, doc_id,
+                     unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        GROUP BY source, tok),
+      tc AS (
+        SELECT source, k, CAST(sum(n) AS BIGINT) AS n_tokens_cum
+        FROM perdoc, cuts WHERE doc_id <= cut_doc_id GROUP BY source, k),
+      ty AS (
+        SELECT source, k, CAST(count(*) AS BIGINT) AS n_types_cum
+        FROM firsts, cuts WHERE fd <= cut_doc_id GROUP BY source, k)
+      SELECT source, k AS decile, cut_doc_id, n_tokens_cum, n_types_cum,
+             CAST(n_types_cum * 10000 // n_tokens_cum AS BIGINT) AS ttr_bp
+      FROM tc JOIN ty USING (source, k) JOIN cuts USING (k)
+      ORDER BY source, decile""",
+
     // Same fused single-div terms (nonnegative operands, // == div);
     // sentences by length difference, not split.
     "q_text_readability" -> """

@@ -2918,6 +2918,37 @@ class PipelineSpec extends SparkSpec {
     assert(inc == full, s"incremental $inc != full $full")
   }
 
+  test("readability card + per-source heaps: rollups match the per-doc frames") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "the cat sat. it ran."),       // 119698 very_easy
+      (2L, "s1", "aeiouxaeiouxaeiou"),          // -47980 very_difficult
+      (3L, "s2", "zzz zzz"))                    // 204805 very_easy
+      .toDF("doc_id", "source", "text")
+    val card = TextAnalysis.readabilityCard(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toList
+    // s1 mean: (119698 - 47980) div 2 = 35859.
+    assert(card == List(("s1", 2L, 35859L, 1L, 0L, 0L, 1L),
+      ("s2", 1L, 204805L, 1L, 0L, 0L, 0L)), s"$card")
+    // Per-source heaps on the 10-doc two-source fixture: each source
+    // grows its own fresh type; prefixes per source are independent.
+    val hd = (1 to 10).map(k =>
+      (k.toLong, if (k % 2 == 0) "a" else "b", s"t$k shared"))
+      .toDF("doc_id", "source", "text")
+    val hs = TextAnalysis.heapsCurveBySource(hd).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(3), r.getLong(4)))
+      .toList
+    // Source 'a' holds even docs: prefix k covers floor(k/2) of them
+    // -> tokens 2*floor(k/2), types floor(k/2)+1.
+    val want = (for (src <- Seq("a", "b"); k <- 1 to 10) yield {
+      val inPfx = (1 to k).count(d =>
+        (d % 2 == 0) == (src == "a"))
+      (src, k, 2L * inPfx, inPfx + 1L)
+    }).filter(_._3 > 0).toList
+    assert(hs == want, s"$hs vs $want")
+  }
+
   test("readability: fused-div flesch milli exact, period floor, negative-score band") {
     import spark.implicits._
     val docs = Seq(
