@@ -269,6 +269,27 @@ object Events {
       .orderBy("prev2", "prev1")
   }
 
+  /** MARKOV MEMORY GAIN — the order-1 vs order-2 comparison as one
+    * table: per (prev2, prev1) state, both predictors' accuracies and
+    * the gain in bp (signed). The flow-memory audit read directly:
+    * states with large positive gain are where a 2-step context pays
+    * (personalization, caching, prefetch decisions); ~0 everywhere
+    * means the stream is order-1 and the bigger model buys nothing.
+    * One join of two ≤ types³ frames on prev1 — both already bounded
+    * by the type alphabet. */
+  def eventsMarkovGain(events: DataFrame): DataFrame = {
+    val o1 = eventsMarkov(events)
+      .select(col("prev_type").as("prev1"), col("acc_bp").as("acc1_bp"))
+    eventsMarkov2(events)
+      .select(col("prev2"), col("prev1"),
+        col("n_transitions"), col("acc_bp").as("acc2_bp"))
+      .join(broadcast(o1), Seq("prev1"))
+      .select(col("prev2"), col("prev1"), col("n_transitions"),
+        col("acc1_bp"), col("acc2_bp"),
+        (col("acc2_bp") - col("acc1_bp")).as("gain_bp"))
+      .orderBy("prev2", "prev1")
+  }
+
   /** Gap-based SESSIONIZATION + the session-size report: a new session
     * starts when the user's inter-event gap EXCEEDS [[SessionGapNs]];
     * per (user, session) the event count and ns duration, reported as
@@ -686,6 +707,10 @@ object Events {
     "q_events_markov2" -> ((s, dir) =>
       eventsMarkov2(Tables.events(s, dir))),
 
+    // Order-1 vs order-2 memory-gain audit — see [[eventsMarkovGain]].
+    "q_events_markov_gain" -> ((s, dir) =>
+      eventsMarkovGain(Tables.events(s, dir))),
+
     // Gap sessionization + size distribution — see [[eventsSessions]].
     "q_events_sessions" -> ((s, dir) =>
       eventsSessions(Tables.events(s, dir))),
@@ -973,6 +998,45 @@ object Events {
              event_type AS predicted_next, n AS n_correct,
              CAST(n * 10000 // tot AS BIGINT) AS acc_bp
       FROM ranked WHERE rk = 1 ORDER BY prev2, prev1""",
+
+    // Both rank-1 frames off ONE two-lag pass, joined on prev1.
+    "q_events_markov_gain" -> """
+      WITH lagged AS (
+        SELECT event_type,
+               lag(event_type, 1) OVER w AS prev1,
+               lag(event_type, 2) OVER w AS prev2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_ns(ts), event_id)),
+      p1 AS (
+        SELECT prev1, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM lagged WHERE prev1 IS NOT NULL GROUP BY prev1, event_type),
+      r1 AS (
+        SELECT prev1, CAST(n * 10000 //
+                 (CAST(sum(n) OVER (PARTITION BY prev1) AS BIGINT))
+                 AS BIGINT) AS acc1_bp,
+               row_number() OVER (PARTITION BY prev1
+                                  ORDER BY n DESC, event_type) AS rk
+        FROM p1),
+      tri AS (
+        SELECT prev2, prev1, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM lagged WHERE prev2 IS NOT NULL
+        GROUP BY prev2, prev1, event_type),
+      r2 AS (
+        SELECT prev2, prev1,
+               CAST(sum(n) OVER (PARTITION BY prev2, prev1) AS BIGINT)
+                 AS n_transitions,
+               CAST(n * 10000 //
+                 (CAST(sum(n) OVER (PARTITION BY prev2, prev1) AS BIGINT))
+                 AS BIGINT) AS acc2_bp,
+               row_number() OVER (PARTITION BY prev2, prev1
+                                  ORDER BY n DESC, event_type) AS rk
+        FROM tri)
+      SELECT r2.prev2, r2.prev1, r2.n_transitions, r1.acc1_bp,
+             r2.acc2_bp, CAST(r2.acc2_bp - r1.acc1_bp AS BIGINT)
+               AS gain_bp
+      FROM r2 JOIN r1 ON r2.prev1 = r1.prev1 AND r1.rk = 1
+      WHERE r2.rk = 1 ORDER BY r2.prev2, r2.prev1""",
 
     // The rolling-actives contribution trick at the 30-day horizon;
     // the inner join drops phantom tail days in both engines.

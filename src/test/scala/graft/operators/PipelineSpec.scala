@@ -3131,6 +3131,14 @@ class PipelineSpec extends SparkSpec {
         r.getString(3), r.getLong(4), r.getLong(5))).toList
     assert(m2 == List(("a", "b", 1L, "a", 1L, 10000L),
       ("b", "a", 1L, "c", 1L, 10000L)), s"$m2")
+    // Gain: state (a,b) has order-2 10000 vs order-1 acc('b') = 10000
+    // (b's one transition goes to a) → 0; (b,a): order-1 acc('a') =
+    // 6666 → gain 3334.
+    val mg = Events.eventsMarkovGain(fx).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toList
+    assert(mg == List(("a", "b", 10000L, 10000L, 0L),
+      ("b", "a", 6666L, 10000L, 3334L)), s"$mg")
   }
 
   test("pagerank: 3 fixed-point iterations over a 3-node graph, hand-computed ranks exact") {
