@@ -515,6 +515,20 @@ class StreamingSpec extends SparkSpec {
     val streamedDau = streamed.groupBy(_._2).view
       .mapValues(_.size.toLong).toList.map { case (d, n) => (d, n) }.sorted
     assert(streamedDau == batchDau, s"$streamedDau vs $batchDau")
+    // The feed is a SUFFICIENT STATISTIC for the stickiness key too:
+    // re-materializing one event per streamed (user, day) and running
+    // the batch rollup reproduces q_events_stickiness over the raw
+    // events row-for-row (DAU/MAU30 depend only on the distinct
+    // user-day frame the stream delivers).
+    val fromFeed = streamed.map { case (u, d) => (d * D + 1L, u) }
+      .toDF("ts_ns", "user_id")
+    val viaFeed = graft.operators.Events.eventsStickiness(fromFeed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    val direct = graft.operators.Events.eventsStickiness(all)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    assert(viaFeed == direct, s"$viaFeed vs $direct")
   }
 
   test("streaming attribution: late earlier event re-attributes; final states equal the batch key") {
