@@ -352,6 +352,26 @@ object Events {
       .orderBy("day")
   }
 
+  /** DAY-OF-WEEK SEASONALITY profile — per (weekday, event_type), the
+    * event count and its share of the type's weekly total in bp: the
+    * seasonality table behind anomaly-threshold tuning (a Monday spike
+    * on a weekday-heavy type is normal; the same count on Sunday is
+    * the anomaly). Weekday from the epoch day by pure arithmetic —
+    * (day + 4) mod 7, 0 = Sunday (epoch day 0 was a Thursday) — so no
+    * engine calendar/locale is consulted. One partial-aggregated
+    * groupBy over ≤ 7·types groups; per-type totals broadcast. */
+  def eventsDowProfile(events: DataFrame): DataFrame = {
+    val per = events
+      .select(col("event_type"),
+        expr(s"(ts_ns div ${DayNs}L + 4) % 7").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+    val tot = per.groupBy("event_type").agg(sum(col("n")).as("tot"))
+    per.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("dow").cast("int").as("dow"),
+        col("n"), expr("n * 10000 div tot").as("share_bp"))
+      .orderBy("event_type", "dow")
+  }
+
   /** DAU/MAU STICKINESS — the engagement-frequency ratio product
     * analytics tracks next to the actives feed: per day, DAU, the
     * trailing-30-day MAU, and their ratio in bp (a product at 5000 bp
@@ -723,6 +743,10 @@ object Events {
     "q_events_stickiness" -> ((s, dir) =>
       eventsStickiness(Tables.events(s, dir))),
 
+    // Day-of-week seasonality per type — see [[eventsDowProfile]].
+    "q_events_dow" -> ((s, dir) =>
+      eventsDowProfile(Tables.events(s, dir))),
+
     // Integer k·σ volume anomaly flags — see [[eventsAnomaly]].
     "q_events_anomaly" -> ((s, dir) =>
       eventsAnomaly(Tables.events(s, dir))),
@@ -1037,6 +1061,20 @@ object Events {
                AS gain_bp
       FROM r2 JOIN r1 ON r2.prev1 = r1.prev1 AND r1.rk = 1
       WHERE r2.rk = 1 ORDER BY r2.prev2, r2.prev1""",
+
+    // Same epoch-day arithmetic — no engine calendar consulted.
+    "q_events_dow" -> s"""
+      WITH per AS (
+        SELECT event_type,
+               CAST((epoch_ns(ts) // ${DayNs} + 4) % 7 AS INTEGER) AS dow,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+              FROM per GROUP BY event_type)
+      SELECT event_type, dow, n,
+             CAST(n * 10000 // tot AS BIGINT) AS share_bp
+      FROM per JOIN tot USING (event_type)
+      ORDER BY event_type, dow""",
 
     // The rolling-actives contribution trick at the 30-day horizon;
     // the inner join drops phantom tail days in both engines.

@@ -2982,6 +2982,21 @@ class PipelineSpec extends SparkSpec {
       w(0)._3 <= w(1)._3), s"$got")
   }
 
+  test("dow profile: pure epoch arithmetic (day 0 is Thursday), shares per type") {
+    import spark.implicits._
+    val d = Events.DayNs
+    // Epoch day 0 → dow 4 (Thursday), day 3 → 0 (Sunday): two 'a'
+    // events Thursday, one Sunday; one 'b' Sunday.
+    val ev = Seq((1L, 1L, 5L, "a"), (2L, 2L, 9L, "a"),
+      (3L, 1L, 3L * d + 1L, "a"), (4L, 1L, 3L * d + 2L, "b"))
+      .toDF("event_id", "user_id", "ts_ns", "event_type")
+    val got = Events.eventsDowProfile(ev).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(got == List(("a", 0, 1L, 3333L), ("a", 4, 2L, 6666L),
+      ("b", 0, 1L, 10000L)), s"$got")
+  }
+
   test("stickiness: 30-day coverage, phantom tail dropped; cume_dist peers inclusive on ties") {
     import spark.implicits._
     val d = Events.DayNs
