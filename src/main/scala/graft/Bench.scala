@@ -18,6 +18,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // TASK-TIME billing meter (round-14 verdict item 1): every timed
+    // window below records, NEXT TO wall-clock, the Spark-measured
+    // task-run and task-cpu seconds the window consumed
+    // (Metrics.TaskClock). cpu_sec is the host-phase-IMMUNE figure —
+    // the number to adjudicate build rows and regressions against;
+    // wall stays in the artifact because the driver's scoreboard and
+    // three rounds of BASELINE rows are denominated in it.
+    val clock = Metrics.installTaskClock(spark.sparkContext)
+    def metered[T](f: () => T): (T, Double, Double) = {
+      val (r0, c0) = clock.snapshot(spark.sparkContext)
+      val out = f()
+      val (r1, c1) = clock.snapshot(spark.sparkContext)
+      (out, r1 - r0, c1 - c0)
+    }
     // Untimed warmup: JVM/codegen/parquet-footer caches otherwise land on
     // whichever query sorts first and distort its number by seconds.
     // Footer-only count() on every bench-SF table so first-touch file
@@ -68,7 +82,15 @@ object Bench {
     // the total honest — total = every query + every build, nothing
     // hidden — while the per-key rows show true serving cost, which is
     // what a production consumer of a written artifact pays.
-    val artifactBuilds: Seq[(String, Double)] = Seq[(String, () => Unit)](
+    //
+    // Builds CANNOT take the contention guard's best-of-two retry (the
+    // artifact memoizes — a second run would measure the warm cache),
+    // which is exactly where rounds 13–14's measurement anomalies
+    // landed. Their guard is the task-time pair recorded per build:
+    // cpu_sec is steal-immune, so "wall 87 s / cpu 9 s" reads as a
+    // host phase and "wall 87 s / cpu 80 s" as a real regression —
+    // adjudicable from ONE run, no retry needed.
+    val artifactBuilds: Seq[(String, Double, Double, Double)] = Seq[(String, () => Unit)](
       ("ngram_cc_labels", () => operators.Dedup.warmClusterLabels(spark, sfDir)),
       ("verbatim_span_index", () => operators.Curation.warmVerbatimArtifacts(spark, sfDir)),
       ("funnel_frames", () => operators.Curation.warmFunnelFrames(spark, sfDir)),
@@ -81,9 +103,10 @@ object Bench {
       ("knn_tier_policy", () => operators.Similarity.warmKnnTierPolicy(spark, sfDir))
     ).map { case (name, build) =>
       val t0 = System.nanoTime()
-      try { build() } catch { case e: Throwable =>
-        System.err.println(s"[bench] artifact $name FAILED: ${e.getMessage}") }
-      (name, (System.nanoTime() - t0) / 1e9)
+      val (_, runS, cpuS) = metered(() =>
+        try { build() } catch { case e: Throwable =>
+          System.err.println(s"[bench] artifact $name FAILED: ${e.getMessage}") })
+      (name, (System.nanoTime() - t0) / 1e9, runS, cpuS)
     }
     // Fast-phase cost of the probe on this host (measured 0.238 s min
     // of 3 during the verified fast-phase round-9 run that produced
@@ -101,21 +124,27 @@ object Bench {
         "`(q_\\w+)`\\s*\\|\\s*([0-9.]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    // Per key: (wall sec, shuffle bytes, task-cpu sec). The cpu figure
+    // rides BENCH_FULL.json next to the wall row for the same
+    // phase-adjudication reason as the builds'.
     def runOnce(name: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Option[(Double, Long)] = {
+        : Option[(Double, Long, Double)] = {
       val t0 = System.nanoTime()
       try {
         // Same work as df.count() (count() itself builds this exact
         // aggregate internally and runs it under a NEW QueryExecution
         // we'd never see) — spelled out so we hold the QE that
         // actually executed and can read its shuffle metrics.
-        val cdf = fn(spark, sfDir)
-          .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)))
-        cdf.collect()
+        val (cdf, _, cpuS) = metered { () =>
+          val c = fn(spark, sfDir)
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)))
+          c.collect()
+          c
+        }
         val secs = (System.nanoTime() - t0) / 1e9
-        Some((secs, Metrics.shuffleBytesOf(cdf.queryExecution)))
+        Some((secs, Metrics.shuffleBytesOf(cdf.queryExecution), cpuS))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         None
@@ -142,7 +171,7 @@ object Bench {
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = runOnce(name, fn)
       val (stats, retried) = first match {
-        case Some((secs, _))
+        case Some((secs, _, _))
             if secs > baseline.get(name).map(_ * 1.3 * hostFactor).getOrElse(1.0) =>
           (runOnce(name, fn) match {
             case Some(second) if second._1 < secs => Some(second)
@@ -161,11 +190,11 @@ object Bench {
     // genuinely regressed or sat in a phase outlasting the run; the
     // recorded start/end probe pair disambiguates.
     val results = firstPass.map {
-      case (name, Some((secs, sh)), retried)
+      case (name, Some((secs, sh, cpu)), retried)
           if baseline.get(name).exists(b => secs > 2.0 * b * hostFactor) =>
         runOnce(name, SparkEntry.queries(name)) match {
           case Some(second) if second._1 < secs => (name, Some(second), true)
-          case _ => (name, Some((secs, sh)), retried)
+          case _ => (name, Some((secs, sh, cpu)), retried)
         }
       case other => other
     }
@@ -189,7 +218,7 @@ object Bench {
     // (see artifactBuilds above): value therefore exceeds the sum of
     // "queries" by exactly the build cost, broken down per artifact in
     // BENCH_FULL.json's "artifact_builds".
-    val total = results.collect { case (_, Some((s, _)), _) => s }.sum +
+    val total = results.collect { case (_, Some((s, _, _)), _) => s }.sum +
       artifactBuilds.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
@@ -204,10 +233,21 @@ object Bench {
     val rt = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val cal = s"""{"probe_sec":${fmt(calSec)},"probe_sec_end":${fmt(calSecEnd)},"probe_baseline":${fmt(calBaseline)},"host_factor":${fmt(hostFactor)}}"""
-    val ab = artifactBuilds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val ab = artifactBuilds.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    // Task-time billing (round-14 verdict item 1): per build, the
+    // {wall, task-run, task-cpu} triple; per key, task-cpu. cpu is the
+    // host-phase-immune figure — adjudicate against the metric-time
+    // ledger in BASELINE.md, not against wall rows.
+    val abm = artifactBuilds.map { case (k, w, r, c) =>
+      "\"" + k + "\":{\"wall\":" + fmt(w) + ",\"run\":" + fmt(r) +
+        ",\"cpu\":" + fmt(c) + "}" }
+      .mkString("{", ",", "}")
+    val qcpu = results.map { case (k, v, _) =>
+      "\"" + k + "\":" + fmt(v.map(_._3).getOrElse(-1.0)) }
       .mkString("{", ",", "}")
     val full = line.dropRight(1) +
-      s""","shuffle_bytes":$sh,"retried":$rt,"artifact_builds":$ab,"calibration":$cal}"""
+      s""","shuffle_bytes":$sh,"retried":$rt,"artifact_builds":$ab,"artifact_builds_metric":$abm,"queries_cpu":$qcpu,"calibration":$cal}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -29,29 +29,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * blocks their checkpointed frames hold — for the process lifetime).
   */
 object Artifacts {
+
+  /** One artifact's MEMOIZED build: `putIfAbsent` races insert holders
+    * cheaply (no build runs at insert time); `frame`'s lazy-val monitor
+    * then guarantees AT MOST ONE build per key — the loser of the
+    * insert race blocks on the winner's holder instead of running a
+    * duplicate build whose eagerly-checkpointed blocks would leak for
+    * the session lifetime (round-14 advice). A build that THROWS
+    * leaves the holder retryable (Scala lazy-val semantics: a failed
+    * initializer re-runs on the next force). */
+  private final class Holder(thunk: () => DataFrame) {
+    lazy val frame: DataFrame = thunk()
+  }
+
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+    (SparkSession, String), Holder]()
 
   /** RE-ENTRANT by design (round-13 verdict item 2): a build that calls
     * `cached` for a dependency artifact must not deadlock or throw.
     * `computeIfAbsent` forbids exactly that (nested mutation of the same
-    * map → `IllegalStateException: Recursive update`), so this is
-    * get-then-putIfAbsent instead: a racing duplicate build is possible
-    * but harmless (builds are deterministic and materialized; the loser's
-    * frame is simply dropped), whereas the recursive crash hit real
-    * callers whose FIRST query was a downstream span key. Builders should
-    * still hoist dependency artifacts out of the thunk (the
-    * Similarity/Multimodal convention) so the dependency is warm before
-    * the dependent build starts. */
+    * map → `IllegalStateException: Recursive update`), so the map only
+    * ever stores lazy [[Holder]]s via get-then-putIfAbsent and the build
+    * itself is forced OUTSIDE any map mutation: a nested dependency
+    * build is then just another plain get/putIfAbsent. Concurrency is
+    * single-build-per-key (the holder's lazy val), which both avoids
+    * duplicate expensive passes and plugs the checkpoint-block leak a
+    * dropped loser build used to cause. Artifact dependencies form a
+    * DAG (each build only forces strictly-upstream keys — the
+    * Similarity/Multimodal hoisting convention), so two holders can
+    * never wait on each other. */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     cache.keySet.removeIf(_._1.sparkContext.isStopped)
     val k = (s, key)
-    val hit = cache.get(k)
-    if (hit != null) hit
-    else {
-      val built = build
-      val prior = cache.putIfAbsent(k, built)
-      if (prior != null) prior else built
+    var h = cache.get(k)
+    if (h == null) {
+      val fresh = new Holder(() => build)
+      val prior = cache.putIfAbsent(k, fresh)
+      h = if (prior != null) prior else fresh
     }
+    h.frame
   }
 }

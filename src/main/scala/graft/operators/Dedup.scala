@@ -243,6 +243,43 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
   }
 
+  /** Neighbor cap for [[ngramTopNeighbors]] — small on purpose: the
+    * serving question is "what do I merge/drop this doc with", not
+    * "enumerate its whole duplicate clique". */
+  val NgramTopN = 3
+
+  /** EMISSION-CAPPED near-dup serving form (round-14 verdict item 5) —
+    * the production shape for dup-saturated corpora: per document, its
+    * top-[[NgramTopN]] qualifying neighbors by (jac DESC, neighbor_id
+    * ASC — the rounded jac, so the order is the emitted column's and
+    * ties are total), instead of every qualifying pair. On an
+    * adversarial corpus the TRUE pair set is quadratic (SCALE.md
+    * measured 36× output at 10× data — inherent to exact pair
+    * enumeration, which `q_dedup_ngram` keeps as the audit twin); this
+    * form's OUTPUT is ≤ N rows per doc by construction, so sinks,
+    * downstream joins, and the driver's result channel stay linear no
+    * matter how saturated the corpus gets. The candidate/verify stages
+    * are the exact prefix-filter machinery ([[ngramPairs]] — shared,
+    * zero false negatives); the cap binds at the emission boundary:
+    * a symmetrized doc-keyed partial TopK over the verified pairs (a
+    * doc-partitioned row_number here; the map-side-combining TopK
+    * aggregator is the documented swap once per-doc candidate fan-in
+    * itself needs bounding). */
+  def ngramTopNeighbors(docs: DataFrame, n: Int = NgramTopN): DataFrame = {
+    val pairs = ngramPairs(docs)
+    val sym = pairs
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("neighbor_id"),
+        col("jac"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("neighbor_id"), col("jac")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("jac").desc, col("neighbor_id"))
+    sym
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= n)
+      .orderBy("doc_id", "rn")
+  }
+
   /** Thresholds (bp) swept by [[thresholdCurve]] — 50% up to 90% in
     * 10-point steps; 50% is also the prefix-filter operating point, so
     * every reported pair is provably found. */
@@ -1192,7 +1229,20 @@ object Dedup {
     * JVM function the kernel's interpreted path runs
     * ([[graft.functions.CdcOps.endsOf]]) and whose md5 fold is
     * hex-identical to Spark's. Batch/stream agnostic — the spec pins
-    * stream == batch on both paths. */
+    * stream == batch on both paths.
+    *
+    * NON-ASCII pass-through (round-14 advice): the [[CdcOps]] kernel
+    * emits BYTE offsets while SQL `substring`/`length` count CHARS —
+    * equal only on single-byte text, the corpus convention the frozen
+    * index was built under. Rather than let the two agree implicitly
+    * (the UDF path would throw `StringIndexOutOfBoundsException` on a
+    * multi-byte arrival, killing the stream; the inline path would
+    * silently mis-slice), ANY doc whose char length differs from its
+    * UTF-8 byte length passes the gate unchanged on BOTH paths — the
+    * gate-family conservative default (the index cannot describe such
+    * a doc), checked identically (`octet_length != length` inline,
+    * `bytes.length != t.length` in the UDF), so the paths cannot
+    * disagree and neither can crash. */
   def cdcGate(stream: DataFrame, dupKeys: Seq[Long]): DataFrame = {
     cdcGateBroadcasts.keySet.removeIf(_._1.sparkContext.isStopped)
     if (dupKeys.isEmpty) return stream
@@ -1200,6 +1250,7 @@ object Dedup {
       if (dupKeys.size <= Curation.GateInlineMax) {
         val keysSql = dupKeys.mkString(",")
         expr(s"""
+          octet_length(text) != length(text) OR
           aggregate(
             filter(
               transform(cdc_gate_ends, (e, i) -> struct(
@@ -1216,15 +1267,19 @@ object Dedup {
         val bc = cdcGateBroadcasts.computeIfAbsent(key,
           _ => stream.sparkSession.sparkContext.broadcast(dupKeys.toSet))
         val ok = udf((t: String) => if (t == null) true else {
-          val ends = graft.functions.CdcOps.endsOf(t.getBytes("UTF-8"))
-          var dup = 0L
-          var prev = 0
-          for (e <- ends) {
-            if (bc.value.contains(md5Fold(t.substring(prev, e))))
-              dup += e - prev
-            prev = e
+          val bytes = t.getBytes("UTF-8")
+          if (bytes.length != t.length) true // non-ASCII: pass (see doc)
+          else {
+            val ends = graft.functions.CdcOps.endsOf(bytes)
+            var dup = 0L
+            var prev = 0
+            for (e <- ends) {
+              if (bc.value.contains(md5Fold(t.substring(prev, e))))
+                dup += e - prev
+              prev = e
+            }
+            dup * 2 <= bytes.length
           }
-          dup * 2 <= t.length
         })
         ok(col("text"))
       }
@@ -1436,6 +1491,11 @@ object Dedup {
     "q_dedup_ngram" -> ((s, dir) =>
       ngramPairs(Tables.documents(s, dir))
         .orderBy("doc_a", "doc_b")),
+
+    // Emission-capped serving twin: per doc its top-N neighbors, not
+    // the quadratic pair set — see ngramTopNeighbors.
+    "q_dedup_ngram_topn" -> ((s, dir) =>
+      ngramTopNeighbors(Tables.documents(s, dir))),
 
     // Near-dup CLUSTERING — the step after pair detection: connected
     // components over the pair graph, each doc labeled with its
@@ -2250,6 +2310,35 @@ object Dedup {
       WHERE len(list_intersect(a.ws, b.ws)) * $NgramThrDen >=
             (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) * $NgramThrNum
       ORDER BY doc_a, doc_b""",
+
+    // The emission-capped twin: brute-force ground-truth pairs (the
+    // q_dedup_ngram oracle frame), symmetrized, then the row_number
+    // cap per doc — ordering on the ROUNDED jac (the emitted column)
+    // with the neighbor-id tiebreak, a total order in both engines.
+    "q_dedup_ngram_topn" -> s"""
+      WITH t AS (
+        SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
+        FROM documents WHERE lang = 'de'),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+                     (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4)
+                 AS jac
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.ws, b.ws)) * $NgramThrDen >=
+              (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) * $NgramThrNum),
+      sym AS (
+        SELECT doc_a AS doc_id, doc_b AS neighbor_id, jac FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id, doc_a AS neighbor_id, jac FROM pairs),
+      ranked AS (
+        SELECT doc_id, neighbor_id, jac,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY jac DESC, neighbor_id) AS rn
+        FROM sym)
+      SELECT doc_id, neighbor_id, jac, CAST(rn AS INTEGER) AS rn
+      FROM ranked WHERE rn <= $NgramTopN
+      ORDER BY doc_id, rn""",
 
     "q_dedup_embedding" -> embeddingOracleSql(0.35),
 

@@ -406,9 +406,14 @@ object Events {
     * on day d counts users active on d−1 but not d. The quick ratio
     * (new + resurrected) / churned ships in basis points by truncating
     * integer div, NULL when nobody churned (nullif, both engines).
-    * Churn on the day after the last observed day is not yet knowable
-    * and is dropped (the report frame is the observed active days);
-    * all-integer counts, so the frame is oracle-exact.
+    * The report frame is the UNION of observed active days and churn
+    * days up to the last observed active day (full outer join with
+    * zero-filled status columns — round-14 advice): an all-quiet day
+    * inside the span still reports its churn (potentially the whole
+    * user base) with zero new/retained/resurrected, instead of
+    * silently vanishing with it. Churn on the day AFTER the last
+    * observed day is not yet knowable and stays dropped. All-integer
+    * counts, so the frame is oracle-exact.
     *
     * Scale shape: the corpus collapses to distinct (user, day) in one
     * partial-aggregated shuffle; the lag/lead classification window is
@@ -423,7 +428,7 @@ object Events {
       .distinct()
       .withColumn("prev", lag(col("day"), 1).over(w))
       .withColumn("next", lead(col("day"), 1).over(w))
-      .localCheckpoint(true) // two consumers below; ≤ |user·day| rows
+      .localCheckpoint(true) // three consumers below; ≤ |user·day| rows
     val status = st.groupBy("day").agg(
       count(when(col("prev").isNull, 1)).as("n_new"),
       count(when(col("prev") === col("day") - 1, 1)).as("n_retained"),
@@ -432,9 +437,14 @@ object Events {
       .filter(col("next").isNull || col("next") > col("day") + 1)
       .groupBy((col("day") + 1).as("day"))
       .agg(count(lit(1)).as("n_churned_raw"))
-    status.join(churn, Seq("day"), "left")
-      .select(col("day"), col("n_new"), col("n_retained"),
-        col("n_resurrected"),
+    val maxDay = st.agg(max(col("day")).as("max_day"))
+    status.join(churn, Seq("day"), "full")
+      .crossJoin(broadcast(maxDay)) // 1 row: the observed-span bound
+      .filter(col("day") <= col("max_day"))
+      .select(col("day"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
         coalesce(col("n_churned_raw"), lit(0L)).as("n_churned"))
       .withColumn("quick_ratio_bp",
         expr("(n_new + n_resurrected) * 10000 div nullif(n_churned, 0)"))
@@ -1243,15 +1253,17 @@ object Events {
       churn AS (
         SELECT day + 1 AS day, count(*) AS n_churned_raw
         FROM st WHERE next IS NULL OR next > day + 1
-        GROUP BY day + 1)
-      SELECT s.day, CAST(n_new AS BIGINT) AS n_new,
-             CAST(n_retained AS BIGINT) AS n_retained,
-             CAST(n_resurrected AS BIGINT) AS n_resurrected,
+        GROUP BY day + 1),
+      mx AS (SELECT max(day) AS max_day FROM st)
+      SELECT day, CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+             CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+             CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
              CAST(coalesce(n_churned_raw, 0) AS BIGINT) AS n_churned,
-             CAST((n_new + n_resurrected) * 10000
+             CAST((coalesce(n_new, 0) + coalesce(n_resurrected, 0)) * 10000
                     // nullif(coalesce(n_churned_raw, 0), 0)
                   AS BIGINT) AS quick_ratio_bp
-      FROM status s LEFT JOIN churn c USING (day)
+      FROM status s FULL JOIN churn c USING (day), mx
+      WHERE day <= max_day
       ORDER BY day""",
 
     // The same distinct (user, type) self-join with the a < b pair

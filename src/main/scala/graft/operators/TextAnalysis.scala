@@ -395,6 +395,81 @@ object TextAnalysis {
     graft.functions.TopK.perKey(scored, "query_id", "score", "doc_id", k)
   }
 
+  /** Corpus-token budget above which [[bm25Search]]'s widest integer
+    * product (wt·22·tf·tot_tok ≤ ½IdfScale·22·dl·tot_tok) could no
+    * longer be proven inside a long for plausible doc lengths —
+    * mirrors the keyness seam: fail LOUDLY, compute per shard. */
+  val Bm25TokenBudget = 50000000L
+
+  /** BM25-scored top-k SEARCH — [[lexicalSearch]]'s ranking upgraded
+    * with the Robertson/Spärck Jones saturation + length
+    * normalization (BM25; Robertson et al., TREC-3), kept EXACT in
+    * integer arithmetic so the oracle hash-matches: k1 = 6/5 and
+    * b = 3/4 as rationals, per-term contribution
+    *
+    *   wt(t) · (k1+1)·tf / (tf + k1·(1 − b + b·dl/avgdl))
+    *     = wt(t) · 22·tf·tot div (10·tf·tot + 3·tot + 9·dl·nd)
+    *
+    * with dl = doc token count, tot = corpus token count, nd = docs
+    * (avgdl = tot/nd never divides — the rational is cleared into one
+    * integer numerator/denominator pair), truncating div per term,
+    * summed. idf stays [[lexicalSearch]]'s integer surrogate
+    * IdfScale div (df+1) — same df/tf frames, so the two rankers
+    * differ ONLY in tf shaping, which is what the spec's flip fixture
+    * isolates (a long doc's repeated term saturates; a short doc
+    * wins). Beyond [[Bm25TokenBudget]] tokens the Spark side
+    * `raise_error`s rather than silently wrapping (the keyness
+    * convention; DuckDB fails its own overflow loudly).
+    *
+    * Scale shape is lexicalSearch's verbatim: the corpus never
+    * shuffles — df probes partial-aggregate to ≤|terms| rows, the
+    * weight map and the 1-row (tot, nd) stats frame broadcast back,
+    * scoring is row-local over the doc's own token array, and the only
+    * shuffle is the map-side-combining TopK's k×queries×partitions
+    * candidate rows. */
+  def bm25Search(docs: DataFrame,
+                 queries: Seq[(Long, String)] = SearchQueries,
+                 k: Int = SearchK): DataFrame = {
+    val terms = queries
+      .flatMap(_._2.toLowerCase(java.util.Locale.ROOT).split(" ")).distinct
+    val termArr = s"array(${terms.map(t => s"'$t'").mkString(",")})"
+    val toksDf = docs.withColumn("toks", split(lower(col("text")), " "))
+    val wmap = toksDf
+      .select(explode(expr(
+        s"filter($termArr, t -> array_contains(toks, t))")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .agg(map_from_entries(collect_list(struct(col("tok"),
+        expr(s"${IdfScale}L div (df + 1)")))).as("wmap"))
+    val stats = toksDf.agg(
+      sum(size(col("toks"))).cast("bigint").as("tot_tok"),
+      count(lit(1)).as("n_docs"))
+    val qlit = queries.map { case (qid, q) =>
+      val ts = q.toLowerCase(java.util.Locale.ROOT).split(" ").distinct
+        .map(t => s"'$t'").mkString(",")
+      s"named_struct('query_id', ${qid}L, 'terms', array($ts))"
+    }.mkString(",")
+    val scored = toksDf
+      .crossJoin(broadcast(wmap))   // 1-row weight map
+      .crossJoin(broadcast(stats))  // 1-row (tot_tok, n_docs)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(array($qlit), q -> named_struct(
+              'query_id', q.query_id,
+              'score', CASE WHEN tot_tok > ${Bm25TokenBudget}L
+                THEN raise_error('bm25: corpus exceeds the integer-score token budget; compute per shard (see bm25Search Scaladoc)')
+                ELSE aggregate(
+                  transform(q.terms, t -> named_struct(
+                    'tf', CAST(size(filter(toks, x -> x = t)) AS BIGINT),
+                    'wt', coalesce(wmap[t], 0L))),
+                  0L, (acc, s) -> acc + (CASE WHEN s.tf = 0 THEN 0L
+                    ELSE (s.wt * 22L * s.tf * tot_tok)
+                         div (10L * s.tf * tot_tok + 3L * tot_tok
+                              + 9L * size(toks) * n_docs) END)) END))""")).as("s"))
+      .select(col("s.query_id").as("query_id"), col("doc_id"),
+        col("s.score").as("score"))
+      .filter(col("score") > 0)
+    graft.functions.TopK.perKey(scored, "query_id", "score", "doc_id", k)
+  }
+
   /** Unigram corpus-frequency LM score — the integer-exact stand-in for
     * the KenLM-perplexity quality filter every web-scale pipeline runs
     * (CCNet, Gopher, RefinedWeb): a document whose tokens are mostly
@@ -634,6 +709,12 @@ object TextAnalysis {
     * rank window, no tie rule, fully order-free. Overflow: the
     * tf·N·10⁴ product caps at ~5e15 for 5M-token shards; past that,
     * compute per shard (documented seam, the embDimStats convention).
+    * The seam FAILS LOUDLY on both engines (round-14 advice): DuckDB
+    * raises on BIGINT overflow natively, and the Spark side guards
+    * with `raise_error` once n_all exceeds 3·10⁷ tokens (the bound
+    * under which tf·(n_all−n_s)·10⁴ < n_all²·10⁴ ≤ 9.0e18 provably
+    * fits a long) — a silent Long wrap can never ship a
+    * plausible-looking wrong lift.
     *
     * Scale shape: tf partial-aggregates on (source, tok); the rest
     * frame is the same aggregate re-keyed on tok — the join keys both
@@ -651,8 +732,10 @@ object TextAnalysis {
       .crossJoin(broadcast(nAll))
       .select(col("source"), col("tok"), col("tf_s"),
         (col("tf_all") - col("tf_s")).as("tf_rest"),
-        expr("""tf_s * (n_all - n_s) * 10000
-                div (n_s * (tf_all - tf_s + 1))""").as("lift_bp"))
+        expr("""CASE WHEN n_all > 30000000 THEN raise_error(
+                  'keyness: corpus exceeds the 3e7-token integer-lift budget; compute per shard (see keyness Scaladoc)')
+                ELSE tf_s * (n_all - n_s) * 10000
+                     div (n_s * (tf_all - tf_s + 1)) END""").as("lift_bp"))
       .filter(col("tf_s") >= KeynessMinTf &&
         col("lift_bp") > KeynessLiftBp)
       .orderBy("source", "tok")
@@ -982,6 +1065,13 @@ object TextAnalysis {
     // scoring, corpus scored row-locally, map-side TopK per query.
     "q_text_search" -> ((s, dir) =>
       lexicalSearch(Tables.documents(s, dir))
+        .orderBy("query_id", "rk")),
+
+    // BM25 top-k search — see [[bm25Search]]: saturation + length
+    // normalization as exact integer rationals over the same df/tf
+    // frames; same row-local scoring plan.
+    "q_text_bm25" -> ((s, dir) =>
+      bm25Search(Tables.documents(s, dir))
         .orderBy("query_id", "rk")),
 
     // Unigram-LM quality score — see [[lmScore]]: mean corpus frequency
@@ -1366,6 +1456,44 @@ object TextAnalysis {
       scored AS (
         SELECT q.query_id, t.doc_id, CAST(sum(t.tf * d.wt) AS BIGINT) AS score
         FROM tf t JOIN dfc d USING (tok) JOIN qterms q USING (tok)
+        GROUP BY q.query_id, t.doc_id),
+      ranked AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rk
+        FROM scored WHERE score > 0)
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+             CAST(rk AS INTEGER) AS rk
+      FROM ranked WHERE rk <= $SearchK ORDER BY query_id, rk""",
+
+    // Same tf/df frames as q_text_search plus the per-doc length and
+    // the 1-row (tot_tok, n_docs) stats; the k1=6/5, b=3/4 rational is
+    // cleared into the same integer numerator/denominator pair, per
+    // term, truncating // == div (all operands nonnegative).
+    "q_text_bm25" -> s"""
+      WITH queries(query_id, qtext) AS (VALUES
+        ${SearchQueries.map(q => s"(${q._1}, '${q._2}')").mkString(", ")}),
+      qterms AS (SELECT DISTINCT query_id, tok FROM (
+        SELECT query_id, unnest(string_split(lower(qtext), ' ')) AS tok
+        FROM queries)),
+      toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+               FROM documents),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+             WHERE tok IN (SELECT tok FROM qterms) GROUP BY doc_id, tok),
+      dfc AS (SELECT tok, CAST($IdfScale // (count(*) + 1) AS BIGINT) AS wt
+              FROM tf GROUP BY tok),
+      dl AS (SELECT doc_id,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+             FROM documents),
+      st AS (SELECT CAST(sum(dl) AS BIGINT) AS tot_tok,
+                    CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+      scored AS (
+        SELECT q.query_id, t.doc_id,
+               CAST(sum((d.wt * 22 * t.tf * st.tot_tok)
+                    // (10 * t.tf * st.tot_tok + 3 * st.tot_tok
+                        + 9 * l.dl * st.n_docs)) AS BIGINT) AS score
+        FROM tf t JOIN dfc d USING (tok) JOIN qterms q USING (tok)
+             JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN st
         GROUP BY q.query_id, t.doc_id),
       ranked AS (
         SELECT query_id, doc_id, score,

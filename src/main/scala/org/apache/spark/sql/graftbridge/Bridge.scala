@@ -15,4 +15,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Block until the listener bus has delivered every queued event —
+    * `LiveListenerBus.waitUntilEmpty` is `private[spark]`, and metric
+    * windows read task-time sums off an async listener (graft.Metrics
+    * .TaskClock), so a window boundary needs a drain to be exact. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

@@ -2020,6 +2020,67 @@ class PipelineSpec extends SparkSpec {
       s"ranked: ${got.toSeq}")
   }
 
+  test("bm25: length normalization flips a tf-idf ranking; scores integer-exact") {
+    import spark.implicits._
+    // One query term 'rare'; df=2 ⟹ wt = 1e6 div 3 = 333333. Doc 1 is
+    // 2 tokens with tf=1; doc 2 is 60 tokens with tf=2. tot=62, nd=2.
+    // tf·idf ranks doc 2 first (2·wt > 1·wt). BM25 (k1=6/5, b=3/4):
+    //   doc 1: (333333·22·1·62)  div (10·1·62 + 3·62 + 9·2·2)
+    //        = 454666212 div 842  = 539983
+    //   doc 2: (333333·22·2·62)  div (10·2·62 + 3·62 + 9·60·2)
+    //        = 909332424 div 2506 = 362862
+    // — the long doc's repeated term saturates AND pays the length
+    // penalty, so the short doc wins: the flip the key exists for.
+    val docs = Seq(
+      (1L, "rare x"),
+      (2L, ("rare rare " + Seq.fill(58)("w").mkString(" "))))
+      .toDF("doc_id", "text")
+    val q = Seq((7L, "rare"))
+    val tfidf = TextAnalysis.lexicalSearch(docs, q, k = 10).orderBy("rk")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(tfidf.toSeq == Seq((2L, 666666L, 1), (1L, 333333L, 2)),
+      s"tfidf: ${tfidf.toSeq}")
+    val bm25 = TextAnalysis.bm25Search(docs, q, k = 10).orderBy("rk")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(bm25.toSeq == Seq((1L, 539983L, 1), (2L, 362862L, 2)),
+      s"bm25: ${bm25.toSeq}")
+  }
+
+  test("ngram top-n: the cap binds on a saturated clique, sub-threshold pairs absent") {
+    import spark.implicits._
+    // Docs 1-5: one identical 10-word clique (jac 1.0 all pairs) —
+    // each has FOUR qualifying neighbors, so the N=3 cap binds and
+    // keeps the three LOWEST neighbor ids (jac ties total-ordered by
+    // neighbor_id). Docs 6-7: a 19-of-21 pair (jac 19/21 = 0.9048 ≥
+    // 0.9) — both emit exactly one row. Doc 8 shares nothing.
+    val clique = "a b c d e f g h i j"
+    val w19 = (1 to 19).map(i => s"w$i").mkString(" ")
+    val docs = (Seq(
+      (1L, clique), (2L, clique), (3L, clique), (4L, clique),
+      (5L, clique),
+      (6L, s"$w19 xx"), (7L, s"$w19 yy"),
+      (8L, "nothing shared here at all")))
+      .map { case (id, t) => (id, "de", t) }
+      .toDF("doc_id", "lang", "text")
+    val got = Dedup.ngramTopNeighbors(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toList
+    val cliqueRows = (1L to 5L).flatMap { d =>
+      (1L to 5L).filter(_ != d).sorted.take(3).zipWithIndex
+        .map { case (nb, i) => (d, nb, 1.0, i + 1) }
+    }.toList
+    val pairRows = List((6L, 7L, 0.9048, 1), (7L, 6L, 0.9048, 1))
+    assert(got == (cliqueRows ++ pairRows).sortBy(t => (t._1, t._4)),
+      s"$got")
+    // Reconciles with the audit twin: every emitted (doc, neighbor)
+    // IS a qualifying pair there, and a doc's rn-1 neighbor has the
+    // max jac among its pairs.
+    val pairs = Dedup.ngramPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall { case (d, nb, _, _) =>
+      pairs.contains((math.min(d, nb), math.max(d, nb))) }, s"$got")
+  }
+
   test("pii mask: planted emails and IPs masked with exact counts, clean docs untouched") {
     // The driver corpora carry no PII (all-zero counts there is the
     // oracle-checked answer); this fixture proves the masking branch:
@@ -2817,6 +2878,27 @@ class PipelineSpec extends SparkSpec {
       (2L, 0L, 1L, 0L, 1L, Some(0L)),     // u1 gapped out; u3 retained
       (3L, 0L, 0L, 1L, 1L, Some(10000L))  // u1 back; u3 churned
       // day4 (u1's final churn) is unknowable-yet and dropped.
+    ), s"$got")
+  }
+
+  test("growth accounting: an all-quiet day inside the span still reports its churn") {
+    import spark.implicits._
+    val D = Events.DayNs
+    // u1 active {0, 2}; day 1 has ZERO active users but u1's gap
+    // churn lands there — the pre-fix left join dropped the row
+    // entirely (round-14 advice). Day 3 (final churn) stays dropped:
+    // it is past the last observed active day.
+    val fx = Seq((1L, 1L, 0L * D), (2L, 1L, 2L * D))
+      .map { case (e, u, t) => (e, u, t + e) }
+      .toDF("event_id", "user_id", "ts_ns")
+    val got = Events.eventsGrowth(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toList
+    assert(got == List(
+      (0L, 1L, 0L, 0L, 0L, None),
+      (1L, 0L, 0L, 0L, 1L, Some(0L)), // the dead day: zeros + churn
+      (2L, 0L, 0L, 1L, 0L, None)
     ), s"$got")
   }
 

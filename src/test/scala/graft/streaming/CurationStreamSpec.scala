@@ -467,13 +467,17 @@ class CurationStreamSpec extends SparkSpec {
       val delivered = Outbox.delivered(bx).map(_._2).sorted
       assert(delivered == Seq(2L, 3L), s"cdc gate delivered: $delivered")
 
-      // Batch parity incl. null pass-through, then the broadcast path
-      // (5000 decoy keys) must agree verbatim.
+      // Batch parity incl. null pass-through AND the non-ASCII
+      // pass-through (byte/char offsets diverge -> conservative keep;
+      // doc 5 is the dup chunk plus one multi-byte char, which the
+      // pre-fix UDF path would have crashed or dropped on), then the
+      // broadcast path (5000 decoy keys) must agree verbatim.
       val arriving = Seq((1L, "aaaaaaai"),
         (2L, "entirely fresh arriving body"),
         (3L, "aaaaaaai" + "bcdefghj"),
-        (4L, null.asInstanceOf[String])).toDF("chat_id", "text")
-      val expect = Set(2L, 3L, 4L)
+        (4L, null.asInstanceOf[String]),
+        (5L, "aaaaaaai" + "é")).toDF("chat_id", "text")
+      val expect = Set(2L, 3L, 4L, 5L)
       val inline = graft.operators.Dedup.cdcGate(arriving, keys)
         .collect().map(_.getLong(0)).toSet
       assert(inline == expect, s"inline path: $inline")
