@@ -135,12 +135,14 @@ object Metrics {
   final class TaskClock extends org.apache.spark.scheduler.SparkListener {
     private val runMs = new java.util.concurrent.atomic.AtomicLong
     private val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    private val shufBytes = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         runMs.addAndGet(m.executorRunTime)
         cpuNs.addAndGet(m.executorCpuTime)
+        shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       }
     }
     /** (task-run seconds, task-cpu seconds), cumulative, exact as of
@@ -148,6 +150,15 @@ object Metrics {
     def snapshot(sc: org.apache.spark.SparkContext): (Double, Double) = {
       org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(sc)
       (runMs.get / 1e3, cpuNs.get / 1e9)
+    }
+    /** (run s, cpu s, shuffle-write bytes) — the multi-action window
+      * form: a builder spans several jobs, so its shuffle volume can't
+      * come from any single QueryExecution walk; task-level
+      * shuffleWriteMetrics sum across all of them. */
+    def snapshotFull(sc: org.apache.spark.SparkContext)
+        : (Double, Double, Long) = {
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(sc)
+      (runMs.get / 1e3, cpuNs.get / 1e9, shufBytes.get)
     }
   }
 
