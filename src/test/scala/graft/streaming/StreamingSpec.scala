@@ -620,4 +620,108 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains(("anm", 7L, 11L, 2401L, 1764L, 1)), s"$streamed")
     assert(streamed.exists(t => t._1 == "zvm" && t._6 == 0), s"$streamed")
   }
+
+  /** Aggregate a streamed (day, kind) growth feed to the batch growth
+    * frame shape (one row per day, four zero-filled class counts). */
+  private def growthFrameOf(rows: Seq[(Long, String)])
+      : List[(Long, Long, Long, Long, Long)] = {
+    val agg = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.map(_._1).distinct.sorted.map { d =>
+      (d, agg.getOrElse((d, "new"), 0L), agg.getOrElse((d, "retained"), 0L),
+        agg.getOrElse((d, "resurrected"), 0L),
+        agg.getOrElse((d, "churned"), 0L))
+    }.toList
+  }
+
+  test("streaming growth: classification + gap-churn rows aggregate to the batch growth frame") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.GrowthStream.{Ev, GrowthEv}
+    val D = graft.operators.Events.DayNs
+    // u1 {0,1,3}, u2 {0,2,3}, u3 {1,2,3}, u4 {3}: every gap closes
+    // before the window ends and every user's last day is the global
+    // max, so the stream's return-gap churn covers ALL batch churn
+    // (the dormant-user asymmetry is documented in GrowthStream's
+    // Scaladoc and exercised nowhere here by construction). The
+    // micro-batch split lands mid-stream; batch 2 carries a same-day
+    // repeat for u3's day 1 that state must suppress.
+    val batch1 = Seq(Ev(1L, 1L), Ev(1L, D + 1L), Ev(2L, 2L), Ev(3L, D + 2L))
+    val batch2 = Seq(Ev(3L, D + 50L), // cross-batch same-day repeat
+      Ev(1L, 3L * D + 1L), Ev(2L, 2L * D + 2L), Ev(2L, 3L * D + 2L),
+      Ev(3L, 2L * D + 3L), Ev(3L, 3L * D + 3L), Ev(4L, 3L * D + 4L))
+    val in = MemoryStream[Ev]
+    val q = GrowthStream.growthStream(in.toDS())
+      .writeStream.format("memory").queryName("growth_rows")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = growthFrameOf(spark.table("growth_rows").as[GrowthEv]
+      .collect().map(g => (g.day, g.kind)).toSeq)
+    val all = (batch1 ++ batch2).map(e => (e.tsNs, e.userId))
+      .toDF("ts_ns", "user_id")
+    val batch = graft.operators.Events.eventsGrowth(all).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    assert(streamed == batch, s"$streamed vs $batch")
+  }
+
+  test("streaming growth: an all-quiet day's churn row arrives on the user's return") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.GrowthStream.{Ev, GrowthEv}
+    val D = graft.operators.Events.DayNs
+    // One user active {0, 2}: day 1 has ZERO active users; the stream
+    // emits its churn row when the user resurrects — matching the
+    // batch key's full-outer dead-day frame (round-14 advice fix).
+    val in = MemoryStream[Ev]
+    val q = GrowthStream.growthStream(in.toDS())
+      .writeStream.format("memory").queryName("growth_dead_day")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(1L, 5L), Ev(1L, 2L * D + 5L)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = growthFrameOf(spark.table("growth_dead_day")
+      .as[GrowthEv].collect().map(g => (g.day, g.kind)).toSeq)
+    val batch = graft.operators.Events.eventsGrowth(
+      Seq((5L, 1L), (2L * D + 5L, 1L)).toDF("ts_ns", "user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    assert(streamed == List((0L, 1L, 0L, 0L, 0L),
+      (1L, 0L, 0L, 0L, 1L), (2L, 0L, 0L, 1L, 0L)), s"$streamed")
+    assert(streamed == batch, s"$streamed vs $batch")
+  }
+
+  test("streaming dow counters: running counts equal the batch profile; late events are correct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val D = graft.operators.Events.DayNs
+    // Epoch day 0 was a Thursday: (day+4)%7 -> day0=4, day1=5, day2=6,
+    // day8=5. Batch 2 delivers a LATE day-0 event — dow counters have
+    // no closing semantics, so it lands correctly, not ignored.
+    val b1 = Seq((1L, "a"), (D + 2L, "a"), (8L * D + 3L, "b"))
+    val b2 = Seq((2L * D + 9L, "a"), (7L, "a"), (D + 8L, "b"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DowStream.dowCounts(
+        in.toDS().toDF("ts_ns", "event_type"))
+      .writeStream.format("memory").queryName("dow_counts")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val counts = spark.table("dow_counts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // Stateless downstream share derivation over the final counts...
+    val tot = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val derived = counts.map { case (t, dw, n) =>
+      (t, dw.toInt, n, n * 10000L / tot(t)) }.sortBy(x => (x._1, x._2)).toList
+    // ...equals the batch profile key over the same events verbatim.
+    val batch = graft.operators.Events.eventsDowProfile(
+      (b1 ++ b2).toDF("ts_ns", "event_type")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(derived == batch, s"$derived vs $batch")
+  }
 }
