@@ -265,20 +265,42 @@ object Dedup {
     * doc-partitioned row_number here; the map-side-combining TopK
     * aggregator is the documented swap once per-doc candidate fan-in
     * itself needs bounding). */
-  def ngramTopNeighbors(docs: DataFrame, n: Int = NgramTopN): DataFrame = {
-    val pairs = ngramPairs(docs)
+  def ngramTopNeighbors(docs: DataFrame, n: Int = NgramTopN): DataFrame =
+    capNeighbors(ngramPairs(docs), "doc_a", "doc_b", "jac",
+      "doc_id", "neighbor_id", n)
+
+  /** The shared emission-cap tail of the `*_topn` serving twins:
+    * symmetrize an (a, b, sim) pair frame — each pair is a neighbor
+    * of BOTH endpoints — and keep each node's top n by (sim DESC,
+    * neighbor ASC), ordering on the EMITTED (rounded) similarity so
+    * the order is total and engine-identical. The window partitions
+    * by node (never global); per-node fan-in is the node's own
+    * qualifying-neighbor count. */
+  private def capNeighbors(pairs: DataFrame, aCol: String, bCol: String,
+                           simCol: String, outId: String, outNb: String,
+                           n: Int): DataFrame = {
     val sym = pairs
-      .select(col("doc_a").as("doc_id"), col("doc_b").as("neighbor_id"),
-        col("jac"))
-      .unionAll(pairs.select(col("doc_b").as("doc_id"),
-        col("doc_a").as("neighbor_id"), col("jac")))
+      .select(col(aCol).as(outId), col(bCol).as(outNb), col(simCol))
+      .unionAll(pairs.select(col(bCol).as(outId), col(aCol).as(outNb),
+        col(simCol)))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("jac").desc, col("neighbor_id"))
+      .partitionBy(outId).orderBy(col(simCol).desc, col(outNb))
     sym
       .withColumn("rn", row_number().over(w).cast("int"))
       .filter(col("rn") <= n)
-      .orderBy("doc_id", "rn")
+      .orderBy(outId, "rn")
   }
+
+  /** [[embeddingPairs]]'s emission-capped serving twin — the same
+    * candidates-at-threshold contract with output ≤ n rows per vector
+    * (the `q_dedup_embedding` output measured 37.8× at ×10 data on
+    * the uniform-random corpus — quadratic by construction at a fixed
+    * cosine threshold; the cap turns that into ≤ n·N for every
+    * downstream consumer). */
+  def embeddingTopNeighbors(vectors: DataFrame, threshold: Double,
+                            planes: Int, n: Int = NgramTopN): DataFrame =
+    capNeighbors(embeddingPairs(vectors, threshold, planes),
+      "id_a", "id_b", "cos", "vec_id", "neighbor_id", n)
 
   /** Thresholds (bp) swept by [[thresholdCurve]] — 50% up to 90% in
     * 10-point steps; 50% is also the prefix-filter operating point, so
@@ -1642,6 +1664,16 @@ object Dedup {
         .orderBy("id_a", "id_b")
     }),
 
+    // Emission-capped serving twin of the embedding pair key — see
+    // embeddingTopNeighbors (the q_dedup_ngram_topn pattern).
+    "q_dedup_embedding_topn" -> ((s, dir) => {
+      val vectors = Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+      embeddingTopNeighbors(vectors, 0.35,
+        Similarity.derivePlanes(vectors.count()))
+    }),
+
     // SemDeDup — see [[semanticDedup]]: cell partition + within-cell
     // earlier-neighbor verdicts, deterministic first-K centroids with
     // the linearly-derived cell count (oracle derives both the same).
@@ -2342,6 +2374,8 @@ object Dedup {
 
     "q_dedup_embedding" -> embeddingOracleSql(0.35),
 
+    "q_dedup_embedding_topn" -> embeddingTopnOracleSql(0.35, NgramTopN),
+
     // SemDeDup replay: same ceil-div cell count, same first-K
     // assignment tie-break as the IVF oracles, and the SAME integer
     // cross-multiply verdict — dots cast to BIGINT BEFORE squaring
@@ -2445,7 +2479,10 @@ object Dedup {
     * corpus self-join on bucket. The planes-per-table knob is DERIVED
     * inside the SQL (params CTE = Similarity.derivePlanes twin), so the
     * oracle tracks the engine at any corpus size without editing. */
-  private def embeddingOracleSql(threshold: Double): String = {
+  /** The shared CTE chain of the embedding pair oracles, ending at
+    * `scored` (id_a, id_b, rounded cos) — the full key and its capped
+    * twin differ only in the final SELECT. */
+  private def embeddingPairCtesSql(threshold: Double): String = {
     val t = Similarity.NumTables
     s"""
       WITH ${Similarity.planesParamsSql("embeddings")},
@@ -2471,13 +2508,34 @@ object Dedup {
       pairs AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-      n AS (SELECT vec_id, v, list_dot_product(v, v) AS n_self FROM q)
-      SELECT id_a, id_b,
-             round(list_dot_product(a.v, b.v) /
-                   (sqrt(a.n_self) * sqrt(b.n_self)), 4) AS cos
-      FROM pairs JOIN n a ON pairs.id_a = a.vec_id
-                 JOIN n b ON pairs.id_b = b.vec_id
-      WHERE list_dot_product(a.v, b.v) / (sqrt(a.n_self) * sqrt(b.n_self)) >= $threshold
-      ORDER BY id_a, id_b"""
+      n AS (SELECT vec_id, v, list_dot_product(v, v) AS n_self FROM q),
+      scored AS (
+        SELECT id_a, id_b,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(a.n_self) * sqrt(b.n_self)), 4) AS cos
+        FROM pairs JOIN n a ON pairs.id_a = a.vec_id
+                   JOIN n b ON pairs.id_b = b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (sqrt(a.n_self) * sqrt(b.n_self)) >= $threshold)"""
   }
+
+  private def embeddingOracleSql(threshold: Double): String =
+    embeddingPairCtesSql(threshold) + """
+      SELECT id_a, id_b, cos FROM scored ORDER BY id_a, id_b"""
+
+  /** The capped twin: symmetrize `scored`, row_number per vector on
+    * the ROUNDED cos with the neighbor tiebreak — total both engines. */
+  private def embeddingTopnOracleSql(threshold: Double, n: Int): String =
+    embeddingPairCtesSql(threshold) + s""",
+      sym AS (
+        SELECT id_a AS vec_id, id_b AS neighbor_id, cos FROM scored
+        UNION ALL
+        SELECT id_b AS vec_id, id_a AS neighbor_id, cos FROM scored),
+      ranked AS (
+        SELECT vec_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM sym)
+      SELECT vec_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rn
+      FROM ranked WHERE rn <= $n
+      ORDER BY vec_id, rn"""
 }

@@ -2081,6 +2081,34 @@ class PipelineSpec extends SparkSpec {
       pairs.contains((math.min(d, nb), math.max(d, nb))) }, s"$got")
   }
 
+  test("embedding top-n: the cap binds on a duplicated-vector clique, cross-group pairs absent") {
+    import spark.implicits._
+    // Ids 1-5 share one vector (cos 1.0 all pairs, LSH collides with
+    // certainty on identical vectors) — four qualifying neighbors
+    // each, so the N=3 cap binds on the lowest neighbor ids. Ids 6-8
+    // share an ORTHOGONAL vector (cos 1.0 within, 0.0 across — the
+    // cross pairs fail the 0.35 verify even when buckets collide);
+    // their 2-neighbor lists ride under the cap.
+    val a = Seq.tabulate(64)(i => if (i == 0) 1000L else 0L)
+    val b = Seq.tabulate(64)(i => if (i == 1) 1000L else 0L)
+    val vecs = ((1L to 5L).map(id => (id, a)) ++
+      (6L to 8L).map(id => (id, b))).toDF("vec_id", "v")
+    val got = Dedup.embeddingTopNeighbors(vecs, 0.35, planes = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toList
+    val expect =
+      (1L to 5L).flatMap { d =>
+        (1L to 5L).filter(_ != d).sorted.take(3).zipWithIndex
+          .map { case (nb, i) => (d, nb, 1.0, i + 1) }
+      }.toList ++
+      (6L to 8L).flatMap { d =>
+        (6L to 8L).filter(_ != d).sorted.zipWithIndex
+          .map { case (nb, i) => (d, nb, 1.0, i + 1) }
+      }.toList
+    assert(got == expect.sortBy(t => (t._1, t._4)), s"$got")
+  }
+
   test("pii mask: planted emails and IPs masked with exact counts, clean docs untouched") {
     // The driver corpora carry no PII (all-zero counts there is the
     // oracle-checked answer); this fixture proves the masking branch:
