@@ -359,13 +359,41 @@ object Similarity {
     * iteration count is a small constant. localCheckpoint cuts each
     * round's lineage (the CC-loop lesson: K small jobs, not one
     * K-deep DAG). */
+  /** Training-corpus cap for [[lloydCentroids]] — the 100 TB seam the
+    * ×10 builds stress measured (each Lloyd pass is an N·K assignment,
+    * and K = ⌈√N⌉ makes training N^1.5 over the full corpus): past
+    * this many vectors, training runs on the deterministic
+    * vec_id-STRIDE sample of ≤ cap vectors (stride = ⌈N/cap⌉ — the
+    * incremental keys' id-slice convention, so an oracle a decade up
+    * replays the same filter), while cell ASSIGNMENT still sees every
+    * vector exactly once (writing the index is inherently one N·K
+    * pass). Standard quantizer practice: train on a bounded sample,
+    * add everything. Far above every driver SF (sf0.1 ≈ 2·10³
+    * vectors), so no test-scale output moves; the sampled branch is
+    * spec-pinned at a forced tiny cap instead. */
+  val LloydTrainCap = 1000000L
+
   def lloydCentroids(e: DataFrame, k: Int,
-                     iters: Int = LloydIters): DataFrame = {
-    var cents = e.filter(col("vec_id") < k)
+                     iters: Int = LloydIters,
+                     corpusN: Long = -1L,
+                     trainCap: Long = LloydTrainCap): DataFrame = {
+    val train =
+      if (corpusN > trainCap) {
+        val stride = (corpusN + trainCap - 1) / trainCap
+        e.filter(col("vec_id") % stride === 0)
+      } else e
+    // Seed = the k lowest-id TRAINING vectors. On the unsampled path
+    // ids are dense from 0, so this is the historical `vec_id < k`
+    // first-K stub bit-for-bit (the oracles replay that filter); on
+    // the sampled path the k lowest sampled ids take its place.
+    var cents = (
+      if (corpusN > trainCap)
+        train.orderBy(col("vec_id")).limit(k)
+      else train.filter(col("vec_id") < k))
       .select(col("vec_id").as("cid"), col("v").as("c"))
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
-      val perDim = assignCells(e, cents)
+      val perDim = assignCells(train, cents)
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
@@ -919,9 +947,10 @@ object Similarity {
   private def trainedIndexArtifacts(s: SparkSession,
                                     dir: String): (DataFrame, String) = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
-    val kk = math.ceil(math.sqrt(e.count().toDouble)).toInt
+    val n = e.count()
+    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
     val cents = graft.operators.Artifacts.cached(s, s"ivf-trained-cents:$dir")(
-      lloydCentroids(e, kk))
+      lloydCentroids(e, kk, corpusN = n))
     val table = s"graft_ivf_trained_${java.lang.Integer.toHexString(dir.hashCode)}"
     graft.operators.Artifacts.cached(s, s"ivf-trained-idx:$dir") {
       // A PRIOR JVM's write leaves the warehouse DIRECTORY behind while

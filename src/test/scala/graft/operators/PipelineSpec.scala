@@ -331,6 +331,36 @@ class PipelineSpec extends SparkSpec {
       "lloyd centroids must be partitioning-independent (the oracle replays them)")
   }
 
+  test("lloyd training cap: past the cap, training runs on the deterministic stride sample") {
+    import spark.implicits._
+    // 40 dense-id vectors, cap 10 -> stride 4: training must see ONLY
+    // ids {0,4,...,36}, seeded by the 4 lowest sampled ids. Pinned
+    // definitionally: the capped run's centroid VECTORS equal an
+    // uncapped run over the stride slice with ids remapped to dense
+    // (so its first-K seed picks the same four vectors).
+    val e = (0L until 40L).map { id =>
+      val g = (id % 5).toInt
+      (id, Seq.tabulate(5)(d => if (d == g) 1000L + id / 4 else id / 4))
+    }.toDF("vec_id", "v")
+    val capped = Similarity.lloydCentroids(e, 4, corpusN = 40L, trainCap = 10L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toList
+    // cids are the seed vec_ids: the 4 lowest SAMPLED ids.
+    assert(capped.map(_._1).sorted == List(0L, 4L, 8L, 12L), s"$capped")
+    val slice = e.filter(col("vec_id") % 4 === 0)
+      .select((col("vec_id") / 4).cast("long").as("vec_id"), col("v"))
+    val manual = Similarity.lloydCentroids(slice, 4)
+      .collect().map(r => r.getSeq[Long](1).toList).toList
+    assert(capped.map(_._2).sortBy(_.toString) == manual.sortBy(_.toString),
+      s"capped ${capped.map(_._2)} vs manual $manual")
+    // Below the cap nothing moves: corpusN <= cap is the historical
+    // full-corpus path bit-for-bit.
+    val full = Similarity.lloydCentroids(e, 4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toList
+    val fullN = Similarity.lloydCentroids(e, 4, corpusN = 40L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toList
+    assert(full == fullN, s"$full vs $fullN")
+  }
+
   test("kmeans-PQ: trained codebooks rank within clusters; first-K stub degrades") {
     import spark.implicits._
     // Same planted-cluster generator as the kmeans-IVF case: 8 separated
