@@ -6,6 +6,21 @@ import org.apache.spark.sql.SparkSession
   * looked green).
   */
 object Bench {
+  /** The artifact-build rows — ONE definition, shared with
+    * tools/StressBuilds so the bench ledger and the ×10 builds stress
+    * can never cover different lists. */
+  val artifactBuilders: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    ("ngram_cc_labels", (s, d) => operators.Dedup.warmClusterLabels(s, d)),
+    ("verbatim_span_index", (s, d) => operators.Curation.warmVerbatimArtifacts(s, d)),
+    ("funnel_frames", (s, d) => operators.Curation.warmFunnelFrames(s, d)),
+    ("ivf_trained_index", (s, d) => operators.Similarity.warmTrainedIndex(s, d)),
+    ("phash_cc_labels", (s, d) => operators.Multimodal.warmPhashClusterLabels(s, d)),
+    ("phash_ivf_index", (s, d) => operators.Multimodal.warmPhashIvfIndex(s, d)),
+    ("phash_ivf_trained", (s, d) => operators.Multimodal.warmPhashIvfTrained(s, d)),
+    ("phash_ivf_policy", (s, d) => operators.Multimodal.warmPhashIvfPolicy(s, d)),
+    ("bpe_merges", (s, d) => operators.TextAnalysis.warmBpeMerges(s, d)),
+    ("knn_tier_policy", (s, d) => operators.Similarity.warmKnnTierPolicy(s, d)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -90,24 +105,14 @@ object Bench {
     // cpu_sec is steal-immune, so "wall 87 s / cpu 9 s" reads as a
     // host phase and "wall 87 s / cpu 80 s" as a real regression —
     // adjudicable from ONE run, no retry needed.
-    val artifactBuilds: Seq[(String, Double, Double, Double)] = Seq[(String, () => Unit)](
-      ("ngram_cc_labels", () => operators.Dedup.warmClusterLabels(spark, sfDir)),
-      ("verbatim_span_index", () => operators.Curation.warmVerbatimArtifacts(spark, sfDir)),
-      ("funnel_frames", () => operators.Curation.warmFunnelFrames(spark, sfDir)),
-      ("ivf_trained_index", () => operators.Similarity.warmTrainedIndex(spark, sfDir)),
-      ("phash_cc_labels", () => operators.Multimodal.warmPhashClusterLabels(spark, sfDir)),
-      ("phash_ivf_index", () => operators.Multimodal.warmPhashIvfIndex(spark, sfDir)),
-      ("phash_ivf_trained", () => operators.Multimodal.warmPhashIvfTrained(spark, sfDir)),
-      ("phash_ivf_policy", () => operators.Multimodal.warmPhashIvfPolicy(spark, sfDir)),
-      ("bpe_merges", () => operators.TextAnalysis.warmBpeMerges(spark, sfDir)),
-      ("knn_tier_policy", () => operators.Similarity.warmKnnTierPolicy(spark, sfDir))
-    ).map { case (name, build) =>
-      val t0 = System.nanoTime()
-      val (_, runS, cpuS) = metered(() =>
-        try { build() } catch { case e: Throwable =>
-          System.err.println(s"[bench] artifact $name FAILED: ${e.getMessage}") })
-      (name, (System.nanoTime() - t0) / 1e9, runS, cpuS)
-    }
+    val artifactBuilds: Seq[(String, Double, Double, Double)] =
+      artifactBuilders.map { case (name, build) =>
+        val t0 = System.nanoTime()
+        val (_, runS, cpuS) = metered(() =>
+          try { build(spark, sfDir) } catch { case e: Throwable =>
+            System.err.println(s"[bench] artifact $name FAILED: ${e.getMessage}") })
+        (name, (System.nanoTime() - t0) / 1e9, runS, cpuS)
+      }
     // Fast-phase cost of the probe on this host (measured 0.238 s min
     // of 3 during the verified fast-phase round-9 run that produced
     // zero >2× rows); overridable when the hardware changes.

@@ -23,18 +23,9 @@ import org.apache.spark.sql.SparkSession
   */
 object StressBuilds {
 
-  /** The exact Bench `artifactBuilds` list — keep in lockstep. */
-  def builders: Seq[(String, (SparkSession, String) => Unit)] = Seq(
-    ("ngram_cc_labels", (s, d) => graft.operators.Dedup.warmClusterLabels(s, d)),
-    ("verbatim_span_index", (s, d) => graft.operators.Curation.warmVerbatimArtifacts(s, d)),
-    ("funnel_frames", (s, d) => graft.operators.Curation.warmFunnelFrames(s, d)),
-    ("ivf_trained_index", (s, d) => graft.operators.Similarity.warmTrainedIndex(s, d)),
-    ("phash_cc_labels", (s, d) => graft.operators.Multimodal.warmPhashClusterLabels(s, d)),
-    ("phash_ivf_index", (s, d) => graft.operators.Multimodal.warmPhashIvfIndex(s, d)),
-    ("phash_ivf_trained", (s, d) => graft.operators.Multimodal.warmPhashIvfTrained(s, d)),
-    ("phash_ivf_policy", (s, d) => graft.operators.Multimodal.warmPhashIvfPolicy(s, d)),
-    ("bpe_merges", (s, d) => graft.operators.TextAnalysis.warmBpeMerges(s, d)),
-    ("knn_tier_policy", (s, d) => graft.operators.Similarity.warmKnnTierPolicy(s, d)))
+  /** The exact Bench `artifact_builds` list — one shared definition. */
+  def builders: Seq[(String, (SparkSession, String) => Unit)] =
+    graft.Bench.artifactBuilders
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
