@@ -150,8 +150,12 @@ object Dedup {
     }
   }
 
-  private def minhashOracleSql(threshold: Double,
-                               pairFilter: String = "TRUE"): String = {
+  /** The banded-candidate + verify CTE chain shared by the minhash
+    * oracles, ending at `scored` (doc_a, doc_b, rounded jac ≥
+    * threshold) — the pair key, its incremental twin, and the capped
+    * twin differ only in the final SELECT. */
+  private def minhashScoredCtesSql(threshold: Double,
+                                   pairFilter: String): String = {
     val bandJoins = bandEqConds.map { eqs =>
       s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM sig a JOIN sig b ON $eqs AND a.doc_id < b.doc_id"""
@@ -163,21 +167,43 @@ object Dedup {
           $bandJoins)),
       ws AS (
         SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
-        FROM documents)
-      SELECT doc_a, doc_b,
-             round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
-                   (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jac
-      FROM cand JOIN ws a ON cand.doc_a = a.doc_id
-                JOIN ws b ON cand.doc_b = b.doc_id
-      -- Threshold on the ROUNDED value — verifyJaccard filters the
-      -- rounded column, and a raw-ratio compare here would diverge on
-      -- a boundary pair (e.g. raw 0.79996 rounds to 0.8000 and passes
-      -- the engine, but fails raw >= 0.8).
-      WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
-            (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) >= $threshold
-        AND ($pairFilter)
-      ORDER BY doc_a, doc_b"""
+        FROM documents),
+      scored AS (
+        SELECT doc_a, doc_b,
+               round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+                     (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jac
+        FROM cand JOIN ws a ON cand.doc_a = a.doc_id
+                  JOIN ws b ON cand.doc_b = b.doc_id
+        -- Threshold on the ROUNDED value — verifyJaccard filters the
+        -- rounded column, and a raw-ratio compare here would diverge on
+        -- a boundary pair (e.g. raw 0.79996 rounds to 0.8000 and passes
+        -- the engine, but fails raw >= 0.8).
+        WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+              (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) >= $threshold
+          AND ($pairFilter))"""
   }
+
+  private def minhashOracleSql(threshold: Double,
+                               pairFilter: String = "TRUE"): String =
+    minhashScoredCtesSql(threshold, pairFilter) + """
+      SELECT doc_a, doc_b, jac FROM scored ORDER BY doc_a, doc_b"""
+
+  /** The capped twin — the embeddingTopnOracleSql pattern on the
+    * minhash chain. */
+  private def minhashTopnOracleSql(threshold: Double, n: Int): String =
+    minhashScoredCtesSql(threshold, "TRUE") + s""",
+      sym AS (
+        SELECT doc_a AS doc_id, doc_b AS neighbor_id, jac FROM scored
+        UNION ALL
+        SELECT doc_b AS doc_id, doc_a AS neighbor_id, jac FROM scored),
+      ranked AS (
+        SELECT doc_id, neighbor_id, jac,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY jac DESC, neighbor_id) AS rn
+        FROM sym)
+      SELECT doc_id, neighbor_id, jac, CAST(rn AS INTEGER) AS rn
+      FROM ranked WHERE rn <= $n
+      ORDER BY doc_id, rn"""
 
   /** The n-gram family's Jaccard threshold as an EXACT rational —
     * the single source of truth for the prefix-length filter, the
@@ -754,6 +780,14 @@ object Dedup {
       .distinct() // a pair may collide in several bands
     verifyJaccard(candidates, docs, threshold)
   }
+
+  /** [[minhashPairs]]'s emission-capped serving twin — the third
+    * member of the `*_topn` family (shared [[capNeighbors]] tail):
+    * per doc its top-[[NgramTopN]] banded-and-verified neighbors. */
+  def minhashTopNeighbors(docs: DataFrame, threshold: Double,
+                          n: Int = NgramTopN): DataFrame =
+    capNeighbors(minhashPairs(docs, threshold), "doc_a", "doc_b", "jac",
+      "doc_id", "neighbor_id", n)
 
   /** INCREMENTAL near-dup ingest — the banded twin of
     * `q_dedup_incremental`'s exact anti-join: the corpus's band index
@@ -1630,6 +1664,11 @@ object Dedup {
       minhashPairs(Tables.documents(s, dir), 0.8)
         .orderBy("doc_a", "doc_b")),
 
+    // Emission-capped serving twin of the minhash pair key — see
+    // minhashTopNeighbors (the q_dedup_ngram_topn pattern).
+    "q_dedup_minhash_topn" -> ((s, dir) =>
+      minhashTopNeighbors(Tables.documents(s, dir), 0.8)),
+
     // Incremental banded ingest: the arriving batch (the slice the
     // other incremental keys use) near-dups against the PERSISTED band
     // index + itself; corpus is never re-banded. Oracle = the full
@@ -2097,6 +2136,8 @@ object Dedup {
       ORDER BY doc_id""",
 
     "q_dedup_minhash" -> minhashOracleSql(0.8),
+
+    "q_dedup_minhash_topn" -> minhashTopnOracleSql(0.8, NgramTopN),
 
     "q_dedup_minhash_incremental" ->
       minhashOracleSql(0.8, "doc_a % 5 = 0 OR doc_b % 5 = 0"),

@@ -2111,6 +2111,31 @@ class PipelineSpec extends SparkSpec {
       pairs.contains((math.min(d, nb), math.max(d, nb))) }, s"$got")
   }
 
+  test("minhash top-n: the cap binds on a saturated clique, unrelated docs absent") {
+    import spark.implicits._
+    // Docs 1-5: one identical clique (every pair bands-collides and
+    // verifies at jac 1.0) — four qualifying neighbors each, the N=3
+    // cap keeps the three lowest ids. Docs 6-7: a second identical
+    // pair on disjoint text — one neighbor each, under the cap.
+    // Doc 8 shares no shingles with anyone.
+    val clique = "the quick brown fox jumps over the lazy dog today"
+    val pairTx = "completely different second family of shared words here"
+    val docs = (Seq(
+      (1L, clique), (2L, clique), (3L, clique), (4L, clique),
+      (5L, clique), (6L, pairTx), (7L, pairTx),
+      (8L, "nothing at all in common with either family")))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashTopNeighbors(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toList
+    val expect =
+      (1L to 5L).flatMap { d =>
+        (1L to 5L).filter(_ != d).sorted.take(3).zipWithIndex
+          .map { case (nb, i) => (d, nb, 1.0, i + 1) }
+      }.toList ++ List((6L, 7L, 1.0, 1), (7L, 6L, 1.0, 1))
+    assert(got == expect.sortBy(t => (t._1, t._4)), s"$got")
+  }
+
   test("embedding top-n: the cap binds on a duplicated-vector clique, cross-group pairs absent") {
     import spark.implicits._
     // Ids 1-5 share one vector (cos 1.0 all pairs, LSH collides with
