@@ -693,6 +693,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"$streamed vs $batch")
   }
 
+  test("streaming growth: per-user last-day state survives a query restart via checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.GrowthStream.{Ev, GrowthEv}
+    val D = graft.operators.Events.DayNs
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-growth-ckpt").toString
+    val in = MemoryStream[Ev]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[GrowthEv]
+    def start() = GrowthStream.growthStream(in.toDS())
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[GrowthEv], _: Long) =>
+        seen.synchronized { seen ++= batch.collect() }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    val q1 = start()
+    try {
+      in.addData(Ev(1L, 5L)); q1.processAllAvailable() // new@0
+    } finally q1.stop()
+    // Restart: day 2 must classify against the CHECKPOINTED last day
+    // (0) — churn@1 + resurrected@2, not a fresh "new".
+    val q2 = start()
+    try {
+      in.addData(Ev(1L, 2L * D + 5L)); q2.processAllAvailable()
+      val after = seen.synchronized(
+        seen.filter(g => !(g.day == 0L && g.kind == "new")).toList)
+        .map(g => (g.day, g.kind)).sorted
+      assert(after == List((1L, "churned"), (2L, "resurrected")),
+        s"state did not survive restart: $after")
+    } finally q2.stop()
+  }
+
   test("streaming dow counters: running counts equal the batch profile; late events are correct") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
