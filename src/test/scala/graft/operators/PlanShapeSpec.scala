@@ -234,6 +234,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_text_bm25 scores row-locally (weight map + stats broadcast; corpus never shuffles to join)") {
+    // The BM25 plan must be lexicalSearch's: the 1-row weight map and
+    // the 1-row (tot_tok, n_docs) stats frame reach the corpus as
+    // broadcast nested-loop joins; a sort-merge or shuffled join
+    // anywhere means the corpus moved to be scored.
+    val p = plan("q_text_bm25")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled to join")
+    assert(!p.contains("ShuffledHashJoin"), "corpus shuffled to join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.linesIterator.take(25).mkString("\n"))
+  }
+
   test("incremental CC relabels via broadcast (corpus labels never shuffle to join)") {
     // The scale contract of q_dedup_cluster_incremental: the final
     // relabel pass joins the corpus-sized label table against the tiny
