@@ -1361,9 +1361,20 @@ object Dedup {
     * content re-chunks identically regardless of byte offset); the
     * spans derive declaratively from the ends array and only the
     * (key, len) pair — never the chunk text — survives past the
-    * projection. */
+    * projection.
+    *
+    * SINGLE-BYTE screen (round 15, the cdcGate convention made
+    * explicit for the batch family too): the kernel emits BYTE ends
+    * while the key derivation slices CHARS, equal only on single-byte
+    * text — so a doc whose char length differs from its UTF-8 byte
+    * length is EXCLUDED from the chunk table up front (defined
+    * behavior: such docs simply don't participate in chunk-store
+    * dedup) instead of being silently mis-keyed. Both engines apply
+    * the same screen (`octet_length = length` / `strlen = length`);
+    * the driver corpora are pure ASCII, so no test-SF output moves. */
   def cdcChunks(docs: DataFrame): DataFrame =
     docs
+      .filter(octet_length(col("text")) === length(col("text")))
       .select(col("doc_id"), col("source"), col("text"),
         graft.functions.CdcOps.cdcEnds(col("text")).as("ends"))
       .select(col("doc_id"), col("source"), col("text"),
@@ -1981,7 +1992,10 @@ object Dedup {
                list_filter(range(${graft.functions.CdcOps.Window},
                                  n_chars + 1),
                  i -> ($hash) % ${graft.functions.CdcOps.CutMod} = 0) AS cs
-        FROM documents),
+        FROM documents
+        -- The engine's single-byte screen (cdcChunks): non-ASCII docs
+        -- are excluded from the chunk table in both engines.
+        WHERE strlen(text) = length(text)),
       cends AS (
         SELECT doc_id, source, text,
                CASE WHEN n_chars = 0 THEN CAST([] AS BIGINT[])

@@ -2490,6 +2490,14 @@ class PipelineSpec extends SparkSpec {
         r.getLong(4), r.getLong(5))).toSeq
     assert(prof == Seq((1L, 1L, 20L, 20L, 20L, 2000L),
       (2L, 1L, 20L, 20L, 20L, 2000L), (3L, 1L, 10L, 10L, 10L, 1000L)))
+    // Single-byte screen (round 15): a non-ASCII doc is EXCLUDED from
+    // the chunk table entirely — defined behavior in both engines,
+    // never a mis-keyed byte/char slice.
+    val mixed = Seq((1L, "s", "a" * 20), (2L, "s", "caf" + "é" * 6))
+      .toDF("doc_id", "source", "text")
+    val ids = Dedup.cdcChunks(mixed).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L), s"non-ASCII doc must be screened out: $ids")
   }
 
   test("cdc incremental: index hit, within-batch first-credit, batch == full on the slice") {
