@@ -2859,6 +2859,33 @@ class PipelineSpec extends SparkSpec {
     assert(nested.collect().head.getLong(0) == 6L)
   }
 
+  test("artifact cache: concurrent requests for one key run the build ONCE") {
+    // Round-14 advice: the get-then-putIfAbsent race used to let two
+    // threads build the same artifact, leaking the loser's eagerly
+    // checkpointed blocks. The lazy-holder rewrite must serialize to a
+    // single build while both callers receive the same frame.
+    import spark.implicits._
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def request(): org.apache.spark.sql.DataFrame =
+      Artifacts.cached(spark, "spec-concurrent-once") {
+        builds.incrementAndGet()
+        Thread.sleep(200) // hold the build open so the race is real
+        Seq(7, 35).toDF("v").localCheckpoint(true)
+      }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 4).map { _ =>
+      Future { gate.await(); request() }
+    }
+    gate.countDown()
+    val frames = fs.map(f => Await.result(f, 30.seconds))
+    assert(builds.get == 1, s"build ran ${builds.get} times")
+    assert(frames.forall(_.agg(org.apache.spark.sql.functions.sum("v"))
+      .collect().head.getLong(0) == 42L))
+  }
+
   test("volume anomaly: strict-> boundary day and zero-variance-window mean are NOT anomalies") {
     import spark.implicits._
     val D = Events.DayNs
