@@ -89,13 +89,18 @@ object Metrics {
       record(QueryMetric(funcName, 0L, None, 0L, 0L, Some(e.getClass.getSimpleName)))
   }
 
-  /** Start capturing on this session (idempotent per session). */
-  def install(spark: SparkSession): Unit =
+  /** Start capturing on this session (idempotent per session).
+    * Stopped sessions are evicted first — the cache-sweep discipline
+    * every (SparkSession, …)-keyed map in this library follows. */
+  def install(spark: SparkSession): Unit = {
+    listeners.keySet.removeIf(_.sparkContext.isStopped)
     listeners.computeIfAbsent(spark, s => {
       val l = new Recorder
       s.listenerManager.register(l)
       l
     })
+    ()
+  }
 
   /** Stop capturing on this session. */
   def uninstall(spark: SparkSession): Unit = {
@@ -221,12 +226,15 @@ object Metrics {
 
   /** Start capturing micro-batch progress on this session (idempotent
     * per session — one listener regardless of how many queries run). */
-  def installStreaming(spark: SparkSession): Unit =
+  def installStreaming(spark: SparkSession): Unit = {
+    streamListeners.keySet.removeIf(_.sparkContext.isStopped)
     streamListeners.computeIfAbsent(spark, s => {
       val l = new StreamRecorder
       s.streams.addListener(l)
       l
     })
+    ()
+  }
 
   /** Stop capturing streaming progress on this session. */
   def uninstallStreaming(spark: SparkSession): Unit = {
