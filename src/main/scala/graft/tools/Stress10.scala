@@ -35,8 +35,11 @@ object Stress10 {
     // curation (eval-broadcast join, token frames, funnel composition)
     "q_decontaminate", "q_corpus_importance_bigram", "q_corpus_funnel",
     "q_verbatim_spans",
-    // text (tf aggregation, BPE rounds, shingle keys)
-    "q_text_ngram_freq", "q_text_bpe_train",
+    // text (tf aggregation, BPE rounds, shingle keys, BM25 scoring)
+    "q_text_ngram_freq", "q_text_bpe_train", "q_text_bm25",
+    // emission-capped serving twin (round 15 — the capNeighbors tail
+    // under volume; output must stay ≤ N rows/doc however dup-dense)
+    "q_dedup_minhash_topn",
     // ANN (banded LSH, cell-bucketed IVF, brute top-k)
     "q_knn_lsh", "q_knn_topk", "q_knn_ivf",
     // multimodal sketch front end
