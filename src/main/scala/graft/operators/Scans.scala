@@ -67,7 +67,44 @@ object Scans {
           col("event_id"),
           coalesce(get_json_object(col("props"), "$.k").cast("int"), lit(0)).as("k"))
         .orderBy("event_id")),
+
+    // JSONL interchange round trip (round 15) — see sources/Ingest:
+    // corpus ∪ escaping plants staged to JSONL, read back through the
+    // schema-explicit FAILFAST reader, content-audited per source.
+    // The oracle computes the SAME audit from parquet, so the hash
+    // matches iff the writer+reader preserved every byte.
+    "q_source_jsonl_ingest" -> ((s, dir) =>
+      graft.sources.Ingest.jsonlRoundtrip(s, dir)),
+
+    // The CSV twin: multiLine + RFC-4180 quote-doubling — the reader
+    // configuration the embedded-newline plant exists to catch.
+    "q_source_csv_ingest" -> ((s, dir) =>
+      graft.sources.Ingest.csvRoundtrip(s, dir)),
   )
+
+  /** The ingest round-trip audit from the PARQUET side — plants as
+    * literals (chr(10) spells the embedded newline; DuckDB treats
+    * backslash literally in standard strings, same as the Scala
+    * source). */
+  private def ingestOracleSql(includeEmpty: Boolean): String = {
+    val b = graft.sources.Ingest.IngestPlantBase
+    val empty =
+      if (includeEmpty) s"\n        UNION ALL SELECT ${b + 4}, 'plant', ''"
+      else ""
+    s"""
+      WITH docs AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL SELECT $b, 'plant', 'line one' || chr(10) || 'line two'
+        UNION ALL SELECT ${b + 1}, 'plant', 'comma, separated, values'
+        UNION ALL SELECT ${b + 2}, 'plant', 'a "quoted" span'
+        UNION ALL SELECT ${b + 3}, 'plant', 'back\\slash and trailing space '$empty)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT
+                      % ${graft.sources.Ingest.FoldMod}) AS BIGINT)
+               AS fold_sum
+      FROM docs GROUP BY source ORDER BY source"""
+  }
 
   val oracle: Map[String, String] = Map(
     "q_scan_full" -> "SELECT count(*) AS n_rows FROM lineitem",
@@ -102,5 +139,10 @@ object Scans {
       SELECT event_id,
              coalesce(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k
       FROM events ORDER BY event_id""",
+
+    // Parquet-side twins of the ingest round trips — a hash match
+    // proves the staged format preserved every byte (see the keys).
+    "q_source_jsonl_ingest" -> ingestOracleSql(includeEmpty = true),
+    "q_source_csv_ingest" -> ingestOracleSql(includeEmpty = false),
   )
 }
