@@ -19,7 +19,8 @@ object Bench {
     ("phash_ivf_trained", (s, d) => operators.Multimodal.warmPhashIvfTrained(s, d)),
     ("phash_ivf_policy", (s, d) => operators.Multimodal.warmPhashIvfPolicy(s, d)),
     ("bpe_merges", (s, d) => operators.TextAnalysis.warmBpeMerges(s, d)),
-    ("knn_tier_policy", (s, d) => operators.Similarity.warmKnnTierPolicy(s, d)))
+    ("knn_tier_policy", (s, d) => operators.Similarity.warmKnnTierPolicy(s, d)),
+    ("knn_quant_policy", (s, d) => operators.Similarity.warmKnnQuantPolicy(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -105,13 +106,39 @@ object Bench {
     // cpu_sec is steal-immune, so "wall 87 s / cpu 9 s" reads as a
     // host phase and "wall 87 s / cpu 80 s" as a real regression —
     // adjudicable from ONE run, no retry needed.
-    val artifactBuilds: Seq[(String, Double, Double, Double)] =
+    //
+    // SELF-LABELING on warehouse state (round-15 verdict item 1): a
+    // build that RESOLVES a persisted table from a prior JVM's write
+    // (graft.sources.Warehouse hit) pays a registration, not the
+    // build, so its cpu row must be adjudicated against the WARM
+    // ledger; a miss (cold warehouse or mutated corpus) pays the full
+    // build and adjudicates against the COLD ledger (both in
+    // BASELINE.md). Each build row carries `wh`: "hit" (every table it
+    // resolved pre-existed), "miss" (none did), "partial", or "none"
+    // (the build persists nothing through the warehouse lifecycle).
+    val whPre = {
+      val root = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root))
+        fs.listStatus(root).map(_.getPath.getName)
+          .filter(_.startsWith("graft_")).sorted.toSeq
+      else Seq.empty
+    }
+    graft.sources.Warehouse.drainHits(spark) // clear pre-build noise
+    val artifactBuilds: Seq[(String, Double, Double, Double, String)] =
       artifactBuilders.map { case (name, build) =>
         val t0 = System.nanoTime()
         val (_, runS, cpuS) = metered(() =>
           try { build(spark, sfDir) } catch { case e: Throwable =>
             System.err.println(s"[bench] artifact $name FAILED: ${e.getMessage}") })
-        (name, (System.nanoTime() - t0) / 1e9, runS, cpuS)
+        val hits = graft.sources.Warehouse.drainHits(spark)
+        val wh =
+          if (hits.isEmpty) "none"
+          else if (hits.values.forall(identity)) "hit"
+          else if (hits.values.exists(identity)) "partial"
+          else "miss"
+        (name, (System.nanoTime() - t0) / 1e9, runS, cpuS, wh)
       }
     // Fast-phase cost of the probe on this host (measured 0.238 s min
     // of 3 during the verified fast-phase round-9 run that produced
@@ -238,21 +265,23 @@ object Bench {
     val rt = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val cal = s"""{"probe_sec":${fmt(calSec)},"probe_sec_end":${fmt(calSecEnd)},"probe_baseline":${fmt(calBaseline)},"host_factor":${fmt(hostFactor)}}"""
-    val ab = artifactBuilds.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+    val ab = artifactBuilds.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // Task-time billing (round-14 verdict item 1): per build, the
-    // {wall, task-run, task-cpu} triple; per key, task-cpu. cpu is the
-    // host-phase-immune figure — adjudicate against the metric-time
-    // ledger in BASELINE.md, not against wall rows.
-    val abm = artifactBuilds.map { case (k, w, r, c) =>
+    // {wall, task-run, task-cpu} triple + the warehouse label; per
+    // key, task-cpu. cpu is the host-phase-immune figure — adjudicate
+    // against the metric-time ledger in BASELINE.md (cold or warm per
+    // the wh label), not against wall rows.
+    val abm = artifactBuilds.map { case (k, w, r, c, wh) =>
       "\"" + k + "\":{\"wall\":" + fmt(w) + ",\"run\":" + fmt(r) +
-        ",\"cpu\":" + fmt(c) + "}" }
+        ",\"cpu\":" + fmt(c) + ",\"wh\":\"" + wh + "\"}" }
       .mkString("{", ",", "}")
+    val whp = whPre.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qcpu = results.map { case (k, v, _) =>
       "\"" + k + "\":" + fmt(v.map(_._3).getOrElse(-1.0)) }
       .mkString("{", ",", "}")
     val full = line.dropRight(1) +
-      s""","shuffle_bytes":$sh,"retried":$rt,"artifact_builds":$ab,"artifact_builds_metric":$abm,"queries_cpu":$qcpu,"calibration":$cal}"""
+      s""","shuffle_bytes":$sh,"retried":$rt,"artifact_builds":$ab,"artifact_builds_metric":$abm,"warehouse_preexisting":$whp,"queries_cpu":$qcpu,"calibration":$cal}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     spark.stop()

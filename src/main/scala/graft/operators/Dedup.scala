@@ -1371,10 +1371,17 @@ object Dedup {
     * behavior: such docs simply don't participate in chunk-store
     * dedup) instead of being silently mis-keyed. Both engines apply
     * the same screen (`octet_length = length` / `strlen = length`);
-    * the driver corpora are pure ASCII, so no test-SF output moves. */
+    * the driver corpora are pure ASCII, so no test-SF output moves.
+    * NULL-text docs are excluded too — explicitly (round-15 advice:
+    * the equality screen alone already dropped them, because
+    * `octet_length(NULL) = length(NULL)` is NULL, but that was an
+    * accident of three-valued logic; the isNotNull conjunct makes the
+    * exclusion a stated contract. The DuckDB twin's `strlen = length`
+    * drops NULLs identically, so the engines agree either way). */
   def cdcChunks(docs: DataFrame): DataFrame =
     docs
-      .filter(octet_length(col("text")) === length(col("text")))
+      .filter(col("text").isNotNull &&
+        octet_length(col("text")) === length(col("text")))
       .select(col("doc_id"), col("source"), col("text"),
         graft.functions.CdcOps.cdcEnds(col("text")).as("ends"))
       .select(col("doc_id"), col("source"), col("text"),

@@ -34,6 +34,18 @@ import graft.Tables
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
 
+  // ImageIO's default stream cache routes EVERY encode/decode through a
+  // temp FILE in java.io.tmpdir (FileCacheImageInput/OutputStream) — one
+  // create/write/read/delete cycle per image per call. The kernel-mode
+  // IO bills to task CPU and scales with tmpdir contention, which made
+  // the decode-heavy artifact builds' cpu environment-dependent (the
+  // round-15 ledger divergence: same code, 2 s here vs 32 s in the
+  // driver's container). Payloads here are in-memory byte arrays of
+  // strip images; the memory-cache path is strictly better. Class-load
+  // init so every JVM (driver and executors) flips it before the first
+  // kernel call.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decoded-media metadata contract. */
   case class MediaMeta(
     doc_id: Long, n_bytes: Long, format: String,
@@ -1044,25 +1056,49 @@ object Multimodal {
     * has skippable files to skip (the TrainedIdxBuckets rule). */
   val PhashIdxBuckets = 16
 
+  /** Corpus fingerprint for the persisted image-index lifecycle —
+    * count + max doc_id of the documents table, memoized per session
+    * (the [[graft.sources.Warehouse]] keying: path digest + data
+    * fingerprint in the table name, so a renamed/symlinked dir reuses
+    * the table and a mutated corpus can never be served stale). */
+  private def docsFp(s: SparkSession, dir: String): String = {
+    val (n, mx) = graft.sources.Warehouse.countMax(
+      s, s"docs:$dir", Tables.documents(s, dir), "doc_id")
+    graft.sources.Warehouse.fpToken(n, mx)
+  }
+
   /** PERSIST the assignment index through the production bucketed
     * path (`Sinks.writeBucketed(cell)`) — the TABLE is the serving
     * artifact: cell is both the bucket key and the only predicate a
     * probe needs, so a query reads nprobe buckets, never the table.
-    * One write per (session, dir) via [[Artifacts]]; the stale-table/
-    * orphaned-location recovery is the trainedIndexArtifacts rule. */
+    * Warehouse lifecycle (round-16): a complete prior-JVM write of the
+    * SAME corpus state registers back and serves without a rebuild —
+    * including the K-row CENTROID table, so a warehouse hit skips the
+    * corpus decode pass entirely (deterministic builds make reuse ==
+    * rebuild bit for bit); a fingerprint mismatch rebuilds and GCs the
+    * stale variant. One resolution per (session, dir) via
+    * [[Artifacts]]. */
   private def phashIvfTableArtifacts(
       s: SparkSession, dir: String): (DataFrame, String) = {
-    val (cents, assigned) = phashIvfArtifacts(s, dir)
-    val table = s"graft_phash_ivf_${java.lang.Integer.toHexString(dir.hashCode)}"
+    val fp = docsFp(s, dir)
+    val cents = Artifacts.cached(s, s"phash-ivf-cents-srv:$dir") {
+      val (cname, _) = graft.sources.Warehouse.servedTable(
+        s, "phash_cents", dir, fp, bucket = None) { name =>
+        phashIvfArtifacts(s, dir)._1
+          .write.mode("overwrite").format("parquet").saveAsTable(name)
+      }
+      s.table(cname).localCheckpoint(true)
+    }
+    val table = graft.sources.Warehouse.tableName("phash_ivf", dir, fp)
     Artifacts.cached(s, s"phash-ivf-table:$dir") {
-      s.sql(s"DROP TABLE IF EXISTS $table")
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), table)
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) { fs.delete(loc, true); () }
-      graft.sources.Sinks.writeBucketed(
-        assigned.select(col("doc_id"), col("phash"), col("cell")),
-        table, "cell", PhashIdxBuckets)
+      graft.sources.Warehouse.servedTable(
+        s, "phash_ivf", dir, fp,
+        bucket = Some(("cell", PhashIdxBuckets))) { name =>
+        graft.sources.Sinks.writeBucketed(
+          phashIvfArtifacts(s, dir)._2
+            .select(col("doc_id"), col("phash"), col("cell")),
+          name, "cell", PhashIdxBuckets)
+      }
       s.table(table)
     }
     (cents, table)
@@ -1098,13 +1134,13 @@ object Multimodal {
     val (cents, table) =
       if (quantizer == "trained") phashIvfTrainedTableArtifacts(s, dir)
       else phashIvfTableArtifacts(s, dir)
-    // Probes come from the CACHED assignment artifact, not a fresh
-    // corpus sketch pass — serving must never rescan documents (the
-    // index IS the sketch store; production probes arrive as queries).
-    val (_, assigned) =
-      if (quantizer == "trained") phashIvfTrainedArtifacts(s, dir)
-      else phashIvfArtifacts(s, dir)
-    val probes = assigned.filter(col("doc_id") < nProbes)
+    // Probes come from the PERSISTED index itself, not a fresh corpus
+    // sketch pass — serving must never rescan documents (the index IS
+    // the sketch store; production probes arrive as queries). Reading
+    // them off the table rather than the in-memory assignment artifact
+    // keeps a warehouse-HIT serve fully decode-free: the only inputs
+    // are the registered table and the K-row centroid table.
+    val probes = s.table(table).filter(col("doc_id") < nProbes)
       .select(col("doc_id").as("probe_id"), col("phash").as("probe_hash"))
     val cellList = phashIvfRankCells(probes, cents, nprobe)
       .select(col("cell")).distinct().collect().map(_.getLong(0)).sorted
@@ -1157,18 +1193,25 @@ object Multimodal {
     * built only when the serving policy selects the trained index. */
   private def phashIvfTrainedTableArtifacts(
       s: SparkSession, dir: String): (DataFrame, String) = {
-    val (cents, assigned) = phashIvfTrainedArtifacts(s, dir)
-    val table =
-      s"graft_phash_ivf_tr_${java.lang.Integer.toHexString(dir.hashCode)}"
+    val fp = docsFp(s, dir)
+    val cents = Artifacts.cached(s, s"phash-ivf-tr-cents-srv:$dir") {
+      val (cname, _) = graft.sources.Warehouse.servedTable(
+        s, "phash_tr_cents", dir, fp, bucket = None) { name =>
+        phashIvfTrainedArtifacts(s, dir)._1
+          .write.mode("overwrite").format("parquet").saveAsTable(name)
+      }
+      s.table(cname).localCheckpoint(true)
+    }
+    val table = graft.sources.Warehouse.tableName("phash_ivf_tr", dir, fp)
     Artifacts.cached(s, s"phash-ivf-trained-table:$dir") {
-      s.sql(s"DROP TABLE IF EXISTS $table")
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), table)
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) { fs.delete(loc, true); () }
-      graft.sources.Sinks.writeBucketed(
-        assigned.select(col("doc_id"), col("phash"), col("cell")),
-        table, "cell", PhashIdxBuckets)
+      graft.sources.Warehouse.servedTable(
+        s, "phash_ivf_tr", dir, fp,
+        bucket = Some(("cell", PhashIdxBuckets))) { name =>
+        graft.sources.Sinks.writeBucketed(
+          phashIvfTrainedArtifacts(s, dir)._2
+            .select(col("doc_id"), col("phash"), col("cell")),
+          name, "cell", PhashIdxBuckets)
+      }
       s.table(table)
     }
     (cents, table)

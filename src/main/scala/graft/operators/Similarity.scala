@@ -947,26 +947,37 @@ object Similarity {
   private def trainedIndexArtifacts(s: SparkSession,
                                     dir: String): (DataFrame, String) = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
-    val n = e.count()
+    // The corpus fingerprint keys BOTH persisted artifacts (centroids
+    // + index) to the data they were trained on — warehouse lifecycle,
+    // GC of stale variants, and the reuse-vs-rebuild decision all live
+    // in [[graft.sources.Warehouse]]. count is also Lloyd's K input,
+    // so the stats pass is paid once for both purposes.
+    val (n, mx) = graft.sources.Warehouse.countMax(
+      s, s"emb:$dir", e, "vec_id")
+    val fp = graft.sources.Warehouse.fpToken(n, mx)
     val kk = math.ceil(math.sqrt(n.toDouble)).toInt
-    val cents = graft.operators.Artifacts.cached(s, s"ivf-trained-cents:$dir")(
-      lloydCentroids(e, kk, corpusN = n))
-    val table = s"graft_ivf_trained_${java.lang.Integer.toHexString(dir.hashCode)}"
+    // Lloyd training is the expensive half of the build: persist the
+    // K-row centroid table next to the index so a warehouse HIT skips
+    // training too, not just the assignment write. Deterministic
+    // training (the lloydCentroids contract) makes the reused table
+    // bit-identical to a rebuild — every oracle hash is unchanged.
+    val cents = graft.operators.Artifacts.cached(s, s"ivf-trained-cents:$dir") {
+      val (cname, _) = graft.sources.Warehouse.servedTable(
+        s, "ivf_cents", dir, fp, bucket = None) { name =>
+        lloydCentroids(e, kk, corpusN = n)
+          .write.mode("overwrite").format("parquet").saveAsTable(name)
+      }
+      s.table(cname).localCheckpoint(true)
+    }
+    val table = graft.sources.Warehouse.tableName("ivf_trained", dir, fp)
     graft.operators.Artifacts.cached(s, s"ivf-trained-idx:$dir") {
-      // A PRIOR JVM's write leaves the warehouse DIRECTORY behind while
-      // this session's in-memory catalog has no table entry — in that
-      // state saveAsTable(overwrite) refuses (LOCATION_ALREADY_EXISTS)
-      // because there is nothing registered to overwrite. Drop both the
-      // (possibly registered) table and any orphaned location first;
-      // the rebuild below recreates exactly what was deleted.
-      s.sql(s"DROP TABLE IF EXISTS $table")
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), table)
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) { fs.delete(loc, true); () }
-      graft.sources.Sinks.writeBucketed(
-        assignCells(e, cents).select(col("vec_id"), col("v"), col("cell")),
-        table, "cell", TrainedIdxBuckets)
+      graft.sources.Warehouse.servedTable(
+        s, "ivf_trained", dir, fp,
+        bucket = Some(("cell", TrainedIdxBuckets))) { name =>
+        graft.sources.Sinks.writeBucketed(
+          assignCells(e, cents).select(col("vec_id"), col("v"), col("cell")),
+          name, "cell", TrainedIdxBuckets)
+      }
       s.table(table) // the persisted table IS the materialized artifact
     }
     (cents, table)
@@ -1408,6 +1419,21 @@ object Similarity {
     // which tier wins.
     "q_knn_tier_policy_served" -> ((s, dir) =>
       knnTierServeRouted(s, dir, 8, 5).orderBy("probe_id", "rk")),
+
+    // THE UNIFIED QUANTIZER DECISION TABLE — see [[quantDecision]]:
+    // the storage tiers AND the trained-flat lifecycle in ONE
+    // recall-at-cost table (four rows; the round-15 verdict's ask).
+    // The oracle replays all four audits — including Lloyd training —
+    // and the same (bytes, −hits, pref) selection.
+    "q_knn_quant_policy" -> ((s, dir) =>
+      quantDecision(knnQuantRows(s, dir)).orderBy("bytes_per_vec", "tier")),
+
+    // Unified-policy-ROUTED serving: the 8-probe query answered by the
+    // winner of the four-way audit; the oracle gates all four serving
+    // chains by the same selection, so the hash holds at every SF
+    // regardless of which quantizer wins.
+    "q_knn_quant_policy_served" -> ((s, dir) =>
+      knnQuantServeRouted(s, dir, 8, 5).orderBy("probe_id", "rk")),
   )
 
   /** GENERIC audit-driven serving policy (shared by the embedding and
@@ -1567,6 +1593,92 @@ object Similarity {
     val kk = math.ceil(math.sqrt(n.toDouble)).toInt
     val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
     val served = knnSelectedTier(s, dir) match {
+      case "pq" =>
+        pqTopK(e, derivePqCodes(n), nProbes, k)
+          .withColumnRenamed("adot", "score")
+      case "ivfpq_res" =>
+        ivfPqResidualTopK(e, kk, derivePqCodes(n), nProbes, k)
+          .withColumnRenamed("adot", "score")
+      case _ =>
+        ivfTopK(s, dir, kk, nProbes, k).withColumnRenamed("dot", "score")
+    }
+    served.select(col("probe_id"), col("cand_id"), col("score"), col("rk"))
+  }
+
+  /** THE UNIFIED QUANTIZER DECISION — the round-15 verdict's three-way
+    * ask landed as the FULL four-way table: [[storageTierPolicy]]'s
+    * tiers (flat IVF, PQ, residual IVF-PQ) JOINED by the trained-flat
+    * lifecycle that [[quantizerPolicy]] alone used to arbitrate, so
+    * one recall-at-cost decision covers every quantizer the engine can
+    * serve. Selection = among tiers within 4/5 of the best recall
+    * (integer cross-multiply), the minimum of (bytes_per_vec, −n_hit,
+    * pref) — cheapest storage first, then higher recall at equal
+    * storage (the two flat tiers share 512 B/vec), then the fixed
+    * preference order flat < trained (no training build to amortize —
+    * quantizerPolicy's tie rule) < pq < res. Fully deterministic, no
+    * float in the decision; `pref` is derived from the tier name here
+    * so callers can't desynchronize it. */
+  def quantDecision(rows: DataFrame): DataFrame = {
+    val withPref = rows.withColumn("pref", expr(
+      """CASE tier WHEN 'ivf_flat' THEN 0 WHEN 'ivf_trained' THEN 1
+              WHEN 'pq' THEN 2 ELSE 3 END"""))
+    val best = withPref.agg(max(col("n_hit")).as("best_hit"))
+    val sel = withPref.crossJoin(broadcast(best))
+      .filter(lit(5L) * col("n_hit") >= lit(4L) * col("best_hit"))
+      .agg(min_by(col("tier"), struct(col("bytes_per_vec"),
+        (-col("n_hit")).as("nh"), col("pref"))).as("sel_tier"))
+    withPref.crossJoin(broadcast(sel))
+      .select(col("tier"), col("bytes_per_vec"), col("n_true"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_true").cast("double"), 4)
+          .as("recall"),
+        (col("tier") === col("sel_tier")).as("selected"))
+  }
+
+  /** The four audit rows behind [[quantDecision]]: the cached
+    * three-tier frame ([[knnTierRows]]) plus the trained-lifecycle row
+    * (its 64-probe serve reads the persisted warehouse index — cached
+    * artifacts, no rebuild). Inputs hoisted outside the cached block
+    * (the Artifacts recursion rule). */
+  private def knnQuantRows(s: SparkSession, dir: String): DataFrame = {
+    val base = knnTierRows(s, dir)
+    val truth = brute(s, dir, 64, 5).select("probe_id", "cand_id")
+    val trained = ivfTrainedServe(s, dir, 64, 5).select("probe_id", "cand_id")
+    val trainedRow = graft.operators.Artifacts.cached(
+      s, s"knn-quant-trained-row:$dir")(
+      truth.join(broadcast(trained.withColumn("hit", lit(1))),
+          Seq("probe_id", "cand_id"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
+        .select(lit("ivf_trained").as("tier"),
+          lit(512L).as("bytes_per_vec"), col("n_true"), col("n_hit"))
+        .localCheckpoint(true))
+    base.unionByName(trainedRow)
+  }
+
+  /** Bench artifact hook: materialize the unified decision's fourth
+    * row (the three-tier frame and the trained serve read caches the
+    * earlier builders already warmed). */
+  def warmKnnQuantPolicy(s: SparkSession, dir: String): Unit = {
+    knnQuantRows(s, dir).count(); ()
+  }
+
+  /** The quantizer the unified audit selected. */
+  def knnSelectedQuant(s: SparkSession, dir: String): String =
+    quantDecision(knnQuantRows(s, dir))
+      .filter(col("selected")).collect().head.getString(0)
+
+  /** UNIFIED-POLICY-ROUTED serving: the standard 8-probe/top-5 query
+    * answered by whichever of the FOUR quantizers the recall-at-cost
+    * audit selected (the knnTierServeRouted shape, trained arm
+    * included); score semantics follow the tier — exact dot on the
+    * flat arms, ADC approximation on the code arms. */
+  def knnQuantServeRouted(s: SparkSession, dir: String,
+                          nProbes: Int, k: Int): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
+    val served = knnSelectedQuant(s, dir) match {
+      case "ivf_trained" =>
+        ivfTrainedServe(s, dir, nProbes, k).withColumnRenamed("dot", "score")
       case "pq" =>
         pqTopK(e, derivePqCodes(n), nProbes, k)
           .withColumnRenamed("adot", "score")
@@ -2137,6 +2249,53 @@ object Similarity {
                     ORDER BY dim) AS v
         FROM u$t, m$t)"""
 
+  /** The unified quantizer policy's shared oracle tail: the PQ and
+    * residual 64-probe top-5 sets (over the suffix chains), the
+    * four-row hit table (flat and trained audits come from
+    * [[knnPolicyCtes]]'s apx/apx_t against its truth), and the
+    * (bytes, −hits, pref) selection as ORDER BY … LIMIT 1 — the exact
+    * total order [[quantDecision]]'s min_by struct encodes. */
+  private def quantPolicyCtes: String = s"""qapx_pq AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT probe_id, cand_id,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY adot DESC, cand_id) AS rk
+          FROM scored_pq)
+        WHERE rk <= 5),
+      qapx_rq AS (
+        SELECT probe_id, cand_id FROM (
+          SELECT probe_id, cand_id,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY adot DESC, cand_id) AS rk
+          FROM scored_rq)
+        WHERE rk <= 5),
+      qhits AS (
+        SELECT 'ivf_flat' AS tier, CAST(512 AS BIGINT) AS bytes_per_vec,
+               0 AS pref,
+               (SELECT count(*) FROM truth) AS n_true,
+               (SELECT count(*) FROM truth b JOIN apx a
+                  ON b.probe_id = a.probe_id AND b.cand_id = a.cand_id)
+                 AS n_hit
+        UNION ALL
+        SELECT 'ivf_trained', CAST(512 AS BIGINT), 1,
+               (SELECT count(*) FROM truth),
+               (SELECT count(*) FROM truth b JOIN apx_t a
+                  ON b.probe_id = a.probe_id AND b.cand_id = a.cand_id)
+        UNION ALL
+        SELECT 'pq', CAST(8 AS BIGINT), 2,
+               (SELECT count(*) FROM truth),
+               (SELECT count(*) FROM truth b JOIN qapx_pq a
+                  ON b.probe_id = a.probe_id AND b.cand_id = a.cand_id)
+        UNION ALL
+        SELECT 'ivfpq_res', CAST(12 AS BIGINT), 3,
+               (SELECT count(*) FROM truth),
+               (SELECT count(*) FROM truth b JOIN qapx_rq a
+                  ON b.probe_id = a.probe_id AND b.cand_id = a.cand_id)),
+      qsel AS (
+        SELECT tier AS sel_tier FROM qhits
+        WHERE 5 * n_hit >= 4 * (SELECT max(n_hit) FROM qhits)
+        ORDER BY bytes_per_vec, n_hit DESC, pref LIMIT 1)"""
+
   val oracle: Map[String, String] = Map(
     "q_knn_lsh" -> lshOracleSql,
 
@@ -2364,6 +2523,57 @@ object Similarity {
         UNION ALL
         SELECT probe_id, cand_id, adot AS score, rk FROM rq8
         WHERE rk <= 5 AND (SELECT sel_bytes FROM sel) = 12)
+      ORDER BY probe_id, rk""",
+
+    // The FOUR-way unified table replayed: the trained chain's Lloyd
+    // rounds (knnPolicyCtes), the PQ/residual chains (the suffix
+    // machinery), the shared brute truth, four integer hit rows, and
+    // the same (bytes, −hits, pref) selection the engine computes.
+    "q_knn_quant_policy" -> s"""
+      WITH $knnPolicyCtes,
+      ${pqCtes(64, "_pq")},
+      ${ivfPqResCtes(64, "_rq")},
+      $quantPolicyCtes
+      SELECT tier, bytes_per_vec, n_true, n_hit,
+             round(CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE), 4)
+               AS recall,
+             tier = (SELECT sel_tier FROM qsel) AS selected
+      FROM qhits ORDER BY bytes_per_vec, tier""",
+
+    // All four 8-probe serving chains, the winner's arm selected by
+    // the SAME four-way decision — one hash pins decision AND routed
+    // serving at any SF.
+    "q_knn_quant_policy_served" -> s"""
+      WITH $knnPolicyCtes,
+      ${pqCtes(64, "_pq")},
+      ${ivfPqResCtes(64, "_rq")},
+      ${pqCtes(8, "_pq8")},
+      ${ivfPqResCtes(8, "_rq8")},
+      $quantPolicyCtes,
+      qpq8 AS (
+        SELECT probe_id, cand_id, adot,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY adot DESC, cand_id) AS rk
+        FROM scored_pq8),
+      qrq8 AS (
+        SELECT probe_id, cand_id, adot,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY adot DESC, cand_id) AS rk
+        FROM scored_rq8)
+      SELECT probe_id, cand_id, score, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT probe_id, cand_id, dot AS score, rk FROM ranked
+        WHERE probe_id < 8 AND rk <= 5
+          AND (SELECT sel_tier FROM qsel) = 'ivf_flat'
+        UNION ALL
+        SELECT probe_id, cand_id, dot AS score, rk FROM ranked_t
+        WHERE probe_id < 8 AND rk <= 5
+          AND (SELECT sel_tier FROM qsel) = 'ivf_trained'
+        UNION ALL
+        SELECT probe_id, cand_id, adot AS score, rk FROM qpq8
+        WHERE rk <= 5 AND (SELECT sel_tier FROM qsel) = 'pq'
+        UNION ALL
+        SELECT probe_id, cand_id, adot AS score, rk FROM qrq8
+        WHERE rk <= 5 AND (SELECT sel_tier FROM qsel) = 'ivfpq_res')
       ORDER BY probe_id, rk""",
 
     "q_knn_ivfpq" -> ivfPqOracleSql,

@@ -395,11 +395,21 @@ object TextAnalysis {
     graft.functions.TopK.perKey(scored, "query_id", "score", "doc_id", k)
   }
 
-  /** Corpus-token budget above which [[bm25Search]]'s widest integer
-    * product (wt·22·tf·tot_tok ≤ ½IdfScale·22·dl·tot_tok) could no
-    * longer be proven inside a long for plausible doc lengths —
-    * mirrors the keyness seam: fail LOUDLY, compute per shard. */
+  /** Corpus-token budget for [[bm25Search]] — bounds the DENOMINATOR
+    * terms (9·dl·nd ≤ 9·tot² ≤ 2.3e16 under it) and the corpus sizes
+    * a single-shard score is sensible for. The budget alone does NOT
+    * bound the numerator (round-15 advice: wt·22·tf·tot_tok needs a
+    * per-doc tf bound too — a long doc dense in one query term could
+    * overflow under the token budget); [[Bm25TfTotBound]] closes that
+    * side. Both seams fail LOUDLY, compute per shard. */
   val Bm25TokenBudget = 50000000L
+
+  /** Per-term guard completing [[bm25Search]]'s overflow proof: the
+    * widest product is wt·22·tf·tot_tok with wt ≤ IdfScale div 2
+    * (df ≥ 1 for any term that scores) = 5·10⁵, so it fits a long iff
+    * tf·tot_tok ≤ Long.Max div (22·5·10⁵) ≈ 8.385·10¹¹. A term whose
+    * tf exceeds this div tot_tok raises instead of wrapping. */
+  val Bm25TfTotBound = 838000000000L
 
   /** BM25-scored top-k SEARCH — [[lexicalSearch]]'s ranking upgraded
     * with the Robertson/Spärck Jones saturation + length
@@ -417,9 +427,13 @@ object TextAnalysis {
     * IdfScale div (df+1) — same df/tf frames, so the two rankers
     * differ ONLY in tf shaping, which is what the spec's flip fixture
     * isolates (a long doc's repeated term saturates; a short doc
-    * wins). Beyond [[Bm25TokenBudget]] tokens the Spark side
-    * `raise_error`s rather than silently wrapping (the keyness
-    * convention; DuckDB fails its own overflow loudly).
+    * wins). Overflow seams guard BOTH factors: beyond
+    * [[Bm25TokenBudget]] corpus tokens, or a per-doc tf past
+    * [[Bm25TfTotBound]] div tot_tok (the numerator's missing bound —
+    * round-15 advice), the Spark side `raise_error`s rather than
+    * silently wrapping (the keyness convention; DuckDB fails its own
+    * overflow loudly). Under both guards the proof is complete:
+    * numerator ≤ 5e5·22·8.385e11 < 2⁶³, denominator ≤ 2.3e16.
     *
     * Scale shape is lexicalSearch's verbatim: the corpus never
     * shuffles — df probes partial-aggregate to ≤|terms| rows, the
@@ -461,6 +475,8 @@ object TextAnalysis {
                     'tf', CAST(size(filter(toks, x -> x = t)) AS BIGINT),
                     'wt', coalesce(wmap[t], 0L))),
                   0L, (acc, s) -> acc + (CASE WHEN s.tf = 0 THEN 0L
+                    WHEN s.tf > ${Bm25TfTotBound}L div tot_tok
+                    THEN raise_error('bm25: per-doc tf x corpus tokens exceeds the integer-score bound; compute per shard (see bm25Search Scaladoc)')
                     ELSE (s.wt * 22L * s.tf * tot_tok)
                          div (10L * s.tf * tot_tok + 3L * tot_tok
                               + 9L * size(toks) * n_docs) END)) END))""")).as("s"))

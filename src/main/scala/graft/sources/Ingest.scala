@@ -98,14 +98,27 @@ object Ingest {
 
   /** Stage corpus ∪ plants to `fmt` once per (session, dir, fmt);
     * returns the staged path. Stopped sessions evicted (the cache
-    * discipline); the write itself is the linear pass the key bills. */
+    * discipline); the write itself is the linear pass the key bills.
+    *
+    * The on-disk name carries an md5 digest of the dir path (not its
+    * 32-bit hashCode — collision between different sf dirs would
+    * silently serve the wrong staged corpus) PLUS a per-process
+    * component: tmpdir is shared, and two concurrent JVMs (bench +
+    * verify) on the same sf dir would otherwise race overwrite-vs-read
+    * on one path (round-15 advice). Matching the in-memory cache's
+    * per-session granularity with a per-process path keeps each JVM's
+    * staging private; the directory dies with the process's tmp
+    * hygiene, not with cross-JVM reuse semantics. */
   private def stagePath(s: SparkSession, dir: String, fmt: String,
                         docs: DataFrame): String = {
     staged.keySet.removeIf(_._1.sparkContext.isStopped)
     staged.computeIfAbsent((s, s"$fmt:$dir"), _ => {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val pid = java.lang.ProcessHandle.current().pid()
       val path = new java.io.File(
         System.getProperty("java.io.tmpdir"),
-        s"graft_ingest_${fmt}_${Integer.toHexString(dir.hashCode)}")
+        s"graft_ingest_${fmt}_${dig}_p$pid")
         .getAbsolutePath
       val w = docs.coalesce(2).write.mode("overwrite")
       if (fmt == "jsonl") w.json(path)

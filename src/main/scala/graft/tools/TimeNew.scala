@@ -13,10 +13,14 @@ object TimeNew {
     val dir = "/root/testdata/sf0.1"
     // warmup
     graft.SparkEntry.queries("q_scan_full")(spark, dir).collect()
+    val clock = graft.Metrics.installTaskClock(spark.sparkContext)
     for (k <- args) {
+      val (r0, c0) = clock.snapshot(spark.sparkContext)
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(k)(spark, dir).collect()
-      println(f"$k: ${(System.nanoTime()-t0)/1e9}%.3f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (r1, c1) = clock.snapshot(spark.sparkContext)
+      println(f"$k: wall $wall%.3f s  cpu ${c1 - c0}%.3f  run ${r1 - r0}%.3f")
     }
   }
 }

@@ -2687,6 +2687,66 @@ class PipelineSpec extends SparkSpec {
       s"winner=$winner served=${served.take(3)} direct=${direct.take(3)}")
   }
 
+  test("unified quantizer decision: equal-bytes by recall, flat tie rule, 4/5 boundary") {
+    import spark.implicits._
+    def rows(hits: (String, Long, Long)*) =
+      hits.toSeq.map { case (t, b, h) => (t, b, 10L, h) }
+        .toDF("tier", "bytes_per_vec", "n_true", "n_hit")
+    def sel(df: org.apache.spark.sql.DataFrame) =
+      Similarity.quantDecision(df).collect()
+        .map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    // Equal storage (both flat tiers qualify): HIGHER RECALL wins the
+    // 512-byte slot — the quantizerPolicy duel inside the big table.
+    assert(sel(rows(("ivf_flat", 512L, 8L), ("ivf_trained", 512L, 9L),
+      ("pq", 8L, 5L), ("ivfpq_res", 12L, 6L))) ==
+      Map("ivf_flat" -> false, "ivf_trained" -> true,
+        "pq" -> false, "ivfpq_res" -> false))
+    // Dead heat on the flat pair: pref breaks to FIRST-K (no training
+    // build to amortize — the documented tie rule).
+    assert(sel(rows(("ivf_flat", 512L, 9L), ("ivf_trained", 512L, 9L))) ==
+      Map("ivf_flat" -> true, "ivf_trained" -> false))
+    // The 4/5 boundary is exact and cheapest-storage still rules when
+    // a code tier qualifies: 5*8 = 4*10 — PQ takes the slot from BOTH
+    // flat tiers.
+    assert(sel(rows(("ivf_flat", 512L, 10L), ("ivf_trained", 512L, 9L),
+      ("pq", 8L, 8L))) ==
+      Map("ivf_flat" -> false, "ivf_trained" -> false, "pq" -> true))
+    // One hit fewer and PQ no longer qualifies.
+    assert(sel(rows(("ivf_flat", 512L, 10L), ("pq", 8L, 7L))) ==
+      Map("ivf_flat" -> true, "pq" -> false))
+  }
+
+  test("unified-policy serving equals the four-way audit winner's direct chain row-for-row") {
+    val winner = graft.SparkEntry.queries("q_knn_quant_policy")(spark, sfDir)
+      .filter(col("selected")).collect().head.getString(0)
+    val served = graft.SparkEntry.queries("q_knn_quant_policy_served")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
+    val e = graft.Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+    val direct = (winner match {
+      case "ivf_trained" => Similarity.ivfTrainedServe(spark, sfDir, 8, 5)
+        .withColumnRenamed("dot", "score")
+      case "pq" => Similarity.pqTopK(e, Similarity.derivePqCodes(n), 8, 5)
+        .withColumnRenamed("adot", "score")
+      case "ivfpq_res" => Similarity.ivfPqResidualTopK(e, kk,
+        Similarity.derivePqCodes(n), 8, 5).withColumnRenamed("adot", "score")
+      case _ => Similarity.ivfTopK(spark, sfDir, kk, 8, 5)
+        .withColumnRenamed("dot", "score")
+    }).orderBy("probe_id", "rk")
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Long]("score"), r.getAs[Int]("rk"))).toSeq
+    assert(served == direct,
+      s"winner=$winner served=${served.take(3)} direct=${direct.take(3)}")
+    // And the four-row table itself is coherent: exactly one selected
+    // row, n_true identical across rows, the flat pair at equal bytes.
+    val tbl = graft.SparkEntry.queries("q_knn_quant_policy")(spark, sfDir)
+      .collect()
+    assert(tbl.length == 4 && tbl.count(_.getBoolean(5)) == 1)
+    assert(tbl.map(_.getLong(2)).distinct.length == 1)
+  }
+
   test("events funnel: strictly-ordered stages (out-of-order events do not count); retention offsets exact") {
     import spark.implicits._
     def ev(rows: (Long, Long, Long, String)*) =

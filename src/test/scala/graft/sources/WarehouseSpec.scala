@@ -1,0 +1,181 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Warehouse artifact keying + cross-JVM reuse (round-16): canonical
+  * path digest + data fingerprint in the table name, register-back of
+  * complete prior-JVM writes, GC of stale fingerprint variants, and
+  * the end-to-end consequences on the trained-ANN lifecycle. */
+class WarehouseSpec extends SparkSpec {
+
+  test("dirDigest: symlink, trailing slash, and dot spellings of one dir key identically") {
+    val real = java.nio.file.Paths.get(sfDir).toRealPath()
+    val link = java.nio.file.Files.createTempDirectory("whlink")
+      .resolve("sfln")
+    java.nio.file.Files.createSymbolicLink(link, real)
+    val base = Warehouse.dirDigest(sfDir)
+    assert(Warehouse.dirDigest(sfDir + "/") == base)
+    assert(Warehouse.dirDigest(sfDir + "/.") == base)
+    assert(Warehouse.dirDigest(link.toString) == base,
+      s"symlink spelling diverged: ${link.toString}")
+    // And a genuinely different dir does NOT collide.
+    assert(Warehouse.dirDigest("/root/testdata/sf0.01") != base)
+  }
+
+  test("servedTable: miss builds, hit serves without invoking the builder") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("whsrv").toString
+    val fp = Warehouse.fpToken(3L, 2L)
+    var builds = 0
+    def resolve() = Warehouse.servedTable(
+      spark, "whspec", dir, fp, bucket = Some(("k", 4))) { name =>
+      builds += 1
+      Sinks.writeBucketed(
+        Seq((0L, 10L), (1L, 11L), (2L, 12L)).toDF("k", "v"), name, "k", 4)
+    }
+    val (n1, hit1) = resolve()
+    assert(!hit1 && builds == 1)
+    val (n2, hit2) = resolve()
+    assert(hit2 && n2 == n1 && builds == 1,
+      "second resolution must serve the registered table, not rebuild")
+    assert(spark.table(n1).count() == 3)
+  }
+
+  test("servedTable: a complete prior-JVM write registers back with bucket pruning intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("whreg").toString
+    val fp = Warehouse.fpToken(64L, 63L)
+    val df = spark.range(64).select(col("id").as("k"), (col("id") * 7).as("v"))
+    val (orig, _) = Warehouse.servedTable(
+      spark, "whrega", dir, fp, bucket = Some(("k", 8))) { name =>
+      Sinks.writeBucketed(df, name, "k", 8)
+    }
+    // Simulate the cross-JVM state (files on disk, NO catalog entry —
+    // Spark's in-memory catalog forgets tables between processes): copy
+    // the complete table directory to a sibling family's expected
+    // location, then resolve that family. The ONLY valid path to a
+    // served table there is the register-back branch.
+    val whRoot = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = whRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = Warehouse.tableName("whregb", dir, fp)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(whRoot, orig),
+      fs, new org.apache.hadoop.fs.Path(whRoot, dst),
+      false, spark.sparkContext.hadoopConfiguration)
+    val (reg, hit) = Warehouse.servedTable(
+      spark, "whregb", dir, fp, bucket = Some(("k", 8))) { _ =>
+      fail("register-back path must not rebuild")
+    }
+    assert(hit && reg == dst)
+    assert(spark.table(reg).orderBy("k").collect().toSeq ==
+      spark.table(orig).orderBy("k").collect().toSeq)
+    // The registered table carries the bucket spec: a literal-key read
+    // under the serving conf prunes at plan time, exactly like a table
+    // written and read in one JVM.
+    val serve = spark.newSession()
+    serve.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val plan = serve.table(reg).filter(col("k").isin(3L, 5L))
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning through register-back:\n$plan")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt &&
+      sel.get.group(2).toInt == 8)
+  }
+
+  test("servedTable: a mutated corpus (new fingerprint) rebuilds and GCs the stale variant") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("whmut").toString
+    val fpOld = Warehouse.fpToken(2L, 1L)
+    val fpNew = Warehouse.fpToken(3L, 2L)
+    val (oldName, _) = Warehouse.servedTable(
+      spark, "whmutf", dir, fpOld, bucket = Some(("k", 4))) { name =>
+      Sinks.writeBucketed(Seq((0L, 1L), (1L, 1L)).toDF("k", "v"), name, "k", 4)
+    }
+    val (newName, hit) = Warehouse.servedTable(
+      spark, "whmutf", dir, fpNew, bucket = Some(("k", 4))) { name =>
+      Sinks.writeBucketed(
+        Seq((0L, 2L), (1L, 2L), (2L, 2L)).toDF("k", "v"), name, "k", 4)
+    }
+    assert(!hit && newName != oldName,
+      "a changed fingerprint must MISS — the stale index is never served")
+    assert(spark.table(newName).agg(max("v")).head().getLong(0) == 2L)
+    // The stale variant is gone: catalog entry dropped AND files deleted.
+    assert(!spark.catalog.tableExists(oldName))
+    val whRoot = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = whRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(whRoot, oldName)),
+      "stale fingerprint variant must be GC'd")
+  }
+
+  test("trained-ANN lifecycle: a symlinked dir spelling reuses the table; a mutated corpus rebuilds") {
+    import spark.implicits._
+    // Private corpus copy so mutation can't touch the shared fixtures.
+    val corpus = java.nio.file.Files.createTempDirectory("whann").toString
+    graft.Tables.embeddings(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    Warehouse.drainHits(spark)
+    val a = graft.operators.Similarity.ivfTrainedServe(spark, corpus, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val h1 = Warehouse.drainHits(spark)
+    assert(h1.get("ivf_trained").contains(false), s"first build must miss: $h1")
+    // Same directory through a SYMLINK — a different string, the same
+    // canonical path and data: the warehouse must HIT (no retrain, no
+    // rewrite) and serve the identical answer. (In-session caches key
+    // on the raw string, so the fresh spelling exercises the warehouse
+    // path exactly like a second JVM would.)
+    val link = java.nio.file.Files.createTempDirectory("whannl")
+      .resolve("corpus")
+    java.nio.file.Files.createSymbolicLink(
+      link, java.nio.file.Paths.get(corpus))
+    val b = graft.operators.Similarity
+      .ivfTrainedServe(spark, link.toString, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val h2 = Warehouse.drainHits(spark)
+    assert(h2.get("ivf_trained").contains(true),
+      s"symlinked spelling must reuse the persisted index: $h2")
+    assert(h2.get("ivf_cents").contains(true),
+      s"…and the persisted centroids (training must not rerun): $h2")
+    assert(a == b, "reused index must serve the identical answer")
+    // MUTATE the corpus (drop the highest-id vector), then resolve via
+    // yet another spelling (simulating the next process over changed
+    // data): the fingerprint differs, so the stale table can never be
+    // served — the lifecycle rebuilds on the new corpus state and GCs
+    // the old variant.
+    val mx = spark.read.parquet(s"$corpus/embeddings.parquet")
+      .agg(max("vec_id")).head().getLong(0)
+    val shrunk = spark.read.parquet(s"$corpus/embeddings.parquet")
+      .filter(col("vec_id") < mx).localCheckpoint(true)
+    shrunk.write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val link2 = java.nio.file.Files.createTempDirectory("whannm")
+      .resolve("corpus")
+    java.nio.file.Files.createSymbolicLink(
+      link2, java.nio.file.Paths.get(corpus))
+    val c = graft.operators.Similarity
+      .ivfTrainedServe(spark, link2.toString, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val h3 = Warehouse.drainHits(spark)
+    assert(h3.get("ivf_trained").contains(false),
+      s"mutated corpus must miss (stale index refused): $h3")
+    // The rebuilt index is the mutated corpus's: its table holds one
+    // row fewer, and the stale fingerprint variant is GC'd.
+    val fpNew = Warehouse.fpToken(mx, mx - 1L)
+    val newTable = Warehouse.tableName("ivf_trained", corpus, fpNew)
+    assert(spark.table(newTable).count() == mx,
+      "rebuilt index must index the MUTATED corpus")
+    val whRoot = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = whRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val variants = fs.listStatus(whRoot).map(_.getPath.getName)
+      .filter(_.startsWith(
+        s"graft_ivf_trained_${Warehouse.dirDigest(corpus)}_"))
+    assert(variants.toSeq == Seq(newTable),
+      s"stale variants must be GC'd, found: ${variants.mkString(",")}")
+    assert(c.nonEmpty)
+  }
+}

@@ -757,4 +757,126 @@ class StreamingSpec extends SparkSpec {
       .toList
     assert(derived == batch, s"$derived vs $batch")
   }
+
+  test("streaming sessionization: closed sessions equal the batch key across a mid-session split; late guard") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SessionStream.{Ev, Sess}
+    val G = graft.operators.Events.SessionGapNs
+    // u1: session A (3 events) SPLIT MID-SESSION across the batch
+    // boundary, then session B (1 event) after a gap — only A closes.
+    // u2: one session whose second event lands EXACTLY at the gap
+    // threshold (stays in-session — the batch boundary rule), then a
+    // beyond-gap event opens session 2.
+    // u3: a LATE batch-2 event PREDATING its open session — ignored.
+    val batch1 = Seq(Ev(1L, 100L, 1L), Ev(1L, 200L, 2L),
+      Ev(2L, 50L, 3L), Ev(3L, 2L * G, 4L))
+    val batch2 = Seq(Ev(1L, 300L, 5L), Ev(1L, 300L + G + 1L, 6L),
+      Ev(2L, 50L + G, 7L), Ev(2L, 50L + 2L * G + 1L, 8L),
+      Ev(3L, G, 9L)) // u3's late event: before its open session's start
+    val in = MemoryStream[Ev]
+    val q = SessionStream.sessionStream(in.toDS())
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("closed_sessions").as[Sess].collect()
+      .map(s => (s.userId, s.nEvents, s.durNs)).sorted.toList
+    // u1's session A: 3 events across the split, duration 200 ns; u2's
+    // session 1: 2 events G apart (the at-threshold event stayed).
+    // u3's late event emitted nothing. Open sessions (u1 B, u2 #2,
+    // u3's) are not yet knowable — absent.
+    assert(closed == List((1L, 3L, 200L), (2L, 2L, G)), s"$closed")
+    // Batch reconciliation: streamed closed sessions == the batch
+    // per-user session frame MINUS each user's LAST (still-open)
+    // session, computed over the same events (late u3 event excluded —
+    // the documented omission the guard case pins).
+    val batchable = (batch1 ++ batch2).filterNot(e => e.eventId == 9L)
+      .map(e => (e.userId, e.tsNs, e.eventId))
+      .toDF("user_id", "ts_ns", "event_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy("ts_ns", "event_id")
+    val perSess = batchable
+      .withColumn("gap", col("ts_ns") - lag(col("ts_ns"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("gap").isNull || col("gap") > G, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(w))
+      .groupBy("user_id", "sess")
+      .agg(count(lit(1)).as("n"),
+        (max(col("ts_ns")) - min(col("ts_ns"))).as("dur"))
+    val lastSess = perSess.groupBy("user_id")
+      .agg(max(col("sess")).as("last_sess"))
+    val batchSessions = perSess.join(lastSess, Seq("user_id"))
+      .filter(col("sess") < col("last_sess"))
+      .select("user_id", "n", "dur").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toList
+    assert(closed == batchSessions, s"$closed vs $batchSessions")
+    // DRAIN: one beyond-gap closer per user flushes the open sessions;
+    // the report rollup over ALL streamed rows then equals the batch
+    // key q_events_sessions over the same (closer-free) events exactly
+    // — the session feed is a sufficient statistic for the key.
+    val in2 = MemoryStream[Ev]
+    val q2 = SessionStream.sessionStream(in2.toDS())
+      .writeStream.format("memory").queryName("closed_sessions2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in2.addData(batch1: _*); q2.processAllAvailable()
+      in2.addData(batch2: _*); q2.processAllAvailable()
+      in2.addData(Seq(1L, 2L, 3L).map(u =>
+        Ev(u, 100L * G, 1000L + u)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val drained = SessionStream.report(
+      spark.table("closed_sessions2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    val batchKey = graft.operators.Events.eventsSessions(batchable)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    assert(drained == batchKey, s"$drained vs $batchKey")
+  }
+
+  test("streaming cohort twins: retention and stickiness off the active feed equal the batch keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ActiveStream.{Ev, UserDay}
+    val D = graft.operators.Events.DayNs
+    // Three users across four weeks with gaps, same-day repeats, and a
+    // user who appears only in batch 2 — enough cohort structure that
+    // retention has multiple (cohort, offset) rows and stickiness a
+    // moving MAU30.
+    val batch1 = Seq(
+      Ev(1L, 1L), Ev(1L, 3L * D + 5L), Ev(1L, 3L * D + 9L),
+      Ev(2L, 7L * D + 2L), Ev(2L, 8L * D + 1L))
+    val batch2 = Seq(
+      Ev(1L, 14L * D + 4L), Ev(2L, 21L * D + 3L),
+      Ev(3L, 9L * D + 8L), Ev(3L, 23L * D + 6L))
+    val in = MemoryStream[Ev]
+    val q = ActiveStream.userDayStream(in.toDS())
+      .writeStream.format("memory").queryName("cohort_feed")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val feed = spark.table("cohort_feed")
+    val all = (batch1 ++ batch2).map(e => (e.tsNs, e.userId))
+      .toDF("ts_ns", "user_id")
+    val retStream = CohortStream.retentionOf(feed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val retBatch = graft.operators.Events.eventsRetention(all).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(retStream == retBatch, s"$retStream vs $retBatch")
+    assert(retStream.size > 3, s"fixture too thin: $retStream")
+    val stStream = CohortStream.stickinessOf(feed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    val stBatch = graft.operators.Events.eventsStickiness(all).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(stStream == stBatch, s"$stStream vs $stBatch")
+  }
 }
