@@ -839,6 +839,58 @@ class StreamingSpec extends SparkSpec {
     assert(drained == batchKey, s"$drained vs $batchKey")
   }
 
+  test("streaming transitions: paths/markov/markov2/dwell off the pair feed equal the batch keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.TransitionStream.{Ev, Trans}
+    // u1's five events SPLIT MID-CHAIN across the batch boundary (the
+    // (click,view) two-event context spans it — state must carry
+    // prev2); u2 contributes a competing (view -> purchase) edge and a
+    // repeated (view -> click) so the modal counts have real ties to
+    // break; u3's batch-2 event is LATE (before its stored last ts) —
+    // ignored, pinned by omission.
+    val batch1 = Seq(
+      Ev(1L, 10L, 1L, "view"), Ev(1L, 25L, 2L, "click"),
+      Ev(1L, 47L, 3L, "view"),
+      Ev(2L, 5L, 4L, "view"), Ev(2L, 9L, 5L, "click"),
+      Ev(3L, 100L, 6L, "view"), Ev(3L, 200L, 7L, "click"))
+    val batch2 = Seq(
+      Ev(1L, 60L, 8L, "purchase"), Ev(1L, 90L, 9L, "view"),
+      Ev(2L, 30L, 10L, "view"), Ev(2L, 42L, 11L, "click"),
+      Ev(3L, 150L, 12L, "signup")) // late: before u3's last ts 200
+    val in = MemoryStream[Ev]
+    val q = TransitionStream.transitionStream(in.toDS())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val feed = spark.table("transitions")
+    // The late u3 event emitted nothing.
+    assert(feed.as[Trans].collect().count(_.userId == 3L) == 1)
+    // Batch keys over the SAME events minus the late one (the
+    // documented omission).
+    val all = (batch1 ++ batch2).filterNot(_.eventId == 12L)
+      .map(e => (e.eventId, e.userId, e.tsNs, e.eventType))
+      .toDF("event_id", "user_id", "ts_ns", "event_type")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toList
+    assert(rows(TransitionStream.pathsOf(feed)) ==
+      rows(graft.operators.Events.eventsPaths(all)))
+    assert(rows(TransitionStream.markovOf(feed)) ==
+      rows(graft.operators.Events.eventsMarkov(all)))
+    assert(rows(TransitionStream.markov2Of(feed)) ==
+      rows(graft.operators.Events.eventsMarkov2(all)))
+    assert(rows(TransitionStream.dwellOf(feed)) ==
+      rows(graft.operators.Events.eventsDwell(all)))
+    // The two-event context really crossed the split: u1's
+    // (click, view) -> purchase row exists with prev2 from batch 1.
+    assert(feed.as[Trans].collect().exists(t =>
+      t.userId == 1L && t.prev2 == "click" && t.prevType == "view" &&
+        t.eventType == "purchase" && t.gapNs == 13L))
+  }
+
   test("streaming cohort twins: retention and stickiness off the active feed equal the batch keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
