@@ -114,6 +114,22 @@ object TransitionStream {
       .withColumn("acc_bp", expr("n_correct * 10000 div n_transitions"))
       .orderBy("prev2", "prev1")
 
+  /** `q_events_markov_gain` over the feed — the order-1 vs order-2
+    * comparison joined exactly like the batch key (both sides are
+    * feed rollups, so the whole memory-gain table is feed-derived). */
+  def markovGainOf(feed: DataFrame): DataFrame = {
+    val o1 = markovOf(feed)
+      .select(col("prev_type").as("prev1"), col("acc_bp").as("acc1_bp"))
+    markov2Of(feed)
+      .select(col("prev2"), col("prev1"),
+        col("n_transitions"), col("acc_bp").as("acc2_bp"))
+      .join(broadcast(o1), Seq("prev1"))
+      .select(col("prev2"), col("prev1"), col("n_transitions"),
+        col("acc1_bp"), col("acc2_bp"),
+        (col("acc2_bp") - col("acc1_bp")).as("gain_bp"))
+      .orderBy("prev2", "prev1")
+  }
+
   /** `q_events_dwell` over the feed — the batch percentile tail over
     * (prev, curr, gap_ms) triples derived from the carried gap. */
   def dwellOf(feed: DataFrame): DataFrame = {

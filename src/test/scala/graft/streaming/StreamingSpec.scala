@@ -884,11 +884,91 @@ class StreamingSpec extends SparkSpec {
       rows(graft.operators.Events.eventsMarkov2(all)))
     assert(rows(TransitionStream.dwellOf(feed)) ==
       rows(graft.operators.Events.eventsDwell(all)))
+    assert(rows(TransitionStream.markovGainOf(feed)) ==
+      rows(graft.operators.Events.eventsMarkovGain(all)))
     // The two-event context really crossed the split: u1's
     // (click, view) -> purchase row exists with prev2 from batch 1.
     assert(feed.as[Trans].collect().exists(t =>
       t.userId == 1L && t.prev2 == "click" && t.prevType == "view" &&
         t.eventType == "purchase" && t.gapNs == 13L))
+  }
+
+  test("streaming type feed: affinity off the first-occurrence rows equals the batch key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.TypeStream.{Ev, UserType}
+    // u1 sees view/click in batch 1 and repeats BOTH across the batch
+    // boundary (suppression must survive state) before adding signup;
+    // u2 shares only view; u3 (batch 2 only) shares click+signup with
+    // u1 — co-occurrence without co-timing, which is the point of the
+    // distinct-set semantics.
+    val batch1 = Seq(Ev(1L, "view"), Ev(1L, "click"), Ev(1L, "view"),
+      Ev(2L, "view"))
+    val batch2 = Seq(Ev(1L, "click"), Ev(1L, "signup"), Ev(2L, "view"),
+      Ev(3L, "click"), Ev(3L, "signup"))
+    val in = MemoryStream[Ev]
+    val q = TypeStream.userTypeStream(in.toDS())
+      .writeStream.format("memory").queryName("user_types")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val feed = spark.table("user_types")
+    // Exactly the distinct (user, type) frame — repeats suppressed
+    // within AND across batches.
+    assert(feed.as[UserType].collect().map(u => (u.userId, u.eventType))
+      .sorted.toList == List((1L, "click"), (1L, "signup"), (1L, "view"),
+      (2L, "view"), (3L, "click"), (3L, "signup")))
+    val all = (batch1 ++ batch2).zipWithIndex
+      .map { case (e, i) => (i.toLong, e.userId, i.toLong * 1000L, e.eventType) }
+      .toDF("event_id", "user_id", "ts_ns", "event_type")
+    val viaFeed = TypeStream.affinityOf(feed).collect().map(_.toSeq).toList
+    val direct = graft.operators.Events.eventsAffinity(all)
+      .collect().map(_.toSeq).toList
+    assert(viaFeed == direct, s"$viaFeed vs $direct")
+    assert(viaFeed.nonEmpty)
+  }
+
+  test("streaming bot screen: verdict log is monotone; last verdict equals the batch key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.BotStream.{Ev, Verdict}
+    val D = graft.operators.Events.DayNs
+    val G = graft.operators.Events.BotMinGapNs
+    val cap = graft.operators.Events.BotDayCap.toInt
+    // u1: exactly BotDayCap events on one day (NOT a bot — strict >),
+    // spread G ns apart (gap boundary: exactly the threshold is NOT a
+    // bot). u2: crosses the day cap with its (cap+1)th event — the
+    // flip lands mid-batch-2. u3: human volume but ONE sub-threshold
+    // gap that spans the batch boundary (state must carry lastTs).
+    val u1 = (0 until cap).map(i => Ev(1L, i.toLong * G, 100L + i))
+    val u2a = (0 until cap).map(i => Ev(2L, i.toLong * G, 200L + i))
+    val u2b = Seq(Ev(2L, cap.toLong * G, 200L + cap))
+    val u3a = Seq(Ev(3L, 0L, 300L))
+    val u3b = Seq(Ev(3L, G - 1L, 301L))
+    val in = MemoryStream[Ev]
+    val q = BotStream.botStream(in.toDS())
+      .writeStream.format("memory").queryName("bot_verdicts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(u1 ++ u2a ++ u3a: _*); q.processAllAvailable()
+      in.addData(u2b ++ u3b: _*); q.processAllAvailable()
+    } finally q.stop()
+    val log = spark.table("bot_verdicts").as[Verdict].collect().toList
+    // Monotone: at most two rows per user, never bot -> human.
+    assert(log.groupBy(_.userId).forall { case (_, vs) =>
+      vs.map(_.isBot) == vs.map(_.isBot).sorted && vs.size <= 2 })
+    val last = log.zipWithIndex.groupBy(_._1.userId).view
+      .mapValues(_.maxBy(_._2)._1.isBot).toMap
+    val all = (u1 ++ u2a ++ u2b ++ u3a ++ u3b)
+      .map(e => (e.eventId, e.userId, e.tsNs))
+      .toDF("event_id", "user_id", "ts_ns")
+    val batch = graft.operators.Events.eventsBots(all).collect()
+      .map(r => r.getLong(0) -> r.getInt(5)).toMap
+    assert(last == batch, s"$last vs $batch")
+    // The fixture exercised both flips: u2 by volume, u3 by cadence.
+    assert(last == Map(1L -> 0, 2L -> 1, 3L -> 1), s"$last")
   }
 
   test("streaming cohort twins: retention and stickiness off the active feed equal the batch keys") {
