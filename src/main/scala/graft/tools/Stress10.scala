@@ -40,8 +40,9 @@ object Stress10 {
     // emission-capped serving twin (round 15 — the capNeighbors tail
     // under volume; output must stay ≤ N rows/doc however dup-dense)
     "q_dedup_minhash_topn",
-    // ANN (banded LSH, cell-bucketed IVF, brute top-k)
-    "q_knn_lsh", "q_knn_topk", "q_knn_ivf",
+    // ANN (banded LSH, cell-bucketed IVF, brute top-k; round 16 the
+    // four-way policy — its audit chains sweep the full corpus)
+    "q_knn_lsh", "q_knn_topk", "q_knn_ivf", "q_knn_quant_policy",
     // multimodal sketch front end
     "q_mm_phash",
     // events analytics (user-keyed windows + aggregates)
