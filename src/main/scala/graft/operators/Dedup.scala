@@ -1017,12 +1017,23 @@ object Dedup {
     * labels (same pair graph, same fixed point), so every oracle hash
     * is unchanged — only the redundant recomputation is gone. */
   private def ngramClusterLabels(s: SparkSession, dir: String): DataFrame =
-    Artifacts.cached(s, s"ngram-cc-labels:$dir")(
-      // connectedComponents materializes its final round internally —
-      // the returned frame already satisfies the cache's contract.
-      connectedComponents(
-        ngramPairs(Tables.documents(s, dir))
-          .select(col("doc_a"), col("doc_b"))))
+    Artifacts.cached(s, s"ngram-cc-labels:$dir") {
+      // The labels PERSIST through the warehouse lifecycle (round 16):
+      // the clustering job writes once, every later process — not just
+      // every later key in one session — reads the table back; a
+      // mutated corpus misses by fingerprint and rebuilds. The CC
+      // fixed point is deterministic (min-label propagation), so
+      // reuse == rebuild and every oracle hash is state-independent.
+      val (name, _) = graft.sources.Warehouse.servedTable(
+        s, "ngram_cc", dir, graft.sources.Warehouse.docsFp(s, dir),
+        bucket = None) { n =>
+        connectedComponents(
+          ngramPairs(Tables.documents(s, dir))
+            .select(col("doc_a"), col("doc_b")))
+          .write.mode("overwrite").format("parquet").saveAsTable(n)
+      }
+      s.table(name)
+    }
 
   /** Build the shared labeling artifact NOW (Bench's explicit
     * artifact-build pass — the build is timed there as its own row so

@@ -1057,15 +1057,11 @@ object Multimodal {
   val PhashIdxBuckets = 16
 
   /** Corpus fingerprint for the persisted image-index lifecycle —
-    * count + max doc_id of the documents table, memoized per session
-    * (the [[graft.sources.Warehouse]] keying: path digest + data
-    * fingerprint in the table name, so a renamed/symlinked dir reuses
-    * the table and a mutated corpus can never be served stale). */
-  private def docsFp(s: SparkSession, dir: String): String = {
-    val (n, mx) = graft.sources.Warehouse.countMax(
-      s, s"docs:$dir", Tables.documents(s, dir), "doc_id")
-    graft.sources.Warehouse.fpToken(n, mx)
-  }
+    * the shared documents-table stamp (path digest + data fingerprint
+    * in the table name, so a renamed/symlinked dir reuses the table
+    * and a mutated corpus can never be served stale). */
+  private def docsFp(s: SparkSession, dir: String): String =
+    graft.sources.Warehouse.docsFp(s, dir)
 
   /** PERSIST the assignment index through the production bucketed
     * path (`Sinks.writeBucketed(cell)`) — the TABLE is the serving
@@ -1312,9 +1308,18 @@ object Multimodal {
     * ngram labels — connectedComponents materializes internally, so
     * the cached frame is already checkpointed. */
   private def phashClusterLabels(s: SparkSession, dir: String): DataFrame =
-    Artifacts.cached(s, s"phash-cc-labels:$dir")(
-      Dedup.connectedComponents(
-        phashPairsQuery(s, dir).select(col("doc_a"), col("doc_b"))))
+    Artifacts.cached(s, s"phash-cc-labels:$dir") {
+      // Warehouse lifecycle (the ngramClusterLabels rule): a hit skips
+      // the corpus decode AND the CC fixed point; deterministic builds
+      // make reuse == rebuild.
+      val (name, _) = graft.sources.Warehouse.servedTable(
+        s, "phash_cc", dir, docsFp(s, dir), bucket = None) { n =>
+        Dedup.connectedComponents(
+          phashPairsQuery(s, dir).select(col("doc_a"), col("doc_b")))
+          .write.mode("overwrite").format("parquet").saveAsTable(n)
+      }
+      s.table(name)
+    }
 
   /** Build the shared image-CC labeling NOW (Bench's explicit
     * artifact-build pass — same accounting rule as the text family's

@@ -90,6 +90,15 @@ object Warehouse {
     v
   }
 
+  /** Fingerprint token of a dir's DOCUMENTS table — the corpus-state
+    * stamp every documents-derived persisted artifact keys on (one
+    * stats pass per session via [[countMax]]). */
+  def docsFp(s: SparkSession, dir: String): String = {
+    val (n, mx) = countMax(s, s"docs:$dir",
+      graft.Tables.documents(s, dir), "doc_id")
+    fpToken(n, mx)
+  }
+
   /** Hit/miss log per (session, family) since the last drain — the
     * Bench self-labeling feed. */
   private val hitLog = new java.util.concurrent.ConcurrentHashMap[
