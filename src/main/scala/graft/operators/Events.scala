@@ -692,6 +692,15 @@ object Events {
       .groupBy(col("src"), col("event_type").as("dst"))
       .agg(count(lit(1)).as("wt"))
       .localCheckpoint(true)
+    pageRankFromPairs(pairs)
+  }
+
+  /** The PageRank iterations over a prebuilt NULL-INCLUSIVE (src, dst,
+    * wt) pair frame — split out (round 16) so the streaming
+    * transition feed (whose first-event rows carry the null src) can
+    * reproduce the key without a corpus rescan
+    * (`TransitionStream.pagerankOf`). */
+  def pageRankFromPairs(pairs: DataFrame): DataFrame = {
     val edges = pairs.filter(col("src").isNotNull)
     val outd = edges.groupBy("src").agg(sum(col("wt")).as("out"))
     val m = edges.join(broadcast(outd), Seq("src"))

@@ -17,13 +17,18 @@ import graft.operators.Events
   *   - `q_events_markov`   — modal next type over the same pair frame
   *   - `q_events_markov2`  — modal over (prev2, prev1) states (the
   *                           two-event context is IN the feed)
+  *   - `q_events_markov_gain` — the order-1 vs order-2 join
   *   - `q_events_dwell`    — gap percentiles per (prev, curr) edge
+  *   - `q_events_pagerank` — the fixed point over the feed's
+  *                           null-inclusive pair aggregate (each
+  *                           user's FIRST event emits a null-prev row,
+  *                           so the node set matches the batch lag's)
   *
   * each reproduced by a STATELESS rollup over the emitted rows
-  * ([[pathsOf]]/[[markovOf]]/[[markov2Of]]/[[dwellOf]] — the
-  * CohortStream sufficiency pattern; StreamingSpec pins all four
-  * against their batch keys over the same events, across a mid-stream
-  * micro-batch split).
+  * ([[pathsOf]]/[[markovOf]]/[[markov2Of]]/[[markovGainOf]]/
+  * [[dwellOf]]/[[pagerankOf]] — the CohortStream sufficiency pattern;
+  * StreamingSpec pins all six against their batch keys over the same
+  * events, across a mid-stream micro-batch split).
   *
   * Ordering contract and scale shape are [[ActiveStream]]'s: per-user
   * event-time order ACROSS micro-batches (a late event at or before
@@ -45,6 +50,11 @@ object TransitionStream {
     val out = Vector.newBuilder[Trans]
     for (e <- evs.toVector.sortBy(x => (x.tsNs, x.eventId))) {
       if (st.prevType == null) {
+        // FIRST-EVENT row (null prev, gap 0): the null-inclusive pair
+        // the batch lag produces. Pair-frame consumers filter it out
+        // exactly like the batch keys filter `prev IS NULL`; pagerank
+        // NEEDS it — its node set counts first-event-only types.
+        out += Trans(userId, null, null, e.eventType, 0L)
         st = TState(null, e.eventType, e.tsNs)
       } else if (e.tsNs >= st.prevTs) {
         // Equal-ts arrivals follow stored order — the batch window's
@@ -72,7 +82,7 @@ object TransitionStream {
   /** `q_events_paths` over the feed — the batch tail verbatim
     * (pair counts + broadcast per-source totals, shares in bp). */
   def pathsOf(feed: DataFrame): DataFrame = {
-    val pairs = feed
+    val pairs = feed.filter(col("prevType").isNotNull)
       .groupBy(col("prevType").as("prev_type"),
         col("eventType").as("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -86,7 +96,7 @@ object TransitionStream {
   /** `q_events_markov` over the feed — modal next type, same
     * (count desc, type asc) total order, accuracy = modal share. */
   def markovOf(feed: DataFrame): DataFrame =
-    feed
+    feed.filter(col("prevType").isNotNull)
       .groupBy(col("prevType").as("prev_type"),
         col("eventType").as("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -130,10 +140,23 @@ object TransitionStream {
       .orderBy("prev2", "prev1")
   }
 
+  /** `q_events_pagerank` over the feed — the NULL-INCLUSIVE pair
+    * aggregate the batch key's lag pass produces is exactly the feed
+    * (first-event rows carry the null prev), so the fixed-point
+    * iterations run over the feed-derived edge frame with the SAME
+    * node set, first-event-only types included
+    * ([[Events.pageRankFromPairs]]). */
+  def pagerankOf(feed: DataFrame): DataFrame =
+    Events.pageRankFromPairs(
+      feed.groupBy(col("prevType").as("src"),
+          col("eventType").as("dst"))
+        .agg(count(lit(1)).as("wt"))
+        .localCheckpoint(true))
+
   /** `q_events_dwell` over the feed — the batch percentile tail over
     * (prev, curr, gap_ms) triples derived from the carried gap. */
   def dwellOf(feed: DataFrame): DataFrame = {
-    val dist = feed
+    val dist = feed.filter(col("prevType").isNotNull)
       .select(col("prevType").as("prev_type"),
         col("eventType").as("dst"),
         expr(s"gapNs div ${Events.DwellMsNs}L").as("gap_ms"))

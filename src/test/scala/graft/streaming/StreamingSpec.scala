@@ -857,7 +857,10 @@ class StreamingSpec extends SparkSpec {
     val batch2 = Seq(
       Ev(1L, 60L, 8L, "purchase"), Ev(1L, 90L, 9L, "view"),
       Ev(2L, 30L, 10L, "view"), Ev(2L, 42L, 11L, "click"),
-      Ev(3L, 150L, 12L, "signup")) // late: before u3's last ts 200
+      Ev(3L, 150L, 12L, "signup"), // late: before u3's last ts 200
+      // u4's single event: a type that only ever appears as a FIRST
+      // event — in pagerank's node set, in no transition pair.
+      Ev(4L, 10L, 13L, "landing"))
     val in = MemoryStream[Ev]
     val q = TransitionStream.transitionStream(in.toDS())
       .writeStream.format("memory").queryName("transitions")
@@ -867,8 +870,11 @@ class StreamingSpec extends SparkSpec {
       in.addData(batch2: _*); q.processAllAvailable()
     } finally q.stop()
     val feed = spark.table("transitions")
-    // The late u3 event emitted nothing.
-    assert(feed.as[Trans].collect().count(_.userId == 3L) == 1)
+    // u3: one first-event row (null prev) + one transition; the LATE
+    // event emitted nothing.
+    val u3rows = feed.as[Trans].collect().filter(_.userId == 3L)
+    assert(u3rows.length == 2 && u3rows.count(_.prevType == null) == 1,
+      s"${u3rows.toList}")
     // Batch keys over the SAME events minus the late one (the
     // documented omission).
     val all = (batch1 ++ batch2).filterNot(_.eventId == 12L)
@@ -886,6 +892,14 @@ class StreamingSpec extends SparkSpec {
       rows(graft.operators.Events.eventsDwell(all)))
     assert(rows(TransitionStream.markovGainOf(feed)) ==
       rows(graft.operators.Events.eventsMarkovGain(all)))
+    // Pagerank rides the null-INCLUSIVE pair frame: the first-event
+    // rows keep first-event-only types in the node set, so the fixed
+    // point over the feed equals the batch key exactly.
+    assert(rows(TransitionStream.pagerankOf(feed)) ==
+      rows(graft.operators.Events.eventsPageRank(all)))
+    assert(rows(TransitionStream.pagerankOf(feed))
+      .exists(_.head == "landing"),
+      "a first-event-only type must be in the node set")
     // The two-event context really crossed the split: u1's
     // (click, view) -> purchase row exists with prev2 from batch 1.
     assert(feed.as[Trans].collect().exists(t =>
