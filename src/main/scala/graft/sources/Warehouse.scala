@@ -158,6 +158,14 @@ object Warehouse {
     val loc = new org.apache.hadoop.fs.Path(whRoot, name)
     val complete =
       fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
+    def rebuild(): (String, Boolean) = {
+      // Miss: clear a registered-but-incomplete entry and any orphaned
+      // partial directory from a crashed write, then build fresh.
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+      build(name)
+      logHit(s, family, hit = false); (name, false)
+    }
     if (complete && s.catalog.tableExists(name)) {
       logHit(s, family, hit = true); (name, true)
     } else if (complete) {
@@ -166,19 +174,20 @@ object Warehouse {
       // the existing location with the writer's bucket spec, so
       // plan-time bucket pruning works exactly as on the writing JVM
       // (AnnIndexSpec pins SelectedBucketsCount through this path).
-      val schemaDdl = s.read.parquet(loc.toString).schema.toDDL
-      val bucketDdl = bucket.map { case (c, n) =>
-        s" CLUSTERED BY ($c) SORTED BY ($c) INTO $n BUCKETS" }.getOrElse("")
-      s.sql(s"CREATE TABLE $name ($schemaDdl) USING PARQUET$bucketDdl" +
-        s" LOCATION '${loc.toString}'")
-      logHit(s, family, hit = true); (name, true)
-    } else {
-      // Miss: clear a registered-but-incomplete entry and any orphaned
-      // partial directory from a crashed write, then build fresh.
-      s.sql(s"DROP TABLE IF EXISTS $name")
-      if (fs.exists(loc)) { fs.delete(loc, true); () }
-      build(name)
-      logHit(s, family, hit = false); (name, false)
-    }
+      // A directory that carries _SUCCESS but will not read (torn
+      // files, a foreign schema under a colliding name) REBUILDS
+      // instead of failing the caller: the marker promises a complete
+      // WRITE, not an uncorrupted disk, and the deterministic builder
+      // can always re-produce the bytes (WarehouseSpec pins the
+      // corrupt-directory case).
+      try {
+        val schemaDdl = s.read.parquet(loc.toString).schema.toDDL
+        val bucketDdl = bucket.map { case (c, n) =>
+          s" CLUSTERED BY ($c) SORTED BY ($c) INTO $n BUCKETS" }.getOrElse("")
+        s.sql(s"CREATE TABLE $name ($schemaDdl) USING PARQUET$bucketDdl" +
+          s" LOCATION '${loc.toString}'")
+        logHit(s, family, hit = true); (name, true)
+      } catch { case _: Exception => rebuild() }
+    } else rebuild()
   }
 }

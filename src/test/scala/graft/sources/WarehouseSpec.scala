@@ -87,6 +87,32 @@ class WarehouseSpec extends SparkSpec {
       sel.get.group(2).toInt == 8)
   }
 
+  test("servedTable: a corrupted _SUCCESS directory rebuilds instead of failing the caller") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("whcor").toString
+    val fp = Warehouse.fpToken(2L, 1L)
+    // Fabricate the crash state: a directory with the completeness
+    // marker but unreadable parquet bytes (torn files on a bad disk).
+    val whRoot = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = whRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val loc = new org.apache.hadoop.fs.Path(
+      whRoot, Warehouse.tableName("whcorf", dir, fp))
+    fs.mkdirs(loc)
+    fs.create(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")).close()
+    val bad = fs.create(new org.apache.hadoop.fs.Path(
+      loc, "part-00000.parquet"))
+    bad.write("not parquet".getBytes("UTF-8")); bad.close()
+    var built = false
+    val (name, hit) = Warehouse.servedTable(
+      spark, "whcorf", dir, fp, bucket = Some(("k", 4))) { n =>
+      built = true
+      Sinks.writeBucketed(Seq((0L, 7L), (1L, 7L)).toDF("k", "v"), n, "k", 4)
+    }
+    assert(!hit && built, "corrupt directory must fall through to a rebuild")
+    assert(spark.table(name).count() == 2)
+  }
+
   test("servedTable: a mutated corpus (new fingerprint) rebuilds and GCs the stale variant") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("whmut").toString
