@@ -116,10 +116,19 @@ object Ingest {
       val dig = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       val pid = java.lang.ProcessHandle.current().pid()
-      val path = new java.io.File(
+      val f = new java.io.File(
         System.getProperty("java.io.tmpdir"),
         s"graft_ingest_${fmt}_${dig}_p$pid")
-        .getAbsolutePath
+      // Per-process staging is garbage the moment the JVM exits —
+      // sweep it on shutdown so long-running hosts don't accumulate
+      // one staged corpus per (format, process).
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+        }
+        rm(f)
+      }))
+      val path = f.getAbsolutePath
       val w = docs.coalesce(2).write.mode("overwrite")
       if (fmt == "jsonl") w.json(path)
       else w.option("header", "true").option("escape", "\"")
