@@ -952,9 +952,9 @@ object Similarity {
     // GC of stale variants, and the reuse-vs-rebuild decision all live
     // in [[graft.sources.Warehouse]]. count is also Lloyd's K input,
     // so the stats pass is paid once for both purposes.
-    val (n, mx) = graft.sources.Warehouse.countMax(
+    val (n, _) = graft.sources.Warehouse.countMax(
       s, s"emb:$dir", e, "vec_id")
-    val fp = graft.sources.Warehouse.fpToken(n, mx)
+    val fp = graft.sources.Warehouse.embFp(s, dir)
     val kk = math.ceil(math.sqrt(n.toDouble)).toInt
     // Lloyd training is the expensive half of the build: persist the
     // K-row centroid table next to the index so a warehouse HIT skips

@@ -59,11 +59,25 @@ object Warehouse {
     md5Hex(canon).take(12)
   }
 
-  /** 12-hex fingerprint token over (row count, max id) — the cheap
-    * corpus-state stamp (two footer-stat aggregates) that keys a
-    * served index to the data it was built from. */
-  def fpToken(count: Long, maxId: Long): String =
-    md5Hex(s"$count:$maxId").take(12)
+  /** 12-hex fingerprint token over (row count, max id[, on-disk
+    * bytes]) — the cheap corpus-state stamp that keys a served index
+    * to the data it was built from. The byte-size component (see
+    * [[corpusBytes]]) closes the reseed channel: a regenerated corpus
+    * with the SAME row count and id range but different content
+    * changes its compressed size, so count/max-id alone can no longer
+    * collide into serving a stale index. */
+  def fpToken(parts: Long*): String =
+    md5Hex(parts.mkString(":")).take(12)
+
+  /** Total on-disk bytes of `$dir/$table.parquet` — filesystem
+    * metadata only (the listing every read performs anyway), no data
+    * scan; the content-sensitivity component of [[fpToken]]. */
+  def corpusBytes(s: SparkSession, dir: String, table: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.getContentSummary(p).getLength
+  }
 
   private def md5Hex(v: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -92,11 +106,18 @@ object Warehouse {
 
   /** Fingerprint token of a dir's DOCUMENTS table — the corpus-state
     * stamp every documents-derived persisted artifact keys on (one
-    * stats pass per session via [[countMax]]). */
+    * stats pass per session via [[countMax]] + the on-disk size). */
   def docsFp(s: SparkSession, dir: String): String = {
     val (n, mx) = countMax(s, s"docs:$dir",
       graft.Tables.documents(s, dir), "doc_id")
-    fpToken(n, mx)
+    fpToken(n, mx, corpusBytes(s, dir, "documents"))
+  }
+
+  /** The embeddings-table twin of [[docsFp]]. */
+  def embFp(s: SparkSession, dir: String): String = {
+    val (n, mx) = countMax(s, s"emb:$dir",
+      graft.Tables.embeddings(s, dir), "vec_id")
+    fpToken(n, mx, corpusBytes(s, dir, "embeddings"))
   }
 
   /** Hit/miss log per (session, family) since the last drain — the

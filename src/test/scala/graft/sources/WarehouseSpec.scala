@@ -87,6 +87,27 @@ class WarehouseSpec extends SparkSpec {
       sel.get.group(2).toInt == 8)
   }
 
+  test("fingerprint: a reseeded corpus (same count, same ids, different content) changes the fp") {
+    import spark.implicits._
+    // The count/max-id stamp alone cannot see a regenerated corpus
+    // whose shape is unchanged; the on-disk byte component does — a
+    // reseed changes compressed size, so the fp (and the table name)
+    // moves and no stale index is servable.
+    val dir = java.nio.file.Files.createTempDirectory("whrs").toString
+    Seq((0L, "a", "aaaa"), (1L, "a", "bbbb"))
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val fp1 = Warehouse.docsFp(spark, dir)
+    Seq((0L, "a", "cccc dddd eeee ffff"), (1L, "a", "g"))
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val fp2 = Warehouse.docsFp(spark, dir)
+    assert(fp1 != fp2,
+      "same-shape reseed must change the fingerprint (byte component)")
+  }
+
   test("servedTable: a corrupted _SUCCESS directory rebuilds instead of failing the caller") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("whcor").toString
@@ -190,7 +211,8 @@ class WarehouseSpec extends SparkSpec {
       s"mutated corpus must miss (stale index refused): $h3")
     // The rebuilt index is the mutated corpus's: its table holds one
     // row fewer, and the stale fingerprint variant is GC'd.
-    val fpNew = Warehouse.fpToken(mx, mx - 1L)
+    val fpNew = Warehouse.fpToken(mx, mx - 1L,
+      Warehouse.corpusBytes(spark, corpus, "embeddings"))
     val newTable = Warehouse.tableName("ivf_trained", corpus, fpNew)
     assert(spark.table(newTable).count() == mx,
       "rebuilt index must index the MUTATED corpus")
