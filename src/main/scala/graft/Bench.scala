@@ -113,9 +113,13 @@ object Bench {
     // build, so its cpu row must be adjudicated against the WARM
     // ledger; a miss (cold warehouse or mutated corpus) pays the full
     // build and adjudicates against the COLD ledger (both in
-    // BASELINE.md). Each build row carries `wh`: "hit" (every table it
+    // BASELINE.md). Each build row carries `wh` (Warehouse.whLabel —
+    // ONE definition shared with ProfBuilds): "hit" (every table it
     // resolved pre-existed), "miss" (none did), "partial", or "none"
-    // (the build persists nothing through the warehouse lifecycle).
+    // (the window resolved nothing NEW — its dependencies may have
+    // been resolved by an earlier row this session, so "none" is not
+    // warehouse-independent; read it with the session's earlier
+    // labels).
     val whPre = {
       val root = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"))
@@ -132,12 +136,8 @@ object Bench {
         val (_, runS, cpuS) = metered(() =>
           try { build(spark, sfDir) } catch { case e: Throwable =>
             System.err.println(s"[bench] artifact $name FAILED: ${e.getMessage}") })
-        val hits = graft.sources.Warehouse.drainHits(spark)
-        val wh =
-          if (hits.isEmpty) "none"
-          else if (hits.values.forall(identity)) "hit"
-          else if (hits.values.exists(identity)) "partial"
-          else "miss"
+        val wh = graft.sources.Warehouse.whLabel(
+          graft.sources.Warehouse.drainHits(spark))
         (name, (System.nanoTime() - t0) / 1e9, runS, cpuS, wh)
       }
     // Fast-phase cost of the probe on this host (measured 0.238 s min

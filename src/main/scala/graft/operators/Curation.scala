@@ -460,12 +460,22 @@ object Curation {
       // persist as per-stage tables keyed by path digest + corpus
       // fingerprint — the funnel's six stages resolve table-by-table,
       // so a crash mid-build resumes from the last complete stage and
-      // a later JVM pays NO stage at all (the by-need thunks mean a
-      // full hit never shingles, bands, or decodes anything).
+      // a later JVM pays no stage compute at all (the by-need thunks
+      // mean a full hit never shingles, bands, or decodes anything;
+      // the one cost left is the fingerprint's stats pass).
       // Deterministic stages (every one is integer/digest arithmetic,
       // spec-pinned) make reuse == rebuild — all funnel hashes are
       // state-independent.
-      val fp = graft.sources.Warehouse.docsFp(s, dir)
+      //
+      // The fingerprint folds BOTH input tables' stamps: stage 6
+      // (fn_semdrops) derives from EMBEDDINGS, so a docs-only stamp
+      // would serve a stale semantic drop set after an
+      // embeddings-only regeneration — exactly the stale-serve
+      // channel the lifecycle exists to close (WarehouseSpec pins the
+      // embeddings-only mutation missing).
+      val fp = graft.sources.Warehouse.combineFp(
+        graft.sources.Warehouse.docsFp(s, dir),
+        graft.sources.Warehouse.embFp(s, dir))
       val mat: (String, () => DataFrame) => DataFrame = (family, build) => {
         val (name, _) = graft.sources.Warehouse.servedTable(
           s, family, dir, fp, bucket = None) { n =>
@@ -473,7 +483,10 @@ object Curation {
         }
         s.table(name)
       }
-      funnelFrames(Tables.documents(s, dir), Tables.embeddings(s, dir), mat)
+      val (nDocs, _) = graft.sources.Warehouse.countMax(
+        s, s"docs:$dir", Tables.documents(s, dir), "doc_id")
+      funnelFrames(Tables.documents(s, dir), Tables.embeddings(s, dir),
+        mat, nInputHint = nDocs)
     })
   }
 
@@ -504,8 +517,13 @@ object Curation {
   private def funnelFrames(docs: DataFrame,
                            embeddings: DataFrame,
                            mat: (String, () => DataFrame) => DataFrame =
-                             matCheckpoint): FunnelFrames = {
-    val nInput = docs.count() // one count: width derivation AND stage 0
+                             matCheckpoint,
+                           nInputHint: Long = -1L): FunnelFrames = {
+    // One count: width derivation AND stage 0 — or the caller's
+    // already-computed stat (the artifact path's fingerprint pass
+    // counted documents moments earlier; a fully-warm resolve should
+    // not pay a second corpus count).
+    val nInput = if (nInputHint >= 0) nInputHint else docs.count()
     val width = deriveShingleWidth(nInput)
     // MATERIALIZATION SHAPE (round-12 rework of the round-9 per-stage
     // checkpoint): exactly ONE text-carrying frame is ever

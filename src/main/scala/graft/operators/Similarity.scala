@@ -1673,9 +1673,13 @@ object Similarity {
     * flat arms, ADC approximation on the code arms. */
   def knnQuantServeRouted(s: SparkSession, dir: String,
                           nProbes: Int, k: Int): DataFrame = {
-    val n = Tables.embeddings(s, dir).count()
-    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
+    // Corpus stats come from the memoized countMax pass the policy
+    // already paid — no fresh count() job on the routed serve (the
+    // trained arm needs neither n nor e at all).
     val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
+    lazy val n = graft.sources.Warehouse.countMax(
+      s, s"emb:$dir", e, "vec_id")._1
+    lazy val kk = math.ceil(math.sqrt(n.toDouble)).toInt
     val served = knnSelectedQuant(s, dir) match {
       case "ivf_trained" =>
         ivfTrainedServe(s, dir, nProbes, k).withColumnRenamed("dot", "score")

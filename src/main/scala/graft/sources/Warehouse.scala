@@ -120,6 +120,28 @@ object Warehouse {
     fpToken(n, mx, corpusBytes(s, dir, "embeddings"))
   }
 
+  /** Fold two fingerprint tokens into one — for artifacts derived
+    * from MORE THAN ONE input table (the funnel's semantic stage
+    * reads embeddings while its other stages read documents): either
+    * input's mutation must move the combined stamp. */
+  def combineFp(a: String, b: String): String =
+    md5Hex(s"$a:$b").take(12)
+
+  /** The canonical wh label over one build window's drained hits —
+    * ONE definition (Bench and ProfBuilds both emit it; the taxonomy
+    * is a ledger-adjudication contract, so the two artifacts must not
+    * drift). "none" means the window RESOLVED nothing new through the
+    * lifecycle — its warehouse dependencies may have been resolved by
+    * an EARLIER window in the same session (the Bench build order), so
+    * a "none" row is not necessarily warehouse-independent; it
+    * adjudicates against the ledger column matching the session's
+    * earlier hit/miss labels. */
+  def whLabel(hits: Map[String, Boolean]): String =
+    if (hits.isEmpty) "none"
+    else if (hits.values.forall(identity)) "hit"
+    else if (hits.values.exists(identity)) "partial"
+    else "miss"
+
   /** Hit/miss log per (session, family) since the last drain — the
     * Bench self-labeling feed. */
   private val hitLog = new java.util.concurrent.ConcurrentHashMap[
@@ -165,14 +187,17 @@ object Warehouse {
       s.conf.get("spark.sql.warehouse.dir"))
     val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
     // GC every other fingerprint variant of this (family, corpus):
-    // those are indexes of corpus states that no longer exist. DROP
-    // first (a managed registration deletes its own files), then the
-    // directory for never-registered leftovers.
+    // those are indexes of corpus states that no longer exist — BUT
+    // only variants this session never registered. A variant in the
+    // current catalog may back a live session-cached frame (a prior
+    // resolution through another dir spelling); deleting its files
+    // would turn that frame into a read-time bomb. Such variants stay
+    // until a LATER process (whose fresh catalog holds nothing)
+    // sweeps them — deferred GC, never a dangling frame.
     val prefix = s"graft_${family}_${dirDigest(dir)}_"
     if (fs.exists(whRoot)) fs.listStatus(whRoot).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith(prefix) && n != name) {
-        s.sql(s"DROP TABLE IF EXISTS $n")
+      if (n.startsWith(prefix) && n != name && !s.catalog.tableExists(n)) {
         if (fs.exists(st.getPath)) { fs.delete(st.getPath, true); () }
       }
     }

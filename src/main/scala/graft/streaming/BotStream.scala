@@ -8,8 +8,9 @@ import graft.operators.Events
 /** Streaming BOT SCREEN — the batch abuse classifier (`q_events_bots`,
   * operators/Events.scala) as keyed incremental state: per user, the
   * running (current day, its count, max day count, min inter-event
-  * gap, total events, active days) sextuple — six longs, everything
-  * the batch verdict reads. A VERDICT-CHANGE LOG is emitted (the
+  * gap, last event ts, total events, active days) septuple — seven
+  * longs (56 bytes), everything the batch verdict reads plus the
+  * timestamp the gap rule needs. A VERDICT-CHANGE LOG is emitted (the
   * AttributionStream correction pattern): one row when a user first
   * appears (verdict human unless its first day instantly trips the
   * cap — it can't: one event) and one row whenever the verdict FLIPS
@@ -19,12 +20,12 @@ import graft.operators.Events
   * key's `is_bot` (StreamingSpec pins both rule boundaries and the
   * cross-batch gap case).
   *
-  * Production shape: the state sextuple IS the bot-screen serving
+  * Production shape: the state septuple IS the bot-screen serving
   * table (point lookups at the door); the append log feeds the audit
   * trail. Ordering contract and scale shape are [[ActiveStream]]'s:
   * per-user event-time order across micro-batches, intra-batch
   * disorder sorted before folding; one user_id shuffle per
-  * micro-batch, 48 bytes of state per user. */
+  * micro-batch, 56 bytes of state per user. */
 object BotStream {
 
   case class Ev(userId: Long, tsNs: Long, eventId: Long)

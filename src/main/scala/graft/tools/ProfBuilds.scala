@@ -37,12 +37,8 @@ object ProfBuilds {
       build(spark, dir)
       val wall = (System.nanoTime() - t0) / 1e9
       val (r1, c1) = clock.snapshot(spark.sparkContext)
-      val hits = graft.sources.Warehouse.drainHits(spark)
-      val wh =
-        if (hits.isEmpty) "none"
-        else if (hits.values.forall(identity)) "hit"
-        else if (hits.values.exists(identity)) "partial"
-        else "miss"
+      val wh = graft.sources.Warehouse.whLabel(
+        graft.sources.Warehouse.drainHits(spark))
       println(f"[builds] $name%-22s ${c1 - c0}%7.2f ${r1 - r0}%7.2f $wall%7.2f  $wh")
       tc += (c1 - c0); tw += wall
     }

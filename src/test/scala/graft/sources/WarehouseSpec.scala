@@ -151,13 +151,76 @@ class WarehouseSpec extends SparkSpec {
     assert(!hit && newName != oldName,
       "a changed fingerprint must MISS — the stale index is never served")
     assert(spark.table(newName).agg(max("v")).head().getLong(0) == 2L)
-    // The stale variant is gone: catalog entry dropped AND files deleted.
-    assert(!spark.catalog.tableExists(oldName))
+    // The superseded variant was REGISTERED by this session, so it may
+    // back live cached frames — GC is DEFERRED (it stays, unreachable
+    // through resolution because no fingerprint names it anymore); a
+    // later process with a fresh catalog sweeps it.
+    assert(spark.catalog.tableExists(oldName),
+      "in-session stale variant must be deferred, not deleted under live frames")
+    // An UNREGISTERED stale variant — the prior-JVM case — IS swept on
+    // the next resolution of the family.
     val whRoot = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"))
     val fs = whRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(whRoot, oldName)),
-      "stale fingerprint variant must be GC'd")
+    val ghost = new org.apache.hadoop.fs.Path(
+      whRoot, Warehouse.tableName("whmutf", dir, Warehouse.fpToken(9L, 8L)))
+    fs.mkdirs(ghost)
+    fs.create(new org.apache.hadoop.fs.Path(ghost, "_SUCCESS")).close()
+    val (again, hit2) = Warehouse.servedTable(
+      spark, "whmutf", dir, fpNew, bucket = Some(("k", 4))) { _ =>
+      fail("same-fingerprint re-resolution must hit")
+    }
+    assert(hit2 && again == newName)
+    assert(!fs.exists(ghost),
+      "an unregistered (prior-JVM) stale variant must be GC'd")
+  }
+
+  test("funnel fingerprint covers BOTH inputs: an embeddings-only mutation misses") {
+    // Stage 6 (fn_semdrops) derives from EMBEDDINGS while the other
+    // stages read documents — a docs-only stamp would serve a stale
+    // semantic drop set after an embeddings regeneration. The funnel
+    // keys on the COMBINED fingerprint, so either input's mutation
+    // moves every stage table's name.
+    val corpus = java.nio.file.Files.createTempDirectory("whfn").toString
+    graft.Tables.documents(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    graft.Tables.embeddings(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    Warehouse.drainHits(spark)
+    val a = graft.SparkEntry.queries("q_corpus_funnel")(spark, corpus)
+      .collect().map(_.toSeq).toList
+    val h1 = Warehouse.drainHits(spark)
+    assert(h1.get("fn_semdrops").contains(false), s"first build: $h1")
+    // Control: a fresh spelling over UNCHANGED data hits every stage.
+    val link = java.nio.file.Files.createTempDirectory("whfnl")
+      .resolve("corpus")
+    java.nio.file.Files.createSymbolicLink(
+      link, java.nio.file.Paths.get(corpus))
+    val b = graft.SparkEntry.queries("q_corpus_funnel")(spark, link.toString)
+      .collect().map(_.toSeq).toList
+    val h2 = Warehouse.drainHits(spark)
+    assert(h2.get("fn_semdrops").contains(true) &&
+      h2.get("fn_s1").contains(true), s"unchanged data must hit: $h2")
+    assert(a == b)
+    // Mutate EMBEDDINGS ONLY (documents untouched): the combined
+    // fingerprint moves, so every stage misses — the stale semantic
+    // drop set is unreachable.
+    val shrunk = spark.read.parquet(s"$corpus/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") <
+        org.apache.spark.sql.functions.lit(3L))
+      .localCheckpoint(true)
+    shrunk.write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val link2 = java.nio.file.Files.createTempDirectory("whfnm")
+      .resolve("corpus")
+    java.nio.file.Files.createSymbolicLink(
+      link2, java.nio.file.Paths.get(corpus))
+    graft.SparkEntry.queries("q_corpus_funnel")(spark, link2.toString)
+      .collect()
+    val h3 = Warehouse.drainHits(spark)
+    assert(h3.get("fn_semdrops").contains(false),
+      s"embeddings-only mutation must MISS the semantic stage: $h3")
+    assert(h3.get("fn_s1").contains(false),
+      s"…and move the whole funnel's stamp: $h3")
   }
 
   test("trained-ANN lifecycle: a symlinked dir spelling reuses the table; a mutated corpus rebuilds") {
@@ -222,8 +285,9 @@ class WarehouseSpec extends SparkSpec {
     val variants = fs.listStatus(whRoot).map(_.getPath.getName)
       .filter(_.startsWith(
         s"graft_ivf_trained_${Warehouse.dirDigest(corpus)}_"))
-    assert(variants.toSeq == Seq(newTable),
-      s"stale variants must be GC'd, found: ${variants.mkString(",")}")
+    assert(variants.contains(newTable) && variants.length == 2,
+      s"the new variant plus the session-registered (deferred-GC) old " +
+        s"one, found: ${variants.mkString(",")}")
     assert(c.nonEmpty)
   }
 }
