@@ -467,16 +467,20 @@ object Curation {
       // spec-pinned) make reuse == rebuild — all funnel hashes are
       // state-independent.
       //
-      // The fingerprint folds BOTH input tables' stamps: stage 6
-      // (fn_semdrops) derives from EMBEDDINGS, so a docs-only stamp
-      // would serve a stale semantic drop set after an
-      // embeddings-only regeneration — exactly the stale-serve
-      // channel the lifecycle exists to close (WarehouseSpec pins the
-      // embeddings-only mutation missing).
-      val fp = graft.sources.Warehouse.combineFp(
-        graft.sources.Warehouse.docsFp(s, dir),
-        graft.sources.Warehouse.embFp(s, dir))
+      // Per-stage fingerprints track each table's ACTUAL inputs: the
+      // five text stages key on the documents stamp, while stage 6
+      // (fn_semdrops) reads EMBEDDINGS too — a docs-only stamp there
+      // would serve a stale semantic drop set after an embeddings-only
+      // regeneration (exactly the stale-serve channel the lifecycle
+      // exists to close), and a combined stamp EVERYWHERE would
+      // rebuild the whole text pipeline when only the embeddings
+      // moved. WarehouseSpec pins both sides: an embeddings-only
+      // mutation misses fn_semdrops and hits fn_s1.
+      val docsFp = graft.sources.Warehouse.docsFp(s, dir)
+      val semFp = graft.sources.Warehouse.combineFp(
+        docsFp, graft.sources.Warehouse.embFp(s, dir))
       val mat: (String, () => DataFrame) => DataFrame = (family, build) => {
+        val fp = if (family == "fn_semdrops") semFp else docsFp
         val (name, _) = graft.sources.Warehouse.servedTable(
           s, family, dir, fp, bucket = None) { n =>
           build().write.mode("overwrite").format("parquet").saveAsTable(n)
@@ -715,6 +719,15 @@ object Curation {
     shingles.find(_.count(_ == ' ') != width - 1).foreach(s =>
       throw new IllegalArgumentException(
         s"eval shingle has ${s.count(_ == ' ') + 1} tokens, not the declared width $width: '$s'"))
+    // The gate compares against shingles of lower(text): a hand-rolled
+    // set with uppercase content could never match ANYTHING — every
+    // contaminated row would silently pass (the same silent-miss class
+    // as a width mismatch, so it fails at construction the same way;
+    // round-16 review finding).
+    shingles.find(s => s != s.toLowerCase(java.util.Locale.ROOT)).foreach(s =>
+      throw new IllegalArgumentException(
+        s"eval shingle is not lowercased (the gate shingles lower(text); " +
+          s"build via EvalShingles.fromTexts): '$s'"))
   }
 
   object EvalShingles {
@@ -752,7 +765,37 @@ object Curation {
     * driver. */
   private val gateBroadcasts = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String),
-    org.apache.spark.broadcast.Broadcast[Set[String]]]()
+    org.apache.spark.broadcast.Broadcast[_]]()
+
+  /** ONE broadcast per (session, content digest) for EVERY gate's
+    * frozen artifact — round 16 generalizes the contaminationGate-only
+    * cache after review found the semantic and importance gates
+    * re-broadcasting per construction (the round-7 leak, reopened
+    * three doors down: a driver that reconstructs its gates per stream
+    * restart accumulated one executor copy of a potentially-GB model
+    * per restart). Keyed by CONTENT digest, so a reloaded-but-equal
+    * artifact reuses the live broadcast; stopped sessions evicted on
+    * every construction (their torrent blocks are gone and the key
+    * pins the dead SparkSession). */
+  private def cachedGateBroadcast[T: scala.reflect.ClassTag](
+      s: SparkSession, key: String)(
+      mk: => T): org.apache.spark.broadcast.Broadcast[T] = {
+    gateBroadcasts.keySet.removeIf(_._1.sparkContext.isStopped)
+    gateBroadcasts.computeIfAbsent((s, key),
+      _ => s.sparkContext.broadcast(mk))
+      .asInstanceOf[org.apache.spark.broadcast.Broadcast[T]]
+  }
+
+  /** Order-independent content digest of an [[ImportanceModel]] — one
+    * linear pass, no sort (the maps can hold 10⁷ entries): entry-hash
+    * SUMS are commutative, so equal content digests equal regardless
+    * of map iteration order. */
+  private def modelDigest(m: ImportanceModel): String = {
+    def fold(x: Map[String, Long]): Long =
+      x.iterator.foldLeft(0L) { case (a, (k, v)) =>
+        a + k.hashCode.toLong * 31L + v }
+    s"${m.cfT.size}:${fold(m.cfT)}:${m.cfR.size}:${fold(m.cfR)}:${m.nR}:${m.nT}"
+  }
 
   private def evalDigest(e: EvalShingles): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -798,9 +841,8 @@ object Curation {
           lit(eval.shingles.toArray)),
         lit(false)))
     else {
-      val key = (stream.sparkSession, evalDigest(eval))
-      val bc = gateBroadcasts.computeIfAbsent(key,
-        _ => stream.sparkSession.sparkContext.broadcast(eval.shingles.toSet))
+      val bc = cachedGateBroadcast(stream.sparkSession,
+        "contam:" + evalDigest(eval))(eval.shingles.toSet)
       val hit = udf((shs: Seq[String]) =>
         shs != null && shs.exists(bc.value.contains))
       stream.filter(!hit(shingleArray(col("text"), eval.width)))
@@ -845,7 +887,9 @@ object Curation {
       val a = v.toArray
       (a, a.foldLeft(0L)((s, x) => s + x * x))
     }.toArray
-    val bc = stream.sparkSession.sparkContext.broadcast(prepared)
+    val bc = cachedGateBroadcast(stream.sparkSession,
+      "sem:" + evalVecs.size + ":" + evalVecs.iterator.map(v =>
+        v.foldLeft(1L)((a, x) => a * 31L + x)).sum)(prepared)
     val n2 = Dedup.SemTauNum * Dedup.SemTauNum
     val d2 = Dedup.SemTauDen * Dedup.SemTauDen
     val near = udf((v: Seq[Long]) =>
@@ -1035,8 +1079,11 @@ object Curation {
         s, "vb_matches", dir, graft.sources.Warehouse.docsFp(s, dir),
         bucket = None) { n =>
         val docs = Tables.documents(s, dir)
-        verbatimMatchesFrom(
-          verbatimIndex(docs, deriveShingleWidth(docs.count())))
+        // Width derives from the memoized stats pass the fingerprint
+        // already paid — no extra corpus count on a cold build.
+        val nDocs = graft.sources.Warehouse.countMax(
+          s, s"docs:$dir", docs, "doc_id")._1
+        verbatimMatchesFrom(verbatimIndex(docs, deriveShingleWidth(nDocs)))
           .write.mode("overwrite").format("parquet").saveAsTable(n)
       }
       s.table(name)
@@ -1057,8 +1104,9 @@ object Curation {
       val (name, _) = graft.sources.Warehouse.servedTable(
         s, "vb_offsets", dir, graft.sources.Warehouse.docsFp(s, dir),
         bucket = None) { n =>
-        val docs = Tables.documents(s, dir)
-        verbatimOffsetsFrom(matches, deriveShingleWidth(docs.count()))
+        val nDocs = graft.sources.Warehouse.countMax(
+          s, s"docs:$dir", Tables.documents(s, dir), "doc_id")._1
+        verbatimOffsetsFrom(matches, deriveShingleWidth(nDocs))
           .write.mode("overwrite").format("parquet").saveAsTable(n)
       }
       s.table(name)
@@ -1612,7 +1660,8 @@ object Curation {
 
   private def importanceGateUdf(stream: DataFrame, model: ImportanceModel,
                                 minScore: Long): DataFrame = {
-    val bc = stream.sparkSession.sparkContext.broadcast(model)
+    val bc = cachedGateBroadcast(stream.sparkSession,
+      "imp:" + modelDigest(model))(model)
     val scoreOf = udf((text: String) => {
       if (text == null) 0L
       else {
@@ -1769,7 +1818,8 @@ object Curation {
     * bigram for bigram (CurationStreamSpec). */
   def importanceGateBigram(stream: DataFrame, model: ImportanceModel,
                            minScore: Long = DsirScale): DataFrame = {
-    val bc = stream.sparkSession.sparkContext.broadcast(model)
+    val bc = cachedGateBroadcast(stream.sparkSession,
+      "impbi:" + modelDigest(model))(model)
     val scoreOf = udf((text: String) => {
       if (text == null) 0L
       else {

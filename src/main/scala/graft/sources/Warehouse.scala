@@ -47,6 +47,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (the pre-existing writeBucketed posture; the driver runs bench and
   * verify sequentially) — a reader only ever trusts a `_SUCCESS`-
   * complete directory.
+  *
+  * CONTRACTS AND SCOPE (round-16 review):
+  *
+  *  - WITHIN-SESSION corpus immutability. Mutation detection is a
+  *    CROSS-PROCESS property: the session memoizes its corpus stats
+  *    ([[countMax]]) and artifact frames (operators.Artifacts,
+  *    funnelCache) on first touch, so a corpus regenerated UNDER a
+  *    live session keeps serving the first-seen state — the
+  *    engine-wide assumption every session cache has always made. A
+  *    pipeline that regenerates a corpus starts a new process (or at
+  *    minimum a new SparkSession) over it; the fingerprint then
+  *    refuses every stale table.
+  *  - The corrupt-directory guard covers RESOLUTION-time failures
+  *    (unreadable footers, schema/DDL errors → rebuild). Data-page
+  *    corruption that passes footer reads surfaces at query time, as
+  *    it would for any parquet table — validating every page at
+  *    registration would cost the scan the reuse exists to avoid.
+  *  - Names are resolved in the session's CURRENT DATABASE, and the
+  *    completeness/GC checks address `warehouse.dir/<name>` directly —
+  *    the lifecycle assumes the default database (where saveAsTable
+  *    puts unqualified names). Callers must not switch
+  *    `setCurrentDatabase` around resolution; nothing in this engine
+  *    does.
   */
 object Warehouse {
 
@@ -147,12 +170,17 @@ object Warehouse {
   private val hitLog = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, java.util.concurrent.ConcurrentHashMap[String, Boolean]]()
 
-  private def logHit(s: SparkSession, family: String, hit: Boolean): Unit =
+  private def logHit(s: SparkSession, family: String, dir: String,
+                     hit: Boolean): Unit =
     hitLog.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String, Boolean]())
-      .put(family, hit)
+      // Keyed (family, corpus digest): a window resolving one family
+      // for TWO corpora must not overwrite the first label (the
+      // whLabel the ledger adjudication reads would misreport).
+      .put(s"$family@${dirDigest(dir)}", hit)
 
-  /** Family → hit entries recorded for `s` since the last call; clears
+  /** (family@corpus-digest) → hit entries recorded for `s` since the
+    * last call; clears
     * the log, so consecutive drains attribute resolutions to the build
     * window they happened in. */
   def drainHits(s: SparkSession): Map[String, Boolean] = {
@@ -210,10 +238,10 @@ object Warehouse {
       s.sql(s"DROP TABLE IF EXISTS $name")
       if (fs.exists(loc)) { fs.delete(loc, true); () }
       build(name)
-      logHit(s, family, hit = false); (name, false)
+      logHit(s, family, dir, hit = false); (name, false)
     }
     if (complete && s.catalog.tableExists(name)) {
-      logHit(s, family, hit = true); (name, true)
+      logHit(s, family, dir, hit = true); (name, true)
     } else if (complete) {
       // A prior JVM's complete write: the files are the table, only
       // the in-memory catalog entry is missing. Register EXTERNAL at
@@ -232,7 +260,7 @@ object Warehouse {
           s" CLUSTERED BY ($c) SORTED BY ($c) INTO $n BUCKETS" }.getOrElse("")
         s.sql(s"CREATE TABLE $name ($schemaDdl) USING PARQUET$bucketDdl" +
           s" LOCATION '${loc.toString}'")
-        logHit(s, family, hit = true); (name, true)
+        logHit(s, family, dir, hit = true); (name, true)
       } catch { case _: Exception => rebuild() }
     } else rebuild()
   }

@@ -10,6 +10,11 @@ import graft.SparkSpec
   * the end-to-end consequences on the trained-ANN lifecycle. */
 class WarehouseSpec extends SparkSpec {
 
+  /** drainHits keys are family@digest; specs look up by family (each
+    * spec's family resolves for one corpus digest). */
+  private def hitOf(m: Map[String, Boolean], fam: String): Option[Boolean] =
+    m.collectFirst { case (k, v) if k.takeWhile(_ != '@') == fam => v }
+
   test("dirDigest: symlink, trailing slash, and dot spellings of one dir key identically") {
     val real = java.nio.file.Paths.get(sfDir).toRealPath()
     val link = java.nio.file.Files.createTempDirectory("whlink")
@@ -190,7 +195,7 @@ class WarehouseSpec extends SparkSpec {
     val a = graft.SparkEntry.queries("q_corpus_funnel")(spark, corpus)
       .collect().map(_.toSeq).toList
     val h1 = Warehouse.drainHits(spark)
-    assert(h1.get("fn_semdrops").contains(false), s"first build: $h1")
+    assert(hitOf(h1, "fn_semdrops").contains(false), s"first build: $h1")
     // Control: a fresh spelling over UNCHANGED data hits every stage.
     val link = java.nio.file.Files.createTempDirectory("whfnl")
       .resolve("corpus")
@@ -199,8 +204,8 @@ class WarehouseSpec extends SparkSpec {
     val b = graft.SparkEntry.queries("q_corpus_funnel")(spark, link.toString)
       .collect().map(_.toSeq).toList
     val h2 = Warehouse.drainHits(spark)
-    assert(h2.get("fn_semdrops").contains(true) &&
-      h2.get("fn_s1").contains(true), s"unchanged data must hit: $h2")
+    assert(hitOf(h2, "fn_semdrops").contains(true) &&
+      hitOf(h2, "fn_s1").contains(true), s"unchanged data must hit: $h2")
     assert(a == b)
     // Mutate EMBEDDINGS ONLY (documents untouched): the combined
     // fingerprint moves, so every stage misses — the stale semantic
@@ -217,10 +222,11 @@ class WarehouseSpec extends SparkSpec {
     graft.SparkEntry.queries("q_corpus_funnel")(spark, link2.toString)
       .collect()
     val h3 = Warehouse.drainHits(spark)
-    assert(h3.get("fn_semdrops").contains(false),
+    assert(hitOf(h3, "fn_semdrops").contains(false),
       s"embeddings-only mutation must MISS the semantic stage: $h3")
-    assert(h3.get("fn_s1").contains(false),
-      s"…and move the whole funnel's stamp: $h3")
+    assert(hitOf(h3, "fn_s1").contains(true),
+      s"…while the docs-only text stages still HIT (no over-invalidation): $h3")
+    assert(hitOf(h3, "fn_emptied").contains(true), s"$h3")
   }
 
   test("trained-ANN lifecycle: a symlinked dir spelling reuses the table; a mutated corpus rebuilds") {
@@ -233,7 +239,7 @@ class WarehouseSpec extends SparkSpec {
     val a = graft.operators.Similarity.ivfTrainedServe(spark, corpus, 4, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val h1 = Warehouse.drainHits(spark)
-    assert(h1.get("ivf_trained").contains(false), s"first build must miss: $h1")
+    assert(hitOf(h1, "ivf_trained").contains(false), s"first build must miss: $h1")
     // Same directory through a SYMLINK — a different string, the same
     // canonical path and data: the warehouse must HIT (no retrain, no
     // rewrite) and serve the identical answer. (In-session caches key
@@ -247,9 +253,9 @@ class WarehouseSpec extends SparkSpec {
       .ivfTrainedServe(spark, link.toString, 4, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val h2 = Warehouse.drainHits(spark)
-    assert(h2.get("ivf_trained").contains(true),
+    assert(hitOf(h2, "ivf_trained").contains(true),
       s"symlinked spelling must reuse the persisted index: $h2")
-    assert(h2.get("ivf_cents").contains(true),
+    assert(hitOf(h2, "ivf_cents").contains(true),
       s"…and the persisted centroids (training must not rerun): $h2")
     assert(a == b, "reused index must serve the identical answer")
     // MUTATE the corpus (drop the highest-id vector), then resolve via
@@ -270,7 +276,7 @@ class WarehouseSpec extends SparkSpec {
       .ivfTrainedServe(spark, link2.toString, 4, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val h3 = Warehouse.drainHits(spark)
-    assert(h3.get("ivf_trained").contains(false),
+    assert(hitOf(h3, "ivf_trained").contains(false),
       s"mutated corpus must miss (stale index refused): $h3")
     // The rebuilt index is the mutated corpus's: its table holds one
     // row fewer, and the stale fingerprint variant is GC'd.
