@@ -156,10 +156,16 @@ object Events {
   /** Weekly cohort retention: cohort = the user's first active week,
     * one row per (cohort_week, week_offset) with distinct active
     * users. Two user-keyed aggregates + one co-partitioned join. */
-  def eventsRetention(events: DataFrame): DataFrame = {
-    val weeks = events
+  def eventsRetention(events: DataFrame): DataFrame =
+    retentionFromWeeks(events
       .select(col("user_id"), expr(s"ts_ns div ${WeekNs}L").as("week"))
-      .distinct()
+      .distinct())
+
+  /** The retention tail over a DISTINCT (user_id, week) frame — ONE
+    * definition shared with the streaming twin
+    * (CohortStream.retentionOf derives the same frame from the active
+    * feed), so the cohort math cannot drift between the two. */
+  def retentionFromWeeks(weeks: DataFrame): DataFrame = {
     val firsts = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
     weeks.join(firsts, Seq("user_id"))
       .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
@@ -194,12 +200,19 @@ object Events {
   def eventsPaths(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts_ns", "event_id")
-    val pairs = events
+    pathsFromPairCounts(events
       .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNotNull)
       .groupBy("prev_type", "event_type")
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** The transition-matrix tail over a counted (prev_type, event_type,
+    * n) pair frame — ONE definition shared with the streaming twin
+    * (TransitionStream.pathsOf counts the same pairs from its feed;
+    * the pageRankFromPairs split pattern). */
+  def pathsFromPairCounts(pairs: DataFrame): DataFrame = {
     val totals = pairs.groupBy("prev_type").agg(sum(col("n")).as("tot"))
     pairs.join(broadcast(totals), Seq("prev_type"))
       .select(col("prev_type"), col("event_type"), col("n"),
@@ -224,13 +237,19 @@ object Events {
   def eventsMarkov(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts_ns", "event_id")
-    events
+    markovFromPairCounts(events
       .select(col("user_id"), col("ts_ns"), col("event_id"),
         col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNotNull)
       .groupBy("prev_type", "event_type")
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** The order-1 modal tail over a counted pair frame — shared with
+    * the streaming twin (the min_by/struct argmax lives ONCE). */
+  def markovFromPairCounts(pairs: DataFrame): DataFrame =
+    pairs
       .groupBy("prev_type")
       .agg(sum(col("n")).as("n_transitions"),
         min_by(col("event_type"), struct((-col("n")).as("nn"),
@@ -238,7 +257,6 @@ object Events {
         max(col("n")).as("n_correct"))
       .withColumn("acc_bp", expr("n_correct * 10000 div n_transitions"))
       .orderBy("prev_type")
-  }
 
   /** ORDER-2 MARKOV predictability — [[eventsMarkov]] with a two-event
     * context: per (prev2, prev1) state, the modal next type and its
@@ -252,14 +270,20 @@ object Events {
   def eventsMarkov2(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts_ns", "event_id")
-    events
+    markov2FromPairCounts(events
       .select(col("user_id"), col("ts_ns"), col("event_id"),
         col("event_type"))
       .withColumn("prev1", lag(col("event_type"), 1).over(w))
       .withColumn("prev2", lag(col("event_type"), 2).over(w))
       .filter(col("prev2").isNotNull)
       .groupBy("prev2", "prev1", "event_type")
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** The order-2 modal tail over a counted (prev2, prev1, event_type,
+    * n) frame — shared with the streaming twin. */
+  def markov2FromPairCounts(pairs: DataFrame): DataFrame =
+    pairs
       .groupBy("prev2", "prev1")
       .agg(sum(col("n")).as("n_transitions"),
         min_by(col("event_type"), struct((-col("n")).as("nn"),
@@ -267,7 +291,6 @@ object Events {
         max(col("n")).as("n_correct"))
       .withColumn("acc_bp", expr("n_correct * 10000 div n_transitions"))
       .orderBy("prev2", "prev1")
-  }
 
   /** MARKOV MEMORY GAIN — the order-1 vs order-2 comparison as one
     * table: per (prev2, prev1) state, both predictors' accuracies and
@@ -277,10 +300,16 @@ object Events {
     * means the stream is order-1 and the bigger model buys nothing.
     * One join of two ≤ types³ frames on prev1 — both already bounded
     * by the type alphabet. */
-  def eventsMarkovGain(events: DataFrame): DataFrame = {
-    val o1 = eventsMarkov(events)
+  def eventsMarkovGain(events: DataFrame): DataFrame =
+    markovGainFrom(eventsMarkov(events), eventsMarkov2(events))
+
+  /** The memory-gain join over prebuilt order-1/order-2 frames —
+    * shared with the streaming twin (both sides are feed rollups
+    * there). */
+  def markovGainFrom(o1Frame: DataFrame, o2Frame: DataFrame): DataFrame = {
+    val o1 = o1Frame
       .select(col("prev_type").as("prev1"), col("acc_bp").as("acc1_bp"))
-    eventsMarkov2(events)
+    o2Frame
       .select(col("prev2"), col("prev1"),
         col("n_transitions"), col("acc_bp").as("acc2_bp"))
       .join(broadcast(o1), Seq("prev1"))
@@ -316,12 +345,21 @@ object Events {
       .groupBy("user_id", "sess")
       .agg(count(lit(1)).as("n_events"),
         (max(col("ts_ns")) - min(col("ts_ns"))).as("dur_ns"))
+      .transform(sessionReport(_, cap))
+  }
+
+  /** The session-size report tail over a per-session (n_events,
+    * dur_ns) frame — ONE definition shared with the streaming twin
+    * (SessionStream.report rolls its closed-session feed through the
+    * same buckets). */
+  def sessionReport(perSession: DataFrame,
+                    cap: Int = SessionBucketCap): DataFrame =
+    perSession
       .groupBy(least(col("n_events"), lit(cap.toLong)).as("bucket"))
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("n_events")).as("n_events_total"),
         sum(col("dur_ns")).as("dur_ns_total"))
       .orderBy("bucket")
-  }
 
   /** Nanoseconds per day — the integer activity bucket. */
   val DayNs = 86400000000000L
@@ -383,10 +421,15 @@ object Events {
     * count per day; no day-range self-join, no window. The inner join
     * back to DAU drops the phantom tail days beyond the last observed
     * day in both engines. */
-  def eventsStickiness(events: DataFrame): DataFrame = {
-    val ud = events
+  def eventsStickiness(events: DataFrame): DataFrame =
+    stickinessFromUserDays(events
       .select(col("user_id"), expr(s"ts_ns div ${DayNs}L").as("day"))
-      .distinct()
+      .distinct())
+
+  /** The stickiness tail over a DISTINCT (user_id, day) frame — ONE
+    * definition shared with the streaming twin (the active feed IS
+    * this frame delivered incrementally). */
+  def stickinessFromUserDays(ud: DataFrame): DataFrame = {
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
     val mau = ud
       .select(col("user_id"),
@@ -580,7 +623,7 @@ object Events {
   def eventsDwell(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts_ns", "event_id")
-    val dist = events
+    dwellFromDist(events
       .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .withColumn("prev_ts", lag(col("ts_ns"), 1).over(w))
@@ -589,7 +632,13 @@ object Events {
       // can exceed 2^53 on long-horizon streams).
       .withColumn("gap_ms", expr(s"(ts_ns - prev_ts) div ${DwellMsNs}L"))
       .groupBy(col("prev_type"), col("event_type").as("dst"), col("gap_ms"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+  }
+
+  /** The dwell-percentile tail over a counted (prev_type, dst, gap_ms,
+    * c) distribution — shared with the streaming twin (the rank
+    * formulas live ONCE). */
+  def dwellFromDist(dist: DataFrame): DataFrame = {
     val totals = dist.groupBy("prev_type", "dst").agg(sum(col("c")).as("tot"))
     val cw = org.apache.spark.sql.expressions.Window
       .partitionBy("prev_type", "dst").orderBy("gap_ms")

@@ -25,34 +25,15 @@ object CohortStream {
     * WeekNs == (ts div DayNs) div 7). The week frame needs a distinct
     * (several active days of one user land in one week); it is a
     * rollup of the bounded feed, not of raw events. */
-  def retentionOf(feed: DataFrame): DataFrame = {
-    val weeks = feed
+  def retentionOf(feed: DataFrame): DataFrame =
+    graft.operators.Events.retentionFromWeeks(feed
       .select(col("userId").as("user_id"), expr("day div 7").as("week"))
-      .distinct()
-    val firsts = weeks.groupBy("user_id")
-      .agg(min(col("week")).as("cohort_week"))
-    weeks.join(firsts, Seq("user_id"))
-      .select(col("cohort_week"),
-        (col("week") - col("cohort_week")).as("week_offset"))
-      .groupBy("cohort_week", "week_offset")
-      .agg(count(lit(1)).as("n_users"))
-      .orderBy("cohort_week", "week_offset")
-  }
+      .distinct())
 
   /** `q_events_stickiness` over the feed: DAU per day directly (feed
     * rows are distinct), MAU30 by the same ×30 cover-explode as the
     * batch key, ratio in bp; the inner join drops phantom tail days. */
-  def stickinessOf(feed: DataFrame): DataFrame = {
-    val ud = feed.select(col("userId").as("user_id"), col("day"))
-    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
-    val mau = ud
-      .select(col("user_id"),
-        explode(expr("sequence(day, day + 29)")).as("day"))
-      .distinct()
-      .groupBy("day").agg(count(lit(1)).as("mau30"))
-    dau.join(mau, Seq("day"))
-      .select(col("day"), col("dau"), col("mau30"),
-        expr("dau * 10000 div mau30").as("stickiness_bp"))
-      .orderBy("day")
-  }
+  def stickinessOf(feed: DataFrame): DataFrame =
+    graft.operators.Events.stickinessFromUserDays(
+      feed.select(col("userId").as("user_id"), col("day")))
 }

@@ -83,10 +83,7 @@ object SessionStream {
     * exactly as the active feed is for DAU/stickiness. */
   def report(sessions: DataFrame,
              cap: Int = Events.SessionBucketCap): DataFrame =
-    sessions
-      .groupBy(least(col("nEvents"), lit(cap.toLong)).as("bucket"))
-      .agg(count(lit(1)).as("n_sessions"),
-        sum(col("nEvents")).as("n_events_total"),
-        sum(col("durNs")).as("dur_ns_total"))
-      .orderBy("bucket")
+    Events.sessionReport(
+      sessions.select(col("nEvents").as("n_events"),
+        col("durNs").as("dur_ns")), cap)
 }

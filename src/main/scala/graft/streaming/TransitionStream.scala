@@ -36,7 +36,8 @@ import graft.operators.Events
   * guard case pins it; the batch window would have spliced it in,
   * which is exactly what an append stream cannot retroactively do);
   * intra-batch disorder is sorted before folding. One user_id shuffle
-  * per micro-batch; state is two (string, long) pairs per user. */
+  * per micro-batch; state is (prev2 type, prev type, prev ts) — two
+  * strings and one long per user. */
 object TransitionStream {
 
   case class Ev(userId: Long, tsNs: Long, eventId: Long, eventType: String)
@@ -79,66 +80,37 @@ object TransitionStream {
         advance)
   }
 
-  /** `q_events_paths` over the feed — the batch tail verbatim
-    * (pair counts + broadcast per-source totals, shares in bp). */
-  def pathsOf(feed: DataFrame): DataFrame = {
-    val pairs = feed.filter(col("prevType").isNotNull)
+  /** `q_events_paths` over the feed — the BATCH TAIL itself
+    * ([[Events.pathsFromPairCounts]], one definition) over the feed's
+    * counted pair frame. */
+  def pathsOf(feed: DataFrame): DataFrame =
+    Events.pathsFromPairCounts(feed.filter(col("prevType").isNotNull)
       .groupBy(col("prevType").as("prev_type"),
         col("eventType").as("event_type"))
-      .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy("prev_type").agg(sum(col("n")).as("tot"))
-    pairs.join(broadcast(totals), Seq("prev_type"))
-      .select(col("prev_type"), col("event_type"), col("n"),
-        expr("n * 10000 div tot").as("share_bp"))
-      .orderBy("prev_type", "event_type")
-  }
+      .agg(count(lit(1)).as("n")))
 
-  /** `q_events_markov` over the feed — modal next type, same
-    * (count desc, type asc) total order, accuracy = modal share. */
+  /** `q_events_markov` over the feed — the batch modal tail
+    * ([[Events.markovFromPairCounts]]) over the same pair counts. */
   def markovOf(feed: DataFrame): DataFrame =
-    feed.filter(col("prevType").isNotNull)
+    Events.markovFromPairCounts(feed.filter(col("prevType").isNotNull)
       .groupBy(col("prevType").as("prev_type"),
         col("eventType").as("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy("prev_type")
-      .agg(sum(col("n")).as("n_transitions"),
-        min_by(col("event_type"), struct((-col("n")).as("nn"),
-          col("event_type"))).as("predicted_next"),
-        max(col("n")).as("n_correct"))
-      .withColumn("acc_bp", expr("n_correct * 10000 div n_transitions"))
-      .orderBy("prev_type")
+      .agg(count(lit(1)).as("n")))
 
   /** `q_events_markov2` over the feed — the two-event context rows are
     * exactly the feed rows whose prev2 is set (the batch key's
-    * prev2-isNotNull filter). */
+    * prev2-isNotNull filter); tail shared
+    * ([[Events.markov2FromPairCounts]]). */
   def markov2Of(feed: DataFrame): DataFrame =
-    feed.filter(col("prev2").isNotNull)
+    Events.markov2FromPairCounts(feed.filter(col("prev2").isNotNull)
       .groupBy(col("prev2"), col("prevType").as("prev1"),
         col("eventType").as("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy("prev2", "prev1")
-      .agg(sum(col("n")).as("n_transitions"),
-        min_by(col("event_type"), struct((-col("n")).as("nn"),
-          col("event_type"))).as("predicted_next"),
-        max(col("n")).as("n_correct"))
-      .withColumn("acc_bp", expr("n_correct * 10000 div n_transitions"))
-      .orderBy("prev2", "prev1")
+      .agg(count(lit(1)).as("n")))
 
-  /** `q_events_markov_gain` over the feed — the order-1 vs order-2
-    * comparison joined exactly like the batch key (both sides are
-    * feed rollups, so the whole memory-gain table is feed-derived). */
-  def markovGainOf(feed: DataFrame): DataFrame = {
-    val o1 = markovOf(feed)
-      .select(col("prev_type").as("prev1"), col("acc_bp").as("acc1_bp"))
-    markov2Of(feed)
-      .select(col("prev2"), col("prev1"),
-        col("n_transitions"), col("acc_bp").as("acc2_bp"))
-      .join(broadcast(o1), Seq("prev1"))
-      .select(col("prev2"), col("prev1"), col("n_transitions"),
-        col("acc1_bp"), col("acc2_bp"),
-        (col("acc2_bp") - col("acc1_bp")).as("gain_bp"))
-      .orderBy("prev2", "prev1")
-  }
+  /** `q_events_markov_gain` over the feed — the batch join
+    * ([[Events.markovGainFrom]]) over the two feed rollups. */
+  def markovGainOf(feed: DataFrame): DataFrame =
+    Events.markovGainFrom(markovOf(feed), markov2Of(feed))
 
   /** `q_events_pagerank` over the feed — the NULL-INCLUSIVE pair
     * aggregate the batch key's lag pass produces is exactly the feed
@@ -155,25 +127,11 @@ object TransitionStream {
 
   /** `q_events_dwell` over the feed — the batch percentile tail over
     * (prev, curr, gap_ms) triples derived from the carried gap. */
-  def dwellOf(feed: DataFrame): DataFrame = {
-    val dist = feed.filter(col("prevType").isNotNull)
+  def dwellOf(feed: DataFrame): DataFrame =
+    Events.dwellFromDist(feed.filter(col("prevType").isNotNull)
       .select(col("prevType").as("prev_type"),
         col("eventType").as("dst"),
         expr(s"gapNs div ${Events.DwellMsNs}L").as("gap_ms"))
       .groupBy("prev_type", "dst", "gap_ms")
-      .agg(count(lit(1)).as("c"))
-    val totals = dist.groupBy("prev_type", "dst").agg(sum(col("c")).as("tot"))
-    val cw = org.apache.spark.sql.expressions.Window
-      .partitionBy("prev_type", "dst").orderBy("gap_ms")
-    dist
-      .withColumn("cum", sum(col("c")).over(cw))
-      .join(broadcast(totals), Seq("prev_type", "dst"))
-      .groupBy(col("prev_type"), col("dst").as("event_type"))
-      .agg(max(col("tot")).as("n"),
-        min(when(expr("cum >= (tot - 1) div 2 + 1"), col("gap_ms")))
-          .as("p50_gap_ms"),
-        min(when(expr("cum >= (tot - 1) * 9 div 10 + 1"), col("gap_ms")))
-          .as("p90_gap_ms"))
-      .orderBy("prev_type", "event_type")
-  }
+      .agg(count(lit(1)).as("c")))
 }

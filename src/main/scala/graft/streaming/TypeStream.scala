@@ -36,8 +36,13 @@ object TypeStream {
     for (t <- evs.map(_.eventType).toVector.sorted) {
       if (!seen.contains(t)) { out += UserType(userId, t); seen += t }
     }
-    state.update(Seen(seen.toSeq.sorted))
-    out.result().iterator
+    val emitted = out.result()
+    // Write state only when the set GREW: in steady state (the type
+    // alphabet saturates fast) every micro-batch would otherwise pay a
+    // state-store put of the re-encoded string sequence per active
+    // user for zero information change.
+    if (emitted.nonEmpty) state.update(Seen(seen.toSeq.sorted))
+    emitted.iterator
   }
 
   /** events (streaming Dataset) → first-occurrence (user, type) rows. */
