@@ -787,13 +787,22 @@ object Curation {
   }
 
   /** Order-independent content digest of an [[ImportanceModel]] — one
-    * linear pass, no sort (the maps can hold 10⁷ entries): entry-hash
-    * SUMS are commutative, so equal content digests equal regardless
-    * of map iteration order. */
+    * linear pass, no sort (the maps can hold 10⁷ entries): per-entry
+    * hashes are SUMMED, so equal content digests equal regardless of
+    * map iteration order. Each entry's key and value mix JOINTLY and
+    * non-linearly (two murmur passes over the length-prefixed "k:v"
+    * string form a 64-bit entry hash) — a digest that were linear in v
+    * (the round-16 `31·Σhash + Σv` form) collides any two models whose
+    * counts are merely redistributed over the same vocabulary, and the
+    * broadcast cache would silently serve the stale model. */
   private def modelDigest(m: ImportanceModel): String = {
     def fold(x: Map[String, Long]): Long =
       x.iterator.foldLeft(0L) { case (a, (k, v)) =>
-        a + k.hashCode.toLong * 31L + v }
+        val e = s"${k.length}:$k:$v"
+        a + ((scala.util.hashing.MurmurHash3.stringHash(e, 0x9747b28c).toLong << 32)
+          | (scala.util.hashing.MurmurHash3.stringHash(e, 0x85ebca6b).toLong
+            & 0xffffffffL))
+      }
     s"${m.cfT.size}:${fold(m.cfT)}:${m.cfR.size}:${fold(m.cfR)}:${m.nR}:${m.nT}"
   }
 
@@ -887,9 +896,22 @@ object Curation {
       val a = v.toArray
       (a, a.foldLeft(0L)((s, x) => s + x * x))
     }.toArray
+    // Cache key: md5 over the SORTED per-vector md5s — order-independent
+    // (an eval set is a set) but collision-resistant, unlike a
+    // commutative sum of per-vector hashes (the modelDigest lesson: two
+    // different vector sets with equal hash sums would silently reuse
+    // the wrong prepared broadcast). Eval sets are gate-sized, so the
+    // per-vector md5 pass is trivial.
     val bc = cachedGateBroadcast(stream.sparkSession,
-      "sem:" + evalVecs.size + ":" + evalVecs.iterator.map(v =>
-        v.foldLeft(1L)((a, x) => a * 31L + x)).sum)(prepared)
+      "sem:" + {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        evalVecs.map { v =>
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(v.mkString(",").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        }.sorted.foreach(h => md.update(h.getBytes("UTF-8")))
+        md.digest().map("%02x".format(_)).mkString
+      })(prepared)
     val n2 = Dedup.SemTauNum * Dedup.SemTauNum
     val d2 = Dedup.SemTauDen * Dedup.SemTauDen
     val near = udf((v: Seq[Long]) =>

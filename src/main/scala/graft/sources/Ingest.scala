@@ -94,40 +94,49 @@ object Ingest {
       .csv(path)
 
   private val staged = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), String]()
+    String, String]()
 
-  /** Stage corpus ∪ plants to `fmt` once per (session, dir, fmt);
-    * returns the staged path. Stopped sessions evicted (the cache
-    * discipline); the write itself is the linear pass the key bills.
+  /** ONE per-process staging ROOT, swept by a SINGLE shutdown hook —
+    * per-process staging is garbage the moment the JVM exits; one hook
+    * over the root replaces the round-16 hook-per-entry pattern (which
+    * registered an unbounded number of hooks on a long-lived host). */
+  private lazy val stagingRoot: java.io.File = {
+    val pid = java.lang.ProcessHandle.current().pid()
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_ingest_p$pid")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(root)
+    }))
+    root
+  }
+
+  /** Stage corpus ∪ plants to `fmt` once per (process, dir, fmt);
+    * returns the staged path. The write itself is the linear pass the
+    * key bills.
     *
     * The on-disk name carries an md5 digest of the dir path (not its
     * 32-bit hashCode — collision between different sf dirs would
-    * silently serve the wrong staged corpus) PLUS a per-process
-    * component: tmpdir is shared, and two concurrent JVMs (bench +
-    * verify) on the same sf dir would otherwise race overwrite-vs-read
-    * on one path (round-15 advice). Matching the in-memory cache's
-    * per-session granularity with a per-process path keeps each JVM's
-    * staging private; the directory dies with the process's tmp
-    * hygiene, not with cross-JVM reuse semantics. */
+    * silently serve the wrong staged corpus) and lives under the
+    * per-process [[stagingRoot]]: tmpdir is shared, and two concurrent
+    * JVMs (bench + verify) on the same sf dir would otherwise race
+    * overwrite-vs-read on one path (round-15 advice). The cache is
+    * PER-PROCESS, matching the path's granularity — the round-16
+    * per-session cache over a per-pid path let a second SparkSession
+    * in the same JVM re-stage `mode(overwrite)` onto the path the
+    * first session's lazily-evaluated readers still referenced
+    * (round-16 advice). Staged bytes are a pure function of (dir,
+    * fmt) within a process, so sharing across sessions is reuse, not
+    * aliasing; entries never evict (the set is bounded by fmt × dir
+    * count and dies with the JVM's shutdown sweep). */
   private def stagePath(s: SparkSession, dir: String, fmt: String,
-                        docs: DataFrame): String = {
-    staged.keySet.removeIf(_._1.sparkContext.isStopped)
-    staged.computeIfAbsent((s, s"$fmt:$dir"), _ => {
+                        docs: DataFrame): String =
+    staged.computeIfAbsent(s"$fmt:$dir", _ => {
       val dig = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-      val pid = java.lang.ProcessHandle.current().pid()
-      val f = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_ingest_${fmt}_${dig}_p$pid")
-      // Per-process staging is garbage the moment the JVM exits —
-      // sweep it on shutdown so long-running hosts don't accumulate
-      // one staged corpus per (format, process).
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
-        }
-        rm(f)
-      }))
+      val f = new java.io.File(stagingRoot, s"${fmt}_$dig")
       val path = f.getAbsolutePath
       val w = docs.coalesce(2).write.mode("overwrite")
       if (fmt == "jsonl") w.json(path)
@@ -137,7 +146,6 @@ object Ingest {
         .csv(path)
       path
     })
-  }
 
   private def corpusWithPlants(s: SparkSession, dir: String,
                                extra: Seq[(Long, String, String)]): DataFrame = {

@@ -43,10 +43,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * GC: resolving a (family, corpus) drops every other fingerprint
   * variant of that family+path — the mutated-corpus leftovers — and
   * any incomplete (no `_SUCCESS`) same-name orphan from a crashed
-  * write. Concurrent same-table writers across JVMs remain unguarded
-  * (the pre-existing writeBucketed posture; the driver runs bench and
-  * verify sequentially) — a reader only ever trusts a `_SUCCESS`-
-  * complete directory.
+  * write. In-flight `_tmp_` staging directories are exempt (they may
+  * belong to a concurrent writer); abandoned ones sweep once they age
+  * past [[TmpOrphanAgeMs]].
+  *
+  * MULTI-WRITER COMMIT (round-17): a builder writes to a session-unique
+  * `<name>_tmp_<uuid>` staging table, then RENAMES the directory onto
+  * the final name — the filesystem's atomic publish (rename fails when
+  * the destination exists), the same tmp+rename discipline the
+  * reference uses for its own state file (telegram-agent.py:120-124).
+  * The rename LOSER deletes its staging bytes and serves the winner's
+  * table; deterministic builders make the two byte-identical, so both
+  * racing writers serve a correct table (WarehouseSpec pins the race).
+  * A final directory therefore either does not exist or is complete —
+  * readers never observe a torn write.
   *
   * CONTRACTS AND SCOPE (round-16 review):
   *
@@ -171,13 +181,20 @@ object Warehouse {
     SparkSession, java.util.concurrent.ConcurrentHashMap[String, Boolean]]()
 
   private def logHit(s: SparkSession, family: String, dir: String,
-                     hit: Boolean): Unit =
+                     hit: Boolean): Unit = {
+    // Stopped-session eviction (the countMaxCache discipline): a
+    // long-lived JVM cycling sessions that resolve tables without ever
+    // draining (any non-Bench caller) must not leak one map per dead
+    // session.
+    hitLog.keySet.removeIf(_.sparkContext.isStopped)
     hitLog.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String, Boolean]())
       // Keyed (family, corpus digest): a window resolving one family
       // for TWO corpora must not overwrite the first label (the
       // whLabel the ledger adjudication reads would misreport).
       .put(s"$family@${dirDigest(dir)}", hit)
+    ()
+  }
 
   /** (family@corpus-digest) → hit entries recorded for `s` since the
     * last call; clears
@@ -194,11 +211,34 @@ object Warehouse {
     }
   }
 
+  /** Builder ALGORITHM version per family — bump an entry when that
+    * family's deterministic builder changes algorithm (Lloyd rounds,
+    * shingle-width derivation, funnel thresholds, …), so a later
+    * process MISSES the pre-upgrade JVM's table and rebuilds instead
+    * of serving an artifact the current code would no longer produce.
+    * The corpus fingerprint alone cannot see a code change; the
+    * reuse == rebuild claim holds only per (corpus, builder version).
+    * Unlisted families are version 1, whose token is the identity (no
+    * name churn for the already-deployed v1 tables). */
+  val BuilderVersion: Map[String, Int] = Map.empty.withDefaultValue(1)
+
   /** The deterministic table name for a (family, corpus path, corpus
     * fingerprint) triple — callers that memoize the resolved frame can
-    * recompute the name without re-resolving. */
+    * recompute the name without re-resolving. The name folds in the
+    * family's [[BuilderVersion]]: a version bump changes the name, so
+    * the stale-variant GC sweeps the pre-upgrade table exactly as it
+    * sweeps a mutated corpus's. */
   def tableName(family: String, dir: String, fp: String): String =
-    s"graft_${family}_${dirDigest(dir)}_$fp"
+    tableNameAt(family, dir, fp, BuilderVersion(family))
+
+  /** [[tableName]] at an explicit builder version — the spec hook (the
+    * live map is a constant; the naming rule must be testable at
+    * versions it doesn't hold yet). */
+  private[sources] def tableNameAt(family: String, dir: String, fp: String,
+                                   ver: Int): String = {
+    val tok = if (ver == 1) fp else md5Hex(s"v$ver:$fp").take(12)
+    s"graft_${family}_${dirDigest(dir)}_$tok"
+  }
 
   /** Resolve-or-build the table `graft_<family>_<dirDigest>_<fp>`:
     * returns (table name, warehouse hit). On a hit the table is served
@@ -225,29 +265,66 @@ object Warehouse {
     val prefix = s"graft_${family}_${dirDigest(dir)}_"
     if (fs.exists(whRoot)) fs.listStatus(whRoot).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith(prefix) && n != name && !s.catalog.tableExists(n)) {
+      // `_tmp_` staging dirs are NOT stale variants — one may be a
+      // concurrent writer's in-flight build (deleting it mid-write
+      // would tear that writer); only ABANDONED staging (a crashed
+      // writer's leftover, recognizable by age) sweeps.
+      if (n.startsWith(prefix) && n != name && !n.contains("_tmp_")
+          && !s.catalog.tableExists(n)) {
+        if (fs.exists(st.getPath)) { fs.delete(st.getPath, true); () }
+      } else if (n.startsWith(prefix) && n.contains("_tmp_")
+          && !s.catalog.tableExists(n)
+          && System.currentTimeMillis() - st.getModificationTime
+               > TmpOrphanAgeMs) {
         if (fs.exists(st.getPath)) { fs.delete(st.getPath, true); () }
       }
     }
     val loc = new org.apache.hadoop.fs.Path(whRoot, name)
     val complete =
       fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
+    // Register EXTERNAL at the final location with the writer's bucket
+    // spec, so plan-time bucket pruning works exactly as on the writing
+    // JVM (AnnIndexSpec pins SelectedBucketsCount through this path).
+    // IF NOT EXISTS: under a same-session writer race both finishers
+    // register; the second is a no-op, not a failure.
+    def register(): Unit = {
+      val schemaDdl = s.read.parquet(loc.toString).schema.toDDL
+      val bucketDdl = bucket.map { case (c, n) =>
+        s" CLUSTERED BY ($c) SORTED BY ($c) INTO $n BUCKETS" }.getOrElse("")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $name ($schemaDdl)" +
+        s" USING PARQUET$bucketDdl LOCATION '${loc.toString}'")
+      ()
+    }
     def rebuild(): (String, Boolean) = {
       // Miss: clear a registered-but-incomplete entry and any orphaned
-      // partial directory from a crashed write, then build fresh.
+      // or corrupt directory, then build to a session-unique staging
+      // table and PUBLISH by atomic rename (header: MULTI-WRITER
+      // COMMIT). The final name never holds a torn write.
       s.sql(s"DROP TABLE IF EXISTS $name")
       if (fs.exists(loc)) { fs.delete(loc, true); () }
-      build(name)
+      val tmpName = name + "_tmp_" +
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      build(tmpName)
+      val tmpLoc = new org.apache.hadoop.fs.Path(whRoot, tmpName)
+      val won =
+        try fs.rename(tmpLoc, loc)
+        catch { case _: java.io.IOException => false }
+      // The staging CATALOG entry is transient either way. DROP of the
+      // managed tmp table also deletes its directory — exactly the
+      // loser's cleanup (the winner's directory already moved, so its
+      // drop touches only the catalog).
+      s.sql(s"DROP TABLE IF EXISTS $tmpName")
+      if (fs.exists(tmpLoc)) { fs.delete(tmpLoc, true); () }
+      // Rename loser: a concurrent writer published the same
+      // deterministic table first — serve theirs (reuse == rebuild).
+      register()
       logHit(s, family, dir, hit = false); (name, false)
     }
     if (complete && s.catalog.tableExists(name)) {
       logHit(s, family, dir, hit = true); (name, true)
     } else if (complete) {
       // A prior JVM's complete write: the files are the table, only
-      // the in-memory catalog entry is missing. Register EXTERNAL at
-      // the existing location with the writer's bucket spec, so
-      // plan-time bucket pruning works exactly as on the writing JVM
-      // (AnnIndexSpec pins SelectedBucketsCount through this path).
+      // the in-memory catalog entry is missing — register back.
       // A directory that carries _SUCCESS but will not read (torn
       // files, a foreign schema under a colliding name) REBUILDS
       // instead of failing the caller: the marker promises a complete
@@ -255,13 +332,14 @@ object Warehouse {
       // can always re-produce the bytes (WarehouseSpec pins the
       // corrupt-directory case).
       try {
-        val schemaDdl = s.read.parquet(loc.toString).schema.toDDL
-        val bucketDdl = bucket.map { case (c, n) =>
-          s" CLUSTERED BY ($c) SORTED BY ($c) INTO $n BUCKETS" }.getOrElse("")
-        s.sql(s"CREATE TABLE $name ($schemaDdl) USING PARQUET$bucketDdl" +
-          s" LOCATION '${loc.toString}'")
+        register()
         logHit(s, family, dir, hit = true); (name, true)
       } catch { case _: Exception => rebuild() }
     } else rebuild()
   }
+
+  /** Age past which an unregistered `_tmp_` staging directory is
+    * presumed a crashed writer's leftover and swept by the variant GC.
+    * Generous: no legitimate single-table build runs this long. */
+  val TmpOrphanAgeMs: Long = 6 * 3600 * 1000L
 }

@@ -180,6 +180,68 @@ class WarehouseSpec extends SparkSpec {
       "an unregistered (prior-JVM) stale variant must be GC'd")
   }
 
+  test("servedTable: two racing writers both serve a correct table (atomic tmp+rename commit)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("whrace").toString
+    val fp = Warehouse.fpToken(4L, 3L)
+    val rows = Seq((0L, 5L), (1L, 6L), (2L, 7L), (3L, 8L))
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    // Two writers race the SAME (family, fp) through servedTable
+    // directly (the Artifacts layer would serialize them — production
+    // racers are two JVMs, which share neither that cache nor the
+    // catalog; the shared-catalog thread race is the harsher variant).
+    // The barrier holds both at the resolution start so neither can
+    // win by merely starting first.
+    def write(): (String, Boolean) = {
+      gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      Warehouse.servedTable(
+        spark, "whracef", dir, fp, bucket = Some(("k", 4))) { name =>
+        builds.incrementAndGet()
+        Sinks.writeBucketed(rows.toDF("k", "v"), name, "k", 4)
+      }
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[(String, Boolean)] {
+        def call() = write() })
+      val fb = pool.submit(new java.util.concurrent.Callable[(String, Boolean)] {
+        def call() = write() })
+      val (na, _) = fa.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      val (nb, _) = fb.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      assert(na == nb, "both racers must resolve the same deterministic name")
+      // Both callers serve a CORRECT table — the commit protocol's bar.
+      assert(spark.table(na).orderBy("k").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSeq == rows)
+      // The final directory is complete and no staging leftovers remain
+      // (each racer cleans its own tmp, win or lose).
+      val whRoot = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = whRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(whRoot, na), "_SUCCESS")))
+      val tmps = fs.listStatus(whRoot).map(_.getPath.getName)
+        .filter(n => n.startsWith(na) && n.contains("_tmp_"))
+      assert(tmps.isEmpty, s"staging leftovers: ${tmps.mkString(",")}")
+    } finally pool.shutdownNow()
+  }
+
+  test("tableName folds the builder version: v1 is the identity, a bump misses and stays GC-able") {
+    val dir = sfDir
+    val fp = Warehouse.fpToken(7L, 6L)
+    // v1 token == the bare fingerprint: no name churn for deployed
+    // v1 tables (every current family).
+    assert(Warehouse.tableNameAt("vfam", dir, fp, 1) ==
+      Warehouse.tableName("vfam", dir, fp))
+    val v2 = Warehouse.tableNameAt("vfam", dir, fp, 2)
+    assert(v2 != Warehouse.tableName("vfam", dir, fp),
+      "a builder-version bump must change the name (pre-upgrade artifact misses)")
+    // …while keeping the family+path prefix, so the stale-variant GC
+    // sweeps the pre-upgrade table like any mutated-corpus leftover.
+    val prefix = s"graft_vfam_${Warehouse.dirDigest(dir)}_"
+    assert(v2.startsWith(prefix))
+  }
+
   test("funnel fingerprint covers BOTH inputs: an embeddings-only mutation misses") {
     // Stage 6 (fn_semdrops) derives from EMBEDDINGS while the other
     // stages read documents — a docs-only stamp would serve a stale
