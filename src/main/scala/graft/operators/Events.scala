@@ -10,13 +10,14 @@ import graft.Tables
   * rollups generalized to user-journey shape): the ordered conversion
   * FUNNEL and weekly cohort RETENTION.
   *
-  * Scale posture: both are user-keyed aggregations — per-user state is
-  * bounded by that user's event count, partial-aggregated map-side;
-  * nothing here is a global window or an all-pairs step. The funnel
-  * folds each user's ORDERED event-type sequence (array_sort of
-  * (ts_ns, event_id, type) structs — deterministic total order) into
-  * a reach depth with first-match-position arithmetic; retention is
-  * two user-keyed aggregates and one co-partitioned join.
+  * Scale posture: both are user-keyed aggregations; nothing here is a
+  * global window or an all-pairs step. The funnel folds each user's
+  * time-ordered events ((ts_ns, event_id, event_type) — deterministic
+  * total order, delivered by a spillable secondary sort) through the
+  * 12-byte [[Events.funnelStep]] state machine — per-user memory is
+  * O(1), so a 10⁷-event bot account costs sort spill, not an executor
+  * aggregation buffer; retention is two user-keyed aggregates and one
+  * co-partitioned join.
   */
 object Events {
   type Q = (SparkSession, String) => DataFrame
@@ -27,33 +28,60 @@ object Events {
     * semantics (re-orderings do not count; repeats are fine). */
   val FunnelSteps: Seq[String] = Seq("view", "click", "signup", "purchase")
 
-  /** Per-user funnel depth (0..4): each step's match position is
-    * materialized in its OWN projection layer (the SPARK-36718
-    * CollapseProject discipline — array_position over a slice is
-    * non-cheap and multiply-referenced, so naming it guarantees a
-    * single evaluation). */
-  def funnelDepth(events: DataFrame): DataFrame = {
-    val sq = events
-      .groupBy("user_id")
-      .agg(expr(
-        """transform(array_sort(collect_list(struct(ts_ns, event_id, event_type))),
-                     x -> x.event_type)""").as("sq"))
-      .withColumn("p1", expr(s"array_position(sq, '${FunnelSteps.head}')"))
-    val stepped = FunnelSteps.zipWithIndex.drop(1).foldLeft(sq) {
-      case (df, (step, i)) =>
-        val k = i + 1 // this stage's 1-based index (2..4)
-        df.withColumn(s"r$k", expr(
-            s"""CASE WHEN p${k - 1} > 0
-                  THEN array_position(
-                         slice(sq, CAST(p${k - 1} + 1 AS INT), size(sq)),
-                         '$step')
-                  ELSE 0L END"""))
-          .withColumn(s"p$k", expr(
-            s"CASE WHEN p${k - 1} > 0 AND r$k > 0 THEN p${k - 1} + r$k ELSE 0L END"))
-    }
-    stepped.select(col("user_id"), expr(
-      """CASE WHEN p4 > 0 THEN 4 WHEN p3 > 0 THEN 3
-              WHEN p2 > 0 THEN 2 WHEN p1 > 0 THEN 1 ELSE 0 END""").as("depth"))
+  /** ONE greedy funnel step — THE definition the batch fold
+    * ([[funnelDepthFold]]) and the streaming machine
+    * (streaming/FunnelStream.advance) both consume, so the two can
+    * never drift: at depth d with window anchor `lastTsNs`, an event
+    * advances the funnel iff it is the NEXT step's type, does not
+    * predate the anchor (the late-arrival guard — a no-op under sorted
+    * delivery), and lands inside the conversion window (stage 1 is
+    * unanchored; `Long.MaxValue` is the unwindowed funnel — the gap is
+    * non-negative under the anchor guard, so the check degenerates to
+    * true). Greedy first-match is EXACT against the declarative
+    * definition because ts is monotone in fold order: the first
+    * candidate for stage k is also the earliest, and if IT fails the
+    * window every later one does too. */
+  def funnelStep(depth: Int, lastTsNs: Long, eventType: String,
+                 tsNs: Long, windowNs: Long): Boolean =
+    depth < FunnelSteps.length && eventType == FunnelSteps(depth) &&
+      tsNs >= lastTsNs && (depth == 0 || tsNs - lastTsNs <= windowNs)
+
+  /** Per-user funnel depth (0..4) by the [[funnelStep]] fold over the
+    * user's time-ordered events — `flatMapSortedGroups` delivers each
+    * group's rows in (ts_ns, event_id, event_type) order via a
+    * SPILLABLE partition sort under the user_id exchange, and the fold
+    * carries 12 bytes of state (depth + window anchor), NEVER a
+    * per-user array. The round-16 form (`collect_list` + `array_sort`
+    * + position arithmetic) materialized one aggregation-buffer struct
+    * per event per user: bounded for humans, but a single bot/service
+    * account with 10⁷ events put a 10⁷-struct buffer on one executor
+    * at 100 TB. The fold is the batch twin of the streaming machine's
+    * 12-byte state (stream == batch pinned in StreamingSpec; skewed
+    * single-user fixture in PipelineSpec). */
+  def funnelDepth(events: DataFrame): DataFrame =
+    funnelDepthFold(events, Long.MaxValue)
+
+  private def funnelDepthFold(events: DataFrame,
+                              windowNs: Long): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id").cast("bigint"), col("ts_ns").cast("bigint"),
+        col("event_id").cast("bigint"), col("event_type").cast("string"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("ts_ns"), col("event_id"),
+        col("event_type")) { (uid: Long, it: Iterator[(Long, Long, Long, String)]) =>
+        var depth = 0
+        var lastTs = 0L
+        it.foreach { case (_, ts, _, tpe) =>
+          if (funnelStep(depth, lastTs, tpe, ts, windowNs)) {
+            depth += 1; lastTs = ts
+          }
+        }
+        Iterator.single((uid, depth))
+      }
+      .toDF("user_id", "depth")
   }
 
   /** The funnel report: per stage, users reached + conversion from
@@ -83,52 +111,19 @@ object Events {
     * completes), which is itself correct but signal-free. */
   val FunnelWindowNs = 86400000000000L
 
-  /** Windowed funnel depth — first-touch anchored: the match positions
-    * are the SAME first-match-after-previous positions as
-    * [[funnelDepth]] (ts is monotone in sequence position, so the
-    * first candidate after stage k−1 is also the EARLIEST — if it
-    * falls outside the window, every later one does too, making the
-    * greedy match exact, not a heuristic). Stage k converts iff its
-    * matched event lands within `windowNs` of stage k−1's. A later
+  /** Windowed funnel depth — first-touch anchored: the SAME
+    * [[funnelStep]] fold as [[funnelDepth]] with a finite window.
+    * Stage k converts iff its greedy first-match lands within
+    * `windowNs` of stage k−1's matched event (ts is monotone in fold
+    * order, so a first candidate failing the window proves every later
+    * one does — greedy is exact, not a heuristic). A later
     * re-occurrence of stage 1 does NOT re-anchor (single-anchor
     * semantics, documented; re-anchoring funnels are a different
-    * operator). */
+    * operator — the fold never matches a step type at or below the
+    * current depth). */
   def funnelDepthWindowed(events: DataFrame,
-                          windowNs: Long = FunnelWindowNs): DataFrame = {
-    val sq = events
-      .groupBy("user_id")
-      .agg(expr(
-        """array_sort(collect_list(struct(ts_ns, event_id, event_type)))""")
-        .as("ev"))
-      .select(col("user_id"),
-        expr("transform(ev, x -> x.event_type)").as("sq"),
-        expr("transform(ev, x -> x.ts_ns)").as("tq"))
-      .withColumn("p1", expr(s"array_position(sq, '${FunnelSteps.head}')"))
-    val stepped = FunnelSteps.zipWithIndex.drop(1).foldLeft(sq) {
-      case (df, (step, i)) =>
-        val k = i + 1
-        df.withColumn(s"r$k", expr(
-            s"""CASE WHEN p${k - 1} > 0
-                  THEN array_position(
-                         slice(sq, CAST(p${k - 1} + 1 AS INT), size(sq)),
-                         '$step')
-                  ELSE 0L END"""))
-          .withColumn(s"p$k", expr(
-            s"CASE WHEN p${k - 1} > 0 AND r$k > 0 THEN p${k - 1} + r$k ELSE 0L END"))
-    }
-    // wK chains: every stage so far matched AND inside its window.
-    val timed = stepped
-      .withColumn("w1", expr("p1 > 0"))
-      .withColumn("w2", expr(
-        s"w1 AND p2 > 0 AND element_at(tq, CAST(p2 AS INT)) - element_at(tq, CAST(p1 AS INT)) <= ${windowNs}L"))
-      .withColumn("w3", expr(
-        s"w2 AND p3 > 0 AND element_at(tq, CAST(p3 AS INT)) - element_at(tq, CAST(p2 AS INT)) <= ${windowNs}L"))
-      .withColumn("w4", expr(
-        s"w3 AND p4 > 0 AND element_at(tq, CAST(p4 AS INT)) - element_at(tq, CAST(p3 AS INT)) <= ${windowNs}L"))
-    timed.select(col("user_id"), expr(
-      "CASE WHEN w4 THEN 4 WHEN w3 THEN 3 WHEN w2 THEN 2 WHEN w1 THEN 1 ELSE 0 END")
-      .as("depth"))
-  }
+                          windowNs: Long = FunnelWindowNs): DataFrame =
+    funnelDepthFold(events, windowNs)
 
   /** The windowed funnel report — same shape as [[eventsFunnel]]. */
   def eventsFunnelWindowed(events: DataFrame,

@@ -38,19 +38,19 @@ object FunnelStream {
 
   def advance(windowNs: Long)(userId: Long, evs: Iterator[Ev],
       state: GroupState[FState]): Iterator[DepthAdvance] = {
-    val steps = Events.FunnelSteps
     var st = state.getOption.getOrElse(FState(0, 0L))
     val out = Vector.newBuilder[DepthAdvance]
     for (e <- evs.toSeq.sortBy(e => (e.tsNs, e.eventId))) {
-      // e.tsNs >= st.lastTsNs: a no-op under the documented per-user
-      // event-time ordering contract, but without it a late event
-      // arriving ACROSS micro-batches with ts before the last matched
-      // stage would yield a negative gap that passes the window check
-      // and silently diverges from the batch funnel. Late events are
-      // ignored (never advance the funnel) instead of absorbed.
-      if (st.depth < steps.length && e.eventType == steps(st.depth) &&
-          e.tsNs >= st.lastTsNs &&
-          (st.depth == 0 || e.tsNs - st.lastTsNs <= windowNs)) {
+      // Events.funnelStep is THE shared machine (the batch keys fold
+      // the same function under a secondary sort — one definition, so
+      // stream and batch cannot drift). Its ts >= lastTs guard is a
+      // no-op under the documented per-user event-time ordering
+      // contract, but without it a late event arriving ACROSS
+      // micro-batches with ts before the last matched stage would
+      // yield a negative gap that passes the window check and silently
+      // diverges. Late events are ignored, not absorbed.
+      if (Events.funnelStep(st.depth, st.lastTsNs, e.eventType, e.tsNs,
+          windowNs)) {
         st = FState(st.depth + 1, e.tsNs)
         out += DepthAdvance(userId, st.depth, e.tsNs)
       }

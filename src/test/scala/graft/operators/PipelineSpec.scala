@@ -2844,6 +2844,31 @@ class PipelineSpec extends SparkSpec {
     assert(d == Map(1L -> 2, 2L -> 1, 3L -> 1, 4L -> 4), s"$d")
   }
 
+  test("funnel: a skewed 1e5-event user folds in O(1) state, exact depths") {
+    import spark.implicits._
+    // The 100 TB skew case in miniature: one bot account with 10⁵
+    // events (cycling the four stage types, interleaved with noise)
+    // next to two ordinary users. The fold must stay exact — and its
+    // plan carries no per-user aggregation array (PlanShapeSpec pins
+    // the shape; this case pins the behavior at skew).
+    val types = Seq("view", "click", "signup", "purchase", "error")
+    val bot = (0 until 100000).map(i =>
+      (i.toLong, 99L, i.toLong * 1000L, types(i % types.size)))
+    val humans = Seq(
+      (200000L, 1L, 10L, "view"), (200001L, 1L, 20L, "click"),
+      (200002L, 2L, 10L, "purchase"))
+    val fx = (bot ++ humans)
+      .toDF("event_id", "user_id", "ts_ns", "event_type")
+      .repartition(8)
+    val d = Events.funnelDepth(fx)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(99L -> 4, 1L -> 2, 2L -> 0), s"$d")
+    // Windowed: the bot's stage gaps are 1 µs — all inside the window.
+    val dw = Events.funnelDepthWindowed(fx)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dw == Map(99L -> 4, 1L -> 2, 2L -> 0), s"$dw")
+  }
+
   test("sessionization: gap boundary inclusive, bucket cap folds, durations exact") {
     import spark.implicits._
     val G = Events.SessionGapNs

@@ -384,6 +384,22 @@ class PlanShapeSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("q_events_funnel: the depth fold plans NO per-user array buffer (no collect_list)") {
+    // The funnel folds 12 bytes of state per user under a spillable
+    // secondary sort — a collect_list aggregation buffer would put one
+    // struct per event per user on an executor (a 10⁷-event bot at
+    // 100 TB is a 10⁷-struct buffer; sort spill is the bounded form).
+    for (k <- Seq("q_events_funnel", "q_events_funnel_windowed")) {
+      val p = plan(k)
+      assert(!p.contains("collect_list"),
+        s"$k buffers per-user arrays:\n" +
+          p.linesIterator.take(30).mkString("\n"))
+      assert(p.contains("MapGroups"),
+        s"$k lost the fold operator:\n" +
+          p.linesIterator.take(30).mkString("\n"))
+    }
+  }
+
   test("q_events_bots: one user-keyed exchange carries window and BOTH aggregates") {
     // Same discipline as q_events_sessions, one level deeper: the lag
     // window's hashpartitioning(user_id) must satisfy the (user, day)
