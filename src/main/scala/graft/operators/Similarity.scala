@@ -1463,24 +1463,45 @@ object Similarity {
         round(col("hit_t").cast("double") / col("n_true").cast("double"), 4)
           .as("recall_trained"))
 
-  /** ONE policy decision per (session, dir) for the EMBEDDING IVF
+  /** THE SHARED BRUTE TRUTH of the embedding audit family (64 probes,
+    * k = 5), built once per CORPUS STATE — not per session, not per
+    * audit: the frame persists through the warehouse keyed on the
+    * embeddings fingerprint, so a warm process registers + reads
+    * probes×k rows where a cold one pays the one exact corpus pass
+    * every recall audit and policy ranks against. At 100 TB the brute
+    * pass is the most expensive compute in the ANN family — exactly
+    * the artifact a production deployment computes once per index
+    * generation and ships to every evaluation job (the round-16
+    * verdict's top ask). Deterministic (quantized dots, fixed tie
+    * rule) ⟹ reuse == rebuild bit for bit. */
+  private def knnBruteTruth(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Artifacts.cached(s, s"knn-brute-truth:$dir")(
+      graft.sources.Warehouse.servedFrame(
+        s, "knn_truth", dir, graft.sources.Warehouse.embFp(s, dir))(
+        brute(s, dir, 64, 5)).localCheckpoint(true))
+
+  /** ONE policy decision per CORPUS STATE for the EMBEDDING IVF
     * family — the audit convention's 64 probes, k = 5: brute truth vs
     * the first-K quantizer (`q_knn_ivf_recall`'s approx) vs the
-    * trained-lifecycle serve. The trained side reads the persisted
-    * bucketed index (cached artifacts), so the policy costs the audit,
-    * not a rebuild. */
+    * trained-lifecycle serve. The decision row persists through the
+    * warehouse (keyed embFp): dependencies resolve INSIDE the miss
+    * callback — servedFrame's by-name contract — so a warm process
+    * reads one row and never touches the chains (a hoisted
+    * ivfTrainedServe would eagerly collect its probe-cell list even
+    * on a hit). */
   private def knnIvfPolicyQuery(s: SparkSession, dir: String): DataFrame = {
-    // All inputs build OUTSIDE the cached block (ivfTrainedServe
-    // resolves the cached trained artifacts — nested Artifacts.cached
-    // builds trip ConcurrentHashMap's recursive-update guard).
-    val n = Tables.embeddings(s, dir).count()
-    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
-    val truth = brute(s, dir, 64, 5).select("probe_id", "cand_id")
-    val firstK = ivfTopK(s, dir, kk, 64, 5).select("probe_id", "cand_id")
-    val trained = ivfTrainedServe(s, dir, 64, 5)
-      .select("probe_id", "cand_id")
+    val fp = graft.sources.Warehouse.embFp(s, dir)
     graft.operators.Artifacts.cached(s, s"knn-ivf-policy:$dir")(
-      quantizerPolicy(truth, firstK, trained).localCheckpoint(true))
+      graft.sources.Warehouse.servedFrame(s, "knn_policy", dir, fp) {
+        val n = graft.sources.Warehouse.countMax(
+          s, s"emb:$dir", Tables.embeddings(s, dir), "vec_id")._1
+        val kk = math.ceil(math.sqrt(n.toDouble)).toInt
+        val truth = knnBruteTruth(s, dir).select("probe_id", "cand_id")
+        val firstK = ivfTopK(s, dir, kk, 64, 5).select("probe_id", "cand_id")
+        val trained = ivfTrainedServe(s, dir, 64, 5)
+          .select("probe_id", "cand_id")
+        quantizerPolicy(truth, firstK, trained)
+      }.localCheckpoint(true))
   }
 
   /** The embedding policy's selection, as the serving switch reads
@@ -1543,29 +1564,36 @@ object Similarity {
         (col("bytes_per_vec") === col("sel_bytes")).as("selected"))
   }
 
-  /** The embedding family's tier audit rows, cached per (session, dir)
-    * — the three 64-probe chains run once; the decision re-derives from
-    * the 3-row checkpoint. */
+  /** The embedding family's tier audit rows, built once per CORPUS
+    * STATE (warehouse family `knn_tier_rows`, keyed embFp): the three
+    * 64-probe chains and the shared persisted truth run only inside
+    * the miss callback; a warm process registers + reads 3 rows. The
+    * decision re-derives from them per call (cheap). */
   private def knnTierRows(s: SparkSession, dir: String): DataFrame = {
-    val n = Tables.embeddings(s, dir).count()
-    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
-    val truth = brute(s, dir, 64, 5).select("probe_id", "cand_id")
-    val tiers = Seq(
-      ("ivf_flat", 512L, ivfTopK(s, dir, kk, 64, 5)
-        .select("probe_id", "cand_id")),
-      ("pq", 8L, pqTopK(e, derivePqCodes(n), 64, 5)
-        .select("probe_id", "cand_id")),
-      ("ivfpq_res", 12L, ivfPqResidualTopK(e, kk, derivePqCodes(n), 64, 5)
-        .select("probe_id", "cand_id")))
+    val fp = graft.sources.Warehouse.embFp(s, dir)
     graft.operators.Artifacts.cached(s, s"knn-tier-policy:$dir")(
-      tiers.map { case (name, bytes, apx) =>
-        truth.join(broadcast(apx.select(col("probe_id"), col("cand_id"),
-            lit(1).as("hit"))), Seq("probe_id", "cand_id"), "left")
-          .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
-          .select(lit(name).as("tier"), lit(bytes).as("bytes_per_vec"),
-            col("n_true"), col("n_hit"))
-      }.reduce(_ unionByName _).localCheckpoint(true))
+      graft.sources.Warehouse.servedFrame(s, "knn_tier_rows", dir, fp) {
+        val n = graft.sources.Warehouse.countMax(
+          s, s"emb:$dir", Tables.embeddings(s, dir), "vec_id")._1
+        val kk = math.ceil(math.sqrt(n.toDouble)).toInt
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), expr(quant).as("v"))
+        val truth = knnBruteTruth(s, dir).select("probe_id", "cand_id")
+        Seq(
+          ("ivf_flat", 512L, ivfTopK(s, dir, kk, 64, 5)
+            .select("probe_id", "cand_id")),
+          ("pq", 8L, pqTopK(e, derivePqCodes(n), 64, 5)
+            .select("probe_id", "cand_id")),
+          ("ivfpq_res", 12L, ivfPqResidualTopK(e, kk, derivePqCodes(n), 64, 5)
+            .select("probe_id", "cand_id")))
+          .map { case (name, bytes, apx) =>
+            truth.join(broadcast(apx.select(col("probe_id"), col("cand_id"),
+                lit(1).as("hit"))), Seq("probe_id", "cand_id"), "left")
+              .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
+              .select(lit(name).as("tier"), lit(bytes).as("bytes_per_vec"),
+                col("n_true"), col("n_hit"))
+          }.reduce(_ unionByName _)
+      }.localCheckpoint(true))
   }
 
   /** Bench artifact hook: materialize the tier-policy audit rows (the
@@ -1634,23 +1662,27 @@ object Similarity {
         (col("tier") === col("sel_tier")).as("selected"))
   }
 
-  /** The four audit rows behind [[quantDecision]]: the cached
-    * three-tier frame ([[knnTierRows]]) plus the trained-lifecycle row
-    * (its 64-probe serve reads the persisted warehouse index — cached
-    * artifacts, no rebuild). Inputs hoisted outside the cached block
-    * (the Artifacts recursion rule). */
+  /** The four audit rows behind [[quantDecision]]: the persisted
+    * three-tier frame ([[knnTierRows]]) plus the trained-lifecycle
+    * row, itself persisted (warehouse family `knn_quant_row`, keyed
+    * embFp) — a warm process reads 3+1 rows; the trained 64-probe
+    * serve (which eagerly collects its probe-cell list) runs only
+    * inside the miss callback. */
   private def knnQuantRows(s: SparkSession, dir: String): DataFrame = {
     val base = knnTierRows(s, dir)
-    val truth = brute(s, dir, 64, 5).select("probe_id", "cand_id")
-    val trained = ivfTrainedServe(s, dir, 64, 5).select("probe_id", "cand_id")
+    val fp = graft.sources.Warehouse.embFp(s, dir)
     val trainedRow = graft.operators.Artifacts.cached(
       s, s"knn-quant-trained-row:$dir")(
-      truth.join(broadcast(trained.withColumn("hit", lit(1))),
-          Seq("probe_id", "cand_id"), "left")
-        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
-        .select(lit("ivf_trained").as("tier"),
-          lit(512L).as("bytes_per_vec"), col("n_true"), col("n_hit"))
-        .localCheckpoint(true))
+      graft.sources.Warehouse.servedFrame(s, "knn_quant_row", dir, fp) {
+        val truth = knnBruteTruth(s, dir).select("probe_id", "cand_id")
+        val trained = ivfTrainedServe(s, dir, 64, 5)
+          .select("probe_id", "cand_id")
+        truth.join(broadcast(trained.withColumn("hit", lit(1))),
+            Seq("probe_id", "cand_id"), "left")
+          .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
+          .select(lit("ivf_trained").as("tier"),
+            lit(512L).as("bytes_per_vec"), col("n_true"), col("n_hit"))
+      }.localCheckpoint(true))
     base.unionByName(trainedRow)
   }
 

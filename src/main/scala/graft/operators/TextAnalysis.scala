@@ -987,11 +987,17 @@ object TextAnalysis {
       .withColumn("rk", col("rk").cast("int"))
   }
 
-  /** ONE trained merge table per (session, dir) — the Artifacts
-    * pattern; apply reads it instead of re-training. */
+  /** ONE trained merge table per CORPUS STATE — the merge table is
+    * exactly the artifact a tokenizer trains once and ships: it
+    * persists through the warehouse keyed on the documents fingerprint
+    * (round-17), so a warm process registers + reads [[BpeMerges]]
+    * rows where a cold one pays the sequential training rounds.
+    * Deterministic training (spec-pinned) ⟹ reuse == rebuild. */
   private def bpeMergesArtifact(s: SparkSession, dir: String): DataFrame =
     Artifacts.cached(s, s"bpe-merges:$dir")(
-      bpeTrain(Tables.documents(s, dir)).localCheckpoint(true))
+      graft.sources.Warehouse.servedFrame(
+        s, "bpe_merges", dir, graft.sources.Warehouse.docsFp(s, dir))(
+        bpeTrain(Tables.documents(s, dir))).localCheckpoint(true))
 
   /** Train the merge table NOW — Bench's explicit artifact-build row
     * (~5.8 s at sf0.1: ten sequential vocab-sized rounds; a tokenizer

@@ -338,6 +338,22 @@ object Warehouse {
     } else rebuild()
   }
 
+  /** Resolve-or-build an UNBUCKETED warehouse frame — [[servedTable]]
+    * with the plain parquet `saveAsTable` writer, returning the served
+    * table as a DataFrame. `build` is BY-NAME and only forced on a
+    * miss, which is the round-17 point: the policy/audit artifacts
+    * resolve their expensive dependencies (brute-truth frames, trained
+    * serves, corpus sketches) INSIDE the callback, so a warehouse HIT
+    * registers + reads a tiny table and never constructs — let alone
+    * executes — the build chain. */
+  def servedFrame(s: SparkSession, family: String, dir: String, fp: String)
+                 (build: => DataFrame): DataFrame = {
+    val (name, _) = servedTable(s, family, dir, fp, bucket = None) { n =>
+      build.write.mode("overwrite").format("parquet").saveAsTable(n)
+    }
+    s.table(name)
+  }
+
   /** Age past which an unregistered `_tmp_` staging directory is
     * presumed a crashed writer's leftover and swept by the variant GC.
     * Generous: no legitimate single-table build runs this long. */

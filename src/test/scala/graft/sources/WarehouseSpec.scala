@@ -291,6 +291,83 @@ class WarehouseSpec extends SparkSpec {
     assert(hitOf(h3, "fn_emptied").contains(true), s"$h3")
   }
 
+  test("policy-family lifecycle: truth/tier/quant tables persist; a warm resolution reads rows and never re-runs a chain") {
+    // Round-17: the audit/policy artifacts route through the warehouse
+    // keyed on the corpus fingerprint. The hit labels ARE the proof the
+    // chains did not re-run (a hit never invokes the builder), and the
+    // strongest signal is ABSENCE: a warm tier/quant hit never even
+    // RESOLVES the truth family, because the truth is only consulted
+    // inside the miss callbacks.
+    val corpus = java.nio.file.Files.createTempDirectory("whpol").toString
+    graft.Tables.embeddings(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    Warehouse.drainHits(spark)
+    val a = graft.SparkEntry.queries("q_knn_quant_policy")(spark, corpus)
+      .collect().map(_.toSeq).toList
+    val h1 = Warehouse.drainHits(spark)
+    assert(hitOf(h1, "knn_truth").contains(false), s"cold: $h1")
+    assert(hitOf(h1, "knn_tier_rows").contains(false), s"cold: $h1")
+    assert(hitOf(h1, "knn_quant_row").contains(false), s"cold: $h1")
+    // Fresh spelling over unchanged data = the cross-process warm path
+    // (in-session caches key on the raw string).
+    val link = java.nio.file.Files.createTempDirectory("whpoll")
+      .resolve("corpus")
+    java.nio.file.Files.createSymbolicLink(
+      link, java.nio.file.Paths.get(corpus))
+    val b = graft.SparkEntry.queries("q_knn_quant_policy")(spark, link.toString)
+      .collect().map(_.toSeq).toList
+    val h2 = Warehouse.drainHits(spark)
+    assert(hitOf(h2, "knn_tier_rows").contains(true), s"warm: $h2")
+    assert(hitOf(h2, "knn_quant_row").contains(true), s"warm: $h2")
+    assert(hitOf(h2, "knn_truth").isEmpty,
+      s"a warm policy read must not even resolve the truth family: $h2")
+    assert(a == b, "reused policy rows must produce the identical decision")
+  }
+
+  test("phash sketch store: a warm process reads the persisted sketches and never re-decodes the corpus") {
+    // Round-17 (the phash_ivf_trained warm>cold fix at its root): the
+    // decoded (doc_id, phash) frame persists as `phash_sketch`. Warm,
+    // the pair key hits the sketch table; the TRAINED index resolution
+    // hits its own tables and — absence again — never resolves the
+    // sketch store at all.
+    val corpus = java.nio.file.Files.createTempDirectory("whsk").toString
+    graft.Tables.documents(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    Warehouse.drainHits(spark)
+    val a = graft.SparkEntry.queries("q_mm_phash")(spark, corpus)
+      .collect().map(_.toSeq).toList
+    val h1 = Warehouse.drainHits(spark)
+    assert(hitOf(h1, "phash_sketch").contains(false), s"cold: $h1")
+    val link = java.nio.file.Files.createTempDirectory("whskl")
+      .resolve("corpus")
+    java.nio.file.Files.createSymbolicLink(
+      link, java.nio.file.Paths.get(corpus))
+    val b = graft.SparkEntry.queries("q_mm_phash")(spark, link.toString)
+      .collect().map(_.toSeq).toList
+    val h2 = Warehouse.drainHits(spark)
+    assert(hitOf(h2, "phash_sketch").contains(true),
+      s"warm pair build must reuse the sketch store: $h2")
+    assert(a == b, "reused sketches must produce the identical pairs")
+    // Build the trained index cold (first spelling), then resolve it
+    // through yet another spelling: centroids and assignment hit;
+    // neither the sketch store nor the untrained index is resolved
+    // (the warm trained build touches NOTHING upstream).
+    graft.SparkEntry.queries("q_mm_phash_ivf_trained")(spark, corpus)
+      .collect()
+    Warehouse.drainHits(spark)
+    val link2 = java.nio.file.Files.createTempDirectory("whskt")
+      .resolve("corpus")
+    java.nio.file.Files.createSymbolicLink(
+      link2, java.nio.file.Paths.get(corpus))
+    graft.SparkEntry.queries("q_mm_phash_ivf_trained")(spark, link2.toString)
+      .collect()
+    val h3 = Warehouse.drainHits(spark)
+    assert(hitOf(h3, "phash_tr_cents").contains(true), s"trained warm: $h3")
+    assert(hitOf(h3, "phash_ivf_tr").contains(true), s"trained warm: $h3")
+    assert(hitOf(h3, "phash_sketch").isEmpty && hitOf(h3, "phash_ivf").isEmpty,
+      s"a warm trained resolution must not touch upstream families: $h3")
+  }
+
   test("trained-ANN lifecycle: a symlinked dir spelling reuses the table; a mutated corpus rebuilds") {
     import spark.implicits._
     // Private corpus copy so mutation can't touch the shared fixtures.

@@ -759,9 +759,29 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming sessionization: closed sessions equal the batch key across a mid-session split; late guard") {
+    sessionizationScenario(v2 = false)
+  }
+
+  test("streaming sessionization v2 (transformWithState): same closed sessions, batch equality, late guard") {
+    // The arbitrary-state-v2 port (round-17) must be observably
+    // identical to the flatMapGroupsWithState path on the FULL
+    // scenario — both APIs delegate to SessionStream.fold, and this
+    // pin is what keeps that delegation honest. Requires RocksDB.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try sessionizationScenario(v2 = true)
+    finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private def sessionizationScenario(v2: Boolean): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.SessionStream.{Ev, Sess}
+    val tag = if (v2) "_v2" else ""
     val G = graft.operators.Events.SessionGapNs
     // u1: session A (3 events) SPLIT MID-SESSION across the batch
     // boundary, then session B (1 event) after a gap — only A closes.
@@ -775,14 +795,14 @@ class StreamingSpec extends SparkSpec {
       Ev(2L, 50L + G, 7L), Ev(2L, 50L + 2L * G + 1L, 8L),
       Ev(3L, G, 9L)) // u3's late event: before its open session's start
     val in = MemoryStream[Ev]
-    val q = SessionStream.sessionStream(in.toDS())
-      .writeStream.format("memory").queryName("closed_sessions")
+    val q = SessionStream.sessionStream(in.toDS(), v2 = v2)
+      .writeStream.format("memory").queryName("closed_sessions" + tag)
       .outputMode(OutputMode.Append).start()
     try {
       in.addData(batch1: _*); q.processAllAvailable()
       in.addData(batch2: _*); q.processAllAvailable()
     } finally q.stop()
-    val closed = spark.table("closed_sessions").as[Sess].collect()
+    val closed = spark.table("closed_sessions" + tag).as[Sess].collect()
       .map(s => (s.userId, s.nEvents, s.durNs)).sorted.toList
     // u1's session A: 3 events across the split, duration 200 ns; u2's
     // session 1: 2 events G apart (the at-threshold event stayed).
@@ -819,8 +839,8 @@ class StreamingSpec extends SparkSpec {
     // key q_events_sessions over the same (closer-free) events exactly
     // — the session feed is a sufficient statistic for the key.
     val in2 = MemoryStream[Ev]
-    val q2 = SessionStream.sessionStream(in2.toDS())
-      .writeStream.format("memory").queryName("closed_sessions2")
+    val q2 = SessionStream.sessionStream(in2.toDS(), v2 = v2)
+      .writeStream.format("memory").queryName("closed_sessions2" + tag)
       .outputMode(OutputMode.Append).start()
     try {
       in2.addData(batch1: _*); q2.processAllAvailable()
@@ -830,7 +850,7 @@ class StreamingSpec extends SparkSpec {
       q2.processAllAvailable()
     } finally q2.stop()
     val drained = SessionStream.report(
-      spark.table("closed_sessions2"))
+      spark.table("closed_sessions2" + tag))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toList
     val batchKey = graft.operators.Events.eventsSessions(batchable)
