@@ -575,13 +575,22 @@ object Events {
     * Scale shape: the corpus reduces to a (type, day) count frame in
     * one partial-aggregated shuffle; the trailing window runs over
     * that tiny frame, partitioned by type — never over raw events. */
-  def eventsAnomaly(events: DataFrame): DataFrame = {
+  def eventsAnomaly(events: DataFrame): DataFrame =
+    anomalyFromDayCounts(events
+      .select(expr(s"ts_ns div ${DayNs}L").as("day"), col("event_type"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n")))
+
+  /** The k·σ tail over a prebuilt (event_type, day, n) count frame —
+    * split out (round-17) so a DATE-PARTITIONED events layout can feed
+    * it from a partition-pruned read: at lake scale the monitoring
+    * query scans only the trailing `AnomalyWindow + 1` day partitions
+    * of a day-partitioned table, never the corpus (BucketingSpec
+    * asserts the pruned scan; SCALE.md documents the layout). */
+  def anomalyFromDayCounts(counts: DataFrame): DataFrame = {
     val w = AnomalyWindow
     val frame = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy("day").rowsBetween(-w, -1)
-    events
-      .select(expr(s"ts_ns div ${DayNs}L").as("day"), col("event_type"))
-      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    counts
       .withColumn("wn", count(lit(1)).over(frame))
       .withColumn("s", sum(col("n")).over(frame))
       .withColumn("q", sum(col("n") * col("n")).over(frame))
