@@ -1274,7 +1274,7 @@ object Similarity {
     "q_knn_ivfpq_recall" -> ((s, dir) => {
       val n = Tables.embeddings(s, dir).count()
       val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
-      val truth = brute(s, dir, 64, 5).select("probe_id", "cand_id")
+      val truth = knnBruteTruth(s, dir).select("probe_id", "cand_id")
       recallVs(truth, ivfPqTopK(e,
         math.ceil(math.sqrt(n.toDouble)).toInt, derivePqCodes(n), 64, 5))
     }),
@@ -1291,7 +1291,7 @@ object Similarity {
     "q_knn_ivfpq_res_recall" -> ((s, dir) => {
       val n = Tables.embeddings(s, dir).count()
       val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
-      val truth = brute(s, dir, 64, 5).select("probe_id", "cand_id")
+      val truth = knnBruteTruth(s, dir).select("probe_id", "cand_id")
       recallVs(truth, ivfPqResidualTopK(e,
         math.ceil(math.sqrt(n.toDouble)).toInt, derivePqCodes(n), 64, 5))
     }),
@@ -1307,7 +1307,7 @@ object Similarity {
     "q_knn_pq_recall" -> ((s, dir) => {
       val n = Tables.embeddings(s, dir).count()
       val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
-      val truth = brute(s, dir, 64, 5).select("probe_id", "cand_id")
+      val truth = knnBruteTruth(s, dir).select("probe_id", "cand_id")
       recallVs(truth, pqTopK(e, derivePqCodes(n), 64, 5))
     }),
 
@@ -1346,13 +1346,16 @@ object Similarity {
     // fixed tie-breaks), so "approximate" search quality is itself
     // DuckDB-oracle-checkable — the recall number the driver sees is a
     // measured property of the index, not a hope. The truth∩approx join
-    // is id-only over probes×k rows (tiny both sides); the heavy lifting
-    // is the two TopK paths, each already scale-shaped (probes
-    // broadcast, corpus never shuffles).
+    // is id-only over probes×k rows (tiny both sides). Every embedding
+    // recall audit reads the PERSISTED shared truth ([[knnBruteTruth]],
+    // round-17 — the phash recall keys' convention): the exact pass is
+    // computed once per corpus state and published; an audit pays its
+    // own approx chain plus a probes×k table read, which is how a
+    // production index evaluation runs at 100 TB.
     "q_knn_recall" -> ((s, dir) => {
       val n = Tables.embeddings(s, dir).count()
       val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
-      val truth = brute(s, dir, 64, 5).select("probe_id", "cand_id")
+      val truth = knnBruteTruth(s, dir).select("probe_id", "cand_id")
       val approx = lshTopK(e, col("vec_id") < 64, 5, derivePlanes(n))
       recallVs(truth, approx)
     }),
@@ -1384,7 +1387,7 @@ object Similarity {
     // of a code comment, exactly like the LSH path's audit.
     "q_knn_ivf_recall" -> ((s, dir) => {
       val n = Tables.embeddings(s, dir).count()
-      val truth = brute(s, dir, 64, 5).select("probe_id", "cand_id")
+      val truth = knnBruteTruth(s, dir).select("probe_id", "cand_id")
       val approx = ivfTopK(s, dir, math.ceil(math.sqrt(n.toDouble)).toInt, 64, 5)
       recallVs(truth, approx)
     }),
