@@ -1006,6 +1006,21 @@ object Dedup {
       batch.select(col("vec_id"), col("cell")))
   }
 
+  /** The PERSISTED near-dup PAIR STORE (round-17): the verified
+    * (doc_a, doc_b, jac) pair graph, written once per corpus state —
+    * pair discovery is the expensive stage of the whole family (the
+    * prefix-filter join + exact verify), and production computes it
+    * at index-build time so the labeling job, the incremental merge,
+    * and the capped serving view all READ it instead of re-deriving.
+    * `q_dedup_ngram` keeps the inline derivation — it IS the audit
+    * whose plan is the reference. Deterministic (prefix rule + exact
+    * Jaccard + rounded emission) ⟹ reuse == rebuild. */
+  private def ngramPairStore(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"ngram-pairs:$dir")(
+      graft.sources.Warehouse.servedFrame(
+        s, "ngram_pairs", dir, graft.sources.Warehouse.docsFp(s, dir))(
+        ngramPairs(Tables.documents(s, dir))))
+
   /** The SHARED near-dup labeling artifact: ngram pair graph → CC
     * labels, built ONCE per (session, corpus dir) and served to every
     * consumer key (`q_dedup_cluster`, `_representative`, `_stats`) —
@@ -1024,12 +1039,12 @@ object Dedup {
       // mutated corpus misses by fingerprint and rebuilds. The CC
       // fixed point is deterministic (min-label propagation), so
       // reuse == rebuild and every oracle hash is state-independent.
+      // The pair graph comes from the persisted store (round-17).
       val (name, _) = graft.sources.Warehouse.servedTable(
         s, "ngram_cc", dir, graft.sources.Warehouse.docsFp(s, dir),
         bucket = None) { n =>
         connectedComponents(
-          ngramPairs(Tables.documents(s, dir))
-            .select(col("doc_a"), col("doc_b")))
+          ngramPairStore(s, dir).select(col("doc_a"), col("doc_b")))
           .write.mode("overwrite").format("parquet").saveAsTable(n)
       }
       s.table(name)
@@ -1578,9 +1593,15 @@ object Dedup {
         .orderBy("doc_a", "doc_b")),
 
     // Emission-capped serving twin: per doc its top-N neighbors, not
-    // the quadratic pair set — see ngramTopNeighbors.
+    // the quadratic pair set — see ngramTopNeighbors. Served from the
+    // persisted pair store (round-17): the cap is an emission policy
+    // over the pair graph the index build already wrote, so serving
+    // pays a table read + the per-node TopK, never the prefix-filter
+    // machinery (ngramTopNeighbors keeps the frame-in form for
+    // fixtures).
     "q_dedup_ngram_topn" -> ((s, dir) =>
-      ngramTopNeighbors(Tables.documents(s, dir))),
+      capNeighbors(ngramPairStore(s, dir), "doc_a", "doc_b", "jac",
+        "doc_id", "neighbor_id", NgramTopN)),
 
     // Near-dup CLUSTERING — the step after pair detection: connected
     // components over the pair graph, each doc labeled with its
@@ -1643,11 +1664,14 @@ object Dedup {
     // same slice q_dedup_incremental ingests) merge into the labeling
     // of the remaining graph via contracted CC over touched components
     // only. The oracle is full-recompute CC over ALL edges, so the hash
-    // match PROVES incremental == full on the real pair graph. The pair
-    // join materializes once (localCheckpoint) and feeds both phases.
+    // match PROVES incremental == full on the real pair graph. Pairs
+    // come from the persisted store (round-17) — the production shape:
+    // the incremental merge reads the pair graph the index build
+    // wrote, it never re-runs pair discovery — and the table read
+    // feeds both phases (no per-key localCheckpoint needed).
     "q_dedup_cluster_incremental" -> ((s, dir) => {
-      val pairs = ngramPairs(Tables.documents(s, dir))
-        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      val pairs = ngramPairStore(s, dir)
+        .select(col("doc_a"), col("doc_b"))
       val isNew = (col("doc_a") % 5 === 0) || (col("doc_b") % 5 === 0)
       val labels0 = connectedComponents(pairs.filter(!isNew))
       incrementalConnectedComponents(labels0, pairs.filter(isNew))
