@@ -1021,6 +1021,34 @@ object Dedup {
         s, "ngram_pairs", dir, graft.sources.Warehouse.docsFp(s, dir))(
         ngramPairs(Tables.documents(s, dir))))
 
+  /** The EMBEDDING near-dup pair store — the `ngram_pairs` convention
+    * on the semantic side (round-17): the LSH-bucketed cosine pair
+    * graph at the keys' standard operating point (τ = 0.35, planes
+    * derived from corpus size — both deterministic functions of the
+    * corpus, so the store is too), written once per corpus state.
+    * The capped serving twin reads it; `q_dedup_embedding` keeps the
+    * inline derivation as the pair-machinery reference (the
+    * q_dedup_ngram split). */
+  private def embPairStore(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"emb-pairs:$dir")(
+      graft.sources.Warehouse.servedFrame(
+        s, "emb_pairs", dir, graft.sources.Warehouse.embFp(s, dir)) {
+        val vectors = Tables.embeddings(s, dir).select(
+          col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("v"))
+        val n = graft.sources.Warehouse.countMax(
+          s, s"emb:$dir", vectors, "vec_id")._1
+        embeddingPairs(vectors, 0.35, Similarity.derivePlanes(n))
+      })
+
+  /** Build the embedding pair store NOW — Bench's explicit
+    * artifact-build row (the warmClusterLabels accounting rule). */
+  def warmEmbPairs(s: SparkSession, dir: String): Unit = {
+    embPairStore(s, dir)
+    ()
+  }
+
   /** The SHARED near-dup labeling artifact: ngram pair graph → CC
     * labels, built ONCE per (session, corpus dir) and served to every
     * consumer key (`q_dedup_cluster`, `_representative`, `_stats`) —
@@ -1757,14 +1785,14 @@ object Dedup {
     }),
 
     // Emission-capped serving twin of the embedding pair key — see
-    // embeddingTopNeighbors (the q_dedup_ngram_topn pattern).
-    "q_dedup_embedding_topn" -> ((s, dir) => {
-      val vectors = Tables.embeddings(s, dir).select(
-        col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
-      embeddingTopNeighbors(vectors, 0.35,
-        Similarity.derivePlanes(vectors.count()))
-    }),
+    // embeddingTopNeighbors. Served from the persisted pair store
+    // (round-17, the q_dedup_ngram_topn pattern): the cap is an
+    // emission policy over the pair graph the store build already
+    // wrote; embeddingTopNeighbors keeps the frame-in form for
+    // fixtures.
+    "q_dedup_embedding_topn" -> ((s, dir) =>
+      capNeighbors(embPairStore(s, dir), "id_a", "id_b", "cos",
+        "vec_id", "neighbor_id", NgramTopN)),
 
     // SemDeDup — see [[semanticDedup]]: cell partition + within-cell
     // earlier-neighbor verdicts, deterministic first-K centroids with
