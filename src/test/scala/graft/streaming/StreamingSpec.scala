@@ -860,9 +860,28 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming transitions: paths/markov/markov2/dwell off the pair feed equal the batch keys") {
+    transitionsScenario(v2 = false)
+  }
+
+  test("streaming transitions v2 (transformWithState): same feed, same batch equality") {
+    // The arbitrary-state-v2 port must be observably identical on the
+    // FULL scenario — both APIs delegate to TransitionStream.fold.
+    // Requires RocksDB.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try transitionsScenario(v2 = true)
+    finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private def transitionsScenario(v2: Boolean): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.TransitionStream.{Ev, Trans}
+    val tag = if (v2) "_v2" else ""
     // u1's five events SPLIT MID-CHAIN across the batch boundary (the
     // (click,view) two-event context spans it — state must carry
     // prev2); u2 contributes a competing (view -> purchase) edge and a
@@ -882,14 +901,14 @@ class StreamingSpec extends SparkSpec {
       // event — in pagerank's node set, in no transition pair.
       Ev(4L, 10L, 13L, "landing"))
     val in = MemoryStream[Ev]
-    val q = TransitionStream.transitionStream(in.toDS())
-      .writeStream.format("memory").queryName("transitions")
+    val q = TransitionStream.transitionStream(in.toDS(), v2 = v2)
+      .writeStream.format("memory").queryName("transitions" + tag)
       .outputMode(OutputMode.Append).start()
     try {
       in.addData(batch1: _*); q.processAllAvailable()
       in.addData(batch2: _*); q.processAllAvailable()
     } finally q.stop()
-    val feed = spark.table("transitions")
+    val feed = spark.table("transitions" + tag)
     // u3: one first-event row (null prev) + one transition; the LATE
     // event emitted nothing.
     val u3rows = feed.as[Trans].collect().filter(_.userId == 3L)
