@@ -1049,6 +1049,27 @@ object Dedup {
     ()
   }
 
+  /** SEMANTIC near-dup clusters — CC labels over the embedding pair
+    * graph, completing the cluster-family symmetry (ngram `q_dedup_
+    * cluster`, image `q_mm_phash_cluster`, and now the semantic tier):
+    * paraphrase groups that share no surface n-grams collapse to one
+    * representative. Same lifecycle as the text labels: built off the
+    * persisted pair STORE, persisted as the `emb_cc` warehouse family
+    * (min-label CC is deterministic ⟹ reuse == rebuild). */
+  private def embClusterLabels(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"emb-cc-labels:$dir") {
+      val (name, _) = graft.sources.Warehouse.servedTable(
+        s, "emb_cc", dir, graft.sources.Warehouse.embFp(s, dir),
+        bucket = None) { n =>
+        connectedComponents(
+          embPairStore(s, dir)
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+          .select(col("doc_id").as("vec_id"), col("cluster_rep"))
+          .write.mode("overwrite").format("parquet").saveAsTable(n)
+      }
+      s.table(name)
+    }
+
   /** The SHARED near-dup labeling artifact: ngram pair graph → CC
     * labels, built ONCE per (session, corpus dir) and served to every
     * consumer key (`q_dedup_cluster`, `_representative`, `_stats`) —
@@ -1794,6 +1815,14 @@ object Dedup {
       capNeighbors(embPairStore(s, dir), "id_a", "id_b", "cos",
         "vec_id", "neighbor_id", NgramTopN)),
 
+    // SEMANTIC near-dup clusters — see [[embClusterLabels]]: CC over
+    // the embedding pair store (the cluster-family symmetry member).
+    // The oracle is recursive-CTE reachability over the SAME replayed
+    // LSH pair SQL, so pairs and clusters reconcile by construction
+    // (the q_dedup_cluster / q_mm_phash_cluster pattern).
+    "q_dedup_embedding_cluster" -> ((s, dir) =>
+      embClusterLabels(s, dir).orderBy("vec_id")),
+
     // SemDeDup — see [[semanticDedup]]: cell partition + within-cell
     // earlier-neighbor verdicts, deterministic first-K centroids with
     // the linearly-derived cell count (oracle derives both the same).
@@ -2499,6 +2528,8 @@ object Dedup {
 
     "q_dedup_embedding" -> embeddingOracleSql(0.35),
 
+    "q_dedup_embedding_cluster" -> embeddingClusterOracleSql(0.35),
+
     "q_dedup_embedding_topn" -> embeddingTopnOracleSql(0.35, NgramTopN),
 
     // SemDeDup replay: same ceil-div cell count, same first-K
@@ -2646,6 +2677,23 @@ object Dedup {
   private def embeddingOracleSql(threshold: Double): String =
     embeddingPairCtesSql(threshold) + """
       SELECT id_a, id_b, cos FROM scored ORDER BY id_a, id_b"""
+
+  /** Recursive-CTE reachability over the replayed LSH pair SQL — the
+    * ngram cluster oracle's pattern with the embedding pair CTEs as
+    * the edge source (the leading WITH becomes WITH RECURSIVE). */
+  private def embeddingClusterOracleSql(threshold: Double): String =
+    embeddingPairCtesSql(threshold)
+      .replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+      und AS (
+        SELECT id_a AS a, id_b AS b FROM scored
+        UNION SELECT id_b, id_a FROM scored),
+      reach(n, m) AS (
+        SELECT a, a FROM und
+        UNION SELECT b, b FROM und
+        UNION
+        SELECT u.a, r.m FROM und u JOIN reach r ON u.b = r.n)
+      SELECT n AS vec_id, min(m) AS cluster_rep
+      FROM reach GROUP BY n ORDER BY vec_id"""
 
   /** The capped twin: symmetrize `scored`, row_number per vector on
     * the ROUNDED cos with the neighbor tiebreak — total both engines. */
