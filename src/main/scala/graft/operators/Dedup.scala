@@ -1042,10 +1042,13 @@ object Dedup {
         embeddingPairs(vectors, 0.35, Similarity.derivePlanes(n))
       })
 
-  /** Build the embedding pair store NOW — Bench's explicit
-    * artifact-build row (the warmClusterLabels accounting rule). */
+  /** Build the embedding pair store AND its CC labels NOW — Bench's
+    * explicit artifact-build row for the semantic near-dup family
+    * (the warmClusterLabels accounting rule: builds bill to their own
+    * timed row, never inside a serving key). */
   def warmEmbPairs(s: SparkSession, dir: String): Unit = {
     embPairStore(s, dir)
+    embClusterLabels(s, dir)
     ()
   }
 
