@@ -12,6 +12,7 @@ object Bench {
   val artifactBuilders: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     ("ngram_cc_labels", (s, d) => operators.Dedup.warmClusterLabels(s, d)),
     ("emb_pairs", (s, d) => operators.Dedup.warmEmbPairs(s, d)),
+    ("minhash_bands", (s, d) => operators.Dedup.warmMinhashBands(s, d)),
     ("verbatim_span_index", (s, d) => operators.Curation.warmVerbatimArtifacts(s, d)),
     ("funnel_frames", (s, d) => operators.Curation.warmFunnelFrames(s, d)),
     ("ivf_trained_index", (s, d) => operators.Similarity.warmTrainedIndex(s, d)),

@@ -771,8 +771,14 @@ object Dedup {
   /** Candidate pairs from banded signature collisions, verified with
     * exact Jaccard ≥ threshold. The band join shuffles on
     * (band_id, band_hash) — candidates only, never the corpus². */
-  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val banded = minhashBandIndex(docs)
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame =
+    minhashPairsFromBands(minhashBandIndex(docs), docs, threshold)
+
+  /** [[minhashPairs]] over a PREBUILT band index frame — the store-fed
+    * form (round-17): candidates from the index self-join, exact
+    * verify reads word sets for candidate ids only. */
+  def minhashPairsFromBands(banded: DataFrame, docs: DataFrame,
+                            threshold: Double): DataFrame = {
     val candidates = banded.as("a")
       .join(banded.as("b"), Seq("band_id", "band_hash"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -801,8 +807,21 @@ object Dedup {
     * left side is the batch's bands. Output == the full recompute
     * restricted to batch-touching pairs — the oracle proves it. */
   def minhashPairsIncremental(docs: DataFrame, batchPred: Column,
-                              threshold: Double): DataFrame = {
-    val index = minhashBandIndex(docs.filter(!batchPred)).localCheckpoint(true)
+                              threshold: Double): DataFrame =
+    minhashPairsIncrementalFrom(
+      minhashBandIndex(docs.filter(!batchPred)).localCheckpoint(true),
+      docs, batchPred, threshold)
+
+  /** [[minhashPairsIncremental]] over a PREBUILT corpus-side band
+    * index — the store-fed form (round-17): the registered key hands
+    * in the persisted `minhash_bands` table restricted to the settled
+    * corpus (the "persisted band index" the doc above always described
+    * — the localCheckpoint stand-in retired), while the ARRIVING
+    * batch's bands are still computed fresh from its text, as ingest
+    * would. */
+  def minhashPairsIncrementalFrom(index: DataFrame, docs: DataFrame,
+                                  batchPred: Column,
+                                  threshold: Double): DataFrame = {
     val batchBands = minhashBandIndex(docs.filter(batchPred))
     val candidates = batchBands.as("a")
       .join(index.unionByName(batchBands).as("b"), Seq("band_id", "band_hash"))
@@ -828,7 +847,12 @@ object Dedup {
     * tuples collide in 64 bits (~n²/2⁶⁵: never at any plausible n, and
     * deterministic either way). */
   def minhashBandStats(docs: DataFrame): DataFrame =
-    minhashBandIndex(docs)
+    minhashBandStatsFrom(minhashBandIndex(docs))
+
+  /** The occupancy tail over a prebuilt band index frame — the
+    * store-fed form (round-17). */
+  def minhashBandStatsFrom(banded: DataFrame): DataFrame =
+    banded
       .groupBy(col("band_id"), col("band_hash"))
       .agg(count(lit(1)).as("sz"))
       .groupBy(col("band_id"), col("sz"))
@@ -1049,6 +1073,28 @@ object Dedup {
   def warmEmbPairs(s: SparkSession, dir: String): Unit = {
     embPairStore(s, dir)
     embClusterLabels(s, dir)
+    ()
+  }
+
+  /** The PERSISTED MinHash BAND INDEX — the artifact
+    * [[minhashBandIndex]]'s doc has always named ("what a production
+    * pipeline PERSISTS between runs"), now actually persisted
+    * (round-17): (doc_id, band_id, band_hash) 24-byte rows keyed on
+    * the documents fingerprint, written once per corpus state at
+    * ingest. Every minhash key reads it — the full pair audit, the
+    * capped twin, the occupancy forecast, and the incremental ingest's
+    * corpus side — so serving never re-shingles or re-hashes the
+    * settled corpus. Deterministic (md5-fold base hash + xxhash64
+    * band fold) ⟹ reuse == rebuild. */
+  private def minhashBandStore(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"minhash-bands:$dir")(
+      graft.sources.Warehouse.servedFrame(
+        s, "minhash_bands", dir, graft.sources.Warehouse.docsFp(s, dir))(
+        minhashBandIndex(Tables.documents(s, dir))))
+
+  /** Build the band index NOW — Bench's explicit artifact-build row. */
+  def warmMinhashBands(s: SparkSession, dir: String): Unit = {
+    minhashBandStore(s, dir)
     ()
   }
 
@@ -1764,24 +1810,33 @@ object Dedup {
 
     // MinHash + LSH banding → exact verify. Oracle-checked end to end
     // (md5-fold base hash exists in both engines); planted-duplicate
-    // behavior additionally in PipelineSpec.
+    // behavior additionally in PipelineSpec. Bands come from the
+    // persisted index (round-17, [[minhashBandStore]]) — serving
+    // never re-shingles the settled corpus.
     "q_dedup_minhash" -> ((s, dir) =>
-      minhashPairs(Tables.documents(s, dir), 0.8)
+      minhashPairsFromBands(minhashBandStore(s, dir),
+        Tables.documents(s, dir), 0.8)
         .orderBy("doc_a", "doc_b")),
 
-    // Emission-capped serving twin of the minhash pair key — see
-    // minhashTopNeighbors (the q_dedup_ngram_topn pattern).
+    // Emission-capped serving twin of the minhash pair key — the
+    // q_dedup_ngram_topn pattern, store-fed like the pair key.
     "q_dedup_minhash_topn" -> ((s, dir) =>
-      minhashTopNeighbors(Tables.documents(s, dir), 0.8)),
+      capNeighbors(
+        minhashPairsFromBands(minhashBandStore(s, dir),
+          Tables.documents(s, dir), 0.8),
+        "doc_a", "doc_b", "jac", "doc_id", "neighbor_id", NgramTopN)),
 
     // Incremental banded ingest: the arriving batch (the slice the
     // other incremental keys use) near-dups against the PERSISTED band
-    // index + itself; corpus is never re-banded. Oracle = the full
+    // index + itself; corpus is never re-banded — the index side reads
+    // the store restricted to the settled corpus, the batch bands
+    // compute fresh from its text (as ingest would). Oracle = the full
     // MinHash pipeline restricted to batch-touching pairs, so the hash
     // match proves incremental == full on this corpus.
     "q_dedup_minhash_incremental" -> ((s, dir) =>
-      minhashPairsIncremental(Tables.documents(s, dir),
-        col("doc_id") % 5 === 0, 0.8)
+      minhashPairsIncrementalFrom(
+        minhashBandStore(s, dir).filter(!(col("doc_id") % 5 === 0)),
+        Tables.documents(s, dir), col("doc_id") % 5 === 0, 0.8)
         .orderBy("doc_a", "doc_b")),
 
     // SimHash sketches + banded hamming near-dup pairs, oracle-checked
@@ -1869,9 +1924,9 @@ object Dedup {
     }),
 
     // MinHash band-bucket occupancy — see [[minhashBandStats]]; same
-    // corpus slice as q_dedup_minhash (the whole documents table).
+    // corpus slice as q_dedup_minhash, store-fed like it.
     "q_dedup_minhash_stats" -> ((s, dir) =>
-      minhashBandStats(Tables.documents(s, dir))),
+      minhashBandStatsFrom(minhashBandStore(s, dir))),
 
     // Line-level boilerplate removal — see [[lineDedup]]. The corpus
     // unions the multi-line plants HERE (the registered-key boundary,
