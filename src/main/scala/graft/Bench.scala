@@ -13,6 +13,8 @@ object Bench {
     ("ngram_cc_labels", (s, d) => operators.Dedup.warmClusterLabels(s, d)),
     ("emb_pairs", (s, d) => operators.Dedup.warmEmbPairs(s, d)),
     ("minhash_bands", (s, d) => operators.Dedup.warmMinhashBands(s, d)),
+    ("simhash_sketches", (s, d) => operators.Dedup.warmSimhashSketches(s, d)),
+    ("cdc_chunks", (s, d) => operators.Dedup.warmCdcChunks(s, d)),
     ("verbatim_span_index", (s, d) => operators.Curation.warmVerbatimArtifacts(s, d)),
     ("funnel_frames", (s, d) => operators.Curation.warmFunnelFrames(s, d)),
     ("ivf_trained_index", (s, d) => operators.Similarity.warmTrainedIndex(s, d)),

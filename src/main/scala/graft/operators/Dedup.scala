@@ -1098,6 +1098,46 @@ object Dedup {
     ()
   }
 
+  /** The PERSISTED SimHash SKETCH STORE — (doc_id, sh) over the
+    * simhash key's corpus slice (lang = 'fr'), keyed on the documents
+    * fingerprint (round-17): the token-vote sketch pass (the family's
+    * expensive stage — an every-token explode into 60 vote columns)
+    * runs once per corpus state at ingest; serving pays banding + the
+    * hamming verify only. Deterministic (md5-fold token hash, sign
+    * votes) ⟹ reuse == rebuild. */
+  private def simhashSketchStore(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"simhash-sketches:$dir")(
+      graft.sources.Warehouse.servedFrame(
+        s, "simhash_sk", dir, graft.sources.Warehouse.docsFp(s, dir))(
+        simhashed(Tables.documents(s, dir).filter(col("lang") === "fr"))))
+
+  /** Build the sketch store NOW — Bench's explicit artifact-build
+    * row. */
+  def warmSimhashSketches(s: SparkSession, dir: String): Unit = {
+    simhashSketchStore(s, dir)
+    ()
+  }
+
+  /** The PERSISTED CDC CHUNK LEDGER — the (doc_id, source, chunk_idx,
+    * len, chunk_key) instance table [[cdcChunks]] derives, keyed on
+    * the documents fingerprint (round-17): a chunk store writes
+    * exactly this ledger at ingest and every audit (dedup accounting,
+    * chunk profile, size histogram) and the incremental gate's index
+    * side read it back — content is never re-chunked. Deterministic
+    * (stateless Rabin cuts + md5-fold keys) ⟹ reuse == rebuild. */
+  private def cdcChunkStore(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"cdc-chunks:$dir")(
+      graft.sources.Warehouse.servedFrame(
+        s, "cdc_chunks", dir, graft.sources.Warehouse.docsFp(s, dir))(
+        cdcChunks(Tables.documents(s, dir))))
+
+  /** Build the chunk ledger NOW — Bench's explicit artifact-build
+    * row. */
+  def warmCdcChunks(s: SparkSession, dir: String): Unit = {
+    cdcChunkStore(s, dir)
+    ()
+  }
+
   /** SEMANTIC near-dup clusters — CC labels over the embedding pair
     * graph, completing the cluster-family symmetry (ngram `q_dedup_
     * cluster`, image `q_mm_phash_cluster`, and now the semantic tier):
@@ -1526,7 +1566,12 @@ object Dedup {
     * (truncating ·100 div). Zero-length docs produce no chunks and
     * are absent (spec-pinned). */
   def cdcChunkStats(docs: DataFrame): DataFrame =
-    cdcChunks(docs).groupBy("doc_id")
+    cdcChunkStatsFrom(cdcChunks(docs))
+
+  /** The profile tail over a prebuilt chunk ledger — the store-fed
+    * form (round-17). */
+  def cdcChunkStatsFrom(chunks: DataFrame): DataFrame =
+    chunks.groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("len")).as("n_bytes"),
         min(col("len")).as("min_len"),
@@ -1543,8 +1588,13 @@ object Dedup {
     * byte total, and byte share in bp. A healthy CDC corpus peaks at
     * the 64-byte expectation (bucket 7); mass in the top bucket means
     * the cut hash is misfiring on that content. */
-  def cdcSizeHistogram(docs: DataFrame): DataFrame = {
-    val chunks = cdcChunks(docs).select(col("len"))
+  def cdcSizeHistogram(docs: DataFrame): DataFrame =
+    cdcSizeHistogramFrom(cdcChunks(docs))
+
+  /** The histogram tail over a prebuilt chunk ledger — the store-fed
+    * form (round-17). */
+  def cdcSizeHistogramFrom(ledger: DataFrame): DataFrame = {
+    val chunks = ledger.select(col("len"))
       .withColumn("bucket", length(expr("bin(len)")).cast("int"))
     val tot = chunks.agg(sum(col("len")).as("total_bytes"))
     chunks.groupBy("bucket")
@@ -1565,8 +1615,13 @@ object Dedup {
     * fixed-width rows on every exchange, chunk text never shuffles,
     * and at 100 TB both sides hash-partition on chunk_key (the store's
     * natural bucketing). */
-  def cdcDedup(docs: DataFrame): DataFrame = {
-    val inst = cdcChunks(docs)
+  def cdcDedup(docs: DataFrame): DataFrame =
+    cdcDedupFrom(cdcChunks(docs))
+
+  /** The accounting tail over a prebuilt chunk ledger — the store-fed
+    * form (round-17). */
+  def cdcDedupFrom(chunks: DataFrame): DataFrame = {
+    val inst = chunks
       .withColumn("enc",
         shiftleft(col("doc_id"), CdcIdxBits) + col("chunk_idx"))
     val firsts = inst.groupBy("chunk_key")
@@ -1623,16 +1678,16 @@ object Dedup {
     // Per-doc CDC chunk profile — see [[cdcChunkStats]] and the
     // [[graft.functions.CdcEnds]] kernel.
     "q_dedup_cdc_chunks" -> ((s, dir) =>
-      cdcChunkStats(Tables.documents(s, dir))),
+      cdcChunkStatsFrom(cdcChunkStore(s, dir))),
 
     // Chunk-level storage-dedup accounting per source — see
     // [[cdcDedup]].
     "q_dedup_cdc" -> ((s, dir) =>
-      cdcDedup(Tables.documents(s, dir))),
+      cdcDedupFrom(cdcChunkStore(s, dir))),
 
     // Chunk-size power-of-2 histogram — see [[cdcSizeHistogram]].
     "q_dedup_cdc_sizes" -> ((s, dir) =>
-      cdcSizeHistogram(Tables.documents(s, dir))),
+      cdcSizeHistogramFrom(cdcChunkStore(s, dir))),
 
     // INCREMENTAL CDC dedup: the frozen chunk-key index over the
     // doc_id prefix (80% mark — attribution is order-dependent, so a
@@ -1640,10 +1695,16 @@ object Dedup {
     // [[cdcDedupBatch]]. localCheckpoint stands in for the store's
     // bucketed key table; the 1-row max(doc_id) action is bounded.
     "q_dedup_cdc_incremental" -> ((s, dir) => {
+      // The index side reads the persisted chunk ledger restricted to
+      // the settled prefix (round-17 — the localCheckpoint stand-in
+      // retired); the arriving batch still chunks fresh from its
+      // text, as ingest would. max(doc_id) rides the memoized corpus
+      // stats pass.
       val docs = Tables.documents(s, dir)
-      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 4 / 5
-      val index = cdcIndex(docs.filter(col("doc_id") < cut))
-        .localCheckpoint(true)
+      val cut = graft.sources.Warehouse.countMax(
+        s, s"docs:$dir", docs, "doc_id")._2 * 4 / 5
+      val index = cdcChunkStore(s, dir).filter(col("doc_id") < cut)
+        .select("chunk_key").distinct()
       cdcDedupBatch(docs.filter(col("doc_id") >= cut), index)
     }),
 
@@ -1845,9 +1906,12 @@ object Dedup {
     // The width derives from the corpus size (deriveSimhashWidth); the
     // oracle derives the same width inside SQL from the same count.
     "q_dedup_simhash" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).filter(col("lang") === "fr")
-      val width = deriveSimhashWidth(docs.count())
-      simhashPairs(docs, chunks = SimhashBits / width)
+      // Sketches come from the persisted store (round-17); the width
+      // knob derives from the same slice count, memoized per session.
+      val sk = simhashSketchStore(s, dir)
+      val n = graft.sources.Warehouse.countMax(
+        s, s"simhash-fr:$dir", sk, "doc_id")._1
+      simhashPairsFrom(sk, chunks = SimhashBits / deriveSimhashWidth(n))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -2023,11 +2087,18 @@ object Dedup {
     * bounded. The wider-setting recall property is tested in
     * PipelineSpec; the key-space rule is documented in SCALE.md. */
   def simhashPairs(docs: DataFrame, chunks: Int = SimhashChunks,
-                   maxHamming: Int = 8): DataFrame = {
+                   maxHamming: Int = 8): DataFrame =
+    simhashPairsFrom(simhashed(docs), chunks, maxHamming)
+
+  /** [[simhashPairs]] over a PREBUILT (doc_id, sh) sketch frame — the
+    * store-fed form (round-17): banding and the hamming verify only;
+    * the token-vote sketch pass happened at ingest. */
+  def simhashPairsFrom(sk: DataFrame, chunks: Int = SimhashChunks,
+                       maxHamming: Int = 8): DataFrame = {
     require(SimhashBits % chunks == 0, s"$chunks must divide $SimhashBits")
     val width = SimhashBits / chunks
     val mask = (1L << width) - 1
-    val banded = simhashed(docs).select(col("doc_id"), col("sh"),
+    val banded = sk.select(col("doc_id"), col("sh"),
       posexplode(expr(
         s"transform(sequence(0, ${chunks - 1}), b -> shiftright(sh, b * $width) & $mask)")))
       .withColumnRenamed("pos", "chunk_id").withColumnRenamed("col", "chunk")
