@@ -269,6 +269,58 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
   }
 
+  /** BATCH-TOUCHING slice of [[ngramPairs]] over the GROWN corpus —
+    * the `ngram_pairs` store's append-merge lane (round-18): every
+    * qualifying pair with at least one side in `batchIds`. Union with
+    * the prior store (old-state pairs, all both-sides-settled) is the
+    * FULL new-state pair set, because the two slices partition it:
+    * a new-state pair either touches the batch (here) or doesn't (its
+    * docs and word sets are unchanged, so it was in the old store —
+    * the prefix-filter candidate rule guarantees zero false negatives
+    * under ANY consistent token order, so the old store's pairs are
+    * order-independent even though the df-ascending HEURISTIC order
+    * shifts as the corpus grows). Cost: one linear
+    * tokenize+prefix pass over the corpus (no candidate self-join —
+    * the quadratic-prone stage pairs batch prefixes only) + the
+    * batch-side verify. */
+  def ngramPairsTouching(docs: DataFrame, batchIds: DataFrame): DataFrame = {
+    val thr = NgramThr
+    val ceilThrTimes = (n: String) =>
+      s"($n * $NgramThrNum + $NgramThrDen - 1) div $NgramThrDen"
+    val d = docs.filter(col("lang") === "de")
+      .select(col("doc_id"), wordSet(col("text")).as("ws"))
+    val tok = d.select(col("doc_id"), size(col("ws")).as("n"),
+      explode(col("ws")).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val prefix = tok.join(broadcast(freq), Seq("tok"))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("n") - expr(ceilThrTimes("n")) + 1)
+      .select(col("tok"), col("doc_id"), col("n"))
+    val isBatch = batchIds.select(col("doc_id")).distinct()
+    val prefixBatch = prefix.join(broadcast(isBatch), Seq("doc_id"))
+    val cand = prefixBatch
+      .select(col("tok"), col("doc_id").as("doc_x"), col("n").as("n_x"))
+      .join(prefix.select(col("tok"), col("doc_id").as("doc_y"),
+        col("n").as("n_y")), Seq("tok"))
+      .filter(col("doc_x") =!= col("doc_y") &&
+        least(col("n_x"), col("n_y")) >=
+          expr(ceilThrTimes("greatest(n_x, n_y)")))
+      // batch×batch collisions arrive in both orders, batch×corpus in
+      // one — normalize then dedupe (the minhashPairsIncremental rule).
+      .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
+              greatest(col("doc_x"), col("doc_y")).as("doc_b"))
+      .distinct()
+    withJaccard(
+      cand
+        .join(d.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), Seq("doc_a"))
+        .join(d.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), Seq("doc_b")),
+      "ws_a", "ws_b", "jac_raw")
+      .filter(col("jac_raw") >= thr)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
+  }
+
   /** Neighbor cap for [[ngramTopNeighbors]] — small on purpose: the
     * serving question is "what do I merge/drop this doc with", not
     * "enumerate its whole duplicate clique". */
@@ -723,6 +775,14 @@ object Dedup {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct() // a pair may collide in several tables
+    verifyCosine(candidates, vectors, threshold)
+  }
+
+  /** Exact-cosine verify of candidate (id_a, id_b) pairs — the shared
+    * tail of the full and batch-touching LSH paths (the verifyJaccard
+    * split). */
+  private def verifyCosine(candidates: DataFrame, vectors: DataFrame,
+                           threshold: Double): DataFrame = {
     val norms = vectors.withColumn("dot_self",
       graft.functions.VectorOps.longDot(col("v"), col("v")))
     candidates
@@ -735,6 +795,31 @@ object Dedup {
         (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double"))))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** BATCH-TOUCHING slice of [[embeddingPairs]] over the GROWN corpus
+    * — the `emb_pairs` store's append-merge lane (round-18, the
+    * [[ngramPairsTouching]] twin): every candidate-at-threshold pair
+    * with at least one side in `batchIds`, under the SAME plane count
+    * as the full rebuild would use. Union with the prior store is the
+    * full new-state pair set ONLY when the plane count is unchanged —
+    * hyperplane signatures are a pure per-vector function of (vector,
+    * planes), so the settled×settled collision set is growth-invariant
+    * at fixed planes; the caller declines the merge (cold rebuild)
+    * when [[Similarity.derivePlanes]] steps across a block boundary. */
+  def embeddingPairsTouching(vectors: DataFrame, batchIds: DataFrame,
+                             threshold: Double, planes: Int): DataFrame = {
+    val buckets = Similarity.bucketed(vectors, planes)
+      .select(col("vec_id"), col("bucket")).repartition(col("bucket"))
+    val isBatch = batchIds.select(col("vec_id")).distinct()
+    val bBatch = buckets.join(broadcast(isBatch), Seq("vec_id"))
+    val candidates = bBatch.as("a")
+      .join(buckets.as("b"), Seq("bucket"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
+              greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"))
+      .distinct()
+    verifyCosine(candidates, vectors, threshold)
   }
 
   /** (doc_id, band_id, band_hash) — the MinHash BAND INDEX: what a
@@ -1041,9 +1126,17 @@ object Dedup {
     * Jaccard + rounded emission) ⟹ reuse == rebuild. */
   private def ngramPairStore(s: SparkSession, dir: String): DataFrame =
     Artifacts.cached(s, s"ngram-pairs:$dir")(
-      graft.sources.Warehouse.servedFrame(
-        s, "ngram_pairs", dir, graft.sources.Warehouse.docsFp(s, dir))(
-        ngramPairs(Tables.documents(s, dir))))
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "ngram_pairs", dir, "documents",
+        graft.sources.Warehouse.docsFp(s, dir))(
+        ngramPairs(Tables.documents(s, dir)))(
+        // Append-merge lane (round-18): old-state pairs ∪ the
+        // batch-touching slice — see [[ngramPairsTouching]] for why
+        // the union is exactly the cold rebuild (WarehouseSpec pins
+        // the hash equality).
+        (old, batch) => Some(old.unionByName(
+          ngramPairsTouching(Tables.documents(s, dir),
+            batch.select(col("doc_id")))))))
 
   /** The EMBEDDING near-dup pair store — the `ngram_pairs` convention
     * on the semantic side (round-17): the LSH-bucketed cosine pair
@@ -1055,8 +1148,9 @@ object Dedup {
     * q_dedup_ngram split). */
   private def embPairStore(s: SparkSession, dir: String): DataFrame =
     Artifacts.cached(s, s"emb-pairs:$dir")(
-      graft.sources.Warehouse.servedFrame(
-        s, "emb_pairs", dir, graft.sources.Warehouse.embFp(s, dir)) {
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "emb_pairs", dir, "embeddings",
+        graft.sources.Warehouse.embFp(s, dir)) {
         val vectors = Tables.embeddings(s, dir).select(
           col("vec_id"),
           expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
@@ -1064,6 +1158,23 @@ object Dedup {
         val n = graft.sources.Warehouse.countMax(
           s, s"emb:$dir", vectors, "vec_id")._1
         embeddingPairs(vectors, 0.35, Similarity.derivePlanes(n))
+      } { (old, batch) =>
+        // Append-merge lane (round-18): valid ONLY while the
+        // corpus-size-derived plane count holds across the growth step
+        // — signatures are per-vector at fixed planes, so old×old
+        // collisions are growth-invariant; a plane-block boundary
+        // crossing DECLINES (cold rebuild), per the
+        // [[embeddingPairsTouching]] contract.
+        val vectors = Tables.embeddings(s, dir).select(
+          col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("v"))
+        val n = graft.sources.Warehouse.countMax(
+          s, s"emb:$dir", vectors, "vec_id")._1
+        val planes = Similarity.derivePlanes(n)
+        if (Similarity.derivePlanes(n - batch.count()) != planes) None
+        else Some(old.unionByName(embeddingPairsTouching(
+          vectors, batch.select(col("vec_id")), 0.35, planes)))
       })
 
   /** Build the embedding pair store AND its CC labels NOW — Bench's
@@ -1088,9 +1199,15 @@ object Dedup {
     * band fold) ⟹ reuse == rebuild. */
   private def minhashBandStore(s: SparkSession, dir: String): DataFrame =
     Artifacts.cached(s, s"minhash-bands:$dir")(
-      graft.sources.Warehouse.servedFrame(
-        s, "minhash_bands", dir, graft.sources.Warehouse.docsFp(s, dir))(
-        minhashBandIndex(Tables.documents(s, dir))))
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "minhash_bands", dir, "documents",
+        graft.sources.Warehouse.docsFp(s, dir))(
+        minhashBandIndex(Tables.documents(s, dir)))(
+        // Append-merge lane (round-18): bands are a PER-DOC function
+        // (shingle→md5-fold→min — no corpus-global input), so the
+        // merged index is the cold rebuild exactly; per-append cost is
+        // batch-linear (WarehouseSpec pins the hash equality).
+        (old, batch) => Some(old.unionByName(minhashBandIndex(batch)))))
 
   /** Build the band index NOW — Bench's explicit artifact-build row. */
   def warmMinhashBands(s: SparkSession, dir: String): Unit = {
@@ -1107,9 +1224,14 @@ object Dedup {
     * votes) ⟹ reuse == rebuild. */
   private def simhashSketchStore(s: SparkSession, dir: String): DataFrame =
     Artifacts.cached(s, s"simhash-sketches:$dir")(
-      graft.sources.Warehouse.servedFrame(
-        s, "simhash_sk", dir, graft.sources.Warehouse.docsFp(s, dir))(
-        simhashed(Tables.documents(s, dir).filter(col("lang") === "fr"))))
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "simhash_sk", dir, "documents",
+        graft.sources.Warehouse.docsFp(s, dir))(
+        simhashed(Tables.documents(s, dir).filter(col("lang") === "fr")))(
+        // Append-merge lane: sketches are per-doc (token votes), so
+        // old ∪ sketch(batch slice) == the cold rebuild exactly.
+        (old, batch) => Some(old.unionByName(
+          simhashed(batch.filter(col("lang") === "fr"))))))
 
   /** Build the sketch store NOW — Bench's explicit artifact-build
     * row. */
@@ -1127,9 +1249,13 @@ object Dedup {
     * (stateless Rabin cuts + md5-fold keys) ⟹ reuse == rebuild. */
   private def cdcChunkStore(s: SparkSession, dir: String): DataFrame =
     Artifacts.cached(s, s"cdc-chunks:$dir")(
-      graft.sources.Warehouse.servedFrame(
-        s, "cdc_chunks", dir, graft.sources.Warehouse.docsFp(s, dir))(
-        cdcChunks(Tables.documents(s, dir))))
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "cdc_chunks", dir, "documents",
+        graft.sources.Warehouse.docsFp(s, dir))(
+        cdcChunks(Tables.documents(s, dir)))(
+        // Append-merge lane: CDC cuts are stateless per-doc (content-
+        // defined), so old ledger ∪ chunks(batch) == the cold rebuild.
+        (old, batch) => Some(old.unionByName(cdcChunks(batch)))))
 
   /** Build the chunk ledger NOW — Bench's explicit artifact-build
     * row. */
@@ -1907,11 +2033,18 @@ object Dedup {
     // oracle derives the same width inside SQL from the same count.
     "q_dedup_simhash" -> ((s, dir) => {
       // Sketches come from the persisted store (round-17); the width
-      // knob derives from the same slice count, memoized per session.
-      val sk = simhashSketchStore(s, dir)
+      // knob derives from the DOCUMENTS slice count — the same
+      // count(*) FROM documents WHERE lang='fr' the oracle's SQL twin
+      // scans — NOT the sketch-store row count: simhashed drops a
+      // NULL-text doc (its token explode yields zero rows), so on a
+      // corpus with NULL-text fr rows the store undercounts and the
+      // derived width could flip at a block boundary while the
+      // oracle's stays put (round-18 advice).
       val n = graft.sources.Warehouse.countMax(
-        s, s"simhash-fr:$dir", sk, "doc_id")._1
-      simhashPairsFrom(sk, chunks = SimhashBits / deriveSimhashWidth(n))
+        s, s"docs-fr:$dir",
+        Tables.documents(s, dir).filter(col("lang") === "fr"), "doc_id")._1
+      simhashPairsFrom(simhashSketchStore(s, dir),
+        chunks = SimhashBits / deriveSimhashWidth(n))
         .orderBy("doc_a", "doc_b")
     }),
 

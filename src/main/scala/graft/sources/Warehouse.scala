@@ -240,28 +240,75 @@ object Warehouse {
     s"graft_${family}_${dirDigest(dir)}_$tok"
   }
 
-  /** Resolve-or-build the table `graft_<family>_<dirDigest>_<fp>`:
-    * returns (table name, warehouse hit). On a hit the table is served
-    * as-is (registered back into the catalog if this JVM never saw
-    * it); on a miss, stale variants are GC'd and `build(name)` must
-    * write the table (saveAsTable via [[Sinks.writeBucketed]] or a
-    * plain bucketless write — pass `bucket` to match, it becomes the
-    * re-registration DDL's CLUSTERED BY spec). */
-  def servedTable(s: SparkSession, family: String, dir: String, fp: String,
-                  bucket: Option[(String, Int)])(build: String => Unit)
-      : (String, Boolean) = {
-    val name = tableName(family, dir, fp)
-    val whRoot = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"))
-    val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // GC every other fingerprint variant of this (family, corpus):
-    // those are indexes of corpus states that no longer exist — BUT
-    // only variants this session never registered. A variant in the
-    // current catalog may back a live session-cached frame (a prior
-    // resolution through another dir spelling); deleting its files
-    // would turn that frame into a read-time bomb. Such variants stay
-    // until a LATER process (whose fresh catalog holds nothing)
-    // sweeps them — deferred GC, never a dangling frame.
+  /** Name of the SOURCE-FILE MANIFEST written inside a store table's
+    * directory by [[servedFrameMerged]]: one `name\tlength` line per
+    * data file of the corpus table the store was built from.
+    * Underscore-prefixed, so every parquet reader ignores it — it
+    * rides the table directory through the atomic tmp+rename publish
+    * and is therefore exactly as durable/consistent as the store
+    * itself. The append-detection witness: a later corpus state whose
+    * file set is a STRICT SUPERSET with every old file byte-identical
+    * in length is an append, and the delta is precisely the new
+    * files. */
+  private[sources] val ManifestFile = "_graft_src_manifest"
+
+  /** (file name → byte length) of `$dir/$table.parquet`'s data files —
+    * filesystem metadata only (the listing every read performs
+    * anyway). Hidden files (`_`/`.` prefixed) are excluded, matching
+    * what a parquet scan reads. */
+  def corpusFiles(s: SparkSession, dir: String, table: String)
+      : Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else fs.listStatus(p).iterator.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(st => st.getPath.getName -> st.getLen).toMap
+  }
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            tableLoc: org.apache.hadoop.fs.Path,
+                            files: Map[String, Long]): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(tableLoc, ManifestFile), true)
+    out.write(files.toSeq.sorted.map { case (n, l) => s"$n\t$l" }
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           tableLoc: org.apache.hadoop.fs.Path)
+      : Option[Map[String, Long]] = {
+    val p = new org.apache.hadoop.fs.Path(tableLoc, ManifestFile)
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      Some(new String(bytes.toByteArray, "UTF-8").split("\n")
+        .iterator.filter(_.nonEmpty).map { line =>
+          val t = line.split("\t"); t(0) -> t(1).toLong
+        }.toMap)
+    } catch { case _: Exception => None }
+  }
+
+  /** GC every OTHER fingerprint variant of (family, corpus) — stale
+    * indexes of corpus states that no longer exist — plus abandoned
+    * `_tmp_` staging leftovers. Variants this session's catalog still
+    * holds are DEFERRED (they may back live cached frames; the header's
+    * GC note). Extracted from [[servedTable]] so the merge path can run
+    * it AFTER its publish (the merged frame lazily READS the prior
+    * variant's files — an early sweep would delete the build's own
+    * input). */
+  private def gcStaleVariants(s: SparkSession,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              whRoot: org.apache.hadoop.fs.Path,
+                              family: String, dir: String,
+                              keep: String): Unit = {
     val prefix = s"graft_${family}_${dirDigest(dir)}_"
     if (fs.exists(whRoot)) fs.listStatus(whRoot).foreach { st =>
       val n = st.getPath.getName
@@ -269,7 +316,7 @@ object Warehouse {
       // concurrent writer's in-flight build (deleting it mid-write
       // would tear that writer); only ABANDONED staging (a crashed
       // writer's leftover, recognizable by age) sweeps.
-      if (n.startsWith(prefix) && n != name && !n.contains("_tmp_")
+      if (n.startsWith(prefix) && n != keep && !n.contains("_tmp_")
           && !s.catalog.tableExists(n)) {
         if (fs.exists(st.getPath)) { fs.delete(st.getPath, true); () }
       } else if (n.startsWith(prefix) && n.contains("_tmp_")
@@ -279,6 +326,98 @@ object Warehouse {
         if (fs.exists(st.getPath)) { fs.delete(st.getPath, true); () }
       }
     }
+  }
+
+  /** Warehouse-root REGISTRY of corpus-dir digests → canonical paths
+    * (`_graft_dirs`, one `digest\tpath` line): table names carry only
+    * the 12-hex digest, so the audit tool (tools/WarehouseLs) needs
+    * this reverse index to answer "which corpus does this family serve,
+    * and does that corpus still exist". Appended merge-on-write at
+    * every resolution; the JVM lock covers in-process racers and a
+    * lost cross-JVM race self-heals on the corpus's next resolution. */
+  private[sources] val DirRegistryFile = "_graft_dirs"
+
+  private def recordDir(s: SparkSession,
+                        fs: org.apache.hadoop.fs.FileSystem,
+                        whRoot: org.apache.hadoop.fs.Path,
+                        dir: String): Unit = synchronized {
+    val canon =
+      try new java.io.File(dir).getCanonicalPath
+      catch { case _: java.io.IOException => dir }
+    val dig = dirDigest(dir)
+    try {
+      val cur = readDirRegistry(fs, whRoot)
+      if (!cur.get(dig).contains(canon)) {
+        if (!fs.exists(whRoot)) { fs.mkdirs(whRoot); () }
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(whRoot, DirRegistryFile), true)
+        out.write((cur + (dig -> canon)).toSeq.sorted
+          .map { case (d, p) => s"$d\t$p" }.mkString("\n").getBytes("UTF-8"))
+        out.close()
+      }
+    } catch { case _: Exception => () } // advisory metadata, never fails a resolution
+  }
+
+  /** digest → canonical corpus path, as recorded by [[recordDir]]. */
+  def readDirRegistry(fs: org.apache.hadoop.fs.FileSystem,
+                      whRoot: org.apache.hadoop.fs.Path)
+      : Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(whRoot, DirRegistryFile)
+    if (!fs.exists(p)) Map.empty
+    else try {
+      val in = fs.open(p)
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      new String(bytes.toByteArray, "UTF-8").split("\n").iterator
+        .filter(_.contains("\t")).map { line =>
+          val t = line.split("\t"); t(0) -> t(1)
+        }.toMap
+    } catch { case _: Exception => Map.empty }
+  }
+
+  /** Resolve-or-build the table `graft_<family>_<dirDigest>_<fp>`:
+    * returns (table name, warehouse hit). On a hit the table is served
+    * as-is (registered back into the catalog if this JVM never saw
+    * it); on a miss, stale variants are GC'd and `build(name)` must
+    * write the table (saveAsTable via [[Sinks.writeBucketed]] or a
+    * plain bucketless write — pass `bucket` to match, it becomes the
+    * re-registration DDL's CLUSTERED BY spec). */
+  def servedTable(s: SparkSession, family: String, dir: String, fp: String,
+                  bucket: Option[(String, Int)])(build: String => Unit)
+      : (String, Boolean) =
+    servedTableAt(s, family, dir, fp, BuilderVersion(family), bucket)(build)
+
+  /** [[servedTable]] at an EXPLICIT builder version — the spec hook
+    * that exercises the version-bump lifecycle end to end (the naming
+    * rule alone is [[tableNameAt]]; this is the resolution BEHAVIOR at
+    * a bumped version: the pre-upgrade table misses by name, the
+    * rebuild publishes under the versioned name, and the stale variant
+    * sweeps through the same prefix GC as a mutated corpus's, because
+    * the version token lives inside the fingerprint segment).
+    * Production callers use [[servedTable]], whose version comes from
+    * the [[BuilderVersion]] map. */
+  private[graft] def servedTableAt(s: SparkSession, family: String,
+                                   dir: String, fp: String, ver: Int,
+                                   bucket: Option[(String, Int)])
+                                  (build: String => Unit)
+      : (String, Boolean) = {
+    val name = tableNameAt(family, dir, fp, ver)
+    val whRoot = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"))
+    val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    recordDir(s, fs, whRoot, dir)
+    // GC every other fingerprint variant of this (family, corpus):
+    // those are indexes of corpus states that no longer exist — BUT
+    // only variants this session never registered. A variant in the
+    // current catalog may back a live session-cached frame (a prior
+    // resolution through another dir spelling); deleting its files
+    // would turn that frame into a read-time bomb. Such variants stay
+    // until a LATER process (whose fresh catalog holds nothing)
+    // sweeps them — deferred GC, never a dangling frame.
+    gcStaleVariants(s, fs, whRoot, family, dir, keep = name)
     val loc = new org.apache.hadoop.fs.Path(whRoot, name)
     val complete =
       fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
@@ -352,6 +491,131 @@ object Warehouse {
       build.write.mode("overwrite").format("parquet").saveAsTable(n)
     }
     s.table(name)
+  }
+
+  /** Resolve-or-MERGE-or-build an unbucketed warehouse frame — the
+    * INCREMENTAL STORE MAINTENANCE path (round-18): [[servedFrame]]
+    * with an upgrade lane for the corpus-GROWTH fingerprint change.
+    * When the corpus table `$dir/$srcTable.parquet` gained data files
+    * while every pre-existing file stayed byte-identical (the
+    * append-only ingest a production corpus performs — parquet files
+    * are immutable, growth adds part files), the new store derives
+    * from (prior store + the NEW files' rows) via `merge` instead of
+    * rebuilding cold:
+    *
+    *   1. fp HIT  → serve, exactly [[servedFrame]] (register-back etc.).
+    *   2. fp MISS + a complete prior-fingerprint variant whose recorded
+    *      source manifest is a subset of the current file set → read
+    *      the prior store BY PATH (no catalog entry needed — the
+    *      cross-process case), read the delta rows from the new files
+    *      only, and publish `merge(old, delta)` under the NEW
+    *      fingerprint name through the same atomic tmp+rename commit.
+    *      The prior variant GCs AFTER the publish (it is the merge's
+    *      own lazy input — the [[gcStaleVariants]] ordering note).
+    *   3. fp MISS otherwise (first build, non-append mutation, merge
+    *      declined) → cold build, as [[servedFrame]].
+    *
+    * `merge` returns None to DECLINE (fall back to cold) when the
+    * incremental identity does not hold for this growth step — e.g. a
+    * corpus-size-derived knob (LSH plane count) stepped across its
+    * block boundary, so old-store rows are no longer the restriction
+    * of the cold rebuild. Every path writes the CURRENT source
+    * manifest into the published table, so the next append can merge
+    * again (merges chain).
+    *
+    * CORRECTNESS CONTRACT (what makes merge == cold rebuild): the
+    * caller's builder must be PER-ROW-GROUP decomposable over the
+    * corpus — old rows' contribution independent of the batch (per-doc
+    * sketches/chunks/bands are trivially so; pair stores via the
+    * batch-touching slice whose union with old-state pairs is the full
+    * new-state pair set). WarehouseSpec pins merged ≡ cold bit for bit
+    * on both shapes; a family whose builder loses this property must
+    * bump [[BuilderVersion]] AND stop passing a merge. Both the merge
+    * and the cold lane log a warehouse MISS (either pays a build —
+    * the ledger adjudicates against build cost, and the merge's
+    * whole point is that its build is cheap). */
+  def servedFrameMerged(s: SparkSession, family: String, dir: String,
+                        srcTable: String, fp: String)
+                       (cold: => DataFrame)
+                       (merge: (DataFrame, DataFrame) => Option[DataFrame])
+      : DataFrame = {
+    val name = tableName(family, dir, fp)
+    val whRoot = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"))
+    val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val loc = new org.apache.hadoop.fs.Path(whRoot, name)
+    val curFiles = corpusFiles(s, dir, srcTable)
+    // `frame` BY-NAME: the hit path hands `cold` through here and must
+    // never construct — let alone execute — the build chain.
+    def buildWithManifest(frame: => DataFrame)(n: String): Unit = {
+      frame.write.mode("overwrite").format("parquet").saveAsTable(n)
+      writeManifest(fs, new org.apache.hadoop.fs.Path(whRoot, n), curFiles)
+    }
+    if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
+      // Current-fingerprint table already on disk: the hit path is
+      // servedTable's verbatim (register-back, corrupt-dir fallback,
+      // immediate stale-variant GC — nothing lazily reads a variant).
+      val (served, _) = servedTable(s, family, dir, fp, bucket = None)(
+        buildWithManifest(cold))
+      return s.table(served)
+    }
+    // MISS. Newest complete prior-fingerprint variant carrying a
+    // source manifest — the merge candidate.
+    val prefix = s"graft_${family}_${dirDigest(dir)}_"
+    val prior: Option[(String, Map[String, Long])] =
+      (if (fs.exists(whRoot)) fs.listStatus(whRoot).toSeq else Seq.empty)
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith(prefix) && n != name && !n.contains("_tmp_") &&
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+        }
+        .sortBy(-_.getModificationTime)
+        .iterator
+        .flatMap(st => readManifest(fs, st.getPath)
+          .map(m => st.getPath.getName -> m))
+        .nextOption()
+    val merged: Option[DataFrame] = prior.flatMap { case (oldName, oldMan) =>
+      val appendOnly = oldMan.nonEmpty &&
+        oldMan.forall { case (f, len) => curFiles.get(f).contains(len) }
+      val newFiles = (curFiles.keySet -- oldMan.keySet).toSeq.sorted
+      if (!appendOnly || newFiles.isEmpty) None
+      else {
+        val oldStore = s.read.parquet(
+          new org.apache.hadoop.fs.Path(whRoot, oldName).toString)
+        val delta = s.read.parquet(
+          newFiles.map(f => s"$dir/$srcTable.parquet/$f"): _*)
+        merge(oldStore, delta)
+      }
+    }
+    merged match {
+      case None =>
+        // Cold lane — servedTable's full rebuild discipline (its early
+        // GC is safe here: the cold frame reads only the corpus).
+        val (served, _) = servedTable(s, family, dir, fp, bucket = None)(
+          buildWithManifest(cold))
+        s.table(served)
+      case Some(frame) =>
+        // Merge lane: publish FIRST (tmp+rename, the servedTable
+        // commit), GC the superseded variant AFTER — the frame lazily
+        // reads its files until the staging write completes.
+        recordDir(s, fs, whRoot, dir)
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        if (fs.exists(loc)) { fs.delete(loc, true); () }
+        val tmpName = name + "_tmp_" +
+          java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+        buildWithManifest(frame)(tmpName)
+        val tmpLoc = new org.apache.hadoop.fs.Path(whRoot, tmpName)
+        try { fs.rename(tmpLoc, loc); () }
+        catch { case _: java.io.IOException => () }
+        s.sql(s"DROP TABLE IF EXISTS $tmpName")
+        if (fs.exists(tmpLoc)) { fs.delete(tmpLoc, true); () }
+        val schemaDdl = s.read.parquet(loc.toString).schema.toDDL
+        s.sql(s"CREATE TABLE IF NOT EXISTS $name ($schemaDdl)" +
+          s" USING PARQUET LOCATION '${loc.toString}'")
+        logHit(s, family, dir, hit = false)
+        gcStaleVariants(s, fs, whRoot, family, dir, keep = name)
+        s.table(name)
+    }
   }
 
   /** Age past which an unregistered `_tmp_` staging directory is

@@ -226,6 +226,138 @@ class WarehouseSpec extends SparkSpec {
     } finally pool.shutdownNow()
   }
 
+  test("servedFrameMerged: a corpus append merges prior store + delta, hash-equal to cold; GC after publish; merges chain") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("whmrg").toString
+    def doc(i: Long, t: String) = (i, "web", t)
+    val batch1 = Seq(doc(0L, "alpha beta gamma delta epsilon"),
+      doc(1L, "alpha beta gamma delta zeta"), doc(2L, "one two three four"))
+    val batch2 = Seq(doc(3L, "alpha beta gamma delta epsilon"),
+      doc(4L, "five six seven eight"))
+    val batch3 = Seq(doc(5L, "nine ten eleven twelve"))
+    batch1.toDF("doc_id", "source", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val colds = new java.util.concurrent.atomic.AtomicInteger(0)
+    // The REAL minhash-band family semantics (per-doc builder + union
+    // merge — the production callback verbatim) through the machinery.
+    def resolve(fp: String) = Warehouse.servedFrameMerged(
+      spark, "whmrgf", dir, "documents", fp) {
+      colds.incrementAndGet()
+      graft.operators.Dedup.minhashBandIndex(
+        spark.read.parquet(s"$dir/documents.parquet"))
+    } { (old, batch) =>
+      Some(old.unionByName(graft.operators.Dedup.minhashBandIndex(batch)))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    resolve(Warehouse.fpToken(3L, 2L))
+    assert(colds.get == 1, "first resolution must cold-build")
+    val oldName = Warehouse.tableName("whmrgf", dir, Warehouse.fpToken(3L, 2L))
+    // Simulate the cross-process state (files on disk, NO catalog
+    // entry): servedTable registers EXTERNAL at the published
+    // location, so dropping the catalog entry keeps the files — which
+    // is exactly what a fresh process's empty catalog looks like.
+    val whRoot = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = whRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldLoc = new org.apache.hadoop.fs.Path(whRoot, oldName)
+    spark.sql(s"DROP TABLE $oldName")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(oldLoc, "_SUCCESS")),
+      "published tables are registered external: a catalog drop keeps files")
+    // APPEND: a new part file lands in documents.parquet, every
+    // pre-existing file untouched — the production corpus-growth shape
+    // (parquet files are immutable; ingest adds part files).
+    def appendFiles(rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("whmrgb").toString
+      rows.toDF("doc_id", "source", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")
+          && !f.getName.startsWith("."))
+        .foreach { f =>
+          java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(
+            s"$dir/documents.parquet/${f.getName}"))
+        }
+    }
+    appendFiles(batch2)
+    val served2 = resolve(Warehouse.fpToken(5L, 4L))
+    assert(colds.get == 1,
+      "an append must take the MERGE lane — the cold builder must not re-run")
+    // Merged store == the cold rebuild over the grown corpus, exactly.
+    assert(rows(served2) == rows(graft.operators.Dedup.minhashBandIndex(
+      spark.read.parquet(s"$dir/documents.parquet"))))
+    assert(served2.select("doc_id").distinct().count() == 5)
+    // The superseded variant (unregistered — the cross-process state)
+    // is GC'd AFTER the publish, never before (it is the merge's own
+    // lazy input).
+    assert(!fs.exists(oldLoc), "superseded variant must GC after the merge publish")
+    // MERGES CHAIN: the published table carries the CURRENT source
+    // manifest, so a further append merges against the merged store.
+    // Cross-process again: drop the catalog entry (files stay).
+    spark.sql(s"DROP TABLE ${Warehouse.tableName("whmrgf", dir, Warehouse.fpToken(5L, 4L))}")
+    appendFiles(batch3)
+    val served3 = resolve(Warehouse.fpToken(6L, 5L))
+    assert(colds.get == 1, "the second append must merge too (manifest chained)")
+    assert(rows(served3) == rows(graft.operators.Dedup.minhashBandIndex(
+      spark.read.parquet(s"$dir/documents.parquet"))))
+    // NON-APPEND mutation (full overwrite: old files replaced) falls
+    // back to the cold build.
+    (batch1 ++ batch2).toDF("doc_id", "source", "text").coalesce(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val served4 = resolve(Warehouse.fpToken(5L, 99L))
+    assert(colds.get == 2, "a non-append mutation must fall back to cold")
+    assert(rows(served4) == rows(graft.operators.Dedup.minhashBandIndex(
+      spark.read.parquet(s"$dir/documents.parquet"))))
+  }
+
+  test("batch-touching pair slices: old-state pairs ∪ touching == full-state pairs (ngram + embedding)") {
+    import spark.implicits._
+    // The pair-store merge identity at the frame level — the exactness
+    // argument servedFrameMerged's ngram_pairs/emb_pairs callbacks
+    // rely on: the full new-state pair set is PARTITIONED by "touches
+    // the batch" (ngramPairsTouching / embeddingPairsTouching) vs
+    // "both sides settled" (identical to the old-state run, because
+    // per-doc inputs are unchanged and the prefix/bucket rules are
+    // order-independent for the VERIFIED output).
+    def w(pre: String, last: String) =
+      (1 to 19).map(i => s"$pre$i").mkString(" ") + " " + last
+    def mk(i: Long, t: String) = (i, "web", t, "de")
+    val olds = Seq(mk(0L, w("w", "x0")), mk(1L, w("w", "x1")),
+      mk(2L, w("p", "q0")))
+    val news = Seq(mk(3L, w("w", "x3")), mk(4L, w("p", "q4")),
+      mk(5L, "just unrelated noise here"))
+    val all = (olds ++ news).toDF("doc_id", "source", "text", "lang")
+    val oldDf = olds.toDF("doc_id", "source", "text", "lang")
+    val batchIds = news.map(_._1).toDF("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    val full = rows(graft.operators.Dedup.ngramPairs(all))
+    val merged = rows(graft.operators.Dedup.ngramPairs(oldDf)
+      .unionByName(graft.operators.Dedup.ngramPairsTouching(all, batchIds)))
+    assert(full == merged, s"$full vs $merged")
+    // Non-trivial on both slices: an old×old pair AND touching pairs.
+    assert(rows(graft.operators.Dedup.ngramPairs(oldDf)).nonEmpty)
+    assert(full.size > rows(graft.operators.Dedup.ngramPairs(oldDf)).size)
+    // Embedding twin at a FIXED plane count (the callback's validity
+    // precondition): same planes ⟹ same per-vector buckets ⟹ the
+    // collision set partitions identically.
+    def vec(id: Long, v: Seq[Long]) = (id, v)
+    val vecsOld = Seq(vec(0L, Seq(1000L, 10L, 0L, 0L)),
+      vec(1L, Seq(995L, 60L, 0L, 0L)), vec(2L, Seq(0L, 0L, 1000L, 30L)))
+    val vecsNew = Seq(vec(3L, Seq(990L, 80L, 10L, 0L)),
+      vec(4L, Seq(0L, 20L, 995L, 50L)), vec(5L, Seq(0L, -900L, 0L, 400L)))
+    val allV = (vecsOld ++ vecsNew).toDF("vec_id", "v")
+    val oldV = vecsOld.toDF("vec_id", "v")
+    val batchV = vecsNew.map(_._1).toDF("vec_id")
+    val planes = 8
+    val fullE = rows(graft.operators.Dedup.embeddingPairs(allV, 0.35, planes))
+    val mergedE = rows(graft.operators.Dedup.embeddingPairs(oldV, 0.35, planes)
+      .unionByName(graft.operators.Dedup.embeddingPairsTouching(
+        allV, batchV, 0.35, planes)))
+    assert(fullE == mergedE, s"$fullE vs $mergedE")
+    assert(fullE.nonEmpty)
+  }
+
   test("tableName folds the builder version: v1 is the identity, a bump misses and stays GC-able") {
     val dir = sfDir
     val fp = Warehouse.fpToken(7L, 6L)
@@ -240,6 +372,101 @@ class WarehouseSpec extends SparkSpec {
     // sweeps the pre-upgrade table like any mutated-corpus leftover.
     val prefix = s"graft_vfam_${Warehouse.dirDigest(dir)}_"
     assert(v2.startsWith(prefix))
+  }
+
+  test("builder-version bump end to end: the v1 table misses, v2 publishes under the new name, stale v1 GCs") {
+    import spark.implicits._
+    // The lifecycle the BuilderVersion map promises, exercised through
+    // resolution (round-18; the naming-rule-only check is the test
+    // above): after a family's deterministic builder changes algorithm,
+    // a process running the bumped code must NOT serve the pre-upgrade
+    // table — same corpus, same fingerprint, different version token.
+    val dir = java.nio.file.Files.createTempDirectory("whbv").toString
+    val fp = Warehouse.fpToken(2L, 1L)
+    val (n1, hit1) = Warehouse.servedTableAt(
+      spark, "whbvf", dir, fp, 1, bucket = None) { n =>
+      Seq((0L, 1L), (1L, 1L)).toDF("k", "algo_v")
+        .write.mode("overwrite").format("parquet").saveAsTable(n)
+    }
+    assert(!hit1)
+    // Cross-process state: catalog entry dropped, files stay (external).
+    spark.sql(s"DROP TABLE $n1")
+    val whRoot = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = whRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(whRoot, n1), "_SUCCESS")))
+    // The bumped process: same (family, corpus, fp) at version 2.
+    var built = false
+    val (n2, hit2) = Warehouse.servedTableAt(
+      spark, "whbvf", dir, fp, 2, bucket = None) { n =>
+      built = true
+      Seq((0L, 2L), (1L, 2L)).toDF("k", "algo_v")
+        .write.mode("overwrite").format("parquet").saveAsTable(n)
+    }
+    assert(!hit2 && built && n2 != n1,
+      "a version bump must MISS the pre-upgrade table and rebuild")
+    assert(spark.table(n2).agg(org.apache.spark.sql.functions.max("algo_v"))
+      .head().getLong(0) == 2L)
+    // The unregistered v1 variant swept through the same prefix GC as
+    // any stale fingerprint (the version token lives in the fp segment).
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(whRoot, n1)),
+      "the pre-upgrade variant must GC on the bumped resolution")
+    // And the bumped version HITS its own table thereafter.
+    val (n3, hit3) = Warehouse.servedTableAt(
+      spark, "whbvf", dir, fp, 2, bucket = None) { _ =>
+      fail("same-version re-resolution must hit")
+    }
+    assert(hit3 && n3 == n2)
+  }
+
+  test("WarehouseLs audit: digest registry resolves paths; a dead corpus's variants flag and sweep; registered entries defer") {
+    import spark.implicits._
+    import graft.tools.WarehouseLs
+    // Name parsing from the right (family may contain underscores).
+    assert(WarehouseLs.parseName("graft_minhash_bands_0123456789ab_ba9876543210")
+      .contains(("minhash_bands", "0123456789ab", "ba9876543210", false)))
+    assert(WarehouseLs.parseName(
+      "graft_f_0123456789ab_ba9876543210_tmp_deadbeef")
+      .contains(("f", "0123456789ab", "ba9876543210", true)))
+    assert(WarehouseLs.parseName("graft_f_notahexdigest_ba9876543210").isEmpty)
+    assert(WarehouseLs.parseName("unrelated_table").isEmpty)
+    // Lifecycle: resolve a store for a REAL temp corpus (records the
+    // digest→path registry line), then delete the corpus — the exact
+    // orphan class resolution-time GC can never reach (no future
+    // resolution of a dead corpus happens, by definition).
+    val dir = java.nio.file.Files.createTempDirectory("whls").toString
+    Seq((0L, "web", "x")).toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fp = Warehouse.fpToken(1L, 0L)
+    val (name, _) = Warehouse.servedTable(
+      spark, "whlsf", dir, fp, bucket = None) { n =>
+      Seq((1L, 2L)).toDF("a", "b")
+        .write.mode("overwrite").format("parquet").saveAsTable(n)
+    }
+    // While REGISTERED, the entry is resolvable and never sweepable
+    // (deferred-GC discipline), even after the corpus dies.
+    def entryOf(nm: String) =
+      WarehouseLs.audit(spark).find(_.name == nm)
+    val live = entryOf(name).get
+    assert(live.family == "whlsf" && live.corpus.isDefined &&
+      !live.corpusDead && !live.sweepable && live.registered)
+    assert(java.nio.file.Paths.get(live.corpus.get).toRealPath().toString ==
+      java.nio.file.Paths.get(dir).toRealPath().toString)
+    // Kill the corpus.
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    dp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dp, true)
+    val deadButRegistered = entryOf(name).get
+    assert(deadButRegistered.corpusDead && !deadButRegistered.sweepable,
+      "a registered entry must DEFER even when its corpus is dead")
+    // Cross-process state (catalog entry gone): now it is sweepable,
+    // and the sweep removes exactly it.
+    spark.sql(s"DROP TABLE $name")
+    val dead = entryOf(name).get
+    assert(dead.corpusDead && dead.sweepable)
+    val swept = WarehouseLs.sweep(spark, WarehouseLs.audit(spark))
+    assert(swept.contains(name))
+    assert(entryOf(name).isEmpty, "swept entry must be gone")
   }
 
   test("funnel fingerprint covers BOTH inputs: an embeddings-only mutation misses") {
