@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.operators.Events
 
@@ -15,7 +15,8 @@ import graft.operators.Events
   * cover-explode, both downstream stateless aggregations, so the gate
   * pins the (user, day) set itself (StreamingSpec: stream == batch
   * distinct frame across a mid-day micro-batch split, same-day
-  * repeats within AND across batches emit nothing).
+  * repeats within AND across batches emit nothing — on BOTH state
+  * APIs).
   *
   * Ordering contract: per-user event-time order across micro-batches
   * (the [[FunnelStream]] rule); a late event for an already-passed day
@@ -24,31 +25,76 @@ import graft.operators.Events
   * intra-batch disorder is absorbed exactly like the batch `distinct`.
   *
   * Scale shape: one shuffle on user_id per micro-batch; state is ONE
-  * long per user — a billion users is 8 GB across the cluster, and a
-  * watermark timeout can evict dormant users if even that matters. */
+  * long per user — a billion users is 8 GB across the cluster, and on
+  * the v2 path a per-state TTL evicts dormant users if even that
+  * matters (an evicted user's next event re-emits its day — a
+  * first-activity row that is correct again after eviction, since the
+  * state was the only dedup witness). */
 object ActiveStream {
 
   case class Ev(userId: Long, tsNs: Long)
   case class UState(maxDay: Long)
   case class UserDay(userId: Long, day: Long)
 
-  def advance(userId: Long, evs: Iterator[Ev],
-              state: GroupState[UState]): Iterator[UserDay] = {
-    var maxDay = state.getOption.map(_.maxDay).getOrElse(Long.MinValue)
+  /** The per-batch fold, PURE — ONE definition both state APIs
+    * delegate to (the SessionStream.fold discipline). */
+  def fold(userId: Long, st0: Option[UState],
+           evs: Seq[Ev]): (Option[UState], Vector[UserDay]) = {
+    var maxDay = st0.map(_.maxDay).getOrElse(Long.MinValue)
     val out = Vector.newBuilder[UserDay]
-    for (d <- evs.map(_.tsNs / Events.DayNs).toVector.sorted) {
+    for (d <- evs.map(_.tsNs / Events.DayNs).sorted) {
       if (d > maxDay) { out += UserDay(userId, d); maxDay = d }
       // d <= maxDay: same-day repeat or late event — nothing to emit.
     }
-    state.update(UState(maxDay))
-    out.result().iterator
+    (Some(UState(maxDay)), out.result())
   }
 
-  /** events (streaming Dataset) → first-activity (user, day) rows. */
-  def userDayStream(events: Dataset[Ev]): Dataset[UserDay] = {
+  def advance(userId: Long, evs: Iterator[Ev],
+              state: GroupState[UState]): Iterator[UserDay] = {
+    val (st, out) = fold(userId, state.getOption, evs.toVector)
+    st.foreach(state.update)
+    out.iterator
+  }
+
+  /** The v2 (arbitrary-state) spelling of [[advance]] — the same fold
+    * over a ValueState with optional per-state TTL (the
+    * SessionStream.SessProcessor pattern). Requires the RocksDB state
+    * store provider. */
+  class ActiveProcessor(ttl: Option[java.time.Duration])
+      extends StatefulProcessor[Long, Ev, UserDay] {
+    @transient private var state: ValueState[UState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[UState](
+        "max_day", Encoders.product[UState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    }
+
+    override def handleInputRows(userId: Long, evs: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[UserDay] = {
+      val st0 = if (state.exists()) Some(state.get()) else None
+      val (st, out) = fold(userId, st0, evs.toVector)
+      st.foreach(state.update)
+      out.iterator
+    }
+  }
+
+  /** events (streaming Dataset) → first-activity (user, day) rows.
+    * `v2 = true` routes through [[ActiveProcessor]]
+    * (transformWithState); same observable feed — StreamingSpec pins
+    * the full scenario on BOTH paths. */
+  def userDayStream(events: Dataset[Ev], v2: Boolean = false,
+                    ttl: Option[java.time.Duration] = None): Dataset[UserDay] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        advance)
+    if (v2) {
+      val timeMode =
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+      events.groupByKey(_.userId)
+        .transformWithState(new ActiveProcessor(ttl), timeMode,
+          OutputMode.Append())
+    } else
+      events.groupByKey(_.userId)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          advance)
   }
 }

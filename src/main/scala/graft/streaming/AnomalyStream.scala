@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.operators.Events
 
@@ -15,7 +15,8 @@ import graft.operators.Events
   * which the batch ROWS frame for the closed day is complete, so a
   * closed day's row is bit-identical to the batch key's (the still-open
   * newest day is the only batch row the stream has not yet emitted;
-  * StreamingSpec pins stream == batch-minus-open-day).
+  * StreamingSpec pins stream == batch-minus-open-day on BOTH state
+  * APIs).
   *
   * Ordering contract: per event_type the stream is ingested in
   * event-time order across micro-batches (the [[FunnelStream]] rule);
@@ -27,7 +28,7 @@ import graft.operators.Events
   * ≤ (window+1) longs per type — thousands of types cost kilobytes.
   * Day counts partial-aggregate inside each micro-batch before they
   * reach the keyed state only via the group iterator (counts are
-  * folded in [[advance]], so per-event state writes never happen). */
+  * folded in [[fold]], so per-event state writes never happen). */
 object AnomalyStream {
 
   case class Ev(eventType: String, tsNs: Long)
@@ -38,11 +39,13 @@ object AnomalyStream {
   case class AnomalyFlag(eventType: String, day: Long, n: Long,
                          dev2: Long, bound: Long, isAnomaly: Int)
 
-  def advance(eventType: String, evs: Iterator[Ev],
-              state: GroupState[AState]): Iterator[AnomalyFlag] = {
+  /** The per-batch fold, PURE — ONE definition both state APIs
+    * delegate to (the SessionStream.fold discipline). */
+  def fold(eventType: String, st0: Option[AState],
+           evs: Seq[Ev]): (Option[AState], Vector[AnomalyFlag]) = {
     val w = Events.AnomalyWindow
     val k2 = Events.AnomalyK * Events.AnomalyK
-    var st = state.getOption.getOrElse(AState(Vector.empty, -1L, 0L))
+    var st = st0.getOrElse(AState(Vector.empty, -1L, 0L))
     val out = Vector.newBuilder[AnomalyFlag]
     def close(): Unit = {
       if (st.trail.length == w) {
@@ -55,22 +58,62 @@ object AnomalyStream {
       }
       st = AState((st.trail :+ st.curN).takeRight(w), -1L, 0L)
     }
-    for (e <- evs.toSeq.sortBy(_.tsNs)) {
+    for (e <- evs.sortBy(_.tsNs)) {
       val d = e.tsNs / Events.DayNs // tsNs ≥ 0, so / == the batch div
       if (st.curDay < 0) st = st.copy(curDay = d, curN = 1L)
       else if (d == st.curDay) st = st.copy(curN = st.curN + 1)
       else if (d > st.curDay) { close(); st = st.copy(curDay = d, curN = 1L) }
       // d < curDay: late event for a closed day — ignored (contract).
     }
-    state.update(st)
-    out.result().iterator
+    (Some(st), out.result())
   }
 
-  /** events (streaming Dataset) → per-closed-day anomaly flags. */
-  def anomalyFlagStream(events: Dataset[Ev]): Dataset[AnomalyFlag] = {
+  def advance(eventType: String, evs: Iterator[Ev],
+              state: GroupState[AState]): Iterator[AnomalyFlag] = {
+    val (st, out) = fold(eventType, state.getOption, evs.toVector)
+    st.foreach(state.update)
+    out.iterator
+  }
+
+  /** The v2 (arbitrary-state) spelling of [[advance]] — the same fold
+    * over a ValueState with optional per-state TTL (the
+    * SessionStream.SessProcessor pattern). Requires the RocksDB state
+    * store provider. */
+  class AnomalyProcessor(ttl: Option[java.time.Duration])
+      extends StatefulProcessor[String, Ev, AnomalyFlag] {
+    @transient private var state: ValueState[AState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[AState](
+        "trailing_days", Encoders.product[AState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    }
+
+    override def handleInputRows(eventType: String, evs: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[AnomalyFlag] = {
+      val st0 = if (state.exists()) Some(state.get()) else None
+      val (st, out) = fold(eventType, st0, evs.toVector)
+      st.foreach(state.update)
+      out.iterator
+    }
+  }
+
+  /** events (streaming Dataset) → per-closed-day anomaly flags.
+    * `v2 = true` routes through [[AnomalyProcessor]]
+    * (transformWithState); same observable feed — StreamingSpec pins
+    * the full scenario on BOTH paths. */
+  def anomalyFlagStream(events: Dataset[Ev], v2: Boolean = false,
+                        ttl: Option[java.time.Duration] = None): Dataset[AnomalyFlag] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.eventType)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        advance)
+    if (v2) {
+      val timeMode =
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+      events.groupByKey(_.eventType)
+        .transformWithState(new AnomalyProcessor(ttl), timeMode,
+          OutputMode.Append())
+    } else
+      events.groupByKey(_.eventType)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          advance)
   }
 }

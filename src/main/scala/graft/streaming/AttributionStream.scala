@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.operators.Events
 
@@ -15,7 +15,8 @@ import graft.operators.Events
   * cross-micro-batch late events need no ordering contract at all: a
   * late-but-earlier event simply RE-ATTRIBUTES the user and the change
   * stream records the correction (the last row per user is always the
-  * batch answer).
+  * batch answer). StreamingSpec pins the full scenario on BOTH state
+  * APIs.
   *
   * Scale shape: one shuffle on user_id per micro-batch; state is one
   * (ts, id, type, flag) record per user — the same ~tens of bytes the
@@ -33,9 +34,14 @@ object AttributionStream {
   /** Emitted on every state change — the attribution correction log. */
   case class Touch(userId: Long, firstType: String, converted: Boolean)
 
-  def advance(userId: Long, evs: Iterator[Ev],
-              state: GroupState[AState]): Iterator[Touch] = {
-    val before = state.getOption.orNull
+  /** The per-batch fold, PURE: (state, batch events) → (new state,
+    * change emission). Emits ONLY when the state moved — the
+    * correction-log contract — so the returned state is None exactly
+    * when nothing needs writing back. ONE definition both state APIs
+    * delegate to (the SessionStream.fold discipline). */
+  def fold(userId: Long, st0: Option[AState],
+           evs: Seq[Ev]): (Option[AState], Vector[Touch]) = {
+    val before = st0.orNull
     var st = before
     for (e <- evs) {
       if (st == null ||
@@ -46,19 +52,58 @@ object AttributionStream {
       }
       if (e.eventType == Events.ConvType) st = st.copy(converted = true)
     }
-    if (st != before) {
-      state.update(st)
-      Iterator.single(Touch(userId, st.firstType, st.converted))
-    } else Iterator.empty
+    if (st != before)
+      (Some(st), Vector(Touch(userId, st.firstType, st.converted)))
+    else (None, Vector.empty)
+  }
+
+  def advance(userId: Long, evs: Iterator[Ev],
+              state: GroupState[AState]): Iterator[Touch] = {
+    val (st, out) = fold(userId, state.getOption, evs.toVector)
+    st.foreach(state.update)
+    out.iterator
+  }
+
+  /** The v2 (arbitrary-state) spelling of [[advance]] — the same fold
+    * over a ValueState with optional per-state TTL (the
+    * SessionStream.SessProcessor pattern). Requires the RocksDB state
+    * store provider. */
+  class AttributionProcessor(ttl: Option[java.time.Duration])
+      extends StatefulProcessor[Long, Ev, Touch] {
+    @transient private var state: ValueState[AState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[AState](
+        "first_touch", Encoders.product[AState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    }
+
+    override def handleInputRows(userId: Long, evs: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[Touch] = {
+      val st0 = if (state.exists()) Some(state.get()) else None
+      val (st, out) = fold(userId, st0, evs.toVector)
+      st.foreach(state.update)
+      out.iterator
+    }
   }
 
   /** events (streaming Dataset) → per-user attribution change rows;
     * the latest row per user is the batch `q_events_attribution`
-    * per-user frame. */
-  def firstTouchStream(events: Dataset[Ev]): Dataset[Touch] = {
+    * per-user frame. `v2 = true` routes through
+    * [[AttributionProcessor]] (transformWithState); same observable
+    * feed — StreamingSpec pins the full scenario on BOTH paths. */
+  def firstTouchStream(events: Dataset[Ev], v2: Boolean = false,
+                       ttl: Option[java.time.Duration] = None): Dataset[Touch] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        advance)
+    if (v2) {
+      val timeMode =
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+      events.groupByKey(_.userId)
+        .transformWithState(new AttributionProcessor(ttl), timeMode,
+          OutputMode.Append())
+    } else
+      events.groupByKey(_.userId)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          advance)
   }
 }

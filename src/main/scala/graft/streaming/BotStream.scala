@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.operators.Events
 
@@ -18,7 +18,7 @@ import graft.operators.Events
   * verdicts are monotone — no rule un-flags a user — so the log is at
   * most two rows per user and the LAST row per user equals the batch
   * key's `is_bot` (StreamingSpec pins both rule boundaries and the
-  * cross-batch gap case).
+  * cross-batch gap case, on BOTH state APIs).
   *
   * Production shape: the state septuple IS the bot-screen serving
   * table (point lookups at the door); the append log feeds the audit
@@ -34,13 +34,15 @@ object BotStream {
                     nDays: Long)
   case class Verdict(userId: Long, isBot: Int)
 
-  def advance(userId: Long, evs: Iterator[Ev],
-              state: GroupState[BState]): Iterator[Verdict] = {
-    var st = state.getOption.orNull
+  /** The per-batch fold, PURE — ONE definition both state APIs
+    * delegate to (the SessionStream.fold discipline). */
+  def fold(userId: Long, st0: Option[BState],
+           evs: Seq[Ev]): (Option[BState], Vector[Verdict]) = {
+    var st = st0.orNull
     val out = Vector.newBuilder[Verdict]
     def bot(s: BState): Boolean =
       s.maxDayN > Events.BotDayCap || s.minGapNs < Events.BotMinGapNs
-    for (e <- evs.toVector.sortBy(x => (x.tsNs, x.eventId))) {
+    for (e <- evs.sortBy(x => (x.tsNs, x.eventId))) {
       if (st == null) {
         st = BState(e.tsNs / Events.DayNs, 1L, 1L, Long.MaxValue,
           e.tsNs, 1L, 1L)
@@ -58,15 +60,55 @@ object BotStream {
       }
       // e.tsNs < lastTs: late event — ignored (ordering contract).
     }
-    if (st != null) state.update(st)
-    out.result().iterator
+    (Option(st), out.result())
   }
 
-  /** events (streaming Dataset) → append verdict-change rows. */
-  def botStream(events: Dataset[Ev]): Dataset[Verdict] = {
+  def advance(userId: Long, evs: Iterator[Ev],
+              state: GroupState[BState]): Iterator[Verdict] = {
+    val (st, out) = fold(userId, state.getOption, evs.toVector)
+    st.foreach(state.update)
+    out.iterator
+  }
+
+  /** The v2 (arbitrary-state) spelling of [[advance]] — the same fold
+    * over a ValueState with optional per-state TTL (the
+    * SessionStream.SessProcessor pattern). Requires the RocksDB state
+    * store provider. */
+  class BotProcessor(ttl: Option[java.time.Duration])
+      extends StatefulProcessor[Long, Ev, Verdict] {
+    @transient private var state: ValueState[BState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[BState](
+        "bot_stats", Encoders.product[BState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    }
+
+    override def handleInputRows(userId: Long, evs: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[Verdict] = {
+      val st0 = if (state.exists()) Some(state.get()) else None
+      val (st, out) = fold(userId, st0, evs.toVector)
+      st.foreach(state.update)
+      out.iterator
+    }
+  }
+
+  /** events (streaming Dataset) → append verdict-change rows.
+    * `v2 = true` routes through [[BotProcessor]] (transformWithState);
+    * same observable feed — StreamingSpec pins the full scenario on
+    * BOTH paths. */
+  def botStream(events: Dataset[Ev], v2: Boolean = false,
+                ttl: Option[java.time.Duration] = None): Dataset[Verdict] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        advance)
+    if (v2) {
+      val timeMode =
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+      events.groupByKey(_.userId)
+        .transformWithState(new BotProcessor(ttl), timeMode,
+          OutputMode.Append())
+    } else
+      events.groupByKey(_.userId)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          advance)
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.operators.Events
 
@@ -21,7 +21,8 @@ import graft.operators.Events
   * micro-batch (the [[Sessions.route]] determinism rule); ACROSS
   * micro-batches the per-user stream must be ingested in event-time
   * order (the per-key ordered delivery a user-keyed log partition
-  * gives). StreamingSpec pins stream == batch on both window settings.
+  * gives). StreamingSpec pins stream == batch on both window settings,
+  * on BOTH state APIs.
   *
   * Scale shape: one shuffle on user_id per micro-batch; state is a
   * fixed 12 bytes per user (depth + last matched ts) — 10⁹ users is
@@ -36,11 +37,15 @@ object FunnelStream {
   /** Emitted once per stage advance — the funnel's change stream. */
   case class DepthAdvance(userId: Long, depth: Int, tsNs: Long)
 
-  def advance(windowNs: Long)(userId: Long, evs: Iterator[Ev],
-      state: GroupState[FState]): Iterator[DepthAdvance] = {
-    var st = state.getOption.getOrElse(FState(0, 0L))
+  /** The per-batch fold, PURE: (state, batch events) → (new state,
+    * stage-advance emissions). ONE definition — both state APIs
+    * delegate here, so they cannot drift (the SessionStream.fold
+    * discipline). */
+  def fold(windowNs: Long)(userId: Long, st0: Option[FState],
+           evs: Seq[Ev]): (Option[FState], Vector[DepthAdvance]) = {
+    var st = st0.getOrElse(FState(0, 0L))
     val out = Vector.newBuilder[DepthAdvance]
-    for (e <- evs.toSeq.sortBy(e => (e.tsNs, e.eventId))) {
+    for (e <- evs.sortBy(e => (e.tsNs, e.eventId))) {
       // Events.funnelStep is THE shared machine (the batch keys fold
       // the same function under a secondary sort — one definition, so
       // stream and batch cannot drift). Its ts >= lastTs guard is a
@@ -55,18 +60,60 @@ object FunnelStream {
         out += DepthAdvance(userId, st.depth, e.tsNs)
       }
     }
-    state.update(st)
-    out.result().iterator
+    (Some(st), out.result())
+  }
+
+  def advance(windowNs: Long)(userId: Long, evs: Iterator[Ev],
+      state: GroupState[FState]): Iterator[DepthAdvance] = {
+    val (st, out) = fold(windowNs)(userId, state.getOption, evs.toVector)
+    st.foreach(state.update)
+    out.iterator
+  }
+
+  /** The v2 (arbitrary-state) spelling of [[advance]] — the same fold
+    * over a ValueState with optional per-state TTL (the
+    * SessionStream.SessProcessor pattern): a user idle past the TTL
+    * reads as absent, so their funnel restarts from depth 0 — the
+    * production retention close for unbounded user churn. Requires the
+    * RocksDB state store provider. */
+  class FunnelProcessor(windowNs: Long, ttl: Option[java.time.Duration])
+      extends StatefulProcessor[Long, Ev, DepthAdvance] {
+    @transient private var state: ValueState[FState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[FState](
+        "funnel_depth", Encoders.product[FState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    }
+
+    override def handleInputRows(userId: Long, evs: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[DepthAdvance] = {
+      val st0 = if (state.exists()) Some(state.get()) else None
+      val (st, out) = fold(windowNs)(userId, st0, evs.toVector)
+      st.foreach(state.update)
+      out.iterator
+    }
   }
 
   /** events (streaming Dataset) → per-stage depth advances.
     * `windowNs = Long.MaxValue` is the unwindowed funnel;
-    * [[Events.FunnelWindowNs]] matches `q_events_funnel_windowed`. */
+    * [[Events.FunnelWindowNs]] matches `q_events_funnel_windowed`.
+    * `v2 = true` routes through [[FunnelProcessor]]
+    * (transformWithState); same observable stream — StreamingSpec pins
+    * the full scenario on BOTH paths. */
   def funnelDepthStream(events: Dataset[Ev],
-                        windowNs: Long = Long.MaxValue): Dataset[DepthAdvance] = {
+                        windowNs: Long = Long.MaxValue, v2: Boolean = false,
+                        ttl: Option[java.time.Duration] = None): Dataset[DepthAdvance] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        advance(windowNs))
+    if (v2) {
+      val timeMode =
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+      events.groupByKey(_.userId)
+        .transformWithState(new FunnelProcessor(windowNs, ttl), timeMode,
+          OutputMode.Append())
+    } else
+      events.groupByKey(_.userId)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          advance(windowNs))
   }
 }

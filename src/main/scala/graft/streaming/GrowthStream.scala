@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.operators.Events
 
@@ -29,7 +29,7 @@ import graft.operators.Events
   * the state store (every user with lastDay < today−1 and no churn row
   * yet — pure state iteration, no event replay); the spec pins
   * stream == batch on a window where every gap closes, which makes the
-  * two frames equal row-for-row.
+  * two frames equal row-for-row (on BOTH state APIs).
   *
   * Ordering contract and scale shape are [[ActiveStream]]'s: per-user
   * event-time order across micro-batches, intra-batch disorder sorted
@@ -41,12 +41,14 @@ object GrowthStream {
   case class GState(lastDay: Long)
   case class GrowthEv(day: Long, kind: String)
 
-  def advance(userId: Long, evs: Iterator[Ev],
-              state: GroupState[GState]): Iterator[GrowthEv] = {
-    var last = state.getOption.map(_.lastDay).getOrElse(Long.MinValue)
-    var seen = state.exists
+  /** The per-batch fold, PURE — ONE definition both state APIs
+    * delegate to (the SessionStream.fold discipline). */
+  def fold(userId: Long, st0: Option[GState],
+           evs: Seq[Ev]): (Option[GState], Vector[GrowthEv]) = {
+    var last = st0.map(_.lastDay).getOrElse(Long.MinValue)
+    var seen = st0.isDefined
     val out = Vector.newBuilder[GrowthEv]
-    for (d <- evs.map(_.tsNs / Events.DayNs).toVector.sorted) {
+    for (d <- evs.map(_.tsNs / Events.DayNs).sorted) {
       if (!seen) { out += GrowthEv(d, "new"); last = d; seen = true }
       else if (d == last + 1) { out += GrowthEv(d, "retained"); last = d }
       else if (d > last + 1) {
@@ -56,15 +58,59 @@ object GrowthStream {
       }
       // d <= last: same-day repeat or late event — nothing to emit.
     }
-    state.update(GState(last))
-    out.result().iterator
+    (Some(GState(last)), out.result())
   }
 
-  /** events (streaming Dataset) → append growth-classification rows. */
-  def growthStream(events: Dataset[Ev]): Dataset[GrowthEv] = {
+  def advance(userId: Long, evs: Iterator[Ev],
+              state: GroupState[GState]): Iterator[GrowthEv] = {
+    val (st, out) = fold(userId, state.getOption, evs.toVector)
+    st.foreach(state.update)
+    out.iterator
+  }
+
+  /** The v2 (arbitrary-state) spelling of [[advance]] — the same fold
+    * over a ValueState with optional per-state TTL (the
+    * SessionStream.SessProcessor pattern). NOTE the TTL/semantics
+    * interaction: an expired user reads as never-seen, so their next
+    * event classifies as "new" rather than "resurrected" — the
+    * documented cost of bounding state by retention; leave TTL unset
+    * where growth-kind fidelity matters beyond the retention horizon.
+    * Requires the RocksDB state store provider. */
+  class GrowthProcessor(ttl: Option[java.time.Duration])
+      extends StatefulProcessor[Long, Ev, GrowthEv] {
+    @transient private var state: ValueState[GState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[GState](
+        "last_day", Encoders.product[GState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    }
+
+    override def handleInputRows(userId: Long, evs: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[GrowthEv] = {
+      val st0 = if (state.exists()) Some(state.get()) else None
+      val (st, out) = fold(userId, st0, evs.toVector)
+      st.foreach(state.update)
+      out.iterator
+    }
+  }
+
+  /** events (streaming Dataset) → append growth-classification rows.
+    * `v2 = true` routes through [[GrowthProcessor]]
+    * (transformWithState); same observable feed — StreamingSpec pins
+    * the full scenario on BOTH paths. */
+  def growthStream(events: Dataset[Ev], v2: Boolean = false,
+                   ttl: Option[java.time.Duration] = None): Dataset[GrowthEv] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        advance)
+    if (v2) {
+      val timeMode =
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+      events.groupByKey(_.userId)
+        .transformWithState(new GrowthProcessor(ttl), timeMode,
+          OutputMode.Append())
+    } else
+      events.groupByKey(_.userId)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          advance)
   }
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Streaming (user, type) FIRST-OCCURRENCE feed — [[ActiveStream]]'s
   * shape with the day replaced by the event-type alphabet: per user,
@@ -14,7 +14,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * so the affinity table (support/lift over type pairs) reproduces by
   * handing the feed to the batch rollup itself ([[affinityOf]];
   * stream == batch pinned in StreamingSpec including cross-batch
-  * repeat suppression).
+  * repeat suppression, on BOTH state APIs).
   *
   * Unlike the day/pair feeds there is no late-event asymmetry: set
   * membership is order-independent, so ANY arrival order yields the
@@ -26,31 +26,76 @@ object TypeStream {
   case class Seen(types: Seq[String])
   case class UserType(userId: Long, eventType: String)
 
-  def advance(userId: Long, evs: Iterator[Ev],
-              state: GroupState[Seen]): Iterator[UserType] = {
-    var seen = state.getOption.map(_.types.toSet).getOrElse(Set.empty[String])
+  /** The per-batch fold, PURE: returns the new state ONLY when the set
+    * GREW (None = skip the state write: in steady state the type
+    * alphabet saturates fast, and a put of the re-encoded string
+    * sequence per active user per micro-batch would buy zero
+    * information change). ONE definition both state APIs delegate to
+    * (the SessionStream.fold discipline). */
+  def fold(userId: Long, st0: Option[Seen],
+           evs: Seq[Ev]): (Option[Seen], Vector[UserType]) = {
+    var seen = st0.map(_.types.toSet).getOrElse(Set.empty[String])
     val out = Vector.newBuilder[UserType]
     // Deterministic intra-batch order (sorted) so the emitted feed is
     // reproducible run-to-run; the SET semantics make the final feed
     // order-independent regardless.
-    for (t <- evs.map(_.eventType).toVector.sorted) {
+    for (t <- evs.map(_.eventType).sorted) {
       if (!seen.contains(t)) { out += UserType(userId, t); seen += t }
     }
     val emitted = out.result()
-    // Write state only when the set GREW: in steady state (the type
-    // alphabet saturates fast) every micro-batch would otherwise pay a
-    // state-store put of the re-encoded string sequence per active
-    // user for zero information change.
-    if (emitted.nonEmpty) state.update(Seen(seen.toSeq.sorted))
-    emitted.iterator
+    (if (emitted.nonEmpty) Some(Seen(seen.toSeq.sorted)) else None, emitted)
   }
 
-  /** events (streaming Dataset) → first-occurrence (user, type) rows. */
-  def userTypeStream(events: Dataset[Ev]): Dataset[UserType] = {
+  def advance(userId: Long, evs: Iterator[Ev],
+              state: GroupState[Seen]): Iterator[UserType] = {
+    val (st, out) = fold(userId, state.getOption, evs.toVector)
+    st.foreach(state.update)
+    out.iterator
+  }
+
+  /** The v2 (arbitrary-state) spelling of [[advance]] — the same fold
+    * over a ValueState with optional per-state TTL (the
+    * SessionStream.SessProcessor pattern). Note the skip-unchanged
+    * write also skips refreshing the TTL clock — an idle-but-saturated
+    * user's set can expire and re-emit; acceptable for the affinity
+    * rollup (distinct() downstream), documented here. Requires the
+    * RocksDB state store provider. */
+  class TypeProcessor(ttl: Option[java.time.Duration])
+      extends StatefulProcessor[Long, Ev, UserType] {
+    @transient private var state: ValueState[Seen] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[Seen](
+        "seen_types", Encoders.product[Seen],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    }
+
+    override def handleInputRows(userId: Long, evs: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[UserType] = {
+      val st0 = if (state.exists()) Some(state.get()) else None
+      val (st, out) = fold(userId, st0, evs.toVector)
+      st.foreach(state.update)
+      out.iterator
+    }
+  }
+
+  /** events (streaming Dataset) → first-occurrence (user, type) rows.
+    * `v2 = true` routes through [[TypeProcessor]] (transformWithState);
+    * same observable feed — StreamingSpec pins the full scenario on
+    * BOTH paths. */
+  def userTypeStream(events: Dataset[Ev], v2: Boolean = false,
+                     ttl: Option[java.time.Duration] = None): Dataset[UserType] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        advance)
+    if (v2) {
+      val timeMode =
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+      events.groupByKey(_.userId)
+        .transformWithState(new TypeProcessor(ttl), timeMode,
+          OutputMode.Append())
+    } else
+      events.groupByKey(_.userId)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          advance)
   }
 
   /** `q_events_affinity` over the feed — the batch rollup applied

@@ -441,11 +441,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  /** Run `f` with the RocksDB state store provider set (required by
+    * every transformWithState path), restoring the prior provider
+    * after — the shared scaffold of all the v2 twin scenarios. */
+  private def withRocksDB[T](f: => T): T = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f
+    finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming funnel: incremental depth equals the batch funnel, both window settings") {
+    funnelScenario(v2 = false)
+  }
+
+  test("streaming funnel v2 (transformWithState): same depth advances, both window settings") {
+    // The arbitrary-state-v2 port (round-18) must be observably
+    // identical on the FULL scenario — both APIs delegate to
+    // FunnelStream.fold, and this pin keeps the delegation honest.
+    withRocksDB { funnelScenario(v2 = true) }
+  }
+
+  private def funnelScenario(v2: Boolean): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.FunnelStream.{Ev, DepthAdvance}
     val W = graft.operators.Events.FunnelWindowNs
+    val tag = if (v2) "_v2" else ""
     // u1 completes; u2's click is one ns outside the window (windowed
     // depth 1, unwindowed 2); u3 never starts; u4 skips a stage.
     val batch1 = Seq(
@@ -457,9 +483,10 @@ class StreamingSpec extends SparkSpec {
       Ev(1, 20, 3, "signup"), Ev(1, 30, 4, "purchase"),
       Ev(2, W + 1L, 6, "click"),
       Ev(4, 40, 9, "purchase"))
-    for ((windowNs, name) <- Seq((Long.MaxValue, "adv_unwin"), (W, "adv_win"))) {
+    for ((windowNs, name0) <- Seq((Long.MaxValue, "adv_unwin"), (W, "adv_win"))) {
+      val name = name0 + tag
       val in = MemoryStream[Ev]
-      val q = FunnelStream.funnelDepthStream(in.toDS(), windowNs)
+      val q = FunnelStream.funnelDepthStream(in.toDS(), windowNs, v2 = v2)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append).start()
       try {
@@ -481,10 +508,19 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming active users: first-activity rows equal the batch distinct (user, day) frame") {
+    activeScenario(v2 = false)
+  }
+
+  test("streaming active users v2 (transformWithState): same first-activity feed, batch equality") {
+    withRocksDB { activeScenario(v2 = true) }
+  }
+
+  private def activeScenario(v2: Boolean): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.ActiveStream.{Ev, UserDay}
     val D = graft.operators.Events.DayNs
+    val tag = if (v2) "_v2" else ""
     // u1 active days 0,1,2 with a SAME-DAY repeat inside batch 1 and a
     // cross-batch same-day repeat (day 2 closes batch 1, repeats in
     // batch 2: state must suppress it). u2 skips days (0 then 3). u3
@@ -493,14 +529,14 @@ class StreamingSpec extends SparkSpec {
       Ev(1L, 2L * D + 1L), Ev(2L, 7L))
     val batch2 = Seq(Ev(1L, 2L * D + 99L), Ev(2L, 3L * D + 2L), Ev(3L, D + 3L))
     val in = MemoryStream[Ev]
-    val q = ActiveStream.userDayStream(in.toDS())
-      .writeStream.format("memory").queryName("user_days")
+    val q = ActiveStream.userDayStream(in.toDS(), v2 = v2)
+      .writeStream.format("memory").queryName("user_days" + tag)
       .outputMode(OutputMode.Append).start()
     try {
       in.addData(batch1: _*); q.processAllAvailable()
       in.addData(batch2: _*); q.processAllAvailable()
     } finally q.stop()
-    val streamed = spark.table("user_days").as[UserDay].collect()
+    val streamed = spark.table("user_days" + tag).as[UserDay].collect()
       .map(u => (u.userId, u.day)).sorted.toList
     // EXACTLY the batch ud frame — each pair once, repeats suppressed.
     assert(streamed == List((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L),
@@ -532,9 +568,18 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming attribution: late earlier event re-attributes; final states equal the batch key") {
+    attributionScenario(v2 = false)
+  }
+
+  test("streaming attribution v2 (transformWithState): same correction log, batch equality") {
+    withRocksDB { attributionScenario(v2 = true) }
+  }
+
+  private def attributionScenario(v2: Boolean): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.AttributionStream.{Ev, Touch}
+    val tag = if (v2) "_v2" else ""
     // u1 converts after a view first touch; u2 never converts; u3's
     // batch-2 event is EARLIER than its batch-1 one (cross-batch
     // out-of-order) — the running minimum must re-attribute u3 from
@@ -543,14 +588,14 @@ class StreamingSpec extends SparkSpec {
       Ev(2L, 10L, 3L, "view"), Ev(3L, 50L, 4L, "click"))
     val batch2 = Seq(Ev(3L, 5L, 5L, "signup"), Ev(2L, 30L, 6L, "click"))
     val in = MemoryStream[Ev]
-    val q = AttributionStream.firstTouchStream(in.toDS())
-      .writeStream.format("memory").queryName("attribution_touches")
+    val q = AttributionStream.firstTouchStream(in.toDS(), v2 = v2)
+      .writeStream.format("memory").queryName("attribution_touches" + tag)
       .outputMode(OutputMode.Append).start()
     try {
       in.addData(batch1: _*); q.processAllAvailable()
       in.addData(batch2: _*); q.processAllAvailable()
     } finally q.stop()
-    val touches = spark.table("attribution_touches").as[Touch].collect().toList
+    val touches = spark.table("attribution_touches" + tag).as[Touch].collect().toList
     // u3's correction is IN the log (click first, then signup)…
     assert(touches.count(_.userId == 3L) == 2, s"$touches")
     assert(touches.filter(_.userId == 3L).map(_.firstType)
@@ -575,10 +620,19 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming volume anomaly: closed days equal the batch k-sigma flags; late events ignored") {
+    anomalyScenario(v2 = false)
+  }
+
+  test("streaming volume anomaly v2 (transformWithState): same closed-day flags, late guard") {
+    withRocksDB { anomalyScenario(v2 = true) }
+  }
+
+  private def anomalyScenario(v2: Boolean): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.AnomalyStream.{Ev, AnomalyFlag}
     val D = graft.operators.Events.DayNs
+    val tag = if (v2) "_v2" else ""
     def evs(tp: String, counts: Seq[Int]): Seq[Ev] =
       counts.zipWithIndex.flatMap { case (c, d) =>
         (0 until c).map(i => Ev(tp, d.toLong * D + i))
@@ -592,14 +646,14 @@ class StreamingSpec extends SparkSpec {
       evs("zvm", Seq(0, 0, 0, 0, 3, 3, 3, 3)) :+ Ev("zvm", 8L * D) :+
       Ev("anm", 2L * D + 999L) // late event for closed day 2: must be ignored
     val in = MemoryStream[Ev]
-    val q = AnomalyStream.anomalyFlagStream(in.toDS())
-      .writeStream.format("memory").queryName("anomaly_flags")
+    val q = AnomalyStream.anomalyFlagStream(in.toDS(), v2 = v2)
+      .writeStream.format("memory").queryName("anomaly_flags" + tag)
       .outputMode(OutputMode.Append).start()
     try {
       in.addData(batch1: _*); q.processAllAvailable()
       in.addData(batch2: _*); q.processAllAvailable()
     } finally q.stop()
-    val streamed = spark.table("anomaly_flags").as[AnomalyFlag].collect()
+    val streamed = spark.table("anomaly_flags" + tag).as[AnomalyFlag].collect()
       .map(f => (f.eventType, f.day, f.n, f.dev2, f.bound, f.isAnomaly))
       .sortBy(t => (t._1, t._2)).toList
     // Batch twin over the SAME events, minus each type's still-open
@@ -634,10 +688,19 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming growth: classification + gap-churn rows aggregate to the batch growth frame") {
+    growthScenario(v2 = false)
+  }
+
+  test("streaming growth v2 (transformWithState): same classification feed, batch equality") {
+    withRocksDB { growthScenario(v2 = true) }
+  }
+
+  private def growthScenario(v2: Boolean): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.GrowthStream.{Ev, GrowthEv}
     val D = graft.operators.Events.DayNs
+    val tag = if (v2) "_v2" else ""
     // u1 {0,1,3}, u2 {0,2,3}, u3 {1,2,3}, u4 {3}: every gap closes
     // before the window ends and every user's last day is the global
     // max, so the stream's return-gap churn covers ALL batch churn
@@ -650,14 +713,14 @@ class StreamingSpec extends SparkSpec {
       Ev(1L, 3L * D + 1L), Ev(2L, 2L * D + 2L), Ev(2L, 3L * D + 2L),
       Ev(3L, 2L * D + 3L), Ev(3L, 3L * D + 3L), Ev(4L, 3L * D + 4L))
     val in = MemoryStream[Ev]
-    val q = GrowthStream.growthStream(in.toDS())
-      .writeStream.format("memory").queryName("growth_rows")
+    val q = GrowthStream.growthStream(in.toDS(), v2 = v2)
+      .writeStream.format("memory").queryName("growth_rows" + tag)
       .outputMode(OutputMode.Append).start()
     try {
       in.addData(batch1: _*); q.processAllAvailable()
       in.addData(batch2: _*); q.processAllAvailable()
     } finally q.stop()
-    val streamed = growthFrameOf(spark.table("growth_rows").as[GrowthEv]
+    val streamed = growthFrameOf(spark.table("growth_rows" + tag).as[GrowthEv]
       .collect().map(g => (g.day, g.kind)).toSeq)
     val all = (batch1 ++ batch2).map(e => (e.tsNs, e.userId))
       .toDF("ts_ns", "user_id")
@@ -767,14 +830,7 @@ class StreamingSpec extends SparkSpec {
     // identical to the flatMapGroupsWithState path on the FULL
     // scenario — both APIs delegate to SessionStream.fold, and this
     // pin is what keeps that delegation honest. Requires RocksDB.
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try sessionizationScenario(v2 = true)
-    finally prev match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
+    withRocksDB { sessionizationScenario(v2 = true) }
   }
 
   private def sessionizationScenario(v2: Boolean): Unit = {
@@ -859,6 +915,80 @@ class StreamingSpec extends SparkSpec {
     assert(drained == batchKey, s"$drained vs $batchKey")
   }
 
+  test("streaming sessionization v2 TTL: an idle open session expires; the next event opens a fresh one") {
+    // The TTL arm of SessProcessor (TimeMode.ProcessingTime + per-state
+    // TTLConfig), exercised end to end (round-18 advice): an open
+    // session whose user goes quiet past the TTL reads as ABSENT — it
+    // is silently dropped, never emitted as closed — and the next
+    // event opens a FRESH session instead of extending the expired
+    // one. Requires RocksDB (every transformWithState path).
+    withRocksDB {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      import graft.streaming.SessionStream.{Ev, Sess}
+      val G = graft.operators.Events.SessionGapNs
+      val in = MemoryStream[Ev]
+      // NOTE processAllAvailable is UNUSABLE under TimeMode
+      // .ProcessingTime: the engine keeps running (empty) batches to
+      // advance the TTL clock, so "all available processed" never
+      // latches — the test polls consumed-input progress instead, and
+      // the TTL (2 s) is far above the poll cadence so only the
+      // DELIBERATE idle (6 s) ever expires state.
+      val q = SessionStream.sessionStream(in.toDS(), v2 = true,
+          ttl = Some(java.time.Duration.ofSeconds(2)))
+        .writeStream.format("memory").queryName("ttl_sessions")
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("50 milliseconds"))
+        .start()
+      // Await the MemoryStream's committed offset (0-BASED, one per
+      // addData call: the first batch ends at offset 0) — MONOTONE, so
+      // immune to recentProgress's bounded-buffer eviction under the
+      // fast empty-batch cadence.
+      def awaitOffset(k: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 60000L
+        def cur(): Long = {
+          val p = q.lastProgress
+          if (p == null || p.sources.isEmpty || p.sources(0).endOffset == null)
+            Long.MinValue
+          else {
+            val digits = p.sources(0).endOffset.replaceAll("[^-0-9]", "")
+            if (digits.isEmpty || digits == "-") Long.MinValue else digits.toLong
+          }
+        }
+        while (cur() < k && System.currentTimeMillis() < deadline)
+          Thread.sleep(50L)
+        assert(cur() >= k, s"stream never reached offset $k")
+      }
+      try {
+        // Open a 2-event session (event-time duration 100 ns).
+        in.addData(Ev(1L, 100L, 1L), Ev(1L, 200L, 2L))
+        awaitOffset(0L)
+        // Idle past the TTL in PROCESSING time (generous margin — the
+        // running empty batches advance the expiry clock).
+        Thread.sleep(6000L)
+        // IN-GAP event (event-time gap 100 ns ≪ G): with live state it
+        // would extend the open session to 3 events; after expiry the
+        // state reads absent, so this OPENS a fresh 1-event session.
+        in.addData(Ev(1L, 300L, 3L)); awaitOffset(1L)
+        // Beyond-gap closer, added well inside the fresh session's TTL:
+        // emits whatever session is open NOW.
+        in.addData(Ev(1L, 300L + G + 1L, 4L)); awaitOffset(2L)
+        val deadline = System.currentTimeMillis() + 60000L
+        while (spark.table("ttl_sessions").count() < 1 &&
+               System.currentTimeMillis() < deadline)
+          Thread.sleep(50L)
+      } finally q.stop()
+      val closed = spark.table("ttl_sessions").as[Sess].collect()
+        .map(s => (s.userId, s.nEvents, s.durNs)).sorted.toList
+      // Without expiry the closer would emit the extended (1, 3, 200)
+      // session; with it, the expired session is ABSENT (dropped, per
+      // the documented TTL contract) and the closer emits the fresh
+      // single-event session opened at ts 300.
+      assert(closed == List((1L, 1L, 0L)), s"$closed")
+    }
+  }
+
   test("streaming transitions: paths/markov/markov2/dwell off the pair feed equal the batch keys") {
     transitionsScenario(v2 = false)
   }
@@ -867,14 +997,7 @@ class StreamingSpec extends SparkSpec {
     // The arbitrary-state-v2 port must be observably identical on the
     // FULL scenario — both APIs delegate to TransitionStream.fold.
     // Requires RocksDB.
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try transitionsScenario(v2 = true)
-    finally prev match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
+    withRocksDB { transitionsScenario(v2 = true) }
   }
 
   private def transitionsScenario(v2: Boolean): Unit = {
@@ -947,9 +1070,18 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming type feed: affinity off the first-occurrence rows equals the batch key") {
+    typeScenario(v2 = false)
+  }
+
+  test("streaming type feed v2 (transformWithState): same first-occurrence feed, affinity equality") {
+    withRocksDB { typeScenario(v2 = true) }
+  }
+
+  private def typeScenario(v2: Boolean): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.TypeStream.{Ev, UserType}
+    val tag = if (v2) "_v2" else ""
     // u1 sees view/click in batch 1 and repeats BOTH across the batch
     // boundary (suppression must survive state) before adding signup;
     // u2 shares only view; u3 (batch 2 only) shares click+signup with
@@ -960,14 +1092,14 @@ class StreamingSpec extends SparkSpec {
     val batch2 = Seq(Ev(1L, "click"), Ev(1L, "signup"), Ev(2L, "view"),
       Ev(3L, "click"), Ev(3L, "signup"))
     val in = MemoryStream[Ev]
-    val q = TypeStream.userTypeStream(in.toDS())
-      .writeStream.format("memory").queryName("user_types")
+    val q = TypeStream.userTypeStream(in.toDS(), v2 = v2)
+      .writeStream.format("memory").queryName("user_types" + tag)
       .outputMode(OutputMode.Append).start()
     try {
       in.addData(batch1: _*); q.processAllAvailable()
       in.addData(batch2: _*); q.processAllAvailable()
     } finally q.stop()
-    val feed = spark.table("user_types")
+    val feed = spark.table("user_types" + tag)
     // Exactly the distinct (user, type) frame — repeats suppressed
     // within AND across batches.
     assert(feed.as[UserType].collect().map(u => (u.userId, u.eventType))
@@ -984,10 +1116,19 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming bot screen: verdict log is monotone; last verdict equals the batch key") {
+    botScenario(v2 = false)
+  }
+
+  test("streaming bot screen v2 (transformWithState): same verdict log, batch equality") {
+    withRocksDB { botScenario(v2 = true) }
+  }
+
+  private def botScenario(v2: Boolean): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.BotStream.{Ev, Verdict}
     val D = graft.operators.Events.DayNs
+    val tag = if (v2) "_v2" else ""
     val G = graft.operators.Events.BotMinGapNs
     val cap = graft.operators.Events.BotDayCap.toInt
     // u1: exactly BotDayCap events on one day (NOT a bot — strict >),
@@ -1001,14 +1142,14 @@ class StreamingSpec extends SparkSpec {
     val u3a = Seq(Ev(3L, 0L, 300L))
     val u3b = Seq(Ev(3L, G - 1L, 301L))
     val in = MemoryStream[Ev]
-    val q = BotStream.botStream(in.toDS())
-      .writeStream.format("memory").queryName("bot_verdicts")
+    val q = BotStream.botStream(in.toDS(), v2 = v2)
+      .writeStream.format("memory").queryName("bot_verdicts" + tag)
       .outputMode(OutputMode.Append).start()
     try {
       in.addData(u1 ++ u2a ++ u3a: _*); q.processAllAvailable()
       in.addData(u2b ++ u3b: _*); q.processAllAvailable()
     } finally q.stop()
-    val log = spark.table("bot_verdicts").as[Verdict].collect().toList
+    val log = spark.table("bot_verdicts" + tag).as[Verdict].collect().toList
     // Monotone: at most two rows per user, never bot -> human.
     assert(log.groupBy(_.userId).forall { case (_, vs) =>
       vs.map(_.isBot) == vs.map(_.isBot).sorted && vs.size <= 2 })
