@@ -24,7 +24,8 @@ object Bench {
     ("phash_ivf_policy", (s, d) => operators.Multimodal.warmPhashIvfPolicy(s, d)),
     ("bpe_merges", (s, d) => operators.TextAnalysis.warmBpeMerges(s, d)),
     ("knn_tier_policy", (s, d) => operators.Similarity.warmKnnTierPolicy(s, d)),
-    ("knn_quant_policy", (s, d) => operators.Similarity.warmKnnQuantPolicy(s, d)))
+    ("knn_quant_policy", (s, d) => operators.Similarity.warmKnnQuantPolicy(s, d)),
+    ("events_stores", (s, d) => operators.Events.warmEventsStores(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -371,10 +371,15 @@ object Events {
     * would rescan actives per day; a global window would single-task).
     * Phantom days past the observed range drop on the inner join with
     * the DAU frame. */
-  def eventsActiveUsers(events: DataFrame): DataFrame = {
-    val ud = events
+  def eventsActiveUsers(events: DataFrame): DataFrame =
+    activeFromUserDays(events
       .select(col("user_id"), expr(s"ts_ns div ${DayNs}L").as("day"))
-      .distinct()
+      .distinct())
+
+  /** The DAU/WAU tail over a DISTINCT (user_id, day) frame — ONE
+    * definition shared with the streaming twin and the persisted
+    * `ev_user_days` store (round-18). */
+  def activeFromUserDays(ud: DataFrame): DataFrame = {
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = ud
       .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
@@ -458,12 +463,17 @@ object Events {
     * user-keyed over that bounded frame (≤ active days per user), and
     * the final groupBy(day) is satisfied downstream on a tiny frame —
     * never a day-range self-join and never a window over raw events. */
-  def eventsGrowth(events: DataFrame): DataFrame = {
+  def eventsGrowth(events: DataFrame): DataFrame =
+    growthFromUserDays(events
+      .select(col("user_id"), expr(s"ts_ns div ${DayNs}L").as("day"))
+      .distinct())
+
+  /** The growth-accounting tail over a DISTINCT (user_id, day) frame —
+    * shared with the streaming twin and the `ev_user_days` store. */
+  def growthFromUserDays(ud: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("day")
-    val st = events
-      .select(col("user_id"), expr(s"ts_ns div ${DayNs}L").as("day"))
-      .distinct()
+    val st = ud
       .withColumn("prev", lag(col("day"), 1).over(w))
       .withColumn("next", lead(col("day"), 1).over(w))
       .localCheckpoint(true) // three consumers below; ≤ |user·day| rows
@@ -775,13 +785,101 @@ object Events {
     r.select(col("event_type"), col("r").as("rank")).orderBy("event_type")
   }
 
+  /** Fingerprint of a dir's EVENTS table — the corpus-state stamp the
+    * persisted event stores key on (the Warehouse.docsFp convention:
+    * count + max id + on-disk bytes, one stats pass per session). */
+  private def eventsFp(s: SparkSession, dir: String): String = {
+    val (n, mx) = graft.sources.Warehouse.countMax(
+      s, s"events:$dir", Tables.events(s, dir), "event_id")
+    graft.sources.Warehouse.fpToken(n, mx,
+      graft.sources.Warehouse.corpusBytes(s, dir, "events"))
+  }
+
+  /** The NULL-INCLUSIVE TRANSITION DISTRIBUTION — (prev2, prev_type,
+    * event_type, gap_ms, c): the sufficient statistic of the whole
+    * path-analysis family in ONE frame. Every event appears once as
+    * `event_type` (lag only prepends), so the frame carries the full
+    * node set (pagerank), the order-1 pair counts (paths/markov), the
+    * order-2 context counts (markov2/markov_gain), and the per-edge
+    * gap histogram (dwell) — each key a stateless rollup over it.
+    * [[TransitionStream]] is its streaming twin (the feed's
+    * (prev2, prevType, eventType, gapNs) rows aggregate to exactly
+    * this frame). */
+  def transDist(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns", "event_id")
+    events
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev2", lag(col("event_type"), 2).over(w))
+      .withColumn("prev_ts", lag(col("ts_ns"), 1).over(w))
+      .withColumn("gap_ms", expr(s"(ts_ns - prev_ts) div ${DwellMsNs}L"))
+      .groupBy("prev2", "prev_type", "event_type", "gap_ms")
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** The PERSISTED transition-distribution store (round-18): the six
+    * transition/markov/dwell/pagerank keys each used to re-pay the
+    * same user-keyed lag exchange over raw events (~4.8 MB shuffle
+    * each at sf0.1); the store pays it ONCE per corpus state at ingest
+    * and every key reads the bounded distribution frame back.
+    * Deterministic (integer day/gap math over a total order) ⟹
+    * reuse == rebuild. NOT append-merged: transitions SPAN batch
+    * boundaries per user (a batch's first event pairs with the settled
+    * corpus's last), so per-file decomposability does not hold —
+    * growth rebuilds, which is one lag pass, not a pair join. */
+  private def transDistStore(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"ev-trans:$dir")(
+      graft.sources.Warehouse.servedFrame(
+        s, "ev_trans", dir, eventsFp(s, dir))(
+        transDist(Tables.events(s, dir))))
+
+  /** The PERSISTED distinct (user_id, day) store — the active feed's
+    * batch analog ([[ActiveStream]] delivers exactly this frame
+    * incrementally): dau/wau, stickiness, growth, and retention
+    * (weeks = day div 7 — exact for ts ≥ 0 since WeekNs = 7·DayNs)
+    * all re-derived it per key; the store pays the distinct once per
+    * corpus state. */
+  private def userDayStore(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"ev-ud:$dir")(
+      graft.sources.Warehouse.servedFrame(
+        s, "ev_user_days", dir, eventsFp(s, dir))(
+        Tables.events(s, dir)
+          .select(col("user_id"), expr(s"ts_ns div ${DayNs}L").as("day"))
+          .distinct()))
+
+  /** Build both event stores NOW — Bench's explicit artifact-build
+    * row (the warmClusterLabels accounting rule). */
+  def warmEventsStores(s: SparkSession, dir: String): Unit = {
+    transDistStore(s, dir)
+    userDayStore(s, dir)
+    ()
+  }
+
+  /** Order-1 pair counts off the transition store (null-prev rows —
+    * each user's first event — excluded, as the batch lag filter). */
+  private def pairCountsOf(d: DataFrame): DataFrame =
+    d.filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type").agg(sum(col("c")).as("n"))
+
+  /** Order-2 context counts off the transition store. */
+  private def triplesOf(d: DataFrame): DataFrame =
+    d.filter(col("prev2").isNotNull)
+      .groupBy(col("prev2"), col("prev_type").as("prev1"),
+        col("event_type"))
+      .agg(sum(col("c")).as("n"))
+
   val queries: Map[String, Q] = Map(
     // Ordered conversion funnel — see [[eventsFunnel]].
     "q_events_funnel" -> ((s, dir) => eventsFunnel(Tables.events(s, dir))),
 
-    // Weekly cohort retention — see [[eventsRetention]].
+    // Weekly cohort retention — the [[retentionFromWeeks]] tail off
+    // the persisted (user, day) store (weeks = day div 7, exact for
+    // ts ≥ 0: WeekNs = 7·DayNs and integer division composes).
     "q_events_retention" -> ((s, dir) =>
-      eventsRetention(Tables.events(s, dir))),
+      retentionFromWeeks(userDayStore(s, dir)
+        .select(col("user_id"), expr("day div 7").as("week"))
+        .distinct())),
 
     // WINDOWED conversion funnel — see [[eventsFunnelWindowed]]: each
     // stage within one day of the previous; real attrition where the
@@ -789,31 +887,40 @@ object Events {
     "q_events_funnel_windowed" -> ((s, dir) =>
       eventsFunnelWindowed(Tables.events(s, dir))),
 
-    // Event-type transition matrix — see [[eventsPaths]].
-    "q_events_paths" -> ((s, dir) => eventsPaths(Tables.events(s, dir))),
+    // Event-type transition matrix — the [[pathsFromPairCounts]] tail
+    // off the persisted transition store (round-18: the six
+    // path-family keys share ONE stored lag pass; [[eventsPaths]]
+    // keeps the inline form for the stream twins and tests).
+    "q_events_paths" -> ((s, dir) =>
+      pathsFromPairCounts(pairCountsOf(transDistStore(s, dir)))),
 
-    // Order-1 Markov predictability audit — see [[eventsMarkov]].
-    "q_events_markov" -> ((s, dir) => eventsMarkov(Tables.events(s, dir))),
+    // Order-1 Markov predictability audit off the store.
+    "q_events_markov" -> ((s, dir) =>
+      markovFromPairCounts(pairCountsOf(transDistStore(s, dir)))),
 
-    // Order-2 Markov (two-event context) — see [[eventsMarkov2]].
+    // Order-2 Markov (two-event context) off the store.
     "q_events_markov2" -> ((s, dir) =>
-      eventsMarkov2(Tables.events(s, dir))),
+      markov2FromPairCounts(triplesOf(transDistStore(s, dir)))),
 
-    // Order-1 vs order-2 memory-gain audit — see [[eventsMarkovGain]].
-    "q_events_markov_gain" -> ((s, dir) =>
-      eventsMarkovGain(Tables.events(s, dir))),
+    // Order-1 vs order-2 memory-gain audit off the store.
+    "q_events_markov_gain" -> ((s, dir) => {
+      val d = transDistStore(s, dir)
+      markovGainFrom(markovFromPairCounts(pairCountsOf(d)),
+        markov2FromPairCounts(triplesOf(d)))
+    }),
 
     // Gap sessionization + size distribution — see [[eventsSessions]].
     "q_events_sessions" -> ((s, dir) =>
       eventsSessions(Tables.events(s, dir))),
 
-    // DAU + rolling 7-day actives — see [[eventsActiveUsers]].
+    // DAU + rolling 7-day actives — the [[activeFromUserDays]] tail
+    // off the persisted (user, day) store.
     "q_events_active" -> ((s, dir) =>
-      eventsActiveUsers(Tables.events(s, dir))),
+      activeFromUserDays(userDayStore(s, dir))),
 
-    // DAU/MAU stickiness ratio — see [[eventsStickiness]].
+    // DAU/MAU stickiness ratio off the (user, day) store.
     "q_events_stickiness" -> ((s, dir) =>
-      eventsStickiness(Tables.events(s, dir))),
+      stickinessFromUserDays(userDayStore(s, dir))),
 
     // Day-of-week seasonality per type — see [[eventsDowProfile]].
     "q_events_dow" -> ((s, dir) =>
@@ -823,20 +930,31 @@ object Events {
     "q_events_anomaly" -> ((s, dir) =>
       eventsAnomaly(Tables.events(s, dir))),
 
-    // Fixed-point PageRank over the transition graph — see
-    // [[eventsPageRank]].
+    // Fixed-point PageRank over the transition graph — the iterations
+    // off the store's NULL-INCLUSIVE pair aggregate (each user's first
+    // event carries the null prev, so the node set matches the lag's).
     "q_events_pagerank" -> ((s, dir) =>
-      eventsPageRank(Tables.events(s, dir))),
+      pageRankFromPairs(transDistStore(s, dir)
+        .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
+        .agg(sum(col("c")).as("wt"))
+        .localCheckpoint(true))),
 
     // Volume/cadence bot screen — see [[eventsBots]].
     "q_events_bots" -> ((s, dir) => eventsBots(Tables.events(s, dir))),
 
-    // Transition dwell-time percentiles — see [[eventsDwell]].
-    "q_events_dwell" -> ((s, dir) => eventsDwell(Tables.events(s, dir))),
+    // Transition dwell-time percentiles — the [[dwellFromDist]] tail
+    // off the store (gap_ms histogram is IN the store rows).
+    "q_events_dwell" -> ((s, dir) =>
+      dwellFromDist(transDistStore(s, dir)
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("dst"),
+          col("gap_ms"))
+        .agg(sum(col("c")).as("c")))),
 
-    // Daily growth accounting (new/retained/resurrected/churned) —
-    // see [[eventsGrowth]].
-    "q_events_growth" -> ((s, dir) => eventsGrowth(Tables.events(s, dir))),
+    // Daily growth accounting (new/retained/resurrected/churned) off
+    // the (user, day) store.
+    "q_events_growth" -> ((s, dir) =>
+      growthFromUserDays(userDayStore(s, dir))),
 
     // Market-basket type-pair affinity (support + lift) — see
     // [[eventsAffinity]].
