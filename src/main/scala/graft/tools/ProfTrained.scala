@@ -1,4 +1,6 @@
-package graft.operators
+package graft.tools
+
+import graft.operators.Multimodal
 
 /** Task-cpu windows INSIDE the trained phash build (dev utility,
   * round-17): attributes the cold `phash_ivf_trained` ledger row to
@@ -45,9 +47,14 @@ object ProfTrained {
       Multimodal.phashIvfAssign(
         asgCk.select(col("doc_id"), col("phash")), tcB).count()
     }
+    // Session-unique scratch name: a fixed name would collide with a
+    // concurrent run's write/drop in the shared warehouse (round-18
+    // advice).
+    val scratch = "proftr_tmp_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(12)
     window("bucketed write")(
-      graft.sources.Sinks.writeBucketed(asg, "proftr_tmp", "cell", 16))
-    spark.sql("DROP TABLE IF EXISTS proftr_tmp")
+      graft.sources.Sinks.writeBucketed(asg, scratch, "cell", 16))
+    spark.sql(s"DROP TABLE IF EXISTS $scratch")
     ()
   }
 }
