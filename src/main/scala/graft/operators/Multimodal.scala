@@ -792,18 +792,27 @@ object Multimodal {
       s: SparkSession, dir: String): (DataFrame, Int) = {
     val docs = Tables.documents(s, dir)
     val n = graft.sources.Warehouse.countMax(s, s"docs:$dir", docs, "doc_id")._1
+    // Sketch + twin re-key are both PER-DOC functions, so the store
+    // joins the append-merge lane (round-18): a corpus-growth step
+    // decodes ONLY the new part files' payloads — the whole point of a
+    // sketch store at lake scale, where the decode is the dominant
+    // ingest cost and re-decoding settled images on every append would
+    // dwarf every other build.
+    def sketchOf(d: DataFrame): DataFrame = {
+      val base = phashSketch(
+        stagePayloadsFrom(d.select(col("doc_id"), col("text"))))
+      // The planted twins are byte-identical re-keys: their sketches
+      // are the originals' re-keyed, derived INSIDE the build so the
+      // persisted store carries the full corpus+twins universe.
+      base.unionByName(base.filter(col("doc_id") < PhashPlantCount)
+        .select((col("doc_id") + PhashPlantBase).as("doc_id"),
+          col("phash")))
+    }
     val sk = Artifacts.cached(s, s"phash-sketch:$dir")(
-      graft.sources.Warehouse.servedFrame(
-        s, "phash_sketch", dir, docsFp(s, dir)) {
-        val base = phashSketch(
-          stagePayloadsFrom(docs.select(col("doc_id"), col("text"))))
-        // The planted twins are byte-identical re-keys: their sketches
-        // are the originals' re-keyed, derived INSIDE the build so the
-        // persisted store carries the full corpus+twins universe.
-        base.unionByName(base.filter(col("doc_id") < PhashPlantCount)
-          .select((col("doc_id") + PhashPlantBase).as("doc_id"),
-            col("phash")))
-      })
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "phash_sketch", dir, "documents", docsFp(s, dir))(
+        sketchOf(docs))(
+        (old, batch) => Some(old.unionByName(sketchOf(batch)))))
     (sk, phashChunkWidth(n + PhashPlantCount))
   }
 

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Two more keyed-state shapes from the reference:
   *
@@ -13,32 +13,76 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    compaction event that resets the accumulator to the summary's
   *    (modeled) size. State = one long per chat.
   *
-  * Both are `flatMapGroupsWithState` with O(1) state per key — at scale
-  * the state store holds one record per ACTIVE chat, nothing grows with
-  * throughput.
+  * All three shapes (plus the model-failover router below) are O(1)
+  * state per key — at scale the state store holds one record per
+  * ACTIVE chat, nothing grows with throughput — and each runs on BOTH
+  * state APIs (flatMapGroupsWithState and arbitrary-state v2
+  * `transformWithState` with optional per-state TTL), through one pure
+  * fold per shape so the two cannot drift (the SessionStream.fold
+  * discipline; GuardsSpec pins every scenario on both).
   */
 object Guards {
 
   case class Work(chatId: Long, seq: Long, kind: String) // kind: msg | done
   case class Decision(chatId: Long, seq: Long, accepted: Boolean)
 
-  def guard(chatId: Long, work: Iterator[Work],
-            state: GroupState[Boolean]): Iterator[Decision] = {
+  /** Busy-bit fold, PURE — both state APIs delegate here. */
+  def guardFold(chatId: Long, st0: Option[Boolean],
+                work: Seq[Work]): (Option[Boolean], Vector[Decision]) = {
     val out = Vector.newBuilder[Decision]
-    for (w <- work.toSeq.sortBy(_.seq)) w.kind match {
-      case "done" => state.update(false)
+    var busy = st0.getOrElse(false)
+    for (w <- work.sortBy(_.seq)) w.kind match {
+      case "done" => busy = false
       case _ =>
-        val busy = state.getOption.getOrElse(false)
         if (busy) out += Decision(chatId, w.seq, accepted = false)
-        else { state.update(true); out += Decision(chatId, w.seq, accepted = true) }
+        else { busy = true; out += Decision(chatId, w.seq, accepted = true) }
     }
-    out.result().iterator
+    (Some(busy), out.result())
   }
 
-  def inFlight(work: Dataset[Work]): Dataset[Decision] = {
+  def guard(chatId: Long, work: Iterator[Work],
+            state: GroupState[Boolean]): Iterator[Decision] = {
+    val (st, out) = guardFold(chatId, state.getOption, work.toVector)
+    st.foreach(state.update)
+    out.iterator
+  }
+
+  /** v2 spelling of [[guard]] — a busy bit per chat in a ValueState
+    * with optional TTL (an expired bit reads as idle, which is the
+    * crash-recovery semantics a production guard wants: a chat whose
+    * in-flight work died with its worker must not stay locked
+    * forever). */
+  class GuardProcessor(ttl: Option[java.time.Duration])
+      extends StatefulProcessor[Long, Work, Decision] {
+    @transient private var state: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[Boolean](
+        "busy", Encoders.scalaBoolean,
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    }
+
+    override def handleInputRows(chatId: Long, work: Iterator[Work],
+                                 timerValues: TimerValues): Iterator[Decision] = {
+      val st0 = if (state.exists()) Some(state.get()) else None
+      val (st, out) = guardFold(chatId, st0, work.toVector)
+      st.foreach(state.update)
+      out.iterator
+    }
+  }
+
+  def inFlight(work: Dataset[Work], v2: Boolean = false,
+               ttl: Option[java.time.Duration] = None): Dataset[Decision] = {
     import work.sparkSession.implicits._
-    work.groupByKey(_.chatId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(guard)
+    if (v2) {
+      val timeMode =
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+      work.groupByKey(_.chatId)
+        .transformWithState(new GuardProcessor(ttl), timeMode,
+          OutputMode.Append())
+    } else
+      work.groupByKey(_.chatId)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(guard)
   }
 
   case class Usage(chatId: Long, seq: Long, tokens: Long)
@@ -49,24 +93,59 @@ object Guards {
   /** Modeled size of the post-compaction summary. */
   val SummaryTokens = 2000L
 
-  def accumulate(chatId: Long, usage: Iterator[Usage],
-                 state: GroupState[Long]): Iterator[Context] = {
+  /** Token-accumulator fold, PURE — both state APIs delegate here. */
+  def accumulateFold(chatId: Long, st0: Option[Long],
+                     usage: Seq[Usage]): (Option[Long], Vector[Context]) = {
     val out = Vector.newBuilder[Context]
-    var acc = state.getOption.getOrElse(0L)
-    for (u <- usage.toSeq.sortBy(_.seq)) {
+    var acc = st0.getOrElse(0L)
+    for (u <- usage.sortBy(_.seq)) {
       acc += u.tokens
       val compact = acc * 100 >= ContextWindow * CompactAt
       if (compact) acc = SummaryTokens
       out += Context(chatId, u.seq, acc, compact)
     }
-    state.update(acc)
-    out.result().iterator
+    (Some(acc), out.result())
   }
 
-  def compaction(usage: Dataset[Usage]): Dataset[Context] = {
+  def accumulate(chatId: Long, usage: Iterator[Usage],
+                 state: GroupState[Long]): Iterator[Context] = {
+    val (st, out) = accumulateFold(chatId, state.getOption, usage.toVector)
+    st.foreach(state.update)
+    out.iterator
+  }
+
+  /** v2 spelling of [[accumulate]]. */
+  class CompactionProcessor(ttl: Option[java.time.Duration])
+      extends StatefulProcessor[Long, Usage, Context] {
+    @transient private var state: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[Long](
+        "acc_tokens", Encoders.scalaLong,
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    }
+
+    override def handleInputRows(chatId: Long, usage: Iterator[Usage],
+                                 timerValues: TimerValues): Iterator[Context] = {
+      val st0 = if (state.exists()) Some(state.get()) else None
+      val (st, out) = accumulateFold(chatId, st0, usage.toVector)
+      st.foreach(state.update)
+      out.iterator
+    }
+  }
+
+  def compaction(usage: Dataset[Usage], v2: Boolean = false,
+                 ttl: Option[java.time.Duration] = None): Dataset[Context] = {
     import usage.sparkSession.implicits._
-    usage.groupByKey(_.chatId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(accumulate)
+    if (v2) {
+      val timeMode =
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+      usage.groupByKey(_.chatId)
+        .transformWithState(new CompactionProcessor(ttl), timeMode,
+          OutputMode.Append())
+    } else
+      usage.groupByKey(_.chatId)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(accumulate)
   }
 
   // --- Model failover with carried state -----------------------------
@@ -90,11 +169,12 @@ object Guards {
   case class Route(chatId: Long, seq: Long, model: String, nextModel: String)
   case class RouteState(current: String, lastOk: String)
 
-  def failover(chatId: Long, attempts: Iterator[Attempt],
-               state: GroupState[RouteState]): Iterator[Route] = {
+  /** Failover fold, PURE — both state APIs delegate here. */
+  def failoverFold(chatId: Long, st0: Option[RouteState],
+                   attempts: Seq[Attempt]): (Option[RouteState], Vector[Route]) = {
     val out = Vector.newBuilder[Route]
-    var s = state.getOption.getOrElse(RouteState(PrimaryModel, PrimaryModel))
-    for (a <- attempts.toSeq.sortBy(_.seq)) {
+    var s = st0.getOrElse(RouteState(PrimaryModel, PrimaryModel))
+    for (a <- attempts.sortBy(_.seq)) {
       val served = s.current
       s = a.outcome match {
         case "ok" =>
@@ -112,13 +192,48 @@ object Guards {
       }
       out += Route(chatId, a.seq, served, s.current)
     }
-    state.update(s)
-    out.result().iterator
+    (Some(s), out.result())
   }
 
-  def modelRouter(attempts: Dataset[Attempt]): Dataset[Route] = {
+  def failover(chatId: Long, attempts: Iterator[Attempt],
+               state: GroupState[RouteState]): Iterator[Route] = {
+    val (st, out) = failoverFold(chatId, state.getOption, attempts.toVector)
+    st.foreach(state.update)
+    out.iterator
+  }
+
+  /** v2 spelling of [[failover]] — an expired route preference simply
+    * restarts the chat on the primary (the cold-start default). */
+  class FailoverProcessor(ttl: Option[java.time.Duration])
+      extends StatefulProcessor[Long, Attempt, Route] {
+    @transient private var state: ValueState[RouteState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[RouteState](
+        "route", Encoders.product[RouteState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    }
+
+    override def handleInputRows(chatId: Long, attempts: Iterator[Attempt],
+                                 timerValues: TimerValues): Iterator[Route] = {
+      val st0 = if (state.exists()) Some(state.get()) else None
+      val (st, out) = failoverFold(chatId, st0, attempts.toVector)
+      st.foreach(state.update)
+      out.iterator
+    }
+  }
+
+  def modelRouter(attempts: Dataset[Attempt], v2: Boolean = false,
+                  ttl: Option[java.time.Duration] = None): Dataset[Route] = {
     import attempts.sparkSession.implicits._
-    attempts.groupByKey(_.chatId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(failover)
+    if (v2) {
+      val timeMode =
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+      attempts.groupByKey(_.chatId)
+        .transformWithState(new FailoverProcessor(ttl), timeMode,
+          OutputMode.Append())
+    } else
+      attempts.groupByKey(_.chatId)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(failover)
   }
 }

@@ -8,19 +8,42 @@ import graft.streaming.Guards._
 
 class GuardsSpec extends SparkSpec {
 
+  /** RocksDB scaffold for the v2 scenarios (the StreamingSpec helper,
+    * duplicated here rather than shared through a trait — each spec
+    * stays self-contained). */
+  private def withRocksDB[T](f: => T): T = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f
+    finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("in-flight guard: busy chat rejects work until done, chats isolated") {
+    guardScenario(v2 = false)
+  }
+
+  test("in-flight guard v2 (transformWithState): same decisions") {
+    withRocksDB { guardScenario(v2 = true) }
+  }
+
+  private def guardScenario(v2: Boolean): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    val tag = if (v2) "_v2" else ""
     val in = MemoryStream[Work]
-    val q = Guards.inFlight(in.toDS())
-      .writeStream.format("memory").queryName("guard")
+    val q = Guards.inFlight(in.toDS(), v2 = v2)
+      .writeStream.format("memory").queryName("guard" + tag)
       .outputMode(OutputMode.Append).start()
     try {
       in.addData(Work(1, 1, "msg"), Work(1, 2, "msg"), Work(2, 3, "msg"))
       q.processAllAvailable()
       in.addData(Work(1, 4, "done"), Work(1, 5, "msg"))
       q.processAllAvailable()
-      val out = spark.table("guard").as[Decision].collect()
+      val out = spark.table("guard" + tag).as[Decision].collect()
         .map(d => d.seq -> d.accepted).toMap
       // seq 1 accepted; seq 2 rejected (chat 1 busy); chat 2 unaffected;
       // after done, seq 5 accepted again.
@@ -29,29 +52,47 @@ class GuardsSpec extends SparkSpec {
   }
 
   test("compaction fires at 80% of the context window and resets state") {
+    compactionScenario(v2 = false)
+  }
+
+  test("compaction v2 (transformWithState): same accumulator, same reset") {
+    withRocksDB { compactionScenario(v2 = true) }
+  }
+
+  private def compactionScenario(v2: Boolean): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    val tag = if (v2) "_v2" else ""
     val in = MemoryStream[Usage]
-    val q = Guards.compaction(in.toDS())
-      .writeStream.format("memory").queryName("ctx")
+    val q = Guards.compaction(in.toDS(), v2 = v2)
+      .writeStream.format("memory").queryName("ctx" + tag)
       .outputMode(OutputMode.Append).start()
     try {
       in.addData(Usage(1, 1, 100000L))              // 100k — under 160k
       q.processAllAvailable()
       in.addData(Usage(1, 2, 70000L), Usage(1, 3, 500L)) // 170k → compact → 2k; then 2.5k
       q.processAllAvailable()
-      val out = spark.table("ctx").as[Context].collect().sortBy(_.seq)
+      val out = spark.table("ctx" + tag).as[Context].collect().sortBy(_.seq)
       assert(out.map(c => (c.accTokens, c.compacted)).toSeq ==
         Seq((100000L, false), (2000L, true), (2500L, false)))
     } finally q.stop()
   }
 
   test("model failover: last-successful model carries across tasks in keyed state") {
+    failoverScenario(v2 = false)
+  }
+
+  test("model failover v2 (transformWithState): same routes, same carried state") {
+    withRocksDB { failoverScenario(v2 = true) }
+  }
+
+  private def failoverScenario(v2: Boolean): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    val tag = if (v2) "_v2" else ""
     val in = MemoryStream[Attempt]
-    val q = Guards.modelRouter(in.toDS())
-      .writeStream.format("memory").queryName("router")
+    val q = Guards.modelRouter(in.toDS(), v2 = v2)
+      .writeStream.format("memory").queryName("router" + tag)
       .outputMode(OutputMode.Append).start()
     try {
       in.addData(
@@ -64,7 +105,7 @@ class GuardsSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData(Attempt(1, 5, "unknown"), Attempt(2, 6, "ok"))
       q.processAllAvailable()
-      val out = spark.table("router").as[Route].collect().sortBy(_.seq)
+      val out = spark.table("router" + tag).as[Route].collect().sortBy(_.seq)
       assert(out.map(r => (r.seq, r.model, r.nextModel)).toSeq == Seq(
         (1L, "primary", "fallback"),  // toggle after rate limit
         (2L, "fallback", "fallback"), // success pins fallback
