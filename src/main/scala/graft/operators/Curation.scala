@@ -627,9 +627,7 @@ object Curation {
     })
     val s5 = s4.join(broadcast(emptied), Seq("doc_id"), "left_anti")
     val semanticDrops = mat("fn_semdrops", () => {
-      val vecs = embeddings.select(col("vec_id"), expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-        .as("v"))
+      val vecs = Similarity.quantizedVectors(embeddings)
       val k = Dedup.deriveSemCells(vecs.count())
       val cents = vecs.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("v").as("c"))

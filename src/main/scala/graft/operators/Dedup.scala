@@ -1151,10 +1151,7 @@ object Dedup {
       graft.sources.Warehouse.servedFrameMerged(
         s, "emb_pairs", dir, "embeddings",
         graft.sources.Warehouse.embFp(s, dir)) {
-        val vectors = Tables.embeddings(s, dir).select(
-          col("vec_id"),
-          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-            .as("v"))
+        val vectors = Similarity.quantizedVectors(Tables.embeddings(s, dir))
         val n = graft.sources.Warehouse.countMax(
           s, s"emb:$dir", vectors, "vec_id")._1
         embeddingPairs(vectors, 0.35, Similarity.derivePlanes(n))
@@ -1165,10 +1162,7 @@ object Dedup {
         // collisions are growth-invariant; a plane-block boundary
         // crossing DECLINES (cold rebuild), per the
         // [[embeddingPairsTouching]] contract.
-        val vectors = Tables.embeddings(s, dir).select(
-          col("vec_id"),
-          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-            .as("v"))
+        val vectors = Similarity.quantizedVectors(Tables.embeddings(s, dir))
         val n = graft.sources.Warehouse.countMax(
           s, s"emb:$dir", vectors, "vec_id")._1
         val planes = Similarity.derivePlanes(n)
@@ -2053,9 +2047,7 @@ object Dedup {
     // the corpus size (one footer-only count); the oracle derives the
     // same L inside SQL, so the check stays exact while the knob moves.
     "q_dedup_embedding" -> ((s, dir) => {
-      val vectors = Tables.embeddings(s, dir).select(
-        col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+      val vectors = Similarity.quantizedVectors(Tables.embeddings(s, dir))
       embeddingPairs(vectors, 0.35, Similarity.derivePlanes(vectors.count()))
         .orderBy("id_a", "id_b")
     }),
@@ -2082,9 +2074,7 @@ object Dedup {
     // earlier-neighbor verdicts, deterministic first-K centroids with
     // the linearly-derived cell count (oracle derives both the same).
     "q_dedup_semantic" -> ((s, dir) => {
-      val vectors = Tables.embeddings(s, dir).select(
-        col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+      val vectors = Similarity.quantizedVectors(Tables.embeddings(s, dir))
       val k = deriveSemCells(vectors.count())
       semanticDedup(vectors,
         vectors.filter(col("vec_id") < k)
@@ -2096,9 +2086,7 @@ object Dedup {
     // q_dedup_semantic, so the two keys differ only by the resolution
     // walk.
     "q_dedup_semantic_resolve" -> ((s, dir) => {
-      val vectors = Tables.embeddings(s, dir).select(
-        col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+      val vectors = Similarity.quantizedVectors(Tables.embeddings(s, dir))
       val k = deriveSemCells(vectors.count())
       resolveDupChains(semanticDedup(vectors,
         vectors.filter(col("vec_id") < k)
@@ -2110,9 +2098,7 @@ object Dedup {
     // vec_id % 5 (the q_dedup_incremental slice convention), centroid
     // artifact frozen from the full table, verdicts for the batch only.
     "q_dedup_semantic_incremental" -> ((s, dir) => {
-      val vectors = Tables.embeddings(s, dir).select(
-        col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+      val vectors = Similarity.quantizedVectors(Tables.embeddings(s, dir))
       val k = deriveSemCells(vectors.count())
       semanticDedupIncremental(vectors,
         vectors.filter(col("vec_id") < k)

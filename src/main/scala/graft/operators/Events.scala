@@ -786,14 +786,10 @@ object Events {
   }
 
   /** Fingerprint of a dir's EVENTS table — the corpus-state stamp the
-    * persisted event stores key on (the Warehouse.docsFp convention:
-    * count + max id + on-disk bytes, one stats pass per session). */
-  private def eventsFp(s: SparkSession, dir: String): String = {
-    val (n, mx) = graft.sources.Warehouse.countMax(
-      s, s"events:$dir", Tables.events(s, dir), "event_id")
-    graft.sources.Warehouse.fpToken(n, mx,
-      graft.sources.Warehouse.corpusBytes(s, dir, "events"))
-  }
+    * persisted event stores key on ([[graft.sources.Warehouse.eventsFp]],
+    * the docsFp/embFp convention). */
+  private def eventsFp(s: SparkSession, dir: String): String =
+    graft.sources.Warehouse.eventsFp(s, dir)
 
   /** The NULL-INCLUSIVE TRANSITION DISTRIBUTION — (prev2, prev_type,
     * event_type, gap_ms, c): the sufficient statistic of the whole

@@ -37,6 +37,14 @@ object Similarity {
     * DuckDB oracle (doubles would drift between engines; ints can't). */
   private val quant =
     "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** The (vec_id, v) quantized-vectors frame every embedding consumer
+    * derives — ONE definition of the [[quant]] projection (Dedup's
+    * pair stores and near-dup keys included), so the quantization
+    * scale can never drift between call sites while the DuckDB twins
+    * replay the same `list_transform`. */
+  def quantizedVectors(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), expr(quant).as("v"))
   /** Native codegen dot kernel (graft.functions.LongDot) — the HOF form
     * (aggregate∘zip_with) allocates per row and runs interpreted. */
   private def dotAB = graft.functions.VectorOps.longDot(col("v_p"), col("v_c"))

@@ -137,21 +137,33 @@ object Warehouse {
     v
   }
 
-  /** Fingerprint token of a dir's DOCUMENTS table — the corpus-state
-    * stamp every documents-derived persisted artifact keys on (one
-    * stats pass per session via [[countMax]] + the on-disk size). */
-  def docsFp(s: SparkSession, dir: String): String = {
-    val (n, mx) = countMax(s, s"docs:$dir",
-      graft.Tables.documents(s, dir), "doc_id")
-    fpToken(n, mx, corpusBytes(s, dir, "documents"))
+  /** Fingerprint token of one of a dir's tables — count + max id
+    * (memoized per session via [[countMax]], token keyed on the table)
+    * + the on-disk byte size: the corpus-state stamp every persisted
+    * artifact keys on. [[docsFp]]/[[embFp]]/[[eventsFp]] are the
+    * per-table spellings. */
+  def tableFp(s: SparkSession, dir: String, table: String, token: String,
+              df: => DataFrame, idCol: String): String = {
+    val (n, mx) = countMax(s, s"$token:$dir", df, idCol)
+    fpToken(n, mx, corpusBytes(s, dir, table))
   }
 
+  /** Fingerprint token of a dir's DOCUMENTS table. The `docs:` stats
+    * token is shared with every other documents countMax caller — one
+    * stats pass per session, whoever asks first. */
+  def docsFp(s: SparkSession, dir: String): String =
+    tableFp(s, dir, "documents", "docs",
+      graft.Tables.documents(s, dir), "doc_id")
+
   /** The embeddings-table twin of [[docsFp]]. */
-  def embFp(s: SparkSession, dir: String): String = {
-    val (n, mx) = countMax(s, s"emb:$dir",
+  def embFp(s: SparkSession, dir: String): String =
+    tableFp(s, dir, "embeddings", "emb",
       graft.Tables.embeddings(s, dir), "vec_id")
-    fpToken(n, mx, corpusBytes(s, dir, "embeddings"))
-  }
+
+  /** The events-table twin of [[docsFp]]. */
+  def eventsFp(s: SparkSession, dir: String): String =
+    tableFp(s, dir, "events", "events",
+      graft.Tables.events(s, dir), "event_id")
 
   /** Fold two fingerprint tokens into one — for artifacts derived
     * from MORE THAN ONE input table (the funnel's semantic stage
@@ -251,6 +263,16 @@ object Warehouse {
     * in length is an append, and the delta is precisely the new
     * files. */
   private[sources] val ManifestFile = "_graft_src_manifest"
+
+  /** Reserved manifest key carrying the BUILDER VERSION the store was
+    * written by ("_"-prefixed names never appear in [[corpusFiles]], so
+    * it cannot collide with a data file). The merge lane requires the
+    * prior variant's recorded version to EQUAL the current
+    * [[BuilderVersion]] — after a version bump an append-time
+    * resolution must rebuild cold, never union old-algorithm rows with
+    * new-algorithm delta rows (the self-protecting form of the "bump
+    * AND stop passing a merge" convention). */
+  private[sources] val ManifestVersionKey = "__builder_version"
 
   /** (file name → byte length) of `$dir/$table.parquet`'s data files —
     * filesystem metadata only (the listing every read performs
@@ -544,23 +566,34 @@ object Warehouse {
       s.conf.get("spark.sql.warehouse.dir"))
     val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
     val loc = new org.apache.hadoop.fs.Path(whRoot, name)
+    val ver = BuilderVersion(family)
     val curFiles = corpusFiles(s, dir, srcTable)
     // `frame` BY-NAME: the hit path hands `cold` through here and must
-    // never construct — let alone execute — the build chain.
+    // never construct — let alone execute — the build chain. The
+    // manifest records the source files PLUS the builder version.
     def buildWithManifest(frame: => DataFrame)(n: String): Unit = {
       frame.write.mode("overwrite").format("parquet").saveAsTable(n)
-      writeManifest(fs, new org.apache.hadoop.fs.Path(whRoot, n), curFiles)
+      writeManifest(fs, new org.apache.hadoop.fs.Path(whRoot, n),
+        curFiles + (ManifestVersionKey -> ver.toLong))
+    }
+    def coldLane(): DataFrame = {
+      // servedTable's full rebuild discipline (its early GC is safe
+      // here: the cold frame reads only the corpus).
+      val (served, _) = servedTable(s, family, dir, fp, bucket = None)(
+        buildWithManifest(cold))
+      s.table(served)
     }
     if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))) {
       // Current-fingerprint table already on disk: the hit path is
       // servedTable's verbatim (register-back, corrupt-dir fallback,
       // immediate stale-variant GC — nothing lazily reads a variant).
-      val (served, _) = servedTable(s, family, dir, fp, bucket = None)(
-        buildWithManifest(cold))
-      return s.table(served)
+      return coldLane()
     }
     // MISS. Newest complete prior-fingerprint variant carrying a
-    // source manifest — the merge candidate.
+    // source manifest WRITTEN BY THE SAME BUILDER VERSION — the merge
+    // candidate. A version-bumped process must not merge against a
+    // pre-bump store (old-algorithm rows unioned under the bumped
+    // name would be exactly the stale artifact the bump prevents).
     val prefix = s"graft_${family}_${dirDigest(dir)}_"
     val prior: Option[(String, Map[String, Long])] =
       (if (fs.exists(whRoot)) fs.listStatus(whRoot).toSeq else Seq.empty)
@@ -573,11 +606,13 @@ object Warehouse {
         .iterator
         .flatMap(st => readManifest(fs, st.getPath)
           .map(m => st.getPath.getName -> m))
+        .filter(_._2.get(ManifestVersionKey).contains(ver.toLong))
         .nextOption()
     val merged: Option[DataFrame] = prior.flatMap { case (oldName, oldMan) =>
-      val appendOnly = oldMan.nonEmpty &&
-        oldMan.forall { case (f, len) => curFiles.get(f).contains(len) }
-      val newFiles = (curFiles.keySet -- oldMan.keySet).toSeq.sorted
+      val oldFiles = oldMan - ManifestVersionKey
+      val appendOnly = oldFiles.nonEmpty &&
+        oldFiles.forall { case (f, len) => curFiles.get(f).contains(len) }
+      val newFiles = (curFiles.keySet -- oldFiles.keySet).toSeq.sorted
       if (!appendOnly || newFiles.isEmpty) None
       else {
         val oldStore = s.read.parquet(
@@ -588,33 +623,46 @@ object Warehouse {
       }
     }
     merged match {
-      case None =>
-        // Cold lane — servedTable's full rebuild discipline (its early
-        // GC is safe here: the cold frame reads only the corpus).
-        val (served, _) = servedTable(s, family, dir, fp, bucket = None)(
-          buildWithManifest(cold))
-        s.table(served)
+      case None => coldLane()
       case Some(frame) =>
         // Merge lane: publish FIRST (tmp+rename, the servedTable
         // commit), GC the superseded variant AFTER — the frame lazily
-        // reads its files until the staging write completes.
+        // reads its files until the staging write completes. The lane
+        // is BEST-EFFORT: a concurrent resolver of the same family can
+        // publish first and its post-publish GC may delete the prior
+        // variant out from under this merge's lazy read — so any
+        // failure here falls back to the cold lane (the deterministic
+        // builder re-produces the same bytes; correctness never
+        // depends on the merge surviving).
         recordDir(s, fs, whRoot, dir)
-        s.sql(s"DROP TABLE IF EXISTS $name")
-        if (fs.exists(loc)) { fs.delete(loc, true); () }
         val tmpName = name + "_tmp_" +
           java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-        buildWithManifest(frame)(tmpName)
         val tmpLoc = new org.apache.hadoop.fs.Path(whRoot, tmpName)
-        try { fs.rename(tmpLoc, loc); () }
-        catch { case _: java.io.IOException => () }
-        s.sql(s"DROP TABLE IF EXISTS $tmpName")
-        if (fs.exists(tmpLoc)) { fs.delete(tmpLoc, true); () }
-        val schemaDdl = s.read.parquet(loc.toString).schema.toDDL
-        s.sql(s"CREATE TABLE IF NOT EXISTS $name ($schemaDdl)" +
-          s" USING PARQUET LOCATION '${loc.toString}'")
-        logHit(s, family, dir, hit = false)
-        gcStaleVariants(s, fs, whRoot, family, dir, keep = name)
-        s.table(name)
+        try {
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          if (fs.exists(loc)) { fs.delete(loc, true); () }
+          buildWithManifest(frame)(tmpName)
+          try { fs.rename(tmpLoc, loc); () }
+          catch { case _: java.io.IOException => () }
+          s.sql(s"DROP TABLE IF EXISTS $tmpName")
+          if (fs.exists(tmpLoc)) { fs.delete(tmpLoc, true); () }
+          val schemaDdl = s.read.parquet(loc.toString).schema.toDDL
+          s.sql(s"CREATE TABLE IF NOT EXISTS $name ($schemaDdl)" +
+            s" USING PARQUET LOCATION '${loc.toString}'")
+          logHit(s, family, dir, hit = false)
+          gcStaleVariants(s, fs, whRoot, family, dir, keep = name)
+          s.table(name)
+        } catch {
+          case e: Exception =>
+            // Clean this merge's own staging leftovers, then rebuild
+            // cold (or serve the racing winner's table — servedTable
+            // hits it if the race published under our name).
+            s.sql(s"DROP TABLE IF EXISTS $tmpName")
+            if (fs.exists(tmpLoc)) { fs.delete(tmpLoc, true); () }
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"merge lane for $name failed (${e.getMessage}); rebuilding cold")
+            coldLane()
+        }
     }
   }
 

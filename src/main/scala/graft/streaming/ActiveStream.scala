@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.Dataset
 
 import graft.operators.Events
 
@@ -36,8 +35,8 @@ object ActiveStream {
   case class UState(maxDay: Long)
   case class UserDay(userId: Long, day: Long)
 
-  /** The per-batch fold, PURE — ONE definition both state APIs
-    * delegate to (the SessionStream.fold discipline). */
+  /** The per-batch fold, PURE — ONE definition both state APIs run
+    * through [[StateApi.foldStream]]. */
   def fold(userId: Long, st0: Option[UState],
            evs: Seq[Ev]): (Option[UState], Vector[UserDay]) = {
     var maxDay = st0.map(_.maxDay).getOrElse(Long.MinValue)
@@ -49,52 +48,12 @@ object ActiveStream {
     (Some(UState(maxDay)), out.result())
   }
 
-  def advance(userId: Long, evs: Iterator[Ev],
-              state: GroupState[UState]): Iterator[UserDay] = {
-    val (st, out) = fold(userId, state.getOption, evs.toVector)
-    st.foreach(state.update)
-    out.iterator
-  }
-
-  /** The v2 (arbitrary-state) spelling of [[advance]] — the same fold
-    * over a ValueState with optional per-state TTL (the
-    * SessionStream.SessProcessor pattern). Requires the RocksDB state
-    * store provider. */
-  class ActiveProcessor(ttl: Option[java.time.Duration])
-      extends StatefulProcessor[Long, Ev, UserDay] {
-    @transient private var state: ValueState[UState] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      state = getHandle.getValueState[UState](
-        "max_day", Encoders.product[UState],
-        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
-    }
-
-    override def handleInputRows(userId: Long, evs: Iterator[Ev],
-                                 timerValues: TimerValues): Iterator[UserDay] = {
-      val st0 = if (state.exists()) Some(state.get()) else None
-      val (st, out) = fold(userId, st0, evs.toVector)
-      st.foreach(state.update)
-      out.iterator
-    }
-  }
-
   /** events (streaming Dataset) → first-activity (user, day) rows.
-    * `v2 = true` routes through [[ActiveProcessor]]
-    * (transformWithState); same observable feed — StreamingSpec pins
-    * the full scenario on BOTH paths. */
+    * `v2 = true` routes through transformWithState; same observable
+    * feed — StreamingSpec pins the full scenario on BOTH paths. */
   def userDayStream(events: Dataset[Ev], v2: Boolean = false,
                     ttl: Option[java.time.Duration] = None): Dataset[UserDay] = {
     import events.sparkSession.implicits._
-    if (v2) {
-      val timeMode =
-        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
-      events.groupByKey(_.userId)
-        .transformWithState(new ActiveProcessor(ttl), timeMode,
-          OutputMode.Append())
-    } else
-      events.groupByKey(_.userId)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-          advance)
+    StateApi.foldStream(events, (_: Ev).userId, "max_day", v2, ttl, fold)
   }
 }

@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.Dataset
 
 import graft.operators.Events
 
@@ -39,8 +38,8 @@ object AnomalyStream {
   case class AnomalyFlag(eventType: String, day: Long, n: Long,
                          dev2: Long, bound: Long, isAnomaly: Int)
 
-  /** The per-batch fold, PURE — ONE definition both state APIs
-    * delegate to (the SessionStream.fold discipline). */
+  /** The per-batch fold, PURE — ONE definition both state APIs run
+    * through [[StateApi.foldStream]]. */
   def fold(eventType: String, st0: Option[AState],
            evs: Seq[Ev]): (Option[AState], Vector[AnomalyFlag]) = {
     val w = Events.AnomalyWindow
@@ -68,52 +67,13 @@ object AnomalyStream {
     (Some(st), out.result())
   }
 
-  def advance(eventType: String, evs: Iterator[Ev],
-              state: GroupState[AState]): Iterator[AnomalyFlag] = {
-    val (st, out) = fold(eventType, state.getOption, evs.toVector)
-    st.foreach(state.update)
-    out.iterator
-  }
-
-  /** The v2 (arbitrary-state) spelling of [[advance]] — the same fold
-    * over a ValueState with optional per-state TTL (the
-    * SessionStream.SessProcessor pattern). Requires the RocksDB state
-    * store provider. */
-  class AnomalyProcessor(ttl: Option[java.time.Duration])
-      extends StatefulProcessor[String, Ev, AnomalyFlag] {
-    @transient private var state: ValueState[AState] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      state = getHandle.getValueState[AState](
-        "trailing_days", Encoders.product[AState],
-        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
-    }
-
-    override def handleInputRows(eventType: String, evs: Iterator[Ev],
-                                 timerValues: TimerValues): Iterator[AnomalyFlag] = {
-      val st0 = if (state.exists()) Some(state.get()) else None
-      val (st, out) = fold(eventType, st0, evs.toVector)
-      st.foreach(state.update)
-      out.iterator
-    }
-  }
-
   /** events (streaming Dataset) → per-closed-day anomaly flags.
-    * `v2 = true` routes through [[AnomalyProcessor]]
-    * (transformWithState); same observable feed — StreamingSpec pins
-    * the full scenario on BOTH paths. */
+    * `v2 = true` routes through transformWithState; same observable
+    * feed — StreamingSpec pins the full scenario on BOTH paths. */
   def anomalyFlagStream(events: Dataset[Ev], v2: Boolean = false,
                         ttl: Option[java.time.Duration] = None): Dataset[AnomalyFlag] = {
     import events.sparkSession.implicits._
-    if (v2) {
-      val timeMode =
-        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
-      events.groupByKey(_.eventType)
-        .transformWithState(new AnomalyProcessor(ttl), timeMode,
-          OutputMode.Append())
-    } else
-      events.groupByKey(_.eventType)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-          advance)
+    StateApi.foldStream(events, (_: Ev).eventType, "trailing_days", v2, ttl,
+      fold)
   }
 }

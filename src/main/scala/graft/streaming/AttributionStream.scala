@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.Dataset
 
 import graft.operators.Events
 
@@ -34,11 +33,11 @@ object AttributionStream {
   /** Emitted on every state change — the attribution correction log. */
   case class Touch(userId: Long, firstType: String, converted: Boolean)
 
-  /** The per-batch fold, PURE: (state, batch events) → (new state,
-    * change emission). Emits ONLY when the state moved — the
+  /** The per-batch fold, PURE: emits ONLY when the state moved — the
     * correction-log contract — so the returned state is None exactly
-    * when nothing needs writing back. ONE definition both state APIs
-    * delegate to (the SessionStream.fold discipline). */
+    * when nothing needs writing back (the StateApi skip-write lane).
+    * ONE definition both state APIs run through
+    * [[StateApi.foldStream]]. */
   def fold(userId: Long, st0: Option[AState],
            evs: Seq[Ev]): (Option[AState], Vector[Touch]) = {
     val before = st0.orNull
@@ -57,53 +56,14 @@ object AttributionStream {
     else (None, Vector.empty)
   }
 
-  def advance(userId: Long, evs: Iterator[Ev],
-              state: GroupState[AState]): Iterator[Touch] = {
-    val (st, out) = fold(userId, state.getOption, evs.toVector)
-    st.foreach(state.update)
-    out.iterator
-  }
-
-  /** The v2 (arbitrary-state) spelling of [[advance]] — the same fold
-    * over a ValueState with optional per-state TTL (the
-    * SessionStream.SessProcessor pattern). Requires the RocksDB state
-    * store provider. */
-  class AttributionProcessor(ttl: Option[java.time.Duration])
-      extends StatefulProcessor[Long, Ev, Touch] {
-    @transient private var state: ValueState[AState] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      state = getHandle.getValueState[AState](
-        "first_touch", Encoders.product[AState],
-        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
-    }
-
-    override def handleInputRows(userId: Long, evs: Iterator[Ev],
-                                 timerValues: TimerValues): Iterator[Touch] = {
-      val st0 = if (state.exists()) Some(state.get()) else None
-      val (st, out) = fold(userId, st0, evs.toVector)
-      st.foreach(state.update)
-      out.iterator
-    }
-  }
-
   /** events (streaming Dataset) → per-user attribution change rows;
     * the latest row per user is the batch `q_events_attribution`
-    * per-user frame. `v2 = true` routes through
-    * [[AttributionProcessor]] (transformWithState); same observable
-    * feed — StreamingSpec pins the full scenario on BOTH paths. */
+    * per-user frame. `v2 = true` routes through transformWithState;
+    * same observable feed — StreamingSpec pins the full scenario on
+    * BOTH paths. */
   def firstTouchStream(events: Dataset[Ev], v2: Boolean = false,
                        ttl: Option[java.time.Duration] = None): Dataset[Touch] = {
     import events.sparkSession.implicits._
-    if (v2) {
-      val timeMode =
-        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
-      events.groupByKey(_.userId)
-        .transformWithState(new AttributionProcessor(ttl), timeMode,
-          OutputMode.Append())
-    } else
-      events.groupByKey(_.userId)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-          advance)
+    StateApi.foldStream(events, (_: Ev).userId, "first_touch", v2, ttl, fold)
   }
 }

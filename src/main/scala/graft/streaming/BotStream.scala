@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.Dataset
 
 import graft.operators.Events
 
@@ -34,8 +33,8 @@ object BotStream {
                     nDays: Long)
   case class Verdict(userId: Long, isBot: Int)
 
-  /** The per-batch fold, PURE — ONE definition both state APIs
-    * delegate to (the SessionStream.fold discipline). */
+  /** The per-batch fold, PURE — ONE definition both state APIs run
+    * through [[StateApi.foldStream]]. */
   def fold(userId: Long, st0: Option[BState],
            evs: Seq[Ev]): (Option[BState], Vector[Verdict]) = {
     var st = st0.orNull
@@ -63,52 +62,12 @@ object BotStream {
     (Option(st), out.result())
   }
 
-  def advance(userId: Long, evs: Iterator[Ev],
-              state: GroupState[BState]): Iterator[Verdict] = {
-    val (st, out) = fold(userId, state.getOption, evs.toVector)
-    st.foreach(state.update)
-    out.iterator
-  }
-
-  /** The v2 (arbitrary-state) spelling of [[advance]] — the same fold
-    * over a ValueState with optional per-state TTL (the
-    * SessionStream.SessProcessor pattern). Requires the RocksDB state
-    * store provider. */
-  class BotProcessor(ttl: Option[java.time.Duration])
-      extends StatefulProcessor[Long, Ev, Verdict] {
-    @transient private var state: ValueState[BState] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      state = getHandle.getValueState[BState](
-        "bot_stats", Encoders.product[BState],
-        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
-    }
-
-    override def handleInputRows(userId: Long, evs: Iterator[Ev],
-                                 timerValues: TimerValues): Iterator[Verdict] = {
-      val st0 = if (state.exists()) Some(state.get()) else None
-      val (st, out) = fold(userId, st0, evs.toVector)
-      st.foreach(state.update)
-      out.iterator
-    }
-  }
-
   /** events (streaming Dataset) → append verdict-change rows.
-    * `v2 = true` routes through [[BotProcessor]] (transformWithState);
-    * same observable feed — StreamingSpec pins the full scenario on
-    * BOTH paths. */
+    * `v2 = true` routes through transformWithState; same observable
+    * feed — StreamingSpec pins the full scenario on BOTH paths. */
   def botStream(events: Dataset[Ev], v2: Boolean = false,
                 ttl: Option[java.time.Duration] = None): Dataset[Verdict] = {
     import events.sparkSession.implicits._
-    if (v2) {
-      val timeMode =
-        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
-      events.groupByKey(_.userId)
-        .transformWithState(new BotProcessor(ttl), timeMode,
-          OutputMode.Append())
-    } else
-      events.groupByKey(_.userId)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-          advance)
+    StateApi.foldStream(events, (_: Ev).userId, "bot_stats", v2, ttl, fold)
   }
 }

@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.Dataset
 
 import graft.operators.Events
 
@@ -27,7 +26,9 @@ import graft.operators.Events
   * Scale shape: one shuffle on user_id per micro-batch; state is a
   * fixed 12 bytes per user (depth + last matched ts) — 10⁹ users is
   * ~12 GB across the fleet's state stores, and completed funnels
-  * (depth 4) could be dropped entirely if retention allows.
+  * (depth 4) could be dropped entirely if retention allows (on v2 a
+  * per-state TTL restarts an expired user's funnel from depth 0 —
+  * the retention close for unbounded user churn).
   */
 object FunnelStream {
 
@@ -37,10 +38,8 @@ object FunnelStream {
   /** Emitted once per stage advance — the funnel's change stream. */
   case class DepthAdvance(userId: Long, depth: Int, tsNs: Long)
 
-  /** The per-batch fold, PURE: (state, batch events) → (new state,
-    * stage-advance emissions). ONE definition — both state APIs
-    * delegate here, so they cannot drift (the SessionStream.fold
-    * discipline). */
+  /** The per-batch fold, PURE — ONE definition both state APIs run
+    * through [[StateApi.foldStream]]. */
   def fold(windowNs: Long)(userId: Long, st0: Option[FState],
            evs: Seq[Ev]): (Option[FState], Vector[DepthAdvance]) = {
     var st = st0.getOrElse(FState(0, 0L))
@@ -63,57 +62,16 @@ object FunnelStream {
     (Some(st), out.result())
   }
 
-  def advance(windowNs: Long)(userId: Long, evs: Iterator[Ev],
-      state: GroupState[FState]): Iterator[DepthAdvance] = {
-    val (st, out) = fold(windowNs)(userId, state.getOption, evs.toVector)
-    st.foreach(state.update)
-    out.iterator
-  }
-
-  /** The v2 (arbitrary-state) spelling of [[advance]] — the same fold
-    * over a ValueState with optional per-state TTL (the
-    * SessionStream.SessProcessor pattern): a user idle past the TTL
-    * reads as absent, so their funnel restarts from depth 0 — the
-    * production retention close for unbounded user churn. Requires the
-    * RocksDB state store provider. */
-  class FunnelProcessor(windowNs: Long, ttl: Option[java.time.Duration])
-      extends StatefulProcessor[Long, Ev, DepthAdvance] {
-    @transient private var state: ValueState[FState] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      state = getHandle.getValueState[FState](
-        "funnel_depth", Encoders.product[FState],
-        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
-    }
-
-    override def handleInputRows(userId: Long, evs: Iterator[Ev],
-                                 timerValues: TimerValues): Iterator[DepthAdvance] = {
-      val st0 = if (state.exists()) Some(state.get()) else None
-      val (st, out) = fold(windowNs)(userId, st0, evs.toVector)
-      st.foreach(state.update)
-      out.iterator
-    }
-  }
-
   /** events (streaming Dataset) → per-stage depth advances.
     * `windowNs = Long.MaxValue` is the unwindowed funnel;
     * [[Events.FunnelWindowNs]] matches `q_events_funnel_windowed`.
-    * `v2 = true` routes through [[FunnelProcessor]]
-    * (transformWithState); same observable stream — StreamingSpec pins
-    * the full scenario on BOTH paths. */
+    * `v2 = true` routes through transformWithState; same observable
+    * stream — StreamingSpec pins the full scenario on BOTH paths. */
   def funnelDepthStream(events: Dataset[Ev],
                         windowNs: Long = Long.MaxValue, v2: Boolean = false,
                         ttl: Option[java.time.Duration] = None): Dataset[DepthAdvance] = {
     import events.sparkSession.implicits._
-    if (v2) {
-      val timeMode =
-        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
-      events.groupByKey(_.userId)
-        .transformWithState(new FunnelProcessor(windowNs, ttl), timeMode,
-          OutputMode.Append())
-    } else
-      events.groupByKey(_.userId)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-          advance(windowNs))
+    StateApi.foldStream(events, (_: Ev).userId, "funnel_depth", v2, ttl,
+      fold(windowNs))
   }
 }

@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.Dataset
 
 import graft.operators.Events
 
@@ -31,6 +30,12 @@ import graft.operators.Events
   * stream == batch on a window where every gap closes, which makes the
   * two frames equal row-for-row (on BOTH state APIs).
   *
+  * TTL/semantics interaction on v2: an expired user reads as
+  * never-seen, so their next event classifies as "new" rather than
+  * "resurrected" — the documented cost of bounding state by retention;
+  * leave TTL unset where growth-kind fidelity matters beyond the
+  * retention horizon.
+  *
   * Ordering contract and scale shape are [[ActiveStream]]'s: per-user
   * event-time order across micro-batches, intra-batch disorder sorted
   * before folding; one user_id shuffle per micro-batch, 8 bytes of
@@ -41,8 +46,8 @@ object GrowthStream {
   case class GState(lastDay: Long)
   case class GrowthEv(day: Long, kind: String)
 
-  /** The per-batch fold, PURE — ONE definition both state APIs
-    * delegate to (the SessionStream.fold discipline). */
+  /** The per-batch fold, PURE — ONE definition both state APIs run
+    * through [[StateApi.foldStream]]. */
   def fold(userId: Long, st0: Option[GState],
            evs: Seq[Ev]): (Option[GState], Vector[GrowthEv]) = {
     var last = st0.map(_.lastDay).getOrElse(Long.MinValue)
@@ -61,56 +66,12 @@ object GrowthStream {
     (Some(GState(last)), out.result())
   }
 
-  def advance(userId: Long, evs: Iterator[Ev],
-              state: GroupState[GState]): Iterator[GrowthEv] = {
-    val (st, out) = fold(userId, state.getOption, evs.toVector)
-    st.foreach(state.update)
-    out.iterator
-  }
-
-  /** The v2 (arbitrary-state) spelling of [[advance]] — the same fold
-    * over a ValueState with optional per-state TTL (the
-    * SessionStream.SessProcessor pattern). NOTE the TTL/semantics
-    * interaction: an expired user reads as never-seen, so their next
-    * event classifies as "new" rather than "resurrected" — the
-    * documented cost of bounding state by retention; leave TTL unset
-    * where growth-kind fidelity matters beyond the retention horizon.
-    * Requires the RocksDB state store provider. */
-  class GrowthProcessor(ttl: Option[java.time.Duration])
-      extends StatefulProcessor[Long, Ev, GrowthEv] {
-    @transient private var state: ValueState[GState] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      state = getHandle.getValueState[GState](
-        "last_day", Encoders.product[GState],
-        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
-    }
-
-    override def handleInputRows(userId: Long, evs: Iterator[Ev],
-                                 timerValues: TimerValues): Iterator[GrowthEv] = {
-      val st0 = if (state.exists()) Some(state.get()) else None
-      val (st, out) = fold(userId, st0, evs.toVector)
-      st.foreach(state.update)
-      out.iterator
-    }
-  }
-
   /** events (streaming Dataset) → append growth-classification rows.
-    * `v2 = true` routes through [[GrowthProcessor]]
-    * (transformWithState); same observable feed — StreamingSpec pins
-    * the full scenario on BOTH paths. */
+    * `v2 = true` routes through transformWithState; same observable
+    * feed — StreamingSpec pins the full scenario on BOTH paths. */
   def growthStream(events: Dataset[Ev], v2: Boolean = false,
                    ttl: Option[java.time.Duration] = None): Dataset[GrowthEv] = {
     import events.sparkSession.implicits._
-    if (v2) {
-      val timeMode =
-        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
-      events.groupByKey(_.userId)
-        .transformWithState(new GrowthProcessor(ttl), timeMode,
-          OutputMode.Append())
-    } else
-      events.groupByKey(_.userId)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-          advance)
+    StateApi.foldStream(events, (_: Ev).userId, "last_day", v2, ttl, fold)
   }
 }

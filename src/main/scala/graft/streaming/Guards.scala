@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.Dataset
 
 /** Two more keyed-state shapes from the reference:
   *
@@ -16,17 +15,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * All three shapes (plus the model-failover router below) are O(1)
   * state per key — at scale the state store holds one record per
   * ACTIVE chat, nothing grows with throughput — and each runs on BOTH
-  * state APIs (flatMapGroupsWithState and arbitrary-state v2
-  * `transformWithState` with optional per-state TTL), through one pure
-  * fold per shape so the two cannot drift (the SessionStream.fold
-  * discipline; GuardsSpec pins every scenario on both).
+  * state APIs through [[StateApi.foldStream]] (one pure fold per
+  * shape, so the two cannot drift; GuardsSpec pins every scenario on
+  * both).
   */
 object Guards {
 
   case class Work(chatId: Long, seq: Long, kind: String) // kind: msg | done
   case class Decision(chatId: Long, seq: Long, accepted: Boolean)
 
-  /** Busy-bit fold, PURE — both state APIs delegate here. */
+  /** Busy-bit fold, PURE — both state APIs run through
+    * [[StateApi.foldStream]]. */
   def guardFold(chatId: Long, st0: Option[Boolean],
                 work: Seq[Work]): (Option[Boolean], Vector[Decision]) = {
     val out = Vector.newBuilder[Decision]
@@ -40,49 +39,14 @@ object Guards {
     (Some(busy), out.result())
   }
 
-  def guard(chatId: Long, work: Iterator[Work],
-            state: GroupState[Boolean]): Iterator[Decision] = {
-    val (st, out) = guardFold(chatId, state.getOption, work.toVector)
-    st.foreach(state.update)
-    out.iterator
-  }
-
-  /** v2 spelling of [[guard]] — a busy bit per chat in a ValueState
-    * with optional TTL (an expired bit reads as idle, which is the
-    * crash-recovery semantics a production guard wants: a chat whose
-    * in-flight work died with its worker must not stay locked
-    * forever). */
-  class GuardProcessor(ttl: Option[java.time.Duration])
-      extends StatefulProcessor[Long, Work, Decision] {
-    @transient private var state: ValueState[Boolean] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      state = getHandle.getValueState[Boolean](
-        "busy", Encoders.scalaBoolean,
-        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
-    }
-
-    override def handleInputRows(chatId: Long, work: Iterator[Work],
-                                 timerValues: TimerValues): Iterator[Decision] = {
-      val st0 = if (state.exists()) Some(state.get()) else None
-      val (st, out) = guardFold(chatId, st0, work.toVector)
-      st.foreach(state.update)
-      out.iterator
-    }
-  }
-
+  /** `v2 = true` keeps the busy bit in a ValueState with optional TTL
+    * — an expired bit reads as idle, which is the crash-recovery
+    * semantics a production guard wants: a chat whose in-flight work
+    * died with its worker must not stay locked forever. */
   def inFlight(work: Dataset[Work], v2: Boolean = false,
                ttl: Option[java.time.Duration] = None): Dataset[Decision] = {
     import work.sparkSession.implicits._
-    if (v2) {
-      val timeMode =
-        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
-      work.groupByKey(_.chatId)
-        .transformWithState(new GuardProcessor(ttl), timeMode,
-          OutputMode.Append())
-    } else
-      work.groupByKey(_.chatId)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(guard)
+    StateApi.foldStream(work, (_: Work).chatId, "busy", v2, ttl, guardFold)
   }
 
   case class Usage(chatId: Long, seq: Long, tokens: Long)
@@ -93,7 +57,8 @@ object Guards {
   /** Modeled size of the post-compaction summary. */
   val SummaryTokens = 2000L
 
-  /** Token-accumulator fold, PURE — both state APIs delegate here. */
+  /** Token-accumulator fold, PURE — both state APIs run through
+    * [[StateApi.foldStream]]. */
   def accumulateFold(chatId: Long, st0: Option[Long],
                      usage: Seq[Usage]): (Option[Long], Vector[Context]) = {
     val out = Vector.newBuilder[Context]
@@ -107,45 +72,11 @@ object Guards {
     (Some(acc), out.result())
   }
 
-  def accumulate(chatId: Long, usage: Iterator[Usage],
-                 state: GroupState[Long]): Iterator[Context] = {
-    val (st, out) = accumulateFold(chatId, state.getOption, usage.toVector)
-    st.foreach(state.update)
-    out.iterator
-  }
-
-  /** v2 spelling of [[accumulate]]. */
-  class CompactionProcessor(ttl: Option[java.time.Duration])
-      extends StatefulProcessor[Long, Usage, Context] {
-    @transient private var state: ValueState[Long] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      state = getHandle.getValueState[Long](
-        "acc_tokens", Encoders.scalaLong,
-        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
-    }
-
-    override def handleInputRows(chatId: Long, usage: Iterator[Usage],
-                                 timerValues: TimerValues): Iterator[Context] = {
-      val st0 = if (state.exists()) Some(state.get()) else None
-      val (st, out) = accumulateFold(chatId, st0, usage.toVector)
-      st.foreach(state.update)
-      out.iterator
-    }
-  }
-
   def compaction(usage: Dataset[Usage], v2: Boolean = false,
                  ttl: Option[java.time.Duration] = None): Dataset[Context] = {
     import usage.sparkSession.implicits._
-    if (v2) {
-      val timeMode =
-        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
-      usage.groupByKey(_.chatId)
-        .transformWithState(new CompactionProcessor(ttl), timeMode,
-          OutputMode.Append())
-    } else
-      usage.groupByKey(_.chatId)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(accumulate)
+    StateApi.foldStream(usage, (_: Usage).chatId, "acc_tokens", v2, ttl,
+      accumulateFold)
   }
 
   // --- Model failover with carried state -----------------------------
@@ -156,7 +87,9 @@ object Guards {
   // under a sustained rate limit), rate_limit/timeout failures TOGGLE
   // primary↔fallback for the next attempt, success RECORDS the serving
   // model, auth aborts without touching the carried preference. Here
-  // that is per-key streaming state: O(2 strings) per chat.
+  // that is per-key streaming state: O(2 strings) per chat. On v2, an
+  // expired route preference simply restarts the chat on the primary
+  // (the cold-start default).
 
   val PrimaryModel  = "primary"
   val FallbackModel = "fallback"
@@ -169,7 +102,8 @@ object Guards {
   case class Route(chatId: Long, seq: Long, model: String, nextModel: String)
   case class RouteState(current: String, lastOk: String)
 
-  /** Failover fold, PURE — both state APIs delegate here. */
+  /** Failover fold, PURE — both state APIs run through
+    * [[StateApi.foldStream]]. */
   def failoverFold(chatId: Long, st0: Option[RouteState],
                    attempts: Seq[Attempt]): (Option[RouteState], Vector[Route]) = {
     val out = Vector.newBuilder[Route]
@@ -195,45 +129,10 @@ object Guards {
     (Some(s), out.result())
   }
 
-  def failover(chatId: Long, attempts: Iterator[Attempt],
-               state: GroupState[RouteState]): Iterator[Route] = {
-    val (st, out) = failoverFold(chatId, state.getOption, attempts.toVector)
-    st.foreach(state.update)
-    out.iterator
-  }
-
-  /** v2 spelling of [[failover]] — an expired route preference simply
-    * restarts the chat on the primary (the cold-start default). */
-  class FailoverProcessor(ttl: Option[java.time.Duration])
-      extends StatefulProcessor[Long, Attempt, Route] {
-    @transient private var state: ValueState[RouteState] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      state = getHandle.getValueState[RouteState](
-        "route", Encoders.product[RouteState],
-        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
-    }
-
-    override def handleInputRows(chatId: Long, attempts: Iterator[Attempt],
-                                 timerValues: TimerValues): Iterator[Route] = {
-      val st0 = if (state.exists()) Some(state.get()) else None
-      val (st, out) = failoverFold(chatId, st0, attempts.toVector)
-      st.foreach(state.update)
-      out.iterator
-    }
-  }
-
   def modelRouter(attempts: Dataset[Attempt], v2: Boolean = false,
                   ttl: Option[java.time.Duration] = None): Dataset[Route] = {
     import attempts.sparkSession.implicits._
-    if (v2) {
-      val timeMode =
-        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
-      attempts.groupByKey(_.chatId)
-        .transformWithState(new FailoverProcessor(ttl), timeMode,
-          OutputMode.Append())
-    } else
-      attempts.groupByKey(_.chatId)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(failover)
+    StateApi.foldStream(attempts, (_: Attempt).chatId, "route", v2, ttl,
+      failoverFold)
   }
 }

@@ -1,8 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.operators.Events
 
@@ -26,9 +25,11 @@ import graft.operators.Events
   * MINUS each user's last session, exactly (StreamingSpec pins that
   * equality across a MID-SESSION micro-batch split, and that a
   * watermark-like closing event drains the remainder to full
-  * equality). A production feed closes idle sessions with an event-time
-  * timeout sweep; the driver corpora replay closed windows, so the
-  * arrival-driven form is the honest one to pin.
+  * equality). A production feed closes idle sessions with the v2
+  * per-state TTL instead: an open session whose user goes quiet past
+  * the TTL reads as ABSENT (silently dropped, never emitted as
+  * closed), so the next event opens a fresh session — exercised end to
+  * end in StreamingSpec's TTL scenario on RocksDB.
   *
   * Ordering contract and scale shape are [[ActiveStream]]'s: per-user
   * event-time order ACROSS micro-batches (an event at or before the
@@ -45,9 +46,8 @@ object SessionStream {
 
   /** The per-batch fold, PURE: (open-session state, this batch's
     * events) → (new state, closed-session emissions). ONE definition —
-    * both state APIs (v1 flatMapGroupsWithState and v2
-    * transformWithState) delegate here, so they cannot drift (the
-    * Events.funnelStep discipline). */
+    * both state APIs run through [[StateApi.foldStream]], so they
+    * cannot drift (the Events.funnelStep discipline). */
   def fold(userId: Long, st0: Option[SState],
            evs: Seq[Ev]): (Option[SState], Vector[Sess]) = {
     var st = st0
@@ -73,59 +73,15 @@ object SessionStream {
     (st, out.result())
   }
 
-  def advance(userId: Long, evs: Iterator[Ev],
-              state: GroupState[SState]): Iterator[Sess] = {
-    val (st, out) = fold(userId, state.getOption, evs.toVector)
-    st.foreach(s => state.update(s))
-    out.iterator
-  }
-
-  /** The v2 (arbitrary-state) spelling of [[advance]] — the same fold
-    * over a ValueState, with idle expiry available as a PER-STATE TTL
-    * instead of re-armed timeout timers (the Sessions.SessionProcessor
-    * port the round-16 verdict asked for): an open session whose user
-    * goes quiet past the TTL simply reads as absent, so the next event
-    * opens a fresh session — the production close for the
-    * arrival-driven emission contract documented above. Requires the
-    * RocksDB state store provider, like every transformWithState
-    * path. */
-  class SessProcessor(ttl: Option[java.time.Duration])
-      extends StatefulProcessor[Long, Ev, Sess] {
-    @transient private var state: ValueState[SState] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      state = getHandle.getValueState[SState](
-        "open_session", Encoders.product[SState],
-        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
-    }
-
-    override def handleInputRows(userId: Long, evs: Iterator[Ev],
-                                 timerValues: TimerValues): Iterator[Sess] = {
-      val st0 = if (state.exists()) Some(state.get()) else None
-      val (st, out) = fold(userId, st0, evs.toVector)
-      st.foreach(state.update)
-      out.iterator
-    }
-  }
-
   /** events (streaming Dataset) → append rows of CLOSED sessions.
-    * `v2 = true` routes through [[SessProcessor]] (transformWithState;
-    * pass `ttl` to expire idle open sessions per-state — v1 has no TTL
-    * arm here, its bounded tests never needed one). Same observable
-    * stream — StreamingSpec pins the full scenario on BOTH paths. */
+    * `v2 = true` routes through transformWithState (pass `ttl` to
+    * expire idle open sessions per-state — v1 has no TTL arm here, its
+    * bounded tests never needed one). Same observable stream —
+    * StreamingSpec pins the full scenario on BOTH paths. */
   def sessionStream(events: Dataset[Ev], v2: Boolean = false,
                     ttl: Option[java.time.Duration] = None): Dataset[Sess] = {
     import events.sparkSession.implicits._
-    if (v2) {
-      val timeMode =
-        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
-      events.groupByKey(_.userId)
-        .transformWithState(new SessProcessor(ttl), timeMode,
-          OutputMode.Append())
-    } else
-      events.groupByKey(_.userId)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-          advance)
+    StateApi.foldStream(events, (_: Ev).userId, "open_session", v2, ttl, fold)
   }
 
   /** The batch key's report shape over the emitted session rows — a

@@ -1,8 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.operators.Events
 
@@ -45,8 +44,8 @@ object TransitionStream {
   case class Trans(userId: Long, prev2: String, prevType: String,
                    eventType: String, gapNs: Long)
 
-  /** The per-batch fold, PURE — ONE definition both state APIs
-    * delegate to (the SessionStream.fold discipline). */
+  /** The per-batch fold, PURE — ONE definition both state APIs run
+    * through [[StateApi.foldStream]]. */
   def fold(userId: Long, st0: Option[TState],
            evs: Seq[Ev]): (Option[TState], Vector[Trans]) = {
     var st = st0.getOrElse(TState(null, null, Long.MinValue))
@@ -73,55 +72,16 @@ object TransitionStream {
     (if (st.prevType != null) Some(st) else None, out.result())
   }
 
-  def advance(userId: Long, evs: Iterator[Ev],
-              state: GroupState[TState]): Iterator[Trans] = {
-    val (st, out) = fold(userId, state.getOption, evs.toVector)
-    st.foreach(state.update)
-    out.iterator
-  }
-
-  /** The v2 (arbitrary-state) spelling of [[advance]] — the same fold
-    * over a ValueState with optional per-state TTL (the
-    * SessionStream.SessProcessor pattern): a user idle past the TTL
-    * reads as absent, so their next event re-anchors as a first event
-    * — the production close for unbounded user churn. Requires the
-    * RocksDB state store provider. */
-  class TransProcessor(ttl: Option[java.time.Duration])
-      extends StatefulProcessor[Long, Ev, Trans] {
-    @transient private var state: ValueState[TState] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      state = getHandle.getValueState[TState](
-        "last_two", Encoders.product[TState],
-        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
-    }
-
-    override def handleInputRows(userId: Long, evs: Iterator[Ev],
-                                 timerValues: TimerValues): Iterator[Trans] = {
-      val st0 = if (state.exists()) Some(state.get()) else None
-      val (st, out) = fold(userId, st0, evs.toVector)
-      st.foreach(state.update)
-      out.iterator
-    }
-  }
-
   /** events (streaming Dataset) → append transition rows. `v2 = true`
-    * routes through [[TransProcessor]] (transformWithState); same
-    * observable feed — StreamingSpec pins the full scenario on BOTH
-    * paths. */
+    * routes through transformWithState with optional per-state TTL (a
+    * user idle past the TTL reads as absent, so their next event
+    * re-anchors as a first event — the production close for unbounded
+    * user churn). Same observable feed — StreamingSpec pins the full
+    * scenario on BOTH paths. */
   def transitionStream(events: Dataset[Ev], v2: Boolean = false,
                        ttl: Option[java.time.Duration] = None): Dataset[Trans] = {
     import events.sparkSession.implicits._
-    if (v2) {
-      val timeMode =
-        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
-      events.groupByKey(_.userId)
-        .transformWithState(new TransProcessor(ttl), timeMode,
-          OutputMode.Append())
-    } else
-      events.groupByKey(_.userId)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-          advance)
+    StateApi.foldStream(events, (_: Ev).userId, "last_two", v2, ttl, fold)
   }
 
   /** `q_events_paths` over the feed — the BATCH TAIL itself

@@ -1,8 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Streaming (user, type) FIRST-OCCURRENCE feed — [[ActiveStream]]'s
   * shape with the day replaced by the event-type alphabet: per user,
@@ -19,7 +18,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Unlike the day/pair feeds there is no late-event asymmetry: set
   * membership is order-independent, so ANY arrival order yields the
   * same feed — repeats are suppressed, never re-emitted. One user_id
-  * shuffle per micro-batch. */
+  * shuffle per micro-batch. On v2, note the skip-unchanged state write
+  * also skips refreshing the TTL clock — an idle-but-saturated user's
+  * set can expire and re-emit; acceptable for the affinity rollup
+  * (distinct() downstream). */
 object TypeStream {
 
   case class Ev(userId: Long, eventType: String)
@@ -30,8 +32,8 @@ object TypeStream {
     * GREW (None = skip the state write: in steady state the type
     * alphabet saturates fast, and a put of the re-encoded string
     * sequence per active user per micro-batch would buy zero
-    * information change). ONE definition both state APIs delegate to
-    * (the SessionStream.fold discipline). */
+    * information change — the StateApi skip-write lane). ONE
+    * definition both state APIs run through [[StateApi.foldStream]]. */
   def fold(userId: Long, st0: Option[Seen],
            evs: Seq[Ev]): (Option[Seen], Vector[UserType]) = {
     var seen = st0.map(_.types.toSet).getOrElse(Set.empty[String])
@@ -46,56 +48,13 @@ object TypeStream {
     (if (emitted.nonEmpty) Some(Seen(seen.toSeq.sorted)) else None, emitted)
   }
 
-  def advance(userId: Long, evs: Iterator[Ev],
-              state: GroupState[Seen]): Iterator[UserType] = {
-    val (st, out) = fold(userId, state.getOption, evs.toVector)
-    st.foreach(state.update)
-    out.iterator
-  }
-
-  /** The v2 (arbitrary-state) spelling of [[advance]] — the same fold
-    * over a ValueState with optional per-state TTL (the
-    * SessionStream.SessProcessor pattern). Note the skip-unchanged
-    * write also skips refreshing the TTL clock — an idle-but-saturated
-    * user's set can expire and re-emit; acceptable for the affinity
-    * rollup (distinct() downstream), documented here. Requires the
-    * RocksDB state store provider. */
-  class TypeProcessor(ttl: Option[java.time.Duration])
-      extends StatefulProcessor[Long, Ev, UserType] {
-    @transient private var state: ValueState[Seen] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      state = getHandle.getValueState[Seen](
-        "seen_types", Encoders.product[Seen],
-        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
-    }
-
-    override def handleInputRows(userId: Long, evs: Iterator[Ev],
-                                 timerValues: TimerValues): Iterator[UserType] = {
-      val st0 = if (state.exists()) Some(state.get()) else None
-      val (st, out) = fold(userId, st0, evs.toVector)
-      st.foreach(state.update)
-      out.iterator
-    }
-  }
-
   /** events (streaming Dataset) → first-occurrence (user, type) rows.
-    * `v2 = true` routes through [[TypeProcessor]] (transformWithState);
-    * same observable feed — StreamingSpec pins the full scenario on
-    * BOTH paths. */
+    * `v2 = true` routes through transformWithState; same observable
+    * feed — StreamingSpec pins the full scenario on BOTH paths. */
   def userTypeStream(events: Dataset[Ev], v2: Boolean = false,
                      ttl: Option[java.time.Duration] = None): Dataset[UserType] = {
     import events.sparkSession.implicits._
-    if (v2) {
-      val timeMode =
-        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
-      events.groupByKey(_.userId)
-        .transformWithState(new TypeProcessor(ttl), timeMode,
-          OutputMode.Append())
-    } else
-      events.groupByKey(_.userId)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-          advance)
+    StateApi.foldStream(events, (_: Ev).userId, "seen_types", v2, ttl, fold)
   }
 
   /** `q_events_affinity` over the feed — the batch rollup applied

@@ -8,20 +8,6 @@ import graft.streaming.Guards._
 
 class GuardsSpec extends SparkSpec {
 
-  /** RocksDB scaffold for the v2 scenarios (the StreamingSpec helper,
-    * duplicated here rather than shared through a trait — each spec
-    * stays self-contained). */
-  private def withRocksDB[T](f: => T): T = {
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try f
-    finally prev match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
-  }
-
   test("in-flight guard: busy chat rejects work until done, chats isolated") {
     guardScenario(v2 = false)
   }

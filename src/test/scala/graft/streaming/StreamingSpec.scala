@@ -441,20 +441,6 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  /** Run `f` with the RocksDB state store provider set (required by
-    * every transformWithState path), restoring the prior provider
-    * after — the shared scaffold of all the v2 twin scenarios. */
-  private def withRocksDB[T](f: => T): T = {
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try f
-    finally prev match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
-  }
-
   test("streaming funnel: incremental depth equals the batch funnel, both window settings") {
     funnelScenario(v2 = false)
   }

@@ -35,13 +35,16 @@ for m in re.finditer(r"`(q_\w+)`\s*\|\s*([0-9.]+)", txt):
 
 # De-pipe every historical per-key row: `q_x` | 0.12 -> `q_x` 0.12 —
 # text (and history) survive, the parser sees only the new table.
-txt = re.sub(r"(`q_\w+`)\s*\|\s*([0-9.]+)\s*(\||$)",
-             lambda m: f"{m.group(1)} {m.group(2)} " +
-                       ("" if m.group(3) == "|" else ""),
+# [ \t]* only (never \s*): whitespace must not span the newline, or a
+# row without a trailing pipe would consume the NEXT line's leading
+# pipe and merge two rows. A consumed mid-row delimiter is restored so
+# following columns stay aligned.
+txt = re.sub(r"(`q_\w+`)[ \t]*\|[ \t]*([0-9.]+)[ \t]*(\||$)",
+             lambda m: f"{m.group(1)} {m.group(2)}" +
+                       (" |" if m.group(3) == "|" else ""),
              txt, flags=re.M)
-# Collapse now-broken table borders around de-piped cells is not
-# needed: markdown degradation in the history section is acceptable
-# (the section is explicitly narrative/history).
+# Markdown degradation in the history sections is acceptable — they
+# are explicitly narrative after consolidation.
 
 keys = sorted(wall.keys())
 rows = []

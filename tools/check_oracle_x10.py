@@ -46,19 +46,35 @@ def norm(tbl):
     return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
 
 
-def run_with_budget(sql):
+def fresh_con():
+    """One connection PER KEY: a watchdog interrupt that fires just as
+    its query completes would otherwise linger on the shared connection
+    and abort the NEXT key's query (a wrong row in the committed
+    artifact that doesn't reproduce)."""
+    c = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    return c
+
+
+def run_with_budget(c, sql):
     done = threading.Event()
 
     def watchdog():
         if not done.wait(budget):
-            con.interrupt()
+            c.interrupt()
 
     w = threading.Thread(target=watchdog, daemon=True)
     w.start()
     try:
-        return con.execute(sql).fetch_arrow_table()
+        return c.execute(sql).fetch_arrow_table()
     finally:
         done.set()
+        w.join()
 
 
 for name in sorted(os.listdir(out)):
@@ -70,6 +86,7 @@ for name in sorted(os.listdir(out)):
            "oracle_sec": None}
     results[name] = row
     t0 = time.time()
+    kcon = None
     try:
         spark_rel = con.execute(
             f"SELECT * FROM read_parquet('{d}/*.parquet')").fetch_arrow_table()
@@ -77,8 +94,9 @@ for name in sorted(os.listdir(out)):
         if name not in oracle:
             row["err"] = "no_oracle"
             continue
+        kcon = fresh_con()
         try:
-            duck_rel = run_with_budget(oracle[name])
+            duck_rel = run_with_budget(kcon, oracle[name])
         except duckdb.InterruptException:
             row["err"] = f"oracle_timeout_{budget}s"
             continue
@@ -97,14 +115,20 @@ for name in sorted(os.listdir(out)):
     except Exception as e:
         row["err"] = str(e)[:300]
     finally:
+        if kcon is not None:
+            kcon.close()
         print(f"[x10] {name}: {json.dumps(results[name])}", flush=True)
         with open(artifact, "w") as f:
             json.dump(results, f, indent=2)
 
 ok = [k for k, v in results.items() if v["hash_match"]]
 to = [k for k, v in results.items() if v["err"] and "timeout" in v["err"]]
+# no_oracle keys SKIP, exactly like check_oracle.py — nothing to compare
+# is not a failure.
+sk = [k for k, v in results.items() if v["err"] == "no_oracle"]
 bad = [k for k, v in results.items()
-       if not v["hash_match"] and not (v["err"] and "timeout" in v["err"])]
+       if not v["hash_match"]
+       and not (v["err"] and ("timeout" in v["err"] or v["err"] == "no_oracle"))]
 print(f"x10 slice: {len(ok)} green, {len(to)} oracle-timeout {to}, "
-      f"{len(bad)} not green: {bad}")
+      f"{len(sk)} no-oracle skip, {len(bad)} not green: {bad}")
 sys.exit(0 if not bad else 1)
