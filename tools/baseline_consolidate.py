@@ -26,10 +26,18 @@ retried = set(bench.get("retried", []))
 
 txt = open(baseline_path, encoding="utf-8").read()
 
+# Idempotence: a prior run's authoritative section is REPLACED, not
+# stacked — its rows still feed the minima below (read before the
+# strip), but only one section may claim to hold the parseable rows.
+txt_rows_source = txt
+m = re.search(r"\n## Authoritative per-key baseline \(round .*", txt, re.S)
+if m:
+    txt = txt[:m.start()]
+
 # Historical per-key minima (the trigger denominators Bench parses
 # today) — same regex as Bench.scala.
 hist = {}
-for m in re.finditer(r"`(q_\w+)`\s*\|\s*([0-9.]+)", txt):
+for m in re.finditer(r"`(q_\w+)`\s*\|\s*([0-9.]+)", txt_rows_source):
     k, v = m.group(1), float(m.group(2))
     hist[k] = min(hist.get(k, v), v)
 
