@@ -73,7 +73,11 @@ table = (
     "file (historical tables below are de-piped narrative). Columns:\n"
     "**sec** = the retry/regression trigger denominator (element-wise\n"
     "min of all recorded rounds — local[32] wall is machine-noisy, so\n"
-    "minima are the stable signal); **wall/cpu rN** = the round-" + rnd +
+    "minima are the stable signal). NOTE the denominator is therefore\n"
+    "the all-time per-key FLOOR: any real run's wall sum lands ~1.1-1.3x\n"
+    "this column's sum from scheduling noise alone — the regression gate\n"
+    "is ZERO KEYS above 2x their row (host-factor-scaled), not the sum\n"
+    "ratio. **wall/cpu rN** = the round-" + rnd +
     " closing\nrun (cpu is the host-phase-immune adjudication figure; "
     "compare cpu\nto cpu per the metric-time ledger convention). Store-fed"
     " keys' cost\nmoved to their named artifact-build rows in BENCH_FULL's"
