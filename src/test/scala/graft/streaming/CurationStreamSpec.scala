@@ -48,6 +48,88 @@ class CurationStreamSpec extends SparkSpec {
     } finally { UpdateLog.drop(qn); Outbox.drop(bx) }
   }
 
+  test("composed ingest door: quality -> contamination through source+sink, exactly-once across a REAL epoch replay, verdicts == batch") {
+    // The full production shape in one pipeline: the micro-batch SOURCE
+    // feeds two chained stateless gates and lands in the idempotent
+    // SINK; then the checkpoint commit log is truncated (the
+    // OutboxSinkSpec replay trick) so Spark RE-EXECUTES an epoch —
+    // the gates re-compute identical verdicts (stateless, integer
+    // rules) and the sink absorbs the replay, so the delivered set is
+    // exactly the batch run of the same gate composition over all
+    // posted rows. This is the end-to-end exactly-once claim the
+    // per-gate specs each pin half of.
+    val qn = "door-in"; val bx = "door-out"
+    val ckpt = java.nio.file.Files.createTempDirectory("door-ckpt").toString
+    try {
+      val evalShingles = Curation.EvalShingles.fromTexts(
+        Curation.ShingleWidth, Seq("alpha beta gamma delta epsilon zeta"))
+      def pipe() = Curation.contaminationGate(
+          Curation.qualityGate(
+            spark.readStream.format(classOf[UpdateLogProvider].getName)
+              .option("queue", qn).load()),
+          evalShingles)
+        .select(col("chat_id"), col("text"))
+        .writeStream.format(classOf[OutboxProvider].getName)
+        .option("box", bx)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+      val rows = Seq(
+        // contaminated (full eval 5-gram embedded) -> contamination drop
+        1L -> "intro words alpha beta gamma delta epsilon trailing tail",
+        // clean, long enough -> KEEP
+        2L -> "a long enough clean document with many words inside",
+        // under 5 tokens -> quality drop
+        3L -> "too short doc",
+        // bigram-repetitive -> quality drop
+        4L -> "spam spam spam spam spam spam",
+        // clean -> KEEP (arrives in epoch 2, the one we replay)
+        5L -> "another perfectly ordinary document with plenty of words",
+        // contaminated in epoch 2 -> drop there too
+        6L -> "more words alpha beta gamma delta epsilon again here")
+      rows.take(4).foreach { case (id, t) => UpdateLog.post(qn, id, t) }
+      val q1 = pipe().start()
+      try {
+        q1.processAllAvailable()
+        rows.drop(4).foreach { case (id, t) => UpdateLog.post(qn, id, t) }
+        q1.processAllAvailable()
+      } finally {
+        q1.stop(); q1.awaitTermination()
+        val dl = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (spark.streams.active.exists(_.id == q1.id) && System.nanoTime() < dl)
+          Thread.sleep(20)
+      }
+      // Truncate the newest commit (keep its offsets entry): restart
+      // re-executes that epoch against the sink with the same epochId.
+      val commits = java.nio.file.Paths.get(ckpt, "commits")
+      val newest = java.nio.file.Files.list(commits)
+        .filter(p => p.getFileName.toString.forall(_.isDigit))
+        .max((a, b) => a.getFileName.toString.toLong
+          .compareTo(b.getFileName.toString.toLong)).get()
+      java.nio.file.Files.delete(newest)
+      java.nio.file.Files.deleteIfExists(
+        newest.resolveSibling("." + newest.getFileName.toString + ".crc"))
+      val late = 7L -> "a final clean arrival after the replayed restart"
+      val q2 = pipe().start()
+      try {
+        q2.processAllAvailable() // replays the dropped epoch through BOTH gates
+        UpdateLog.post(qn, late._1, late._2)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val all = Outbox.delivered(bx)
+      // Exactly-once: nothing delivered twice despite the replay.
+      assert(all.map(_._2).distinct.size == all.size, s"duplicate delivery: $all")
+      // Stream verdicts == the BATCH run of the same composition over
+      // every posted row (the gates are batch/stream agnostic).
+      import spark.implicits._
+      val batchKept = Curation.contaminationGate(
+          Curation.qualityGate((rows :+ late).toDF("chat_id", "text")),
+          evalShingles)
+        .select("chat_id").collect().map(_.getLong(0)).toSet
+      assert(all.map(_._2).toSet == batchKept, s"$all vs $batchKept")
+      assert(batchKept == Set(2L, 5L, 7L), s"fixture drift: $batchKept")
+    } finally { UpdateLog.drop(qn); Outbox.drop(bx) }
+  }
+
   test("eval shingles survive messy whitespace; null text passes BOTH gate paths") {
     import spark.implicits._
     // Consecutive/trailing spaces: Spark's split keeps empty tokens, so
