@@ -253,15 +253,15 @@ object Warehouse {
   }
 
   /** Name of the SOURCE-FILE MANIFEST written inside a store table's
-    * directory by [[servedFrameMerged]]: one `name\tlength` line per
-    * data file of the corpus table the store was built from.
+    * directory by [[servedFrameMerged]]: one `name\tlength\tmtime`
+    * line per data file of the corpus table the store was built from.
     * Underscore-prefixed, so every parquet reader ignores it — it
     * rides the table directory through the atomic tmp+rename publish
     * and is therefore exactly as durable/consistent as the store
     * itself. The append-detection witness: a later corpus state whose
-    * file set is a STRICT SUPERSET with every old file byte-identical
-    * in length is an append, and the delta is precisely the new
-    * files. */
+    * file set is a STRICT SUPERSET with every old file unchanged in
+    * BOTH length and modification time is an append, and the delta is
+    * precisely the new files. */
   private[sources] val ManifestFile = "_graft_src_manifest"
 
   /** Reserved manifest key carrying the BUILDER VERSION the store was
@@ -274,34 +274,43 @@ object Warehouse {
     * AND stop passing a merge" convention). */
   private[sources] val ManifestVersionKey = "__builder_version"
 
-  /** (file name → byte length) of `$dir/$table.parquet`'s data files —
-    * filesystem metadata only (the listing every read performs
-    * anyway). Hidden files (`_`/`.` prefixed) are excluded, matching
-    * what a parquet scan reads. */
+  /** (file name → (byte length, modification time)) of
+    * `$dir/$table.parquet`'s data files — filesystem metadata only (the
+    * listing every read performs anyway). Hidden files (`_`/`.`
+    * prefixed) are excluded, matching what a parquet scan reads. The
+    * mtime component (round-19 review) closes the in-place-rewrite
+    * channel: a part file rewritten with the same name AND length still
+    * changes its modification time, so the append-only check below can
+    * never merge a store built from its stale bytes. */
   def corpusFiles(s: SparkSession, dir: String, table: String)
-      : Map[String, Long] = {
+      : Map[String, (Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Map.empty
     else fs.listStatus(p).iterator.filter { st =>
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }.map(st => st.getPath.getName -> st.getLen).toMap
+    }.map(st => st.getPath.getName -> (st.getLen, st.getModificationTime))
+      .toMap
   }
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                             tableLoc: org.apache.hadoop.fs.Path,
-                            files: Map[String, Long]): Unit = {
+                            files: Map[String, (Long, Long)]): Unit = {
     val out = fs.create(
       new org.apache.hadoop.fs.Path(tableLoc, ManifestFile), true)
-    out.write(files.toSeq.sorted.map { case (n, l) => s"$n\t$l" }
+    out.write(files.toSeq.sorted.map { case (n, (l, m)) => s"$n\t$l\t$m" }
       .mkString("\n").getBytes("UTF-8"))
     out.close()
   }
 
+  /** Lines are `name\tlength\tmtime`; a legacy 2-field line (pre-mtime
+    * manifests) reads as mtime -1, which can never equal a live file's
+    * mtime — so a legacy-manifest store declines the merge lane once
+    * and rebuilds cold under the new format. */
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
                            tableLoc: org.apache.hadoop.fs.Path)
-      : Option[Map[String, Long]] = {
+      : Option[Map[String, (Long, Long)]] = {
     val p = new org.apache.hadoop.fs.Path(tableLoc, ManifestFile)
     if (!fs.exists(p)) None
     else try {
@@ -313,7 +322,8 @@ object Warehouse {
       in.close()
       Some(new String(bytes.toByteArray, "UTF-8").split("\n")
         .iterator.filter(_.nonEmpty).map { line =>
-          val t = line.split("\t"); t(0) -> t(1).toLong
+          val t = line.split("\t")
+          t(0) -> (t(1).toLong, if (t.length > 2) t(2).toLong else -1L)
         }.toMap)
     } catch { case _: Exception => None }
   }
@@ -571,10 +581,19 @@ object Warehouse {
     // `frame` BY-NAME: the hit path hands `cold` through here and must
     // never construct — let alone execute — the build chain. The
     // manifest records the source files PLUS the builder version.
+    // LISTING RE-VERIFY (round-19 review): the build executes LAZILY
+    // against the live directory, after `curFiles` was listed — a part
+    // file landing in between is read by the build yet absent from the
+    // entry listing, and recording the stale listing would make the
+    // next append's merge union those rows a SECOND time. If the
+    // listing moved, the store is published WITHOUT a manifest: it
+    // serves correctly for its fingerprint, and the next resolution
+    // simply cannot use it as a merge base (cold rebuild — safe).
     def buildWithManifest(frame: => DataFrame)(n: String): Unit = {
       frame.write.mode("overwrite").format("parquet").saveAsTable(n)
-      writeManifest(fs, new org.apache.hadoop.fs.Path(whRoot, n),
-        curFiles + (ManifestVersionKey -> ver.toLong))
+      if (corpusFiles(s, dir, srcTable) == curFiles)
+        writeManifest(fs, new org.apache.hadoop.fs.Path(whRoot, n),
+          curFiles + (ManifestVersionKey -> (ver.toLong, 0L)))
     }
     def coldLane(): DataFrame = {
       // servedTable's full rebuild discipline (its early GC is safe
@@ -595,7 +614,7 @@ object Warehouse {
     // pre-bump store (old-algorithm rows unioned under the bumped
     // name would be exactly the stale artifact the bump prevents).
     val prefix = s"graft_${family}_${dirDigest(dir)}_"
-    val prior: Option[(String, Map[String, Long])] =
+    val prior: Option[(String, Map[String, (Long, Long)])] =
       (if (fs.exists(whRoot)) fs.listStatus(whRoot).toSeq else Seq.empty)
         .filter { st =>
           val n = st.getPath.getName
@@ -606,12 +625,16 @@ object Warehouse {
         .iterator
         .flatMap(st => readManifest(fs, st.getPath)
           .map(m => st.getPath.getName -> m))
-        .filter(_._2.get(ManifestVersionKey).contains(ver.toLong))
+        .filter(_._2.get(ManifestVersionKey).map(_._1).contains(ver.toLong))
         .nextOption()
     val merged: Option[DataFrame] = prior.flatMap { case (oldName, oldMan) =>
       val oldFiles = oldMan - ManifestVersionKey
+      // Append-only ⟺ every recorded file is still present with the
+      // SAME length AND mtime — an in-place rewrite (same name, same
+      // bytes count, new content) moves mtime, so it correctly reads
+      // as a non-append mutation and rebuilds cold.
       val appendOnly = oldFiles.nonEmpty &&
-        oldFiles.forall { case (f, len) => curFiles.get(f).contains(len) }
+        oldFiles.forall { case (f, lm) => curFiles.get(f).contains(lm) }
       val newFiles = (curFiles.keySet -- oldFiles.keySet).toSeq.sorted
       if (!appendOnly || newFiles.isEmpty) None
       else {

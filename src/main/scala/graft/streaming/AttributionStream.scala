@@ -60,7 +60,22 @@ object AttributionStream {
     * the latest row per user is the batch `q_events_attribution`
     * per-user frame. `v2 = true` routes through transformWithState;
     * same observable feed — StreamingSpec pins the full scenario on
-    * BOTH paths. */
+    * BOTH paths.
+    *
+    * TTL CAVEAT (v2 + `ttl`, the TypeStream tradeoff documented here
+    * too — round-19 review): the fold emits None (skip the state
+    * write) whenever the attribution did NOT move, and on the v2 lane
+    * a skipped write also skips refreshing the TTL clock. A
+    * continuously ACTIVE user whose first touch never changes
+    * therefore expires after `ttl` of unchanged attribution — not of
+    * inactivity — and their next event re-attributes as a fresh first
+    * touch. Deliberate: rewriting unchanged state per micro-batch to
+    * keep the clock warm would re-impose exactly the steady-state
+    * write load the skip removes, and the production reading of the
+    * TTL is "retire attributions older than the retention window"
+    * (first touch is a creation-time fact — its age IS the right
+    * expiry axis). Pass `ttl = None` (the default) where
+    * never-expiring attribution is wanted. */
   def firstTouchStream(events: Dataset[Ev], v2: Boolean = false,
                        ttl: Option[java.time.Duration] = None): Dataset[Touch] = {
     import events.sparkSession.implicits._

@@ -69,7 +69,18 @@ object WarehouseLs {
           fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS"))
         val registered = spark.catalog.tableExists(loc.getName)
         val corpus = registry.get(dig)
-        val corpusDead = corpus.exists(p => !new java.io.File(p).exists())
+        // Existence through the path's OWN Hadoop FileSystem (round-19
+        // review): java.io.File.exists reads every non-local corpus URI
+        // (hdfs://, s3a://) as dead, so --sweep would delete live
+        // stores. An unreachable filesystem reads as ALIVE — never
+        // sweep on a connectivity error.
+        val corpusDead = corpus.exists { p =>
+          try {
+            val cp = new org.apache.hadoop.fs.Path(p)
+            !cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(cp)
+          } catch { case _: Exception => false }
+        }
         val tmpAged = isTmp && now - st.getModificationTime >
           graft.sources.Warehouse.TmpOrphanAgeMs
         Entry(loc.getName, fam, dig, fp,

@@ -37,6 +37,67 @@ class GuardsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("in-flight guard v2 TTL: an expired busy bit reads idle — the next message is re-admitted") {
+    // The guard's crash-recovery semantics (the inFlight scaladoc),
+    // exercised end to end on RocksDB — the engine's SECOND TTL expiry
+    // witness (round-19; SessionStream's is the first): a chat whose
+    // in-flight work died with its worker (no `done` ever arrives)
+    // must not stay locked forever — past the TTL the busy bit reads
+    // ABSENT and new work is accepted again. Unlike the skip-write
+    // twins, guardFold always returns Some(state), so every touched
+    // batch refreshes the TTL clock: only TRUE idleness expires.
+    withRocksDB {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[Work]
+      // TTL 10 s with a 15 s deliberate idle — the SessionStream TTL
+      // test's flake margins (a CI stall between post-idle batches must
+      // not expire the refreshed bit). processAllAvailable never
+      // latches under TimeMode.ProcessingTime (empty batches keep
+      // advancing the TTL clock) — poll the 0-based source offset.
+      val q = Guards.inFlight(in.toDS(), v2 = true,
+          ttl = Some(java.time.Duration.ofSeconds(10)))
+        .writeStream.format("memory").queryName("guard_ttl")
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("50 milliseconds"))
+        .start()
+      def awaitOffset(k: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 60000L
+        def cur(): Long = {
+          val p = q.lastProgress
+          if (p == null || p.sources.isEmpty || p.sources(0).endOffset == null)
+            Long.MinValue
+          else {
+            val digits = p.sources(0).endOffset.replaceAll("[^-0-9]", "")
+            if (digits.isEmpty || digits == "-") Long.MinValue else digits.toLong
+          }
+        }
+        while (cur() < k && System.currentTimeMillis() < deadline)
+          Thread.sleep(50L)
+        assert(cur() >= k, s"stream never reached offset $k")
+      }
+      try {
+        // Take the lock; the worker then "dies" — no done ever arrives.
+        in.addData(Work(1, 1, "msg")); awaitOffset(0L)
+        // Sanity within the TTL: the bit is live, work is rejected.
+        in.addData(Work(1, 2, "msg")); awaitOffset(1L)
+        // Idle past the TTL in processing time.
+        Thread.sleep(15000L)
+        // With live state this would be rejected; after expiry the bit
+        // reads idle and the chat is RE-ADMITTED.
+        in.addData(Work(1, 3, "msg")); awaitOffset(2L)
+        val deadline = System.currentTimeMillis() + 60000L
+        while (spark.table("guard_ttl").count() < 3 &&
+               System.currentTimeMillis() < deadline)
+          Thread.sleep(50L)
+      } finally q.stop()
+      val out = spark.table("guard_ttl").as[Decision].collect()
+        .map(d => d.seq -> d.accepted).toMap
+      assert(out == Map(1L -> true, 2L -> false, 3L -> true), s"$out")
+    }
+  }
+
   test("compaction fires at 80% of the context window and resets state") {
     compactionScenario(v2 = false)
   }

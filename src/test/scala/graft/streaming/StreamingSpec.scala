@@ -918,10 +918,12 @@ class StreamingSpec extends SparkSpec {
       // .ProcessingTime: the engine keeps running (empty) batches to
       // advance the TTL clock, so "all available processed" never
       // latches — the test polls consumed-input progress instead, and
-      // the TTL (2 s) is far above the poll cadence so only the
-      // DELIBERATE idle (6 s) ever expires state.
+      // the TTL (10 s — wide enough that a CI stall or GC pause
+      // between the post-idle micro-batches cannot expire the FRESH
+      // session; round-19 flake-margin fix) is far above the poll
+      // cadence so only the DELIBERATE idle (15 s) ever expires state.
       val q = SessionStream.sessionStream(in.toDS(), v2 = true,
-          ttl = Some(java.time.Duration.ofSeconds(2)))
+          ttl = Some(java.time.Duration.ofSeconds(10)))
         .writeStream.format("memory").queryName("ttl_sessions")
         .outputMode(OutputMode.Append)
         .trigger(org.apache.spark.sql.streaming.Trigger
@@ -952,7 +954,7 @@ class StreamingSpec extends SparkSpec {
         awaitOffset(0L)
         // Idle past the TTL in PROCESSING time (generous margin — the
         // running empty batches advance the expiry clock).
-        Thread.sleep(6000L)
+        Thread.sleep(15000L)
         // IN-GAP event (event-time gap 100 ns ≪ G): with live state it
         // would extend the open session to 3 events; after expiry the
         // state reads absent, so this OPENS a fresh 1-event session.
