@@ -814,35 +814,226 @@ object Events {
       .agg(count(lit(1)).as("c"))
   }
 
-  /** The PERSISTED transition-distribution store (round-18): the six
-    * transition/markov/dwell/pagerank keys each used to re-pay the
-    * same user-keyed lag exchange over raw events (~4.8 MB shuffle
-    * each at sf0.1); the store pays it ONCE per corpus state at ingest
-    * and every key reads the bounded distribution frame back.
-    * Deterministic (integer day/gap math over a total order) ⟹
-    * reuse == rebuild. NOT append-merged: transitions SPAN batch
-    * boundaries per user (a batch's first event pairs with the settled
-    * corpus's last), so per-file decomposability does not hold —
-    * growth rebuilds, which is one lag pass, not a pair join. */
-  private def transDistStore(s: SparkSession, dir: String): DataFrame =
+  /** The four event columns off a RAW parquet read of events part
+    * files — the merge lanes receive the delta as `spark.read.parquet`
+    * over the new files only, so they must apply [[Tables.events]]'s
+    * ts normalization themselves (TIMESTAMP(NANOS) reads as a long
+    * named `ts` under the nanosAsLong conf; TIMESTAMP(MICROS) converts
+    * exactly). */
+  private[graft] def rawEventCols(raw: DataFrame): DataFrame = {
+    val tsNs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => expr("unix_micros(cast(ts as timestamp)) * 1000L")
+    }
+    raw.select(col("user_id"), tsNs.as("ts_ns"), col("event_id"),
+      col("event_type"))
+  }
+
+  /** Per-user BOUNDARY STATE — the last event's (ts, id), its type,
+    * and the second-to-last type: exactly [[TransitionStream]]'s
+    * TState (the fold's proof that this is the sufficient statistic to
+    * continue the lag across a corpus append). One row per user; rides
+    * inside the ev_trans store so the merge lane can seed the delta's
+    * lag pass without touching settled events. */
+  private[graft] def transBounds(events: DataFrame): DataFrame = {
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_ns").desc, col("event_id").desc)
+    events
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .withColumn("p2", lead(col("event_type"), 1).over(wDesc))
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("p2").as("prev2"),
+        col("event_type").as("prev_type"),
+        col("ts_ns").as("b_ts"), col("event_id").as("b_id"))
+  }
+
+  /** The ev_trans STORE FRAME (builder v2): the transition
+    * distribution rows ([[transDist]], `user_id` NULL) unioned with
+    * the per-user boundary rows ([[transBounds]], `user_id` set) in
+    * one table — self-contained, so an append-merge has everything it
+    * needs in (prior store, delta rows) alone. */
+  private[graft] def transStore(events: DataFrame): DataFrame = {
+    val dist = transDist(events).select(
+      col("prev2"), col("prev_type"), col("event_type"), col("gap_ms"),
+      col("c"), lit(null).cast("long").as("user_id"),
+      lit(null).cast("long").as("b_ts"), lit(null).cast("long").as("b_id"))
+    val bounds = transBounds(events).select(
+      col("prev2"), col("prev_type"),
+      lit(null).cast("string").as("event_type"),
+      lit(null).cast("long").as("gap_ms"), lit(null).cast("long").as("c"),
+      col("user_id"), col("b_ts"), col("b_id"))
+    dist.unionByName(bounds)
+  }
+
+  /** The ev_trans APPEND-MERGE (round-19, the r18 verdict's top item):
+    * transitions span batch boundaries per user — a batch's first
+    * event pairs with the settled corpus's last two — so per-file
+    * decomposability alone does not hold; the carried boundary state
+    * closes the seam. The delta's lag runs over (two synthetic seed
+    * rows reconstructing each touched user's boundary) ++ (delta
+    * events); transitions whose CURRENT row is synthetic are already
+    * counted in the old distribution and drop out, so
+    * old dist + delta dist partitions the cold rebuild's transition
+    * set exactly.
+    *
+    * DECLINES (returns None → cold rebuild) when any delta event sorts
+    * at or before its user's recorded boundary in the (ts, event_id)
+    * total order: the cold lag would SPLICE that event between settled
+    * rows, which no append-side computation can reproduce without
+    * re-reading the settled corpus. The check is one bounded job over
+    * (delta min per user) ⋈ (boundary rows). */
+  private[graft] def transStoreMerged(old: DataFrame, deltaRaw: DataFrame)
+      : Option[DataFrame] = {
+    val ev = rawEventCols(deltaRaw)
+    val oldDist = old.filter(col("user_id").isNull)
+      .select("prev2", "prev_type", "event_type", "gap_ms", "c")
+    val oldB = old.filter(col("user_id").isNotNull)
+      .select("user_id", "prev2", "prev_type", "b_ts", "b_id")
+    // Every join against store-sized frames below BROADCASTS the
+    // delta-derived side: the publish scans and rewrites the store
+    // regardless, so the merge must add zero store-sized SHUFFLES on
+    // top — old rows stream map-side through each join.
+    val viol = oldB.join(broadcast(ev.groupBy("user_id")
+        .agg(min(struct(col("ts_ns"), col("event_id"))).as("m"))),
+        Seq("user_id"))
+      .filter(col("m.ts_ns") < col("b_ts") ||
+        (col("m.ts_ns") === col("b_ts") && col("m.event_id") <= col("b_id")))
+    if (viol.limit(1).count() > 0) return None
+    val touched = ev.select("user_id").distinct()
+    val seeds = oldB.join(broadcast(touched), Seq("user_id"), "left_semi")
+    // Seed rows: the boundary's last event at its REAL (ts, id) — so
+    // the first delta transition's gap is exact — and, when prev2 is
+    // set, a second seed just before it ((b_ts, b_id−1) cannot collide
+    // with a delta row: the violation check rejected anything at or
+    // before (b_ts, b_id)).
+    val synth1 = seeds.select(col("user_id"), col("b_ts").as("ts_ns"),
+      col("b_id").as("event_id"), col("prev_type").as("event_type"),
+      lit(false).as("real"))
+    val synth2 = seeds.filter(col("prev2").isNotNull)
+      .select(col("user_id"), col("b_ts").as("ts_ns"),
+        (col("b_id") - 1L).as("event_id"), col("prev2").as("event_type"),
+        lit(false).as("real"))
+    val aug = ev.withColumn("real", lit(true))
+      .unionByName(synth1).unionByName(synth2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val lagged = aug
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+      .withColumn("prev_ts", lag(col("ts_ns"), 1).over(w))
+    val newDist = lagged.filter(col("real"))
+      .select(col("p2").as("prev2"), col("p1").as("prev_type"),
+        col("event_type"),
+        expr(s"(ts_ns - prev_ts) div ${DwellMsNs}L").as("gap_ms"))
+      .groupBy("prev2", "prev_type", "event_type", "gap_ms")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // bounded (≤ delta rows); broadcast twice below
+    // Combine WITHOUT re-shuffling the old distribution (it can be
+    // nearly event-count-sized — gap_ms is high-cardinality): the
+    // aggregated delta distribution broadcasts into a null-safe
+    // left-outer join (keys carry NULLs: first-event and first-gap
+    // rows), colliding keys add counts in place, and the genuinely-new
+    // keys append via a small anti join. Values ≡ the naive
+    // (old ∪ new).groupBy.sum, with the store streaming map-side.
+    val nd = newDist.select(col("prev2").as("p2n"), col("prev_type").as("ptn"),
+      col("event_type").as("etn"), col("gap_ms").as("gmn"), col("c").as("cn"))
+    val on = col("prev2") <=> col("p2n") && col("prev_type") <=> col("ptn") &&
+      col("event_type") <=> col("etn") && col("gap_ms") <=> col("gmn")
+    val bumped = oldDist.join(broadcast(nd), on, "left_outer")
+      .select(col("prev2"), col("prev_type"), col("event_type"),
+        col("gap_ms"), (col("c") + coalesce(col("cn"), lit(0L))).as("c"))
+    val matchedKeys = oldDist.join(broadcast(nd), on, "left_semi")
+      .select("prev2", "prev_type", "event_type", "gap_ms")
+    val freshDist = nd.join(broadcast(matchedKeys),
+        col("p2n") <=> col("prev2") && col("ptn") <=> col("prev_type") &&
+          col("etn") <=> col("event_type") && col("gmn") <=> col("gap_ms"),
+        "left_anti")
+      .select(col("p2n").as("prev2"), col("ptn").as("prev_type"),
+        col("etn").as("event_type"), col("gmn").as("gap_ms"),
+        col("cn").as("c"))
+    val dist = bumped.unionByName(freshDist)
+    // New boundaries for touched users come off the SAME lagged frame
+    // (its last row per user is always a real delta row — every
+    // synthetic seed sorts before every delta event); untouched users
+    // keep their old boundary verbatim.
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_ns").desc, col("event_id").desc)
+    val newB = lagged.withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("p1").as("prev2"),
+        col("event_type").as("prev_type"),
+        col("ts_ns").as("b_ts"), col("event_id").as("b_id"))
+    val bounds = oldB.join(broadcast(touched), Seq("user_id"), "left_anti")
+      .unionByName(newB)
+    Some(dist.select(
+      col("prev2"), col("prev_type"), col("event_type"), col("gap_ms"),
+      col("c"), lit(null).cast("long").as("user_id"),
+      lit(null).cast("long").as("b_ts"), lit(null).cast("long").as("b_id"))
+      .unionByName(bounds.select(
+        col("prev2"), col("prev_type"),
+        lit(null).cast("string").as("event_type"),
+        lit(null).cast("long").as("gap_ms"), lit(null).cast("long").as("c"),
+        col("user_id"), col("b_ts"), col("b_id"))))
+  }
+
+  /** The full PERSISTED ev_trans store (dist + boundary rows), with
+    * the append-merge lane wired; [[transDistStore]] is the
+    * distribution view every key reads. Deterministic (integer day/gap
+    * math over a total order) ⟹ reuse == rebuild; WarehouseSpec pins
+    * merged ≡ cold bit for bit and the late-delta decline. */
+  private def transStoreFull(s: SparkSession, dir: String): DataFrame =
     Artifacts.cached(s, s"ev-trans:$dir")(
-      graft.sources.Warehouse.servedFrame(
-        s, "ev_trans", dir, eventsFp(s, dir))(
-        transDist(Tables.events(s, dir))))
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "ev_trans", dir, "events", eventsFp(s, dir))(
+        transStore(Tables.events(s, dir)))(transStoreMerged))
+
+  /** The transition-DISTRIBUTION view of [[transStoreFull]] (round-18
+    * shape, unchanged for consumers): the six transition/markov/dwell/
+    * pagerank keys each used to re-pay the same user-keyed lag
+    * exchange over raw events (~4.8 MB shuffle each at sf0.1); the
+    * store pays it ONCE per corpus state at ingest — and, since
+    * round-19, per corpus APPEND only a delta-sized lag — and every
+    * key reads the bounded distribution frame back. */
+  private def transDistStore(s: SparkSession, dir: String): DataFrame =
+    transStoreFull(s, dir).filter(col("user_id").isNull)
+      .select("prev2", "prev_type", "event_type", "gap_ms", "c")
+
+  /** The distinct (user_id, day) frame — the ev_user_days builder. */
+  private[graft] def userDays(events: DataFrame): DataFrame =
+    events.select(col("user_id"), expr(s"ts_ns div ${DayNs}L").as("day"))
+      .distinct()
+
+  /** The ev_user_days APPEND-MERGE: distinct (user, day) is a
+    * semilattice — old ∪ (delta days ∖ old) ≡ the cold rebuild by
+    * construction. SHUFFLE SHAPE: the publish must scan-and-rewrite
+    * the old store regardless, so the merge's job is to add ZERO
+    * store-sized shuffles on top — a naive `(old ∪ delta).distinct()`
+    * would re-exchange the whole store per append. Instead the delta's
+    * (small, already-distinct) day set broadcasts twice: a map-side
+    * semi join extracts the delta∩old slice (≤ |delta| rows), an anti
+    * join against that slice yields the genuinely-new rows, and the
+    * store streams through untouched. Never declines. */
+  private[graft] def userDaysMerged(old: DataFrame, deltaRaw: DataFrame)
+      : Option[DataFrame] = {
+    val d = userDays(rawEventCols(deltaRaw))
+    val matched = old.join(broadcast(d), Seq("user_id", "day"), "left_semi")
+    val fresh = d.join(broadcast(matched), Seq("user_id", "day"), "left_anti")
+    Some(old.unionByName(fresh))
+  }
 
   /** The PERSISTED distinct (user_id, day) store — the active feed's
     * batch analog ([[ActiveStream]] delivers exactly this frame
     * incrementally): dau/wau, stickiness, growth, and retention
     * (weeks = day div 7 — exact for ts ≥ 0 since WeekNs = 7·DayNs)
     * all re-derived it per key; the store pays the distinct once per
-    * corpus state. */
+    * corpus state, and per corpus APPEND only the [[userDaysMerged]]
+    * delta distinct (round-19). */
   private def userDayStore(s: SparkSession, dir: String): DataFrame =
     Artifacts.cached(s, s"ev-ud:$dir")(
-      graft.sources.Warehouse.servedFrame(
-        s, "ev_user_days", dir, eventsFp(s, dir))(
-        Tables.events(s, dir)
-          .select(col("user_id"), expr(s"ts_ns div ${DayNs}L").as("day"))
-          .distinct()))
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "ev_user_days", dir, "events", eventsFp(s, dir))(
+        userDays(Tables.events(s, dir)))(userDaysMerged))
 
   /** Build both event stores NOW — Bench's explicit artifact-build
     * row (the warmClusterLabels accounting rule). */

@@ -232,7 +232,11 @@ object Warehouse {
     * reuse == rebuild claim holds only per (corpus, builder version).
     * Unlisted families are version 1, whose token is the identity (no
     * name churn for the already-deployed v1 tables). */
-  val BuilderVersion: Map[String, Int] = Map.empty.withDefaultValue(1)
+  val BuilderVersion: Map[String, Int] =
+    // ev_trans v2 (round-19): the store gained per-user boundary rows
+    // (the append-merge seam state) — a v1 distribution-only table
+    // must miss, and the merge lane must never union against one.
+    Map("ev_trans" -> 2).withDefaultValue(1)
 
   /** The deterministic table name for a (family, corpus path, corpus
     * fingerprint) triple — callers that memoize the resolved frame can

@@ -2,12 +2,13 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-/** Measures INCREMENTAL STORE MAINTENANCE (round-18): cold build vs
-  * append-merge task-cpu for the persisted dedup stores, on a scratch
-  * copy of the sf corpus grown by a ~5% batch. The SCALE.md evidence
-  * that `Warehouse.servedFrameMerged`'s merge lane costs ≪ the cold
-  * rebuild it replaces (correctness — merged ≡ cold bit for bit — is
-  * WarehouseSpec's job; this is the economics).
+/** Measures INCREMENTAL STORE MAINTENANCE (round-18; events tier
+  * round-19): cold build vs append-merge task-cpu for the persisted
+  * stores, on scratch copies of the sf corpus grown by a ~5% batch
+  * (staging shared with Bench's merge_builds rows — [[MergeStage]]).
+  * The SCALE.md evidence that `Warehouse.servedFrameMerged`'s merge
+  * lane costs ≪ the cold rebuild it replaces (correctness — merged ≡
+  * cold bit for bit — is WarehouseSpec's job; this is the economics).
   *
   * Usage: ProfMerge [sfDir]  (default /root/testdata/sf0.1)
   */
@@ -25,75 +26,61 @@ object ProfMerge {
       println(f"[merge] $name%-34s cpu ${c1 - c0}%6.2f run ${r1 - r0}%6.2f wall $wall%6.2f")
       r
     }
-    // Scratch corpus: re-write the documents table as a DIRECTORY of
-    // part files (the sf corpora ship as a single parquet FILE, which
-    // nothing can append to — growth there is always a full-overwrite
-    // miss; the directory layout is the production ingest shape this
-    // tool measures), then grow it by a ~5% batch of doc-id-shifted
-    // copies landing as ONE appended part file.
     val dir = java.nio.file.Files.createTempDirectory("mergeprof").toString
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-    spark.read.parquet(s"$src/documents.parquet").coalesce(4)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val docs0 = spark.read.parquet(s"$dir/documents.parquet")
-    val mx = docs0.agg(max("doc_id")).head().getLong(0)
-    val n0 = docs0.count()
-    val fp1 = graft.sources.Warehouse.fpToken(n0, mx,
-      graft.sources.Warehouse.corpusBytes(spark, dir, "documents"))
-    def appendBatch(): Long = {
-      val tmp = java.nio.file.Files.createTempDirectory("mergebat").toString
-      val batch = spark.read.parquet(s"$dir/documents.parquet")
-        .filter(col("doc_id") % 20 === 0)
-        .withColumn("doc_id", col("doc_id") + mx + 1L)
-      val nb = batch.count()
-      batch.coalesce(1).write.mode("overwrite").parquet(tmp)
-      new java.io.File(tmp).listFiles()
-        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-        .foreach(f => java.nio.file.Files.move(f.toPath,
-          java.nio.file.Paths.get(s"$dir/documents.parquet/${f.getName}")))
-      nb
-    }
-    def fam(name: String, fp: String)
+    MergeStage.stage(spark, src, dir, "documents")
+    MergeStage.stage(spark, src, dir, "events")
+    def fam(name: String, table: String, fp: String)
            (cold: => org.apache.spark.sql.DataFrame)
            (merge: (org.apache.spark.sql.DataFrame,
                     org.apache.spark.sql.DataFrame) =>
                      Option[org.apache.spark.sql.DataFrame]): Long =
       graft.sources.Warehouse.servedFrameMerged(
-        spark, name, dir, "documents", fp)(cold)(merge).count()
+        spark, name, dir, table, fp)(cold)(merge).count()
     val docs = () => spark.read.parquet(s"$dir/documents.parquet")
-    // COLD builds at the base corpus.
-    window("minhash_bands COLD")(fam("pm_bands", fp1)(
+    val dFp1 = MergeStage.fpOf(spark, dir, "documents", "doc_id")
+    val eFp1 = MergeStage.fpOf(spark, dir, "events", "event_id")
+    // COLD builds at the base corpus (production callbacks verbatim).
+    window("minhash_bands COLD")(fam("pm_bands", "documents", dFp1)(
       graft.operators.Dedup.minhashBandIndex(docs()))(
       (old, b) => Some(old.unionByName(
         graft.operators.Dedup.minhashBandIndex(b)))))
-    window("cdc_chunks COLD")(fam("pm_cdc", fp1)(
+    window("cdc_chunks COLD")(fam("pm_cdc", "documents", dFp1)(
       graft.operators.Dedup.cdcChunks(docs()))(
       (old, b) => Some(old.unionByName(graft.operators.Dedup.cdcChunks(b)))))
-    window("ngram_pairs COLD")(fam("pm_ngram", fp1)(
+    window("ngram_pairs COLD")(fam("pm_ngram", "documents", dFp1)(
       graft.operators.Dedup.ngramPairs(docs()))(
       (old, b) => Some(old.unionByName(
         graft.operators.Dedup.ngramPairsTouching(docs(),
           b.select(col("doc_id")))))))
-    // Grow the corpus ~5% (one appended part file), then resolve the
-    // new fingerprint: the MERGE lane.
-    val nb = appendBatch()
-    println(s"[merge] corpus $n0 docs + batch $nb appended")
-    val fp2 = graft.sources.Warehouse.fpToken(n0 + nb, 2 * mx + 1,
-      graft.sources.Warehouse.corpusBytes(spark, dir, "documents"))
-    window("minhash_bands MERGE (+5%)")(fam("pm_bands", fp2)(
-      sys.error("cold must not run"): org.apache.spark.sql.DataFrame)(
-      (old, b) => Some(old.unionByName(
+    window("ev_trans COLD")(fam("pm_evtr", "events", eFp1)(
+      graft.operators.Events.transStore(graft.Tables.events(spark, dir)))(
+      graft.operators.Events.transStoreMerged))
+    window("ev_user_days COLD")(fam("pm_evud", "events", eFp1)(
+      graft.operators.Events.userDays(graft.Tables.events(spark, dir)))(
+      graft.operators.Events.userDaysMerged))
+    // Grow both corpora ~5% (one appended part file each), then resolve
+    // the new fingerprints: the MERGE lane.
+    val nd = MergeStage.append(spark, dir, "documents", "doc_id")
+    val ne = MergeStage.append(spark, dir, "events", "event_id")
+    println(s"[merge] appended $nd docs, $ne events (~5% each)")
+    val dFp2 = MergeStage.fpOf(spark, dir, "documents", "doc_id")
+    val eFp2 = MergeStage.fpOf(spark, dir, "events", "event_id")
+    def noCold = sys.error("cold must not run"): org.apache.spark.sql.DataFrame
+    window("minhash_bands MERGE (+5%)")(fam("pm_bands", "documents", dFp2)(
+      noCold)((old, b) => Some(old.unionByName(
         graft.operators.Dedup.minhashBandIndex(b)))))
-    window("cdc_chunks MERGE (+5%)")(fam("pm_cdc", fp2)(
-      sys.error("cold must not run"): org.apache.spark.sql.DataFrame)(
-      (old, b) => Some(old.unionByName(graft.operators.Dedup.cdcChunks(b)))))
-    window("ngram_pairs MERGE (+5%)")(fam("pm_ngram", fp2)(
-      sys.error("cold must not run"): org.apache.spark.sql.DataFrame)(
-      (old, b) => Some(old.unionByName(
+    window("cdc_chunks MERGE (+5%)")(fam("pm_cdc", "documents", dFp2)(
+      noCold)((old, b) => Some(old.unionByName(
+        graft.operators.Dedup.cdcChunks(b)))))
+    window("ngram_pairs MERGE (+5%)")(fam("pm_ngram", "documents", dFp2)(
+      noCold)((old, b) => Some(old.unionByName(
         graft.operators.Dedup.ngramPairsTouching(docs(),
           b.select(col("doc_id")))))))
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    window("ev_trans MERGE (+5%)")(fam("pm_evtr", "events", eFp2)(
+      noCold)(graft.operators.Events.transStoreMerged))
+    window("ev_user_days MERGE (+5%)")(fam("pm_evud", "events", eFp2)(
+      noCold)(graft.operators.Events.userDaysMerged))
+    MergeStage.cleanup(spark, dir)
     spark.stop()
   }
 }
