@@ -188,6 +188,49 @@ object Similarity {
     * map-partition) BEFORE the shuffle, so the wire carries
     * k × probes × partitions rows, not every scored candidate
     * (equivalence with the window idiom proven in TopKSpec). */
+  /** The scoring tail of [[lshTopK]] over an ALREADY-BUCKETED corpus
+    * frame — split out (round-19) so the serving keys can read the
+    * persisted bucket index ([[lshBucketStore]]) instead of re-running
+    * the 8-table plane projection per key. */
+  def lshTopKWith(b: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val scored = b
+      .select(col("bucket"), col("vec_id").as("cand_id"), col("v").as("v_c"))
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("dot", dotAB)
+      .select("probe_id", "cand_id", "dot")
+      .dropDuplicates("probe_id", "cand_id")
+    graft.functions.TopK.perKey(scored, "probe_id", "dot", "cand_id", k)
+      .orderBy("probe_id", "rk")
+  }
+
+  /** The PERSISTED LSH bucket index — (vec_id, quantized v, bucket),
+    * 8 rows per vector: what a production LSH deployment stores (the
+    * index IS the bucketed corpus; queries only ever compute the probe
+    * side). Round-19 (the r18 verdict's q_knn_lsh watch item): the
+    * suite's most expensive key was re-running the 8×planes plane
+    * projection over the corpus on EVERY lsh/recall resolution; the
+    * store pays it once per corpus state, billed to its own
+    * `lsh_bucket_index` artifact row, and serving reads the table
+    * back. Deterministic (integer hyperplanes over quantized vectors)
+    * ⟹ reuse == rebuild; the oracle reproduces the same buckets from
+    * the same arithmetic, so the key stays hash-exact. */
+  def lshBucketStore(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"lshb:$dir")(
+      graft.sources.Warehouse.servedFrame(
+        s, "lsh_buckets", dir, graft.sources.Warehouse.embFp(s, dir)) {
+        val n = Tables.embeddings(s, dir).count()
+        bucketed(Tables.embeddings(s, dir)
+          .select(col("vec_id"), expr(quant).as("v")), derivePlanes(n))
+      })
+
+  /** Build the LSH bucket index NOW — Bench's explicit artifact-build
+    * row (the warmClusterLabels accounting rule). */
+  def warmLshBuckets(s: SparkSession, dir: String): Unit = {
+    lshBucketStore(s, dir)
+    ()
+  }
+
   def lshTopK(vectors: DataFrame, probeFilter: Column, k: Int,
               planes: Int, probeBits: Int = ProbeBits): DataFrame = {
     // The probe side of a kNN query is SMALL (a handful of lookups
@@ -206,18 +249,10 @@ object Similarity {
     // bucket-population-bounded. Corpus-scale BOTH-sides-big workloads
     // belong to `Dedup.embeddingPairs`, which keeps the shared
     // bucket-keyed exchange (broadcast is impossible there).
-    val b = bucketed(vectors, planes)
-    val probes = probeBuckets(vectors.filter(probeFilter), planes, probeBits)
-      .select(col("bucket"), col("vec_id").as("probe_id"), col("v").as("v_p"))
-    val scored = b
-      .select(col("bucket"), col("vec_id").as("cand_id"), col("v").as("v_c"))
-      .join(broadcast(probes), Seq("bucket"))
-      .filter(col("probe_id") =!= col("cand_id"))
-      .withColumn("dot", dotAB)
-      .select("probe_id", "cand_id", "dot")
-      .dropDuplicates("probe_id", "cand_id")
-    graft.functions.TopK.perKey(scored, "probe_id", "dot", "cand_id", k)
-      .orderBy("probe_id", "rk")
+    lshTopKWith(bucketed(vectors, planes),
+      probeBuckets(vectors.filter(probeFilter), planes, probeBits)
+        .select(col("bucket"), col("vec_id").as("probe_id"),
+          col("v").as("v_p")), k)
   }
 
   def brute(s: SparkSession, dir: String, nProbes: Int, k: Int): DataFrame = {
@@ -1326,10 +1361,16 @@ object Similarity {
     // L from the same count, so the check stays exact at every SF while
     // the knob actually moves.
     "q_knn_lsh" -> ((s, dir) => {
+      // Serving reads the PERSISTED bucket index (round-19); only the
+      // probe side (64 rows — probeFilter pushes into the scan)
+      // computes its multi-probe buckets on the fly.
       val n = Tables.embeddings(s, dir).count()
-      lshTopK(
-        Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v")),
-        col("vec_id") < 64, 5, derivePlanes(n))
+      lshTopKWith(lshBucketStore(s, dir),
+        probeBuckets(Tables.embeddings(s, dir)
+          .select(col("vec_id"), expr(quant).as("v"))
+          .filter(col("vec_id") < 64), derivePlanes(n))
+          .select(col("bucket"), col("vec_id").as("probe_id"),
+            col("v").as("v_p")), 5)
     }),
 
     // Centroid count follows the standard IVF sizing rule K ≈ √N (cell
@@ -1364,7 +1405,10 @@ object Similarity {
       val n = Tables.embeddings(s, dir).count()
       val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
       val truth = knnBruteTruth(s, dir).select("probe_id", "cand_id")
-      val approx = lshTopK(e, col("vec_id") < 64, 5, derivePlanes(n))
+      val approx = lshTopKWith(lshBucketStore(s, dir),
+        probeBuckets(e.filter(col("vec_id") < 64), derivePlanes(n))
+          .select(col("bucket"), col("vec_id").as("probe_id"),
+            col("v").as("v_p")), 5)
       recallVs(truth, approx)
     }),
 

@@ -20,9 +20,22 @@ import json, re, sys
 
 bench_path, baseline_path, rnd = sys.argv[1], sys.argv[2], sys.argv[3]
 bench = json.load(open(bench_path))
+# The table is denominated at the bench SF (sf0.1): consolidating a
+# smoke run from a smaller decade would permanently LOWER the minima
+# (sf0.001 walls undercut every sf0.1 floor) — refuse.
+if not bench.get("sf", "").rstrip("/").endswith("sf0.1"):
+    sys.exit(f"refusing to consolidate a non-sf0.1 run ({bench.get('sf')})")
 wall = bench["queries"]
 cpu = bench.get("queries_cpu", {})
 retried = set(bench.get("retried", []))
+
+# FLOOR CLAMP (round 19): floors below ~0.08 s wall are one lucky
+# run's scheduling on a 32-thread local mode (cpu columns for such
+# keys sit at 0.005-0.03 s — the wall is scheduler noise, not work).
+# Un-clamped they generate retry churn (97 keys re-ran as "retried" in
+# r18) and spurious raw >2x reads on sub-0.25 s keys. The trigger
+# denominator never drops below this.
+MIN_FLOOR = 0.08
 
 txt = open(baseline_path, encoding="utf-8").read()
 
@@ -60,6 +73,7 @@ for k in keys:
     w = wall[k]
     c = cpu.get(k, -1.0)
     trig = min(hist.get(k, w), w) if w > 0 else hist.get(k, 1.0)
+    trig = max(trig, MIN_FLOOR)
     notes = []
     if k in retried:
         notes.append("retried (scheduling-noise class)")
@@ -73,7 +87,9 @@ table = (
     "file (historical tables below are de-piped narrative). Columns:\n"
     "**sec** = the retry/regression trigger denominator (element-wise\n"
     "min of all recorded rounds — local[32] wall is machine-noisy, so\n"
-    "minima are the stable signal). NOTE the denominator is therefore\n"
+    "minima are the stable signal — CLAMPED to a 0.08 s floor: below\n"
+    "that a recorded wall is one lucky run's scheduling, and unclamped\n"
+    "it only generates retry churn). NOTE the denominator is therefore\n"
     "the all-time per-key FLOOR: any real run's wall sum lands ~1.1-1.3x\n"
     "this column's sum from scheduling noise alone — the regression gate\n"
     "is ZERO KEYS above 2x their row (host-factor-scaled), not the sum\n"
