@@ -480,12 +480,31 @@ object Curation {
       val semFp = graft.sources.Warehouse.combineFp(
         docsFp, graft.sources.Warehouse.embFp(s, dir))
       val mat: (String, () => DataFrame) => DataFrame = (family, build) => {
-        val fp = if (family == "fn_semdrops") semFp else docsFp
-        val (name, _) = graft.sources.Warehouse.servedTable(
-          s, family, dir, fp, bucket = None) { n =>
-          build().write.mode("overwrite").format("parquet").saveAsTable(n)
+        if (family == "fn_s1")
+          // The ONE merge-lane funnel stage (round-19): qualityGate is
+          // a per-row filter, so s1(old ∪ delta) ≡ s1(old) ∪ s1(delta)
+          // — an append pays a delta-sized regex pass instead of
+          // re-screening the corpus (and s1 is the funnel's only
+          // TEXT-carrying materialization, its costliest write). Every
+          // LATER stage declines by design: their drop sets carry
+          // corpus-global cross terms — the eval shingle index, the
+          // verbatim df cap, and the semantic cell count all re-derive
+          // from the FULL corpus, so a delta can re-flag SETTLED
+          // survivors — and computing those terms needs the settled
+          // corpus's shingles, which no stage table stores (SCALE.md
+          // §store-merge adjudications).
+          graft.sources.Warehouse.servedFrameMerged(
+            s, family, dir, "documents", docsFp)(build()) { (old, delta) =>
+            Some(old.unionByName(qualityGate(delta)))
+          }
+        else {
+          val fp = if (family == "fn_semdrops") semFp else docsFp
+          val (name, _) = graft.sources.Warehouse.servedTable(
+            s, family, dir, fp, bucket = None) { n =>
+            build().write.mode("overwrite").format("parquet").saveAsTable(n)
+          }
+          s.table(name)
         }
-        s.table(name)
       }
       val (nDocs, _) = graft.sources.Warehouse.countMax(
         s, s"docs:$dir", Tables.documents(s, dir), "doc_id")

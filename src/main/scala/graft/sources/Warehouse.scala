@@ -678,6 +678,8 @@ object Warehouse {
             s" USING PARQUET LOCATION '${loc.toString}'")
           logHit(s, family, dir, hit = false)
           gcStaleVariants(s, fs, whRoot, family, dir, keep = name)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"merge lane published $name from ${prior.get._1}")
           s.table(name)
         } catch {
           case e: Exception =>

@@ -449,6 +449,60 @@ class WarehouseSpec extends SparkSpec {
     assert(fullE.nonEmpty)
   }
 
+  test("funnel s1 merge: qualityGate distributes over the append; the funnel after an append equals a cold rebuild") {
+    import spark.implicits._
+    // The one funnel stage with a merge lane (round-19): s1 is a
+    // per-row filter, so s1(old ∪ delta) ≡ s1(old) ∪ s1(delta). Later
+    // stages decline by design (corpus-global cross terms — SCALE.md).
+    def doc(i: Long, t: String) = (i, "web", t, "de", t.length.toLong)
+    val cols = Seq("doc_id", "source", "text", "lang", "n_chars")
+    def w(n: Int) = (1 to n).map(i => s"tok$i word$i").mkString(" ")
+    val olds = Seq(doc(0L, w(30)), doc(1L, "tiny"), doc(2L, w(25)),
+      doc(3L, w(25)), doc(4L, w(40)))
+    val news = Seq(doc(5L, w(28)), doc(6L, "x y"), doc(7L, w(40)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    // Frame-level identity (the merge callback verbatim).
+    val all = (olds ++ news).toDF(cols: _*)
+    assert(rows(graft.operators.Curation.qualityGate(olds.toDF(cols: _*))
+        .unionByName(graft.operators.Curation.qualityGate(news.toDF(cols: _*))))
+      == rows(graft.operators.Curation.qualityGate(all)))
+    // End to end: the funnel over an APPENDED corpus (fn_s1 resolves
+    // through the merge lane) equals the fixture-path cold funnel.
+    val corpus = java.nio.file.Files.createTempDirectory("whfns1").toString
+    graft.Tables.documents(spark, sfDir).limit(200).localCheckpoint(true)
+      .coalesce(1).write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    graft.Tables.embeddings(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    graft.SparkEntry.queries("q_corpus_funnel")(spark, corpus).collect()
+    // Append new docs as a fresh part file past the current max id.
+    val mx = spark.read.parquet(s"$corpus/documents.parquet")
+      .agg(max("doc_id")).head().getLong(0)
+    val batch = graft.Tables.documents(spark, sfDir)
+      .limit(240).filter(col("doc_id") >= 200 - 40)
+      .withColumn("doc_id", col("doc_id") + mx + 1L).localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("whfns1b").toString
+    batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+    new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .foreach(f => java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$corpus/documents.parquet/${f.getName}")))
+    // Fresh spelling: session stat memos key on the raw dir string, so
+    // the symlink exercises the cross-process resolution over the
+    // grown corpus.
+    val link = java.nio.file.Files.createTempDirectory("whfns1l")
+      .resolve("corpus")
+    java.nio.file.Files.createSymbolicLink(
+      link, java.nio.file.Paths.get(corpus))
+    val merged = graft.SparkEntry.queries("q_corpus_funnel")(spark, link.toString)
+      .collect().map(_.toSeq).toList
+    val cold = graft.operators.Curation.corpusFunnel(
+      spark.read.parquet(s"$corpus/documents.parquet"),
+      spark.read.parquet(s"$corpus/embeddings.parquet"))
+      .collect().map(_.toSeq).toList
+    assert(merged == cold, s"$merged vs $cold")
+  }
+
   test("tableName folds the builder version: v1 is the identity, a bump misses and stays GC-able") {
     val dir = sfDir
     val fp = Warehouse.fpToken(7L, 6L)
