@@ -1070,7 +1070,7 @@ object Curation {
     * family: spans counts it per pair, extents/offsets run the
     * gaps-and-islands windows over it, removal and the char/byte cut
     * lists consume those offsets. */
-  private[operators] def verbatimMatchesFrom(index: DataFrame): DataFrame = {
+  private[graft] def verbatimMatchesFrom(index: DataFrame): DataFrame = {
     val multi = index.groupBy("sh_key")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > 1).select("sh_key")
@@ -1086,7 +1086,7 @@ object Curation {
     * gaps-and-islands tail shared by extents/offsets/removal/cut-list:
     * consecutive positions within one (pair, diagonal) form an island;
     * each island is (start_a, start_b, run_tokens). */
-  private[operators] def verbatimOffsetsFrom(m: DataFrame, width: Int): DataFrame = {
+  private[graft] def verbatimOffsetsFrom(m: DataFrame, width: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     m.withColumn("grp", col("pos_a") - row_number().over(w))
@@ -1106,50 +1106,220 @@ object Curation {
     * offsets derive from it once, and every batch key is a cheap view.
     * Values are byte-identical to each key's own derivation (same
     * index, same windows), so every oracle hash is unchanged. */
-  private def verbatimMatchesArtifact(s: SparkSession, dir: String): DataFrame =
-    Artifacts.cached(s, s"verbatim-matches:$dir") {
-      // Warehouse lifecycle (round 16): the match frame is the span
-      // index a production pipeline persists next to the corpus — a
-      // later process reads it back instead of re-shingling; a mutated
-      // corpus misses by fingerprint. Deterministic derivation
-      // (positions-aware shingles + window arithmetic) makes reuse ==
-      // rebuild.
-      val (name, _) = graft.sources.Warehouse.servedTable(
-        s, "vb_matches", dir, graft.sources.Warehouse.docsFp(s, dir),
-        bucket = None) { n =>
-        val docs = Tables.documents(s, dir)
-        // Width derives from the memoized stats pass the fingerprint
-        // already paid — no extra corpus count on a cold build.
-        val nDocs = graft.sources.Warehouse.countMax(
-          s, s"docs:$dir", docs, "doc_id")._1
-        verbatimMatchesFrom(verbatimIndex(docs, deriveShingleWidth(nDocs)))
-          .write.mode("overwrite").format("parquet").saveAsTable(n)
-      }
-      s.table(name)
+  /** STORE form of [[verbatimIndex]] (round-19, the span family's
+    * append-merge): position rows carry their key's full-corpus df,
+    * capped-OUT keys keep one marker row (doc_id/pos NULL) recording
+    * df, and every row carries the build width `w`. The df column and
+    * the markers are exactly what makes the index mergeable under
+    * append — df is additive over disjoint doc sets, and the marker
+    * distinguishes "df > cap" from "df = 0" so a capped-out key can
+    * never sneak back in as delta-only. Marker volume is the
+    * boilerplate key set (small by definition); the df column
+    * RLE-compresses. */
+  private[graft] def verbatimIndexStore(docs: DataFrame, width: Int)
+      : DataFrame = {
+    val sh = shinglesWithPos(docs, width)
+    val dfs = sh.groupBy("sh_key")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val pos = sh.join(dfs.filter(col("df") <= VerbatimMaxDf), Seq("sh_key"))
+      .select(col("sh_key"), col("doc_id"), col("pos"), col("df"))
+    val markers = dfs.filter(col("df") > VerbatimMaxDf)
+      .select(col("sh_key"), lit(null).cast("long").as("doc_id"),
+        lit(null).cast("int").as("pos"), col("df"))
+    pos.unionByName(markers).withColumn("w", lit(width))
+  }
+
+  /** vb_index APPEND-MERGE — the df-merge argument made code: under an
+    * append the doc sets are disjoint (the corpus contract every
+    * per-doc union merge assumes: ingest never re-issues a doc_id), so
+    * df_new(key) = df_old + df_delta per key. Only DELTA-TOUCHED keys
+    * can change, and their old rows are cap-bounded (≤ VerbatimMaxDf
+    * positions per key, or one marker), so every combination join
+    * broadcasts the delta-derived side and the settled store streams
+    * map-side:
+    *   - untouched keys pass through verbatim;
+    *   - touched keys still under the cap keep old ∪ delta positions
+    *     at the bumped df;
+    *   - keys CROSSING the cap drop their positions and leave a marker
+    *     (monotone: df only grows under append, so capped-out keys
+    *     never return);
+    *   - a capped-out marker just bumps its df.
+    * DECLINES across a [[deriveShingleWidth]] step (the key space
+    * itself changes — old rows are not the restriction of the new
+    * build; the derivePlanes convention). */
+  private[graft] def verbatimIndexMerged(width: Int)(
+      old: DataFrame, deltaRaw: DataFrame): Option[DataFrame] = {
+    val wOld = old.select("w").limit(1).collect().headOption.map(_.getInt(0))
+    if (!wOld.contains(width)) return None
+    val dsh = shinglesWithPos(
+      deltaRaw.select(col("doc_id"), col("text")), width)
+    val deltaDf = dsh.groupBy("sh_key")
+      .agg(countDistinct(col("doc_id")).as("dfd")).localCheckpoint(true)
+    // df_old per delta-touched key — bounded: ≤ cap position rows or
+    // one marker per key, keys limited to the delta's own key set.
+    val touchedOld = old
+      .join(broadcast(deltaDf.select("sh_key")), Seq("sh_key"), "left_semi")
+      .groupBy("sh_key").agg(max(col("df")).as("dfo"))
+    val perKey = deltaDf.join(touchedOld, Seq("sh_key"), "left")
+      .select(col("sh_key"), col("dfd"), coalesce(col("dfo"), lit(0L)).as("dfo"))
+      .withColumn("dfn", col("dfo") + col("dfd"))
+      .localCheckpoint(true)
+    val underCap = perKey.filter(col("dfn") <= VerbatimMaxDf)
+      .select(col("sh_key"), col("dfn"))
+    val overCap = perKey.filter(col("dfn") > VerbatimMaxDf)
+      .select(col("sh_key"), col("dfn"))
+    val untouched = old
+      .join(broadcast(perKey.select("sh_key")), Seq("sh_key"), "left_anti")
+    val keptTouched = old.filter(col("doc_id").isNotNull)
+      .join(broadcast(underCap), Seq("sh_key"))
+      .select(col("sh_key"), col("doc_id"), col("pos"),
+        col("dfn").as("df"), col("w"))
+    val deltaPos = dsh.join(broadcast(underCap), Seq("sh_key"))
+      .select(col("sh_key"), col("doc_id"), col("pos"),
+        col("dfn").as("df"), lit(width).as("w"))
+    val markers = overCap
+      .select(col("sh_key"), lit(null).cast("long").as("doc_id"),
+        lit(null).cast("int").as("pos"), col("dfn").as("df"),
+        lit(width).as("w"))
+    Some(untouched.unionByName(keptTouched).unionByName(deltaPos)
+      .unionByName(markers))
+  }
+
+  /** The persisted [[verbatimIndexStore]] with the merge lane wired —
+    * the root of the whole span-family chain: matches and offsets now
+    * BUILD FROM THIS TABLE, so even their cold rebuilds never
+    * re-shingle the corpus; only the index's own cold build (first
+    * contact or a declined merge) pays the shingle pass. */
+  private def verbatimIndexArtifact(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"verbatim-index:$dir") {
+      val nDocs = graft.sources.Warehouse.countMax(
+        s, s"docs:$dir", Tables.documents(s, dir), "doc_id")._1
+      val width = deriveShingleWidth(nDocs)
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "vb_index", dir, "documents",
+        graft.sources.Warehouse.docsFp(s, dir))(
+        verbatimIndexStore(Tables.documents(s, dir), width))(
+        verbatimIndexMerged(width))
     }
 
+  /** Crossed-THIS-STEP keys, recomputable without the superseded index
+    * variant: a marker in the NEW index whose pre-delta df
+    * (df − delta df) was at or under the cap must have crossed on this
+    * append. Small by construction (⊆ the delta's key set). */
+  private def crossedKeys(index: DataFrame, deltaDf: DataFrame): DataFrame =
+    index.filter(col("doc_id").isNull)
+      .join(broadcast(deltaDf), Seq("sh_key"))
+      .filter(col("df") - col("dfd") <= VerbatimMaxDf)
+      .select("sh_key")
+
+  /** vb_matches APPEND-MERGE: the new-state pair set partitions into
+    * settled×settled pairs — identical to the old store except pairs
+    * through keys that CROSSED the cap (removed) — and pairs touching
+    * the delta, recomputed from the (cap-bounded) new-index slice of
+    * delta-touched keys. A settled×settled pair through a touched key
+    * needs df_old ≥ 2, so it already sits in the old store — the
+    * ≥1-delta-side filter is exact, not an approximation. */
+  private[graft] def verbatimMatchesMerged(
+      width: Int, index: DataFrame)(
+      old: DataFrame, deltaRaw: DataFrame): Option[DataFrame] = {
+    val wOld = old.select("w").limit(1).collect().headOption.map(_.getInt(0))
+    if (!wOld.contains(width)) return None
+    val dsh = shinglesWithPos(
+      deltaRaw.select(col("doc_id"), col("text")), width)
+    val deltaDf = dsh.groupBy("sh_key")
+      .agg(countDistinct(col("doc_id")).as("dfd")).localCheckpoint(true)
+    val crossed = crossedKeys(index, deltaDf).localCheckpoint(true)
+    val keptOld = old.drop("w")
+      .join(broadcast(crossed), Seq("sh_key"), "left_anti")
+    val slice = index.filter(col("doc_id").isNotNull)
+      .join(broadcast(deltaDf.select("sh_key")), Seq("sh_key"), "left_semi")
+      .select("sh_key", "doc_id", "pos").localCheckpoint(true)
+    val dd = deltaRaw.select("doc_id").distinct()
+      .withColumn("isd", lit(true)).localCheckpoint(true)
+    val touching = verbatimMatchesFrom(slice)
+      .join(broadcast(dd.select(col("doc_id").as("doc_a"),
+        col("isd").as("ia"))), Seq("doc_a"), "left")
+      .join(broadcast(dd.select(col("doc_id").as("doc_b"),
+        col("isd").as("ib"))), Seq("doc_b"), "left")
+      .filter(col("ia").isNotNull || col("ib").isNotNull)
+      .select(col("sh_key"), col("doc_a"), col("doc_b"),
+        col("pos_a"), col("diag"))
+    Some(keptOld.unionByName(touching).withColumn("w", lit(width)))
+  }
+
+  /** The persisted match frame, now BUILT FROM the index store (no
+    * re-shingle on any lane) with the append-merge wired. The `w`
+    * column is store-internal (the merge's width-step witness) — the
+    * accessor drops it, so every consumer sees the round-9 schema. */
+  private def verbatimMatchesArtifact(s: SparkSession, dir: String): DataFrame = {
+    val index = verbatimIndexArtifact(s, dir)
+    Artifacts.cached(s, s"verbatim-matches:$dir") {
+      val nDocs = graft.sources.Warehouse.countMax(
+        s, s"docs:$dir", Tables.documents(s, dir), "doc_id")._1
+      val width = deriveShingleWidth(nDocs)
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "vb_matches", dir, "documents",
+        graft.sources.Warehouse.docsFp(s, dir))(
+        verbatimMatchesFrom(index.filter(col("doc_id").isNotNull)
+          .select("sh_key", "doc_id", "pos")).withColumn("w", lit(width)))(
+        verbatimMatchesMerged(width, index))
+    }.drop("w")
+  }
+
+  /** vb_offsets APPEND-MERGE: pairs partition (settled×settled pairs'
+    * islands are untouched; touching pairs are NEW — a pair with a
+    * delta side cannot exist in the old store), so the merged frame is
+    * old offsets ∪ offsetsFrom(touching pairs' full match slices).
+    * DECLINES when any key crossed the cap this step: a crossed key
+    * deletes match rows from settled×settled pairs, whose islands
+    * would need recomputing — and the decline's cold lane is itself
+    * cheap now (one window pass over the already-merged matches table,
+    * no shingling). */
+  private[graft] def verbatimOffsetsMerged(
+      width: Int, index: DataFrame, matches: DataFrame)(
+      old: DataFrame, deltaRaw: DataFrame): Option[DataFrame] = {
+    val wOld = old.select("w").limit(1).collect().headOption.map(_.getInt(0))
+    if (!wOld.contains(width)) return None
+    val dsh = shinglesWithPos(
+      deltaRaw.select(col("doc_id"), col("text")), width)
+    val deltaDf = dsh.groupBy("sh_key")
+      .agg(countDistinct(col("doc_id")).as("dfd")).localCheckpoint(true)
+    if (crossedKeys(index, deltaDf).limit(1).count() > 0) return None
+    val dd = deltaRaw.select("doc_id").distinct()
+      .withColumn("isd", lit(true)).localCheckpoint(true)
+    val touchingPairs = matches
+      .join(broadcast(dd.select(col("doc_id").as("doc_a"),
+        col("isd").as("ia"))), Seq("doc_a"), "left")
+      .join(broadcast(dd.select(col("doc_id").as("doc_b"),
+        col("isd").as("ib"))), Seq("doc_b"), "left")
+      .filter(col("ia").isNotNull || col("ib").isNotNull)
+      .select("doc_a", "doc_b").distinct().localCheckpoint(true)
+    val slice = matches.join(broadcast(touchingPairs),
+      Seq("doc_a", "doc_b"), "left_semi")
+    val keptOld = old.drop("w")
+      .join(broadcast(touchingPairs), Seq("doc_a", "doc_b"), "left_anti")
+    Some(keptOld.unionByName(verbatimOffsetsFrom(slice, width))
+      .withColumn("w", lit(width)))
+  }
+
+  /** The persisted run offsets, BUILT FROM the matches table with the
+    * append-merge wired; `w` is store-internal, dropped here. */
   private def verbatimOffsetsArtifact(s: SparkSession, dir: String): DataFrame = {
-    // Dependency artifact resolved BEFORE the cached block (the
-    // Similarity/Multimodal convention): Artifacts.cached is re-entrant
-    // since round 14, but warming the dependency outside the thunk keeps
-    // build units small and the crash class structurally impossible
-    // (round-13 verdict item 2 — a cold session whose first query was
-    // q_verbatim_removal hit the nested-computeIfAbsent recursion here).
-    // On a warehouse HIT of the offsets table the matches table is
-    // still resolved (cheap: registration or a hit) — the spans/extents
-    // keys consume it directly.
+    // Dependency artifacts resolved BEFORE the cached block (the
+    // Similarity/Multimodal convention — keeps build units small and
+    // the nested-computeIfAbsent crash class structurally impossible).
+    val index = verbatimIndexArtifact(s, dir)
     val matches = verbatimMatchesArtifact(s, dir)
     Artifacts.cached(s, s"verbatim-offsets:$dir") {
-      val (name, _) = graft.sources.Warehouse.servedTable(
-        s, "vb_offsets", dir, graft.sources.Warehouse.docsFp(s, dir),
-        bucket = None) { n =>
-        val nDocs = graft.sources.Warehouse.countMax(
-          s, s"docs:$dir", Tables.documents(s, dir), "doc_id")._1
-        verbatimOffsetsFrom(matches, deriveShingleWidth(nDocs))
-          .write.mode("overwrite").format("parquet").saveAsTable(n)
-      }
-      s.table(name)
-    }
+      val nDocs = graft.sources.Warehouse.countMax(
+        s, s"docs:$dir", Tables.documents(s, dir), "doc_id")._1
+      val width = deriveShingleWidth(nDocs)
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "vb_offsets", dir, "documents",
+        graft.sources.Warehouse.docsFp(s, dir))(
+        verbatimOffsetsFrom(matches, width).withColumn("w", lit(width)))(
+        verbatimOffsetsMerged(width, index, matches))
+    }.drop("w")
   }
 
   /** Longest shared verbatim token run per doc pair — see the

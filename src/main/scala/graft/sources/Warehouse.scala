@@ -236,7 +236,11 @@ object Warehouse {
     // ev_trans v2 (round-19): the store gained per-user boundary rows
     // (the append-merge seam state) — a v1 distribution-only table
     // must miss, and the merge lane must never union against one.
-    Map("ev_trans" -> 2).withDefaultValue(1)
+    // vb_matches/vb_offsets v2 (round-19): the stores gained the
+    // width-witness column `w` (accessor-stripped) — a v1 table
+    // without it would throw inside the merge callbacks' width check.
+    Map("ev_trans" -> 2, "vb_matches" -> 2, "vb_offsets" -> 2)
+      .withDefaultValue(1)
 
   /** The deterministic table name for a (family, corpus path, corpus
     * fingerprint) triple — callers that memoize the resolved frame can

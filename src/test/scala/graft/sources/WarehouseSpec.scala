@@ -503,6 +503,120 @@ class WarehouseSpec extends SparkSpec {
     assert(merged == cold, s"$merged vs $cold")
   }
 
+  test("verbatim span chain append-merge: index/matches/offsets merged ≡ cold, cap-crossing handled, width step declines") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // The df-merge argument made code (round-19): the index store
+    // carries per-key df + capped-out markers, so an append combines
+    // map-side; matches partition into settled pairs (minus crossed
+    // keys) ∪ delta-touching pairs; offsets partition by pair.
+    val dir = java.nio.file.Files.createTempDirectory("whvb").toString
+    def doc(i: Long, t: String) = (i, "web", t, "de", t.length.toLong)
+    val cols = Seq("doc_id", "source", "text", "lang", "n_chars")
+    val run = "shared verbatim run tokens one two three four five six seven"
+    val boiler = "common boilerplate footer text appears everywhere now yes"
+    def filler(i: Long) = s"unique filler $i " +
+      (1 to 12).map(j => s"w$i-$j").mkString(" ")
+    // batch1: 2 docs sharing `run` (a real settled×settled pair), 60
+    // docs sharing `boiler` (df 60 ≤ 64 — near the cap), singles.
+    val b1 = Seq(doc(0L, s"${filler(0)} $run end"),
+      doc(1L, s"start $run ${filler(1)}")) ++
+      (2L to 61L).map(i => doc(i, s"${filler(i)} $boiler")) ++
+      Seq(doc(62L, filler(62)))
+    // batch2: a doc sharing `run` with doc 0 (touching pair), 6 more
+    // boiler docs (df 66 — CROSSES the cap: settled boiler pairs must
+    // vanish from matches), and a clean single.
+    val b2 = Seq(doc(100L, s"${filler(100)} $run tail")) ++
+      (101L to 106L).map(i => doc(i, s"${filler(i)} $boiler")) ++
+      Seq(doc(107L, filler(107)))
+    def write(rows: Seq[(Long, String, String, String, Long)],
+              append: Boolean): Unit = {
+      val df = rows.toDF(cols: _*)
+      if (!append)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("whvbb").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .foreach(f => java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$dir/documents.parquet/${f.getName}")))
+      }
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    write(b1, append = false)
+    val docsNow = () => spark.read.parquet(s"$dir/documents.parquet")
+    val width = Curation.deriveShingleWidth(b1.size.toLong) // 63 docs → 6
+    assert(width == Curation.deriveShingleWidth((b1.size + b2.size).toLong),
+      "fixture must stay inside one width block for the merge arm")
+    val colds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def resolveIdx(fp: String, w: Int) = Warehouse.servedFrameMerged(
+      spark, "whvbidx", dir, "documents", fp) {
+      colds.incrementAndGet()
+      Curation.verbatimIndexStore(docsNow(), w)
+    }(Curation.verbatimIndexMerged(w))
+    def resolveM(fp: String, w: Int, idx: org.apache.spark.sql.DataFrame) =
+      Warehouse.servedFrameMerged(spark, "whvbm", dir, "documents", fp) {
+        colds.incrementAndGet()
+        Curation.verbatimMatchesFrom(idx.filter(col("doc_id").isNotNull)
+          .select("sh_key", "doc_id", "pos")).withColumn("w", lit(w))
+      }(Curation.verbatimMatchesMerged(w, idx))
+    def resolveO(fp: String, w: Int, idx: org.apache.spark.sql.DataFrame,
+                 m: org.apache.spark.sql.DataFrame) =
+      Warehouse.servedFrameMerged(spark, "whvbo", dir, "documents", fp) {
+        colds.incrementAndGet()
+        Curation.verbatimOffsetsFrom(m, w).withColumn("w", lit(w))
+      }(Curation.verbatimOffsetsMerged(w, idx, m))
+    val fp1 = Warehouse.fpToken(63L, 62L)
+    val i1 = resolveIdx(fp1, width)
+    val m1 = resolveM(fp1, width, i1)
+    resolveO(fp1, width, i1, m1.drop("w"))
+    assert(colds.get == 3, "first resolution cold-builds all three")
+    // State-1 evidence BEFORE the append (the superseded variant GCs
+    // on the merge publish — reading m1 after it would hit deleted
+    // files, exactly as designed).
+    val boilerPairs1 = m1.filter(col("doc_a") === 2L).count()
+    // Cross-process state for every family.
+    for (fam <- Seq("whvbidx", "whvbm", "whvbo"))
+      spark.sql(s"DROP TABLE ${Warehouse.tableName(fam, dir, fp1)}")
+    write(b2, append = true)
+    val fp2 = Warehouse.fpToken(71L, 107L)
+    val i2 = resolveIdx(fp2, width)
+    val m2 = resolveM(fp2, width, i2)
+    val o2 = resolveO(fp2, width, i2, m2.drop("w"))
+    // Index + matches MERGE; offsets DECLINES (a key crossed the cap)
+    // and rebuilds from the already-merged matches table — exactly one
+    // cold increment.
+    assert(colds.get == 4,
+      s"index+matches must merge, offsets must decline to cold: ${colds.get}")
+    // Merged ≡ cold over the grown corpus, all three frames.
+    assert(rows(i2) == rows(Curation.verbatimIndexStore(docsNow(), width)))
+    val coldM = Curation.verbatimMatchesFrom(
+      Curation.verbatimIndex(docsNow(), width)).withColumn("w", lit(width))
+    assert(rows(m2) == rows(coldM))
+    assert(rows(o2.drop("w")) == rows(Curation.verbatimOffsetsFrom(
+      coldM.drop("w"), width)))
+    // The cap-crossing really happened: boiler pairs present at state 1
+    // are GONE at state 2 (df 66 > 64), while the planted run pair
+    // gained its touching neighbor.
+    assert(boilerPairs1 > 0, "state-1 boiler pairs")
+    assert(m2.filter(col("doc_a") === 2L).count() == 0, "crossed keys removed")
+    assert(m2.filter(col("doc_a") === 0L && col("doc_b") === 100L).count() > 0,
+      "touching pair present")
+    // WIDTH-STEP decline: append enough docs to step
+    // deriveShingleWidth (71 → 105 docs crosses the 100 boundary) —
+    // the index must fall back to cold at the new width.
+    spark.sql(s"DROP TABLE ${Warehouse.tableName("whvbidx", dir, fp2)}")
+    write((200L to 233L).map(i => doc(i, filler(i))), append = true)
+    val fp3 = Warehouse.fpToken(105L, 233L)
+    val w3 = Curation.deriveShingleWidth(105L)
+    assert(w3 != width, "fixture must cross a width step")
+    val i3 = resolveIdx(fp3, w3)
+    assert(colds.get == 5, "a width step must decline the merge")
+    assert(rows(i3) == rows(Curation.verbatimIndexStore(docsNow(), w3)))
+  }
+
   test("tableName folds the builder version: v1 is the identity, a bump misses and stays GC-able") {
     val dir = sfDir
     val fp = Warehouse.fpToken(7L, 6L)
