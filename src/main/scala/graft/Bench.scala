@@ -250,7 +250,8 @@ object Bench {
     // setup (cold economics live in the artifact_builds ledger). One
     // family per merge SHAPE: per-doc union (minhash_bands),
     // batch-touching pair slice (ngram_pairs), boundary-seeded lag
-    // continuation (ev_trans), semilattice distinct (ev_user_days).
+    // continuation (ev_trans), semilattice distinct (ev_user_days),
+    // additive-df index with cap markers (vb_index).
     // Rows land in BENCH_FULL.json as "merge_builds" with wh:"merge"
     // and are EXCLUDED from the stdout total — they measure a staged
     // growth path, not this corpus's serving cost — adjudicated
@@ -290,6 +291,13 @@ object Bench {
       fam("bm_evud", "events", eFp1)(
         operators.Events.userDays(Tables.events(spark, dir)))(
         operators.Events.userDaysMerged)
+      // Width stays fixed across the ~5% append (count moves one
+      // decade only at 10×), so the vb merge arm actually runs.
+      val vbW = operators.Curation.deriveShingleWidth(
+        docs().count())
+      fam("bm_vbidx", "documents", dFp1)(
+        operators.Curation.verbatimIndexStore(docs(), vbW))(
+        operators.Curation.verbatimIndexMerged(vbW))
       tools.MergeStage.append(spark, dir, "documents", "doc_id")
       tools.MergeStage.append(spark, dir, "events", "event_id")
       val dFp2 = tools.MergeStage.fpOf(spark, dir, "documents", "doc_id")
@@ -300,7 +308,9 @@ object Bench {
         ("ev_trans", () => fam("bm_evtr", "events", eFp2)(noCold)(
           operators.Events.transStoreMerged)),
         ("ev_user_days", () => fam("bm_evud", "events", eFp2)(noCold)(
-          operators.Events.userDaysMerged))
+          operators.Events.userDaysMerged)),
+        ("vb_index", () => fam("bm_vbidx", "documents", dFp2)(noCold)(
+          operators.Curation.verbatimIndexMerged(vbW)))
       ).map { case (name, run) =>
         val t0 = System.nanoTime()
         val (_, runS, cpuS) = metered(() => run())

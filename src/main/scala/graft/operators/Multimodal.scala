@@ -1252,13 +1252,37 @@ object Multimodal {
     // expensive audit input at lake scale; a warm process reads
     // probes×k rows.
     Artifacts.cached(s, s"phash-brute-truth:$dir")(
-      graft.sources.Warehouse.servedFrame(
-        s, "phash_truth", dir, docsFp(s, dir)) {
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "phash_truth", dir, "documents", docsFp(s, dir)) {
         val (sk, _) = phashSketchWithTwins(s, dir)
         val probes = sk.filter(col("doc_id") < PhashProbeCount)
           .select(col("doc_id").as("probe_id"),
             col("phash").as("probe_hash"))
         phashSearch(sk, probes, PhashTopK)
+      } { (old, deltaRaw) =>
+        // APPEND-MERGE (round-19, the knn_truth twin): hamming top-k
+        // under the total (score DESC, doc ASC) tie rule is
+        // re-rankable — topk(full) ≡ topk(old topk ∪ delta) — and the
+        // probe set (doc_id < PhashProbeCount) is settled under the
+        // append contract, so the truth refresh scores probes×delta
+        // sketches, read from the ALREADY-MERGED sketch store: nothing
+        // re-decodes, nothing rescores the settled corpus.
+        val (sk, _) = phashSketchWithTwins(s, dir)
+        val probes = sk.filter(col("doc_id") < PhashProbeCount)
+          .select(col("doc_id").as("probe_id"),
+            col("phash").as("probe_hash"))
+        val deltaSk = sk.join(broadcast(deltaRaw.select("doc_id")),
+          Seq("doc_id"), "left_semi")
+        def asScore(df: DataFrame) = df.select(col("probe_id"),
+          col("doc_id"),
+          (lit(PhashBits) - col("hamming")).cast("bigint").as("score"))
+        val scored = asScore(old)
+          .unionByName(asScore(phashSearch(deltaSk, probes, PhashTopK)))
+        Some(graft.functions.TopK.perKey(
+          scored, "probe_id", "score", "doc_id", PhashTopK)
+          .select(col("probe_id"), col("doc_id"),
+            (lit(PhashBits) - col("score")).cast("int").as("hamming"),
+            col("rk")))
       }.localCheckpoint(true))
 
   /** AUDIT-DRIVEN QUANTIZER SELECTION — the serving policy: compare

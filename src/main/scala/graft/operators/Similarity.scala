@@ -1531,9 +1531,29 @@ object Similarity {
     * rule) ⟹ reuse == rebuild bit for bit. */
   private def knnBruteTruth(s: SparkSession, dir: String): DataFrame =
     graft.operators.Artifacts.cached(s, s"knn-brute-truth:$dir")(
-      graft.sources.Warehouse.servedFrame(
-        s, "knn_truth", dir, graft.sources.Warehouse.embFp(s, dir))(
-        brute(s, dir, 64, 5)).localCheckpoint(true))
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "knn_truth", dir, "embeddings",
+        graft.sources.Warehouse.embFp(s, dir))(
+        brute(s, dir, 64, 5)) { (old, deltaRaw) =>
+        // APPEND-MERGE (round-19): top-k under the TOTAL (dot DESC,
+        // cand ASC) tie rule is re-rankable — top5(full) ≡
+        // top5(top5(settled) ∪ delta candidates) — and the probe set
+        // (vec_id < 64) is settled by the append contract (ingest only
+        // adds larger ids), so the truth refresh scores probes×delta
+        // instead of probes×corpus: the most expensive ANN compute
+        // becomes batch-linear per corpus growth step.
+        val probes = Tables.embeddings(s, dir).filter(col("vec_id") < 64)
+          .select(col("vec_id").as("probe_id"), expr(quant).as("v_p"))
+        val deltaScored = broadcast(probes)
+          .join(deltaRaw.select(col("vec_id").as("cand_id"),
+            expr(quant).as("v_c")),
+            col("probe_id") =!= col("cand_id"))
+          .withColumn("dot", dotAB)
+          .select("probe_id", "cand_id", "dot")
+        Some(graft.functions.TopK.perKey(
+          old.select("probe_id", "cand_id", "dot").unionByName(deltaScored),
+          "probe_id", "dot", "cand_id", 5).orderBy("probe_id", "rk"))
+      }.localCheckpoint(true))
 
   /** ONE policy decision per CORPUS STATE for the EMBEDDING IVF
     * family — the audit convention's 64 probes, k = 5: brute truth vs

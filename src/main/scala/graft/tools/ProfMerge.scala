@@ -58,6 +58,10 @@ object ProfMerge {
     window("ev_user_days COLD")(fam("pm_evud", "events", eFp1)(
       graft.operators.Events.userDays(graft.Tables.events(spark, dir)))(
       graft.operators.Events.userDaysMerged))
+    val vbW = graft.operators.Curation.deriveShingleWidth(docs().count())
+    window("vb_index COLD")(fam("pm_vbidx", "documents", dFp1)(
+      graft.operators.Curation.verbatimIndexStore(docs(), vbW))(
+      graft.operators.Curation.verbatimIndexMerged(vbW)))
     // Grow both corpora ~5% (one appended part file each), then resolve
     // the new fingerprints: the MERGE lane.
     val nd = MergeStage.append(spark, dir, "documents", "doc_id")
@@ -80,6 +84,8 @@ object ProfMerge {
       noCold)(graft.operators.Events.transStoreMerged))
     window("ev_user_days MERGE (+5%)")(fam("pm_evud", "events", eFp2)(
       noCold)(graft.operators.Events.userDaysMerged))
+    window("vb_index MERGE (+5%)")(fam("pm_vbidx", "documents", dFp2)(
+      noCold)(graft.operators.Curation.verbatimIndexMerged(vbW)))
     MergeStage.cleanup(spark, dir)
     spark.stop()
   }

@@ -617,6 +617,62 @@ class WarehouseSpec extends SparkSpec {
     assert(rows(i3) == rows(Curation.verbatimIndexStore(docsNow(), w3)))
   }
 
+  test("brute-truth frames append-merge: knn_truth and phash_truth re-rank ≡ cold over an appended corpus") {
+    import spark.implicits._
+    // Top-k under a TOTAL tie rule is re-rankable (round-19):
+    // topk(full) ≡ topk(old topk ∪ delta candidates); the probe sets
+    // are settled under append, so the truth refresh is batch-linear.
+    val corpus = java.nio.file.Files.createTempDirectory("whtru").toString
+    graft.Tables.embeddings(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    graft.Tables.documents(spark, sfDir).limit(150).localCheckpoint(true)
+      .coalesce(1).write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    // Cold truth builds via their consumer keys.
+    graft.SparkEntry.queries("q_knn_recall")(spark, corpus).collect()
+    graft.SparkEntry.queries("q_mm_phash_ivf_recall")(spark, corpus).collect()
+    val fp1e = Warehouse.embFp(spark, corpus)
+    val fp1d = Warehouse.docsFp(spark, corpus)
+    spark.sql(s"DROP TABLE ${Warehouse.tableName("knn_truth", corpus, fp1e)}")
+    spark.sql(s"DROP TABLE ${Warehouse.tableName("phash_truth", corpus, fp1d)}")
+    // Append: id-shifted copies land as fresh part files.
+    def appendShifted(table: String, idCol: String): Unit = {
+      val cur = spark.read.parquet(s"$corpus/$table.parquet")
+      val mx = cur.agg(max(col(idCol))).head().getLong(0)
+      val batch = cur.filter(col(idCol) % 3 === 0)
+        .withColumn(idCol, col(idCol) + mx + 1L).localCheckpoint(true)
+      val tmp = java.nio.file.Files.createTempDirectory("whtrub").toString
+      batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$corpus/$table.parquet/${f.getName}")))
+    }
+    appendShifted("embeddings", "vec_id")
+    appendShifted("documents", "doc_id")
+    // Fresh spelling = fresh fp stats = the cross-process resolution.
+    val link = java.nio.file.Files.createTempDirectory("whtrul")
+      .resolve("corpus")
+    java.nio.file.Files.createSymbolicLink(
+      link, java.nio.file.Paths.get(corpus))
+    graft.SparkEntry.queries("q_knn_recall")(spark, link.toString).collect()
+    graft.SparkEntry.queries("q_mm_phash_ivf_recall")(spark, link.toString)
+      .collect()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    // The published truth tables equal a from-scratch brute pass over
+    // the grown corpus.
+    val tEmb = Warehouse.tableName(
+      "knn_truth", corpus, Warehouse.embFp(spark, link.toString))
+    assert(rows(spark.table(tEmb)) ==
+      rows(graft.operators.Similarity.brute(spark, link.toString, 64, 5)),
+      "knn_truth merged != brute cold")
+    val tPh = Warehouse.tableName(
+      "phash_truth", corpus, Warehouse.docsFp(spark, link.toString))
+    assert(rows(spark.table(tPh)) ==
+      rows(graft.SparkEntry.queries("q_mm_phash_search")(spark, link.toString)),
+      "phash_truth merged != inline brute search")
+  }
+
   test("tableName folds the builder version: v1 is the identity, a bump misses and stays GC-able") {
     val dir = sfDir
     val fp = Warehouse.fpToken(7L, 6L)
