@@ -214,14 +214,28 @@ object Similarity {
     * `lsh_bucket_index` artifact row, and serving reads the table
     * back. Deterministic (integer hyperplanes over quantized vectors)
     * ⟹ reuse == rebuild; the oracle reproduces the same buckets from
-    * the same arithmetic, so the key stays hash-exact. */
+    * the same arithmetic, so the key stays hash-exact.
+    *
+    * APPEND-MERGE: bucket rows are per-vector functions of the plane
+    * set, so at a FIXED plane count the store merges by union of the
+    * delta's rows (the minhash_bands shape); the plane count is
+    * corpus-size-derived, so a growth step that crosses a
+    * [[derivePlanes]] block boundary DECLINES and rebuilds cold (the
+    * emb_pairs convention — old rows hash under the wrong planes). */
   def lshBucketStore(s: SparkSession, dir: String): DataFrame =
     Artifacts.cached(s, s"lshb:$dir")(
-      graft.sources.Warehouse.servedFrame(
-        s, "lsh_buckets", dir, graft.sources.Warehouse.embFp(s, dir)) {
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "lsh_buckets", dir, "embeddings",
+        graft.sources.Warehouse.embFp(s, dir)) {
         val n = Tables.embeddings(s, dir).count()
         bucketed(Tables.embeddings(s, dir)
           .select(col("vec_id"), expr(quant).as("v")), derivePlanes(n))
+      } { (old, batch) =>
+        val n = Tables.embeddings(s, dir).count()
+        val planes = derivePlanes(n)
+        if (derivePlanes(n - batch.count()) != planes) None
+        else Some(old.unionByName(bucketed(
+          batch.select(col("vec_id"), expr(quant).as("v")), planes)))
       })
 
   /** Build the LSH bucket index NOW — Bench's explicit artifact-build

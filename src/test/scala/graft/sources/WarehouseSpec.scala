@@ -977,4 +977,69 @@ class WarehouseSpec extends SparkSpec {
         s"one, found: ${variants.mkString(",")}")
     assert(c.nonEmpty)
   }
+
+  test("lsh_buckets append-merge: bucket rows union at a fixed plane count; a derivePlanes block crossing declines to cold") {
+    import graft.operators.Similarity
+    // Bucket rows are per-vector functions of the plane set
+    // (minhash_bands shape), but the plane count derives from the
+    // corpus SIZE — the merge is exact within a derivePlanes block and
+    // must decline across a boundary (old rows hash under the wrong
+    // planes; the emb_pairs convention). TargetBucket=8: N∈(64,128]
+    // ⟹ 4 planes, so 100 base + 20 appended stays in-block and
+    // 100+20+40=160 crosses to 5.
+    val dir = java.nio.file.Files.createTempDirectory("whlsh").toString
+    val src = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .orderBy(col("vec_id")).limit(160).localCheckpoint(true)
+    src.filter(col("vec_id") < 100).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def appendSlice(lo: Long, hi: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("whlshb").toString
+      src.filter(col("vec_id") >= lo && col("vec_id") < hi).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$dir/embeddings.parquet/${f.getName}")))
+    }
+    val colds = new java.util.concurrent.atomic.AtomicInteger(0)
+    // The production callbacks verbatim (Similarity.lshBucketStore's
+    // cold + merge), under a spec-local family name.
+    def resolve(fp: String) = Warehouse.servedFrameMerged(
+      spark, "whlshbk", dir, "embeddings", fp) {
+      colds.incrementAndGet()
+      val n = graft.Tables.embeddings(spark, dir).count()
+      Similarity.bucketed(Similarity.quantizedVectors(
+        graft.Tables.embeddings(spark, dir)), Similarity.derivePlanes(n))
+    } { (old, batch) =>
+      val n = graft.Tables.embeddings(spark, dir).count()
+      val planes = Similarity.derivePlanes(n)
+      if (Similarity.derivePlanes(n - batch.count()) != planes) None
+      else Some(old.unionByName(Similarity.bucketed(
+        Similarity.quantizedVectors(batch), planes)))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    def cold() = {
+      val m = graft.Tables.embeddings(spark, dir).count()
+      Similarity.bucketed(Similarity.quantizedVectors(
+        graft.Tables.embeddings(spark, dir)), Similarity.derivePlanes(m))
+    }
+    resolve(Warehouse.fpToken(100L, 99L))
+    assert(colds.get == 1)
+    spark.sql(s"DROP TABLE ${Warehouse.tableName("whlshbk", dir, Warehouse.fpToken(100L, 99L))}")
+    // In-block append (100 → 120 vectors, planes stay 4): MERGE lane.
+    appendSlice(100L, 120L)
+    val served2 = resolve(Warehouse.fpToken(120L, 119L))
+    assert(colds.get == 1,
+      "an in-block append must take the merge lane (no cold rebuild)")
+    assert(rows(served2) == rows(cold()),
+      "merged bucket index != cold rebuild over the grown corpus")
+    // Block-crossing append (120 → 160, planes 4 → 5): DECLINE → cold.
+    spark.sql(s"DROP TABLE ${Warehouse.tableName("whlshbk", dir, Warehouse.fpToken(120L, 119L))}")
+    appendSlice(120L, 160L)
+    val served3 = resolve(Warehouse.fpToken(160L, 159L))
+    assert(colds.get == 2,
+      "a derivePlanes block crossing must decline the merge and rebuild cold")
+    assert(rows(served3) == rows(cold()))
+  }
 }
