@@ -611,6 +611,40 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
+  /** CC LABELS UNDER A CORPUS APPEND — the merge callback body shared
+    * by the three cluster-label stores (ngram_cc / emb_cc / phash_cc,
+    * round-19): contracting every settled component to STAR EDGES
+    * (member → rep) preserves connectivity, so
+    *
+    *   CC(all pairs) ≡ CC(star(old labels) ∪ pairs touching the delta)
+    *
+    * Exactness: settled×settled pairs are growth-invariant (each pair
+    * store's own merge argument — the caller must decline on the same
+    * knob steps its pair generation declines on), every settled
+    * component member carries a star edge to its rep (components have
+    * ≥ 2 members, so the rep itself appears as some member's edge
+    * target), and min-label over the union of member ids equals the
+    * full-graph min. The fixed point therefore runs over
+    * O(labels + touching) edges instead of the full pair graph — and
+    * `pairs` is the already-persisted CURRENT pair frame, so nothing
+    * re-shingles, re-buckets, or re-decodes.
+    *
+    * `pairs` columns (a, b); `old` columns (id, rep); `deltaIds` one
+    * id column. Returns (doc_id, cluster_rep) —
+    * [[connectedComponents]]' schema. */
+  private[graft] def ccLabelsMerged(old: DataFrame, pairs: DataFrame,
+                                    deltaIds: DataFrame): DataFrame = {
+    val ids = broadcast(
+      deltaIds.toDF("did").localCheckpoint(true))
+    val p = pairs.toDF("a", "b")
+    val touching = p.join(ids, col("a") === col("did"), "leftsemi")
+      .unionByName(p.join(ids, col("b") === col("did"), "leftsemi"))
+      .distinct()
+    val star = old.toDF("id", "rep").filter(col("id") =!= col("rep"))
+      .select(col("id").as("a"), col("rep").as("b"))
+    connectedComponents(star.unionByName(touching))
+  }
+
   /** Run directories of reliable-mode `connectedComponents` calls in
     * this JVM. The final round's parquet CANNOT be deleted inside the
     * call — the returned DataFrame lazily reads it — so without an
@@ -1267,16 +1301,32 @@ object Dedup {
     * (min-label CC is deterministic ⟹ reuse == rebuild). */
   private def embClusterLabels(s: SparkSession, dir: String): DataFrame =
     Artifacts.cached(s, s"emb-cc-labels:$dir") {
-      val (name, _) = graft.sources.Warehouse.servedTable(
-        s, "emb_cc", dir, graft.sources.Warehouse.embFp(s, dir),
-        bucket = None) { n =>
+      // APPEND-MERGE (round-19): [[ccLabelsMerged]] over the persisted
+      // pair store. DECLINES across a derivePlanes block boundary —
+      // the emb pair SET is candidate-generation-dependent (LSH
+      // buckets at the derived plane count), so settled pairs are
+      // growth-invariant only while the plane count holds: the exact
+      // condition the pair store's own merge declines on.
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "emb_cc", dir, "embeddings",
+        graft.sources.Warehouse.embFp(s, dir))(
         connectedComponents(
           embPairStore(s, dir)
             .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
           .select(col("doc_id").as("vec_id"), col("cluster_rep"))
-          .write.mode("overwrite").format("parquet").saveAsTable(n)
+      ) { (old, delta) =>
+        val n = graft.sources.Warehouse.countMax(
+          s, s"emb:$dir", Tables.embeddings(s, dir), "vec_id")._1
+        val deltaIds = delta.select(col("vec_id"))
+        if (Similarity.derivePlanes(n - deltaIds.count()) !=
+            Similarity.derivePlanes(n)) None
+        else Some(ccLabelsMerged(
+          old.select(col("vec_id"), col("cluster_rep")),
+          embPairStore(s, dir)
+            .select(col("id_a").as("a"), col("id_b").as("b")),
+          deltaIds)
+          .select(col("doc_id").as("vec_id"), col("cluster_rep")))
       }
-      s.table(name)
     }
 
   /** The SHARED near-dup labeling artifact: ngram pair graph → CC
@@ -1298,14 +1348,22 @@ object Dedup {
       // fixed point is deterministic (min-label propagation), so
       // reuse == rebuild and every oracle hash is state-independent.
       // The pair graph comes from the persisted store (round-17).
-      val (name, _) = graft.sources.Warehouse.servedTable(
-        s, "ngram_cc", dir, graft.sources.Warehouse.docsFp(s, dir),
-        bucket = None) { n =>
+      // APPEND-MERGE (round-19): star-contraction over the old labels
+      // + the merged pair store's delta-touching slice — see
+      // [[ccLabelsMerged]]. No decline knob: the ngram pair set is
+      // verified-exact under a content-only threshold (the prefix
+      // filter is a complete candidate rule at any global token
+      // order), so settled pairs are growth-invariant unconditionally.
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "ngram_cc", dir, "documents",
+        graft.sources.Warehouse.docsFp(s, dir))(
         connectedComponents(
           ngramPairStore(s, dir).select(col("doc_a"), col("doc_b")))
-          .write.mode("overwrite").format("parquet").saveAsTable(n)
+      ) { (old, delta) =>
+        Some(ccLabelsMerged(old,
+          ngramPairStore(s, dir).select(col("doc_a"), col("doc_b")),
+          delta.select(col("doc_id"))))
       }
-      s.table(name)
     }
 
   /** Build the shared labeling artifact NOW (Bench's explicit

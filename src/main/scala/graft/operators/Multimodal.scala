@@ -1363,13 +1363,26 @@ object Multimodal {
       // Warehouse lifecycle (the ngramClusterLabels rule): a hit skips
       // the corpus decode AND the CC fixed point; deterministic builds
       // make reuse == rebuild.
-      val (name, _) = graft.sources.Warehouse.servedTable(
-        s, "phash_cc", dir, docsFp(s, dir), bucket = None) { n =>
+      // APPEND-MERGE (round-19): [[Dedup.ccLabelsMerged]] star
+      // contraction; the pair frame re-derives from the MERGED sketch
+      // store (no decode either lane). DECLINES across a
+      // [[phashChunkWidth]] step — the candidate chunk-bucket rule is
+      // width-dependent, so settled pairs are growth-invariant only
+      // while the derived width holds (the sketch-twin convention).
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "phash_cc", dir, "documents", docsFp(s, dir))(
         Dedup.connectedComponents(
           phashPairsQuery(s, dir).select(col("doc_a"), col("doc_b")))
-          .write.mode("overwrite").format("parquet").saveAsTable(n)
+      ) { (old, delta) =>
+        val n = graft.sources.Warehouse.countMax(
+          s, s"docs:$dir", Tables.documents(s, dir), "doc_id")._1
+        val deltaIds = delta.select(col("doc_id"))
+        if (phashChunkWidth(n - deltaIds.count() + PhashPlantCount) !=
+            phashChunkWidth(n + PhashPlantCount)) None
+        else Some(Dedup.ccLabelsMerged(old,
+          phashPairsQuery(s, dir).select(col("doc_a"), col("doc_b")),
+          deltaIds))
       }
-      s.table(name)
     }
 
   /** Build the shared image-CC labeling NOW (Bench's explicit

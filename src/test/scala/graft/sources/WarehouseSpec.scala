@@ -1042,4 +1042,75 @@ class WarehouseSpec extends SparkSpec {
       "a derivePlanes block crossing must decline the merge and rebuild cold")
     assert(rows(served3) == rows(cold()))
   }
+
+  test("cc labels append-merge: star contraction ≡ cold CC, including two settled components bridged through a delta doc") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // The round-19 cluster-store lane: CC(all pairs) ≡ CC(star(old
+    // labels) ∪ delta-touching pairs). The delta plants the hard case —
+    // a new doc similar to ONE member of each of two SETTLED components
+    // (impossible to label append-side without the star edges: the
+    // merged component's rep is the other component's minimum).
+    // Token sets at the 9/10 Jaccard bar: U = t1..t20;
+    //   a1 = U∖{t1,t2} (+u1 pad on a2), b1 = U∖{t3,t4} (+u2 pad on b2),
+    //   bridge x = U  ⟹  J(x,a1) = J(x,b1) = 18/20 = 0.9 ≥ 9/10,
+    //   while J(a1,b1) = 16/20 = 0.8 < 9/10 (settled components stay
+    //   separate until x arrives).
+    val U = (1 to 20).map(i => s"t$i")
+    def txt(tok: Seq[String]) = tok.mkString(" ")
+    def doc(i: Long, tok: Seq[String]) = (i, "web", txt(tok), "de")
+    val a1 = U.diff(Seq("t1", "t2"))
+    val b1 = U.diff(Seq("t3", "t4"))
+    val batch1 = Seq(doc(0L, a1), doc(1L, a1 :+ "u1"),
+      doc(2L, b1), doc(3L, b1 :+ "u2"),
+      doc(4L, Seq("lone", "noise", "words", "here")))
+    val c1 = (1 to 19).map(i => s"s$i")
+    val batch2 = Seq(doc(5L, U), doc(6L, c1 :+ "s20"), doc(7L, c1 :+ "s21"),
+      doc(8L, Seq("more", "unrelated", "noise")))
+    val dir = java.nio.file.Files.createTempDirectory("whcc").toString
+    batch1.toDF("doc_id", "source", "text", "lang").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def docsNow = spark.read.parquet(s"$dir/documents.parquet")
+    val colds = new java.util.concurrent.atomic.AtomicInteger(0)
+    // Production callbacks verbatim (ngramClusterLabels' cold + merge,
+    // with the live pair frame standing in for the persisted pair
+    // store) under a spec-local family name.
+    def resolve(fp: String) = Warehouse.servedFrameMerged(
+      spark, "whccf", dir, "documents", fp) {
+      colds.incrementAndGet()
+      Dedup.connectedComponents(
+        Dedup.ngramPairs(docsNow).select(col("doc_a"), col("doc_b")))
+    } { (old, delta) =>
+      Some(Dedup.ccLabelsMerged(old,
+        Dedup.ngramPairs(docsNow).select(col("doc_a"), col("doc_b")),
+        delta.select(col("doc_id"))))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    val base = resolve(Warehouse.fpToken(5L, 4L))
+    assert(colds.get == 1)
+    // Two settled 2-doc components, the noise doc label-less.
+    assert(rows(base) == Seq(Seq(0L, 0L), Seq(1L, 0L), Seq(2L, 2L), Seq(3L, 2L)))
+    spark.sql(s"DROP TABLE ${Warehouse.tableName("whccf", dir, Warehouse.fpToken(5L, 4L))}")
+    val tmp = java.nio.file.Files.createTempDirectory("whccb").toString
+    batch2.toDF("doc_id", "source", "text", "lang").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .foreach(f => java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/documents.parquet/${f.getName}")))
+    val merged = resolve(Warehouse.fpToken(9L, 8L))
+    assert(colds.get == 1,
+      "an append must take the cc MERGE lane — the full-graph CC must not re-run")
+    // Merged ≡ the cold fixed point over the grown corpus, bit for bit.
+    assert(rows(merged) == rows(Dedup.connectedComponents(
+      Dedup.ngramPairs(docsNow).select(col("doc_a"), col("doc_b")))))
+    // The bridge really happened: both settled components + the delta
+    // doc collapse to rep 0 (doc 2's settled rep was 2), and the
+    // all-new pair forms its own component.
+    val m = merged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 1L, 2L, 3L, 5L).forall(m(_) == 0L),
+      s"bridged component must re-label to the union min: $m")
+    assert(m(6L) == 6L && m(7L) == 6L)
+  }
 }
