@@ -62,6 +62,22 @@ object ProfMerge {
     window("vb_index COLD")(fam("pm_vbidx", "documents", dFp1)(
       graft.operators.Curation.verbatimIndexStore(docs(), vbW))(
       graft.operators.Curation.verbatimIndexMerged(vbW)))
+    // The cc labels read their pair frame from the pm_ngram store
+    // (production shape: the pair store resolves first and the cc
+    // build is pure star/label work, no re-shingle) — re-resolving
+    // pm_ngram at the same fp is a warehouse HIT, i.e. a table read.
+    def pairsStore(fp: String) = graft.sources.Warehouse.servedFrameMerged(
+      spark, "pm_ngram", dir, "documents", fp)(
+      graft.operators.Dedup.ngramPairs(docs()))(
+      (old, b) => Some(old.unionByName(
+        graft.operators.Dedup.ngramPairsTouching(docs(),
+          b.select(col("doc_id"))))))
+    window("ngram_cc COLD")(fam("pm_cc", "documents", dFp1)(
+      graft.operators.Dedup.connectedComponents(
+        pairsStore(dFp1).select(col("doc_a"), col("doc_b"))))(
+      (old, delta) => Some(graft.operators.Dedup.ccLabelsMerged(old,
+        pairsStore(dFp1).select(col("doc_a"), col("doc_b")),
+        delta.select(col("doc_id"))))))
     // Grow both corpora ~5% (one appended part file each), then resolve
     // the new fingerprints: the MERGE lane.
     val nd = MergeStage.append(spark, dir, "documents", "doc_id")
@@ -86,6 +102,10 @@ object ProfMerge {
       noCold)(graft.operators.Events.userDaysMerged))
     window("vb_index MERGE (+5%)")(fam("pm_vbidx", "documents", dFp2)(
       noCold)(graft.operators.Curation.verbatimIndexMerged(vbW)))
+    window("ngram_cc MERGE (+5%)")(fam("pm_cc", "documents", dFp2)(
+      noCold)((old, delta) => Some(graft.operators.Dedup.ccLabelsMerged(old,
+        pairsStore(dFp2).select(col("doc_a"), col("doc_b")),
+        delta.select(col("doc_id"))))))
     MergeStage.cleanup(spark, dir)
     spark.stop()
   }
