@@ -65,8 +65,107 @@ case class LongDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ALL EIGHT LSH table buckets of one quantized vector, as one kernel
+  * (round-19). The composed form — `array(8 × (Σ_planes when(LongDot ≥
+  * 0, bit)))` — is semantically identical but fuses 8·planes separate
+  * inlined dot loops plus the case-when chains into ONE whole-stage
+  * method: at 12 planes (the ×10 corpus) the generated method passes
+  * HotSpot's huge-method bytecode limit, never JIT-compiles, and runs
+  * in the JVM's bytecode INTERPRETER — measured 92 task-cpu s for a
+  * 20k-row bucketing that evaluates in 3 s with codegen off. This
+  * expression is the same arithmetic as one compact triple loop over a
+  * referenced weight matrix: a few hundred bytecodes, always JIT-able,
+  * and the surrounding whole-stage method shrinks back to normal size.
+  *
+  * Parity: weights are [[graft.operators.Similarity.planeWeight]] at
+  * plane p = t·planes + i over dims 0..63, dot over the common prefix
+  * with null elements contributing 0 (the LongDot rules), bit i set ⟺
+  * dot ≥ 0, bucket offset t·2^planes — bit-identical buckets to the
+  * composed form and to the oracle's SQL twin at every plane count.
+  * Null semantics: a null vector yields a null array (its row drops
+  * from the exploded index — a null embedding is not a servable index
+  * row; the previous composed form kept it at the bare table offsets
+  * with a null payload, equally unservable and unobservable in every
+  * gate). */
+case class PlaneBuckets(child: Expression, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "plane_buckets"
+
+  private def numTables: Int = graft.operators.Similarity.NumTables
+
+  /** weights(t·planes + i)(d) — the planeWeight matrix, built once per
+    * expression instance (deterministic integers; retries agree). */
+  @transient private lazy val weights: Array[Array[Long]] =
+    Array.tabulate(numTables * planes)(p =>
+      Array.tabulate(64)(d => graft.operators.Similarity.planeWeight(p, d)))
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), 64)
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = (1L << planes) * t
+      var i = 0
+      while (i < planes) {
+        val w = weights(t * planes + i)
+        var acc = 0L
+        var d = 0
+        while (d < n) {
+          if (!x.isNullAt(d)) acc += x.getLong(d) * w(d)
+          d += 1
+        }
+        if (acc >= 0L) bucket += (1L << i)
+        i += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val wRef = ctx.addReferenceObj("planeWeights", weights, "long[][]")
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |long[] $out = new long[$numTables];
+         |int $n = java.lang.Math.min($v.numElements(), 64);
+         |for (int $t = 0; $t < $numTables; $t++) {
+         |  long $bucket = (1L << $planes) * $t;
+         |  for (int $i = 0; $i < $planes; $i++) {
+         |    long[] w = $wRef[$t * $planes + $i];
+         |    long $acc = 0L;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      if (!$v.isNullAt($d)) $acc += $v.getLong($d) * w[$d];
+         |    }
+         |    if ($acc >= 0L) $bucket += (1L << $i);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneBuckets =
+    copy(child = newChild)
+}
+
 object VectorOps {
   /** Column API: exact dot product of two ARRAY<BIGINT> columns. */
   def longDot(a: Column, b: Column): Column =
     Bridge.column(LongDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API: the 8-table LSH bucket array of a quantized vector. */
+  def planeBuckets(v: Column, planes: Int): Column =
+    Bridge.column(PlaneBuckets(Bridge.expression(v), planes))
 }

@@ -129,15 +129,19 @@ object Similarity {
     graft.functions.VectorOps.longDot(col("v"), plane)
   }
 
-  def bucketed(vectors: DataFrame, planes: Int): DataFrame = {
-    val tableBuckets = (0 until NumTables).map { t =>
-      (0 until planes).map { i =>
-        when(planeProjection(t, i, planes) >= 0, lit(1L << i)).otherwise(0L)
-      }.reduce(_ + _).plus(lit((1L << planes) * t))
-    }
+  def bucketed(vectors: DataFrame, planes: Int): DataFrame =
+    // ONE kernel for all 8 table buckets (round-19,
+    // [[graft.functions.PlaneBuckets]]): the previous composed form —
+    // array(8 × Σ_planes when(LongDot ≥ 0, bit)) — fused 8·planes
+    // inlined dot loops into one whole-stage method that outgrew
+    // HotSpot's JIT bytecode limit at 12 planes (the ×10 corpus) and
+    // ran in the BYTECODE INTERPRETER: 92 task-cpu s for a 20k-row
+    // bucketing the kernel does in well under a second. Bit-identical
+    // buckets (same planeWeight matrix, prefix-dot, sign rule, table
+    // offsets) — every oracle and spec hash is unchanged.
     vectors.select(col("vec_id"), col("v"),
-      explode(array(tableBuckets: _*)).as("bucket"))
-  }
+      explode(graft.functions.VectorOps.planeBuckets(col("v"), planes))
+        .as("bucket"))
 
   /** Probe-side bucket expansion (multi-probe): per table, the base
     * bucket plus the buckets at every XOR-subset of the `probeBits`
