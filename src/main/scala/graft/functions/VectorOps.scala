@@ -137,16 +137,17 @@ case class PlaneBuckets(child: Expression, planes: Int)
       val d = ctx.freshName("d")
       val acc = ctx.freshName("acc")
       val bucket = ctx.freshName("bucket")
+      val w = ctx.freshName("w")
       s"""
          |long[] $out = new long[$numTables];
          |int $n = java.lang.Math.min($v.numElements(), 64);
          |for (int $t = 0; $t < $numTables; $t++) {
          |  long $bucket = (1L << $planes) * $t;
          |  for (int $i = 0; $i < $planes; $i++) {
-         |    long[] w = $wRef[$t * $planes + $i];
+         |    long[] $w = $wRef[$t * $planes + $i];
          |    long $acc = 0L;
          |    for (int $d = 0; $d < $n; $d++) {
-         |      if (!$v.isNullAt($d)) $acc += $v.getLong($d) * w[$d];
+         |      if (!$v.isNullAt($d)) $acc += $v.getLong($d) * $w[$d];
          |    }
          |    if ($acc >= 0L) $bucket += (1L << $i);
          |  }

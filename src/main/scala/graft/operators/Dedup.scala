@@ -1199,10 +1199,10 @@ object Dedup {
         val vectors = Similarity.quantizedVectors(Tables.embeddings(s, dir))
         val n = graft.sources.Warehouse.countMax(
           s, s"emb:$dir", vectors, "vec_id")._1
-        val planes = Similarity.derivePlanes(n)
-        if (Similarity.derivePlanes(n - batch.count()) != planes) None
+        if (Similarity.planeBlockCrossed(n, batch.count())) None
         else Some(old.unionByName(embeddingPairsTouching(
-          vectors, batch.select(col("vec_id")), 0.35, planes)))
+          vectors, batch.select(col("vec_id")), 0.35,
+          Similarity.derivePlanes(n))))
       })
 
   /** Build the embedding pair store AND its CC labels NOW — Bench's
@@ -1318,8 +1318,7 @@ object Dedup {
         val n = graft.sources.Warehouse.countMax(
           s, s"emb:$dir", Tables.embeddings(s, dir), "vec_id")._1
         val deltaIds = delta.select(col("vec_id"))
-        if (Similarity.derivePlanes(n - deltaIds.count()) !=
-            Similarity.derivePlanes(n)) None
+        if (Similarity.planeBlockCrossed(n, deltaIds.count())) None
         else Some(ccLabelsMerged(
           old.select(col("vec_id"), col("cluster_rep")),
           embPairStore(s, dir)

@@ -484,6 +484,15 @@ object Multimodal {
   def phashChunkWidth(n: Long): Int =
     math.min(Dedup.deriveSimhashWidth(n), 15)
 
+  /** TRUE ⟺ appending `batch` docs onto a corpus now counting `n`
+    * stepped [[phashChunkWidth]] (both sides include the planted-twin
+    * rows the sketch table carries) — THE decline predicate of the
+    * phash_cc merge lane; ONE definition shared with the WarehouseSpec
+    * decline pin (round-20, ADVICE; the planeBlockCrossed twin). */
+  def phashWidthCrossed(n: Long, batch: Long): Boolean =
+    phashChunkWidth(n - batch + PhashPlantCount) !=
+      phashChunkWidth(n + PhashPlantCount)
+
   /** IMAGE near-dup via PERCEPTUAL HASH — the multimodal member of the
     * dedup family (training pipelines run exactly this over image
     * corpora: pHash/aHash sketch per image, hamming near-pairs merge).
@@ -1377,8 +1386,7 @@ object Multimodal {
         val n = graft.sources.Warehouse.countMax(
           s, s"docs:$dir", Tables.documents(s, dir), "doc_id")._1
         val deltaIds = delta.select(col("doc_id"))
-        if (phashChunkWidth(n - deltaIds.count() + PhashPlantCount) !=
-            phashChunkWidth(n + PhashPlantCount)) None
+        if (phashWidthCrossed(n, deltaIds.count())) None
         else Some(Dedup.ccLabelsMerged(old,
           phashPairsQuery(s, dir).select(col("doc_a"), col("doc_b")),
           deltaIds))

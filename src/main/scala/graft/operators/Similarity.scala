@@ -93,6 +93,16 @@ object Similarity {
   def derivePlanes(n: Long): Int =
     (1 to MaxPlanes).find(l => (1L << l) * TargetBucket >= n).getOrElse(MaxPlanes)
 
+  /** TRUE ⟺ appending `batch` vectors onto a corpus now counting `n`
+    * crossed a [[derivePlanes]] block boundary — THE decline predicate
+    * of every plane-knob append-merge lane (lsh_buckets, emb_pairs,
+    * emb_cc): old rows hash under the wrong planes past a crossing, so
+    * the lane rebuilds cold. ONE definition shared by the production
+    * callbacks and the WarehouseSpec decline pin (round-20, ADVICE), so
+    * the lanes and the spec can never drift. */
+  def planeBlockCrossed(n: Long, batch: Long): Boolean =
+    derivePlanes(n - batch) != derivePlanes(n)
+
   /** SQL twin of [[derivePlanes]]: same min-l scan, same integer
     * comparison, N taken from `count(*)` over `countFrom` at query time. */
   def planesParamsSql(countFrom: String): String = s"""
@@ -117,12 +127,15 @@ object Similarity {
     * terms produced 8 MiB task binaries and Janino fallback — plan-size
     * discipline matters as much as algorithmic shape.)
     */
-  /** The (table, plane) projection — ONE definition shared by the index
-    * side ([[bucketed]]) and the probe side ([[probeBuckets]]), so the
-    * mask-0 probe bucket stays bit-identical to the index bucket by
-    * construction (a drift between independently-spelled copies would
-    * silently empty every join; a subset spec in PipelineSpec guards it
-    * end-to-end too). */
+  /** The (table, plane) projection — the MARGIN side of multi-probe
+    * only (round-20): [[probeBuckets]] now takes its mask-0 base bucket
+    * from the same [[graft.functions.PlaneBuckets]] kernel the index
+    * side ([[bucketed]]) uses, so index/probe parity is by construction
+    * on ONE bucket definition again. These composed per-plane dots feed
+    * only the |margin| ordering that picks WHICH low-confidence bits to
+    * XOR-flip — a drift here could change which EXTRA buckets get
+    * probed (recall), never empty the mask-0 join. PipelineSpec's
+    * subset guard still pins the end-to-end behavior. */
   private def planeProjection(t: Int, i: Int, planes: Int): Column = {
     val p = t * planes + i
     val plane = typedLit((0 until 64).map(d => planeWeight(p, d)))
@@ -166,20 +179,26 @@ object Similarity {
     val pb = math.min(probeBits, planes)
     val projCols = for (t <- 0 until NumTables; i <- 0 until planes)
       yield planeProjection(t, i, planes).as(s"s_${t}_$i")
-    val projected = vectors.select(col("vec_id") +: col("v") +: projCols: _*)
+    // Mask-0 base buckets come from the SAME PlaneBuckets kernel the
+    // index side uses — parity by construction (round-20, ADVICE). The
+    // composed projections below only rank margins for the flip set.
+    val projected = vectors.select(col("vec_id") +: col("v") +:
+      graft.functions.VectorOps.planeBuckets(col("v"), planes).as("pb_base") +:
+      projCols: _*)
     val tableCols = (0 until NumTables).flatMap { t =>
-      val bits = (0 until planes).map(i =>
-        when(col(s"s_${t}_$i") >= 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
       val order = array_sort(array((0 until planes).map(i =>
         struct(abs(col(s"s_${t}_$i")).as("m"), lit(i).as("j"))): _*))
-      bits.as(s"bits_$t") +: (0 until pb).map(k =>
+      element_at(col("pb_base"), t + 1).as(s"base_$t") +: (0 until pb).map(k =>
         order.getItem(k).getField("j").as(s"j_${t}_$k"))
     }
     val staged = projected.select(col("vec_id") +: col("v") +: tableCols: _*)
     val buckets = for (t <- 0 until NumTables; mask <- 0 until (1 << pb)) yield {
+      // base_t already carries the t·2^planes table offset; flips live
+      // at bits < planes, so XOR-ing them onto the full bucket value is
+      // identical to XOR-ing the low bits alone.
       val flips = (0 until pb).filter(k => (mask & (1 << k)) != 0)
         .map(k => s"shiftleft(CAST(1 AS BIGINT), j_${t}_$k)")
-      expr(s"${(1L << planes) * t}L + (${(s"bits_$t" +: flips).mkString(" ^ ")})")
+      expr(s"(${(s"base_$t" +: flips).mkString(" ^ ")})")
     }
     staged.select(col("vec_id"), col("v"),
       explode(array(buckets: _*)).as("bucket"))
@@ -236,16 +255,24 @@ object Similarity {
           .select(col("vec_id"), expr(quant).as("v")), derivePlanes(n))
       } { (old, batch) =>
         val n = Tables.embeddings(s, dir).count()
-        val planes = derivePlanes(n)
-        if (derivePlanes(n - batch.count()) != planes) None
+        if (planeBlockCrossed(n, batch.count())) None
         else Some(old.unionByName(bucketed(
-          batch.select(col("vec_id"), expr(quant).as("v")), planes)))
+          batch.select(col("vec_id"), expr(quant).as("v")),
+          derivePlanes(n))))
       })
 
   /** Build the LSH bucket index NOW — Bench's explicit artifact-build
     * row (the warmClusterLabels accounting rule). */
   def warmLshBuckets(s: SparkSession, dir: String): Unit = {
     lshBucketStore(s, dir)
+    ()
+  }
+
+  /** Resolve the shared brute-truth store NOW (round-20) — the
+    * MergeOracleStage referee's entry point for the `knn_truth`
+    * append-merge lane; same accounting rule as [[warmLshBuckets]]. */
+  def warmKnnTruth(s: SparkSession, dir: String): Unit = {
+    knnBruteTruth(s, dir)
     ()
   }
 

@@ -223,6 +223,39 @@ object Warehouse {
     }
   }
 
+  /** (session, family@digest) → which [[servedFrameMerged]] lane the
+    * LAST resolution took: "hit" (current-fp table already on disk),
+    * "merge" (append-merge published), or "cold" (full rebuild — no
+    * prior variant, a non-append mutation, a declined merge, or a
+    * failed merge's fallback). Test-facing (round-20, ADVICE): lets
+    * WarehouseSpec drive the PRODUCTION store callbacks end-to-end and
+    * assert a knob-step decline rebuilt cold, without replicating the
+    * callbacks spec-side. */
+  private val laneLog = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, String]]()
+
+  private def logLane(s: SparkSession, family: String, dir: String,
+                      lane: String): Unit = {
+    laneLog.keySet.removeIf(_.sparkContext.isStopped)
+    laneLog.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .put(s"$family@${dirDigest(dir)}", lane)
+    ()
+  }
+
+  /** (family@corpus-digest) → lane entries recorded for `s` since the
+    * last call; clears the log (the [[drainHits]] discipline). */
+  def drainLanes(s: SparkSession): Map[String, String] = {
+    val m = laneLog.remove(s)
+    if (m == null) Map.empty
+    else {
+      val it = m.entrySet().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+  }
+
   /** Builder ALGORITHM version per family — bump an entry when that
     * family's deterministic builder changes algorithm (Lloyd rounds,
     * shingle-width derivation, funnel thresholds, …), so a later
@@ -614,6 +647,7 @@ object Warehouse {
       // Current-fingerprint table already on disk: the hit path is
       // servedTable's verbatim (register-back, corrupt-dir fallback,
       // immediate stale-variant GC — nothing lazily reads a variant).
+      logLane(s, family, dir, "hit")
       return coldLane()
     }
     // MISS. Newest complete prior-fingerprint variant carrying a
@@ -654,7 +688,9 @@ object Warehouse {
       }
     }
     merged match {
-      case None => coldLane()
+      case None =>
+        logLane(s, family, dir, "cold")
+        coldLane()
       case Some(frame) =>
         // Merge lane: publish FIRST (tmp+rename, the servedTable
         // commit), GC the superseded variant AFTER — the frame lazily
@@ -681,6 +717,7 @@ object Warehouse {
           s.sql(s"CREATE TABLE IF NOT EXISTS $name ($schemaDdl)" +
             s" USING PARQUET LOCATION '${loc.toString}'")
           logHit(s, family, dir, hit = false)
+          logLane(s, family, dir, "merge")
           gcStaleVariants(s, fs, whRoot, family, dir, keep = name)
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"merge lane published $name from ${prior.get._1}")
@@ -694,6 +731,7 @@ object Warehouse {
             if (fs.exists(tmpLoc)) { fs.delete(tmpLoc, true); () }
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"merge lane for $name failed (${e.getMessage}); rebuilding cold")
+            logLane(s, family, dir, "cold")
             coldLane()
         }
     }

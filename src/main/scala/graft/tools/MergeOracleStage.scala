@@ -1,16 +1,22 @@
 package graft.tools
 
-/** Stage a +5%-append corpus whose serving stores are PUBLISHED BY THE
-  * MERGE LANES, for an independent DuckDB referee pass (round-19, the
-  * x10 events convention extended to every lane this round added):
+/** Stage an append-grown corpus whose serving stores are PUBLISHED BY
+  * THE MERGE LANES, for an independent DuckDB referee pass (round-19
+  * for the documents/events lanes; round-20 adds the embeddings-sourced
+  * lanes — emb_pairs, emb_cc, lsh_buckets, knn_truth — per ADVICE):
   *
-  *   1. copy sf0.1's documents/events into a scratch multi-part
-  *      directory (MergeStage — the shape production ingest appends to);
+  *   1. copy sf0.1's documents/events/embeddings into a scratch
+  *      multi-part directory (MergeStage — the shape production ingest
+  *      appends to);
   *   2. resolve every lane-maintained store COLD at the base state
   *      (pairs + cc labels, verbatim chain, minhash/simhash/cdc
-  *      sketches, phash sketch + cc, events stores);
-  *   3. append one ~5% part file per table (events ts-shifted — a
-  *      valid per-user continuation);
+  *      sketches, phash sketch + cc, events stores, embedding pairs +
+  *      emb CC, LSH buckets, brute kNN truth);
+  *   3. append one part file per table — ~5% for documents/events
+  *      (events ts-shifted, a valid per-user continuation), ~2% for
+  *      embeddings (stride 50: 2000 → 2040 stays inside the 8-plane
+  *      derivePlanes block, so the plane-knob lanes MERGE instead of
+  *      declining — the decline arm is WarehouseSpec's job);
   *   4. re-resolve in a FRESH session (fresh corpus stats ⟹ the new
   *      fingerprint): the append-merge lanes publish the grown stores.
   *
@@ -29,6 +35,7 @@ object MergeOracleStage {
     val spark = Prof.session()
     MergeStage.stage(spark, src, out, "documents")
     MergeStage.stage(spark, src, out, "events")
+    MergeStage.stage(spark, src, out, "embeddings")
     def warmAll(s: org.apache.spark.sql.SparkSession): Unit = {
       graft.operators.Dedup.warmMinhashBands(s, out)
       graft.operators.Dedup.warmSimhashSketches(s, out)
@@ -37,12 +44,17 @@ object MergeOracleStage {
       graft.operators.Curation.warmVerbatimArtifacts(s, out)
       graft.operators.Multimodal.warmPhashClusterLabels(s, out)
       graft.operators.Events.warmEventsStores(s, out)
+      graft.operators.Dedup.warmEmbPairs(s, out)
+      graft.operators.Similarity.warmLshBuckets(s, out)
+      graft.operators.Similarity.warmKnnTruth(s, out)
     }
     warmAll(spark)
     println("[mergeoracle] base stores resolved cold")
     val nd = MergeStage.append(spark, out, "documents", "doc_id")
     val ne = MergeStage.append(spark, out, "events", "event_id")
-    println(s"[mergeoracle] appended $nd docs, $ne events (~5% each)")
+    val nv = MergeStage.append(spark, out, "embeddings", "vec_id", stride = 50)
+    println(s"[mergeoracle] appended $nd docs, $ne events (~5%), " +
+      s"$nv embeddings (~2%, inside the plane block)")
     // Fresh session: corpus stats memoize per session, so this is the
     // new-ingest-process resolution — the merge lanes' fingerprint.
     warmAll(spark.newSession())

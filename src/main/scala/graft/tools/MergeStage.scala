@@ -30,16 +30,21 @@ object MergeStage {
       graft.sources.Warehouse.corpusBytes(s, dir, table))
   }
 
-  /** Append a ~5% batch as one new part file: id-shifted copies of
-    * every 20th row. Events rows also ts-shift past the corpus max so
-    * the appended slice is a valid per-user CONTINUATION — the
-    * ev_trans merge's precondition; production ingest appends later
-    * events, never back-dated ones. Returns the batch row count. */
-  def append(s: SparkSession, dir: String, table: String, idCol: String)
-      : Long = {
+  /** Append a ~(100/stride)% batch as one new part file: id-shifted
+    * copies of every stride-th row (default 20 → ~5%). Events rows also
+    * ts-shift past the corpus max so the appended slice is a valid
+    * per-user CONTINUATION — the ev_trans merge's precondition;
+    * production ingest appends later events, never back-dated ones.
+    * Embeddings callers pick a stride that keeps the grown count
+    * inside the current [[graft.operators.Similarity.derivePlanes]]
+    * block (sf0.1: 2000 → stride 50 → 2040 ≤ 2048), otherwise every
+    * plane-knob lane declines and the referee never sees a merge.
+    * Returns the batch row count. */
+  def append(s: SparkSession, dir: String, table: String, idCol: String,
+             stride: Int = 20): Long = {
     val cur = s.read.parquet(s"$dir/$table.parquet")
     val mx = cur.agg(max(col(idCol))).head().getLong(0)
-    var batch = cur.filter(col(idCol) % 20 === 0)
+    var batch = cur.filter(col(idCol) % stride === 0)
       .withColumn(idCol, col(idCol) + mx + 1L)
     if (table == "events") {
       // Both ts generations (Tables.events scaladoc): nanos-as-long

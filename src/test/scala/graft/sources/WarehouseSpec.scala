@@ -1113,4 +1113,91 @@ class WarehouseSpec extends SparkSpec {
       s"bridged component must re-label to the union min: $m")
     assert(m(6L) == 6L && m(7L) == 6L)
   }
+
+  test("emb_cc / phash_cc decline arms: PRODUCTION lanes — in-block append merges, a derivePlanes / phashChunkWidth step declines to cold") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Multimodal, Similarity}
+    // The shared predicates at the exact fixture counts — the
+    // production callbacks call THESE functions (one definition,
+    // round-20 ADVICE), so pinning them here pins the lanes' knob.
+    assert(!Similarity.planeBlockCrossed(120L, 20L),
+      "100→120 vectors must stay inside the 4-plane block")
+    assert(Similarity.planeBlockCrossed(160L, 40L),
+      "120→160 vectors must cross to 5 planes")
+    assert(!Multimodal.phashWidthCrossed(29L, 5L),
+      "24→29 docs must stay at width 2 (with the planted rows)")
+    assert(Multimodal.phashWidthCrossed(61L, 32L),
+      "29→61 docs must step the chunk width")
+    val dir = java.nio.file.Files.createTempDirectory("whccdec").toString
+    // Embeddings: 100 base (4 planes), +20 in-block, +40 crossing.
+    val esrc = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .orderBy(col("vec_id")).limit(160).localCheckpoint(true)
+    esrc.filter(col("vec_id") < 100).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // Documents: 24 base (width 2), +5 in-block, +32 crossing —
+    // synthesized texts (the payload stage derives headers from text).
+    def doc(i: Long) = (i, "web",
+      s"doc $i body " + (1 to 10).map(j => s"tok$i-$j").mkString(" "),
+      "en", 60L)
+    val dcols = Seq("doc_id", "source", "text", "lang", "n_chars")
+    (0L until 24L).map(doc).toDF(dcols: _*).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def appendPart(table: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("whccb").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$dir/$table.parquet/${f.getName}")))
+    }
+    // Drive the PRODUCTION store resolutions (warmEmbPairs resolves
+    // emb_pairs + emb_cc; warmPhashClusterLabels resolves phash_sketch
+    // + phash_cc) in a FRESH session per corpus state — corpus stats
+    // memoize per session, exactly the new-ingest-process shape — and
+    // read which servedFrameMerged lane each family took.
+    def lanesAfter(): Map[String, String] = {
+      val s2 = spark.newSession()
+      Warehouse.drainLanes(s2)
+      Dedup.warmEmbPairs(s2, dir)
+      Multimodal.warmPhashClusterLabels(s2, dir)
+      Warehouse.drainLanes(s2)
+    }
+    def laneOf(m: Map[String, String], fam: String): Option[String] =
+      m.collectFirst { case (k, v) if k.takeWhile(_ != '@') == fam => v }
+    val l1 = lanesAfter()
+    assert(laneOf(l1, "emb_cc").contains("cold") &&
+      laneOf(l1, "phash_cc").contains("cold"), s"first build is cold: $l1")
+    // In-block appends: every lane must MERGE.
+    appendPart("embeddings",
+      esrc.filter(col("vec_id") >= 100 && col("vec_id") < 120))
+    appendPart("documents", (24L until 29L).map(doc).toDF(dcols: _*))
+    val l2 = lanesAfter()
+    for (fam <- Seq("emb_pairs", "emb_cc", "phash_cc"))
+      assert(laneOf(l2, fam).contains("merge"),
+        s"in-block append must take $fam's merge lane: $l2")
+    // Knob-step appends: every derived-knob lane must DECLINE → cold.
+    appendPart("embeddings", esrc.filter(col("vec_id") >= 120))
+    appendPart("documents", (29L until 61L).map(doc).toDF(dcols: _*))
+    val l3 = lanesAfter()
+    for (fam <- Seq("emb_pairs", "emb_cc", "phash_cc"))
+      assert(laneOf(l3, fam).contains("cold"),
+        s"a knob step must decline $fam's merge and rebuild cold: $l3")
+    // The declined rebuilds are the cold fixed points over the grown
+    // corpus: emb_cc labels re-derive from the rebuilt pair store.
+    val s3 = spark.newSession()
+    val served = graft.sources.Warehouse.servedFrameMerged(
+      s3, "emb_cc", dir, "embeddings",
+      graft.sources.Warehouse.embFp(s3, dir))(
+      sys.error("must hit the published table")) { (_, _) => None }
+    val coldCc = Dedup.connectedComponents(
+      Dedup.embeddingPairs(
+        Similarity.quantizedVectors(graft.Tables.embeddings(s3, dir)),
+        0.35, Similarity.derivePlanes(160L))
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_rep"))
+    def rws(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    assert(rws(served) == rws(coldCc),
+      "declined rebuild must equal the cold CC over the grown corpus")
+  }
 }
