@@ -127,21 +127,6 @@ object Similarity {
     * terms produced 8 MiB task binaries and Janino fallback — plan-size
     * discipline matters as much as algorithmic shape.)
     */
-  /** The (table, plane) projection — the MARGIN side of multi-probe
-    * only (round-20): [[probeBuckets]] now takes its mask-0 base bucket
-    * from the same [[graft.functions.PlaneBuckets]] kernel the index
-    * side ([[bucketed]]) uses, so index/probe parity is by construction
-    * on ONE bucket definition again. These composed per-plane dots feed
-    * only the |margin| ordering that picks WHICH low-confidence bits to
-    * XOR-flip — a drift here could change which EXTRA buckets get
-    * probed (recall), never empty the mask-0 join. PipelineSpec's
-    * subset guard still pins the end-to-end behavior. */
-  private def planeProjection(t: Int, i: Int, planes: Int): Column = {
-    val p = t * planes + i
-    val plane = typedLit((0 until 64).map(d => planeWeight(p, d)))
-    graft.functions.VectorOps.longDot(col("v"), plane)
-  }
-
   def bucketed(vectors: DataFrame, planes: Int): DataFrame =
     // ONE kernel for all 8 table buckets (round-19,
     // [[graft.functions.PlaneBuckets]]): the previous composed form —
@@ -162,46 +147,33 @@ object Similarity {
     * Runs ONLY on the (tiny, filtered) probe side; the index side stays
     * [[bucketed]].
     *
-    * Three projections, each load-bearing:
-    *   1. name every plane projection once (post-SPARK-36718
-    *      CollapseProject keeps multiply-referenced non-cheap aliases —
-    *      naming the subexpression IS the CSE; the sign bit and the
-    *      margin sort both read it);
-    *   2. per table, the base bits plus the `probeBits` lowest-margin
-    *      plane indices via one array_sort over (|s|, j) structs —
-    *      ties break on plane index, the same (abs(s), j) rule the
-    *      oracle's ORDER BY applies;
-    *   3. explode the XOR-perturbed buckets (distinct masks over
-    *      distinct bits ⇒ distinct buckets; the table offset lives at
-    *      bits ≥ L, so low-bit XOR never crosses tables). */
+    * Shape: base buckets from the shared [[graft.functions.PlaneBuckets]]
+    * kernel, flip bits from the [[graft.functions.PlaneFlips]] kernel
+    * (lowest (|margin|, index) planes — the same rule the oracle's
+    * ORDER BY applies), then NumTables·2^probeBits fixed XOR
+    * expressions explode the perturbed buckets (distinct masks over
+    * distinct bits ⇒ distinct buckets; the table offset lives at bits
+    * ≥ L, so low-bit XOR never crosses tables). */
   def probeBuckets(vectors: DataFrame, planes: Int,
                    probeBits: Int = ProbeBits): DataFrame = {
     val pb = math.min(probeBits, planes)
-    val projCols = for (t <- 0 until NumTables; i <- 0 until planes)
-      yield planeProjection(t, i, planes).as(s"s_${t}_$i")
-    // Mask-0 base buckets come from the SAME PlaneBuckets kernel the
-    // index side uses — parity by construction (round-20, ADVICE). The
-    // composed projections below only rank margins for the flip set.
-    val projected = vectors.select(col("vec_id") +: col("v") +:
-      graft.functions.VectorOps.planeBuckets(col("v"), planes).as("pb_base") +:
-      projCols: _*)
-    val tableCols = (0 until NumTables).flatMap { t =>
-      val order = array_sort(array((0 until planes).map(i =>
-        struct(abs(col(s"s_${t}_$i")).as("m"), lit(i).as("j"))): _*))
-      element_at(col("pb_base"), t + 1).as(s"base_$t") +: (0 until pb).map(k =>
-        order.getItem(k).getField("j").as(s"j_${t}_$k"))
-    }
-    val staged = projected.select(col("vec_id") +: col("v") +: tableCols: _*)
-    val buckets = for (t <- 0 until NumTables; mask <- 0 until (1 << pb)) yield {
-      // base_t already carries the t·2^planes table offset; flips live
-      // at bits < planes, so XOR-ing them onto the full bucket value is
-      // identical to XOR-ing the low bits alone.
-      val flips = (0 until pb).filter(k => (mask & (1 << k)) != 0)
-        .map(k => s"shiftleft(CAST(1 AS BIGINT), j_${t}_$k)")
-      expr(s"(${(s"base_$t" +: flips).mkString(" ^ ")})")
-    }
-    staged.select(col("vec_id"), col("v"),
-      explode(array(buckets: _*)).as("bucket"))
+    // THREE kernels, zero per-plane named projections and zero per-mask
+    // expressions (round-20, the derived-knob audit): mask-0 base
+    // buckets from the SAME PlaneBuckets kernel the index side uses
+    // (parity by construction, ADVICE), flip bits from PlaneFlips, the
+    // 2^pb XOR expansion from BucketExpand. The composed spelling —
+    // 8·planes named projections + 8 array_sorts, then 8·2^pb XOR
+    // expressions — generated whole-stage methods past HotSpot's 8 KB
+    // JIT limit at EVERY plane count (24 KB measured; latent only
+    // because probe frames are tiny). KnobJitSpec pins the kernel form
+    // at the next knob steps and at the plane ceiling; flips live at
+    // bits < planes while the table offset lives at bits ≥ planes, so
+    // the XOR never crosses tables. */
+    vectors.select(col("vec_id"), col("v"),
+      explode(graft.functions.VectorOps.bucketExpand(
+        graft.functions.VectorOps.planeBuckets(col("v"), planes),
+        graft.functions.VectorOps.planeFlips(col("v"), planes, pb), pb))
+        .as("bucket"))
   }
 
   /** LSH top-k: probes meet candidates sharing any table bucket; exact
