@@ -54,6 +54,25 @@ for m in re.finditer(r"`(q_\w+)`\s*\|\s*([0-9.]+)", txt_rows_source):
     k, v = m.group(1), float(m.group(2))
     hist[k] = min(hist.get(k, v), v)
 
+# Historical per-key CPU minima (round 20, verdict ask 3): harvested
+# from the prior authoritative table's cpu columns — both the per-round
+# cpu and (once present) the running cpu-floor column — so cpu-drift
+# adjudication has a mechanical all-time denominator instead of
+# per-round ledger archaeology. Older de-piped narrative rows carry
+# wall only; cpu floors accumulate from the r19 table onward.
+MIN_CPU_FLOOR = 0.05
+hist_cpu = {}
+for m in re.finditer(
+        r"\|\s*`(q_\w+)`\s*\|\s*[0-9.]+\s*\|\s*[0-9.]+\s*\|\s*([0-9.]+)"
+        r"(?:\s*\|\s*([0-9.]+))?\s*\|\s*r\d+", txt_rows_source):
+    k = m.group(1)
+    for g in (m.group(2), m.group(3)):
+        if g is None:
+            continue
+        v = float(g)
+        if v > 0:
+            hist_cpu[k] = min(hist_cpu.get(k, v), v)
+
 # De-pipe every historical per-key row: `q_x` | 0.12 -> `q_x` 0.12 —
 # text (and history) survive, the parser sees only the new table.
 # [ \t]* only (never \s*): whitespace must not span the newline, or a
@@ -74,11 +93,15 @@ for k in keys:
     c = cpu.get(k, -1.0)
     trig = min(hist.get(k, w), w) if w > 0 else hist.get(k, 1.0)
     trig = max(trig, MIN_FLOOR)
+    cfloor_candidates = [v for v in (hist_cpu.get(k), c if c > 0 else None)
+                         if v is not None]
+    cfloor = max(min(cfloor_candidates), MIN_CPU_FLOOR) \
+        if cfloor_candidates else MIN_CPU_FLOOR
     notes = []
     if k in retried:
         notes.append("retried (scheduling-noise class)")
-    rows.append(f"| `{k}` | {trig:.2f} | {w:.4f} | {c:.4f} | r{rnd} | "
-                f"{'; '.join(notes) if notes else '—'} |")
+    rows.append(f"| `{k}` | {trig:.2f} | {w:.4f} | {c:.4f} | {cfloor:.2f} | "
+                f"r{rnd} | {'; '.join(notes) if notes else '—'} |")
 
 table = (
     f"\n## Authoritative per-key baseline (round {rnd}, sf0.1, local[32], "
@@ -95,11 +118,18 @@ table = (
     "is ZERO KEYS above 2x their row (host-factor-scaled), not the sum\n"
     "ratio. **wall/cpu rN** = the round-" + rnd +
     " closing\nrun (cpu is the host-phase-immune adjudication figure; "
-    "compare cpu\nto cpu per the metric-time ledger convention). Store-fed"
-    " keys' cost\nmoved to their named artifact-build rows in BENCH_FULL's"
-    " ledger.\n\n"
-    "| query | sec | wall r" + rnd + " | cpu r" + rnd + " | round | note |\n"
-    "|---|---|---|---|---|---|\n" + "\n".join(rows) + "\n")
+    "compare cpu\nto cpu per the metric-time ledger convention). "
+    "**cpu floor** = the\nall-time per-key task-cpu minimum (accumulated "
+    "from the r19 table\nonward, clamped to 0.05 s) — the mechanical "
+    "cpu-drift denominator:\nadjudicate a row (re-time on a clean phase, "
+    "then profile or pin to a\nplan choice) when its round cpu exceeds "
+    "max(3x floor, floor + 1 s);\nsame-code JIT/host-phase swings up to "
+    "~3x on sub-second rows are the\ndocumented noise band (SCALE.md). "
+    "Store-fed keys' cost moved to\ntheir named artifact-build rows in "
+    "BENCH_FULL's ledger.\n\n"
+    "| query | sec | wall r" + rnd + " | cpu r" + rnd +
+    " | cpu floor | round | note |\n"
+    "|---|---|---|---|---|---|---|\n" + "\n".join(rows) + "\n")
 
 txt += table
 open(baseline_path, "w", encoding="utf-8").write(txt)
