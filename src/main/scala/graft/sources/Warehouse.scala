@@ -223,6 +223,41 @@ object Warehouse {
     }
   }
 
+  /** TRUE iff the named variant is already complete on disk (a
+    * `_SUCCESS`-marked directory under the session warehouse). */
+  def variantComplete(s: SparkSession, name: String): Boolean = {
+    val whRoot = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"))
+    val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(whRoot, name), "_SUCCESS"))
+  }
+
+  /** Newest COMPLETE prior variant of (family, dir) at the CURRENT
+    * builder version, excluding `excluding` (usually the current-fp
+    * name) — (tableName, directory path). The pre-GC read hook for
+    * lifecycle policies that must inspect a superseded artifact BEFORE
+    * [[servedTable]]'s stale-variant sweep deletes it (round-20: the
+    * trained-quantizer retrain trigger reads the prior centroids'
+    * recorded trained_n here; the caller must materialize what it
+    * keeps — localCheckpoint — because resolution GCs the files). */
+  def newestVariant(s: SparkSession, family: String, dir: String,
+                    excluding: String): Option[(String, String)] = {
+    val whRoot = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"))
+    val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val prefix = s"graft_${family}_${dirDigest(dir)}_"
+    if (!fs.exists(whRoot)) None
+    else fs.listStatus(whRoot).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith(prefix) && n != excluding && !n.contains("_tmp_") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+      }
+      .sortBy(-_.getModificationTime).headOption
+      .map(st => (st.getPath.getName, st.getPath.toString))
+  }
+
   /** (session, family@digest) → which [[servedFrameMerged]] lane the
     * LAST resolution took: "hit" (current-fp table already on disk),
     * "merge" (append-merge published), or "cold" (full rebuild — no
@@ -608,7 +643,8 @@ object Warehouse {
     * the ledger adjudicates against build cost, and the merge's
     * whole point is that its build is cheap). */
   def servedFrameMerged(s: SparkSession, family: String, dir: String,
-                        srcTable: String, fp: String)
+                        srcTable: String, fp: String,
+                        bucket: Option[(String, Int)] = None)
                        (cold: => DataFrame)
                        (merge: (DataFrame, DataFrame) => Option[DataFrame])
       : DataFrame = {
@@ -631,7 +667,11 @@ object Warehouse {
     // serves correctly for its fingerprint, and the next resolution
     // simply cannot use it as a merge base (cold rebuild — safe).
     def buildWithManifest(frame: => DataFrame)(n: String): Unit = {
-      frame.write.mode("overwrite").format("parquet").saveAsTable(n)
+      bucket match {
+        case None =>
+          frame.write.mode("overwrite").format("parquet").saveAsTable(n)
+        case Some((c, b)) => Sinks.writeBucketed(frame, n, c, b)
+      }
       if (corpusFiles(s, dir, srcTable) == curFiles)
         writeManifest(fs, new org.apache.hadoop.fs.Path(whRoot, n),
           curFiles + (ManifestVersionKey -> (ver.toLong, 0L)))
@@ -639,7 +679,7 @@ object Warehouse {
     def coldLane(): DataFrame = {
       // servedTable's full rebuild discipline (its early GC is safe
       // here: the cold frame reads only the corpus).
-      val (served, _) = servedTable(s, family, dir, fp, bucket = None)(
+      val (served, _) = servedTable(s, family, dir, fp, bucket = bucket)(
         buildWithManifest(cold))
       s.table(served)
     }
@@ -714,8 +754,13 @@ object Warehouse {
           s.sql(s"DROP TABLE IF EXISTS $tmpName")
           if (fs.exists(tmpLoc)) { fs.delete(tmpLoc, true); () }
           val schemaDdl = s.read.parquet(loc.toString).schema.toDDL
+          // Bucketed stores re-register with the writer's CLUSTERED BY
+          // spec (the servedTable register-back rule), so plan-time
+          // bucket pruning survives the merge lane too.
+          val bucketDdl = bucket.map { case (c, b) =>
+            s" CLUSTERED BY ($c) SORTED BY ($c) INTO $b BUCKETS" }.getOrElse("")
           s.sql(s"CREATE TABLE IF NOT EXISTS $name ($schemaDdl)" +
-            s" USING PARQUET LOCATION '${loc.toString}'")
+            s" USING PARQUET$bucketDdl LOCATION '${loc.toString}'")
           logHit(s, family, dir, hit = false)
           logLane(s, family, dir, "merge")
           gcStaleVariants(s, fs, whRoot, family, dir, keep = name)

@@ -14,5 +14,19 @@ object ProfIvfBuild {
     time("phash_ivf_index")(Multimodal.warmPhashIvfIndex(spark, dir))
     time("phash_ivf_trained")(Multimodal.warmPhashIvfTrained(spark, dir))
     time("phash_ivf_policy")(Multimodal.warmPhashIvfPolicy(spark, dir))
+
+    // Retrain-cycle economics (round-20): cold train+assign vs the
+    // below-ratio growth step (quantizer reused, index append-merged —
+    // Lloyd skipped, reassign batch-linear). Staged append the
+    // MergeStage way; embeddings stride 50 keeps every plane-knob lane
+    // in-block AND the +2% growth under RetrainGrowthRatio.
+    val out = "/tmp/profretrain"
+    graft.tools.MergeStage.stage(spark, dir, out, "embeddings")
+    time("ivf_trained cold (train+assign)")(
+      Similarity.warmTrainedIndex(spark, out))
+    graft.tools.MergeStage.append(spark, out, "embeddings", "vec_id", 50)
+    time("ivf_trained reuse+merge (+2%)")(
+      Similarity.warmTrainedIndex(spark.newSession(), out))
+    graft.tools.MergeStage.cleanup(spark, out)
   }
 }

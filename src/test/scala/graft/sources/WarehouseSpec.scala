@@ -1114,6 +1114,94 @@ class WarehouseSpec extends SparkSpec {
     assert(m(6L) == 6L && m(7L) == 6L)
   }
 
+  test("trained-index retrain cycle: below the growth ratio the quantizer is REUSED and the index append-MERGES; past it the resolution retrains and reassigns cold") {
+    import graft.operators.Similarity
+    // 100 base vectors (trained_n 100, K = ceil(sqrt(100)) = 10).
+    // +10 → 110 < 1.2·100: reuse + merge. +30 → 140 ≥ 1.2·100:
+    // retrain (trained_n 140, K = 12) + cold reassign.
+    val dir = java.nio.file.Files.createTempDirectory("whretrain").toString
+    val esrc = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .orderBy(col("vec_id")).limit(140).localCheckpoint(true)
+    esrc.filter(col("vec_id") < 100).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def appendE(lo: Long, hi: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("whrtb").toString
+      esrc.filter(col("vec_id") >= lo && col("vec_id") < hi).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$dir/embeddings.parquet/${f.getName}")))
+    }
+    // Resolve via the PRODUCTION lifecycle in a fresh session (fresh
+    // corpus stats = the new-ingest-process shape); return the lane
+    // the index took plus the published table names.
+    def resolve(): (Map[String, String], String, String) = {
+      val s2 = spark.newSession()
+      Warehouse.drainLanes(s2)
+      Similarity.warmTrainedIndex(s2, dir)
+      val lanes = Warehouse.drainLanes(s2)
+      (lanes, Warehouse.tableName("ivf_cents", dir, Warehouse.embFp(s2, dir)),
+        Warehouse.tableName("ivf_trained", dir, Warehouse.embFp(s2, dir)))
+    }
+    def laneOf(m: Map[String, String], fam: String): Option[String] =
+      m.collectFirst { case (k, v) if k.takeWhile(_ != '@') == fam => v }
+    def trainedN(cents: String): Long =
+      spark.table(cents).agg(max(col("trained_n"))).head().getLong(0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+
+    val (l1, c1, i1) = resolve()
+    assert(laneOf(l1, "ivf_trained").contains("cold"), s"first build: $l1")
+    assert(trainedN(c1) == 100L && spark.table(c1).count() == 10L,
+      "fresh train at n=100 must record trained_n=100 with K=10 centroids")
+    // Below-ratio append: quantizer REUSED, index merged, full coverage.
+    appendE(100L, 110L)
+    val (l2, c2, i2) = resolve()
+    assert(laneOf(l2, "ivf_trained").contains("merge"),
+      s"below-ratio growth must take the index merge lane: $l2")
+    assert(trainedN(c2) == 100L && spark.table(c2).count() == 10L,
+      "reused quantizer must carry trained_n=100 forward (Lloyd skipped)")
+    assert(spark.table(i2).count() == 110L,
+      "merged index must cover the grown corpus")
+    // Merge ≡ cold at fixed centroids: force a cold reassign of the
+    // SAME corpus state (drop the index variant; cents stay) and
+    // compare bit for bit.
+    val mergedRows = rows(spark.table(i2))
+    val whRoot = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = whRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Remove EVERY index variant (any survivor would re-enter as a
+    // merge base); the centroid table stays — the cold reassign must
+    // run under the REUSED quantizer.
+    fs.listStatus(whRoot).map(_.getPath.getName)
+      .filter(_.startsWith(s"graft_ivf_trained_${Warehouse.dirDigest(dir)}_"))
+      .foreach { v =>
+        spark.sql(s"DROP TABLE IF EXISTS $v")
+        fs.delete(new org.apache.hadoop.fs.Path(whRoot, v), true)
+      }
+    val (l2b, _, i2b) = resolve()
+    assert(laneOf(l2b, "ivf_trained").contains("cold"))
+    assert(rows(spark.table(i2b)) == mergedRows,
+      "merged index != cold reassign under the same reused quantizer")
+    // Bucket pruning must survive the merge-lane re-registration: the
+    // merged table carries the CLUSTERED BY spec (re-publish the merge
+    // by dropping the cold rebuild again is unnecessary — i2b == i2
+    // name; assert on the spec instead).
+    assert(spark.sql(s"DESCRIBE TABLE EXTENDED $i2b").collect()
+      .exists(r => r.toString.contains("Num Buckets")),
+      "trained index must stay bucketed through the lifecycle")
+    // Past-ratio append: retrain at the new count, cold reassign.
+    appendE(110L, 140L)
+    val (l3, c3, i3) = resolve()
+    assert(laneOf(l3, "ivf_trained").contains("cold"),
+      s"past-ratio growth must decline the merge and reassign cold: $l3")
+    assert(trainedN(c3) == 140L && spark.table(c3).count() == 12L,
+      "stale quantizer must retrain at n=140 with K=12")
+    assert(spark.table(i3).count() == 140L)
+    assert(c2 != c3 && i2 != i3, "new corpus state must publish new variants")
+  }
+
   test("emb_cc / phash_cc decline arms: PRODUCTION lanes — in-block append merges, a derivePlanes / phashChunkWidth step declines to cold") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal, Similarity}
