@@ -1204,26 +1204,67 @@ object Multimodal {
   private def phashIvfTrainedArtifacts(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val fp = docsFp(s, dir)
+    val n = graft.sources.Warehouse.countMax(
+      s, s"docs:$dir", Tables.documents(s, dir), "doc_id")._1
+    // RETRAIN CYCLE (round-20): the Similarity.trainedIndexArtifacts
+    // convention mirrored into hamming space — the trained centroid
+    // table records its trained-at count; a below-ratio growth step
+    // REUSES the quantizer (majority-vote training skipped) and the
+    // assignment index append-MERGES (delta sketches assigned at the
+    // fixed centroids — the sketch store's merge lane already decoded
+    // only the new part files); a past-ratio step retrains from the
+    // current untrained chain and declines the merge (cold reassign).
+    val centsTable = graft.sources.Warehouse.tableName(
+      "phash_tr_cents", dir, fp)
     val cents = Artifacts.cached(s, s"phash-ivf-trained-cents:$dir") {
+      val prior: Option[DataFrame] =
+        if (graft.sources.Warehouse.variantComplete(s, centsTable)) None
+        else graft.sources.Warehouse
+          .newestVariant(s, "phash_tr_cents", dir, excluding = centsTable)
+          .flatMap { case (_, path) =>
+            val t = s.read.parquet(path)
+            if (!t.columns.contains("trained_n")) None // pre-cycle table
+            else {
+              val eager = t.localCheckpoint(true) // GC deletes the files
+              val tn = eager.agg(max(col("trained_n"))).head().getLong(0)
+              if (n < Similarity.RetrainGrowthRatio * tn &&
+                  tn < Similarity.RetrainGrowthRatio * n) Some(eager)
+              else None
+            }
+          }
       graft.sources.Warehouse.servedFrame(s, "phash_tr_cents", dir, fp) {
-        val (cents0, assigned0) = phashIvfArtifacts(s, dir)
-        phashMajorityCentroidsFrom(assigned0, cents0)
+        prior.getOrElse {
+          val (cents0, assigned0) = phashIvfArtifacts(s, dir)
+          phashMajorityCentroidsFrom(assigned0, cents0)
+            .withColumn("trained_n", lit(n))
+        }
       }.localCheckpoint(true)
     }
-    val table = graft.sources.Warehouse.tableName("phash_ivf_tr", dir, fp)
+    val centsServe = cents.drop("trained_n")
     val assigned = Artifacts.cached(s, s"phash-ivf-trained-idx:$dir") {
-      graft.sources.Warehouse.servedTable(
-        s, "phash_ivf_tr", dir, fp,
-        bucket = Some(("cell", PhashIdxBuckets))) { name =>
-        val (_, assigned0) = phashIvfArtifacts(s, dir)
-        graft.sources.Sinks.writeBucketed(
-          phashIvfAssign(assigned0.select(col("doc_id"), col("phash")), cents)
-            .select(col("doc_id"), col("phash"), col("cell")),
-          name, "cell", PhashIdxBuckets)
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "phash_ivf_tr", dir, "documents", fp,
+        bucket = Some(("cell", PhashIdxBuckets))) {
+        val (sk, _) = phashSketchWithTwins(s, dir)
+        phashIvfAssign(sk, centsServe)
+          .select(col("doc_id"), col("phash"), col("cell"))
+      } { (old, delta) =>
+        // Merge only at FIXED centroids (reused quantizer). The delta's
+        // sketches come off the merged sketch store — no re-decode of
+        // settled payloads; delta docs have no planted twins (plants
+        // re-key doc_id < PhashPlantCount, settled by construction).
+        val ct = s.table(centsTable)
+        if (!ct.columns.contains("trained_n")) None
+        else if (ct.agg(max(col("trained_n"))).head().getLong(0) == n) None
+        else {
+          val (sk, _) = phashSketchWithTwins(s, dir)
+          Some(old.unionByName(phashIvfAssign(
+            sk.join(delta.select(col("doc_id")), Seq("doc_id")), centsServe)
+            .select(col("doc_id"), col("phash"), col("cell"))))
+        }
       }
-      s.table(table)
     }
-    (cents, assigned)
+    (centsServe, assigned)
   }
 
   /** Train + assign now — Bench's explicit artifact-build row. */

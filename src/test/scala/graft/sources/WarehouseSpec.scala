@@ -1202,6 +1202,61 @@ class WarehouseSpec extends SparkSpec {
     assert(c2 != c3 && i2 != i3, "new corpus state must publish new variants")
   }
 
+  test("phash trained-index retrain cycle mirrors the embedding family: reuse + sketch-store-fed index merge below the ratio, retrain past it") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // 24 docs (+3 planted twins) → K = ceil(sqrt(27)) = 6.
+    // +4 → 28/24 = 1.17 < 1.2: reuse + merge. +32 → 60/24 = 2.5:
+    // retrain (trained_n 60, K = ceil(sqrt(63)) = 8) + cold.
+    val dir = java.nio.file.Files.createTempDirectory("whphret").toString
+    def doc(i: Long) = (i, "web",
+      s"image doc $i " + (1 to 8).map(j => s"px$i-$j").mkString(" "),
+      "en", 40L)
+    val dcols = Seq("doc_id", "source", "text", "lang", "n_chars")
+    (0L until 24L).map(doc).toDF(dcols: _*).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def appendD(lo: Long, hi: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("whphb").toString
+      (lo until hi).map(doc).toDF(dcols: _*).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$dir/documents.parquet/${f.getName}")))
+    }
+    def resolve(): (Map[String, String], String, String) = {
+      val s2 = spark.newSession()
+      Warehouse.drainLanes(s2)
+      Multimodal.warmPhashIvfTrained(s2, dir)
+      val lanes = Warehouse.drainLanes(s2)
+      (lanes, Warehouse.tableName("phash_tr_cents", dir, Warehouse.docsFp(s2, dir)),
+        Warehouse.tableName("phash_ivf_tr", dir, Warehouse.docsFp(s2, dir)))
+    }
+    def laneOf(m: Map[String, String], fam: String): Option[String] =
+      m.collectFirst { case (k, v) if k.takeWhile(_ != '@') == fam => v }
+    def trainedN(c: String): Long =
+      spark.table(c).agg(max(col("trained_n"))).head().getLong(0)
+    val (l1, c1, i1) = resolve()
+    assert(laneOf(l1, "phash_ivf_tr").contains("cold"), s"$l1")
+    assert(trainedN(c1) == 24L && spark.table(c1).count() == 6L)
+    assert(spark.table(i1).count() == 27L, "24 docs + 3 planted twins")
+    appendD(24L, 28L)
+    val (l2, c2, i2) = resolve()
+    assert(laneOf(l2, "phash_ivf_tr").contains("merge"),
+      s"below-ratio growth must merge the trained phash index: $l2")
+    assert(trainedN(c2) == 24L && spark.table(c2).count() == 6L,
+      "reused hamming quantizer must carry trained_n forward")
+    assert(spark.table(i2).count() == 31L, "28 docs + 3 twins")
+    appendD(28L, 60L)
+    val (l3, c3, i3) = resolve()
+    assert(laneOf(l3, "phash_ivf_tr").contains("cold"),
+      s"past-ratio growth must retrain + reassign cold: $l3")
+    assert(trainedN(c3) == 60L && spark.table(c3).count() == 8L,
+      "stale hamming quantizer must retrain at n=60 with K=8")
+    assert(spark.table(i3).count() == 63L)
+    assert(i1 != i2 && i2 != i3)
+  }
+
   test("emb_cc / phash_cc decline arms: PRODUCTION lanes — in-block append merges, a derivePlanes / phashChunkWidth step declines to cold") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal, Similarity}
