@@ -657,6 +657,16 @@ object Similarity {
   def derivePqCodes(n: Long): Int =
     (1 to 8).map(1 << _).find(k => k.toLong * k >= n).getOrElse(256)
 
+  /** TRUE ⟺ appending `batch` vectors onto a corpus now counting `n`
+    * stepped [[derivePqCodes]] — THE decline predicate of the pq_codes
+    * append-merge lane (the [[planeBlockCrossed]] convention: ONE
+    * definition shared by the lane and the WarehouseSpec pin). Codes
+    * are per-vector functions of the codebook; the first-K codebook is
+    * append-invariant at fixed K (ingest only adds larger vec_ids), so
+    * the K step is the only staleness source. */
+  def pqCodesBlockCrossed(n: Long, batch: Long): Boolean =
+    derivePqCodes(n - batch) != derivePqCodes(n)
+
   /** SQL twin of [[derivePqCodes]]: same min-l scan, same cap. The
     * `sfx` parameter (here and in the chain builders below) renames
     * every CTE so two tiers' chains can share one WITH — the
@@ -741,13 +751,22 @@ object Similarity {
     * agnostic — the oracle-checked key passes the deterministic
     * first-K frame, PipelineSpec passes the trained one. */
   def pqTopKWith(e: DataFrame, codebook: DataFrame,
-                 nProbes: Int, k: Int): DataFrame = {
+                 nProbes: Int, k: Int): DataFrame =
+    pqTopKFromCodes(pqEncodeWith(e, codebook), e, codebook, nProbes, k)
+
+  /** The ADC tail over an ALREADY-ENCODED (vec_id, m, code) frame —
+    * split out (round-20) so the serving keys can read the persisted
+    * [[pqCodeStore]] instead of re-encoding the corpus per resolution
+    * (the lshTopKWith convention: ONE tail definition for the inline
+    * and store-fed forms). */
+  def pqTopKFromCodes(codes: DataFrame, e: DataFrame, codebook: DataFrame,
+                      nProbes: Int, k: Int): DataFrame = {
     val lt = subvectors(e.filter(col("vec_id") < nProbes))
       .select(col("vec_id").as("probe_id"), col("m"), col("sv"))
       .join(broadcast(codebook), Seq("m"))
       .select(col("probe_id"), col("m"), col("k"),
         graft.functions.VectorOps.longDot(col("sv"), col("c")).as("pd"))
-    val scored = pqEncodeWith(e, codebook)
+    val scored = codes
       .select(col("vec_id").as("cand_id"), col("m"), col("code").as("k"))
       .join(broadcast(lt), Seq("m", "k"))
       .filter(col("cand_id") =!= col("probe_id"))
@@ -755,6 +774,52 @@ object Similarity {
       .agg(sum(col("pd")).as("adot"))
     graft.functions.TopK.perKey(scored, "probe_id", "adot", "cand_id", k)
       .orderBy("probe_id", "rk")
+  }
+
+  /** The PERSISTED PQ CODE STORE — (vec_id, m, code), M one-byte codes
+    * per vector: the ~64× compressed representation a production
+    * deployment persists IN PLACE OF the raw vectors (round-20 — the
+    * last un-persisted ANN artifact; previously every q_knn_pq*
+    * resolution re-encoded the corpus). Encoded against the
+    * deterministic first-K codebook at K = [[derivePqCodes]](N), keyed
+    * on the embeddings fingerprint; the K-row codebook itself
+    * re-derives per query from the corpus prefix (one pushed-down
+    * `vec_id < K` scan — cheap by construction, so only the
+    * corpus-linear encode persists).
+    *
+    * APPEND-MERGE: codes are per-vector functions of the codebook, and
+    * the first-K codebook is append-invariant at fixed K (ingest only
+    * adds larger vec_ids), so the grown store is old ∪ encode(delta) —
+    * batch-linear — while the derived K holds; a [[derivePqCodes]]
+    * step DECLINES and re-encodes cold (old codes index the wrong
+    * codebook — the lsh_buckets convention, predicate
+    * [[pqCodesBlockCrossed]]). */
+  def pqCodeStore(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"pqcodes:$dir")(
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "pq_codes", dir, "embeddings",
+        graft.sources.Warehouse.embFp(s, dir)) {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), expr(quant).as("v"))
+        val n = graft.sources.Warehouse.countMax(
+          s, s"emb:$dir", e, "vec_id")._1
+        pqEncodeWith(e, pqCodebook(e, derivePqCodes(n)))
+      } { (old, batch) =>
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), expr(quant).as("v"))
+        val n = graft.sources.Warehouse.countMax(
+          s, s"emb:$dir", e, "vec_id")._1
+        if (pqCodesBlockCrossed(n, batch.count())) None
+        else Some(old.unionByName(pqEncodeWith(
+          batch.select(col("vec_id"), expr(quant).as("v")),
+          pqCodebook(e, derivePqCodes(n)))))
+      })
+
+  /** Build the PQ code store NOW — Bench's explicit artifact-build row
+    * (the warmLshBuckets accounting rule). */
+  def warmPqCodes(s: SparkSession, dir: String): Unit = {
+    pqCodeStore(s, dir)
+    ()
   }
 
   def pqTopK(e: DataFrame, kCodes: Int, nProbes: Int, k: Int): DataFrame =
@@ -784,8 +849,17 @@ object Similarity {
     * coarse assignment and the PQ encoding; quantizer-agnostic. */
   def ivfPqIndex(e: DataFrame, centroids: DataFrame,
                  codebook: DataFrame): DataFrame =
+    ivfPqIndexFromCodes(pqEncodeWith(e, codebook), e, centroids)
+
+  /** [[ivfPqIndex]] over an ALREADY-ENCODED code frame — the store-fed
+    * form (round-20): the flat-PQ [[pqCodeStore]] codes are exactly
+    * the IVF-PQ index's code column (same codebook, K =
+    * derivePqCodes(N)), so the composed index pays only the coarse
+    * assignment join, never a re-encode. */
+  def ivfPqIndexFromCodes(codes: DataFrame, e: DataFrame,
+                          centroids: DataFrame): DataFrame =
     assignCells(e, centroids).select(col("vec_id"), col("cell"))
-      .join(pqEncodeWith(e, codebook), Seq("vec_id"))
+      .join(codes, Seq("vec_id"))
       .select(col("vec_id").as("cand_id"), col("cell"),
         col("m"), col("code").as("k"))
 
@@ -1383,18 +1457,30 @@ object Similarity {
     }),
 
     // IVF-PQ composition + its recall audit.
+    // IVF-PQ serving reads the PERSISTED code store too (round-20):
+    // the flat-PQ codes ARE the composed index's code column, so the
+    // key pays the coarse-assignment join plus the probe side only.
     "q_knn_ivfpq" -> ((s, dir) => {
       val n = Tables.embeddings(s, dir).count()
-      ivfPqTopK(Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v")),
-        math.ceil(math.sqrt(n.toDouble)).toInt, derivePqCodes(n), 8, 5)
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
+      val kk = math.ceil(math.sqrt(n.toDouble)).toInt
+      val centroids = e.filter(col("vec_id") < kk)
+        .select(col("vec_id").as("cid"), col("v").as("c"))
+      searchIvfPqIndex(
+        ivfPqIndexFromCodes(pqCodeStore(s, dir), e, centroids),
+        e, centroids, pqCodebook(e, derivePqCodes(n)), 8, 5)
     }),
 
     "q_knn_ivfpq_recall" -> ((s, dir) => {
       val n = Tables.embeddings(s, dir).count()
       val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
+      val kk = math.ceil(math.sqrt(n.toDouble)).toInt
+      val centroids = e.filter(col("vec_id") < kk)
+        .select(col("vec_id").as("cid"), col("v").as("c"))
       val truth = knnBruteTruth(s, dir).select("probe_id", "cand_id")
-      recallVs(truth, ivfPqTopK(e,
-        math.ceil(math.sqrt(n.toDouble)).toInt, derivePqCodes(n), 64, 5))
+      recallVs(truth, searchIvfPqIndex(
+        ivfPqIndexFromCodes(pqCodeStore(s, dir), e, centroids),
+        e, centroids, pqCodebook(e, derivePqCodes(n)), 64, 5))
     }),
 
     // Residual IVF-PQ + its recall audit: PQ over x − c(cell) — the
@@ -1416,17 +1502,23 @@ object Similarity {
 
     // PQ-compressed ANN + its recall audit: deterministic codebooks, so
     // both the code assignment and the ADC ranking reproduce in SQL.
+    // Serving reads the PERSISTED code store (round-20): the
+    // corpus-linear encode happened once per corpus state at ingest;
+    // the key computes only the ≤nProbes probe-side lookup tables.
+    // Deterministic encode ⟹ store ≡ inline ⟹ oracle hashes unchanged.
     "q_knn_pq" -> ((s, dir) => {
       val n = Tables.embeddings(s, dir).count()
-      pqTopK(Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v")),
-        derivePqCodes(n), 8, 5)
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
+      pqTopKFromCodes(pqCodeStore(s, dir), e,
+        pqCodebook(e, derivePqCodes(n)), 8, 5)
     }),
 
     "q_knn_pq_recall" -> ((s, dir) => {
       val n = Tables.embeddings(s, dir).count()
       val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
       val truth = knnBruteTruth(s, dir).select("probe_id", "cand_id")
-      recallVs(truth, pqTopK(e, derivePqCodes(n), 64, 5))
+      recallVs(truth, pqTopKFromCodes(pqCodeStore(s, dir), e,
+        pqCodebook(e, derivePqCodes(n)), 64, 5))
     }),
 
     // Oracle-checked despite being "approximate": the hyperplanes are

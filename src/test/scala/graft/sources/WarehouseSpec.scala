@@ -1257,6 +1257,58 @@ class WarehouseSpec extends SparkSpec {
     assert(i1 != i2 && i2 != i3)
   }
 
+  test("pq_codes append-merge: delta-only encode at a fixed code count; a derivePqCodes step declines to cold") {
+    import graft.operators.Similarity
+    // Shared predicate at the fixture counts (one definition with the
+    // production lane): 40 base → K=8 (64 ≥ 40); +8 → 48 in-block;
+    // +80 → 128 crosses to K=16.
+    assert(!Similarity.pqCodesBlockCrossed(48L, 8L))
+    assert(Similarity.pqCodesBlockCrossed(128L, 80L))
+    val dir = java.nio.file.Files.createTempDirectory("whpqc").toString
+    val esrc = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .orderBy(col("vec_id")).limit(128).localCheckpoint(true)
+    esrc.filter(col("vec_id") < 40).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def appendE(lo: Long, hi: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("whpqb").toString
+      esrc.filter(col("vec_id") >= lo && col("vec_id") < hi).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$dir/embeddings.parquet/${f.getName}")))
+    }
+    def resolve(): (Map[String, String], org.apache.spark.sql.DataFrame) = {
+      val s2 = spark.newSession()
+      Warehouse.drainLanes(s2)
+      val served = Similarity.pqCodeStore(s2, dir)
+      served.count()
+      (Warehouse.drainLanes(s2), served)
+    }
+    def laneOf(m: Map[String, String]): Option[String] =
+      m.collectFirst { case (k, v) if k.takeWhile(_ != '@') == "pq_codes" => v }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    def coldEncode(): org.apache.spark.sql.DataFrame = {
+      val e = Similarity.quantizedVectors(graft.Tables.embeddings(spark, dir))
+      Similarity.pqEncodeWith(e,
+        Similarity.pqCodebook(e, Similarity.derivePqCodes(e.count())))
+    }
+    val (l1, s1) = resolve()
+    assert(laneOf(l1).contains("cold") && s1.count() == 40L * 8)
+    appendE(40L, 48L)
+    val (l2, s2) = resolve()
+    assert(laneOf(l2).contains("merge"),
+      s"in-block append must take the pq_codes merge lane: $l2")
+    assert(rows(s2) == rows(coldEncode()),
+      "merged code store != cold encode over the grown corpus")
+    appendE(48L, 128L)
+    val (l3, s3) = resolve()
+    assert(laneOf(l3).contains("cold"),
+      s"a derivePqCodes step must decline the merge: $l3")
+    assert(rows(s3) == rows(coldEncode()))
+  }
+
   test("emb_cc / phash_cc decline arms: PRODUCTION lanes — in-block append merges, a derivePlanes / phashChunkWidth step declines to cold") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal, Similarity}
