@@ -29,6 +29,7 @@ object ProfMerge {
     val dir = java.nio.file.Files.createTempDirectory("mergeprof").toString
     MergeStage.stage(spark, src, dir, "documents")
     MergeStage.stage(spark, src, dir, "events")
+    MergeStage.stage(spark, src, dir, "embeddings")
     def fam(name: String, table: String, fp: String)
            (cold: => org.apache.spark.sql.DataFrame)
            (merge: (org.apache.spark.sql.DataFrame,
@@ -78,6 +79,21 @@ object ProfMerge {
       (old, delta) => Some(graft.operators.Dedup.ccLabelsMerged(old,
         pairsStore(dFp1).select(col("doc_a"), col("doc_b")),
         delta.select(col("doc_id"))))))
+    // PQ code store (round-20): encode cold vs delta-only encode at
+    // the fixed derived code count (the pqCodeStore callbacks).
+    def pqCb() = graft.operators.Similarity.pqCodebook(
+      graft.operators.Similarity.quantizedVectors(
+        graft.Tables.embeddings(spark, dir)),
+      graft.operators.Similarity.derivePqCodes(
+        graft.Tables.embeddings(spark, dir).count()))
+    val vFp1 = MergeStage.fpOf(spark, dir, "embeddings", "vec_id")
+    window("pq_codes COLD")(fam("pm_pqc", "embeddings", vFp1)(
+      graft.operators.Similarity.pqEncodeWith(
+        graft.operators.Similarity.quantizedVectors(
+          graft.Tables.embeddings(spark, dir)), pqCb()))(
+      (old, b) => Some(old.unionByName(
+        graft.operators.Similarity.pqEncodeWith(
+          graft.operators.Similarity.quantizedVectors(b), pqCb())))))
     // Grow both corpora ~5% (one appended part file each), then resolve
     // the new fingerprints: the MERGE lane.
     val nd = MergeStage.append(spark, dir, "documents", "doc_id")
@@ -106,6 +122,15 @@ object ProfMerge {
       noCold)((old, delta) => Some(graft.operators.Dedup.ccLabelsMerged(old,
         pairsStore(dFp2).select(col("doc_a"), col("doc_b")),
         delta.select(col("doc_id"))))))
+    // Embeddings grow ~2% (stride 50 — inside the derivePqCodes block,
+    // the MergeOracleStage convention).
+    val nv = MergeStage.append(spark, dir, "embeddings", "vec_id", 50)
+    println(s"[merge] appended $nv embeddings (~2%)")
+    val vFp2 = MergeStage.fpOf(spark, dir, "embeddings", "vec_id")
+    window("pq_codes MERGE (+2%)")(fam("pm_pqc", "embeddings", vFp2)(
+      noCold)((old, b) => Some(old.unionByName(
+        graft.operators.Similarity.pqEncodeWith(
+          graft.operators.Similarity.quantizedVectors(b), pqCb())))))
     MergeStage.cleanup(spark, dir)
     spark.stop()
   }
