@@ -825,6 +825,18 @@ object Similarity {
   def pqTopK(e: DataFrame, kCodes: Int, nProbes: Int, k: Int): DataFrame =
     pqTopKWith(e, pqCodebook(e, kCodes), nProbes, k)
 
+  /** Store-fed flat-PQ chain at the corpus's derived code count — the
+    * shared form of every policy-audit and routed-serving site
+    * (round-20): candidate codes come off the persisted
+    * [[pqCodeStore]], so the corpus-linear encode join leaves the
+    * audit/serving chains entirely (it billed inside knn_tier_policy's
+    * build row — the chain's dominant term at ×10). Same arithmetic,
+    * same hashes. */
+  private def pqTopKServed(s: SparkSession, dir: String, e: DataFrame,
+                           n: Long, nProbes: Int, k: Int): DataFrame =
+    pqTopKFromCodes(pqCodeStore(s, dir), e,
+      pqCodebook(e, derivePqCodes(n)), nProbes, k)
+
   /** IVF-PQ — the two quantizers COMPOSED, which is what production ANN
     * systems actually deploy (FAISS's IVFPQ): the coarse quantizer
     * restricts the search to the probe's cell (corpus/K candidates),
@@ -1824,7 +1836,7 @@ object Similarity {
         Seq(
           ("ivf_flat", 512L, ivfTopK(s, dir, kk, 64, 5)
             .select("probe_id", "cand_id")),
-          ("pq", 8L, pqTopK(e, derivePqCodes(n), 64, 5)
+          ("pq", 8L, pqTopKServed(s, dir, e, n, 64, 5)
             .select("probe_id", "cand_id")),
           ("ivfpq_res", 12L, ivfPqResidualTopK(e, kk, derivePqCodes(n), 64, 5)
             .select("probe_id", "cand_id")))
@@ -1864,7 +1876,7 @@ object Similarity {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
     val served = knnSelectedTier(s, dir) match {
       case "pq" =>
-        pqTopK(e, derivePqCodes(n), nProbes, k)
+        pqTopKServed(s, dir, e, n, nProbes, k)
           .withColumnRenamed("adot", "score")
       case "ivfpq_res" =>
         ivfPqResidualTopK(e, kk, derivePqCodes(n), nProbes, k)
@@ -1958,7 +1970,7 @@ object Similarity {
       case "ivf_trained" =>
         ivfTrainedServe(s, dir, nProbes, k).withColumnRenamed("dot", "score")
       case "pq" =>
-        pqTopK(e, derivePqCodes(n), nProbes, k)
+        pqTopKServed(s, dir, e, n, nProbes, k)
           .withColumnRenamed("adot", "score")
       case "ivfpq_res" =>
         ivfPqResidualTopK(e, kk, derivePqCodes(n), nProbes, k)
