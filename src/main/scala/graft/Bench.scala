@@ -20,6 +20,7 @@ object Bench {
     ("ivf_trained_index", (s, d) => operators.Similarity.warmTrainedIndex(s, d)),
     ("lsh_bucket_index", (s, d) => operators.Similarity.warmLshBuckets(s, d)),
     ("pq_code_store", (s, d) => operators.Similarity.warmPqCodes(s, d)),
+    ("res_code_store", (s, d) => operators.Similarity.warmResCodes(s, d)),
     ("phash_cc_labels", (s, d) => operators.Multimodal.warmPhashClusterLabels(s, d)),
     ("phash_ivf_index", (s, d) => operators.Multimodal.warmPhashIvfIndex(s, d)),
     ("phash_ivf_trained", (s, d) => operators.Multimodal.warmPhashIvfTrained(s, d)),

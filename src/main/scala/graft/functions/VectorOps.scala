@@ -192,6 +192,13 @@ case class PlaneFlips(child: Expression, planes: Int, probeBits: Int)
 
   private def numTables: Int = graft.operators.Similarity.NumTables
 
+  /** probeBits clamped to the plane count (round-21, ADVICE): past all
+    * `planes` usable flip bits the selection loop's `best` stays -1 and
+    * indexes out of bounds — probeBuckets clamps at its call site, but
+    * the public Column API passed the knob through raw, so the
+    * expression itself must not be constructible in a crashing shape. */
+  private def pb: Int = math.min(probeBits, planes)
+
   @transient private lazy val weights: Array[Array[Long]] =
     Array.tabulate(numTables * planes)(p =>
       Array.tabulate(64)(d => graft.operators.Similarity.planeWeight(p, d)))
@@ -199,7 +206,7 @@ case class PlaneFlips(child: Expression, planes: Int, probeBits: Int)
   override protected def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), 64)
-    val out = new Array[Long](numTables * probeBits)
+    val out = new Array[Long](numTables * pb)
     val m = new Array[Long](planes)
     val used = new Array[Boolean](planes)
     var t = 0
@@ -220,7 +227,7 @@ case class PlaneFlips(child: Expression, planes: Int, probeBits: Int)
       // probeBits-pass selection of the (|margin|, index)-ascending
       // minima — the array_sort(struct(m, j)) rule, ties on index.
       var k = 0
-      while (k < probeBits) {
+      while (k < pb) {
         var best = -1
         var j = 0
         while (j < planes) {
@@ -228,7 +235,7 @@ case class PlaneFlips(child: Expression, planes: Int, probeBits: Int)
           j += 1
         }
         used(best) = true
-        out(t * probeBits + k) = 1L << best
+        out(t * pb + k) = 1L << best
         k += 1
       }
       t += 1
@@ -252,7 +259,7 @@ case class PlaneFlips(child: Expression, planes: Int, probeBits: Int)
       val used = ctx.freshName("used")
       val best = ctx.freshName("best")
       s"""
-         |long[] $out = new long[${numTables * probeBits}];
+         |long[] $out = new long[${numTables * pb}];
          |int $n = java.lang.Math.min($v.numElements(), 64);
          |long[] $m = new long[$planes];
          |boolean[] $used = new boolean[$planes];
@@ -266,13 +273,13 @@ case class PlaneFlips(child: Expression, planes: Int, probeBits: Int)
          |    $m[$i] = java.lang.Math.abs($acc);
          |    $used[$i] = false;
          |  }
-         |  for (int $k = 0; $k < $probeBits; $k++) {
+         |  for (int $k = 0; $k < $pb; $k++) {
          |    int $best = -1;
          |    for (int $j = 0; $j < $planes; $j++) {
          |      if (!$used[$j] && ($best < 0 || $m[$j] < $m[$best])) $best = $j;
          |    }
          |    $used[$best] = true;
-         |    $out[$t * $probeBits + $k] = 1L << $best;
+         |    $out[$t * $pb + $k] = 1L << $best;
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);

@@ -283,7 +283,14 @@ object Curation {
     * count. */
   def noveltyBatch(batch: DataFrame, index: DataFrame,
                    width: Int): DataFrame = {
+    // ONE batch shingling (round-21, guide §2.4): sh feeds the per-doc
+    // count and the firsts branch — left lazy, the tokenize + md5-fold
+    // subtree ran twice (two full batch scans in the measured plan).
+    // The frame is batch-sized; values unchanged. The FULL novelty()
+    // deliberately re-folds instead (corpus-scale frame; documented
+    // there) — this is the ingest path, where the batch is bounded.
     val sh = shinglesWithPos(batch, width).select("doc_id", "sh_key")
+      .localCheckpoint(true)
     val nsh = sh.groupBy("doc_id")
       .agg(count_distinct(col("sh_key")).as("n_shingles"))
     val novel = sh.groupBy("sh_key").agg(min(col("doc_id")).as("doc_id"))
@@ -1513,7 +1520,13 @@ object Curation {
     * are capped within the batch. */
   def verbatimRemoveBatch(batch: DataFrame, index: DataFrame,
                           width: Int): DataFrame = {
-    val bsh = shinglesWithPos(batch, width)
+    // ONE batch shingling (round-21, guide §2.4): bsh feeds the index
+    // join, the rare-key aggregate, and both sides of the batch-local
+    // self-join — left lazy, Catalyst re-derived the tokenize + md5
+    // fold + posexplode subtree five times (the measured plan scanned
+    // documents 5× with no pushed batch filter). The frame is
+    // batch-sized (tokens × batch docs); values unchanged.
+    val bsh = shinglesWithPos(batch, width).localCheckpoint(true)
     val mc = bsh.as("b").join(index.as("c"), Seq("sh_key"))
       .select(col("b.doc_id").as("bdoc"), col("c.doc_id").as("odoc"),
         col("b.pos").as("bpos"), (col("b.pos") - col("c.pos")).as("diag"))
@@ -1894,9 +1907,16 @@ object Curation {
   }
 
   def importanceWeights(docs: DataFrame): DataFrame = {
+    // ONE corpus pass (round-21, guide §2.4): the tf frame feeds four
+    // consumers below (the score join, both cf frames, and through
+    // them both totals) — left lazy, Catalyst re-derives the
+    // scan+explode+aggregate subtree PER CONSUMER (the measured plan
+    // ran the corpus tokenize 5×, 34 Exchanges). Materializing the
+    // per-doc tf once collapses that to one pass; values unchanged.
     val tf = docs.select(col("doc_id"), col("source"),
         explode(split(lower(col("text")), " ")).as("tok"))
       .groupBy("doc_id", "source", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val cfRaw = tf.groupBy("tok").agg(sum(col("tf")).as("cf_r"))
     val cfTgt = tf.filter(col("source") === DsirTarget)
       .groupBy("tok").agg(sum(col("tf")).as("cf_t"))
@@ -1971,8 +1991,14 @@ object Curation {
              i -> concat(ts[i], ' ', ts[i + 1]))""")).as("b"))
       .select(col("doc_id"), col("source"),
         bigramFeatureCol(col("b")).as("f"))
+    // ONE corpus pass (round-21, guide §2.4 — the importanceWeights
+    // rule): materialize the per-doc bucket tf once; its four
+    // consumers otherwise each re-run the tokenize+md5-hash+aggregate
+    // subtree (5 corpus passes in the measured 34-Exchange plan, and
+    // this key was the suite's most expensive at 3.1 cpu s).
     val tf = bg.groupBy("doc_id", "source", "f")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val cfRaw = tf.groupBy("f").agg(sum(col("tf")).as("cf_r"))
     val cfTgt = tf.filter(col("source") === DsirTarget)
       .groupBy("f").agg(sum(col("tf")).as("cf_t"))

@@ -1132,11 +1132,17 @@ object Events {
     // Transition dwell-time percentiles — the [[dwellFromDist]] tail
     // off the store (gap_ms histogram is IN the store rows).
     "q_events_dwell" -> ((s, dir) =>
+      // dist feeds dwellFromDist's window branch AND totals branch —
+      // left lazy the store scan + aggregate ran twice (round-21,
+      // guide §2.4). The frame is distribution-sized (distinct
+      // (prev_type, dst, gap_ms)); checkpointed HERE, not inside
+      // dwellFromDist, which the streaming twin also calls.
       dwellFromDist(transDistStore(s, dir)
         .filter(col("prev_type").isNotNull)
         .groupBy(col("prev_type"), col("event_type").as("dst"),
           col("gap_ms"))
-        .agg(sum(col("c")).as("c")))),
+        .agg(sum(col("c")).as("c"))
+        .localCheckpoint(true))),
 
     // Daily growth accounting (new/retained/resurrected/churned) off
     // the (user, day) store.

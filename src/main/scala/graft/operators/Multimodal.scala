@@ -618,10 +618,17 @@ object Multimodal {
     val n = math.max(pix.length, 1)
     val img = new java.awt.image.BufferedImage(
       1, n, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // Direct raster fill (round-21, guide §1.2 per-task work): the
+    // INT_RGB raster is one packed int per pixel, so writing the
+    // backing buffer stores bit-for-bit what setRGB stores (setRGB
+    // masks to the same 24 bits) without n per-pixel color-model
+    // dispatches.
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var i = 0
     while (i < n) {
       val v = if (pix.isEmpty) 0 else pix(i) & 0xFF
-      img.setRGB(0, i, (v << 16) | (v << 8) | v)
+      data(i) = (v << 16) | (v << 8) | v
       i += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
@@ -640,11 +647,21 @@ object Multimodal {
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else {
         val w = img.getWidth
-        Some(Array.tabulate(w * img.getHeight) { p =>
-          val rgb = img.getRGB(p % w, p / w)
-          (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF)
+        val h = img.getHeight
+        // ONE bulk getRGB (round-21, guide §1.2): the array form runs
+        // the identical per-pixel color-model conversion as the scalar
+        // call — same values — minus w·h synchronized dispatches and
+        // the per-pixel modulo arithmetic.
+        val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
+        val out = new Array[Int](w * h)
+        var p = 0
+        while (p < out.length) {
+          val rgb = rgbs(p)
+          out(p) = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF)
             + 114 * (rgb & 0xFF)) / 1000
-        })
+          p += 1
+        }
+        Some(out)
       }
     } catch { case _: Exception => None }
 
@@ -701,6 +718,46 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, encodeGrayPng(t)) })
       .toDF("doc_id", "payload")
+  }
+
+  /** [[resizeExec]] ∘ [[renderedPayloads]] FUSED into one partition-
+    * local pass (round-21, guide §1.2 per-task work): the rendered PNG
+    * bytes feed the decoder inside the same closure, so the payload no
+    * longer round-trips through an InternalRow between two
+    * MapPartitions operators (the measured before plan serialized +
+    * deserialized every binary once just to cross the operator
+    * boundary). Same hops — encode, decode, resample, re-encode,
+    * re-decode — same arithmetic, same hashes. */
+  def resizeExecRendered(docs: DataFrame,
+                         outH: Int = ResizeOutH): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val bytes = encodeGrayPng(t)
+        val src = lumaPixels(bytes).getOrElse(bytes.map(_ & 0xFF))
+        val out = resizeNearest(src, outH)
+        val back = lumaPixels(encodeGrayPixels(out))
+          .getOrElse(Array.fill(outH)(0))
+        (id, src.length, outH, back.foldLeft(0L)(_ + _), phashOf(back))
+      })
+      .toDF("doc_id", "src_h", "out_h", "pix_sum", "rhash")
+  }
+
+  /** [[phashSketchDecoded]] ∘ [[renderedPayloads]] fused the same way
+    * (round-21): one MapPartitions, the PNG exists only inside the
+    * closure. Identical (doc_id, phash) contract. */
+  def phashSketchDecodedRendered(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val bytes = encodeGrayPng(t)
+        (id, phashOf(lumaSamples(bytes).getOrElse(byteSamples(bytes))))
+      })
+      .toDF("doc_id", "phash")
   }
 
   /** Banded-hamming near-pairs over [[phashSketch]] sketches. */
@@ -1221,9 +1278,14 @@ object Multimodal {
         if (graft.sources.Warehouse.variantComplete(s, centsTable)) None
         else graft.sources.Warehouse
           .newestVariant(s, "phash_tr_cents", dir, excluding = centsTable)
-          .flatMap { case (_, path) =>
+          .flatMap { case (pname, path) =>
             val t = s.read.parquet(path)
             if (!t.columns.contains("trained_n")) None // pre-cycle table
+            // Reuse requires the append-only witness too (round-21,
+            // ADVICE — the Similarity.trainedIndexArtifacts rule): a
+            // non-append rewrite within the count ratio must retrain.
+            else if (!graft.sources.Warehouse.appendOnlyFrom(
+              s, dir, "documents", pname)) None
             else {
               val eager = t.localCheckpoint(true) // GC deletes the files
               val tn = eager.agg(max(col("trained_n"))).head().getLong(0)
@@ -1232,15 +1294,25 @@ object Multimodal {
               else None
             }
           }
-      graft.sources.Warehouse.servedFrame(s, "phash_tr_cents", dir, fp) {
+      val listed = graft.sources.Warehouse.corpusFiles(s, dir, "documents")
+      val (cname, _) = graft.sources.Warehouse.servedTable(
+        s, "phash_tr_cents", dir, fp, bucket = None) { name =>
         prior.getOrElse {
           val (cents0, assigned0) = phashIvfArtifacts(s, dir)
           phashMajorityCentroidsFrom(assigned0, cents0)
             .withColumn("trained_n", lit(n))
-        }
-      }.localCheckpoint(true)
+        }.write.mode("overwrite").format("parquet").saveAsTable(name)
+        graft.sources.Warehouse.writeStoreManifest(
+          s, dir, "documents", name, listed)
+      }
+      s.table(cname).localCheckpoint(true)
     }
     val centsServe = cents.drop("trained_n")
+    // Centroid-identity stamp (round-21, ADVICE medium) — the
+    // Similarity.trainedIndexArtifacts rule in hamming space: index
+    // rows record which training event assigned them; the merge lane
+    // requires the recorded stamp to name the served cents.
+    val centsTn = cents.agg(max(col("trained_n"))).head().getLong(0)
     val assigned = Artifacts.cached(s, s"phash-ivf-trained-idx:$dir") {
       graft.sources.Warehouse.servedFrameMerged(
         s, "phash_ivf_tr", dir, "documents", fp,
@@ -1248,19 +1320,29 @@ object Multimodal {
         val (sk, _) = phashSketchWithTwins(s, dir)
         phashIvfAssign(sk, centsServe)
           .select(col("doc_id"), col("phash"), col("cell"))
+          .withColumn("cents_tn", lit(centsTn))
       } { (old, delta) =>
         // Merge only at FIXED centroids (reused quantizer). The delta's
         // sketches come off the merged sketch store — no re-decode of
         // settled payloads; delta docs have no planted twins (plants
         // re-key doc_id < PhashPlantCount, settled by construction).
+        // The old index's stamp must name the served cents' training
+        // event (min AND max, one RLE-column pass) — decline otherwise.
         val ct = s.table(centsTable)
         if (!ct.columns.contains("trained_n")) None
         else if (ct.agg(max(col("trained_n"))).head().getLong(0) == n) None
+        else if (!old.columns.contains("cents_tn")) None
         else {
-          val (sk, _) = phashSketchWithTwins(s, dir)
-          Some(old.unionByName(phashIvfAssign(
-            sk.join(delta.select(col("doc_id")), Seq("doc_id")), centsServe)
-            .select(col("doc_id"), col("phash"), col("cell"))))
+          val w = old.agg(min(col("cents_tn")), max(col("cents_tn"))).head()
+          if (w.isNullAt(0) || w.getLong(0) != centsTn ||
+              w.getLong(1) != centsTn) None
+          else {
+            val (sk, _) = phashSketchWithTwins(s, dir)
+            Some(old.unionByName(phashIvfAssign(
+              sk.join(delta.select(col("doc_id")), Seq("doc_id")), centsServe)
+              .select(col("doc_id"), col("phash"), col("cell"))
+              .withColumn("cents_tn", lit(centsTn))))
+          }
         }
       }
     }
@@ -1520,7 +1602,7 @@ object Multimodal {
     // replays every hop from the text bytes (luma identity + PNG
     // losslessness), so the hash match proves the pixels moved.
     "q_mm_resize_exec" -> ((s, dir) =>
-      resizeExec(renderedPayloads(Tables.documents(s, dir)))
+      resizeExecRendered(Tables.documents(s, dir))
         .orderBy("doc_id")),
 
     // Perceptual-hash image near-dup — see [[phashSketch]]/[[phashPairs]]:
@@ -1573,8 +1655,8 @@ object Multimodal {
     // sketch is one partition-local pipeline; the binary exists only
     // inside the stage and never shuffles.
     "q_mm_phash_decoded" -> ((s, dir) =>
-      phashSketchDecoded(
-        renderedPayloads(Tables.documents(s, dir))).orderBy("doc_id")),
+      phashSketchDecodedRendered(Tables.documents(s, dir))
+        .orderBy("doc_id")),
 
     // Incremental image ingest — see phashPairsIncremental: the
     // arriving batch (the doc_id % 5 slice every incremental key uses;

@@ -809,7 +809,13 @@ object Similarity {
           .select(col("vec_id"), expr(quant).as("v"))
         val n = graft.sources.Warehouse.countMax(
           s, s"emb:$dir", e, "vec_id")._1
-        if (pqCodesBlockCrossed(n, batch.count())) None
+        // First-K append-invariance needs the batch to sit entirely
+        // PAST the codebook prefix: an appended file carrying a
+        // vec_id < K changes the codebook while the K step check
+        // still passes — decline to cold (cheap: batch-sized agg).
+        if (pqCodesBlockCrossed(n, batch.count()) ||
+            batch.agg(min(col("vec_id"))).head().getLong(0)
+              < derivePqCodes(n).toLong) None
         else Some(old.unionByName(pqEncodeWith(
           batch.select(col("vec_id"), expr(quant).as("v")),
           pqCodebook(e, derivePqCodes(n)))))
@@ -820,6 +826,105 @@ object Similarity {
   def warmPqCodes(s: SparkSession, dir: String): Unit = {
     pqCodeStore(s, dir)
     ()
+  }
+
+  /** TRUE ⟺ appending `batch` vectors onto a corpus now counting `n`
+    * stepped either derived knob of the residual chain — the coarse
+    * centroid count K = ⌈√N⌉ (the centroids are first-K, so a K step
+    * changes the centroid SET and with it every stored residual) or
+    * the PQ code count ([[derivePqCodes]]) — THE decline predicate of
+    * the res_codes append-merge lane (the [[pqCodesBlockCrossed]]
+    * convention: ONE definition shared by the lane and its spec). */
+  def resCodesBlockCrossed(n: Long, batch: Long): Boolean =
+    math.ceil(math.sqrt((n - batch).toDouble)).toInt !=
+      math.ceil(math.sqrt(n.toDouble)).toInt ||
+      pqCodesBlockCrossed(n, batch)
+
+  /** The first-K RESIDUAL codebook computed from the corpus PREFIX
+    * only: [[residualFrame]] is a row-wise map (broadcast-centroid
+    * assign + subtract), so restricting its output to vec_id < kCodes
+    * equals restricting its input — the same (m, k, c, cc) frame the
+    * inline chain derives from the full residual frame, at prefix cost
+    * (a pushed-down `vec_id < kCodes` scan instead of a corpus pass). */
+  def residualCodebook(e: DataFrame, centroids: DataFrame,
+                       kCodes: Int): DataFrame =
+    pqCodebook(residualFrame(e.filter(col("vec_id") < kCodes), centroids)
+      .select(col("vec_id"), col("v")), kCodes)
+
+  /** The PERSISTED RESIDUAL-CODE STORE — (cand_id, cell, m, k): the
+    * [[ivfPqResidualIndex]] at the corpus-derived parameters (coarse
+    * K = ⌈√N⌉ first-K centroids, PQ K = [[derivePqCodes]](N) first-K
+    * residual codebook), keyed on the embeddings fingerprint
+    * (round-21 — the last inline corpus-scale encode: every
+    * q_knn_ivfpq_res* resolution re-derived the residual frame AND
+    * re-encoded the corpus; the ×10 tier audit adjudicated ~450 cpu s
+    * to exactly this term, SCALE.md's round-20 tier walk). Both
+    * quantizers are deterministic functions of the corpus, so
+    * store-fed search ≡ inline — every oracle hash unchanged.
+    *
+    * APPEND-MERGE: the first-K centroids and the first-K residual
+    * codebook are append-invariant while neither derived K steps AND
+    * the batch only adds vec_ids past both prefixes, so the grown
+    * store is old ∪ residual-encode(delta at fixed centroids +
+    * codebook) — batch-linear. A K step (either knob) or a batch row
+    * inside a prefix DECLINES to cold: centroids or codewords moved,
+    * so every stored code indexes a stale table (the pq_codes
+    * convention, predicate [[resCodesBlockCrossed]] plus the min
+    * vec_id prefix guard). */
+  def resCodeStore(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"rescodes:$dir")(
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "res_codes", dir, "embeddings",
+        graft.sources.Warehouse.embFp(s, dir)) {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), expr(quant).as("v"))
+        val n = graft.sources.Warehouse.countMax(
+          s, s"emb:$dir", e, "vec_id")._1
+        val kk = math.ceil(math.sqrt(n.toDouble)).toInt
+        val centroids = e.filter(col("vec_id") < kk)
+          .select(col("vec_id").as("cid"), col("v").as("c"))
+        ivfPqResidualIndex(e, centroids,
+          residualCodebook(e, centroids, derivePqCodes(n)))
+      } { (old, batch) =>
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), expr(quant).as("v"))
+        val n = graft.sources.Warehouse.countMax(
+          s, s"emb:$dir", e, "vec_id")._1
+        val kk = math.ceil(math.sqrt(n.toDouble)).toInt
+        val kc = derivePqCodes(n)
+        if (resCodesBlockCrossed(n, batch.count()) ||
+            batch.agg(min(col("vec_id"))).head().getLong(0)
+              < math.max(kk, kc).toLong) None
+        else {
+          val centroids = e.filter(col("vec_id") < kk)
+            .select(col("vec_id").as("cid"), col("v").as("c"))
+          Some(old.unionByName(ivfPqResidualIndex(
+            batch.select(col("vec_id"), expr(quant).as("v")),
+            centroids, residualCodebook(e, centroids, kc))))
+        }
+      })
+
+  /** Build the residual-code store NOW — Bench's explicit
+    * artifact-build row (the warmPqCodes accounting rule). */
+  def warmResCodes(s: SparkSession, dir: String): Unit = {
+    resCodeStore(s, dir)
+    ()
+  }
+
+  /** Store-fed residual IVF-PQ chain at the corpus's derived
+    * parameters — the shared form of the registered keys, the tier
+    * audit, and both routed-serving switches (round-21): index rows
+    * come off the persisted [[resCodeStore]], so the corpus-linear
+    * residual encode leaves every serving chain; a resolution pays the
+    * centroid prefix scan, the kCodes-row residual codebook, and the
+    * probe side only. Same arithmetic, same hashes. */
+  private def ivfPqResTopKServed(s: SparkSession, dir: String, e: DataFrame,
+                                 n: Long, nProbes: Int, k: Int): DataFrame = {
+    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
+    val centroids = e.filter(col("vec_id") < kk)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    searchIvfPqResidualIndex(resCodeStore(s, dir), e, centroids,
+      residualCodebook(e, centroids, derivePqCodes(n)), nProbes, k)
   }
 
   def pqTopK(e: DataFrame, kCodes: Int, nProbes: Int, k: Int): DataFrame =
@@ -1142,9 +1247,17 @@ object Similarity {
         if (graft.sources.Warehouse.variantComplete(s, centsTable)) None
         else graft.sources.Warehouse
           .newestVariant(s, "ivf_cents", dir, excluding = centsTable)
-          .flatMap { case (_, path) =>
+          .flatMap { case (pname, path) =>
             val t = s.read.parquet(path)
             if (!t.columns.contains("trained_n")) None // pre-cycle table
+            // Reuse additionally requires the APPEND-ONLY witness
+            // (round-21, ADVICE): a non-append rewrite landing within
+            // the count ratio must retrain — centroids trained on
+            // replaced data would serve a self-consistent but
+            // oracle-divergent index. Prior tables without a manifest
+            // (pre-round-21) decline reuse the same way.
+            else if (!graft.sources.Warehouse.appendOnlyFrom(
+              s, dir, "embeddings", pname)) None
             else {
               val eager = t.localCheckpoint(true)
               val tn = eager.agg(max(col("trained_n"))).head().getLong(0)
@@ -1153,16 +1266,27 @@ object Similarity {
               else None
             }
           }
+      val listed = graft.sources.Warehouse.corpusFiles(s, dir, "embeddings")
       val (cname, _) = graft.sources.Warehouse.servedTable(
         s, "ivf_cents", dir, fp, bucket = None) { name =>
         priorCents
           .getOrElse(lloydCentroids(e, kk, corpusN = n)
             .withColumn("trained_n", lit(n)))
           .write.mode("overwrite").format("parquet").saveAsTable(name)
+        // Append-only witness for the NEXT resolution's reuse decision.
+        graft.sources.Warehouse.writeStoreManifest(
+          s, dir, "embeddings", name, listed)
       }
       s.table(cname).localCheckpoint(true)
     }
     val centsServe = cents.drop("trained_n")
+    // The centroid IDENTITY the index rows are assigned under — stamped
+    // into the index as the constant column `cents_tn` (round-21,
+    // ADVICE medium): trained_n names one training event, so an index
+    // whose stamp mismatches the served cents was assigned under a
+    // DIFFERENT quantizer (e.g. a retrain that published cents but died
+    // before the index published) and must never be merge-grown.
+    val centsTn = cents.agg(max(col("trained_n"))).head().getLong(0)
     val table = graft.sources.Warehouse.tableName("ivf_trained", dir, fp)
     graft.operators.Artifacts.cached(s, s"ivf-trained-idx:$dir") {
       graft.sources.Warehouse.servedFrameMerged(
@@ -1170,18 +1294,29 @@ object Similarity {
         bucket = Some(("cell", TrainedIdxBuckets))) {
         assignCells(e, centsServe)
           .select(col("vec_id"), col("v"), col("cell"))
+          .withColumn("cents_tn", lit(centsTn))
       } { (old, delta) =>
         // Merge is valid ONLY at FIXED centroids: a reused quantizer
         // keeps every settled assignment exact, so the index grows by
         // assigning the delta alone. trained_n == n means THIS corpus
         // state trained fresh — every centroid moved — decline → cold.
+        // The old index's recorded stamp must NAME the served cents'
+        // training event (min AND max witnessed, one RLE-column pass):
+        // any mismatch means mixed or foreign centroids — decline.
         val ct = s.table(centsTable)
         if (!ct.columns.contains("trained_n")) None
         else if (ct.agg(max(col("trained_n"))).head().getLong(0) == n) None
-        else Some(old.unionByName(
-          assignCells(delta.select(col("vec_id"), expr(quant).as("v")),
-            centsServe)
-            .select(col("vec_id"), col("v"), col("cell"))))
+        else if (!old.columns.contains("cents_tn")) None
+        else {
+          val w = old.agg(min(col("cents_tn")), max(col("cents_tn"))).head()
+          if (w.isNullAt(0) || w.getLong(0) != centsTn ||
+              w.getLong(1) != centsTn) None
+          else Some(old.unionByName(
+            assignCells(delta.select(col("vec_id"), expr(quant).as("v")),
+              centsServe)
+              .select(col("vec_id"), col("v"), col("cell"))
+              .withColumn("cents_tn", lit(centsTn))))
+        }
       }
     }
     (centsServe, table)
@@ -1497,19 +1632,22 @@ object Similarity {
 
     // Residual IVF-PQ + its recall audit: PQ over x − c(cell) — the
     // FAISS-style composition; same index size, tighter code domain.
+    // Serving reads the PERSISTED residual-code store (round-21): the
+    // corpus-linear residual derive + encode happened once per corpus
+    // state at ingest; the key computes the centroid prefix, the
+    // kCodes-row residual codebook, and the probe side only.
+    // Deterministic quantizers ⟹ store ≡ inline ⟹ hashes unchanged.
     "q_knn_ivfpq_res" -> ((s, dir) => {
-      val n = Tables.embeddings(s, dir).count()
-      ivfPqResidualTopK(
-        Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v")),
-        math.ceil(math.sqrt(n.toDouble)).toInt, derivePqCodes(n), 8, 5)
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
+      val n = graft.sources.Warehouse.countMax(s, s"emb:$dir", e, "vec_id")._1
+      ivfPqResTopKServed(s, dir, e, n, 8, 5)
     }),
 
     "q_knn_ivfpq_res_recall" -> ((s, dir) => {
-      val n = Tables.embeddings(s, dir).count()
       val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
+      val n = graft.sources.Warehouse.countMax(s, s"emb:$dir", e, "vec_id")._1
       val truth = knnBruteTruth(s, dir).select("probe_id", "cand_id")
-      recallVs(truth, ivfPqResidualTopK(e,
-        math.ceil(math.sqrt(n.toDouble)).toInt, derivePqCodes(n), 64, 5))
+      recallVs(truth, ivfPqResTopKServed(s, dir, e, n, 64, 5))
     }),
 
     // PQ-compressed ANN + its recall audit: deterministic codebooks, so
@@ -1838,7 +1976,7 @@ object Similarity {
             .select("probe_id", "cand_id")),
           ("pq", 8L, pqTopKServed(s, dir, e, n, 64, 5)
             .select("probe_id", "cand_id")),
-          ("ivfpq_res", 12L, ivfPqResidualTopK(e, kk, derivePqCodes(n), 64, 5)
+          ("ivfpq_res", 12L, ivfPqResTopKServed(s, dir, e, n, 64, 5)
             .select("probe_id", "cand_id")))
           .map { case (name, bytes, apx) =>
             truth.join(broadcast(apx.select(col("probe_id"), col("cand_id"),
@@ -1879,7 +2017,7 @@ object Similarity {
         pqTopKServed(s, dir, e, n, nProbes, k)
           .withColumnRenamed("adot", "score")
       case "ivfpq_res" =>
-        ivfPqResidualTopK(e, kk, derivePqCodes(n), nProbes, k)
+        ivfPqResTopKServed(s, dir, e, n, nProbes, k)
           .withColumnRenamed("adot", "score")
       case _ =>
         ivfTopK(s, dir, kk, nProbes, k).withColumnRenamed("dot", "score")
@@ -1973,7 +2111,7 @@ object Similarity {
         pqTopKServed(s, dir, e, n, nProbes, k)
           .withColumnRenamed("adot", "score")
       case "ivfpq_res" =>
-        ivfPqResidualTopK(e, kk, derivePqCodes(n), nProbes, k)
+        ivfPqResTopKServed(s, dir, e, n, nProbes, k)
           .withColumnRenamed("adot", "score")
       case _ =>
         ivfTopK(s, dir, kk, nProbes, k).withColumnRenamed("dot", "score")

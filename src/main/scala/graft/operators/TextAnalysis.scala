@@ -566,10 +566,17 @@ object TextAnalysis {
         """transform(sequence(0, size(ts) - 2),
              i -> named_struct('w1', ts[i], 'w2', ts[i + 1]))""")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // ONE bigram pass + ONE model-half token pass (round-21, guide
+    // §2.4): tf2 feeds cf2 and the score join; cf1 feeds the total and
+    // BOTH backoff joins — left lazy, the measured plan re-tokenized
+    // the corpus 5× (10 parquet scans). cf1 is vocab-bounded, tf2 is
+    // the per-doc bigram frame; both checkpoint. Values unchanged.
     val tf2 = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val cf1 = toks.filter(col("doc_id") % 2 === 0)
       .select(explode(col("ts")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cf"))
+      .localCheckpoint(true)
     val nTok = cf1.agg(sum(col("cf")).as("n"))
     val cf2 = tf2.filter(col("doc_id") % 2 === 0)
       .groupBy("w1", "w2").agg(sum(col("tf")).as("cf2"))
@@ -652,8 +659,12 @@ object TextAnalysis {
     * sketch-twin convention does; verdicts then shift only at bucket
     * boundaries. */
   def ccnetBuckets(docs: DataFrame): DataFrame = {
+    // `scored` feeds both the cutoff aggregate and the bucket join —
+    // checkpoint the doc-count-sized frame so the lmScore chain runs
+    // once (round-21, the lmScore rule).
     val scored = lmScore(docs).select(col("doc_id"), col("lm_score"))
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .localCheckpoint(true)
     val cuts = scored.groupBy(col("lang"))
       .agg(expr(s"percentile(lm_score, ${CcnetP1})").as("c1"),
         expr(s"percentile(lm_score, ${CcnetP2})").as("c2"))
@@ -673,10 +684,16 @@ object TextAnalysis {
   val CcnetP2 = "0.6666666666666666"
 
   def lmScore(docs: DataFrame): DataFrame = {
+    // ONE corpus tokenize (round-21, guide §2.4): tf feeds both the cf
+    // derivation and the score join — left lazy, the scan+explode+agg
+    // subtree runs once per consumer (and once more per consumer of
+    // every CALLER: ccnetBuckets' measured plan re-tokenized the
+    // corpus 4×, 12 parquet scans). Values unchanged.
     val tf = docs
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val cf = tf.groupBy("tok").agg(sum(col("tf")).as("cf"))
     tf.join(cf, Seq("tok"))
       .groupBy("doc_id")

@@ -307,7 +307,13 @@ object Warehouse {
     // vb_matches/vb_offsets v2 (round-19): the stores gained the
     // width-witness column `w` (accessor-stripped) — a v1 table
     // without it would throw inside the merge callbacks' width check.
-    Map("ev_trans" -> 2, "vb_matches" -> 2, "vb_offsets" -> 2)
+    // ivf_trained/phash_ivf_tr v2 (round-21, ADVICE): the assignment
+    // indexes gained the centroid-identity stamp column `cents_tn` —
+    // the merge lane must never union a pre-stamp index (assigned
+    // under unverifiable centroids) with delta rows assigned at the
+    // current quantizer.
+    Map("ev_trans" -> 2, "vb_matches" -> 2, "vb_offsets" -> 2,
+        "ivf_trained" -> 2, "phash_ivf_tr" -> 2)
       .withDefaultValue(1)
 
   /** The deterministic table name for a (family, corpus path, corpus
@@ -402,6 +408,47 @@ object Warehouse {
           t(0) -> (t(1).toLong, if (t.length > 2) t(2).toLong else -1L)
         }.toMap)
     } catch { case _: Exception => None }
+  }
+
+  /** Write the [[servedFrameMerged]]-style source manifest for a store
+    * published through plain [[servedTable]] — exposed (round-21,
+    * ADVICE) so REUSE decisions (the trained-quantizer carry-forward)
+    * get an append-only witness on their centroid tables too. `listed`
+    * must be the corpus listing taken BEFORE the build ran; if the live
+    * listing moved since, nothing is written (the servedFrameMerged
+    * re-verify rule: a manifest recording a stale listing would
+    * mis-witness the next containment check). */
+  def writeStoreManifest(s: SparkSession, dir: String, srcTable: String,
+                         storeName: String,
+                         listed: Map[String, (Long, Long)]): Unit = {
+    val whRoot = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"))
+    val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val loc = new org.apache.hadoop.fs.Path(whRoot, storeName)
+    if (fs.exists(loc) && corpusFiles(s, dir, srcTable) == listed)
+      writeManifest(fs, loc, listed)
+  }
+
+  /** TRUE ⟺ the store at `storeName` carries a source manifest whose
+    * every recorded file is still present in the current
+    * `$dir/$srcTable.parquet` listing with identical length AND mtime —
+    * the append-only containment witness [[servedFrameMerged]]'s merge
+    * lane requires, exposed so quantizer-REUSE lanes can require it
+    * too (a non-append rewrite landing at a similar row count must
+    * retrain, not carry stale centroids forward). Stores with no
+    * manifest (pre-round-21 tables) answer false — the safe lane. */
+  def appendOnlyFrom(s: SparkSession, dir: String, srcTable: String,
+                     storeName: String): Boolean = {
+    val whRoot = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"))
+    val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    readManifest(fs, new org.apache.hadoop.fs.Path(whRoot, storeName))
+      .exists { m =>
+        val files = m - ManifestVersionKey
+        val cur = corpusFiles(s, dir, srcTable)
+        files.nonEmpty &&
+          files.forall { case (f, lm) => cur.get(f).contains(lm) }
+      }
   }
 
   /** GC every OTHER fingerprint variant of (family, corpus) — stale

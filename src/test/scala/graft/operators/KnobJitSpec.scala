@@ -120,6 +120,18 @@ class KnobJitSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("PlaneFlips clamps probeBits to the plane count (round-21 ADVICE: the public Column API passed the knob through raw and crashed past planes)") {
+    val v = vecs(8).localCheckpoint(true)
+    def flips(planes: Int, pb: Int) = rows(v.select(col("vec_id"),
+      graft.functions.VectorOps.planeFlips(col("v"), planes, pb).as("f")))
+    // probeBits > planes must not throw, and must equal the all-planes
+    // selection (there are only `planes` distinct flip bits to rank).
+    assert(flips(4, 8) == flips(4, 4),
+      "over-asked probeBits must clamp to the plane count")
+    // In-range values are untouched by the clamp.
+    assert(flips(8, 2) == flips(8, 2))
+  }
+
   test("lambda-based knob families: generated method size is knob-INVARIANT (simhash banding, phash chunks, verbatim shingles)") {
     import spark.implicits._
     // These families spell the knob inside transform(sequence(...))

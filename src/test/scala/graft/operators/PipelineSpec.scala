@@ -749,6 +749,20 @@ class PipelineSpec extends SparkSpec {
         t.charAt((t.length - 1) * k / (Multimodal.PhashBits - 1)).toInt))
     assert(got == Map(1L -> ref(text), 2L -> ref("a short doc"),
       3L -> ref(text.reverse)), got)
+    // The fused single-pass kernels (round-21: the registered keys'
+    // shape — render + decode in one MapPartitions) must equal the
+    // two-operator composition row for row.
+    assert(Multimodal.phashSketchDecodedRendered(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == got,
+      "fused phashSketchDecodedRendered must equal the composition")
+    val viaComposed = Multimodal.resizeExec(Multimodal.renderedPayloads(docs))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val viaFused = Multimodal.resizeExecRendered(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(viaFused == viaComposed,
+      "fused resizeExecRendered must equal the composition")
   }
 
   test("phash incremental == full restricted to batch-touching pairs; corpus never re-paired") {

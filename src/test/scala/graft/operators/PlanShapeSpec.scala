@@ -16,15 +16,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
-  test("q_text_lm_score tokenizes the corpus once at runtime (tf exchange reused by the cf branch)") {
-    // The cf (corpus-frequency) frame is an aggregate OF the tf frame,
-    // so the initial plan carries two identical scan→explode→tf
-    // subtrees; AQE's exchange reuse must collapse them at runtime —
-    // otherwise the corpus is scanned and exploded twice per call.
+  /** The one-tokenize pin, shape-agnostic (round-21): the tf frame is
+    * either MATERIALIZED once (localCheckpoint → the consumers scan an
+    * ExistingRDD and the plan carries no second tokenize subtree) or
+    * its exchange is AQE-REUSED across the cf branches. Either shape
+    * tokenizes the corpus once per call; neither alone is the pin. */
+  private def tokenizedOnce(p: String): Boolean =
+    p.contains("Scan ExistingRDD") || p.contains("ReusedExchange")
+
+  test("q_text_lm_score tokenizes the corpus once at runtime (tf materialized or exchange reused)") {
+    // The cf (corpus-frequency) frame is an aggregate OF the tf frame:
+    // left to chance the plan carries two identical scan→explode→tf
+    // subtrees and the corpus is scanned and exploded twice per call.
     val df = graft.SparkEntry.queries("q_text_lm_score")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("ReusedExchange"),
+    assert(tokenizedOnce(p),
       p.linesIterator.take(40).mkString("\n"))
   }
 
@@ -37,8 +44,9 @@ class PlanShapeSpec extends SparkSpec {
       val df = graft.SparkEntry.queries(key)(spark, sfDir)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("ReusedExchange"),
-        s"$key: no exchange reuse\n" + p.linesIterator.take(40).mkString("\n"))
+      assert(tokenizedOnce(p),
+        s"$key: tf neither materialized nor reused\n" +
+          p.linesIterator.take(40).mkString("\n"))
     }
   }
 
@@ -55,8 +63,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "corpus shuffled to join a bucket-bounded cf frame\n" +
         p.linesIterator.take(30).mkString("\n"))
-    assert(p.contains("ReusedExchange"),
-      "tf subtree evaluated once per cf branch\n" +
+    assert(tokenizedOnce(p),
+      "tf subtree neither materialized nor reused\n" +
         p.linesIterator.take(40).mkString("\n"))
   }
 
@@ -322,12 +330,12 @@ class PlanShapeSpec extends SparkSpec {
       "corpus-side SMJ in the line-dedup plan:\n" + p.linesIterator.take(60).mkString("\n"))
   }
 
-  test("q_corpus_ccnet_buckets: cutoffs broadcast (5 rows), tf exchange reused") {
+  test("q_corpus_ccnet_buckets: cutoffs broadcast (5 rows), tf tokenized once") {
     val df = graft.SparkEntry.queries("q_corpus_ccnet_buckets")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(40).mkString("\n"))
-    assert(p.contains("ReusedExchange"),
+    assert(tokenizedOnce(p),
       "lm tf frame tokenized more than once:\n" + p.linesIterator.take(40).mkString("\n"))
   }
 
