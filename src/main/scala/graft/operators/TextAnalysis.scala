@@ -566,13 +566,15 @@ object TextAnalysis {
         """transform(sequence(0, size(ts) - 2),
              i -> named_struct('w1', ts[i], 'w2', ts[i + 1]))""")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    // ONE bigram pass + ONE model-half token pass (round-21, guide
-    // §2.4): tf2 feeds cf2 and the score join; cf1 feeds the total and
-    // BOTH backoff joins — left lazy, the measured plan re-tokenized
-    // the corpus 5× (10 parquet scans). cf1 is vocab-bounded, tf2 is
-    // the per-doc bigram frame; both checkpoint. Values unchanged.
+    // ONE model-half token pass (round-21, guide §2.4): cf1 feeds the
+    // total and BOTH backoff joins — vocab-bounded, so materializing
+    // it is free and saves two re-tokenizes. tf2's two consumers (cf2
+    // and the score join) share an IDENTICAL exchange that AQE reuses
+    // at runtime, and tf2 is the token-scale bigram frame — an A/B
+    // this round measured its checkpoint as a net LOSS (the
+    // materialization write outweighs one saved final-aggregate pass),
+    // so tf2 stays lazy. Values unchanged either way.
     val tf2 = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
     val cf1 = toks.filter(col("doc_id") % 2 === 0)
       .select(explode(col("ts")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cf"))
