@@ -553,9 +553,63 @@ object Dedup {
       .agg(count(lit(1)).as("n_dup_docs"))
   }
 
+  /** Local union-find (union-by-min + path compression) over a BOUNDED
+    * two-long-column edge array — the shared small-graph fast path of
+    * [[connectedComponents]] and [[incrementalConnectedComponents]]
+    * (ONE definition, so the two paths can never drift). Union-by-min
+    * keeps every tree's root at its component's minimum id, which IS
+    * the min-label fixed point the distributed loop computes
+    * (equivalence of the paths pinned in PipelineSpec). Returns every
+    * endpoint with its component's min id. */
+  private[operators] def localUnionFind(
+      edges: Array[org.apache.spark.sql.Row]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for (row <- edges; v <- Seq(row.getLong(0), row.getLong(1)))
+      if (!parent.contains(v)) parent(v) = v
+    for (row <- edges) {
+      val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.toSeq.map(n => (n, find(n)))
+  }
+
   def connectedComponents(edges: DataFrame, maxRounds: Int = 64,
                           checkpointDir: Option[String] = None,
-                          onRunDir: String => Unit = _ => ()): DataFrame = {
+                          onRunDir: String => Unit = _ => (),
+                          localMaxEdges: Int = LocalCcMaxEdges): DataFrame = {
+    // SMALL-GRAPH FAST PATH (round-22, guide §1.2/§2.4): below
+    // `localMaxEdges` edges the fixed point is solved with ONE bounded
+    // collect + a driver union-find instead of several distributed
+    // jobs per propagation round — the production split
+    // [[incrementalConnectedComponents]] already applies to its
+    // contracted batch graph, now shared by the full-graph entry. The
+    // probe is the same bounded-size driver action as the loop's own
+    // convergence check (limit N+1, never the unbounded graph); a
+    // graph past the bound falls through to the distributed loop
+    // below, so 100 TB pair graphs never collect. Reliable-mode tests
+    // pass localMaxEdges = 0 to pin the distributed machinery.
+    if (localMaxEdges > 0) {
+      val probe = edges.toDF("ea", "eb").limit(localMaxEdges + 1).collect()
+      if (probe.length <= localMaxEdges) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        // coalesce(1): a LocalTableScan defaults to driver-parallelism
+        // slices, and a store write of the labels would scatter a few
+        // hundred rows across ~32 tiny files — every later table read
+        // then pays ~32 footer reads (measured: cluster serving keys
+        // 0.01 → 0.4 cpu). One partition ⟹ one file; the frame is
+        // ≤ localMaxEdges rows by construction.
+        return localUnionFind(probe).toDF("doc_id", "cluster_rep")
+          .coalesce(1)
+      }
+    }
     val sc = edges.sparkSession.sparkContext
     val runDir = checkpointDir.orElse(sc.getCheckpointDir)
       .map(d => s"$d/graft-cc-${java.util.UUID.randomUUID}")
@@ -591,8 +645,20 @@ object Dedup {
       prev = cur
       val viaPeers = und.join(labels, col("peer") === col("id"))
         .select(col("n").as("id"), col("rep"))
+      // POINTER JUMPING (round-22, guide §2 — iterative shuffles): each
+      // node also adopts its current rep's label (labels(labels(id))).
+      // rep is always a node of id's component holding a label ≥ the
+      // component min, so the invariant and the fixed point are
+      // untouched while the propagation distance closes like 1.6^r
+      // instead of r — a diameter-d chain converges in O(log d) rounds
+      // of one extra node-sized self-join each, instead of d rounds of
+      // edge-sized joins (PipelineSpec's 20-node chain pins equality).
+      val viaRep = labels.select(col("id"), col("rep").as("mid"))
+        .join(labels.select(col("id").as("mid"), col("rep").as("rep")),
+          Seq("mid"))
+        .select(col("id"), col("rep"))
       val (old, oldPath) = (labels, labelsPath)
-      val next = materialize(labels.union(viaPeers)
+      val next = materialize(labels.union(viaPeers).union(viaRep)
         .groupBy(col("id")).agg(min(col("rep")).as("rep")))
       labels = next._1; labelsPath = next._2
       release(old, oldPath) // the new round is materialized; drop the old
@@ -743,22 +809,8 @@ object Dedup {
       if (localEdges.length > localCcMaxEdges)
         connectedComponents(contracted).toDF("node", "rep2")
       else {
-        val parent = scala.collection.mutable.LongMap.empty[Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent(r) != r) r = parent(r)
-          var c = x // path compression
-          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        for (row <- localEdges; v <- Seq(row.getLong(0), row.getLong(1)))
-          if (!parent.contains(v)) parent(v) = v
-        for (row <- localEdges) {
-          val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
         import spark.implicits._
-        parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "rep2")
+        localUnionFind(localEdges).toDF("node", "rep2")
       }
     // One linear corpus pass: relabel members of touched components via
     // the broadcast rep→rep2 map; everyone else keeps their label.
@@ -1086,33 +1138,80 @@ object Dedup {
     * bounded-rounds backstop-that-throws. Each round is one equi join
     * of the verdict-sized frame against the (dropped-doc) parent map
     * plus a checkpoint; the corpus is not involved. */
-  def resolveDupChains(verdicts: DataFrame, maxRounds: Int = 64): DataFrame = {
-    val parents = verdicts.filter(col("dup_of").isNotNull)
+  def resolveDupChains(verdicts: DataFrame, maxRounds: Int = 64,
+                       localMaxParents: Int = LocalCcMaxEdges): DataFrame = {
+    val spark = verdicts.sparkSession
+    // SMALL-CHAIN FAST PATH (round-22, the [[connectedComponents]] /
+    // [[incrementalConnectedComponents]] production split): the parent
+    // map is DROPPED rows only; below `localMaxParents` of them the
+    // chain walk is one bounded collect + a memoized driver walk +
+    // one broadcast relabel join, instead of one distributed join +
+    // checkpoint + convergence collect PER chain hop. dup_of < vec_id
+    // strictly (earlier neighbor), so every walk terminates; the
+    // probe is limit N+1, never the unbounded verdict frame.
+    if (localMaxParents > 0) {
+      val probe = verdicts.filter(col("dup_of").isNotNull)
+        .select(col("vec_id"), col("dup_of"))
+        .limit(localMaxParents + 1).collect()
+      if (probe.length <= localMaxParents) {
+        val next = scala.collection.mutable.LongMap.empty[Long]
+        for (row <- probe) next(row.getLong(0)) = row.getLong(1)
+        val resolved = scala.collection.mutable.LongMap.empty[Long]
+        def res(x: Long): Long = {
+          var path = List.empty[Long]
+          var cur = x
+          while (!resolved.contains(cur) && next.contains(cur)) {
+            path ::= cur; cur = next(cur)
+          }
+          val root = resolved.getOrElse(cur, cur)
+          for (p <- path) resolved(p) = root
+          root
+        }
+        import spark.implicits._
+        val reps = probe.map(r => { val v = r.getLong(0); (v, res(v)) })
+          .toSeq.toDF("vec_id", "rr")
+        return verdicts.join(broadcast(reps), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"), col("keep"),
+            coalesce(col("rr"), col("vec_id")).as("resolved_rep"))
+      }
+    }
+    // Distributed fallback — POINTER DOUBLING over the parent map
+    // (round-22, guide §2 iterative shuffles): each round rewrites
+    // next ← next's next, so hop distance doubles and a depth-d chain
+    // converges in O(log d) parent-sized rounds; the old loop walked
+    // the VERDICT-sized frame one hop per round (d rounds). next
+    // strictly decreases along chains, so an unchanged sum ⇔ every
+    // pointer reached its kept terminal — the CC loop's convergence
+    // rule with the same backstop-that-throws.
+    var p = verdicts.filter(col("dup_of").isNotNull)
       .select(col("vec_id").as("rep"), col("dup_of").as("next"))
       .localCheckpoint(true)
-    var labels = verdicts.select(col("vec_id"), col("cell"), col("keep"),
-      coalesce(col("dup_of"), col("vec_id")).as("rep")).localCheckpoint(true)
-    def sumReps = labels.agg(coalesce(sum(col("rep")), lit(0L)))
+    def sumNext = p.agg(coalesce(sum(col("next")), lit(0L)))
       .collect()(0).getLong(0)
     var prev = -1L
-    var cur = sumReps
+    var cur = sumNext
     var r = 0
     while (r < maxRounds && cur != prev) {
       prev = cur
-      val old = labels
-      labels = labels.join(parents, Seq("rep"), "left")
-        .select(col("vec_id"), col("cell"), col("keep"),
-          coalesce(col("next"), col("rep")).as("rep")).localCheckpoint(true)
+      val old = p
+      val hop = p.select(col("rep").as("next"), col("next").as("next2"))
+      p = p.join(hop, Seq("next"), "left")
+        .select(col("rep"), coalesce(col("next2"), col("next")).as("next"))
+        .localCheckpoint(true)
       old.unpersist()
-      cur = sumReps
+      cur = sumNext
       r += 1
     }
     if (cur != prev)
       throw new IllegalStateException(
         s"dup_of resolution did not converge in $maxRounds rounds")
-    parents.unpersist()
-    labels.select(col("vec_id"), col("cell"), col("keep"),
-      col("rep").as("resolved_rep"))
+    // p stays checkpointed — the returned frame reads it lazily (the
+    // old loop pinned its final labels frame the same way).
+    verdicts
+      .join(p.select(col("rep").as("vec_id"), col("next").as("rr")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("keep"),
+        coalesce(col("rr"), col("vec_id")).as("resolved_rep"))
   }
 
   /** INCREMENTAL SemDeDup — the semantic member of the incremental

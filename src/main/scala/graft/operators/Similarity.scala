@@ -545,9 +545,15 @@ object Similarity {
         .select(col("vec_id").as("probe_id"), col("v")),
       centroids, nprobe)
       .select(col("probe_id"), col("cell"))
+    // The probe-side attach is a probes×nprobe ⋈ probes join — both
+    // sides bounded by the probe count, but post-aggregate size
+    // estimates made the planner SORT-MERGE it (2 Exchanges + 2 Sorts
+    // whose per-partition setup dominated at 32 partitions — the
+    // round-21 inverse-scaling signature). Broadcast the probe side
+    // explicitly (round-22, guide §3.1).
     val probes = cells.join(
-      assigned.filter(col("vec_id") < nProbes)
-        .select(col("vec_id").as("probe_id"), col("v").as("v_p")),
+      broadcast(assigned.filter(col("vec_id") < nProbes)
+        .select(col("vec_id").as("probe_id"), col("v").as("v_p"))),
       Seq("probe_id"))
     val cands = assigned.select(col("cell"), col("vec_id").as("cand_id"), col("v").as("v_c"))
     val scored = broadcast(probes).join(cands, Seq("cell"))
@@ -601,7 +607,9 @@ object Similarity {
     val cells = probeCells(
       probes.select(col("probe_id"), col("v_p").as("v")), centroids, nprobe)
       .select(col("probe_id"), col("cell"))
-    val pr = cells.join(probes, Seq("probe_id"))
+    // Probe-sized join: broadcast explicitly or the planner sort-merges
+    // it on unknown post-aggregate estimates (ivfTopKWith's note).
+    val pr = cells.join(broadcast(probes), Seq("probe_id"))
     val cands = index.select(col("cell"), col("vec_id").as("cand_id"),
       col("v").as("v_c"), col("label").as("lbl_c"))
     val scored = broadcast(pr).join(cands, Seq("cell"))
@@ -1118,7 +1126,7 @@ object Similarity {
     // ADC cell term below.
     val rankedCells = probeCells(probeVecs, centroids, nprobe)
     val lt = rankedCells.select(col("probe_id"), col("cell"))
-      .join(probeVecs, Seq("probe_id"))
+      .join(broadcast(probeVecs), Seq("probe_id"))
       .join(broadcast(codebook.select(col("m"), col("k"), col("c"))))
       .select(col("probe_id"), col("cell"), col("m"), col("k"),
         graft.functions.VectorOps.longDot(
@@ -1354,8 +1362,8 @@ object Similarity {
     val serve = s.newSession()
     serve.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     val index = readIvfPqIndexPruned(serve, table, cellList.toSeq)
-    val pr = rankedCells.join(probeVecs.withColumnRenamed("v", "v_p"),
-      Seq("probe_id"))
+    val pr = rankedCells.join(
+      broadcast(probeVecs.withColumnRenamed("v", "v_p")), Seq("probe_id"))
     val scored = index.select(col("cell"), col("vec_id").as("cand_id"),
         col("v").as("v_c"))
       .join(broadcast(pr), Seq("cell"))

@@ -1340,15 +1340,42 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
     // A 20-node chain has propagation distance 19 — past the old fixed
-    // 8-round cap that silently returned non-converged labels.
+    // 8-round cap that silently returned non-converged labels. Forced
+    // through the DISTRIBUTED loop (localMaxEdges = 0): the pointer-
+    // jumping rounds must converge to the same labels as the local
+    // union-find fast path.
     val chain = (1L until 20L).map(i => (i, i + 1)).toDF("a", "b")
     val ccChain = Dedup.connectedComponents(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ccChain == (1L to 20L).map(_ -> 1L).toMap)
-    // An unreachable backstop throws instead of returning wrong labels.
+    val ccChainDist = Dedup.connectedComponents(chain, localMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccChainDist == ccChain, s"dist=$ccChainDist local=$ccChain")
+    // An unreachable backstop throws instead of returning wrong labels
+    // (pointer jumping covers distance ~2^r, so 3 rounds reach ≤ 4 of
+    // the chain's 19 hops).
     assertThrows[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxRounds = 3).collect()
+      Dedup.connectedComponents(chain, maxRounds = 3, localMaxEdges = 0)
+        .collect()
     }
+  }
+
+  test("full CC: local union-find fast path equals the distributed loop on a random graph") {
+    import spark.implicits._
+    // The round-22 production split on the FULL-graph entry: below the
+    // bound one collect + driver union-find replaces the propagation
+    // loop. Both paths must label a random graph (islands, chains,
+    // merged stars) identically.
+    val rnd = new scala.util.Random(20260819L)
+    val edges = (0 until 80).map(_ =>
+      (rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+      .filter { case (a, b) => a != b }.toDF("a", "b")
+    val local = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(edges, localMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, s"local=$local dist=$dist")
+    assert(local.values.toSet.size > 1, "degenerate fixture: one component")
   }
 
   test("incremental CC equals full recompute: merges, fresh islands, bridge nodes") {
@@ -1390,7 +1417,10 @@ class PipelineSpec extends SparkSpec {
     // mutation, so the shared session is untouched.
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
-    val result = Dedup.connectedComponents(edges, checkpointDir = Some(dir))
+    // localMaxEdges = 0 forces the distributed loop — the reliable-mode
+    // materialization machinery under test is loop-only.
+    val result = Dedup.connectedComponents(edges, checkpointDir = Some(dir),
+      localMaxEdges = 0)
     val cc = result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
     // The reliable path actually wrote materialization data to the dir…
@@ -1430,8 +1460,9 @@ class PipelineSpec extends SparkSpec {
     val edgesB = Seq((7L, 8L), (8L, 9L)).toDF("a", "b")
     var dirA: Option[String] = None
     val a = Dedup.connectedComponents(edgesA, checkpointDir = Some(dir),
-      onRunDir = d => dirA = Some(d))
-    val b = Dedup.connectedComponents(edgesB, checkpointDir = Some(dir))
+      onRunDir = d => dirA = Some(d), localMaxEdges = 0)
+    val b = Dedup.connectedComponents(edgesB, checkpointDir = Some(dir),
+      localMaxEdges = 0)
     assert(a.count() == 2) // A consumed; B deliberately NOT yet
     Dedup.releaseCcRun(spark, dirA.get)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dirA.get)),
@@ -1948,6 +1979,12 @@ class PipelineSpec extends SparkSpec {
     assert(got == Map(
       0L -> (true, 0L), 1L -> (false, 0L), 2L -> (false, 0L)),
       s"resolved: $got")
+    // Forcing the distributed pointer-doubling path (threshold 0) must
+    // resolve the identical terminals as the local memoized walk.
+    val gotDist = Dedup.resolveDupChains(verdicts, localMaxParents = 0)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getLong(3))).toMap
+    assert(gotDist == got, s"dist=$gotDist local=$got")
   }
 
   test("incremental semantic dedup equals the full recompute restricted to the batch") {
