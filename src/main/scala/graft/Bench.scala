@@ -15,6 +15,7 @@ object Bench {
     ("minhash_bands", (s, d) => operators.Dedup.warmMinhashBands(s, d)),
     ("simhash_sketches", (s, d) => operators.Dedup.warmSimhashSketches(s, d)),
     ("cdc_chunks", (s, d) => operators.Dedup.warmCdcChunks(s, d)),
+    ("doc_shingle_store", (s, d) => operators.Curation.warmDocShingles(s, d)),
     ("verbatim_span_index", (s, d) => operators.Curation.warmVerbatimArtifacts(s, d)),
     ("funnel_frames", (s, d) => operators.Curation.warmFunnelFrames(s, d)),
     ("ivf_trained_index", (s, d) => operators.Similarity.warmTrainedIndex(s, d)),

@@ -184,7 +184,15 @@ object Curation {
     // 60-bit intra-doc collision is ~n²/2⁶¹ ≈ never, and when one does
     // occur DuckDB computes the SAME key, so the oracle agrees
     // bit-for-bit either way.
-    val sh = shingles(docs, width)
+    decontaminateFromShingles(shingles(docs, width))
+  }
+
+  /** [[decontaminate]] over a PREBUILT distinct (doc_id, sh_key) frame
+    * — the store-fed form (round-22): ONE tail definition for the
+    * inline and store-fed paths, so the two can never drift. The
+    * registered key hands in [[docShingleStore]]; `decontaminate`
+    * shingles inline (the fixture/funnel form). */
+  def decontaminateFromShingles(sh: DataFrame): DataFrame = {
     val eval_ = sh.filter(col("doc_id") % EvalMod === 0)
       .select(col("sh_key")).distinct().withColumn("hit", lit(1))
     sh.filter(col("doc_id") % EvalMod =!= 0)
@@ -192,6 +200,59 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
       .filter(col("n_hit") > 0)
+  }
+
+  /** TRUE ⟺ appending `batch` docs onto a corpus now counting `n`
+    * stepped the derived shingle width — THE decline predicate of the
+    * doc_shingles append-merge lane (the pqCodesBlockCrossed
+    * convention: ONE definition shared by the lane and its spec).
+    * Shingle keys are per-doc functions OF THE WIDTH; a width step
+    * makes every stored key stale ⟹ cold rebuild. */
+  def shingleWidthCrossed(n: Long, batch: Long): Boolean =
+    deriveShingleWidth(n - batch) != deriveShingleWidth(n)
+
+  /** The PERSISTED DOC-SHINGLE STORE — the distinct (doc_id, sh_key)
+    * frame of the WHOLE corpus at the derived width, keyed on the
+    * documents fingerprint (round-22, the verdict's "shared shingle
+    * store" ask): the per-token md5 fold + rotate-roll is the shared
+    * expensive stage of the exact-decontamination family AND the
+    * novelty family — previously q_decontaminate, _report,
+    * _incremental, q_text_novelty and q_text_novelty_incremental each
+    * re-folded the corpus per resolution (5 corpus-scale folds; ~6 s
+    * of the sf0.1 driver wall). A production pipeline writes this
+    * table at ingest next to the corpus; every gate/report/novelty
+    * consumer filters it by doc_id slice — per-doc shingles are
+    * corpus-independent, so a doc_id-filtered view is BIT-IDENTICAL
+    * to re-shingling the subset (the funnel's basePos exactness
+    * argument) and every oracle hash is unchanged.
+    *
+    * APPEND-MERGE: shingles are per-doc at fixed width, so the grown
+    * store is old ∪ shingles(batch) — batch-linear — while the derived
+    * width holds; a [[deriveShingleWidth]] step DECLINES to cold
+    * (every stored key hashes width-token windows — the lsh_buckets
+    * convention, predicate [[shingleWidthCrossed]]). */
+  def docShingleStore(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"doc-shingles:$dir")(
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "doc_shingles", dir, "documents",
+        graft.sources.Warehouse.docsFp(s, dir)) {
+        val docs = Tables.documents(s, dir)
+        val n = graft.sources.Warehouse.countMax(
+          s, s"docs:$dir", docs, "doc_id")._1
+        shingles(docs, deriveShingleWidth(n))
+      } { (old, batch) =>
+        val n = graft.sources.Warehouse.countMax(
+          s, s"docs:$dir", Tables.documents(s, dir), "doc_id")._1
+        if (shingleWidthCrossed(n, batch.count())) None
+        else Some(old.unionByName(shingles(batch, deriveShingleWidth(n))))
+      })
+
+  /** Build the doc-shingle store NOW — Bench's explicit artifact-build
+    * row (the warmMinhashBands accounting rule: the build is its own
+    * timed row, never hidden inside a serving key). */
+  def warmDocShingles(s: SparkSession, dir: String): Unit = {
+    docShingleStore(s, dir)
+    ()
   }
 
   /** The persisted eval-shingle INDEX: the distinct rolled shingle keys
@@ -214,7 +275,16 @@ object Curation {
     * per arriving batch would be quadratic over the pipeline's life. */
   def decontaminateBatch(batch: DataFrame, index: DataFrame,
                          width: Int): DataFrame =
-    shingles(batch, width)
+    decontaminateBatchFromShingles(shingles(batch, width), index)
+
+  /** [[decontaminateBatch]] over a PREBUILT batch shingle frame — the
+    * store-fed form (round-22): the registered incremental key filters
+    * [[docShingleStore]] to the batch slice (per-doc shingles, so the
+    * filtered view ≡ re-shingling the batch); ONE gate-tail
+    * definition. */
+  def decontaminateBatchFromShingles(batchSh: DataFrame,
+                                     index: DataFrame): DataFrame =
+    batchSh
       .join(broadcast(index.withColumn("hit", lit(1))), Seq("sh_key"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
@@ -244,9 +314,17 @@ object Curation {
     * materializing the token-scale pair frame for sharing); the final
     * join is doc-sized on both sides. Linear at any corpus size —
     * never doc×doc. */
-  def novelty(docs: DataFrame): DataFrame = {
-    val width = deriveShingleWidth(docs.count())
-    val sh = shinglesWithPos(docs, width).select("doc_id", "sh_key")
+  def novelty(docs: DataFrame): DataFrame =
+    noveltyFromShingles(
+      shinglesWithPos(docs, deriveShingleWidth(docs.count()))
+        .select("doc_id", "sh_key"))
+
+  /** [[novelty]] over a PREBUILT (doc_id, sh_key) frame — the
+    * store-fed form (round-22): both aggregates (per-doc distinct
+    * count, per-key min doc) are duplicate-insensitive, so the
+    * DISTINCT [[docShingleStore]] rows and the raw positional frame
+    * produce identical values; ONE tail definition. */
+  def noveltyFromShingles(sh: DataFrame): DataFrame = {
     val nsh = sh.groupBy("doc_id")
       .agg(count_distinct(col("sh_key")).as("n_shingles"))
     val novel = sh.groupBy("sh_key").agg(min(col("doc_id")).as("doc_id"))
@@ -282,15 +360,21 @@ object Curation {
     * side is bounded by the batch's distinct keys, not its token
     * count. */
   def noveltyBatch(batch: DataFrame, index: DataFrame,
-                   width: Int): DataFrame = {
+                   width: Int): DataFrame =
     // ONE batch shingling (round-21, guide §2.4): sh feeds the per-doc
     // count and the firsts branch — left lazy, the tokenize + md5-fold
     // subtree ran twice (two full batch scans in the measured plan).
-    // The frame is batch-sized; values unchanged. The FULL novelty()
-    // deliberately re-folds instead (corpus-scale frame; documented
-    // there) — this is the ingest path, where the batch is bounded.
-    val sh = shinglesWithPos(batch, width).select("doc_id", "sh_key")
-      .localCheckpoint(true)
+    // The frame is batch-sized; values unchanged.
+    noveltyBatchFromShingles(
+      shinglesWithPos(batch, width).select("doc_id", "sh_key")
+        .localCheckpoint(true), index)
+
+  /** [[noveltyBatch]] over a PREBUILT batch shingle frame — the
+    * store-fed form (round-22): the registered incremental key filters
+    * [[docShingleStore]] to the arriving slice (no checkpoint needed —
+    * both consumers read the persisted parquet); ONE tail
+    * definition. */
+  def noveltyBatchFromShingles(sh: DataFrame, index: DataFrame): DataFrame = {
     val nsh = sh.groupBy("doc_id")
       .agg(count_distinct(col("sh_key")).as("n_shingles"))
     val novel = sh.groupBy("sh_key").agg(min(col("doc_id")).as("doc_id"))
@@ -344,9 +428,13 @@ object Curation {
     * output is bounded by the leak volume. The two count-distincts ride
     * one grouped aggregate (an expand doubles the hit rows — hit rows,
     * not the corpus). */
-  def decontaminateReport(docs: DataFrame): DataFrame = {
-    val width = deriveShingleWidth(docs.count())
-    val sh = shingles(docs, width)
+  def decontaminateReport(docs: DataFrame): DataFrame =
+    decontaminateReportFromShingles(
+      shingles(docs, deriveShingleWidth(docs.count())))
+
+  /** [[decontaminateReport]] over a PREBUILT distinct shingle frame —
+    * the store-fed form (round-22); ONE report-tail definition. */
+  def decontaminateReportFromShingles(sh: DataFrame): DataFrame = {
     val eval_ = sh.filter(col("doc_id") % EvalMod === 0)
       .select(col("doc_id").as("eval_id"), col("sh_key"))
     sh.filter(col("doc_id") % EvalMod =!= 0)
@@ -375,12 +463,24 @@ object Curation {
     * shared by q_dedup_minhash and this gate). Threshold 0.8 = the
     * minhash dedup family's, one knob. */
   def decontaminateFuzzy(docs: DataFrame,
-                         threshold: Double = 0.8): DataFrame = {
-    val evalBands = Dedup
-      .minhashBandIndex(docs.filter(col("doc_id") % EvalMod === 0))
+                         threshold: Double = 0.8): DataFrame =
+    decontaminateFuzzyFromBands(
+      Dedup.minhashBandIndex(docs.filter(col("doc_id") % EvalMod === 0)),
+      Dedup.minhashBandIndex(docs.filter(col("doc_id") % EvalMod =!= 0)),
+      docs, threshold)
+
+  /** [[decontaminateFuzzy]] over PREBUILT band frames — the store-fed
+    * form (round-22): bands are a PER-DOC function (shingle → md5-fold
+    * → min — no corpus-global input, fixed permutation constants), so
+    * a doc_id-filtered view of the persisted `minhash_bands` store is
+    * BIT-IDENTICAL to re-banding the slice; the registered keys hand
+    * in store slices and the corpus is never re-signed per
+    * resolution. ONE tail definition (the lshTopKWith convention). */
+  def decontaminateFuzzyFromBands(evalBands0: DataFrame,
+                                  corpusBands: DataFrame, docs: DataFrame,
+                                  threshold: Double = 0.8): DataFrame = {
+    val evalBands = evalBands0
       .select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
-    val corpusBands = Dedup
-      .minhashBandIndex(docs.filter(col("doc_id") % EvalMod =!= 0))
     val cands = corpusBands
       .join(broadcast(evalBands), Seq("band_id", "band_hash"))
       .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
@@ -516,7 +616,9 @@ object Curation {
       val (nDocs, _) = graft.sources.Warehouse.countMax(
         s, s"docs:$dir", Tables.documents(s, dir), "doc_id")
       funnelFrames(Tables.documents(s, dir), Tables.embeddings(s, dir),
-        mat, nInputHint = nDocs)
+        mat, nInputHint = nDocs,
+        bandIndex = Some(() => Dedup.minhashBandStore(s, dir)),
+        docShingles = Some(() => docShingleStore(s, dir)))
     })
   }
 
@@ -548,7 +650,10 @@ object Curation {
                            embeddings: DataFrame,
                            mat: (String, () => DataFrame) => DataFrame =
                              matCheckpoint,
-                           nInputHint: Long = -1L): FunnelFrames = {
+                           nInputHint: Long = -1L,
+                           bandIndex: Option[() => DataFrame] = None,
+                           docShingles: Option[() => DataFrame] = None)
+      : FunnelFrames = {
     // One count: width derivation AND stage 0 — or the caller's
     // already-computed stat (the artifact path's fingerprint pass
     // counted documents moments earlier; a fully-warm resolve should
@@ -603,9 +708,16 @@ object Curation {
     lazy val basePos = shinglesWithPos(
       corpus3.select(col("doc_id"), col("text")), width)
       .localCheckpoint(true)
+    // The eval shingle index serves from the doc-shingle store when the
+    // artifact path provides it (round-22): the funnel's width IS the
+    // full-corpus width the store was built at (both derive from
+    // nInput), and per-doc shingles make the eval-slice filter exact.
     val flagged = mat("fn_flagged", () =>
       basePos.select(col("doc_id"), col("sh_key")).distinct()
-        .join(broadcast(evalShingleIndex(docs, width)
+        .join(broadcast(docShingles
+          .map(d => d().filter(col("doc_id") % EvalMod === 0)
+            .select(col("sh_key")).distinct())
+          .getOrElse(evalShingleIndex(docs, width))
           .withColumn("hit", lit(1))), Seq("sh_key"), "left")
         .groupBy(col("doc_id"))
         .agg(count(col("hit")).as("n_hit"))
@@ -614,12 +726,24 @@ object Curation {
     val s3 = corpus3.join(broadcast(flagged), Seq("doc_id"), "left_anti")
     // 4_fuzzy — MinHash near-dup gate against the SAME frozen eval
     // slice (decontaminateFuzzy's shape: eval bands broadcast, the
-    // survivor corpus never shuffles for the comparison).
+    // survivor corpus never shuffles for the comparison). Under the
+    // artifact path the band frames come off the persisted
+    // `minhash_bands` store (round-22): bands are per-doc, so the
+    // eval slice is a doc_id filter and the survivor slice a semi-join
+    // of the store — bit-identical to re-signing the subsets (the
+    // basePos exactness argument), and the funnel build stops paying
+    // two signature passes. `bandIndex` is a by-need thunk: a
+    // full-hit resolve never touches (or builds) the store.
     val fuzzyFlagged = mat("fn_fuzzy", () => {
-      val evalBands = Dedup
-        .minhashBandIndex(docs.filter(col("doc_id") % EvalMod === 0))
+      val evalBands = bandIndex
+        .map(b => b().filter(col("doc_id") % EvalMod === 0))
+        .getOrElse(
+          Dedup.minhashBandIndex(docs.filter(col("doc_id") % EvalMod === 0)))
         .select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
-      val fuzzyCands = Dedup.minhashBandIndex(s3)
+      val survivorBands = bandIndex
+        .map(b => b().join(s3.select("doc_id"), Seq("doc_id"), "left_semi"))
+        .getOrElse(Dedup.minhashBandIndex(s3))
+      val fuzzyCands = survivorBands
         .join(broadcast(evalBands), Seq("band_id", "band_hash"))
         .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
       Dedup.verifyJaccard(fuzzyCands, docs, 0.8)
@@ -2078,11 +2202,20 @@ object Curation {
   }
 
   val queries: Map[String, Q] = Map(
+    // Served from the persisted [[docShingleStore]] (round-22): the
+    // corpus md5-shingle fold runs once per corpus state at ingest;
+    // the gate pays the slice filters + the broadcast join only.
+    // Per-doc shingles ⟹ store-fed ≡ inline; oracle hashes unchanged.
     "q_decontaminate" -> ((s, dir) =>
-      decontaminate(Tables.documents(s, dir)).orderBy("doc_id")),
+      decontaminateFromShingles(docShingleStore(s, dir)).orderBy("doc_id")),
 
-    // Per-doc marginal n-gram contribution — see [[novelty]].
-    "q_text_novelty" -> ((s, dir) => novelty(Tables.documents(s, dir))),
+    // Per-doc marginal n-gram contribution — see [[novelty]]; served
+    // from the SAME persisted shingle store (round-22 — the two
+    // corpus folds the inline form paid leave the serving path; both
+    // aggregates are duplicate-insensitive, so the distinct store rows
+    // produce identical values).
+    "q_text_novelty" -> ((s, dir) =>
+      noveltyFromShingles(docShingleStore(s, dir))),
 
     // INCREMENTAL novelty — the ingest-time production mode, completing
     // the incremental family for the novelty signal: the firsts index
@@ -2096,12 +2229,19 @@ object Curation {
     // proves incremental == full — the q_decontaminate_incremental
     // proof pattern. The 1-row max(doc_id) action is bounded.
     "q_text_novelty_incremental" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val width = deriveShingleWidth(docs.count())
-      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 4 / 5
-      val index = noveltyIndex(docs.filter(col("doc_id") < cut), width)
-        .localCheckpoint(true)
-      noveltyBatch(docs.filter(col("doc_id") >= cut), index, width)
+      // Store-fed (round-22): the prefix firsts index AND the batch
+      // shingle frame are doc_id-filtered views of the persisted
+      // [[docShingleStore]] (per-doc shingles at the corpus width — the
+      // cut sits at 80% of max doc_id, so the store width IS the
+      // full-corpus width the key always used). The prefix text is
+      // never rescanned and the batch is never re-folded; the cached
+      // countMax stats pass replaces the per-key max(doc_id) job.
+      val sh = docShingleStore(s, dir)
+      val cut = graft.sources.Warehouse.countMax(
+        s, s"docs:$dir", Tables.documents(s, dir), "doc_id")._2 * 4 / 5
+      val index = sh.filter(col("doc_id") < cut)
+        .select(col("sh_key")).distinct()
+      noveltyBatchFromShingles(sh.filter(col("doc_id") >= cut), index)
     }),
 
     // VERBATIM cross-doc span detection (Lee et al.'s "Deduplicating
@@ -2240,17 +2380,30 @@ object Curation {
     // the hash match proves incremental == full — same proof pattern
     // as the incremental CC key.
     "q_decontaminate_incremental" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val width = deriveShingleWidth(docs.count())
-      val index = evalShingleIndex(docs, width).localCheckpoint(true)
-      val batch = docs.filter(
-        col("doc_id") % EvalMod =!= 0 && col("doc_id") % 5 === 0)
-      decontaminateBatch(batch, index, width).orderBy("doc_id")
+      // Store-fed (round-22): the persisted eval index and the batch's
+      // shingles are both doc_id-filtered views of [[docShingleStore]]
+      // (per-doc shingles — the filters commute with the fold), so the
+      // gate touches NO document text at all; the localCheckpoint
+      // stand-in retired like the minhash incremental's (round-17).
+      val sh = docShingleStore(s, dir)
+      val index = sh.filter(col("doc_id") % EvalMod === 0)
+        .select(col("sh_key")).distinct()
+      decontaminateBatchFromShingles(
+        sh.filter(col("doc_id") % EvalMod =!= 0 && col("doc_id") % 5 === 0),
+        index).orderBy("doc_id")
     }),
 
-    // Fuzzy (MinHash) decontamination — see [[decontaminateFuzzy]].
-    "q_decontaminate_fuzzy" -> ((s, dir) =>
-      decontaminateFuzzy(Tables.documents(s, dir))),
+    // Fuzzy (MinHash) decontamination — see [[decontaminateFuzzy]];
+    // both band sides served from the persisted `minhash_bands` store
+    // (round-22): bands are per-doc, so the eval/corpus slices are
+    // doc_id filters of the store and the corpus is never re-signed.
+    "q_decontaminate_fuzzy" -> ((s, dir) => {
+      val bands = Dedup.minhashBandStore(s, dir)
+      decontaminateFuzzyFromBands(
+        bands.filter(col("doc_id") % EvalMod === 0),
+        bands.filter(col("doc_id") % EvalMod =!= 0),
+        Tables.documents(s, dir))
+    }),
 
     // The NON-VACUOUS twin (round-9 advice): the driver corpora hold
     // no fuzzy eval near-dups, so the key above oracle-compares
@@ -2269,7 +2422,16 @@ object Curation {
           expr("""concat_ws(' ',
                     slice(split(text, ' '), 1, size(split(text, ' ')) - 1))""")
             .as("text"))
-      decontaminateFuzzy(docs.unionByName(planted))
+      // Store-fed like the unplanted twin (round-22); only the ONE
+      // planted doc is banded fresh (PlantId % EvalMod ≠ 0 puts it on
+      // the corpus side, exactly where decontaminateFuzzy's filter
+      // routed it).
+      val bands = Dedup.minhashBandStore(s, dir)
+      decontaminateFuzzyFromBands(
+        bands.filter(col("doc_id") % EvalMod === 0),
+        bands.filter(col("doc_id") % EvalMod =!= 0)
+          .unionByName(Dedup.minhashBandIndex(planted)),
+        docs.unionByName(planted))
     }),
 
     // Eval-side contamination report — see [[decontaminateReport]]:
@@ -2282,7 +2444,20 @@ object Curation {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") === 0)
         .select(lit(PlantId).as("doc_id"), col("text"))
-      decontaminateReport(docs.unionByName(planted)).orderBy("eval_id")
+      // Store-fed (round-22) with a WIDTH WITNESS: the key's declared
+      // width derives from the UNION's count (corpus + 1 plant), the
+      // store's from the corpus count — equal except exactly on a
+      // deriveShingleWidth step, where the key falls back to the
+      // inline fold rather than serve stale-width keys (the decline-
+      // to-cold discipline, applied at the read side).
+      val n = graft.sources.Warehouse.countMax(
+        s, s"docs:$dir", Tables.documents(s, dir), "doc_id")._1
+      val w = deriveShingleWidth(n + 1)
+      val sh =
+        if (w == deriveShingleWidth(n))
+          docShingleStore(s, dir).unionByName(shingles(planted, w))
+        else shingles(docs.unionByName(planted), w)
+      decontaminateReportFromShingles(sh).orderBy("eval_id")
     }),
 
     // The composed curation funnel — see [[corpusFunnel]]. Both funnel

@@ -1138,8 +1138,12 @@ object Dedup {
     * bounded-rounds backstop-that-throws. Each round is one equi join
     * of the verdict-sized frame against the (dropped-doc) parent map
     * plus a checkpoint; the corpus is not involved. */
-  def resolveDupChains(verdicts: DataFrame, maxRounds: Int = 64,
+  def resolveDupChains(verdicts0: DataFrame, maxRounds: Int = 64,
                        localMaxParents: Int = LocalCcMaxEdges): DataFrame = {
+    // ONE evaluation of the verdict pipeline (the old loop's labels
+    // checkpoint, kept): the probe and the final relabel join both
+    // read the materialized frame instead of re-running semanticDedup.
+    val verdicts = verdicts0.localCheckpoint(true)
     val spark = verdicts.sparkSession
     // SMALL-CHAIN FAST PATH (round-22, the [[connectedComponents]] /
     // [[incrementalConnectedComponents]] production split): the parent
@@ -1324,7 +1328,8 @@ object Dedup {
     * corpus side — so serving never re-shingles or re-hashes the
     * settled corpus. Deterministic (md5-fold base hash + xxhash64
     * band fold) ⟹ reuse == rebuild. */
-  private def minhashBandStore(s: SparkSession, dir: String): DataFrame =
+  private[operators] def minhashBandStore(s: SparkSession,
+                                          dir: String): DataFrame =
     Artifacts.cached(s, s"minhash-bands:$dir")(
       graft.sources.Warehouse.servedFrameMerged(
         s, "minhash_bands", dir, "documents",

@@ -1309,6 +1309,64 @@ class WarehouseSpec extends SparkSpec {
     assert(rows(s3) == rows(coldEncode()))
   }
 
+  test("doc_shingles append-merge: per-doc fold unions at a fixed width; a deriveShingleWidth step declines to cold; store-fed == inline for every consumer shape") {
+    import graft.operators.Curation
+    // Shared predicate at the fixture counts (one definition with the
+    // production lane): width(80) = width(95) = 6, width(120) = 7.
+    assert(!Curation.shingleWidthCrossed(95L, 15L))
+    assert(Curation.shingleWidthCrossed(120L, 25L))
+    val dir = java.nio.file.Files.createTempDirectory("whdsh").toString
+    val dsrc = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .orderBy(col("doc_id")).limit(120).localCheckpoint(true)
+    dsrc.filter(col("doc_id") < 80).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def appendD(lo: Long, hi: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("whdshb").toString
+      dsrc.filter(col("doc_id") >= lo && col("doc_id") < hi).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$dir/documents.parquet/${f.getName}")))
+    }
+    def resolve(): (Map[String, String], org.apache.spark.sql.DataFrame) = {
+      val s2 = spark.newSession()
+      Warehouse.drainLanes(s2)
+      val served = Curation.docShingleStore(s2, dir)
+      served.count()
+      (Warehouse.drainLanes(s2), served)
+    }
+    def laneOf(m: Map[String, String]): Option[String] =
+      m.collectFirst { case (k, v) if k.takeWhile(_ != '@') == "doc_shingles" => v }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    val (l1, s1) = resolve()
+    assert(laneOf(l1).contains("cold"), s"first resolve must build cold: $l1")
+    // Store-fed == inline for both consumer shapes: the gate (reads
+    // distinct rows as-is) and novelty (duplicate-insensitive
+    // aggregates over the positional inline frame).
+    val docs = graft.Tables.documents(spark, dir)
+    assert(rows(Curation.decontaminateFromShingles(s1))
+      == rows(Curation.decontaminate(docs)),
+      "store-fed decontaminate != inline over the base corpus")
+    assert(rows(Curation.noveltyFromShingles(s1))
+      == rows(Curation.novelty(docs)),
+      "store-fed novelty != inline over the base corpus")
+    appendD(80L, 95L)
+    val (l2, s2f) = resolve()
+    assert(laneOf(l2).contains("merge"),
+      s"in-block append must take the doc_shingles merge lane: $l2")
+    assert(rows(Curation.decontaminateFromShingles(s2f))
+      == rows(Curation.decontaminate(graft.Tables.documents(spark, dir))),
+      "merged shingle store != inline fold over the grown corpus")
+    appendD(95L, 120L)
+    val (l3, s3f) = resolve()
+    assert(laneOf(l3).contains("cold"),
+      s"a deriveShingleWidth step must decline the merge: $l3")
+    assert(rows(Curation.decontaminateFromShingles(s3f))
+      == rows(Curation.decontaminate(graft.Tables.documents(spark, dir))))
+  }
+
   test("emb_cc / phash_cc decline arms: PRODUCTION lanes — in-block append merges, a derivePlanes / phashChunkWidth step declines to cold") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal, Similarity}
