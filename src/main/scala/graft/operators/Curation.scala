@@ -2299,7 +2299,8 @@ object Curation {
       val docs = Tables.documents(s, dir)
       verbatimRemoveFrom(docs.select(col("doc_id"), col("text")),
         verbatimOffsetsArtifact(s, dir),
-        deriveShingleWidth(docs.count()))
+        deriveShingleWidth(graft.sources.Warehouse.countMax(
+          s, s"docs:$dir", docs, "doc_id")._1))
         .orderBy("doc_id")
     }),
 
@@ -2316,7 +2317,8 @@ object Curation {
     // text) proves incremental == from-scratch.
     "q_verbatim_removal_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val width = deriveShingleWidth(docs.count())
+      val width = deriveShingleWidth(graft.sources.Warehouse.countMax(
+        s, s"docs:$dir", docs, "doc_id")._1)
       val corpus = docs.filter(col("doc_id") % 5 =!= 0)
       val batch = docs.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("text"))

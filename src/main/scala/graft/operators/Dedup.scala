@@ -2209,7 +2209,7 @@ object Dedup {
     // same L inside SQL, so the check stays exact while the knob moves.
     "q_dedup_embedding" -> ((s, dir) => {
       val vectors = Similarity.quantizedVectors(Tables.embeddings(s, dir))
-      embeddingPairs(vectors, 0.35, Similarity.derivePlanes(vectors.count()))
+      embeddingPairs(vectors, 0.35, Similarity.derivePlanes(Similarity.embCount(s, dir)))
         .orderBy("id_a", "id_b")
     }),
 
@@ -2236,7 +2236,7 @@ object Dedup {
     // the linearly-derived cell count (oracle derives both the same).
     "q_dedup_semantic" -> ((s, dir) => {
       val vectors = Similarity.quantizedVectors(Tables.embeddings(s, dir))
-      val k = deriveSemCells(vectors.count())
+      val k = deriveSemCells(Similarity.embCount(s, dir))
       semanticDedup(vectors,
         vectors.filter(col("vec_id") < k)
           .select(col("vec_id").as("cid"), col("v").as("c")))
@@ -2248,7 +2248,7 @@ object Dedup {
     // walk.
     "q_dedup_semantic_resolve" -> ((s, dir) => {
       val vectors = Similarity.quantizedVectors(Tables.embeddings(s, dir))
-      val k = deriveSemCells(vectors.count())
+      val k = deriveSemCells(Similarity.embCount(s, dir))
       resolveDupChains(semanticDedup(vectors,
         vectors.filter(col("vec_id") < k)
           .select(col("vec_id").as("cid"), col("v").as("c"))))
@@ -2260,7 +2260,7 @@ object Dedup {
     // artifact frozen from the full table, verdicts for the batch only.
     "q_dedup_semantic_incremental" -> ((s, dir) => {
       val vectors = Similarity.quantizedVectors(Tables.embeddings(s, dir))
-      val k = deriveSemCells(vectors.count())
+      val k = deriveSemCells(Similarity.embCount(s, dir))
       semanticDedupIncremental(vectors,
         vectors.filter(col("vec_id") < k)
           .select(col("vec_id").as("cid"), col("v").as("c")),

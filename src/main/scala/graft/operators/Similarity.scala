@@ -222,11 +222,11 @@ object Similarity {
       graft.sources.Warehouse.servedFrameMerged(
         s, "lsh_buckets", dir, "embeddings",
         graft.sources.Warehouse.embFp(s, dir)) {
-        val n = Tables.embeddings(s, dir).count()
+        val n = embCount(s, dir)
         bucketed(Tables.embeddings(s, dir)
           .select(col("vec_id"), expr(quant).as("v")), derivePlanes(n))
       } { (old, batch) =>
-        val n = Tables.embeddings(s, dir).count()
+        val n = embCount(s, dir)
         if (planeBlockCrossed(n, batch.count())) None
         else Some(old.unionByName(bucketed(
           batch.select(col("vec_id"), expr(quant).as("v")),
@@ -471,6 +471,17 @@ object Similarity {
     }
     cents
   }
+
+  /** The embeddings row count through the session-cached stats pass
+    * (round-22, guide §1.2 serving overhead): ~15 registered keys each
+    * paid their own count() job for the same knob derivation — the
+    * fingerprint machinery already memoizes (count, max) under this
+    * exact token, so every key now shares ONE stats job per session.
+    * Same number by construction (a projection does not change the
+    * row count). */
+  private[operators] def embCount(s: SparkSession, dir: String): Long =
+    graft.sources.Warehouse.countMax(
+      s, s"emb:$dir", Tables.embeddings(s, dir), "vec_id")._1
 
   /** Nearest-centroid cell assignment as a partial-aggregating max_by:
     * the broadcast join emits all K candidate rows for a vector inside
@@ -833,6 +844,7 @@ object Similarity {
     * (the warmLshBuckets accounting rule). */
   def warmPqCodes(s: SparkSession, dir: String): Unit = {
     pqCodeStore(s, dir)
+    pqCodebookArtifact(s, dir)
     ()
   }
 
@@ -913,30 +925,73 @@ object Similarity {
       })
 
   /** Build the residual-code store NOW — Bench's explicit
-    * artifact-build row (the warmPqCodes accounting rule). */
+    * artifact-build row (the warmPqCodes accounting rule). The
+    * session-memoized serving frames (coarse centroids + residual
+    * codebook) are forced here too, so their one materialization
+    * bills to this row, never inside a serving key. */
   def warmResCodes(s: SparkSession, dir: String): Unit = {
     resCodeStore(s, dir)
+    resCentroidsArtifact(s, dir)
+    resCodebookArtifact(s, dir)
     ()
   }
+
+  /** Session-memoized first-K coarse centroids at the corpus's derived
+    * K = ⌈√N⌉ (round-22, the verdict's serving-overhead consolidation):
+    * every residual-tier serving key re-planned and re-ran the same
+    * kk-row prefix scan per resolution. Materialized once (a kk-row
+    * frame), forced in [[warmResCodes]]'s timed row. Same rows by
+    * construction — the memo only moves the derivation, never the
+    * arithmetic. Memo key is (session, dir), the pqCodeStore
+    * convention; the frames re-derive per session, so a corpus mutated
+    * between sessions can never serve stale centroids. */
+  private def resCentroidsArtifact(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"res-cents:$dir") {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), expr(quant).as("v"))
+      val kk = math.ceil(math.sqrt(embCount(s, dir).toDouble)).toInt
+      e.filter(col("vec_id") < kk)
+        .select(col("vec_id").as("cid"), col("v").as("c"))
+        .localCheckpoint(true)
+    }
+
+  /** Session-memoized residual PQ codebook at the derived code count —
+    * the kCodes-row twin of [[resCentroidsArtifact]] (VERDICT item 6:
+    * "persist the kCodes-row codebook beside the res_code store"; a
+    * session memo rather than a parquet table, because the frame is
+    * ≤256 rows and a table read would cost more than the derivation —
+    * the consolidation win is not re-planning it per key). */
+  private def resCodebookArtifact(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"res-codebook:$dir") {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), expr(quant).as("v"))
+      residualCodebook(e, resCentroidsArtifact(s, dir),
+        derivePqCodes(embCount(s, dir))).localCheckpoint(true)
+    }
 
   /** Store-fed residual IVF-PQ chain at the corpus's derived
     * parameters — the shared form of the registered keys, the tier
     * audit, and both routed-serving switches (round-21): index rows
-    * come off the persisted [[resCodeStore]], so the corpus-linear
-    * residual encode leaves every serving chain; a resolution pays the
-    * centroid prefix scan, the kCodes-row residual codebook, and the
+    * come off the persisted [[resCodeStore]] and the centroid/codebook
+    * frames off the session memos (round-22), so a resolution pays the
     * probe side only. Same arithmetic, same hashes. */
   private def ivfPqResTopKServed(s: SparkSession, dir: String, e: DataFrame,
-                                 n: Long, nProbes: Int, k: Int): DataFrame = {
-    val kk = math.ceil(math.sqrt(n.toDouble)).toInt
-    val centroids = e.filter(col("vec_id") < kk)
-      .select(col("vec_id").as("cid"), col("v").as("c"))
-    searchIvfPqResidualIndex(resCodeStore(s, dir), e, centroids,
-      residualCodebook(e, centroids, derivePqCodes(n)), nProbes, k)
-  }
+                                 n: Long, nProbes: Int, k: Int): DataFrame =
+    searchIvfPqResidualIndex(resCodeStore(s, dir), e,
+      resCentroidsArtifact(s, dir), resCodebookArtifact(s, dir), nProbes, k)
 
   def pqTopK(e: DataFrame, kCodes: Int, nProbes: Int, k: Int): DataFrame =
     pqTopKWith(e, pqCodebook(e, kCodes), nProbes, k)
+
+  /** Session-memoized flat-PQ codebook at the derived code count — the
+    * [[resCodebookArtifact]] twin for the flat tier; forced in
+    * [[warmPqCodes]]'s timed row. */
+  private def pqCodebookArtifact(s: SparkSession, dir: String): DataFrame =
+    Artifacts.cached(s, s"pq-codebook:$dir") {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), expr(quant).as("v"))
+      pqCodebook(e, derivePqCodes(embCount(s, dir))).localCheckpoint(true)
+    }
 
   /** Store-fed flat-PQ chain at the corpus's derived code count — the
     * shared form of every policy-audit and routed-serving site
@@ -948,7 +1003,7 @@ object Similarity {
   private def pqTopKServed(s: SparkSession, dir: String, e: DataFrame,
                            n: Long, nProbes: Int, k: Int): DataFrame =
     pqTopKFromCodes(pqCodeStore(s, dir), e,
-      pqCodebook(e, derivePqCodes(n)), nProbes, k)
+      pqCodebookArtifact(s, dir), nProbes, k)
 
   /** IVF-PQ — the two quantizers COMPOSED, which is what production ANN
     * systems actually deploy (FAISS's IVFPQ): the coarse quantizer
@@ -1602,7 +1657,7 @@ object Similarity {
     // counts over the deterministic first-K quantizer, empty cells
     // surfaced.
     "q_knn_ivf_stats" -> ((s, dir) => {
-      val n = Tables.embeddings(s, dir).count()
+      val n = embCount(s, dir)
       val kk = math.ceil(math.sqrt(n.toDouble)).toInt
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), expr(quant).as("v"))
@@ -1616,18 +1671,18 @@ object Similarity {
     // the flat-PQ codes ARE the composed index's code column, so the
     // key pays the coarse-assignment join plus the probe side only.
     "q_knn_ivfpq" -> ((s, dir) => {
-      val n = Tables.embeddings(s, dir).count()
+      val n = embCount(s, dir)
       val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
       val kk = math.ceil(math.sqrt(n.toDouble)).toInt
       val centroids = e.filter(col("vec_id") < kk)
         .select(col("vec_id").as("cid"), col("v").as("c"))
       searchIvfPqIndex(
         ivfPqIndexFromCodes(pqCodeStore(s, dir), e, centroids),
-        e, centroids, pqCodebook(e, derivePqCodes(n)), 8, 5)
+        e, centroids, pqCodebookArtifact(s, dir), 8, 5)
     }),
 
     "q_knn_ivfpq_recall" -> ((s, dir) => {
-      val n = Tables.embeddings(s, dir).count()
+      val n = embCount(s, dir)
       val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
       val kk = math.ceil(math.sqrt(n.toDouble)).toInt
       val centroids = e.filter(col("vec_id") < kk)
@@ -1635,7 +1690,7 @@ object Similarity {
       val truth = knnBruteTruth(s, dir).select("probe_id", "cand_id")
       recallVs(truth, searchIvfPqIndex(
         ivfPqIndexFromCodes(pqCodeStore(s, dir), e, centroids),
-        e, centroids, pqCodebook(e, derivePqCodes(n)), 64, 5))
+        e, centroids, pqCodebookArtifact(s, dir), 64, 5))
     }),
 
     // Residual IVF-PQ + its recall audit: PQ over x − c(cell) — the
@@ -1665,18 +1720,16 @@ object Similarity {
     // the key computes only the ≤nProbes probe-side lookup tables.
     // Deterministic encode ⟹ store ≡ inline ⟹ oracle hashes unchanged.
     "q_knn_pq" -> ((s, dir) => {
-      val n = Tables.embeddings(s, dir).count()
       val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
       pqTopKFromCodes(pqCodeStore(s, dir), e,
-        pqCodebook(e, derivePqCodes(n)), 8, 5)
+        pqCodebookArtifact(s, dir), 8, 5)
     }),
 
     "q_knn_pq_recall" -> ((s, dir) => {
-      val n = Tables.embeddings(s, dir).count()
       val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
       val truth = knnBruteTruth(s, dir).select("probe_id", "cand_id")
       recallVs(truth, pqTopKFromCodes(pqCodeStore(s, dir), e,
-        pqCodebook(e, derivePqCodes(n)), 64, 5))
+        pqCodebookArtifact(s, dir), 64, 5))
     }),
 
     // Oracle-checked despite being "approximate": the hyperplanes are
@@ -1689,7 +1742,7 @@ object Similarity {
       // Serving reads the PERSISTED bucket index (round-19); only the
       // probe side (64 rows — probeFilter pushes into the scan)
       // computes its multi-probe buckets on the fly.
-      val n = Tables.embeddings(s, dir).count()
+      val n = embCount(s, dir)
       lshTopKWith(lshBucketStore(s, dir),
         probeBuckets(Tables.embeddings(s, dir)
           .select(col("vec_id"), expr(quant).as("v"))
@@ -1703,7 +1756,7 @@ object Similarity {
     // against search cost N/K). The count() is one footer-only job; both
     // engines derive the same K so the oracle stays exact at any SF.
     "q_knn_ivf" -> ((s, dir) => {
-      val n = Tables.embeddings(s, dir).count()
+      val n = embCount(s, dir)
       ivfTopK(s, dir, math.ceil(math.sqrt(n.toDouble)).toInt, 8, 5)
     }),
 
@@ -1727,7 +1780,7 @@ object Similarity {
     // own approx chain plus a probes×k table read, which is how a
     // production index evaluation runs at 100 TB.
     "q_knn_recall" -> ((s, dir) => {
-      val n = Tables.embeddings(s, dir).count()
+      val n = embCount(s, dir)
       val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
       val truth = knnBruteTruth(s, dir).select("probe_id", "cand_id")
       val approx = lshTopKWith(lshBucketStore(s, dir),
@@ -1740,7 +1793,7 @@ object Similarity {
     // Filtered ANN — see [[ivfFilteredTopKWith]]: the label predicate
     // inline in the cell join, FilteredNprobe over-probing.
     "q_knn_ivf_filtered" -> ((s, dir) => {
-      val n = Tables.embeddings(s, dir).count()
+      val n = embCount(s, dir)
       ivfFilteredTopK(s, dir, math.ceil(math.sqrt(n.toDouble)).toInt, 8, 5)
     }),
 
@@ -1750,7 +1803,7 @@ object Similarity {
     // over-probed cell search recovers. Deterministic both sides ⇒
     // oracle-exact like the other recall audits.
     "q_knn_ivf_filtered_recall" -> ((s, dir) => {
-      val n = Tables.embeddings(s, dir).count()
+      val n = embCount(s, dir)
       val truth = bruteFiltered(s, dir, 64, 5).select("probe_id", "cand_id")
       val approx = ivfFilteredTopK(
         s, dir, math.ceil(math.sqrt(n.toDouble)).toInt, 64, 5)
@@ -1763,7 +1816,7 @@ object Similarity {
     // this key makes that skew a driver-visible measured number instead
     // of a code comment, exactly like the LSH path's audit.
     "q_knn_ivf_recall" -> ((s, dir) => {
-      val n = Tables.embeddings(s, dir).count()
+      val n = embCount(s, dir)
       val truth = knnBruteTruth(s, dir).select("probe_id", "cand_id")
       val approx = ivfTopK(s, dir, math.ceil(math.sqrt(n.toDouble)).toInt, 64, 5)
       recallVs(truth, approx)
@@ -1919,7 +1972,7 @@ object Similarity {
     knnIvfSelectedQuantizer(s, dir) match {
       case "trained" => ivfTrainedServe(s, dir, nProbes, k)
       case _ =>
-        val n = Tables.embeddings(s, dir).count()
+        val n = embCount(s, dir)
         ivfTopK(s, dir, math.ceil(math.sqrt(n.toDouble)).toInt, nProbes, k)
     }
 
@@ -2017,7 +2070,7 @@ object Similarity {
     * follow the tier, which is the point of the policy). */
   def knnTierServeRouted(s: SparkSession, dir: String,
                          nProbes: Int, k: Int): DataFrame = {
-    val n = Tables.embeddings(s, dir).count()
+    val n = embCount(s, dir)
     val kk = math.ceil(math.sqrt(n.toDouble)).toInt
     val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(quant).as("v"))
     val served = knnSelectedTier(s, dir) match {
