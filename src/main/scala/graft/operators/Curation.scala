@@ -623,9 +623,11 @@ object Curation {
   }
 
   /** Build the shared span-family artifacts now (index → matches →
-    * offsets) — Bench's explicit artifact-build pass. */
+    * offsets, plus the incremental key's settled-slice index) —
+    * Bench's explicit artifact-build pass. */
   def warmVerbatimArtifacts(s: SparkSession, dir: String): Unit = {
     verbatimOffsetsArtifact(s, dir)
+    vbIncIndexArtifact(s, dir)
     ()
   }
 
@@ -1331,6 +1333,34 @@ object Curation {
         graft.sources.Warehouse.docsFp(s, dir))(
         verbatimIndexStore(Tables.documents(s, dir), width))(
         verbatimIndexMerged(width))
+    }
+
+  /** The persisted corpus-side index of the INCREMENTAL verbatim key —
+    * [[verbatimIndexStore]] over the settled slice (doc_id % 5 ≠ 0) at
+    * the full-corpus derived width (round-22): the key's doc always
+    * said "the corpus's positions-aware shingle index is built once
+    * and PERSISTED (localCheckpoint stands in for the write)"; the
+    * stand-in is now retired like the minhash/decontaminate
+    * incrementals' (round-17 pattern). The store's position rows
+    * (df ≤ cap) ARE [[verbatimIndex]]'s rows over the slice — the
+    * df-capped key set is identical, markers are filtered at the read
+    * — so store-fed ≡ inline and the oracle's from-scratch replay is
+    * unchanged. Append-merge: [[verbatimIndexMerged]] over the delta's
+    * settled-slice rows (df additivity holds on any disjoint doc
+    * split); a width step declines inside the shared callback. */
+  private[graft] def vbIncIndexArtifact(s: SparkSession,
+                                        dir: String): DataFrame =
+    Artifacts.cached(s, s"vb-inc-index:$dir") {
+      val nDocs = graft.sources.Warehouse.countMax(
+        s, s"docs:$dir", Tables.documents(s, dir), "doc_id")._1
+      val width = deriveShingleWidth(nDocs)
+      graft.sources.Warehouse.servedFrameMerged(
+        s, "vb_inc_idx", dir, "documents",
+        graft.sources.Warehouse.docsFp(s, dir))(
+        verbatimIndexStore(
+          Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0), width))(
+        (old, delta) => verbatimIndexMerged(width)(
+          old, delta.filter(col("doc_id") % 5 =!= 0)))
     }
 
   /** Crossed-THIS-STEP keys, recomputable without the superseded index
@@ -2319,10 +2349,15 @@ object Curation {
       val docs = Tables.documents(s, dir)
       val width = deriveShingleWidth(graft.sources.Warehouse.countMax(
         s, s"docs:$dir", docs, "doc_id")._1)
-      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
       val batch = docs.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("text"))
-      val index = verbatimIndex(corpus, width).localCheckpoint(true)
+      // Store-fed (round-22): the settled slice's persisted index
+      // ([[vbIncIndexArtifact]]) replaces the per-resolution inline
+      // build; position rows (markers filtered) are exactly
+      // verbatimIndex's frame over the slice.
+      val index = vbIncIndexArtifact(s, dir)
+        .filter(col("doc_id").isNotNull)
+        .select(col("sh_key"), col("doc_id"), col("pos"))
       verbatimRemoveBatch(batch, index, width).orderBy("doc_id")
     }),
 

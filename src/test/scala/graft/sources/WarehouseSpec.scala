@@ -1367,6 +1367,54 @@ class WarehouseSpec extends SparkSpec {
       == rows(Curation.decontaminate(graft.Tables.documents(spark, dir))))
   }
 
+  test("vb_inc_idx: the settled-slice index store equals the inline verbatimIndex, cold and after an in-width append merge") {
+    import graft.operators.Curation
+    val dir = java.nio.file.Files.createTempDirectory("whvbi").toString
+    val dsrc = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .orderBy(col("doc_id")).limit(95).localCheckpoint(true)
+    dsrc.filter(col("doc_id") < 80).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    def storeFed(s2: org.apache.spark.sql.SparkSession) =
+      Curation.vbIncIndexArtifact(s2, dir)
+        .filter(col("doc_id").isNotNull)
+        .select(col("sh_key"), col("doc_id"), col("pos"))
+    def inline() = {
+      val docs = graft.Tables.documents(spark, dir)
+      Curation.verbatimIndex(docs.filter(col("doc_id") % 5 =!= 0),
+        Curation.deriveShingleWidth(docs.count()))
+        .select(col("sh_key"), col("doc_id"), col("pos"))
+    }
+    def resolve(): (Map[String, String], org.apache.spark.sql.DataFrame) = {
+      val s2 = spark.newSession()
+      Warehouse.drainLanes(s2)
+      val served = storeFed(s2)
+      served.count()
+      (Warehouse.drainLanes(s2), served)
+    }
+    def laneOf(m: Map[String, String]): Option[String] =
+      m.collectFirst { case (k, v) if k.takeWhile(_ != '@') == "vb_inc_idx" => v }
+    val (l1, i1) = resolve()
+    assert(laneOf(l1).contains("cold"), s"first resolve must build cold: $l1")
+    assert(rows(i1) == rows(inline()),
+      "store-fed slice index != inline verbatimIndex (cold)")
+    // In-width append (80 → 95 docs: width 6 holds): merge lane, still
+    // equal to the inline rebuild over the grown corpus.
+    val tmp = java.nio.file.Files.createTempDirectory("whvbib").toString
+    dsrc.filter(col("doc_id") >= 80).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .foreach(f => java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/documents.parquet/${f.getName}")))
+    val (l2, i2) = resolve()
+    assert(laneOf(l2).contains("merge"),
+      s"in-width append must take the vb_inc_idx merge lane: $l2")
+    assert(rows(i2) == rows(inline()),
+      "merged slice index != inline verbatimIndex over the grown corpus")
+  }
+
   test("emb_cc / phash_cc decline arms: PRODUCTION lanes — in-block append merges, a derivePlanes / phashChunkWidth step declines to cold") {
     import spark.implicits._
     import graft.operators.{Dedup, Multimodal, Similarity}
