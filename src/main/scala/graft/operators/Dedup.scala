@@ -218,6 +218,61 @@ object Dedup {
   private[operators] val NgramThrDen = 10
   private[operators] val NgramThr: Double = NgramThrNum.toDouble / NgramThrDen
 
+  /** Prefix-token posting lists LONGER than this self-join through the
+    * salted grid below instead of the plain tok-keyed join (round-22,
+    * guide §2.5 hot keys): candidate enumeration for one token is
+    * df(tok)² rows in ONE join task, so a single hot prefix token
+    * serializes the whole stage — the ×10 probe measured q_dedup_ngram
+    * at wall ≈ cpu ≈ 81 s at BOTH 8 and 32 cores (zero parallelism).
+    * Below the bound a token's task is ≤ 256² = 65k candidate rows —
+    * cheap; above it the a-side salts by doc hash into [[NgramSaltG]]
+    * sub-keys and the b-side replicates per sub-key, splitting df²
+    * across the grid. The candidate SET is unchanged (each (a,b) pair
+    * still meets exactly once per shared token, at g = hash(a)), so
+    * verify input, output, and every oracle hash are identical. */
+  private[operators] val NgramHotDf = 256
+  private[operators] val NgramSaltG = 32
+
+  /** The hot/cold-split candidate self-join shared by [[ngramPairs]]
+    * and [[ngramPairsTouching]]: `a` and `b` are (tok, df, doc, n)
+    * prefix frames (possibly different — the touching lane pairs batch
+    * prefixes against all prefixes); emits the raw (doc_a/n_a ×
+    * doc_b/n_b) candidate rows BEFORE the order/size filters, which
+    * stay at the call sites. */
+  private def prefixCandidates(a: DataFrame, b: DataFrame): DataFrame = {
+    // EXPLICIT-N repartition on the join keys (round-22): the prefix
+    // frames are a few MB however large the corpus slice — AQE's
+    // bytes-based coalescing folded the whole candidate enumeration
+    // into ONE post-shuffle partition (the ×10 probe's wall ≈ cpu
+    // signature), because coalescing cannot see that this stage
+    // GENERATES df² rows from compact inputs. A repartition with an
+    // explicit partition count is REPARTITION_BY_NUM — AQE leaves it
+    // alone — and the join reuses the partitioning (same keys, same
+    // N), so enumeration runs at the session's configured width. The
+    // count comes from spark.sql.shuffle.partitions: the one
+    // scale-parameterized width knob the engine already carries
+    // (Bench sets it to the core count; a cluster deployment sizes it
+    // for the cluster — no local constant).
+    val np = a.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    def cols(df: DataFrame, side: String) =
+      df.select(col("tok"), col("df"), col("doc_id").as(s"doc_$side"),
+        col("n").as(s"n_$side"))
+    val aC = cols(a, "a"); val bC = cols(b, "b")
+    val cold = aC.filter(col("df") <= NgramHotDf)
+      .repartition(np, col("tok"))
+      .join(bC.filter(col("df") <= NgramHotDf).drop("df")
+        .repartition(np, col("tok")), Seq("tok"))
+    val hotA = aC.filter(col("df") > NgramHotDf)
+      .withColumn("g", pmod(xxhash64(col("doc_a")), lit(NgramSaltG)))
+      .repartition(np, col("tok"), col("g"))
+    val hotB = bC.filter(col("df") > NgramHotDf).drop("df")
+      .withColumn("g", explode(expr(s"sequence(0, ${NgramSaltG - 1})")))
+      .repartition(np, col("tok"), col("g"))
+    val hot = hotA.join(hotB, Seq("tok", "g"))
+    cold.select("doc_a", "n_a", "doc_b", "n_b")
+      .unionByName(hot.select("doc_a", "n_a", "doc_b", "n_b"))
+  }
+
   /** Word-set Jaccard ≥ 0.9 pairs over lang='de' docs, via PREFIX
     * FILTERING (the AllPairs/PPJoin blocking; Bayardo et al., WWW'07):
     * order every doc's word set by global token rarity (ascending doc
@@ -252,9 +307,8 @@ object Dedup {
     val prefix = tok.join(broadcast(freq), Seq("tok"))
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= col("n") - expr(ceilThrTimes("n")) + 1)
-      .select(col("tok"), col("doc_id"), col("n"))
-    val cand = prefix.select(col("tok"), col("doc_id").as("doc_a"), col("n").as("n_a"))
-      .join(prefix.select(col("tok"), col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("tok"))
+      .select(col("tok"), col("df"), col("doc_id"), col("n"))
+    val cand = prefixCandidates(prefix, prefix)
       .filter(col("doc_a") < col("doc_b") &&
         least(col("n_a"), col("n_b")) >=
           expr(ceilThrTimes("greatest(n_a, n_b)")))
@@ -297,20 +351,18 @@ object Dedup {
     val prefix = tok.join(broadcast(freq), Seq("tok"))
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= col("n") - expr(ceilThrTimes("n")) + 1)
-      .select(col("tok"), col("doc_id"), col("n"))
+      .select(col("tok"), col("df"), col("doc_id"), col("n"))
     val isBatch = batchIds.select(col("doc_id")).distinct()
     val prefixBatch = prefix.join(broadcast(isBatch), Seq("doc_id"))
-    val cand = prefixBatch
-      .select(col("tok"), col("doc_id").as("doc_x"), col("n").as("n_x"))
-      .join(prefix.select(col("tok"), col("doc_id").as("doc_y"),
-        col("n").as("n_y")), Seq("tok"))
-      .filter(col("doc_x") =!= col("doc_y") &&
-        least(col("n_x"), col("n_y")) >=
-          expr(ceilThrTimes("greatest(n_x, n_y)")))
+    val cand = prefixCandidates(prefixBatch, prefix)
+      .filter(col("doc_a") =!= col("doc_b") &&
+        least(col("n_a"), col("n_b")) >=
+          expr(ceilThrTimes("greatest(n_a, n_b)")))
       // batch×batch collisions arrive in both orders, batch×corpus in
       // one — normalize then dedupe (the minhashPairsIncremental rule).
-      .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
-              greatest(col("doc_x"), col("doc_y")).as("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("da"),
+              greatest(col("doc_a"), col("doc_b")).as("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"))
       .distinct()
     withJaccard(
       cand
