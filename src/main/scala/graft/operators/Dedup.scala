@@ -224,13 +224,21 @@ object Dedup {
     * df(tok)² rows in ONE join task, so a single hot prefix token
     * serializes the whole stage — the ×10 probe measured q_dedup_ngram
     * at wall ≈ cpu ≈ 81 s at BOTH 8 and 32 cores (zero parallelism).
-    * Below the bound a token's task is ≤ 256² = 65k candidate rows —
-    * cheap; above it the a-side salts by doc hash into [[NgramSaltG]]
-    * sub-keys and the b-side replicates per sub-key, splitting df²
-    * across the grid. The candidate SET is unchanged (each (a,b) pair
-    * still meets exactly once per shared token, at g = hash(a)), so
-    * verify input, output, and every oracle hash are identical. */
-  private[operators] val NgramHotDf = 256
+    * Below the bound a token's task is ≤ 4096² ≈ 16M candidate rows —
+    * seconds, and tokens parallelize across tasks; above it the
+    * a-side salts by doc hash into [[NgramSaltG]] sub-keys and the
+    * b-side replicates per sub-key, splitting df² across the grid.
+    * The candidate SET is unchanged (each (a,b) pair still meets
+    * exactly once per shared token, at g = hash(a)), so verify input,
+    * output, and every oracle hash are identical. The bound sits
+    * ABOVE any possible sf0.1 df (df ≤ the corpus's de-doc count
+    * ≈ 1k), so replication overhead is zero until a posting list is
+    * genuinely task-serializing — a first cut at 256 salted half the
+    * sf0.1 vocabulary and cost the key ~4× cpu for nothing (measured,
+    * reverted). At extreme corpora the fixed grid bounds the win to
+    * [[NgramSaltG]]×; a df-proportional grid is the production
+    * extension (documented candidate). */
+  private[operators] val NgramHotDf = 4096
   private[operators] val NgramSaltG = 32
 
   /** The hot/cold-split candidate self-join shared by [[ngramPairs]]
